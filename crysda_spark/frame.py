@@ -1,0 +1,642 @@
+"""Core immutable Frame: the reference's DataFrame verb surface on PySpark.
+
+Design (SURVEY.md §7.1): a thin immutable wrapper ``Frame(sdf, groups)``
+around a lazy ``pyspark.sql.DataFrame``. Every verb returns a new Frame;
+nothing materializes until an action. Grouping is wrapper metadata — the
+reference's GroupedDataFrame answers *all* verbs per-group
+(reference: src/crysda/groupdf.cr:68-92) which we realize as
+``groupBy`` for aggregation and ``Window.partitionBy(groups)`` for
+per-group vector ops, never by materializing group sub-frames.
+
+Row-order model: Spark DataFrames are unordered multisets; the
+reference's order-dependent verbs (row_number, slice, cumsum, lead/lag,
+bind_cols, head/tail) get a hidden ordinal column ``__crysda_ord__``
+assigned lazily via ``monotonically_increasing_id()`` — partition-local
+counters with the partition id in the high bits, so it reflects scan
+order without any shuffle and keeps working at 100 TB. Order-dependent
+ops over the *whole* frame (ungrouped row_number) are inherently
+sequential in any engine; grouped variants parallelize per group key.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Callable, Iterable, Sequence
+from typing import Any
+
+from pyspark.sql import Column, DataFrame as SparkDF, Window as W
+from pyspark.sql import functions as F
+
+ORD = "__crysda_ord__"
+
+ColumnLike = Any  # Column | str | int | float | bool | None | Callable[[Ctx], Column]
+
+
+class Ctx:
+    """Expression context passed to verb lambdas.
+
+    Mirrors the reference ExpressionContext (src/crysda/context.cr:136-174):
+    ``e["col"]``, ``e.row_num``, ``e.num_row``, ``e.where``, ``e.is_na``,
+    ``e.const`` — plus the vector functions (lead/lag/cumsum/pct_change/
+    rank/order) which are group-aware: on a grouped frame they partition
+    by the grouping keys (reference: src/crysda/groupdf.cr:77-79).
+    """
+
+    def __init__(self, frame: "Frame"):
+        self._frame = frame
+        self._groups = frame.groups
+
+    # -- accessors ---------------------------------------------------------
+    def __getitem__(self, name: str) -> Column:
+        return F.col(name)
+
+    def col(self, name: str) -> Column:
+        return F.col(name)
+
+    @property
+    def row_num(self) -> Column:
+        """1-based row number (per group when grouped)."""
+        return F.row_number().over(self._w_ord())
+
+    @property
+    def num_row(self) -> Column:
+        w = W.partitionBy(*self._groups) if self._groups else W.partitionBy()
+        return F.count(F.lit(1)).over(w)
+
+    # -- scalar helpers ----------------------------------------------------
+    @staticmethod
+    def where(cond: Column, if_true: ColumnLike, if_false: ColumnLike) -> Column:
+        return F.when(cond, _lit(if_true)).otherwise(_lit(if_false))
+
+    @staticmethod
+    def const(value: Any) -> Column:
+        return F.lit(value)
+
+    @staticmethod
+    def is_na(col: str | Column) -> Column:
+        return F.isnull(_c(col))
+
+    @staticmethod
+    def is_not_na(col: str | Column) -> Column:
+        return ~F.isnull(_c(col))
+
+    # -- group-aware vector functions ---------------------------------------
+    def _w_ord(self, order_by: Sequence[Column | str] | None = None) -> W:
+        order = [_c(o) for o in order_by] if order_by else [F.col(ORD)]
+        if self._groups:
+            return W.partitionBy(*self._groups).orderBy(*order)
+        return W.partitionBy().orderBy(*order)
+
+    def lead(self, col: str | Column, n: int = 1, default: Any = None,
+             order_by: Sequence[Column | str] | None = None) -> Column:
+        return F.lead(_c(col), n, default).over(self._w_ord(order_by))
+
+    def lag(self, col: str | Column, n: int = 1, default: Any = None,
+            order_by: Sequence[Column | str] | None = None) -> Column:
+        return F.lag(_c(col), n, default).over(self._w_ord(order_by))
+
+    def pct_change(self, col: str | Column,
+                   order_by: Sequence[Column | str] | None = None) -> Column:
+        c = _c(col)
+        return c / F.lag(c, 1).over(self._w_ord(order_by)) - 1
+
+    def cumsum(self, col: str | Column,
+               order_by: Sequence[Column | str] | None = None) -> Column:
+        """Running sum with the reference's NA-poisoning: every value at or
+        after the first null is null (reference: src/crysda/columns.cr:298-318).
+        """
+        c = _c(col)
+        w = self._w_ord(order_by).rowsBetween(W.unboundedPreceding, W.currentRow)
+        poisoned = F.max(c.isNull().cast("int")).over(w) >= 1
+        return F.when(poisoned, F.lit(None)).otherwise(F.sum(c).over(w))
+
+    def rank(self, col: str | Column, na_last: bool = True) -> Column:
+        """0-based position in ascending order, ties broken by row position —
+        NOT SQL RANK (reference: src/crysda/columns.cr:152-159)."""
+        c = _c(col)
+        key = c.asc_nulls_last() if na_last else c.asc_nulls_first()
+        w = (W.partitionBy(*self._groups) if self._groups else W.partitionBy())
+        return F.row_number().over(w.orderBy(key, F.col(ORD))) - 1
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _lit(v: ColumnLike) -> Column:
+    return v if isinstance(v, Column) else F.lit(v)
+
+
+class Frame:
+    """Immutable verb-API table on a lazy Spark DataFrame."""
+
+    def __init__(self, sdf: SparkDF, groups: Sequence[str] = ()):
+        self._sdf = sdf
+        self._groups = tuple(groups)
+
+    # ------------------------------------------------------------------ core
+    @property
+    def sdf(self) -> SparkDF:
+        """Underlying Spark DataFrame without internal columns."""
+        if ORD in self._sdf.columns:
+            return self._sdf.drop(ORD)
+        return self._sdf
+
+    @property
+    def groups(self) -> tuple[str, ...]:
+        return self._groups
+
+    @property
+    def columns(self) -> list[str]:
+        return [c for c in self._sdf.columns if c != ORD]
+
+    @property
+    def names(self) -> list[str]:
+        return self.columns
+
+    @property
+    def num_row(self) -> int:
+        return self._sdf.count()
+
+    @property
+    def num_col(self) -> int:
+        return len(self.columns)
+
+    @property
+    def schema(self):
+        return self.sdf.schema
+
+    def _wrap(self, sdf: SparkDF, groups: Sequence[str] | None = None) -> "Frame":
+        return Frame(sdf, self._groups if groups is None else groups)
+
+    def _with_ord(self) -> "Frame":
+        """Attach the hidden ordinal if absent — no shuffle, scan order."""
+        if ORD in self._sdf.columns:
+            return self
+        return self._wrap(self._sdf.withColumn(ORD, F.monotonically_increasing_id()))
+
+    def _resolve(self, expr: ColumnLike) -> Column:
+        if callable(expr) and not isinstance(expr, Column):
+            expr = expr(Ctx(self))
+        return _lit(expr)
+
+    def ctx(self) -> Ctx:
+        return Ctx(self)
+
+    # ------------------------------------------------------------- selection
+    def select(self, *cols) -> "Frame":
+        """Keep columns in the given order. Errors on unknown/duplicated
+        selection (reference: src/crysda/simpledf.cr:62-68). Also accepts a
+        selector callable (see functions.selectors)."""
+        names = self._resolve_selection(cols)
+        if not names:
+            raise ValueError("empty column selection")
+        keep = list(names) + ([ORD] if ORD in self._sdf.columns else [])
+        # backtick-quote: column names may contain dots (join suffixes .x/.y)
+        return self._wrap(self._sdf.select(*[F.col(f"`{c}`") for c in keep]))
+
+    def _resolve_selection(self, cols) -> list[str]:
+        from .functions.selectors import resolve_selectors
+
+        flat: list[Any] = []
+        for c in cols:
+            if isinstance(c, (list, tuple)):
+                flat.extend(c)
+            else:
+                flat.append(c)
+        if any(callable(c) and not isinstance(c, str) for c in flat):
+            return resolve_selectors(self.columns, flat)
+        names = [str(c) for c in flat]
+        unknown = [n for n in names if n not in self.columns]
+        if unknown:
+            raise ValueError(f"unknown columns in selection: {unknown}")
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicated columns in selection: {names}")
+        return names
+
+    def reject(self, *cols) -> "Frame":
+        """Drop columns by name or selector (reference: src/crysda/dataframe.cr:346-367)."""
+        drop = self._resolve_selection(cols)
+        keep = [c for c in self.columns if c not in drop]
+        return self.select(*keep)
+
+    drop = reject
+
+    def rename(self, mapping: dict[str, str] | None = None, **kwargs: str) -> "Frame":
+        """Rename keeping position; mapping is {old: new}; no-op renames
+        ignored, duplicate results rejected (reference: src/crysda/dataframe.cr:369-398)."""
+        m = dict(mapping or {})
+        m.update(kwargs)
+        m = {old: new for old, new in m.items() if old != new}
+        unknown = [o for o in m if o not in self.columns]
+        if unknown:
+            raise ValueError(f"rename of unknown columns: {unknown}")
+        result = [m.get(c, c) for c in self.columns]
+        if len(set(result)) != len(result):
+            raise ValueError(f"rename produces duplicated names: {result}")
+        groups = tuple(m.get(g, g) for g in self._groups)
+        return Frame(self._sdf.withColumnsRenamed(m), groups)
+
+    def set_names(self, *names) -> "Frame":
+        names = _flatten_strs(names)
+        if len(names) != len(self.columns):
+            raise ValueError(f"set_names: {len(names)} names for {len(self.columns)} columns")
+        return self.rename(dict(zip(self.columns, names)))
+
+    def move_left(self, *cols) -> "Frame":
+        cols = _flatten_strs(cols)
+        rest = [c for c in self.columns if c not in cols]
+        return self.select(*(list(cols) + rest))
+
+    def move_right(self, *cols) -> "Frame":
+        cols = _flatten_strs(cols)
+        rest = [c for c in self.columns if c not in cols]
+        return self.select(*(rest + list(cols)))
+
+    # ------------------------------------------------------------- mutation
+    def add_column(self, name: str, expr: ColumnLike) -> "Frame":
+        """Add/replace a column; replaced columns keep their position;
+        scalars broadcast (reference: src/crysda/simpledf.cr:70-78).
+        Window-using expressions (cumsum/lead/...) require the ordinal."""
+        target = self._with_ord() if self._needs_ord(expr) else self
+        col = target._resolve(expr)
+        return target._wrap(target._sdf.withColumn(name, col))
+
+    def _needs_ord(self, expr: ColumnLike) -> bool:
+        # Lambdas may reference ctx window helpers which order by ORD.
+        return callable(expr) and not isinstance(expr, Column)
+
+    def add_columns(self, **exprs: ColumnLike) -> "Frame":
+        """Sequential multi-mutate: later expressions see earlier columns
+        (reference: src/crysda/dataframe.cr:75-88)."""
+        out = self
+        for name, expr in exprs.items():
+            out = out.add_column(name, expr)
+        return out
+
+    def transmute(self, **exprs: ColumnLike) -> "Frame":
+        """add_columns then keep only the new columns."""
+        return self.add_columns(**exprs).select(*exprs.keys())
+
+    def add_row_number(self, name: str = "row_number") -> "Frame":
+        """1-based row numbers, per group when grouped
+        (reference: src/crysda/dataframe.cr:99-102,400-403)."""
+        t = self._with_ord()
+        w = (W.partitionBy(*self._groups) if self._groups else W.partitionBy())
+        rn = F.row_number().over(w.orderBy(F.col(ORD)))
+        out = t._sdf.withColumn(name, rn)
+        return t._wrap(out.select(name, *[c for c in out.columns if c != name]))
+
+    def add_row(self, *values: Any) -> "Frame":
+        """Append one row, length-checked (reference: src/crysda/dataframe.cr:90-97)."""
+        if len(values) != len(self.columns):
+            raise ValueError(f"add_row: {len(values)} values for {len(self.columns)} columns")
+        spark = self._sdf.sparkSession
+        row_df = spark.createDataFrame([tuple(values)], schema=self.sdf.schema)
+        return Frame(self.sdf.unionByName(row_df), self._groups)
+
+    # -------------------------------------------------------------- filtering
+    def filter(self, *preds: ColumnLike) -> "Frame":
+        """Keep rows where all predicates hold. Null predicate → row dropped,
+        matching the reference's NA→false under filter
+        (reference: src/crysda/extension.cr:11-13)."""
+        target = self._with_ord() if any(self._needs_ord(p) for p in preds) else self
+        out = target._sdf
+        for p in preds:
+            out = out.filter(target._resolve(p))
+        return target._wrap(out)
+
+    where_rows = filter
+
+    def filter_by_row(self, fn: Callable[[dict], bool]) -> "Frame":
+        """Row-wise Python predicate — Arrow-batched via mapInPandas, the
+        slow path by design (reference: src/crysda/dataframe.cr:242-274)."""
+        import pandas as pd  # noqa: F401
+
+        schema = self._sdf.schema
+
+        def _part(batches):
+            for pdf in batches:
+                mask = pdf.apply(lambda r: bool(fn(r.to_dict())), axis=1)
+                yield pdf[mask.values]
+
+        return self._wrap(self._sdf.mapInPandas(_part, schema=schema))
+
+    def distinct(self, *cols) -> "Frame":
+        """Unique rows over selected cols, all columns retained
+        (reference: src/crysda/dataframe.cr:215-223)."""
+        if not cols:
+            return self._wrap(self.sdf.dropDuplicates())
+        names = self._resolve_selection(cols)
+        return self._wrap(self.sdf.dropDuplicates(names))
+
+    def slice(self, *positions: int) -> "Frame":
+        """Rows by 1-based positions (group-aware)
+        (reference: src/crysda/dataframe.cr:502-510)."""
+        pos: list[int] = []
+        for p in positions:
+            if isinstance(p, range):
+                pos.extend(p)
+            else:
+                pos.append(int(p))
+        t = self._with_ord()
+        w = (W.partitionBy(*self._groups) if self._groups else W.partitionBy())
+        rn = F.row_number().over(w.orderBy(F.col(ORD)))
+        out = t._sdf.withColumn("__rn__", rn).filter(F.col("__rn__").isin(pos)).drop("__rn__")
+        return t._wrap(out)
+
+    def head(self, n: int = 5) -> "Frame":
+        return self._wrap(self._sdf.limit(n))
+
+    take = head
+
+    def tail(self, n: int = 5) -> "Frame":
+        t = self._with_ord()
+        w = W.partitionBy().orderBy(F.col(ORD).desc())
+        out = (t._sdf.withColumn("__rn__", F.row_number().over(w))
+               .filter(F.col("__rn__") <= n).drop("__rn__"))
+        return t._wrap(out)
+
+    take_last = tail
+
+    # -------------------------------------------------------------- sampling
+    def sample_n(self, n: int, replace: bool = False, seed: int | None = None) -> "Frame":
+        """Exact-count random sample, per group when grouped
+        (reference: src/crysda/dataframe.cr:420-440)."""
+        if n < 0:
+            raise ValueError("sample_n: n must be >= 0")
+        rnd = F.rand(seed) if seed is not None else F.rand()
+        if not replace:
+            w = (W.partitionBy(*self._groups) if self._groups else W.partitionBy())
+            out = (self.sdf.withColumn("__r__", rnd)
+                   .withColumn("__rn__", F.row_number().over(w.orderBy(F.col("__r__"))))
+                   .filter(F.col("__rn__") <= n).drop("__r__", "__rn__"))
+            return self._wrap(out)
+        # With replacement: explode n independent uniform picks per group.
+        t = self._with_ord()
+        w = (W.partitionBy(*self._groups) if self._groups else W.partitionBy())
+        sz = t._sdf.withColumn("__sz__", F.count(F.lit(1)).over(w)) \
+                   .withColumn("__rn__", F.row_number().over(w.orderBy(F.col(ORD))))
+        picks = sz.select(*t._groups, "__sz__").dropDuplicates(list(t._groups) or None) \
+            .withColumn("__pick__", F.explode(F.array([F.lit(i) for i in range(n)]))) \
+            .withColumn("__tgt__", (F.floor((F.rand(seed) if seed is not None else F.rand())
+                                            * F.col("__sz__")) + 1).cast("int"))
+        on = [*t._groups] if t._groups else None
+        if on:
+            joined = picks.join(sz, on=on + [], how="inner") \
+                .filter(F.col("__tgt__") == F.col("__rn__"))
+        else:
+            joined = picks.crossJoin(sz).filter(F.col("__tgt__") == F.col("__rn__"))
+        out = joined.drop("__sz__", "__rn__", "__pick__", "__tgt__", ORD)
+        return Frame(out, self._groups)
+
+    def sample_frac(self, frac: float, replace: bool = False, seed: int | None = None) -> "Frame":
+        """Exact fraction sampling (reference rounds to exact count,
+        src/crysda/dataframe.cr:414-418)."""
+        if self._groups:
+            w = W.partitionBy(*self._groups)
+            rnd = F.rand(seed) if seed is not None else F.rand()
+            out = (self.sdf.withColumn("__sz__", F.count(F.lit(1)).over(w))
+                   .withColumn("__r__", rnd)
+                   .withColumn("__rn__", F.row_number().over(w.orderBy(F.col("__r__"))))
+                   .filter(F.col("__rn__") <= F.round(F.col("__sz__") * frac))
+                   .drop("__sz__", "__r__", "__rn__"))
+            return self._wrap(out)
+        n = round(self.num_row * frac)
+        return self.sample_n(n, replace=replace, seed=seed)
+
+    def shuffle(self, seed: int | None = None) -> "Frame":
+        """Random row order (reference: src/crysda/dataframe.cr:497-500)."""
+        rnd = F.rand(seed) if seed is not None else F.rand()
+        out = self.sdf.orderBy(rnd)
+        return Frame(out, self._groups)
+
+    # -------------------------------------------------------------- sorting
+    def sort_by(self, *cols) -> "Frame":
+        """Ascending sort, nulls last (reference default:
+        src/crysda/simpledf.cr:149-165; asc_nulls_last matches). Accepts
+        names, Columns, or ctx-lambdas (sort by expression,
+        reference: src/crysda/dataframe.cr:534-547)."""
+        keys = [self._sort_key(c, desc=False) for c in _flatten(cols)]
+        out = self.sdf.orderBy(*keys)
+        return Frame(out, self._groups)
+
+    def sort_desc_by(self, *cols) -> "Frame":
+        """Descending sort, nulls still last (reference spec:
+        spec/core_spec.cr:290-301 → desc_nulls_last)."""
+        keys = [self._sort_key(c, desc=True) for c in _flatten(cols)]
+        out = self.sdf.orderBy(*keys)
+        return Frame(out, self._groups)
+
+    def _sort_key(self, c, desc: bool) -> Column:
+        col = self._resolve(c) if (callable(c) and not isinstance(c, str)) else _c(c)
+        return col.desc_nulls_last() if desc else col.asc_nulls_last()
+
+    # -------------------------------------------------------------- grouping
+    def group_by(self, *cols) -> "Frame":
+        """Group by key columns — metadata only, no materialization.
+        NA is a valid group (Spark groupBy keeps null keys, matching
+        reference src/crysda/groupdf.cr:4)."""
+        names = self._resolve_selection(cols)
+        return Frame(self._sdf, tuple(names))
+
+    def group_by_expr(self, **exprs: ColumnLike) -> "Frame":
+        """Group by computed expressions (reference: src/crysda/dataframe.cr:298-315)."""
+        out = self.add_columns(**exprs)
+        return Frame(out._sdf, tuple(exprs.keys()))
+
+    def ungroup(self) -> "Frame":
+        return Frame(self._sdf, ())
+
+    def rowwise(self) -> "Frame":
+        """Each row its own group; per-row ops are plain column exprs in
+        Spark so this only tags intent (reference: src/crysda/dataframe.cr:405-412)."""
+        t = self._with_ord()
+        return Frame(t._sdf, (ORD,))
+
+    def grouped_by(self) -> "Frame":
+        """Distinct key tuples (reference: src/crysda/groupdf.cr:94-97)."""
+        if not self._groups:
+            spark = self._sdf.sparkSession
+            return Frame(spark.createDataFrame([], schema="struct<>"))
+        return Frame(self._sdf.select(*self._groups).dropDuplicates())
+
+    # ----------------------------------------------------------- aggregation
+    def summarize(self, **exprs: ColumnLike) -> "Frame":
+        """One row per group from aggregate expressions
+        (reference: src/crysda/dataframe.cr:549-559)."""
+        aggs = [self._resolve(e).alias(name) for name, e in exprs.items()]
+        if self._groups:
+            out = self.sdf.groupBy(*self._groups).agg(*aggs)
+        else:
+            out = self.sdf.agg(*aggs)
+        return Frame(out, ())
+
+    summarise = summarize
+
+    def summarize_at(self, cols, funcs, sep: str = ".") -> "Frame":
+        """N agg functions × M columns, auto-named ``col.suffix``
+        (reference: src/crysda/dataframe.cr:561-579). ``funcs`` is a dict
+        suffix -> callable(Column)->Column, or a list of (suffix, fn)."""
+        names = self._resolve_selection([cols] if isinstance(cols, str) else cols)
+        items = funcs.items() if isinstance(funcs, dict) else list(funcs)
+        aggs = [fn(F.col(c)).alias(f"{c}{sep}{suffix}")
+                for c in names for suffix, fn in items]
+        if self._groups:
+            out = self.sdf.groupBy(*self._groups).agg(*aggs)
+        else:
+            out = self.sdf.agg(*aggs)
+        return Frame(out, ())
+
+    def count(self, *cols, name: str = "n") -> "Frame":
+        """Cross tabulation / group sizes (reference: src/crysda/dataframe.cr:184-204)."""
+        names = list(self._groups) + [c for c in _flatten_strs(cols)
+                                      if c not in self._groups]
+        if name in names:
+            raise ValueError(f"count name '{name}' collides with a grouping column")
+        if not names:
+            out = self.sdf.agg(F.count(F.lit(1)).alias(name))
+        else:
+            out = self.sdf.groupBy(*names).agg(F.count(F.lit(1)).alias(name))
+        return Frame(out, ())
+
+    def count_expr(self, name: str = "n", **exprs: ColumnLike) -> "Frame":
+        """Count by computed expressions (reference: src/crysda/dataframe.cr:206-213)."""
+        return self.add_columns(**exprs).group_by(*exprs.keys()).count(name=name)
+
+    # ------------------------------------------------------------- combining
+    def bind_rows(self, *others: "Frame") -> "Frame":
+        from .operators.setops import bind_rows
+        return bind_rows(self, *others)
+
+    def bind_cols(self, other: "Frame") -> "Frame":
+        from .operators.setops import bind_cols
+        return bind_cols(self, other)
+
+    def union(self, other: "Frame") -> "Frame":
+        return Frame(self.sdf.unionByName(other.sdf))
+
+    def intersect(self, other: "Frame") -> "Frame":
+        return Frame(self.sdf.intersect(other.sdf))
+
+    def except_rows(self, other: "Frame") -> "Frame":
+        return Frame(self.sdf.exceptAll(other.sdf))
+
+    # ---------------------------------------------------------------- joins
+    def inner_join(self, right: "Frame", by=None, suffices=(".x", ".y")) -> "Frame":
+        from .operators.joins import join
+        return join(self, right, by, "inner", suffices)
+
+    def left_join(self, right: "Frame", by=None, suffices=(".x", ".y")) -> "Frame":
+        from .operators.joins import join
+        return join(self, right, by, "left", suffices)
+
+    def right_join(self, right: "Frame", by=None, suffices=(".x", ".y")) -> "Frame":
+        from .operators.joins import join
+        return join(self, right, by, "right", suffices)
+
+    def outer_join(self, right: "Frame", by=None, suffices=(".x", ".y")) -> "Frame":
+        from .operators.joins import join
+        return join(self, right, by, "full", suffices)
+
+    def semi_join(self, right: "Frame", by=None) -> "Frame":
+        from .operators.joins import join
+        return join(self, right, by, "left_semi", (".x", ".y"))
+
+    def anti_join(self, right: "Frame", by=None) -> "Frame":
+        from .operators.joins import join
+        return join(self, right, by, "left_anti", (".x", ".y"))
+
+    def cross_join(self, right: "Frame") -> "Frame":
+        from .operators.joins import join
+        return join(self, right, [], "inner", (".x", ".y"))
+
+    # --------------------------------------------------------------- reshape
+    def spread(self, key: str, value: str, fill=None, convert: bool = False) -> "Frame":
+        from .operators.reshape import spread
+        return spread(self, key, value, fill, convert)
+
+    def gather(self, key: str, value: str, columns=None, convert: bool = False) -> "Frame":
+        from .operators.reshape import gather
+        return gather(self, key, value, columns, convert)
+
+    def unite(self, name: str, cols, sep: str = "_", remove: bool = True) -> "Frame":
+        from .operators.reshape import unite
+        return unite(self, name, cols, sep, remove)
+
+    def separate(self, column: str, into, sep: str = r"[^\w]", remove: bool = True,
+                 convert: bool = False) -> "Frame":
+        from .operators.reshape import separate
+        return separate(self, column, into, sep, remove, convert)
+
+    def nest(self, cols=None, column_name: str = "data") -> "Frame":
+        from .operators.reshape import nest
+        return nest(self, cols, column_name)
+
+    def unnest(self, column_name: str) -> "Frame":
+        from .operators.reshape import unnest
+        return unnest(self, column_name)
+
+    def expand(self, *cols) -> "Frame":
+        from .operators.reshape import expand
+        return expand(self, *cols)
+
+    def complete(self, *cols) -> "Frame":
+        from .operators.reshape import complete
+        return complete(self, *cols)
+
+    # ------------------------------------------------------------ local access
+    def to_h(self) -> dict[str, list]:
+        rows = self.sdf.collect()
+        return {c: [r[c] for r in rows] for c in self.columns}
+
+    def rows(self):
+        for r in self.sdf.toLocalIterator():
+            yield r.asDict()
+
+    def row(self, i: int) -> dict:
+        t = self._with_ord()
+        w = W.partitionBy().orderBy(F.col(ORD))
+        got = (t._sdf.withColumn("__rn__", F.row_number().over(w))
+               .filter(F.col("__rn__") == i + 1).drop("__rn__", ORD).collect())
+        if not got:
+            raise IndexError(i)
+        return got[0].asDict()
+
+    def to_pandas(self):
+        return self.sdf.toPandas()
+
+    def collect(self):
+        return self.sdf.collect()
+
+    # ------------------------------------------------------------- rendering
+    def print(self, title: str = "A DataFrame", max_rows: int = 10, **kw) -> None:
+        from .functions.format import render
+        print(render(self, title=title, max_rows=max_rows, **kw))
+
+    def print_schema(self) -> None:
+        self.sdf.printSchema()
+
+    def explain(self, mode: str = "formatted") -> None:
+        self.sdf.explain(mode)
+
+    def cache(self) -> "Frame":
+        return Frame(self._sdf.cache(), self._groups)
+
+    def __repr__(self) -> str:
+        g = f", grouped by {list(self._groups)}" if self._groups else ""
+        return f"<Frame [{len(self.columns)} cols]{g}>"
+
+
+def _flatten(items) -> list:
+    out: list = []
+    for it in items:
+        if isinstance(it, (list, tuple)):
+            out.extend(it)
+        else:
+            out.append(it)
+    return out
+
+
+def _flatten_strs(items) -> list[str]:
+    return [str(x) for x in _flatten(items)]

@@ -1,0 +1,16 @@
+from .readers import (
+    dataframe_of,
+    empty_df,
+    from_records,
+    read_csv,
+    read_jdbc,
+    read_json,
+    read_parquet,
+)
+from .sinks import write_csv, write_json, write_parquet
+
+__all__ = [
+    "read_csv", "read_json", "read_parquet", "read_jdbc",
+    "dataframe_of", "from_records", "empty_df",
+    "write_csv", "write_json", "write_parquet",
+]

@@ -1,0 +1,208 @@
+"""Core verb tests — modeled on the reference's spec/core_spec.cr."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crysda_spark import Frame, from_records
+from crysda_spark.functions import selectors as s
+from crysda_spark.functions.aggregates import AggFuncs
+
+
+def test_select_keeps_order(lineitem):
+    out = lineitem.select("l_quantity", "l_orderkey")
+    assert out.columns == ["l_quantity", "l_orderkey"]
+
+
+def test_select_unknown_raises(lineitem):
+    with pytest.raises(ValueError, match="unknown"):
+        lineitem.select("nope")
+
+
+def test_select_duplicate_raises(lineitem):
+    with pytest.raises(ValueError, match="duplicated"):
+        lineitem.select("l_orderkey", "l_orderkey")
+
+
+def test_selector_dsl(lineitem):
+    out = lineitem.select(s.starts_with("l_return"))
+    assert out.columns == ["l_returnflag"]
+    with pytest.raises(ValueError, match="empty"):
+        lineitem.select(s.except_(s.starts_with("l_")))  # drops everything
+    # regex
+    out3 = lineitem.select(s.matches(r"key$"))
+    assert set(out3.columns) == {"l_orderkey", "l_partkey", "l_suppkey"}
+
+
+def test_selector_mixed_raises(lineitem):
+    with pytest.raises(ValueError, match="mixing"):
+        lineitem.select(s.starts_with("l_q"), s.except_("l_tax"))
+
+
+def test_reject(lineitem):
+    out = lineitem.reject("l_comment") if "l_comment" in lineitem.columns else lineitem.reject("l_tax")
+    assert "l_tax" not in out.columns or "l_comment" not in out.columns
+
+
+def test_rename(sleep_df):
+    out = sleep_df.rename({"vore": "diet"})
+    assert "diet" in out.columns and "vore" not in out.columns
+    assert out.columns.index("diet") == 1  # position preserved
+    with pytest.raises(ValueError, match="duplicated"):
+        sleep_df.rename({"vore": "name"})
+
+
+def test_add_column_expr_and_scalar(sleep_df):
+    out = sleep_df.add_column("rem_prop", F.col("sleep_rem") / F.col("sleep_total"))
+    assert "rem_prop" in out.columns
+    out2 = sleep_df.add_column("flag", 1)
+    vals = out2.to_h()["flag"]
+    assert set(vals) == {1}
+
+
+def test_add_column_lambda_ctx(sleep_df):
+    out = sleep_df.add_column("big", lambda e: e.where(e["bodywt"] > 10, "big", "small"))
+    h = out.to_h()
+    assert h["big"][0] == "big"  # cheetah 50kg
+
+
+def test_add_columns_sequential(sleep_df):
+    out = sleep_df.add_columns(x=F.lit(2), y=F.col("x") * 3)
+    assert out.to_h()["y"][0] == 6
+
+
+def test_transmute(sleep_df):
+    out = sleep_df.transmute(double_wt=F.col("bodywt") * 2)
+    assert out.columns == ["double_wt"]
+
+
+def test_filter_na_is_false(sleep_df):
+    # NA sleep_rem compares to null -> dropped, matching reference NA->false
+    out = sleep_df.filter(F.col("sleep_rem") > 2)
+    names = out.to_h()["name"]
+    assert "Cheetah" not in names
+    assert "Mountain beaver" in names
+
+
+def test_filter_lambda(sleep_df):
+    out = sleep_df.filter(lambda e: e["vore"] == "insecti")
+    assert out.num_row == 2
+
+
+def test_filter_by_row(sleep_df):
+    out = sleep_df.filter_by_row(lambda r: r["vore"] == "carni" and r["bodywt"] > 15)
+    assert sorted(out.to_h()["name"]) == ["Cheetah", "Northern fur seal"]
+
+
+def test_distinct(sleep_df):
+    out = sleep_df.distinct("vore")
+    assert out.num_row == 5  # carni omni herbi insecti None
+    assert len(out.columns) == 5  # all columns retained
+
+
+def test_sort_nulls_last(sleep_df):
+    out = sleep_df.sort_desc_by("sleep_rem")
+    vals = out.to_h()["sleep_rem"]
+    assert vals[0] == 3.9
+    assert vals[-1] is None  # nulls last even desc
+    out2 = sleep_df.sort_by("sleep_rem")
+    vals2 = out2.to_h()["sleep_rem"]
+    assert vals2[0] == 0.7 and vals2[-1] is None
+
+
+def test_group_by_summarize(sleep_df):
+    out = (sleep_df.group_by("vore")
+           .summarize(avg_sleep=F.avg("sleep_total"), n=F.count(F.lit(1))))
+    h = {r["vore"]: r for r in out.collect()}
+    assert h["insecti"]["n"] == 2
+    assert abs(h["insecti"]["avg_sleep"] - 19.8) < 1e-9
+    assert None in h  # NA is a valid group
+
+
+def test_grouped_filter_keeps_groups(sleep_df):
+    g = sleep_df.group_by("vore").filter(F.col("bodywt") < 100)
+    assert g.groups == ("vore",)
+
+
+def test_summarize_strict_na_raises(sleep_df, spark):
+    from crysda_spark.functions import aggregates as agg
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception):
+        sleep_df.summarize(m=agg.mean("sleep_rem", remove_na=False)).collect()
+    ok = sleep_df.summarize(m=agg.mean("sleep_rem", remove_na=True)).collect()
+    assert ok[0]["m"] is not None
+
+
+def test_summarize_at(sleep_df):
+    out = sleep_df.group_by("vore").summarize_at(
+        ["sleep_total", "bodywt"], AggFuncs.set("mean", "n"))
+    assert set(out.columns) == {"vore", "sleep_total.mean", "sleep_total.n",
+                                "bodywt.mean", "bodywt.n"}
+
+
+def test_count(sleep_df):
+    out = sleep_df.count("vore")
+    h = {r["vore"]: r["n"] for r in out.collect()}
+    assert h["herbi"] == 4
+    total = sleep_df.count()
+    assert total.collect()[0]["n"] == 12
+
+
+def test_count_expr(sleep_df):
+    out = sleep_df.count_expr(heavy=F.col("bodywt") > 10)
+    h = {r["heavy"]: r["n"] for r in out.collect()}
+    assert h[True] == 5
+
+
+def test_slice_head_tail(sleep_df):
+    assert sleep_df.slice(1, 3).num_row == 2
+    assert sleep_df.head(3).num_row == 3
+    assert sleep_df.tail(2).num_row == 2
+
+
+def test_add_row_number(sleep_df):
+    out = sleep_df.add_row_number("rn")
+    assert out.columns[0] == "rn"
+    assert sorted(out.to_h()["rn"]) == list(range(1, 13))
+
+
+def test_add_row(sleep_df):
+    out = sleep_df.add_row("Test animal", "carni", 1.0, 2.0, 3.0)
+    assert out.num_row == 13
+    with pytest.raises(ValueError):
+        sleep_df.add_row("too", "few")
+
+
+def test_sample_n(sleep_df):
+    assert sleep_df.sample_n(5, seed=1).num_row == 5
+    per_group = sleep_df.group_by("vore").sample_n(1, seed=1)
+    assert per_group.num_row == 5
+
+
+def test_bind_rows(sleep_df, spark):
+    a = sleep_df.select("name", "vore")
+    b = sleep_df.select("name", "bodywt")
+    out = a.bind_rows(b)
+    assert out.num_row == 24
+    assert set(out.columns) == {"name", "vore", "bodywt"}
+
+
+def test_bind_cols(sleep_df, spark):
+    left = sleep_df.select("name")
+    right = sleep_df.select("name", "bodywt")
+    out = left.bind_cols(right)
+    assert out.columns == ["name", "name_1", "bodywt"]
+    assert out.num_row == 12
+
+
+def test_group_by_expr(sleep_df):
+    out = sleep_df.group_by_expr(heavy=F.col("bodywt") > 10).count()
+    assert out.num_row == 2
+
+
+def test_rowwise_and_ungroup(sleep_df):
+    g = sleep_df.group_by("vore")
+    assert g.ungroup().groups == ()
+    assert g.grouped_by().num_row == 5
