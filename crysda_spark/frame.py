@@ -97,8 +97,9 @@ class Ctx:
 
     def pct_change(self, col: str | Column,
                    order_by: Sequence[Column | str] | None = None) -> Column:
+        # try_divide: a zero previous value yields null, not an ANSI error
         c = _c(col)
-        return c / F.lag(c, 1).over(self._w_ord(order_by)) - 1
+        return F.try_divide(c, F.lag(c, 1).over(self._w_ord(order_by))) - 1
 
     def cumsum(self, col: str | Column,
                order_by: Sequence[Column | str] | None = None) -> Column:
@@ -109,6 +110,11 @@ class Ctx:
         w = self._w_ord(order_by).rowsBetween(W.unboundedPreceding, W.currentRow)
         poisoned = F.max(c.isNull().cast("int")).over(w) >= 1
         return F.when(poisoned, F.lit(None)).otherwise(F.sum(c).over(w))
+
+    def row_number(self, order_by: Sequence[Column | str] | None = None) -> Column:
+        """1-based row number over an explicit order (per group when
+        grouped); without order_by uses the hidden ordinal."""
+        return F.row_number().over(self._w_ord(order_by))
 
     def rank(self, col: str | Column, na_last: bool = True) -> Column:
         """0-based position in ascending order, ties broken by row position —
@@ -503,6 +509,19 @@ class Frame:
     def count_expr(self, name: str = "n", **exprs: ColumnLike) -> "Frame":
         """Count by computed expressions (reference: src/crysda/dataframe.cr:206-213)."""
         return self.add_columns(**exprs).group_by(*exprs.keys()).count(name=name)
+
+    def rollup(self, *cols, **exprs: ColumnLike) -> "Frame":
+        """Hierarchical grouping-sets aggregate (beyond-reference; free in
+        Spark). ``exprs`` as in summarize."""
+        names = self._resolve_selection(cols)
+        aggs = [self._resolve(e).alias(n) for n, e in exprs.items()]
+        return Frame(self.sdf.rollup(*names).agg(*aggs))
+
+    def cube(self, *cols, **exprs: ColumnLike) -> "Frame":
+        """All-combinations grouping-sets aggregate (beyond-reference)."""
+        names = self._resolve_selection(cols)
+        aggs = [self._resolve(e).alias(n) for n, e in exprs.items()]
+        return Frame(self.sdf.cube(*names).agg(*aggs))
 
     # ------------------------------------------------------------- combining
     def bind_rows(self, *others: "Frame") -> "Frame":

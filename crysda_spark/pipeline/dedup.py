@@ -1,0 +1,287 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all shuffle-architected for 100 TB:
+
+- exact: hash-groupBy on the content (or its md5 fingerprint — group on
+  the 16-byte digest, not the document body, so the shuffle moves
+  hashes, not text).
+- minhash + LSH: shingle → minhash signature → band → bucket-join.
+  Candidate generation is an equi-join on (band_id, band_hash), which
+  Spark executes as a shuffle-hash join on small keys; only candidates
+  get the exact Jaccard verification. No pairwise O(n²) anywhere.
+- simhash: 64-bit sign-of-weighted-sum signature; near-dups = small
+  hamming distance, bucketed by 16-bit chunks (pigeonhole: hamming<=3
+  pairs share at least one of 4 chunks).
+- n-gram Jaccard: exact set similarity on shingles for candidate pairs.
+
+Signature computation is explode + codegen'd hash aggregate, NOT
+higher-order array functions: Spark's lambda functions (transform/
+aggregate) run interpreted per element, so a 32-pass transform tree is
+orders of magnitude slower than `explode → groupBy(id).agg(32 × min)`,
+which stays inside whole-stage codegen and partial-aggregates map-side
+(the shuffle carries id + 32 longs per doc, never the text).
+
+All hashes are xxhash64 with fixed integer salts — deterministic across
+runs and cluster layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..frame import Frame
+from .text import tokens
+
+LONG_MAX = (1 << 63) - 1
+
+
+# --------------------------------------------------------------------- exact
+def dedup_exact(f: Frame, cols: list[str] | str, id_col: str) -> Frame:
+    """Keep one row per distinct value-tuple of ``cols`` — the survivor is
+    the row with the smallest ``id_col`` (deterministic, unlike
+    dropDuplicates)."""
+    names = [cols] if isinstance(cols, str) else list(cols)
+    w_cols = [F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")]
+    out = f.sdf.groupBy(*names).agg(*w_cols)
+    return Frame(out)
+
+
+def dedup_exact_by_fingerprint(f: Frame, text_col: str, id_col: str) -> Frame:
+    """Exact text dedup that shuffles 16-byte digests instead of documents:
+    group on md5(normalized text). At 100 TB this is the difference
+    between shuffling the corpus and shuffling 2% of it."""
+    from .text import fingerprint
+    fp = f.sdf.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    out = fp.groupBy("fp").agg(F.min(id_col).alias(id_col),
+                               F.count(F.lit(1)).alias("n_copies"))
+    return Frame(out)
+
+
+# ----------------------------------------------------------------- shingling
+def _shingles_of(t: Column, k: int = 3) -> Column:
+    """Word k-shingles from an ALREADY-PROJECTED token-array column, as a
+    distinct array.
+
+    ``t`` must be a materialized attribute, not an expression tree:
+    higher-order lambdas re-evaluate free subexpressions per array
+    element, so slicing a `split(regexp_replace(...))` tree inside
+    `transform` costs O(n_tokens) regex evaluations per shingle —
+    measured 12× slower end-to-end. Project tokens in a prior select
+    (see ``shingled``)."""
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, k))))
+
+
+def shingled(f: Frame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(id, sh: array<string>) — distinct word k-shingles per document,
+    with the token array projected first so the shingle lambda reads an
+    attribute (see ``_shingles_of``)."""
+    tok = f.sdf.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    return tok.select(id_col, _shingles_of(F.col("_t"), k).alias("sh"))
+
+
+def _shingles(text_col, k: int = 3) -> Column:
+    """Column-level shingles for ad-hoc single-expression use. In
+    pipelines prefer ``shingled`` — this form recomputes the token
+    split per shingle (HOF lambda re-evaluation)."""
+    return _shingles_of(tokens(text_col), k)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# ------------------------------------------------------------- minhash + LSH
+def minhash_signatures(f: Frame, text_col: str, id_col: str,
+                       n_hashes: int = 32, k: int = 3) -> DataFrame:
+    """(id, sig: array<long>[n_hashes]) minhash signatures.
+
+    Scale path: explode shingles to rows, hash each shingle ONCE
+    (xxhash64), derive the hash family by re-hashing the 8-byte digest
+    with an integer salt, and take the n_hashes mins in a single
+    codegen'd hash aggregate. Partial aggregation collapses each
+    partition before the shuffle, so the exchange moves one row of
+    (id, n_hashes × long) per document regardless of text size.
+    Docs with no shingles (empty text) get a null signature row
+    (explode_outer keeps them)."""
+    sh = shingled(f, text_col, id_col, k) \
+        .select(id_col, F.explode_outer("sh").alias("_s"))
+    hashed = sh.select(id_col, F.xxhash64("_s").alias("_h"))
+    aggs = [F.min(F.xxhash64(F.lit(i), "_h")).alias(f"_mh{i}")
+            for i in range(n_hashes)]
+    sig = hashed.groupBy(id_col).agg(*aggs)
+    return sig.select(id_col,
+                      F.array(*[f"_mh{i}" for i in range(n_hashes)]).alias("sig"))
+
+
+def minhash_signature(text_col, n_hashes: int = 32, k: int = 3) -> Column:
+    """Column-level minhash for ad-hoc use on small/medium rows: ONE
+    interpreted aggregate pass (acc = elementwise running min via
+    zip_with), not n_hashes transform passes. Prefer
+    ``minhash_signatures`` (explode + codegen agg) in pipelines."""
+    sh = _shingles(text_col, k)
+    init = F.array_repeat(F.lit(LONG_MAX).cast("long"), n_hashes)
+
+    def step(acc, s):
+        h = F.xxhash64(s)
+        fam = F.array(*[F.xxhash64(F.lit(i), h) for i in range(n_hashes)])
+        return F.zip_with(acc, fam, lambda a, b: F.least(a, b))
+
+    return F.aggregate(sh, init, step)
+
+
+def _band_hashes(sig: Column, n_hashes: int, bands: int) -> Column:
+    """array<long>[bands]: hash of each contiguous signature band."""
+    rows_per_band = n_hashes // bands
+    return F.array(*[
+        F.xxhash64(F.lit(b), F.concat_ws(",", *[
+            F.element_at(sig, b * rows_per_band + r + 1).cast("string")
+            for r in range(rows_per_band)]))
+        for b in range(bands)])
+
+
+def minhash_lsh_candidates(f: Frame, text_col: str, id_col: str,
+                           n_hashes: int = 32, bands: int = 8, k: int = 3) -> Frame:
+    """Candidate near-duplicate pairs via LSH banding: docs sharing any
+    band of the minhash signature. Returns (id_a, id_b) with id_a < id_b.
+
+    Scale path: explode to (band_id, band_hash, id) — n_bands rows per
+    doc — then self-join on the band key. The join key space is huge
+    (64-bit hashes) so buckets stay tiny and the join never degenerates;
+    dedup of pairs happens before verification."""
+    sig = minhash_signatures(f, text_col, id_col, n_hashes, k)
+    banded = (sig
+              .filter(~F.element_at("sig", 1).isNull())
+              .select(id_col, F.posexplode(_band_hashes(F.col("sig"), n_hashes, bands))
+                      .alias("band_id", "band_hash"))
+              .persist())
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (a.join(b, on=["band_id", "band_hash"], how="inner")
+             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+             .dropDuplicates())
+    return Frame(pairs)
+
+
+def minhash_dedup(f: Frame, text_col: str, id_col: str, threshold: float = 0.8,
+                  n_hashes: int = 32, bands: int = 8, k: int = 3) -> Frame:
+    """Near-dup pairs with exact Jaccard verification >= threshold.
+    Shingle sets are joined back only for candidate pairs."""
+    cands = minhash_lsh_candidates(f, text_col, id_col, n_hashes, bands, k).sdf
+    sh = shingled(f, text_col, id_col, k).persist()
+    out = (cands
+           .join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), on="id_a")
+           .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), on="id_b")
+           .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
+    return Frame(out)
+
+
+def ngram_jaccard_pairs(f: Frame, text_col: str, id_col: str,
+                        threshold: float = 0.5, k: int = 3,
+                        prefilter_bands: int = 8) -> Frame:
+    """Exact n-gram Jaccard similarity over LSH-prefiltered candidates."""
+    return minhash_dedup(f, text_col, id_col, threshold,
+                         n_hashes=32, bands=prefilter_bands, k=k)
+
+
+# -------------------------------------------------------------------- simhash
+def simhash_signatures(f: Frame, text_col: str, id_col: str,
+                       bits: int = 64) -> DataFrame:
+    """(id, sh: long) simhash signatures via explode + codegen'd agg.
+
+    Per token one xxhash64. Per-bit votes are packed 4-to-a-long
+    (16-bit fields), so the hash aggregate carries bits/4 + 1 buffers
+    instead of bits + 1 — the narrow buffer count matters twice: janino
+    compiles the agg ~2× faster, and the map-side partial rows that
+    cross the shuffle are 4× smaller. The vote for bit b is
+    2 * count(bit b set) - n_tokens, unpacked in the post-agg
+    projection. Tokens are capped at 65,535 per doc so no 16-bit
+    counter can overflow into its neighbor."""
+    assert bits % 4 == 0
+    capped = F.slice(tokens(F.col(text_col)), 1, 0xFFFF)
+    tok = f.sdf.select(F.col(id_col), F.explode_outer(capped).alias("_w"))
+    hashed = tok.select(id_col, F.xxhash64(F.lit(0x51), "_w").alias("_h"))
+
+    def bitc(b: int) -> Column:
+        return F.shiftright("_h", b).bitwiseAND(F.lit(1))
+
+    packed = []
+    for g in range(bits // 4):
+        e = bitc(4 * g).cast("long")
+        for j in range(1, 4):
+            e = e + F.shiftleft(bitc(4 * g + j).cast("long"), 16 * j)
+        packed.append(e.alias(f"_p{g}"))
+    pre = hashed.select(id_col, *packed)
+    votes = pre.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(f"_p{g}").alias(f"_s{g}") for g in range(bits // 4)])
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        cnt = F.shiftright(F.col(f"_s{b // 4}"), 16 * (b % 4)) \
+               .bitwiseAND(F.lit(0xFFFF))
+        # bits are disjoint, so + composes them (flat sum beats a
+        # 64-deep bitwiseOR nest in codegen)
+        sig = sig + F.when(cnt * 2 > F.col("_n"),
+                           F.shiftleft(F.lit(1).cast("long"), b)) \
+                     .otherwise(F.lit(0).cast("long"))
+    return votes.select(id_col, sig.alias("sh"))
+
+
+def simhash(text_col, bits: int = 64) -> Column:
+    """Column-level simhash for ad-hoc use: a single interpreted aggregate
+    pass accumulating a per-bit vote vector with zip_with against a
+    constant bit-index sequence. Prefer ``simhash_signatures`` (explode
+    + codegen agg) in pipelines."""
+    t = tokens(text_col)
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    init = F.array_repeat(F.lit(0).cast("long"), bits)
+
+    def step(acc, w):
+        h = F.xxhash64(F.lit(0x51), w)
+        return F.zip_with(
+            acc, bit_idx,
+            lambda a, b: a + F.when(
+                F.shiftright(h, b.cast("int")).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1)).otherwise(F.lit(-1)))
+
+    votes = F.aggregate(t, init, step)
+    packed = F.aggregate(
+        F.zip_with(votes, bit_idx,
+                   lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"),
+                                                          b.cast("int")))
+                                 .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda a, x: a.bitwiseOR(x))
+    return packed
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(f: Frame, text_col: str, id_col: str,
+                      max_hamming: int = 3, bits: int = 64) -> Frame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming. Bucketing by
+    the four 16-bit chunks (pigeonhole) keeps the self-join linear."""
+    sig = simhash_signatures(f, text_col, id_col, bits).persist()
+    chunks = F.array(*[
+        F.struct(F.lit(c).alias("chunk_id"),
+                 F.shiftright("sh", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
+        for c in range(4)])
+    banded = sig.select(id_col, "sh", F.explode(chunks).alias("c")) \
+        .select(id_col, "sh", "c.chunk_id", "c.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (a.join(b, on=["chunk_id", "chunk"], how="inner")
+             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"))
+             .filter(F.col("hamming") <= max_hamming)
+             .dropDuplicates(["id_a", "id_b"]))
+    return Frame(pairs)

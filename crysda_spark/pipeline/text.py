@@ -1,0 +1,131 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` only —
+no Python UDFs — so the whole stage stays inside whole-stage codegen
+and scales linearly with document count. Each function returns a
+Column usable in select/withColumn.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..frame import _c
+
+WS = r"\s+"
+
+
+def normalize(col) -> Column:
+    """Lowercase, trim, collapse whitespace — canonical text form for
+    fingerprinting and shingling."""
+    return F.regexp_replace(F.trim(F.lower(_c(col))), WS, " ")
+
+
+def fingerprint(col) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    md5 (not xxhash) so external engines can reproduce it bit-for-bit."""
+    return F.md5(normalize(col))
+
+
+def tokens(col) -> Column:
+    return F.split(normalize(col), " ")
+
+
+def token_count(col) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col) -> Column:
+    """BPE-ish token estimate: word pieces of <=4 chars. A regex proxy for
+    subword tokenizers — counts ceil(len/4) per word in one pass."""
+    t = tokens(col)
+    return F.aggregate(
+        t, F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("int"))
+
+
+def char_count(col) -> Column:
+    return F.length(_c(col))
+
+
+def punct_ratio(col) -> Column:
+    """Fraction of characters that are punctuation."""
+    c = _c(col)
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[!-/:-@\[-`{-~]", ""))
+    return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(0.0))
+
+
+def uppercase_ratio(col) -> Column:
+    c = _c(col)
+    n_upper = F.length(c) - F.length(F.regexp_replace(c, r"[A-Z]", ""))
+    return F.when(F.length(c) > 0, n_upper / F.length(c)).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col) -> Column:
+    t = tokens(col)
+    return F.when(F.size(t) > 0,
+                  F.aggregate(t, F.lit(0), lambda a, w: a + F.length(w))
+                  / F.size(t)).otherwise(F.lit(0.0))
+
+
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "de", "que", "por"],
+}
+
+
+def stopword_ratio(col, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    t = tokens(col)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+    hits = F.size(F.filter(t, lambda w: F.array_contains(sw, w)))
+    return F.when(F.size(t) > 0, hits / F.size(t)).otherwise(F.lit(0.0))
+
+
+def quality_score(col) -> Column:
+    """Composite [0,1] quality heuristic: long enough, low punctuation,
+    sane word lengths, some stopwords. The standard cheap pre-filter
+    before expensive dedup/model scoring."""
+    length_ok = F.least(token_count(col) / F.lit(20.0), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(col) * 5, F.lit(1.0))
+    wl = mean_word_length(col)
+    wl_ok = F.when((wl >= 3) & (wl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw_ok = F.least(stopword_ratio(col) * 5, F.lit(1.0))
+    return (length_ok + punct_ok + wl_ok + sw_ok) / 4
+
+
+def lang_id(col) -> Column:
+    """Heuristic language ID by stopword vote: the language whose stopword
+    list hits the most tokens. Pure column expressions — one codegen'd
+    pass, no UDF. Returns the language code, 'und' when nothing hits."""
+    t = tokens(col)
+    scores = []
+    for lang, words in _STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            F.struct(F.size(F.filter(t, lambda w: F.array_contains(sw, w))).alias("hits"),
+                     F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def rolling_hash_from_tokens(t: Column, window: int = 8) -> Column:
+    """Winnowing-style content fingerprint over an ALREADY-PROJECTED token
+    array: xxhash64 of each ``window``-gram, keep the minimum — robust
+    to small edits at the ends. ``t`` must be a materialized attribute:
+    HOF lambdas re-evaluate free subexpressions per element, so passing
+    the raw `tokens(text)` tree here costs one regex split per gram."""
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, window))))
+    return F.array_min(grams)
+
+
+def rolling_hash_fingerprint(col, window: int = 8) -> Column:
+    """Column-level rolling-hash fingerprint for ad-hoc use. In pipelines
+    project `tokens(col)` first and use ``rolling_hash_from_tokens``."""
+    return rolling_hash_from_tokens(tokens(col), window)

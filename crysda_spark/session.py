@@ -25,6 +25,9 @@ _DEFAULTS = {
     # also converts to broadcast at runtime when a side turns out small).
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
+    # Parquet TIMESTAMP(NANOS) (e.g. the events table) isn't natively
+    # readable; surface it as a long and convert at the API layer.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -115,8 +115,15 @@ def _flatten_all(sdf):
     return sdf
 
 
-def read_parquet(spark: SparkSession, path: str) -> Frame:
-    return Frame(spark.read.parquet(path))
+def read_parquet(spark: SparkSession, path: str, nanos_cols: dict[str, str] | None = None) -> Frame:
+    """Parquet reader. With ``spark.sql.legacy.parquet.nanosAsLong`` (set by
+    our session defaults) TIMESTAMP(NANOS) columns arrive as bigint
+    nanoseconds; ``nanos_cols={"ts": "ts"}`` converts them to real
+    microsecond timestamps (integer div — no double precision loss)."""
+    sdf = spark.read.parquet(path)
+    for src, dst in (nanos_cols or {}).items():
+        sdf = sdf.withColumn(dst, F.timestamp_micros(F.expr(f"`{src}` div 1000")))
+    return Frame(sdf)
 
 
 def read_jdbc(spark: SparkSession, url: str, table: str, **options: str) -> Frame:

@@ -1,0 +1,94 @@
+"""Structured Streaming operators (beyond-reference, SURVEY §2.10 notes
+the reference has no streaming surface; these are the Spark-native
+stream forms of the engine's aggregation verbs).
+
+Patterns:
+- tumbling/sliding/session windows with watermarks for late data
+- streaming dedup (dropDuplicatesWithinWatermark on a fingerprint)
+- stateful sessionization via applyInPandasWithState
+
+Each builder takes a *streaming* DataFrame (from ``readStream``) and
+returns a transformed streaming DataFrame; callers attach the sink.
+File-source streams over the same parquet layout as the batch tables
+let every one of these be tested hermetically (see tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import functions as F
+
+from ..frame import Frame
+
+
+def with_watermark(sdf: SparkDF, ts_col: str = "ts", delay: str = "10 minutes") -> SparkDF:
+    return sdf.withWatermark(ts_col, delay)
+
+
+def tumbling_counts(sdf: SparkDF, ts_col: str = "ts", width: str = "1 hour",
+                    keys: list[str] | None = None,
+                    watermark: str | None = "30 minutes") -> SparkDF:
+    """Tumbling-window count+avg. Watermark bounds state: late rows beyond
+    the delay are dropped, windows finalize and evict."""
+    keys = keys or []
+    if watermark:
+        sdf = sdf.withWatermark(ts_col, watermark)
+    return (sdf
+            .groupBy(F.window(ts_col, width).alias("win"), *keys)
+            .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_value"))
+            .select(F.col("win.start").alias("window_start"), *keys, "n", "avg_value"))
+
+
+def sliding_counts(sdf: SparkDF, ts_col: str = "ts", width: str = "1 hour",
+                   slide: str = "15 minutes", keys: list[str] | None = None,
+                   watermark: str | None = "30 minutes") -> SparkDF:
+    keys = keys or []
+    if watermark:
+        sdf = sdf.withWatermark(ts_col, watermark)
+    return (sdf
+            .groupBy(F.window(ts_col, width, slide).alias("win"), *keys)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").alias("window_start"), *keys, "n"))
+
+
+def session_counts(sdf: SparkDF, ts_col: str = "ts", gap: str = "30 minutes",
+                   keys: list[str] | None = None,
+                   watermark: str | None = "30 minutes") -> SparkDF:
+    """Session windows: rows within ``gap`` of each other merge into one
+    session per key. Spark's native session_window handles merge +
+    state eviction."""
+    keys = keys or []
+    if watermark:
+        sdf = sdf.withWatermark(ts_col, watermark)
+    return (sdf
+            .groupBy(F.session_window(ts_col, gap).alias("win"), *keys)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").alias("session_start"),
+                    F.col("win.end").alias("session_end"), *keys, "n"))
+
+
+def streaming_dedup(sdf: SparkDF, fingerprint_col, id_col: str = "event_id",
+                    ts_col: str = "ts", watermark: str = "1 hour") -> SparkDF:
+    """Streaming exact dedup: first occurrence of each fingerprint within
+    the watermark horizon survives. State size is bounded by the
+    watermark — the streaming analog of dedup_exact_by_fingerprint."""
+    return (sdf.withColumn("__fp__", fingerprint_col)
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["__fp__"])
+            .drop("__fp__"))
+
+
+def stream_from_parquet_dir(spark, path: str, schema) -> SparkDF:
+    """File-source stream over a parquet directory — each new file is a
+    micro-batch. Used to exercise streaming ops hermetically in tests
+    and as the template for production file-drop ingestion."""
+    return spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+
+
+def run_to_memory(stream_df: SparkDF, name: str, mode: str = "append"):
+    """Drain a bounded stream into an in-memory table; returns the query.
+    Test/debug helper — production sinks are kafka/parquet/delta."""
+    q = (stream_df.writeStream.format("memory")
+         .queryName(name).outputMode(mode)
+         .trigger(availableNow=True).start())
+    return q

@@ -1,0 +1,78 @@
+"""Structured Streaming tests: file-source stream over the events table."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from crysda_spark.streaming import windows as sw
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """Copy the events parquet into a dir we can stream from (the testdata
+    dir itself is read-only and single-file)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    # convert ns->us timestamps on the way in (streaming needs a real ts)
+    from crysda_spark import read_parquet
+    ev = read_parquet(spark, f"{SF_DIR}/events.parquet", nanos_cols={"ts": "ts"})
+    ev.sdf.coalesce(2).write.mode("overwrite").parquet(str(d))
+    return str(d)
+
+
+def _batch_events(spark, path):
+    return spark.read.parquet(path)
+
+
+def test_tumbling_counts(spark, events_stream_dir):
+    schema = _batch_events(spark, events_stream_dir).schema
+    stream = sw.stream_from_parquet_dir(spark, events_stream_dir, schema)
+    assert stream.isStreaming
+    # complete mode + no watermark: every window in the final table
+    # (append+watermark variants drop late rows by design)
+    out = sw.tumbling_counts(stream, width="1 hour", keys=["event_type"],
+                             watermark=None)
+    q = sw.run_to_memory(out, "tumbling_t", mode="complete")
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("tumbling_t")
+    batch = (_batch_events(spark, events_stream_dir)
+             .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n")))
+    assert got.count() == batch.count()
+    # spot-check one window's count matches the batch result
+    j = got.join(batch, on=["window_start", "event_type"])
+    assert j.filter(got["n"] != batch["n"]).count() == 0
+
+
+def test_session_window(spark, events_stream_dir):
+    schema = _batch_events(spark, events_stream_dir).schema
+    stream = sw.stream_from_parquet_dir(spark, events_stream_dir, schema)
+    out = sw.session_counts(stream, gap="30 minutes", keys=["user_id"],
+                            watermark=None)
+    q = sw.run_to_memory(out, "sessions_t", mode="complete")
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("sessions_t")
+    assert got.count() > 0
+    # session totals cover every event exactly once
+    total = got.agg(F.sum("n")).collect()[0][0]
+    assert total == _batch_events(spark, events_stream_dir).count()
+
+
+def test_streaming_dedup(spark, events_stream_dir):
+    schema = _batch_events(spark, events_stream_dir).schema
+    stream = sw.stream_from_parquet_dir(spark, events_stream_dir, schema)
+    out = sw.streaming_dedup(stream, F.col("user_id").cast("string"),
+                             ts_col="ts", watermark="100 days")
+    q = sw.run_to_memory(out, "dedup_t")
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("dedup_t")
+    n_users = _batch_events(spark, events_stream_dir).select("user_id").distinct().count()
+    assert got.count() == n_users
