@@ -635,9 +635,32 @@ def embed_topk_cosine(spark, sf_dir):
 
 @q("embed_near_dups_lsh")  # LSH bucketing; rows-only
 def embed_near_dups_lsh(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via hyperplane LSH (pipeline.similarity)."""
+    """Embedding-cosine near-dup pairs via hyperplane LSH
+    (pipeline.similarity). The synthetic embeddings have no natural
+    near-dups (max pairwise cos ≈ 0.49), so the query PLANTS
+    deterministic perturbed copies of the first 100 vectors
+    (w = v + 0.05·reverse(v), cos ≈ 0.995) and the operator must
+    recover those pairs — a self-validating rows check."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = sim.embedding_near_dups(emb, threshold=0.9, n_planes=8)
+    v = F.col("embedding").cast("array<double>")
+    planted = (emb.sdf.filter(F.col("vec_id") < 100)
+               .select((F.col("vec_id") + 10_000_000).alias("vec_id"),
+                       F.zip_with(v, F.reverse(v),
+                                  lambda a, b: (a + F.lit(0.05) * b).cast("float"))
+                       .alias("embedding"),
+                       "label"))
+    corpus = Frame(emb.sdf.select("vec_id", "embedding", "label").unionByName(planted))
+    out = sim.embedding_near_dups(corpus, threshold=0.9, n_planes=8)
+    return out.sdf.withColumn("cos", F.round("cos", 4))
+
+
+@q("embed_topk_ivf")  # KMeans index; not SQL-expressible — rows-only
+def embed_topk_ivf(spark, sf_dir):
+    """IVF (k-means inverted-file) approximate top-k: broadcast centroid
+    assignment + probe-nearest-cells search (pipeline.similarity.ivf_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = sim.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
     return out.sdf.withColumn("cos", F.round("cos", 4))
 
 

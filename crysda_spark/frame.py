@@ -467,6 +467,43 @@ class Frame:
             return Frame(spark.createDataFrame([], schema="struct<>"))
         return Frame(self._sdf.select(*self._groups).dropDuplicates())
 
+    def transform_groups(self, fn, schema: str | None = None) -> "Frame":
+        """Grouped-map transform: ``fn(pandas.DataFrame) -> pandas.DataFrame``
+        runs once per group (reference transform_groups,
+        src/crysda/groupdf.cr:112-114).
+
+        Spark-first: groupBy().applyInPandas — each group ships to a
+        Python worker as ONE Arrow batch, so this distributes across
+        executors and never materializes all groups at once (unlike the
+        reference's eager per-group frame list). Groups must
+        individually fit a worker; that is inherent to grouped-map.
+        ``schema`` defaults to the current schema (shape-preserving fn)."""
+        if not self._groups:
+            raise ValueError("transform_groups requires a grouped frame")
+        out_schema = schema or self._sdf.schema
+        out = self._sdf.groupBy(*self._groups).applyInPandas(fn, schema=out_schema)
+        return Frame(out, self._groups)
+
+    def groups(self) -> list["Frame"]:
+        """List of per-group Frames (reference: src/crysda/groupdf.cr:99-102).
+
+        Driver-side convenience for SMALL grouped frames only: one
+        filtered lazy Frame per distinct key (keys are collected to the
+        driver). For distributed per-group work use ``transform_groups``
+        or window functions — this accessor exists for API parity, not
+        as a scale path."""
+        if not self._groups:
+            return [self]
+        keys = self._sdf.select(*self._groups).dropDuplicates().collect()
+        out = []
+        for k in keys:
+            cond = None
+            for g in self._groups:
+                c = F.col(g).eqNullSafe(F.lit(k[g]))
+                cond = c if cond is None else cond & c
+            out.append(Frame(self._sdf.filter(cond), ()))
+        return out
+
     # ----------------------------------------------------------- aggregation
     def summarize(self, **exprs: ColumnLike) -> "Frame":
         """One row per group from aggregate expressions

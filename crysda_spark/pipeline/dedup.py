@@ -237,26 +237,28 @@ def simhash_signatures(f: Frame, text_col: str, id_col: str,
 def simhash(text_col, bits: int = 64) -> Column:
     """Column-level simhash for ad-hoc use: a single interpreted aggregate
     pass accumulating a per-bit vote vector with zip_with against a
-    constant bit-index sequence. Prefer ``simhash_signatures`` (explode
-    + codegen agg) in pipelines."""
-    t = tokens(text_col)
-    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    constant bit-MASK array (shift functions need literal shift counts,
+    so bit b is tested as ``h & mask != 0``). Matches
+    ``simhash_signatures`` bit-for-bit; prefer that (explode + codegen
+    agg) in pipelines. Caps at 65,535 tokens like the DF path."""
+    def mask(b: int) -> int:
+        return (1 << b) if b < 63 else -(1 << 63)
+
+    masks = F.array(*[F.lit(mask(b)).cast("long") for b in range(bits)])
+    t = F.slice(tokens(text_col), 1, 0xFFFF)
     init = F.array_repeat(F.lit(0).cast("long"), bits)
 
     def step(acc, w):
         h = F.xxhash64(F.lit(0x51), w)
         return F.zip_with(
-            acc, bit_idx,
-            lambda a, b: a + F.when(
-                F.shiftright(h, b.cast("int")).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1)).otherwise(F.lit(-1)))
+            acc, masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, F.lit(1))
+                              .otherwise(F.lit(-1)))
 
     votes = F.aggregate(t, init, step)
     packed = F.aggregate(
-        F.zip_with(votes, bit_idx,
-                   lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"),
-                                                          b.cast("int")))
-                                 .otherwise(F.lit(0).cast("long"))),
+        F.zip_with(votes, masks,
+                   lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"), lambda a, x: a.bitwiseOR(x))
     return packed
 

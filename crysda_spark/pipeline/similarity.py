@@ -108,6 +108,70 @@ def lsh_topk(corpus: Frame, queries: Frame, k: int = 5, dim: int = 64,
     return Frame(out)
 
 
+def ivf_topk(corpus: Frame, queries: Frame, k: int = 5, n_cells: int = 16,
+             n_probe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding", seed: int = 42,
+             sample_fraction: float = 1.0) -> Frame:
+    """Approximate cosine top-k via an IVF (inverted-file) index:
+    k-means cells + probe-nearest-cells search.
+
+    Scale architecture:
+    - TRAIN on a sample (``sample_fraction``) with pyspark.ml KMeans —
+      training cost is decoupled from corpus size.
+    - ASSIGN each corpus vector to its nearest centroid: the centroid
+      table (n_cells × dim floats) is broadcast, assignment is one
+      map-side pass, and the corpus shuffles ONCE on cell_id.
+    - SEARCH: each query probes its ``n_probe`` nearest cells, then
+      exact cosine re-ranks only those cells' vectors — an equi-join on
+      cell_id instead of a full cross join, cutting scanned vectors to
+      ~n_probe/n_cells of the corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.sdf.select(F.col(id_col).alias("match_id"),
+                          F.col(vec_col).cast("array<double>").alias("c_vec"))
+    train = c.sample(fraction=sample_fraction, seed=seed) if sample_fraction < 1.0 else c
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_feat", predictionCol="cell_id")
+    model = km.fit(train.select(array_to_vector("c_vec").alias("_feat")))
+
+    centroids = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
+    spark = corpus.sdf.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(centroids)], "cell_id int, centroid array<double>")
+
+    # corpus assignment: broadcast NL join against the tiny centroid table,
+    # argmin by euclidean — one shuffle-free pass over the corpus
+    def _l2(a: Column, b: Column) -> Column:
+        return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                           F.lit(0.0), lambda acc, v: acc + v)
+
+    w_c = W.partitionBy("match_id").orderBy(F.col("_d").asc(), F.col("cell_id"))
+    assigned = (c.crossJoin(F.broadcast(cent_df))
+                .withColumn("_d", _l2(F.col("c_vec"), F.col("centroid")))
+                .withColumn("_r", F.row_number().over(w_c))
+                .filter(F.col("_r") == 1)
+                .select("cell_id", "match_id", "c_vec"))
+
+    q = queries.sdf.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).cast("array<double>").alias("q_vec"))
+    w_q = W.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("cell_id"))
+    probed = (q.crossJoin(F.broadcast(cent_df))
+              .withColumn("_d", _l2(F.col("q_vec"), F.col("centroid")))
+              .withColumn("_r", F.row_number().over(w_q))
+              .filter(F.col("_r") <= n_probe)
+              .select("query_id", "q_vec", "cell_id"))
+
+    scored = (probed.join(assigned, on="cell_id", how="inner")
+              .filter(F.col("query_id") != F.col("match_id"))
+              .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec"))))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("match_id"))
+    out = (scored.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k)
+           .select("query_id", "match_id", "cos", "rank"))
+    return Frame(out)
+
+
 def embedding_near_dups(corpus: Frame, threshold: float = 0.95, dim: int = 64,
                         n_planes: int = 12, id_col: str = "vec_id",
                         vec_col: str = "embedding", seed: int = 42) -> Frame:

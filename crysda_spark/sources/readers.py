@@ -156,10 +156,7 @@ def from_records(spark: SparkSession, records: list[dict], order: list[str] | No
     if not records:
         return empty_df(spark)
     cols = order or list(records[0].keys())
-    # type inference over the union of per-key values = createDataFrame's
-    # sampling; force full-list inference for robustness
-    sdf = spark.createDataFrame([tuple(r.get(c) for c in cols) for r in records], schema=None) \
-        if False else spark.createDataFrame(records)
+    sdf = spark.createDataFrame(records)
     return Frame(sdf.select(*cols))
 
 

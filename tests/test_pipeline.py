@@ -1,0 +1,144 @@
+"""LLM-pipeline operators: dedup (exact/minhash/simhash), similarity
+(brute-force / LSH / IVF), text analysis. Validation strategy: plant
+known duplicates / near-duplicates and assert the operators recover
+them."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crysda_spark import Frame
+from crysda_spark.pipeline import dedup as dd
+from crysda_spark.pipeline import similarity as sim
+from crysda_spark.pipeline import text as tx
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return Frame(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return Frame(spark.read.parquet(f"{SF_DIR}/embeddings.parquet"))
+
+
+def test_exact_dedup_counts_copies(spark):
+    from crysda_spark import from_records
+    f = from_records(spark, [
+        {"id": 1, "t": "hello world"},
+        {"id": 2, "t": "Hello   WORLD"},   # same after normalization
+        {"id": 3, "t": "different"},
+    ])
+    out = dd.dedup_exact_by_fingerprint(f, "t", "id")
+    h = {r["id"]: r["n_copies"] for r in out.sdf.collect()}
+    assert h == {1: 2, 3: 1}  # survivor = min id
+
+
+def test_minhash_recovers_planted_near_dup(docs):
+    # plant: copy of doc 0 with one word changed
+    base = docs.sdf.filter(F.col("doc_id") == 0).select("doc_id", "text")
+    mutated = base.select((F.col("doc_id") + 90000).alias("doc_id"),
+                          F.concat(F.col("text"), F.lit(" extra")).alias("text"))
+    corpus = Frame(docs.sdf.select("doc_id", "text").unionByName(mutated))
+    pairs = dd.minhash_dedup(corpus, "text", "doc_id", threshold=0.6).sdf.collect()
+    assert any(r.id_a == 0 and r.id_b == 90000 for r in pairs)
+
+
+def test_simhash_planted_pair_hamming_zero(docs):
+    base = docs.sdf.filter(F.col("doc_id") < 3).select("doc_id", "text")
+    copies = base.select((F.col("doc_id") + 90000).alias("doc_id"),
+                         F.upper(F.col("text")).alias("text"))  # case-insensitive normalize
+    corpus = Frame(docs.sdf.select("doc_id", "text").unionByName(copies))
+    pairs = dd.simhash_near_dups(corpus, "text", "doc_id", max_hamming=0).sdf.collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert {(0, 90000), (1, 90001), (2, 90002)} <= found
+
+
+def test_simhash_column_matches_df_path(docs):
+    sigs_df = dd.simhash_signatures(Frame(docs.sdf.limit(20)), "text", "doc_id")
+    col_path = docs.sdf.limit(20).select(
+        "doc_id", dd.simhash(F.col("text")).alias("sh2"))
+    j = sigs_df.join(col_path, on="doc_id")
+    assert j.filter(F.col("sh") != F.col("sh2")).count() == 0
+
+
+def test_minhash_column_matches_df_path(docs):
+    sigs_df = dd.minhash_signatures(Frame(docs.sdf.limit(20)), "text", "doc_id",
+                                    n_hashes=8)
+    col_path = docs.sdf.limit(20).select(
+        "doc_id", dd.minhash_signature(F.col("text"), n_hashes=8).alias("sig2"))
+    j = sigs_df.join(col_path, on="doc_id")
+    assert j.filter(F.col("sig") != F.col("sig2")).count() == 0
+
+
+def test_brute_force_topk_is_exact(emb):
+    q = Frame(emb.sdf.filter(F.col("vec_id") < 3))
+    out = sim.brute_force_topk(emb, q, k=3).sdf.collect()
+    assert len(out) == 9
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cos))
+    for rows in by_q.values():
+        cs = [c for _, c in sorted(rows)]
+        assert cs == sorted(cs, reverse=True)  # rank order = descending cos
+
+
+def test_ivf_recall_vs_brute_force(emb):
+    q = Frame(emb.sdf.filter(F.col("vec_id") < 5))
+    bf = {(r.query_id, r.match_id)
+          for r in sim.brute_force_topk(emb, q, k=5).sdf.collect()}
+    ivf = {(r.query_id, r.match_id)
+           for r in sim.ivf_topk(emb, q, k=5, n_cells=8, n_probe=4).sdf.collect()}
+    assert len(ivf & bf) / len(bf) >= 0.5  # probing half the cells
+
+
+def test_lsh_near_dup_finds_planted(emb):
+    v = F.col("embedding").cast("array<double>")
+    planted = (emb.sdf.filter(F.col("vec_id") < 20)
+               .select((F.col("vec_id") + 90000).alias("vec_id"),
+                       F.zip_with(v, F.reverse(v),
+                                  lambda a, b: (a + F.lit(0.02) * b).cast("float"))
+                       .alias("embedding"), "label"))
+    corpus = Frame(emb.sdf.unionByName(planted))
+    pairs = sim.embedding_near_dups(corpus, threshold=0.95, n_planes=8).sdf.collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    hits = sum((i, i + 90000) in found for i in range(20))
+    assert hits >= 15  # hyperplane LSH recall at cos≈0.999 with 8 planes
+
+
+def test_text_quality_bounds(docs):
+    out = docs.sdf.select(
+        "doc_id",
+        tx.lang_id(F.col("text")).alias("guess"),
+        tx.quality_score(F.col("text")).alias("q"),
+        tx.token_count(F.col("text")).alias("n_tok"))
+    rows = out.collect()
+    assert all(0.0 <= r.q <= 1.0 for r in rows)
+    assert all(r.n_tok > 0 for r in rows)
+    # synthetic docs use an English-ish vocabulary regardless of the
+    # `lang` label, so only the code's validity is checkable here
+    assert all(r.guess in ("en", "de", "fr", "es", "und") for r in rows)
+
+
+def test_lang_id_on_real_language_text(spark):
+    from crysda_spark import from_records
+    f = from_records(spark, [
+        {"lang": "en", "t": "the cat sat on the mat and it is happy for now"},
+        {"lang": "de", "t": "der hund ist nicht mit der katze und das ist gut"},
+        {"lang": "fr", "t": "le chien est dans la maison et il est content pour"},
+        {"lang": "es", "t": "el perro es un animal y la casa es de madera por"},
+    ])
+    rows = f.sdf.select("lang", tx.lang_id(F.col("t")).alias("g")).collect()
+    assert all(r.g == r.lang for r in rows)
+
+
+def test_bpe_ish_token_count(spark):
+    from crysda_spark import from_records
+    f = from_records(spark, [{"t": "internationalization is fun"}])
+    # ceil(20/4)+ceil(2/4)+ceil(3/4) = 5+1+1
+    assert f.sdf.select(tx.bpe_ish_token_count(F.col("t")).alias("n")) \
+        .collect()[0].n == 7
