@@ -611,6 +611,22 @@ def doc_quality(spark, sf_dir):
                           quality=F.round(tx.quality_score("text"), 4)).sdf
 
 
+@q("multimodal_decode")  # mapInPandas kernel; not SQL-expressible — rows-only
+def multimodal_decode(spark, sf_dir):
+    """Multimodal plumbing end-to-end: text bytes as opaque binary
+    payloads → Arrow-batched mapInPandas feature extraction
+    (pipeline.multimodal.decode_images; codec kernel stubbed
+    deterministically, plan shape is the real thing)."""
+    from crysda_spark.pipeline import multimodal as mm
+    docs = _t(spark, sf_dir, "documents")
+    payloads = mm.attach_binary(
+        Frame(docs.sdf.withColumn("payload", F.encode("text", "utf-8"))),
+        "doc_id", "payload")
+    out = mm.decode_images(payloads, n_feat=8)
+    return out.sdf.select("id", F.round(F.element_at("features", 1), 6).alias("f0"),
+                          F.round(F.element_at("features", 8), 6).alias("f7"))
+
+
 # =========================================== LLM pipeline: similarity search
 @q("embed_topk_cosine", """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec

@@ -78,6 +78,40 @@ def streaming_dedup(sdf: SparkDF, fingerprint_col, id_col: str = "event_id",
             .drop("__fp__"))
 
 
+def stateful_running_totals(sdf: SparkDF, key_col: str = "user_id",
+                            value_col: str = "value",
+                            key_type: str = "bigint") -> SparkDF:
+    """Custom stateful operator: per-key running (count, sum) maintained
+    across micro-batches with applyInPandasWithState — the template for
+    operators Spark's built-in windowed aggs can't express (per-key
+    model state, CUSUM detectors, custom eviction policies).
+
+    Each group's state is one (n, total) tuple — O(distinct keys) state,
+    partitioned by key across executors; batches arrive as Arrow
+    chunks. Output mode: update (one row per key per batch it appears
+    in, carrying the running totals)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key_col} {key_type}, n bigint, total double"
+    state_schema = "n bigint, total double"
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame({key_col: [key[0]], "n": [n], "total": [total]})
+
+    return (sdf.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def stream_from_parquet_dir(spark, path: str, schema) -> SparkDF:
     """File-source stream over a parquet directory — each new file is a
     micro-batch. Used to exercise streaming ops hermetically in tests

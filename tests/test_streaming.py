@@ -65,6 +65,24 @@ def test_session_window(spark, events_stream_dir):
     assert total == _batch_events(spark, events_stream_dir).count()
 
 
+def test_stateful_running_totals(spark, events_stream_dir):
+    schema = _batch_events(spark, events_stream_dir).schema
+    stream = sw.stream_from_parquet_dir(spark, events_stream_dir, schema)
+    out = sw.stateful_running_totals(stream, key_col="user_id",
+                                     value_col="value")
+    q = sw.run_to_memory(out, "running_t", mode="update")
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("running_t")
+    # last update per key = final running totals = batch aggregate
+    final = got.groupBy("user_id").agg(F.max("n").alias("n"))
+    batch = (_batch_events(spark, events_stream_dir)
+             .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")))
+    j = final.join(batch, on="user_id")
+    assert final.count() == batch.count()
+    assert j.filter(final["n"] != batch["n"]).count() == 0
+
+
 def test_streaming_dedup(spark, events_stream_dir):
     schema = _batch_events(spark, events_stream_dir).schema
     stream = sw.stream_from_parquet_dir(spark, events_stream_dir, schema)
