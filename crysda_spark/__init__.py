@@ -18,6 +18,7 @@ from .session import get_spark
 from .sources import (
     dataframe_of,
     empty_df,
+    from_json,
     from_records,
     read_csv,
     read_jdbc,
@@ -31,7 +32,7 @@ __version__ = "0.1.0"
 __all__ = [
     "Frame", "Ctx", "get_spark",
     "read_csv", "read_json", "read_parquet", "read_jdbc",
-    "dataframe_of", "from_records", "empty_df",
+    "dataframe_of", "from_records", "from_json", "empty_df",
     "write_csv", "write_json", "write_parquet",
     "bind_rows", "bind_cols",
 ]

@@ -484,8 +484,10 @@ class Frame:
         out = self._sdf.groupBy(*self._groups).applyInPandas(fn, schema=out_schema)
         return Frame(out, self._groups)
 
-    def groups(self) -> list["Frame"]:
-        """List of per-group Frames (reference: src/crysda/groupdf.cr:99-102).
+    def group_frames(self) -> list["Frame"]:
+        """List of per-group Frames (reference ``groups``,
+        src/crysda/groupdf.cr:99-102; named group_frames here because
+        ``.groups`` is the grouping-keys property).
 
         Driver-side convenience for SMALL grouped frames only: one
         filtered lazy Frame per distinct key (keys are collected to the

@@ -1,6 +1,7 @@
 from .readers import (
     dataframe_of,
     empty_df,
+    from_json,
     from_records,
     read_csv,
     read_jdbc,
@@ -11,6 +12,6 @@ from .sinks import write_csv, write_json, write_parquet
 
 __all__ = [
     "read_csv", "read_json", "read_parquet", "read_jdbc",
-    "dataframe_of", "from_records", "empty_df",
+    "dataframe_of", "from_records", "from_json", "empty_df",
     "write_csv", "write_json", "write_parquet",
 ]

@@ -101,7 +101,8 @@ def _flatten_all(sdf):
         changed = False
         for field in sdf.schema.fields:
             if isinstance(field.dataType, StructType):
-                others = [c for c in sdf.columns if c != field.name]
+                # backtick everything: flattened names contain literal dots
+                others = [F.col(f"`{c}`") for c in sdf.columns if c != field.name]
                 sdf = sdf.select(
                     *others,
                     *[F.col(f"`{field.name}`.`{sub.name}`").alias(f"{field.name}.{sub.name}")
@@ -109,7 +110,9 @@ def _flatten_all(sdf):
                 changed = True
                 break
             if isinstance(field.dataType, ArrayType) and isinstance(field.dataType.elementType, StructType):
-                sdf = sdf.withColumn(field.name, F.explode_outer(field.name))
+                # backtick-quote: flattened names contain literal dots
+                sdf = sdf.withColumn(field.name,
+                                     F.explode_outer(F.col(f"`{field.name}`")))
                 changed = True
                 break
     return sdf

@@ -91,6 +91,6 @@ def test_transform_groups_requires_groups(sleep_df):
 
 
 def test_groups_accessor(sleep_df):
-    gs = sleep_df.group_by("vore").groups()
+    gs = sleep_df.group_by("vore").group_frames()
     assert len(gs) == 5  # carni/omni/herbi/insecti/NA
     assert sum(g.num_row for g in gs) == 12

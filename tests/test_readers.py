@@ -1,0 +1,122 @@
+"""Sources/sinks: CSV options (types/NA/skip/comment/headerless/gzip),
+JSON flattening, literal builders, write_csv round-trip — mirroring the
+reference's reader specs (spec/reader_spec.cr, FIXTURES.md §3-§7)."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from crysda_spark import (Frame, dataframe_of, empty_df, from_json,
+                          from_records, read_csv, read_json)
+from crysda_spark.sources.sinks import write_csv
+
+HEADER_TYPES_CSV = """a,b,c,d,e,f
+x,1,1,1,TRUE,1
+y,2,2,2,FALSE,2
+z,3,3.141,3,true,3
+q,4,4,4,false,4
+w,5x,5,5,T,5
+r,6,6,6,F,10000000000000
+s,7,7,7,TRUE,7
+"""
+
+
+@pytest.fixture()
+def header_types_path(tmp_path):
+    p = tmp_path / "test_header_types.csv"
+    p.write_text(HEADER_TYPES_CSV)
+    return str(p)
+
+
+def test_csv_type_inference_matrix(spark, header_types_path):
+    """FIXTURES.md §3: expected String, String, Double, Long, Bool, Long."""
+    f = read_csv(spark, header_types_path,
+                 true_values=["T", "TRUE"], false_values=["F", "FALSE"])
+    types = dict(f.sdf.dtypes)
+    assert types["a"] == "string"
+    assert types["b"] == "string"      # one "5x" poisons the numbers
+    assert types["c"] == "double"      # one 3.141 promotes ints
+    assert types["d"] in ("int", "bigint")
+    assert types["e"] == "boolean"     # T/F vocabulary
+    assert types["f"] == "bigint"      # 10000000000000 needs 64 bits
+    assert f.num_row == 7
+
+
+def test_csv_custom_na(spark, tmp_path):
+    p = tmp_path / "custom_na.csv"
+    p.write_text("a\nCUSTOM_NA\nCUSTOM_NA\n1\n2\n3\n")
+    f = read_csv(spark, str(p), na_value="CUSTOM_NA")
+    h = f.sort_by("a").to_h()
+    assert h["a"] == [1, 2, 3, None, None]
+    assert dict(f.sdf.dtypes)["a"] in ("int", "bigint")
+
+
+def test_csv_headerless_with_skip(spark, tmp_path):
+    p = tmp_path / "headerless.txt"
+    lines = ["# preamble"] * 3 + [f"{i}\tname{i}\t{i}.5" for i in range(1, 6)]
+    p.write_text("\n".join(lines) + "\n")
+    f = read_csv(spark, str(p), separator="\t", header=None, skip=3)
+    assert f.columns == ["Col1", "Col2", "Col3"]
+    assert f.num_row == 5
+
+
+def test_csv_comment_char(spark, tmp_path):
+    p = tmp_path / "commented.csv"
+    p.write_text("# note\n# more\na,b\n1,x\n2,y\n")
+    f = read_csv(spark, str(p), comment="#")
+    assert f.columns == ["a", "b"]
+    assert f.num_row == 2
+
+
+def test_csv_gzip(spark, tmp_path):
+    p = tmp_path / "data.csv.gz"
+    with gzip.open(p, "wt") as fh:
+        fh.write("a,b\n1,x\n2,y\n")
+    f = read_csv(spark, str(p))
+    assert f.num_row == 2
+    assert dict(f.sdf.dtypes)["a"] in ("int", "bigint")
+
+
+def test_json_records_missing_keys(spark, tmp_path):
+    p = tmp_path / "movies.json"
+    p.write_text('[{"title": "A", "year": 2000, "votes": 10},'
+                 ' {"title": "B", "votes": null},'
+                 ' {"title": "C", "year": 2020}]')
+    f = read_json(spark, str(p))
+    h = f.sort_by("title").to_h()
+    assert h["year"] == [2000, None, 2020]
+    assert h["votes"] == [10, None, None]
+
+
+def test_json_nested_flatten(spark):
+    f = from_json(spark, '[{"a": {"b": 1, "c": [{"d": 2}, {"d": 3}]}}]')
+    assert set(f.columns) == {"a.b", "a.c.d"}
+    assert sorted(f.to_h()["a.c.d"]) == [2, 3]
+
+
+def test_dataframe_of_builder(spark):
+    f = dataframe_of(spark, "a", "b").values(1, "x", 2, "y")
+    assert f.to_h() == {"a": [1, 2], "b": ["x", "y"]}
+    with pytest.raises(ValueError):
+        dataframe_of(spark, "a", "b").values(1, "x", 2)
+
+
+def test_empty_df_tolerates_verbs(spark):
+    f = empty_df(spark)
+    assert f.num_row == 0 and f.num_col == 0
+    assert f.filter(F.lit(True)).num_row == 0
+    assert f.distinct().num_row == 0
+    assert f.head(3).num_row == 0
+
+
+def test_write_csv_roundtrip_na(spark, tmp_path):
+    f = from_records(spark, [{"a": 1, "b": "x"}, {"a": None, "b": "NA-ish"}])
+    out = str(tmp_path / "out_csv")
+    write_csv(f, out, single_file=True)
+    back = read_csv(spark, out)
+    h = back.sort_by("b").to_h()
+    assert h["b"] == ["NA-ish", "x"]
+    assert h["a"] == [None, 1]  # null → "NA" sentinel → null again
