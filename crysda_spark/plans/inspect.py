@@ -1,0 +1,46 @@
+"""Physical-plan inspection: assert the plan you shipped is the plan
+you wanted. Parses ``explain`` output — no private Spark APIs."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame as SparkDF
+
+
+def _explain_str(sdf: SparkDF, mode: str = "formatted") -> str:
+    return sdf._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        sdf._jdf.queryExecution(), mode)
+
+
+def scan_health(sdf: SparkDF) -> list[dict]:
+    """One record per file scan in the physical plan:
+    ``{"pushed_filters": [...], "read_columns": [...], "format": ...}``.
+
+    Use in tests/CI: a scan whose ``read_columns`` is wider than the
+    query needs, or whose ``pushed_filters`` is empty for a filtered
+    read, is a scale bug long before it is a local slowdown."""
+    text = _explain_str(sdf, "formatted")
+    scans = []
+    for block in re.split(r"\n\(\d+\) ", text):
+        header = block.splitlines()[0] if block else ""
+        if not header.startswith("Scan "):
+            continue
+        rec = {"format": header.split()[1] if len(header.split()) > 1 else "?",
+               "pushed_filters": [], "read_columns": []}
+        m = re.search(r"PushedFilters: \[(.*?)\]", block)
+        if m and m.group(1).strip():
+            rec["pushed_filters"] = [s.strip() for s in m.group(1).split(",")]
+        m = re.search(r"ReadSchema: struct<(.*?)>", block)
+        if m and m.group(1).strip():
+            rec["read_columns"] = [s.split(":")[0].strip()
+                                   for s in m.group(1).split(",") if ":" in s]
+        scans.append(rec)
+    return scans
+
+
+def shuffle_count(sdf: SparkDF) -> int:
+    """Number of exchanges in the physical plan. The cheapest scale
+    review: did this verb chain add a shuffle it didn't need?"""
+    text = _explain_str(sdf, "formatted")
+    return len(re.findall(r"\(\d+\) Exchange", text))

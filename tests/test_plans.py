@@ -1,0 +1,93 @@
+"""Plan tooling: scan health assertions, skew salting equivalence,
+bucketed exchange-free joins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crysda_spark.plans import (salted_agg, salted_join, scan_health,
+                                shuffle_count, write_bucketed)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_scan_health_pushdown_and_pruning(spark):
+    sdf = (spark.read.parquet(f"{SF_DIR}/orders.parquet")
+           .filter(F.col("o_totalprice") > 1000)
+           .select("o_orderkey", "o_totalprice"))
+    scans = scan_health(sdf)
+    assert len(scans) == 1
+    assert scans[0]["format"] == "parquet"
+    assert any("o_totalprice" in p for p in scans[0]["pushed_filters"])
+    assert set(scans[0]["read_columns"]) == {"o_orderkey", "o_totalprice"}
+
+
+def test_shuffle_count(spark):
+    sdf = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    assert shuffle_count(sdf.select("o_orderkey")) == 0
+    agg = sdf.groupBy("o_custkey").count()
+    assert shuffle_count(agg) >= 1
+
+
+def test_salted_join_matches_plain(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet") \
+        .select("o_orderkey", "o_custkey")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet") \
+        .select("c_custkey", "c_name").withColumnRenamed("c_custkey", "o_custkey")
+    plain = orders.join(cust, on=["o_custkey"], how="inner")
+    salted = salted_join(orders, cust, on=["o_custkey"], how="inner", salt=8)
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet") \
+        .select("o_orderkey", "o_custkey")
+    nothing = orders.limit(0).select(F.col("o_custkey"),
+                                     F.lit("x").alias("extra"))
+    out = salted_join(orders, nothing, on=["o_custkey"], how="left", salt=4)
+    assert out.count() == orders.count()
+
+
+def test_salted_agg_matches_groupby(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plain = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty"),
+        F.max("l_discount").alias("mx"))
+    salted = salted_agg(li, ["l_returnflag"],
+                        {"n": "count", "qty": "sum:l_quantity",
+                         "mx": "max:l_discount"}, salt=8)
+    p = {r.l_returnflag: (r.n, r.qty, r.mx) for r in plain.collect()}
+    s = {r.l_returnflag: (r.n, r.qty, r.mx) for r in salted.collect()}
+    assert set(p) == set(s)
+    for k in p:
+        assert p[k][0] == s[k][0]
+        assert abs(p[k][1] - s[k][1]) < 1e-6
+        assert p[k][2] == s[k][2]
+
+
+def test_bucketed_join_skips_exchange(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet") \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet") \
+        .select("l_orderkey", "l_quantity") \
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    try:
+        write_bucketed(orders, "b_orders", ["o_orderkey"], n_buckets=8)
+        write_bucketed(li, "b_lineitem", ["o_orderkey"], n_buckets=8)
+    except Exception as e:  # pragma: no cover - warehouse-less environments
+        pytest.skip(f"managed tables unavailable: {e}")
+    a = spark.table("b_orders")
+    b = spark.table("b_lineitem")
+    # disable auto-broadcast so the bucketed SMJ path is observable
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = a.join(b, on="o_orderkey")
+        assert shuffle_count(j) == 0  # bucketing IS the shuffle
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
