@@ -530,6 +530,47 @@ def events_tumbling_hourly(spark, sf_dir):
                        avg_value=F.round(F.avg("value"), 4))).sdf
 
 
+@q("asof_click_error", """
+SELECT l.event_id, l.user_id, r.value AS err_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id AND r.ts <= l.ts
+""")
+def asof_click_error(spark, sf_dir):
+    """As-of join (beyond-reference temporal operator): each click gets
+    the most recent error's value at-or-before it, per user. Union +
+    partitioned-window merge — one shuffle, no join inflation
+    (operators/temporal.asof_join)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    errors = Frame(ev.filter(F.col("event_type") == "error")
+                   .sdf.select("user_id", "ts", "value"))
+    out = clicks.asof_join(errors, on="ts", by="user_id", value_cols=["value"])
+    return out.sdf.select("event_id", "user_id",
+                          F.col("value_right").alias("err_value"))
+
+
+@q("range_join_value_bins", """
+SELECT e.event_id, b.bin_id
+FROM events e
+JOIN (SELECT i AS bin_id, i * 2.0 AS lo, i * 2.0 + 3.0 AS hi
+      FROM range(20) t(i)) b
+  ON e.value BETWEEN b.lo AND b.hi
+""")
+def range_join_value_bins(spark, sf_dir):
+    """Range join (beyond-reference): events matched to overlapping value
+    intervals via bin-bucketed equi-join instead of a nested-loop
+    inequality join (operators/temporal.range_join)."""
+    ev = _t(spark, sf_dir, "events")
+    bins = Frame(spark.range(20).select(
+        F.col("id").cast("int").alias("bin_id"),
+        (F.col("id") * 2.0).alias("lo"),
+        (F.col("id") * 2.0 + 3.0).alias("hi")))
+    out = ev.range_join(bins, left_on="value", right_lo="lo", right_hi="hi",
+                        bin_width=2.0)
+    return out.sdf.select("event_id", "bin_id")
+
+
 # ====================================================== LLM pipeline: dedup
 @q("dedup_exact_docs", """
 SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,

@@ -609,6 +609,19 @@ class Frame:
         from .operators.joins import join
         return join(self, right, [], "inner", (".x", ".y"))
 
+    def asof_join(self, right: "Frame", on: str = "ts", by=None,
+                  value_cols: list[str] | None = None,
+                  direction: str = "backward", suffix: str = "_right") -> "Frame":
+        from .operators.temporal import asof_join
+        return asof_join(self, right, on, by, value_cols, direction, suffix)
+
+    def range_join(self, right: "Frame", left_on: str, right_lo: str,
+                   right_hi: str, by=None, bin_width=None,
+                   how: str = "inner") -> "Frame":
+        from .operators.temporal import range_join
+        return range_join(self, right, left_on, right_lo, right_hi, by,
+                          bin_width, how)
+
     # --------------------------------------------------------------- reshape
     def spread(self, key: str, value: str, fill=None, convert: bool = False) -> "Frame":
         from .operators.reshape import spread

@@ -1,0 +1,103 @@
+"""Temporal joins (beyond-reference; the reference has no as-of/range
+join — SURVEY §2.7 notes them absent). Spark lacks them as primitives
+too, so these are compositions of built-in ops chosen for scale.
+
+- asof_join: union + partitioned-window merge — ONE shuffle on the key,
+  no join blow-up, no per-key materialization. The classic alternative
+  (join on key then filter+argmax over right rows per left row)
+  multiplies rows by the per-key right count before collapsing;
+  the union-merge never inflates.
+- range_join: equi-join on overlapping fixed-width bins + exact filter,
+  so Spark executes a shuffle-hash/SMJ join on (keys, bin) instead of a
+  broadcast-nested-loop over an inequality predicate. Bin width trades
+  replication (intervals spanning many bins) against bucket selectivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame as SparkDF, Window as W
+from pyspark.sql import functions as F
+
+from ..frame import Frame
+
+
+def asof_join(left: Frame, right: Frame, on: str = "ts",
+              by: list[str] | str | None = None,
+              value_cols: list[str] | None = None,
+              direction: str = "backward",
+              suffix: str = "_right") -> Frame:
+    """For each left row, attach the most recent right row at-or-before
+    its ``on`` time (direction="backward"; "forward" = earliest
+    at-or-after), matching within ``by`` keys.
+
+    Implementation: tag both sides, union, and run
+    ``last(value, ignorenulls)`` over a window partitioned by ``by``
+    and ordered by (time, side) — right rows sort before left rows at
+    equal timestamps, so ties match (SQL ASOF >= semantics). Output has
+    all left columns plus ``value_cols`` suffixed, plus
+    ``{on}{suffix}`` (the matched right timestamp, null if no match).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be backward|forward")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    l_sdf, r_sdf = left.sdf, right.sdf
+    value_cols = value_cols or [c for c in r_sdf.columns
+                                if c not in keys and c != on]
+
+    l_tag = l_sdf.select(
+        *[F.col(c) for c in l_sdf.columns],
+        F.lit(1).alias("__side__"),
+        *[F.lit(None).cast(r_sdf.schema[c].dataType).alias(f"{c}{suffix}")
+          for c in value_cols],
+        F.lit(None).cast(r_sdf.schema[on].dataType).alias(f"{on}{suffix}"))
+    r_tag = r_sdf.select(
+        *[F.col(k) for k in keys],
+        F.col(on),
+        *[F.lit(None).cast(l_sdf.schema[c].dataType).alias(c)
+          for c in l_sdf.columns if c not in keys and c != on],
+        F.lit(0).alias("__side__"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.col(on).alias(f"{on}{suffix}"))
+
+    both = l_tag.unionByName(r_tag)
+    t = F.col(on).asc() if direction == "backward" else F.col(on).desc()
+    w = (W.partitionBy(*keys) if keys else W.partitionBy()) \
+        .orderBy(t, F.col("__side__").asc()) \
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    filled = both.select(
+        *[c for c in both.columns if not c.endswith(suffix)],
+        *[F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+          for c in value_cols + [on]])
+    out = (filled.filter(F.col("__side__") == 1)
+           .drop("__side__"))
+    return Frame(out)
+
+
+def range_join(left: Frame, right: Frame, left_on: str,
+               right_lo: str, right_hi: str,
+               by: list[str] | None = None,
+               bin_width: float | int | None = None,
+               how: str = "inner") -> Frame:
+    """Join left rows to right intervals containing them:
+    ``right_lo <= left_on <= right_hi`` (plus optional ``by`` equality).
+
+    Without binning Spark plans an inequality join as broadcast-nested-
+    loop — O(|L|·|R|) compared pairs. With ``bin_width`` both sides get
+    bin ids (intervals explode over the bins they span), the join is an
+    equi-join on (by, bin), and only same-bin pairs are tested exactly.
+    Pick bin_width ≈ typical interval length: replication stays ~2×
+    while each bucket holds only nearby intervals."""
+    keys = list(by or [])
+    l_sdf, r_sdf = left.sdf, right.sdf
+    exact = (F.col(right_lo) <= F.col(left_on)) & (F.col(left_on) <= F.col(right_hi))
+    if bin_width is None:
+        joined = l_sdf.join(r_sdf, on=keys, how=how) if keys else l_sdf.crossJoin(r_sdf)
+        return Frame(joined.filter(exact))
+
+    lb = l_sdf.withColumn("__bin__", F.floor(F.col(left_on) / bin_width))
+    rb = r_sdf.withColumn(
+        "__bin__",
+        F.explode(F.sequence(F.floor(F.col(right_lo) / bin_width),
+                             F.floor(F.col(right_hi) / bin_width))))
+    joined = lb.join(rb, on=keys + ["__bin__"], how="inner")
+    return Frame(joined.filter(exact).drop("__bin__"))

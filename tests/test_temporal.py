@@ -1,0 +1,75 @@
+"""Temporal joins: as-of (backward/forward, ties, no-match) and range
+join (binned path ≡ exact inequality path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crysda_spark import Frame, from_records
+
+
+def _sides(spark):
+    left = from_records(spark, [
+        {"k": "a", "ts": 10, "x": "l1"},
+        {"k": "a", "ts": 20, "x": "l2"},
+        {"k": "a", "ts": 5, "x": "l0"},   # before any right row
+        {"k": "b", "ts": 10, "x": "l3"},
+    ], order=["k", "ts", "x"])
+    right = from_records(spark, [
+        {"k": "a", "ts": 8, "v": 1.0},
+        {"k": "a", "ts": 20, "v": 2.0},   # tie with l2
+        {"k": "a", "ts": 30, "v": 3.0},
+        {"k": "b", "ts": 12, "v": 9.0},
+    ], order=["k", "ts", "v"])
+    return left, right
+
+
+def test_asof_backward(spark):
+    left, right = _sides(spark)
+    out = left.asof_join(right, on="ts", by="k", value_cols=["v"])
+    got = {r.x: (r.v_right, r.ts_right) for r in out.sdf.collect()}
+    assert got == {
+        "l0": (None, None),   # nothing at or before ts=5
+        "l1": (1.0, 8),
+        "l2": (2.0, 20),      # tie matches (>= semantics)
+        "l3": (None, None),   # b's only right row is later
+    }
+
+
+def test_asof_forward(spark):
+    left, right = _sides(spark)
+    out = left.asof_join(right, on="ts", by="k", value_cols=["v"],
+                         direction="forward")
+    got = {r.x: r.v_right for r in out.sdf.collect()}
+    assert got == {"l0": 1.0, "l1": 2.0, "l2": 2.0, "l3": 9.0}
+
+
+def test_asof_keeps_left_count(spark, orders):
+    left = Frame(orders.sdf.select("o_orderkey", "o_custkey",
+                                   F.col("o_orderdate").alias("ts")))
+    right = Frame(orders.sdf.select("o_custkey",
+                                    F.col("o_orderdate").alias("ts"),
+                                    "o_totalprice").limit(100))
+    out = left.asof_join(right, on="ts", by="o_custkey",
+                         value_cols=["o_totalprice"])
+    assert out.num_row == left.num_row  # never inflates, never drops
+
+
+def test_range_join_binned_equals_exact(spark):
+    left = from_records(spark, [{"id": i, "v": float(i)} for i in range(30)])
+    right = from_records(spark, [
+        {"iv": j, "lo": j * 7.0, "hi": j * 7.0 + 10.0} for j in range(5)])
+    exact = left.range_join(right, "v", "lo", "hi").sdf
+    binned = left.range_join(right, "v", "lo", "hi", bin_width=7.0).sdf
+    e = {(r.id, r.iv) for r in exact.collect()}
+    b = {(r.id, r.iv) for r in binned.collect()}
+    assert e == b and len(e) > 30  # overlapping intervals multi-match
+
+
+def test_range_join_with_keys(spark):
+    left = from_records(spark, [
+        {"k": "a", "v": 5.0}, {"k": "b", "v": 5.0}])
+    right = from_records(spark, [
+        {"k": "a", "lo": 0.0, "hi": 10.0}, {"k": "b", "lo": 6.0, "hi": 10.0}])
+    out = left.range_join(right, "v", "lo", "hi", by=["k"], bin_width=5.0)
+    assert [r.k for r in out.sdf.collect()] == ["a"]
