@@ -312,6 +312,118 @@ def sessionize_events(spark, sf_dir):
             .summarize(n_sessions=(F.sum("new_session") + 1).cast("bigint"))).sdf
 
 
+@q("window_ranks", """
+SELECT o_custkey, o_orderkey,
+       DENSE_RANK() OVER w AS drank,
+       CAST(NTILE(4) OVER w AS INT) AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS prank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""")
+def window_ranks(spark, sf_dir):
+    """SQL ranking family — dense_rank / ntile / percent_rank (SURVEY
+    §2.5 marks them absent in the reference, free in Spark)."""
+    from pyspark.sql import Window as W
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(),
+                                           "o_orderkey")
+    return (o.sdf.select(
+        "o_custkey", "o_orderkey",
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank")))
+
+
+@q("cumsum_na_poison", """
+SELECT user_id, event_id,
+       CASE WHEN MAX(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+                 OVER w = 1 THEN NULL
+            ELSE ROUND(SUM(v) OVER w, 4) END AS run
+FROM (SELECT user_id, event_id, ts, NULLIF(value, 6.55) AS v FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""")
+def cumsum_na_poison(spark, sf_dir):
+    """Reference cumsum NA semantics: everything at/after the first null
+    is null (src/crysda/columns.cr:298-318). Nulls manufactured
+    deterministically with nullif so the poison path executes."""
+    ev = _t(spark, sf_dir, "events")
+    f = Frame(ev.sdf.withColumn("v", F.nullif("value", F.lit(6.55)))) \
+        .group_by("user_id")
+    out = f.add_column("run", lambda e: F.round(
+        e.cumsum("v", order_by=["ts", "event_id"]), 4))
+    return out.ungroup().select("user_id", "event_id", "run").sdf
+
+
+@q("argminmax_orders", """
+SELECT o_custkey,
+       MAX(CASE WHEN rn_d = 1 THEN o_orderkey END) AS best_order,
+       MAX(CASE WHEN rn_a = 1 THEN o_orderkey END) AS worst_order
+FROM (SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn_d,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice ASC, o_orderkey DESC) AS rn_a
+      FROM orders)
+GROUP BY o_custkey
+""")
+def argminmax_orders(spark, sf_dir):
+    """Per-group argmin/argmax via max_by/min_by (beyond-reference
+    aggregate; ties broken by order key for determinism)."""
+    o = _t(spark, sf_dir, "orders")
+    key = F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("neg"))
+    return (o.group_by("o_custkey")
+            .summarize(best_order=F.max_by("o_orderkey", key),
+                       worst_order=F.min_by("o_orderkey", key))).sdf
+
+
+@q("except_high_value", """
+SELECT o_custkey FROM orders
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+""")
+def except_high_value(spark, sf_dir):
+    """except_rows (EXCEPT ALL multiset semantics, SURVEY §2.9)."""
+    o = _t(spark, sf_dir, "orders")
+    all_c = Frame(o.sdf.select("o_custkey"))
+    high = Frame(o.filter(F.col("o_totalprice") > 150000).sdf.select("o_custkey"))
+    return all_c.except_rows(high).sdf
+
+
+@q("separate_orderdate", """
+SELECT o_orderkey,
+       CAST(parts[1] AS BIGINT) AS y,
+       CAST(parts[2] AS BIGINT) AS m,
+       CAST(parts[3] AS BIGINT) AS d
+FROM (SELECT o_orderkey,
+             string_split(strftime(o_orderdate, '%Y-%m-%d'), '-') AS parts
+      FROM orders)
+""")
+def separate_orderdate(spark, sf_dir):
+    """separate with convert=True: split a string column into typed parts
+    (SURVEY §2.8; reference src/crysda/reshape.cr:124-153)."""
+    o = _t(spark, sf_dir, "orders")
+    f = Frame(o.sdf.select("o_orderkey",
+                           F.date_format("o_orderdate", "yyyy-MM-dd").alias("ds")))
+    out = f.separate("ds", into=["y", "m", "d"], sep="-", convert=True)
+    return out.sdf
+
+
+@q("cube_sales", """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def cube_sales(spark, sf_dir):
+    """cube grouping-sets aggregate (SURVEY §2.4 — absent in reference,
+    free in Spark)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority",
+                   total=F.sum(_dec("o_totalprice")).cast(OUT),
+                   n=F.count(F.lit(1)))).sdf
+
+
 # ================================================================= 2.7 joins
 @q("join_inner_chain", """
 SELECT c_custkey, n_name, r_name
