@@ -1,18 +1,24 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+Paths, slow→fast→approximate:
 
-- brute_force_topk: exact cosine top-k. The dot product is a single
-  codegen'd ``F.zip_with`` + ``F.aggregate`` expression (no UDF, no
-  Python). Query set × corpus is a broadcast nested-loop join — correct
-  baseline, O(|Q|·N); use when |Q| is small.
-- lsh_topk: random-hyperplane LSH. Each vector gets a sign-bit bucket
-  from ``n_planes`` fixed pseudo-random hyperplanes (deterministic,
-  seeded); candidates = same bucket (multi-probe: hamming<=1 neighbor
-  buckets), then exact cosine re-rank. The bucket join is an equi-join
-  → shuffle on bucket id, linear in corpus size: the 100 TB path.
+- Column-expression dot/cosine (``F.zip_with`` + ``F.aggregate``): no
+  Python, but higher-order lambdas evaluate interpreted per element —
+  fine for one-off scoring, wrong for N×M scoring loops.
+- Arrow-vectorized kernels (``mapInPandas`` + numpy): each partition's
+  vectors become ONE matrix and all queries/planes/centroids are
+  scored with a single BLAS matmul. This is the sanctioned Python path
+  (batched columnar transfer, no per-row overhead) and what
+  brute_force_topk / lsh buckets / ivf assignment use.
+- lsh_topk / ivf_topk: sublinear candidate generation (bucket equi-join
+  / probed cells), exact re-rank inside candidates — the 100 TB path.
 
-Embedding-cosine near-dup detection reuses the same machinery
+Scale shape of brute_force_topk: queries broadcast to every partition
+(small |Q| by contract), each partition emits only its LOCAL top-k per
+query (k·|Q| rows per partition), and one tiny shuffle merges global
+top-k. The corpus is never shuffled.
+
+Embedding-cosine near-dup detection reuses the LSH machinery
 (pairs with cosine >= threshold).
 """
 
@@ -21,6 +27,8 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, Window as W, functions as F
 
 from ..frame import Frame
@@ -44,18 +52,56 @@ def brute_force_topk(corpus: Frame, queries: Frame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> Frame:
     """Exact cosine top-k of each query against the corpus.
     Output: (query_id, match_id, cos) with rank<=k; ties broken by
-    match_id for determinism. The query side is broadcast."""
-    # float32 embeddings are upcast to double BEFORE any arithmetic so the
-    # result is bit-identical to engines that compute in double (oracle parity)
-    q = queries.sdf.select(F.col(id_col).alias("query_id"),
-                           F.col(vec_col).cast("array<double>").alias("q_vec"))
+    match_id for determinism.
+
+    Execution: queries (small by contract) are collected and broadcast;
+    each corpus partition scores ALL queries with one numpy matmul
+    inside mapInPandas and emits only its local top-k rows per query,
+    so the merge shuffle carries ≤ k·|Q| rows per partition no matter
+    the corpus size."""
+    q_rows = queries.sdf.select(F.col(id_col).alias("qid"),
+                                F.col(vec_col).cast("array<double>").alias("v")) \
+        .collect()
+    if not q_rows:
+        spark = corpus.sdf.sparkSession
+        return Frame(spark.createDataFrame(
+            [], "query_id bigint, match_id bigint, cos double, rank int"))
+    q_ids = np.array([r.qid for r in q_rows])
+    q_mat = np.array([r.v for r in q_rows], dtype=np.float64)        # |Q| × dim
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm[q_norm == 0] = np.inf  # zero query vector → cos 0 everywhere
+    sc = corpus.sdf.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat, q_norm, k))
+
+    def local_topk(batches):
+        ids, mat, norms, kk = bq.value
+        for pdf in batches:
+            c_mat = np.array(pdf["c_vec"].tolist(), dtype=np.float64)  # B × dim
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            c_norm[c_norm == 0] = np.inf
+            sims = (c_mat @ mat.T) / np.outer(c_norm, norms)           # B × |Q|
+            out = []
+            match_ids = pdf["match_id"].to_numpy()
+            for qi, qid in enumerate(ids):
+                col = sims[:, qi]
+                mask = match_ids != qid
+                cand = np.nonzero(mask)[0]
+                if len(cand) == 0:
+                    continue
+                take = min(kk, len(cand))
+                top = cand[np.argpartition(-col[cand], take - 1)[:take]]
+                out.append(pd.DataFrame({
+                    "query_id": qid, "match_id": match_ids[top],
+                    "cos": col[top]}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
     c = corpus.sdf.select(F.col(id_col).alias("match_id"),
                           F.col(vec_col).cast("array<double>").alias("c_vec"))
-    scored = (c.crossJoin(F.broadcast(q))
-              .filter(F.col("query_id") != F.col("match_id"))
-              .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec"))))
+    local = c.mapInPandas(local_topk,
+                          schema="query_id bigint, match_id bigint, cos double")
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("match_id"))
-    out = (scored.withColumn("rank", F.row_number().over(w))
+    out = (local.withColumn("rank", F.row_number().over(w))
            .filter(F.col("rank") <= k)
            .select("query_id", "match_id", "cos", "rank"))
     return Frame(out)
@@ -67,13 +113,40 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def bucket_expr(vec_col, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id from fixed hyperplanes — one int per vector."""
+    """Sign-bit bucket id from fixed hyperplanes — one int per vector.
+    Column-expression form for ad-hoc use; pipelines use the
+    Arrow-vectorized ``with_buckets`` (one matmul per batch)."""
     bucket = F.lit(0)
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
         proj = dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, plane)
         bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
+
+
+def with_buckets(sdf, vec_col: str, planes: list[list[float]],
+                 out_col: str = "bucket"):
+    """Append the hyperplane sign-bit bucket id, computed per Arrow batch
+    as one ``batch @ planes.T`` matmul (numpy) — identical bits to
+    ``bucket_expr`` at a fraction of the cost. Projections exactly on a
+    hyperplane (proj == 0) count as sign 0, matching ``proj > 0``."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    plane_mat = np.array(planes, dtype=np.float64)              # P × dim
+    weights = (1 << np.arange(len(planes))).astype(np.int64)
+    # copy: StructType.add mutates the DataFrame's cached schema in place
+    schema = StructType(sdf.schema.fields + [StructField(out_col, IntegerType())])
+    cols = list(sdf.columns)
+
+    def kernel(batches):
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            proj = mat @ plane_mat.T                            # B × P
+            pdf = pdf[cols].copy()
+            pdf[out_col] = ((proj > 0).astype(np.int64) @ weights).astype("int32")
+            yield pdf
+
+    return sdf.mapInPandas(kernel, schema=schema)
 
 
 def lsh_topk(corpus: Frame, queries: Frame, k: int = 5, dim: int = 64,
@@ -84,12 +157,14 @@ def lsh_topk(corpus: Frame, queries: Frame, k: int = 5, dim: int = 64,
     re-rank inside buckets. multiprobe=True also probes all buckets at
     hamming distance 1, trading 9× candidate volume for recall."""
     planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.sdf.select(F.col(id_col).alias("match_id"),
-                          F.col(vec_col).cast("array<double>").alias("c_vec")) \
-        .withColumn("bucket", bucket_expr("c_vec", planes))
-    q = queries.sdf.select(F.col(id_col).alias("query_id"),
-                           F.col(vec_col).cast("array<double>").alias("q_vec")) \
-        .withColumn("bucket0", bucket_expr("q_vec", planes))
+    c = with_buckets(
+        corpus.sdf.select(F.col(id_col).alias("match_id"),
+                          F.col(vec_col).cast("array<double>").alias("c_vec")),
+        "c_vec", planes)
+    q = with_buckets(
+        queries.sdf.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).cast("array<double>").alias("q_vec")),
+        "q_vec", planes, out_col="bucket0")
     if multiprobe:
         probes = F.array(F.col("bucket0"),
                          *[F.col("bucket0").bitwiseXOR(F.lit(1 << i))
@@ -135,32 +210,45 @@ def ivf_topk(corpus: Frame, queries: Frame, k: int = 5, n_cells: int = 16,
     km = KMeans(k=n_cells, seed=seed, featuresCol="_feat", predictionCol="cell_id")
     model = km.fit(train.select(array_to_vector("c_vec").alias("_feat")))
 
-    centroids = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
-    spark = corpus.sdf.sparkSession
-    cent_df = spark.createDataFrame(
-        [(i, v) for i, v in enumerate(centroids)], "cell_id int, centroid array<double>")
+    cent_mat = np.array([[float(x) for x in ctr]
+                         for ctr in model.clusterCenters()], dtype=np.float64)
+    sc = corpus.sdf.sparkSession.sparkContext
+    bc = sc.broadcast(cent_mat)
 
-    # corpus assignment: broadcast NL join against the tiny centroid table,
-    # argmin by euclidean — one shuffle-free pass over the corpus
-    def _l2(a: Column, b: Column) -> Column:
-        return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-                           F.lit(0.0), lambda acc, v: acc + v)
+    # assignment/probing: ||v-c||² = ||v||² − 2·v·c + ||c||², and ||v||²
+    # is constant per row, so argmin/argsort over (−2·v·C.T + ||C||²) —
+    # one matmul per Arrow batch, shuffle-free map-side pass
+    def _cells(batches, n_out: int, vcol: str):
+        for pdf in batches:
+            cm = bc.value
+            c_norm2 = (cm * cm).sum(axis=1)
+            mat = np.array(pdf[vcol].tolist(), dtype=np.float64)
+            d = -2.0 * (mat @ cm.T) + c_norm2                      # B × cells
+            if n_out == 1:
+                cells = d.argmin(axis=1).astype("int32")
+                out = pdf.copy()
+                out["cell_id"] = cells
+                yield out
+            else:
+                near = np.argsort(d, axis=1)[:, :n_out].astype("int32")
+                reps = []
+                for j in range(n_out):
+                    rep = pdf.copy()
+                    rep["cell_id"] = near[:, j]
+                    reps.append(rep)
+                yield pd.concat(reps, ignore_index=True)
 
-    w_c = W.partitionBy("match_id").orderBy(F.col("_d").asc(), F.col("cell_id"))
-    assigned = (c.crossJoin(F.broadcast(cent_df))
-                .withColumn("_d", _l2(F.col("c_vec"), F.col("centroid")))
-                .withColumn("_r", F.row_number().over(w_c))
-                .filter(F.col("_r") == 1)
-                .select("cell_id", "match_id", "c_vec"))
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    assigned = c.mapInPandas(
+        lambda it: _cells(it, 1, "c_vec"),
+        schema=StructType(c.schema.fields + [StructField("cell_id", IntegerType())]))
 
     q = queries.sdf.select(F.col(id_col).alias("query_id"),
                            F.col(vec_col).cast("array<double>").alias("q_vec"))
-    w_q = W.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("cell_id"))
-    probed = (q.crossJoin(F.broadcast(cent_df))
-              .withColumn("_d", _l2(F.col("q_vec"), F.col("centroid")))
-              .withColumn("_r", F.row_number().over(w_q))
-              .filter(F.col("_r") <= n_probe)
-              .select("query_id", "q_vec", "cell_id"))
+    probed = q.mapInPandas(
+        lambda it: _cells(it, n_probe, "q_vec"),
+        schema=StructType(q.schema.fields + [StructField("cell_id", IntegerType())]))
 
     scored = (probed.join(assigned, on="cell_id", how="inner")
               .filter(F.col("query_id") != F.col("match_id"))
@@ -178,8 +266,10 @@ def embedding_near_dups(corpus: Frame, threshold: float = 0.95, dim: int = 64,
     """Embedding-cosine near-duplicate pairs (cos >= threshold), LSH-bucketed
     so the pair generation is linear, then exactly verified."""
     planes = _hyperplanes(dim, n_planes, seed)
-    v = corpus.sdf.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")) \
-        .withColumn("bucket", bucket_expr("v", planes))
+    v = with_buckets(
+        corpus.sdf.select(F.col(id_col),
+                          F.col(vec_col).cast("array<double>").alias("v")),
+        "v", planes)
     a, b = v.alias("a"), v.alias("b")
     pairs = (a.join(b, on="bucket", how="inner")
              .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

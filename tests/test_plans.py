@@ -13,14 +13,16 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_scan_health_pushdown_and_pruning(spark):
-    sdf = (spark.read.parquet(f"{SF_DIR}/orders.parquet")
-           .filter(F.col("o_totalprice") > 1000)
-           .select("o_orderkey", "o_totalprice"))
+    # supplier: not session-cached by any fixture (a cached table's scan
+    # becomes InMemoryTableScan and has no parquet scan node to inspect)
+    sdf = (spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+           .filter(F.col("s_acctbal") > 1000)
+           .select("s_suppkey", "s_acctbal"))
     scans = scan_health(sdf)
     assert len(scans) == 1
     assert scans[0]["format"] == "parquet"
-    assert any("o_totalprice" in p for p in scans[0]["pushed_filters"])
-    assert set(scans[0]["read_columns"]) == {"o_orderkey", "o_totalprice"}
+    assert any("s_acctbal" in p for p in scans[0]["pushed_filters"])
+    assert set(scans[0]["read_columns"]) == {"s_suppkey", "s_acctbal"}
 
 
 def test_shuffle_count(spark):
