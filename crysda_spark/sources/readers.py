@@ -159,8 +159,36 @@ def from_records(spark: SparkSession, records: list[dict], order: list[str] | No
     if not records:
         return empty_df(spark)
     cols = order or list(records[0].keys())
-    sdf = spark.createDataFrame(records)
+    try:
+        sdf = spark.createDataFrame(records)
+    except Exception:
+        # all-null columns defeat inference; the reference tolerates
+        # all-NA columns (AnyCol) — fall back to explicit types with
+        # string for the undecidable ones
+        sdf = spark.createDataFrame(
+            [tuple(r.get(c) for c in cols) for r in records],
+            schema=_infer_schema(records, cols))
     return Frame(sdf.select(*cols))
+
+
+def _infer_schema(records: list[dict], cols: list[str]):
+    from pyspark.sql import types as T
+
+    py_to_spark = {int: T.LongType(), float: T.DoubleType(),
+                   str: T.StringType(), bool: T.BooleanType(),
+                   bytes: T.BinaryType()}
+    fields = []
+    for c in cols:
+        spark_t = T.StringType()
+        for r in records:
+            v = r.get(c)
+            if v is not None:
+                # bool before int: bool is an int subclass
+                spark_t = T.BooleanType() if isinstance(v, bool) \
+                    else py_to_spark.get(type(v), T.StringType())
+                break
+        fields.append(T.StructField(c, spark_t, True))
+    return T.StructType(fields)
 
 
 def empty_df(spark: SparkSession) -> Frame:

@@ -1,0 +1,104 @@
+"""Property-based null-edge fuzzing (SURVEY §7 M8): engine semantics
+vs plain-Python reference models on randomized small frames. Each
+example runs real Spark jobs, so example counts stay small — the value
+is the null-placement edge cases hypothesis finds, not volume."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+ints_with_nulls = st.lists(st.one_of(st.none(), st.integers(-50, 50)),
+                           min_size=1, max_size=12)
+
+SLOW = settings(max_examples=5, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                       HealthCheck.too_slow])
+
+
+def _frame(spark, vals, extra=None):
+    from crysda_spark import from_records
+    rows = [{"i": idx, "x": v, **({"g": extra[idx]} if extra else {})}
+            for idx, v in enumerate(vals)]
+    return from_records(spark, rows,
+                        order=["i", "x"] + (["g"] if extra else []))
+
+
+@SLOW
+@given(vals=ints_with_nulls, threshold=st.integers(-50, 50))
+def test_filter_null_is_false(spark, vals, threshold):
+    f = _frame(spark, vals)
+    got = sorted(f.filter(F.col("x") > threshold).to_h()["i"])
+    want = sorted(i for i, v in enumerate(vals)
+                  if v is not None and v > threshold)
+    assert got == want
+
+
+@SLOW
+@given(vals=ints_with_nulls)
+def test_sort_nulls_last(spark, vals):
+    f = _frame(spark, vals)
+    got = f.sort_by("x").to_h()["x"]
+    nn = sorted(v for v in vals if v is not None)
+    assert got == nn + [None] * (len(vals) - len(nn))
+
+
+@SLOW
+@given(vals=ints_with_nulls)
+def test_cumsum_poisons_after_first_null(spark, vals):
+    f = _frame(spark, vals)
+    got = f.add_column("c", lambda e: e.cumsum("x", order_by=["i"])) \
+        .sort_by("i").to_h()["c"]
+    run, want, poisoned = 0, [], False
+    for v in vals:
+        poisoned = poisoned or v is None
+        if poisoned:
+            want.append(None)
+        else:
+            run += v
+            want.append(run)
+    assert got == want
+
+
+@SLOW
+@given(vals=ints_with_nulls)
+def test_distinct_counts_null_as_value(spark, vals):
+    f = _frame(spark, vals)
+    assert f.select("x").distinct().num_row == len(set(vals))
+
+
+@SLOW
+@given(left=ints_with_nulls, right=ints_with_nulls)
+def test_inner_join_multiplicity(spark, left, right):
+    """Join cardinality = sum over keys of count_l*count_r; null keys
+    never match (SQL semantics both engines)."""
+    from crysda_spark import from_records
+    lf = from_records(spark, [{"k": v, "l": i} for i, v in enumerate(left)],
+                      order=["k", "l"])
+    rf = from_records(spark, [{"k": v, "r": i} for i, v in enumerate(right)],
+                      order=["k", "r"])
+    lc = Counter(v for v in left if v is not None)
+    rc = Counter(v for v in right if v is not None)
+    want = sum(lc[k] * rc.get(k, 0) for k in lc)
+    assert lf.inner_join(rf, by="k").num_row == want
+
+
+@SLOW
+@given(vals=st.lists(st.one_of(st.none(), st.floats(-1e6, 1e6,
+                                                    allow_nan=False)),
+                     min_size=1, max_size=12))
+def test_mean_strict_vs_skip(spark, vals):
+    from crysda_spark.functions import aggregates as agg
+    f = _frame(spark, vals)
+    has_null = any(v is None for v in vals)
+    nn = [v for v in vals if v is not None]
+    if nn:
+        got = f.summarize(m=agg.mean("x", remove_na=True)).to_h()["m"][0]
+        assert got == pytest.approx(sum(nn) / len(nn))
+    if has_null:
+        with pytest.raises(Exception):
+            f.summarize(m=agg.mean("x")).sdf.collect()
