@@ -709,6 +709,18 @@ def minhash_near_dups(spark, sf_dir):
     return out.sdf.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+@q("dedup_cluster_survivors")  # iterative component resolution; rows-only
+def dedup_cluster_survivors(spark, sf_dir):
+    """Full near-dup collapse: minhash-LSH pairs → connected components
+    (iterative min-label propagation) → one canonical survivor per
+    cluster (pipeline.dedup.dedup_survivors)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup(docs, "text", "doc_id", threshold=0.6,
+                             n_hashes=32, bands=8).sdf
+    out = dd.dedup_survivors(docs, pairs, "doc_id")
+    return out.sdf
+
+
 @q("simhash_near_dups")  # no SQL oracle
 def simhash_near_dups(spark, sf_dir):
     """SimHash near-duplicate pairs, hamming<=8 over 64-bit signatures."""

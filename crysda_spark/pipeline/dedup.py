@@ -267,6 +267,61 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+# ------------------------------------------------------ cluster resolution
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """(id, component) for every id appearing in ``pairs``; component =
+    min id reachable through the pair graph. Iterative min-label
+    propagation: each round every vertex takes the min of its own and
+    its neighbors' labels, stopping when a fixed point is reached.
+
+    Scale notes: rounds needed = graph diameter — near-dup clusters are
+    shallow (dozens of docs), so this converges in a handful of rounds.
+    Each round is one shuffle (join + groupBy on vertex id);
+    localCheckpoint truncates the lineage so plan size stays constant
+    across iterations instead of growing exponentially."""
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                       F.col(id_a).alias("dst")))
+             .dropDuplicates().persist())
+    labels = (edges.select(F.col("src").alias("id"))
+              .dropDuplicates()
+              .withColumn("comp", F.col("id")))
+    for _ in range(max_iter):
+        neighbor_min = (edges
+                        .join(labels.withColumnsRenamed({"id": "src", "comp": "c"}),
+                              on="src")
+                        .groupBy(F.col("dst").alias("id"))
+                        .agg(F.min("c").alias("nmin")))
+        new_labels = (labels.join(neighbor_min, on="id", how="left")
+                      .select("id", F.least("comp", "nmin").alias("comp"))
+                      .localCheckpoint())
+        changed = (new_labels.join(labels.withColumnsRenamed({"comp": "old"}), on="id")
+                   .filter(F.col("comp") != F.col("old")).limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_survivors(f: Frame, pairs: DataFrame, id_col: str) -> Frame:
+    """Collapse near-dup clusters to one canonical row each: the min-id
+    member of every connected component survives; rows in no pair
+    survive untouched. Returns (id, cluster_size) — size 1 for
+    singletons. One broadcast-size join against the (tiny) component
+    table; the corpus itself is never shuffled."""
+    comps = connected_components(pairs, max_iter=20)
+    sizes = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    members = comps.join(sizes, on="comp")
+    out = (f.sdf.select(F.col(id_col))
+           .join(F.broadcast(members.withColumnRenamed("id", id_col)),
+                 on=id_col, how="left")
+           .filter(F.col("comp").isNull() | (F.col(id_col) == F.col("comp")))
+           .select(id_col, F.coalesce("cluster_size", F.lit(1)).alias("cluster_size")))
+    return Frame(out)
+
+
 def simhash_near_dups(f: Frame, text_col: str, id_col: str,
                       max_hamming: int = 3, bits: int = 64) -> Frame:
     """Near-dup pairs with hamming(simhash) <= max_hamming. Bucketing by

@@ -75,6 +75,29 @@ def test_minhash_column_matches_df_path(docs):
     assert j.filter(F.col("sig") != F.col("sig2")).count() == 0
 
 
+def test_connected_components_chains(spark):
+    from crysda_spark import from_records
+    pairs = from_records(spark, [
+        {"id_a": 1, "id_b": 2}, {"id_a": 2, "id_b": 3},   # chain 1-2-3
+        {"id_a": 10, "id_b": 11},                          # pair
+        {"id_a": 20, "id_b": 21}, {"id_a": 22, "id_b": 21},  # chain 20-21-22
+    ]).sdf
+    comps = {r.id: r.comp for r in dd.connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_survivors_keeps_canonical(spark):
+    from crysda_spark import from_records
+    docs = from_records(spark, [{"doc_id": i} for i in [1, 2, 3, 10, 11, 99]])
+    pairs = from_records(spark, [
+        {"id_a": 1, "id_b": 2}, {"id_a": 2, "id_b": 3},
+        {"id_a": 10, "id_b": 11},
+    ]).sdf
+    out = {r.doc_id: r.cluster_size
+           for r in dd.dedup_survivors(docs, pairs, "doc_id").sdf.collect()}
+    assert out == {1: 3, 10: 2, 99: 1}  # min-id survivor per cluster
+
+
 def test_brute_force_topk_is_exact(emb):
     q = Frame(emb.sdf.filter(F.col("vec_id") < 3))
     out = sim.brute_force_topk(emb, q, k=3).sdf.collect()
