@@ -53,14 +53,15 @@ def attach_binary(f: Frame, id_col: str, payload_col: str) -> Frame:
 
 def _fake_decode(payload: bytes, n_feat: int = 8) -> list[float]:
     """Deterministic stand-in for image decode + feature extraction:
-    byte-histogram moments. Replace with a real model/codec when available."""
+    byte-histogram moments, numpy-vectorized like a real kernel would
+    be. Replace with a real model/codec when available."""
+    import numpy as np
     if payload is None:
         return [0.0] * n_feat
-    buckets = [0] * n_feat
-    for i, byte in enumerate(payload[:4096]):
-        buckets[byte % n_feat] += 1
-    total = max(sum(buckets), 1)
-    return [b / total for b in buckets]
+    arr = np.frombuffer(payload[:4096], dtype=np.uint8)
+    buckets = np.bincount(arr % n_feat, minlength=n_feat)
+    total = max(int(buckets.sum()), 1)
+    return (buckets / total).tolist()
 
 
 def decode_images(f: Frame, id_col: str = "id", payload_col: str = "payload",

@@ -50,6 +50,20 @@ def test_tumbling_counts(spark, events_stream_dir):
     assert j.filter(got["n"] != batch["n"]).count() == 0
 
 
+def test_sliding_counts(spark, events_stream_dir):
+    schema = _batch_events(spark, events_stream_dir).schema
+    stream = sw.stream_from_parquet_dir(spark, events_stream_dir, schema)
+    out = sw.sliding_counts(stream, width="1 hour", slide="30 minutes",
+                            watermark=None)
+    q = sw.run_to_memory(out, "sliding_t", mode="complete")
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("sliding_t")
+    # every event lands in width/slide = 2 windows
+    total = got.agg(F.sum("n")).collect()[0][0]
+    assert total == 2 * _batch_events(spark, events_stream_dir).count()
+
+
 def test_session_window(spark, events_stream_dir):
     schema = _batch_events(spark, events_stream_dir).schema
     stream = sw.stream_from_parquet_dir(spark, events_stream_dir, schema)
