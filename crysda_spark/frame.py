@@ -374,7 +374,12 @@ class Frame:
         rnd = F.rand(seed) if seed is not None else F.rand()
         if not replace:
             w = (W.partitionBy(*self._groups) if self._groups else W.partitionBy())
-            out = (self.sdf.withColumn("__r__", rnd)
+            # reference errors on oversampling without replacement
+            # (src/crysda/dataframe.cr:429-433); lazy per-group guard
+            sz = F.count(F.lit(1)).over(w)
+            guard = F.assert_true(
+                sz >= n, F.lit("sample_n: n exceeds group size; use replace=True"))
+            out = (self.sdf.withColumn("__r__", F.when(guard.isNull(), rnd))
                    .withColumn("__rn__", F.row_number().over(w.orderBy(F.col("__r__"))))
                    .filter(F.col("__rn__") <= n).drop("__r__", "__rn__"))
             return self._wrap(out)

@@ -28,39 +28,58 @@ def _clean_num(c: Column) -> Column:
     return F.regexp_replace(c, ",", "")
 
 
-def inferred_cast(sdf: SparkDF, name: str,
-                  true_values: list[str] | None = None,
-                  false_values: list[str] | None = None) -> Column | None:
-    """Return a cast expression for column ``name`` or None to keep string."""
-    tv = [v.upper() for v in (true_values or TRUE_VALUES)]
-    fv = [v.upper() for v in (false_values or FALSE_VALUES)]
+def _cast_for(name: str, counts, tv: list[str], fv: list[str]) -> Column | None:
     c = F.col(name)
     up = F.upper(c)
-    bool_ok = up.isin(tv + fv)
-    counts = sdf.agg(
-        F.count(c).alias("n"),
-        F.count(_clean_num(c).try_cast("bigint")).alias("n_int"),
-        F.count(_clean_num(c).try_cast("double")).alias("n_dbl"),
-        F.sum(bool_ok.cast("int")).alias("n_bool"),
-    ).collect()[0]
-    n = counts["n"]
+    n = counts[f"{name}!n"]
     if n == 0:
         return None
-    if counts["n_int"] == n:
+    if counts[f"{name}!i"] == n:
         return _clean_num(c).cast("bigint")
-    if counts["n_dbl"] == n:
+    if counts[f"{name}!d"] == n:
         return _clean_num(c).cast("double")
-    if counts["n_bool"] == n:
+    if counts[f"{name}!b"] == n:
         return F.when(up.isin(tv), F.lit(True)).when(up.isin(fv), F.lit(False))
     return None
 
 
+def inferred_cast(sdf: SparkDF, name: str, **kw) -> Column | None:
+    """Return a cast expression for column ``name`` or None to keep string."""
+    return inferred_casts(sdf, [name], **kw).get(name)
+
+
+def inferred_casts(sdf: SparkDF, names: list[str],
+                   true_values: list[str] | None = None,
+                   false_values: list[str] | None = None) -> dict[str, Column]:
+    """Cast expressions for every inferable column in ``names`` — ALL
+    columns decided with ONE aggregate job (4 counters per column), not
+    one job per column."""
+    tv = [v.upper() for v in (true_values or TRUE_VALUES)]
+    fv = [v.upper() for v in (false_values or FALSE_VALUES)]
+    aggs = []
+    for name in names:
+        c = F.col(name)
+        aggs += [
+            F.count(c).alias(f"{name}!n"),
+            F.count(_clean_num(c).try_cast("bigint")).alias(f"{name}!i"),
+            F.count(_clean_num(c).try_cast("double")).alias(f"{name}!d"),
+            F.sum(F.upper(c).isin(tv + fv).cast("int")).alias(f"{name}!b"),
+        ]
+    if not aggs:
+        return {}
+    counts = sdf.agg(*aggs).collect()[0]
+    out = {}
+    for name in names:
+        cast = _cast_for(name, counts, tv, fv)
+        if cast is not None:
+            out[name] = cast
+    return out
+
+
 def convert_types(sdf: SparkDF, cols: list[str], **kw) -> SparkDF:
     """Re-infer string columns to bigint/double/boolean where lossless."""
-    for name in cols:
-        if dict(sdf.dtypes).get(name) != "string":
-            continue
-        cast = inferred_cast(sdf, name, **kw)
-        if cast is not None:
-            sdf = sdf.withColumn(name, cast)
+    names = [c for c in cols if dict(sdf.dtypes).get(c) == "string"]
+    casts = inferred_casts(sdf, names, **kw)
+    if casts:
+        sdf = sdf.withColumns(casts)
     return sdf

@@ -275,11 +275,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     propagation: each round every vertex takes the min of its own and
     its neighbors' labels, stopping when a fixed point is reached.
 
-    Scale notes: rounds needed = graph diameter — near-dup clusters are
-    shallow (dozens of docs), so this converges in a handful of rounds.
-    Each round is one shuffle (join + groupBy on vertex id);
-    localCheckpoint truncates the lineage so plan size stays constant
-    across iterations instead of growing exponentially."""
+    Scale notes: each round combines neighbor-min propagation with a
+    pointer-jumping step (comp := comp of comp), so a chain of length L
+    resolves in O(log L) rounds, not L. Each round is two shuffles
+    (edge join + label self-join); localCheckpoint truncates the
+    lineage so plan size stays constant across iterations instead of
+    growing exponentially."""
+    # persist the pair source first: both union branches consume it, and
+    # for LSH-generated pairs each branch would re-run the whole
+    # signature pipeline otherwise
+    pairs = pairs.persist()
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .unionByName(pairs.select(F.col(id_b).alias("src"),
                                        F.col(id_a).alias("dst")))
@@ -293,8 +298,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                               on="src")
                         .groupBy(F.col("dst").alias("id"))
                         .agg(F.min("c").alias("nmin")))
-        new_labels = (labels.join(neighbor_min, on="id", how="left")
-                      .select("id", F.least("comp", "nmin").alias("comp"))
+        stepped = (labels.join(neighbor_min, on="id", how="left")
+                   .select("id", F.least("comp", "nmin").alias("comp")))
+        # pointer jumping: follow the label's own label one hop
+        jump = stepped.select(F.col("id").alias("comp"),
+                              F.col("comp").alias("cc"))
+        new_labels = (stepped.join(jump, on="comp", how="left")
+                      .select("id", F.least("comp", "cc").alias("comp"))
                       .localCheckpoint())
         changed = (new_labels.join(labels.withColumnsRenamed({"comp": "old"}), on="id")
                    .filter(F.col("comp") != F.col("old")).limit(1).count())
