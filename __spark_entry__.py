@@ -312,6 +312,99 @@ def sessionize_events(spark, sf_dir):
             .summarize(n_sessions=(F.sum("new_session") + 1).cast("bigint"))).sdf
 
 
+@q("q3_shipping_priority", """
+SELECT o_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1996-03-15'
+  AND l_shipdate > DATE '1996-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, o_orderkey LIMIT 10
+""")
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dims broadcast into the fact scan,
+    filters pushed to parquet, top-N via TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1996-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-03-15")
+    # join keys take the LEFT side's name: o_orderkey after the 2nd join
+    j = (c.inner_join(o, by=[("c_custkey", "o_custkey")])
+         .inner_join(li, by=[("o_orderkey", "l_orderkey")]))
+    rev = (_dec("l_extendedprice") * (1 - _dec("l_discount")))
+    out = (j.group_by("o_orderkey", "o_orderdate", "o_orderpriority")
+           .summarize(revenue=F.sum(rev).cast(OUT)))
+    return (out.sdf.select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+            .orderBy(F.col("revenue").desc(), "o_orderdate", "o_orderkey")
+            .limit(10))
+
+
+@q("q5_local_supplier", """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND o_orderdate >= DATE '1997-01-01'
+  AND o_orderdate < DATE '1998-01-01'
+GROUP BY n_name
+""")
+def q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table star join — Catalyst broadcasts every dim,
+    the fact table is scanned once, never shuffled before aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01"))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (c.inner_join(o, by=[("c_custkey", "o_custkey")])
+         .inner_join(li, by=[("o_orderkey", "l_orderkey")])
+         .inner_join(s, by=[("l_suppkey", "s_suppkey"),
+                            ("c_nationkey", "s_nationkey")])
+         .inner_join(n, by=[("c_nationkey", "n_nationkey")])
+         .inner_join(r, by=[("n_regionkey", "r_regionkey")]))
+    rev = (_dec("l_extendedprice") * (1 - _dec("l_discount")))
+    return j.group_by("n_name").summarize(revenue=F.sum(rev).cast(OUT)).sdf
+
+
+@q("json_props_extract", """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+FROM events GROUP BY event_type
+""")
+def json_props_extract(spark, sf_dir):
+    """Semi-structured column handling: JSON string props parsed with
+    get_json_object — stays in codegen, no UDF (SURVEY §2.1 JSON)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (ev.group_by("event_type")
+            .summarize(n=F.count(F.lit(1)), k_sum=F.sum(k))).sdf
+
+
+@q("percentile_prices", """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+FROM orders GROUP BY o_orderpriority
+""")
+def percentile_prices(spark, sf_dir):
+    """Exact linear-interpolation percentiles (median/p90) — Spark
+    `percentile` ≡ DuckDB quantile_cont (SURVEY §2.4 aggregates)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.group_by("o_orderpriority")
+            .summarize(p50=F.round(F.percentile("o_totalprice", F.lit(0.5)), 4),
+                       p90=F.round(F.percentile("o_totalprice", F.lit(0.9)), 4))).sdf
+
+
 @q("window_ranks", """
 SELECT o_custkey, o_orderkey,
        DENSE_RANK() OVER w AS drank,
