@@ -852,13 +852,16 @@ def doc_fingerprint_rolling(spark, sf_dir):
                       tx.rolling_hash_from_tokens(F.col("_t"), window=8).alias("fp"))
 
 
-@q("lang_id_votes")  # argmax-over-structs; checked against `lang` in pytest
+@q("lang_id_votes")  # argmax by stopword vote; equivalence tested in pytest
 def lang_id_votes(spark, sf_dir):
-    """Heuristic language ID by stopword vote (pipeline.text.lang_id)."""
+    """Heuristic language ID, join-shaped: explode tokens → broadcast
+    stopword vocab join → per-(doc,lang) counts → argmax
+    (pipeline.text.lang_id_table)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.transmute(doc_id=F.col("doc_id"),
-                          lang=F.col("lang"),
-                          lang_guess=tx.lang_id("text")).sdf
+    guesses = tx.lang_id_table(docs, "text", "doc_id")
+    return (docs.sdf.select("doc_id", "lang")
+            .join(guesses, on="doc_id")
+            .select("doc_id", "lang", "lang_guess"))
 
 
 @q("doc_quality")  # composite heuristic; rows-only

@@ -98,10 +98,33 @@ def quality_score(col) -> Column:
     return (length_ok + punct_ok + wl_ok + sw_ok) / 4
 
 
+def lang_id_table(f, text_col: str, id_col: str):
+    """(id, lang_guess) via the join-shaped language ID: explode tokens,
+    broadcast-join the (word, lang) stopword table, count hits per
+    (doc, lang), argmax. Every stage is codegen'd hash aggregate /
+    broadcast join — no higher-order functions, no per-language pass —
+    and extending the vocabulary only grows the broadcast table, not
+    the plan. Preferred at scale over the Column-level ``lang_id``."""
+    sdf = f.sdf if hasattr(f, "sdf") else f
+    spark = sdf.sparkSession
+    vocab = spark.createDataFrame(
+        [(w, lang) for lang, ws in _STOPWORDS.items() for w in ws],
+        "_w string, lang string")
+    tok = sdf.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_w"))
+    hits = (tok.join(F.broadcast(vocab), on="_w")
+            .groupBy(id_col, "lang").agg(F.count(F.lit(1)).alias("hits")))
+    best = (hits.groupBy(id_col)
+            .agg(F.max_by("lang", F.struct(F.col("hits"), F.col("lang"))).alias("lang_guess")))
+    return (sdf.select(id_col)
+            .join(best, on=id_col, how="left")
+            .select(id_col, F.coalesce("lang_guess", F.lit("und")).alias("lang_guess")))
+
+
 def lang_id(col) -> Column:
     """Heuristic language ID by stopword vote: the language whose stopword
     list hits the most tokens. Pure column expressions — one codegen'd
-    pass, no UDF. Returns the language code, 'und' when nothing hits."""
+    pass, no UDF. Returns the language code, 'und' when nothing hits.
+    For corpus-scale use prefer ``lang_id_table`` (broadcast-join shape)."""
     t = tokens(col)
     scores = []
     for lang, words in _STOPWORDS.items():

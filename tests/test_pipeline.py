@@ -147,6 +147,14 @@ def test_text_quality_bounds(docs):
     assert all(r.guess in ("en", "de", "fr", "es", "und") for r in rows)
 
 
+def test_lang_id_table_matches_column_path(docs):
+    sub = Frame(docs.sdf.limit(100))
+    tbl = tx.lang_id_table(sub, "text", "doc_id")
+    col = sub.sdf.select("doc_id", tx.lang_id(F.col("text")).alias("g2"))
+    j = tbl.join(col, on="doc_id")
+    assert j.filter(F.col("lang_guess") != F.col("g2")).count() == 0
+
+
 def test_lang_id_on_real_language_text(spark):
     from crysda_spark import from_records
     f = from_records(spark, [
