@@ -112,6 +112,17 @@ def stateful_running_totals(sdf: SparkDF, key_col: str = "user_id",
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def enrich_with_static(stream: SparkDF, dim: SparkDF, on: list[str] | str,
+                       how: str = "left", hint_broadcast: bool = True) -> SparkDF:
+    """Stream-static join: enrich each micro-batch with a batch dimension
+    table. AQE doesn't apply to streaming plans, so the broadcast hint
+    matters: without it a large-looking dim forces a per-batch shuffle
+    of the stream side. The dim table is re-read per trigger (picks up
+    slowly-changing dimensions for file/Delta sources)."""
+    right = F.broadcast(dim) if hint_broadcast else dim
+    return stream.join(right, on=on, how=how)
+
+
 def stream_from_parquet_dir(spark, path: str, schema) -> SparkDF:
     """File-source stream over a parquet directory — each new file is a
     micro-batch. Used to exercise streaming ops hermetically in tests

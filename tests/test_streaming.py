@@ -79,6 +79,25 @@ def test_session_window(spark, events_stream_dir):
     assert total == _batch_events(spark, events_stream_dir).count()
 
 
+def test_stream_static_enrichment(spark, events_stream_dir):
+    schema = _batch_events(spark, events_stream_dir).schema
+    stream = sw.stream_from_parquet_dir(spark, events_stream_dir, schema)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("error", -1.0)],
+        "event_type string, weight double")
+    out = sw.enrich_with_static(stream, dim, on="event_type") \
+        .select("event_id", "event_type", "weight")
+    q = sw.run_to_memory(out, "enriched_t")
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("enriched_t")
+    assert got.count() == _batch_events(spark, events_stream_dir).count()
+    # unmatched event types keep their rows with null weight (left join)
+    assert got.filter(F.col("weight").isNull()).count() == \
+        _batch_events(spark, events_stream_dir) \
+        .filter(~F.col("event_type").isin("click", "view", "error")).count()
+
+
 def test_stateful_running_totals(spark, events_stream_dir):
     schema = _batch_events(spark, events_stream_dir).schema
     stream = sw.stream_from_parquet_dir(spark, events_stream_dir, schema)
