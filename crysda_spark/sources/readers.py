@@ -119,11 +119,26 @@ def _flatten_all(sdf):
 
 
 def read_parquet(spark: SparkSession, path: str, nanos_cols: dict[str, str] | None = None) -> Frame:
-    """Parquet reader. With ``spark.sql.legacy.parquet.nanosAsLong`` (set by
-    our session defaults) TIMESTAMP(NANOS) columns arrive as bigint
-    nanoseconds; ``nanos_cols={"ts": "ts"}`` converts them to real
-    microsecond timestamps (integer div — no double precision loss)."""
-    sdf = spark.read.parquet(path)
+    """Parquet reader, self-sufficient in ANY SparkSession.
+
+    Parquet TIMESTAMP(NANOS) columns are unreadable by Spark unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is on, in which case they
+    arrive as bigint nanoseconds; we set that runtime SQLConf here (not
+    just in our own session builder) so the reader does not depend on
+    who constructed the session. ``nanos_cols={"ts": "ts"}`` converts
+    such columns to real microsecond timestamps (integer div — no
+    double precision loss)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # read-only conf in some builds; the retry below still applies
+    try:
+        sdf = spark.read.parquet(path)
+    except Exception as exc:  # pragma: no cover - defensive fallback
+        if "PARQUET_TYPE_ILLEGAL" not in str(exc):
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        sdf = spark.read.parquet(path)
     for src, dst in (nanos_cols or {}).items():
         sdf = sdf.withColumn(dst, F.timestamp_micros(F.expr(f"`{src}` div 1000")))
     return Frame(sdf)
