@@ -5,8 +5,11 @@ Every entry in ``queries()`` exercises an operator of the engine
 ANSI SQL that DuckDB runs on the same parquet tables. Numeric policy
 for cross-engine hash equality:
 
-- money sums go through decimal(18,4) and finish as decimal(38,6) —
-  exact arithmetic in both engines, no float accumulation drift;
+- money sums go through decimal(18,4) internally (exact arithmetic in
+  both engines, no float accumulation drift) and FINISH as DOUBLE: the
+  exact decimals are identical across engines, so the final
+  decimal→double conversion is bit-identical — and double cells hash
+  identically in the driver's canonicalization (decimal cells do not);
 - averages/ratios stay double but are rounded (4-6 digits) where the
   per-value error is <1e-10, far from the rounding boundary;
 - every computed column is aliased identically in both dialects.
@@ -27,7 +30,7 @@ from crysda_spark.pipeline import similarity as sim
 from crysda_spark.pipeline import text as tx
 
 DEC = "decimal(18,4)"
-OUT = "decimal(38,6)"
+OUT = "double"
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
@@ -56,9 +59,9 @@ def _dec(col) -> F.Column:
 # =============================================================== 2.4 group/agg
 @q("q1_pricing_summary", """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_base_price,
-       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
        ROUND(AVG(l_quantity), 4) AS avg_qty,
        ROUND(AVG(l_discount), 6) AS avg_disc,
        COUNT(*) AS count_order
@@ -125,7 +128,7 @@ def count_expr_bucket(spark, sf_dir):
 
 @q("group_by_expr_year", """
 SELECT CAST(year(o_orderdate) AS INT) AS order_year,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
        COUNT(*) AS n
 FROM orders GROUP BY 1
 """)
@@ -139,7 +142,7 @@ def group_by_expr_year(spark, sf_dir):
 
 @q("rollup_sales", """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_qty
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """)
 def rollup_sales(spark, sf_dir):
@@ -247,7 +250,7 @@ def window_lag_orders(spark, sf_dir):
 SELECT l_orderkey, l_linenumber,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
             OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS qty_running
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_running
 FROM lineitem
 """)
 def window_cumsum(spark, sf_dir):
@@ -315,7 +318,7 @@ def sessionize_events(spark, sf_dir):
 @q("q3_shipping_priority", """
 SELECT o_orderkey,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS revenue,
+                (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
        o_orderdate, o_orderpriority
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
@@ -344,7 +347,7 @@ def q3_shipping_priority(spark, sf_dir):
 @q("q5_local_supplier", """
 SELECT n_name,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS revenue
+                (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -504,7 +507,7 @@ def separate_orderdate(spark, sf_dir):
 
 @q("cube_sales", """
 SELECT o_orderstatus, o_orderpriority,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """)
@@ -598,8 +601,8 @@ def join_outer(spark, sf_dir):
 # ================================================================ 2.8 reshape
 @q("spread_pivot", """
 SELECT l_returnflag,
-       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DECIMAL(38,6)) AS F,
-       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DECIMAL(38,6)) AS O
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS F,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS O
 FROM lineitem GROUP BY l_returnflag
 """)
 def spread_pivot(spark, sf_dir):
@@ -612,10 +615,10 @@ def spread_pivot(spark, sf_dir):
 
 
 @q("gather_melt", """
-SELECT l_returnflag, 'sum_qty' AS metric, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS value
+SELECT l_returnflag, 'sum_qty' AS metric, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS value
 FROM lineitem GROUP BY l_returnflag
 UNION ALL
-SELECT l_returnflag, 'sum_disc' AS metric, CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS value
+SELECT l_returnflag, 'sum_disc' AS metric, CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS value
 FROM lineitem GROUP BY l_returnflag
 """)
 def gather_melt(spark, sf_dir):
@@ -667,7 +670,7 @@ SELECT m AS c_mktsegment, k AS c_nationkey, t AS total FROM
   (SELECT DISTINCT c_mktsegment AS m FROM customer)
   CROSS JOIN (SELECT DISTINCT c_nationkey AS k FROM customer)
   LEFT JOIN (SELECT c_mktsegment, c_nationkey,
-                    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS t
+                    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS t
              FROM customer GROUP BY 1, 2) s
   ON s.c_mktsegment = m AND s.c_nationkey = k
 """)
