@@ -332,23 +332,75 @@ def dedup_survivors(f: Frame, pairs: DataFrame, id_col: str) -> Frame:
     return Frame(out)
 
 
+def _simhash_block(sh, offset: int, width: int) -> Column:
+    return F.shiftright(sh, offset).bitwiseAND(F.lit((1 << width) - 1))
+
+
 def simhash_near_dups(f: Frame, text_col: str, id_col: str,
-                      max_hamming: int = 3, bits: int = 64) -> Frame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming. Bucketing by
-    the four 16-bit chunks (pigeonhole) keeps the self-join linear."""
+                      max_hamming: int = 3, bits: int = 64,
+                      n_chunks: int | None = None,
+                      key_chunks: int | None = None) -> Frame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming, with a
+    RECALL GUARANTEE at any requested radius.
+
+    Bucketing is Manku-style multi-block (Manku/Jain/Sarma, WWW'07
+    "Detecting near-duplicates for web crawling"): the ``bits``-bit
+    signature is split into ``n_chunks`` blocks, and every
+    ``key_chunks``-sized combination of blocks forms one bucket key
+    (hashed to 64 bits). A pair at hamming distance d touches at most d
+    blocks, leaving ``n_chunks - d`` blocks identical — so whenever
+    ``n_chunks - key_chunks >= max_hamming`` (enforced), at least one
+    key combination is made entirely of identical blocks and the pair
+    collides in that bucket. This replaces the old fixed 4×16-bit chunk
+    scheme, which silently missed pairs beyond hamming 3 AND capped the
+    key space at 65,536 buckets corpus-wide.
+
+    Defaults: ``n_chunks = max_hamming + 2``, ``key_chunks = 2`` —
+    C(m,2) = (k+2)(k+1)/2 bucket rows per doc with keys carrying
+    ``2*bits/m`` bits of entropy. Scale note: key entropy shrinks as
+    max_hamming grows; for billion-doc corpora at large radii raise
+    ``key_chunks`` (recall still guaranteed while
+    n_chunks - key_chunks >= max_hamming, at C(m,c) rows/doc).
+    False bucket collisions only cost join width — the exact
+    ``bit_count(xor)`` filter verifies every candidate."""
     sig = simhash_signatures(f, text_col, id_col, bits).persist()
-    chunks = F.array(*[
-        F.struct(F.lit(c).alias("chunk_id"),
-                 F.shiftright("sh", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
-        for c in range(4)])
-    banded = sig.select(id_col, "sh", F.explode(chunks).alias("c")) \
-        .select(id_col, "sh", "c.chunk_id", "c.chunk")
+    return Frame(simhash_pairs(sig, id_col, max_hamming, bits,
+                               n_chunks, key_chunks))
+
+
+def simhash_pairs(sig: DataFrame, id_col: str, max_hamming: int,
+                  bits: int = 64, n_chunks: int | None = None,
+                  key_chunks: int | None = None) -> DataFrame:
+    """Multi-block bucketed pairing over an (id, sh: long) signature
+    table — the guarantee-carrying core of ``simhash_near_dups``,
+    separated so crafted signatures can exercise the pigeonhole bound
+    directly in tests."""
+    m = n_chunks if n_chunks is not None else max_hamming + 2
+    c = key_chunks if key_chunks is not None else min(2, m - max_hamming)
+    if m - c < max_hamming:
+        raise ValueError(
+            f"simhash_pairs: n_chunks({m}) - key_chunks({c}) < "
+            f"max_hamming({max_hamming}) voids the pigeonhole recall guarantee")
+    if m > bits:
+        raise ValueError(f"simhash_pairs: n_chunks({m}) > bits({bits})")
+    from itertools import combinations
+
+    widths = [bits // m + (1 if i < bits % m else 0) for i in range(m)]
+    offsets = [sum(widths[:i]) for i in range(m)]
+    combos = list(combinations(range(m), c))
+    keys = F.array(*[
+        F.struct(F.lit(ci).alias("combo_id"),
+                 F.xxhash64(F.lit(ci), *[
+                     _simhash_block(F.col("sh"), offsets[i], widths[i])
+                     for i in combo]).alias("bkey"))
+        for ci, combo in enumerate(combos)])
+    banded = sig.select(id_col, "sh", F.explode(keys).alias("k")) \
+        .select(id_col, "sh", "k.combo_id", "k.bkey")
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (a.join(b, on=["chunk_id", "chunk"], how="inner")
-             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-             .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"),
-                     hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"))
-             .filter(F.col("hamming") <= max_hamming)
-             .dropDuplicates(["id_a", "id_b"]))
-    return Frame(pairs)
+    return (a.join(b, on=["combo_id", "bkey"], how="inner")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["id_a", "id_b"]))

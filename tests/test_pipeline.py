@@ -58,6 +58,34 @@ def test_simhash_planted_pair_hamming_zero(docs):
     assert {(0, 90000), (1, 90001), (2, 90002)} <= found
 
 
+def test_simhash_pairs_recall_guarantee_spread_bits(spark):
+    """Hamming-8 pairs with differing bits spread 2-per-16-bit-chunk —
+    the exact adversarial layout the old fixed 4×16-chunk scheme
+    silently missed (no chunk survives untouched). The Manku multi-block
+    scheme must recover every pair at its requested radius."""
+    base = 0x123456789ABCDEF0
+    # flip bits {0,1} {16,17} {32,33} {48,49}: 2 bits in each 16-bit chunk
+    flip = (0b11 | (0b11 << 16) | (0b11 << 32) | (0b11 << 48))
+    rows, expected = [], set()
+    for i in range(5):
+        a = (base * (i + 1)) & ((1 << 63) - 1)  # keep positive longs
+        rows.append({"id": 10 * i, "sh": a})
+        rows.append({"id": 10 * i + 1, "sh": a ^ flip})
+        expected.add((10 * i, 10 * i + 1))
+    sig = spark.createDataFrame(rows)
+    got = {(r.id_a, r.id_b)
+           for r in dd.simhash_pairs(sig, "id", max_hamming=8).collect()}
+    assert expected <= got
+    assert all(r.hamming <= 8
+               for r in dd.simhash_pairs(sig, "id", max_hamming=8).collect())
+
+
+def test_simhash_pairs_rejects_guarantee_violating_params(spark):
+    sig = spark.createDataFrame([{"id": 1, "sh": 0}])
+    with pytest.raises(ValueError):
+        dd.simhash_pairs(sig, "id", max_hamming=8, n_chunks=6, key_chunks=2)
+
+
 def test_simhash_column_matches_df_path(docs):
     sigs_df = dd.simhash_signatures(Frame(docs.sdf.limit(20)), "text", "doc_id")
     col_path = docs.sdf.limit(20).select(
