@@ -260,18 +260,60 @@ def ivf_topk(corpus: Frame, queries: Frame, k: int = 5, n_cells: int = 16,
     return Frame(out)
 
 
+def with_bucket_tables(sdf, vec_col: str, tables: list[list[list[float]]],
+                       out_col: str = "buckets"):
+    """Append ``array<int>`` of per-table hyperplane bucket ids. The
+    planes of EVERY table are stacked into one matrix, so all tables
+    are scored with a single matmul per Arrow batch — T tables cost
+    the same scan as one."""
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    all_planes = np.array([p for t in tables for p in t], dtype=np.float64)
+    sizes = [len(t) for t in tables]
+    offsets = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    schema = StructType(sdf.schema.fields
+                        + [StructField(out_col, ArrayType(IntegerType()))])
+    cols = list(sdf.columns)
+
+    def kernel(batches):
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (mat @ all_planes.T) > 0                        # B × ΣP
+            outs = [(bits[:, o:o + s].astype(np.int64)
+                     @ (1 << np.arange(s)).astype(np.int64)).astype("int32")
+                    for o, s in zip(offsets, sizes)]
+            pdf = pdf[cols].copy()
+            pdf[out_col] = list(np.stack(outs, axis=1))
+            yield pdf
+
+    return sdf.mapInPandas(kernel, schema=schema)
+
+
 def embedding_near_dups(corpus: Frame, threshold: float = 0.95, dim: int = 64,
-                        n_planes: int = 12, id_col: str = "vec_id",
+                        n_planes: int = 12, n_tables: int = 4,
+                        id_col: str = "vec_id",
                         vec_col: str = "embedding", seed: int = 42) -> Frame:
-    """Embedding-cosine near-duplicate pairs (cos >= threshold), LSH-bucketed
-    so the pair generation is linear, then exactly verified."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    v = with_buckets(
+    """Embedding-cosine near-duplicate pairs (cos >= threshold):
+    LSH-bucketed pair generation, exactly verified.
+
+    OR-construction over ``n_tables`` independent hyperplane sets: a
+    pair is a candidate if it shares the full bucket in ANY table. A
+    single AND-composed table misses 1 − p^P of true pairs (p =
+    1 − θ/π; ≈23% at cos 0.995 with P=8 planes); with T tables the
+    miss rate drops to (1 − p^P)^T — ≈0.3% at T=4, tunable to any
+    recall target. Candidate volume grows only linearly in T, bucket
+    computation stays one matmul (tables stacked), and every candidate
+    is exactly verified so false collisions cost join width only."""
+    tables = [_hyperplanes(dim, n_planes, seed + 7919 * t)
+              for t in range(n_tables)]
+    v = with_bucket_tables(
         corpus.sdf.select(F.col(id_col),
                           F.col(vec_col).cast("array<double>").alias("v")),
-        "v", planes)
-    a, b = v.alias("a"), v.alias("b")
-    pairs = (a.join(b, on="bucket", how="inner")
+        "v", tables)
+    banded = v.select(id_col, "v",
+                      F.posexplode("buckets").alias("table_id", "bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (a.join(b, on=["table_id", "bucket"], how="inner")
              .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
              .withColumn("cos", cosine(F.col("a.v"), F.col("b.v")))
              .filter(F.col("cos") >= threshold)

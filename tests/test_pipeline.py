@@ -158,7 +158,9 @@ def test_lsh_near_dup_finds_planted(emb):
     pairs = sim.embedding_near_dups(corpus, threshold=0.95, n_planes=8).sdf.collect()
     found = {(r.id_a, r.id_b) for r in pairs}
     hits = sum((i, i + 90000) in found for i in range(20))
-    assert hits >= 15  # hyperplane LSH recall at cos≈0.999 with 8 planes
+    # OR-construction over 4 tables: per-pair miss ≈ (1 - p^8)^4 ≈ 1e-4
+    # at cos≈0.999 — a single AND-composed table would lose ~2 of 20
+    assert hits == 20
 
 
 def test_text_quality_bounds(docs):
