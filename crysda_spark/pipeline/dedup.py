@@ -298,17 +298,23 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                               on="src")
                         .groupBy(F.col("dst").alias("id"))
                         .agg(F.min("c").alias("nmin")))
+        # thread the pre-round label through the joins so convergence is
+        # a filter over the (already materialized) checkpoint — the old
+        # separate changed-count join cost one extra shuffle per round
         stepped = (labels.join(neighbor_min, on="id", how="left")
-                   .select("id", F.least("comp", "nmin").alias("comp")))
+                   .select("id", F.col("comp").alias("old"),
+                           F.least("comp", "nmin").alias("comp"))
+                   .persist())  # both consumers below read it; without the
+        # persist the neighbor-min join would run twice per round
         # pointer jumping: follow the label's own label one hop
         jump = stepped.select(F.col("id").alias("comp"),
                               F.col("comp").alias("cc"))
         new_labels = (stepped.join(jump, on="comp", how="left")
-                      .select("id", F.least("comp", "cc").alias("comp"))
+                      .select("id", "old", F.least("comp", "cc").alias("comp"))
                       .localCheckpoint())
-        changed = (new_labels.join(labels.withColumnsRenamed({"comp": "old"}), on="id")
-                   .filter(F.col("comp") != F.col("old")).limit(1).count())
-        labels = new_labels
+        stepped.unpersist()
+        changed = new_labels.filter(F.col("comp") != F.col("old")).limit(1).count()
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             break
     edges.unpersist()
