@@ -405,6 +405,10 @@ class Frame:
         """Exact fraction sampling (reference rounds to exact count,
         src/crysda/dataframe.cr:414-418)."""
         if self._groups:
+            if replace:
+                raise NotImplementedError(
+                    "sample_frac(replace=True) on a grouped frame is not "
+                    "implemented; use transform_groups + sample_n(replace=True)")
             w = W.partitionBy(*self._groups)
             rnd = F.rand(seed) if seed is not None else F.rand()
             out = (self.sdf.withColumn("__sz__", F.count(F.lit(1)).over(w))

@@ -33,6 +33,10 @@ def _normalize_by(by) -> tuple[list[str], list[str]]:
     """Return (left_keys, right_keys)."""
     if isinstance(by, str):
         return [by], [by]
+    if isinstance(by, dict):
+        # bare dict {"lcol": "rcol", ...} — iterate ITEMS, not keys
+        # (iterating the dict directly would silently join lcol=lcol)
+        return [a for a in by], [by[a] for a in by]
     lk, rk = [], []
     for item in by:
         if isinstance(item, (tuple, list)):

@@ -86,18 +86,53 @@ def range_join(left: Frame, right: Frame, left_on: str,
     bin ids (intervals explode over the bins they span), the join is an
     equi-join on (by, bin), and only same-bin pairs are tested exactly.
     Pick bin_width ≈ typical interval length: replication stays ~2×
-    while each bucket holds only nearby intervals."""
+    while each bucket holds only nearby intervals.
+
+    ``how``: inner | left | right | full. Outer variants are computed
+    as matched-inner ∪ null-extended unmatched rows (found by an
+    anti-join on a per-row id) — the range predicate can never sit as a
+    post-join filter, which would silently drop the null-extended rows
+    and revert to inner semantics."""
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(f"range_join: how must be inner|left|right|full, got {how!r}")
     keys = list(by or [])
     l_sdf, r_sdf = left.sdf, right.sdf
+    need_l, need_r = how in ("left", "full"), how in ("right", "full")
+    if need_l:
+        l_sdf = l_sdf.withColumn("__lid__", F.monotonically_increasing_id())
+    if need_r:
+        r_sdf = r_sdf.withColumn("__rid__", F.monotonically_increasing_id())
     exact = (F.col(right_lo) <= F.col(left_on)) & (F.col(left_on) <= F.col(right_hi))
-    if bin_width is None:
-        joined = l_sdf.join(r_sdf, on=keys, how=how) if keys else l_sdf.crossJoin(r_sdf)
-        return Frame(joined.filter(exact))
 
-    lb = l_sdf.withColumn("__bin__", F.floor(F.col(left_on) / bin_width))
-    rb = r_sdf.withColumn(
-        "__bin__",
-        F.explode(F.sequence(F.floor(F.col(right_lo) / bin_width),
-                             F.floor(F.col(right_hi) / bin_width))))
-    joined = lb.join(rb, on=keys + ["__bin__"], how="inner")
-    return Frame(joined.filter(exact).drop("__bin__"))
+    if bin_width is None:
+        joined = l_sdf.join(r_sdf, on=keys, how="inner") if keys else l_sdf.crossJoin(r_sdf)
+        matched = joined.filter(exact)
+    else:
+        lb = l_sdf.withColumn("__bin__", F.floor(F.col(left_on) / bin_width))
+        rb = r_sdf.withColumn(
+            "__bin__",
+            F.explode(F.sequence(F.floor(F.col(right_lo) / bin_width),
+                                 F.floor(F.col(right_hi) / bin_width))))
+        # no pair dedup needed: each left row carries exactly ONE bin id,
+        # so an (l, r) pair can only meet in that bin even when the
+        # interval spans many bins
+        matched = (lb.join(rb, on=keys + ["__bin__"], how="inner")
+                   .filter(exact).drop("__bin__"))
+
+    out = matched
+    if need_l:
+        null_r = [F.lit(None).cast(r_sdf.schema[c].dataType).alias(c)
+                  for c in r_sdf.columns if c not in keys]
+        un_l = (l_sdf.join(matched.select("__lid__").dropDuplicates(),
+                           on="__lid__", how="left_anti")
+                .select(*[F.col(c) for c in l_sdf.columns], *null_r))
+        out = out.unionByName(un_l)
+    if need_r:
+        null_l = [F.lit(None).cast(l_sdf.schema[c].dataType).alias(c)
+                  for c in l_sdf.columns if c not in keys]
+        un_r = (r_sdf.join(matched.select("__rid__").dropDuplicates(),
+                           on="__rid__", how="left_anti")
+                .select(*[F.col(k) for k in keys], *null_l,
+                        *[F.col(c) for c in r_sdf.columns if c not in keys]))
+        out = out.unionByName(un_r)
+    return Frame(out.drop("__lid__", "__rid__"))

@@ -181,6 +181,11 @@ def test_sample_n(sleep_df):
     assert per_group.num_row == 5
 
 
+def test_grouped_sample_frac_replace_not_silently_ignored(sleep_df):
+    with pytest.raises(NotImplementedError):
+        sleep_df.group_by("vore").sample_frac(0.5, replace=True)
+
+
 def test_bind_rows(sleep_df, spark):
     a = sleep_df.select("name", "vore")
     b = sleep_df.select("name", "bodywt")

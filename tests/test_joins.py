@@ -78,6 +78,14 @@ def test_unequal_by(persons, weights):
     assert "weight" in out.columns
 
 
+def test_unequal_by_bare_dict(persons, weights):
+    # {"lcol": "rcol"} directly (not wrapped in a list) must map
+    # left→right keys, not silently join lcol=lcol
+    out = persons.inner_join(weights, by={"first_name": "first"})
+    assert out.num_row == 2
+    assert "weight" in out.columns
+
+
 def test_suffixing(persons, spark):
     other = from_records(spark, [
         {"first_name": "max", "age": 99},

@@ -73,3 +73,25 @@ def test_range_join_with_keys(spark):
         {"k": "a", "lo": 0.0, "hi": 10.0}, {"k": "b", "lo": 6.0, "hi": 10.0}])
     out = left.range_join(right, "v", "lo", "hi", by=["k"], bin_width=5.0)
     assert [r.k for r in out.sdf.collect()] == ["a"]
+
+
+def test_range_join_outer_semantics(spark):
+    """how='left'/'full' keep unmatched rows null-extended — the range
+    predicate must not run as a post-join filter (which would drop the
+    null rows and silently revert to inner)."""
+    left = from_records(spark, [
+        {"k": "a", "v": 5.0}, {"k": "b", "v": 99.0}])   # b matches nothing
+    right = from_records(spark, [
+        {"k": "a", "lo": 0.0, "hi": 10.0}, {"k": "c", "lo": 0.0, "hi": 1.0}])
+    for bw in (None, 5.0):
+        lj = left.range_join(right, "v", "lo", "hi", by=["k"],
+                             bin_width=bw, how="left").sdf.collect()
+        got = {(r.k, r.v, r.lo) for r in lj}
+        assert got == {("a", 5.0, 0.0), ("b", 99.0, None)}
+        fj = left.range_join(right, "v", "lo", "hi", by=["k"],
+                             bin_width=bw, how="full").sdf.collect()
+        gotf = {(r.k, r.v, r.lo) for r in fj}
+        assert gotf == {("a", 5.0, 0.0), ("b", 99.0, None), ("c", None, 0.0)}
+    import pytest
+    with pytest.raises(ValueError):
+        left.range_join(right, "v", "lo", "hi", how="bogus")
