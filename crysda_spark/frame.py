@@ -211,7 +211,8 @@ class Frame:
             else:
                 flat.append(c)
         if any(callable(c) and not isinstance(c, str) for c in flat):
-            return resolve_selectors(self.columns, flat)
+            return resolve_selectors(self.columns, flat,
+                                     dtypes=dict(self._sdf.dtypes))
         names = [str(c) for c in flat]
         unknown = [n for n in names if n not in self.columns]
         if unknown:
@@ -328,13 +329,52 @@ class Frame:
 
         return self._wrap(self._sdf.mapInPandas(_part, schema=schema))
 
+    def filter_by_row_with_index(self, fn: Callable[[dict, int], bool]) -> "Frame":
+        """Row-wise Python predicate that also receives the row's 0-based
+        ordinal index (reference: src/crysda/dataframe.cr:242-274, the
+        with-index overload). Ordinals come from the group-unaware
+        row_number over the hidden scan-order ordinal; the Arrow batches
+        then carry (row, index) to the predicate. Order-coupled verb —
+        the ordinal window is single-partition, keep it off hot paths."""
+        import pandas as pd  # noqa: F401
+
+        t = self._with_ord()
+        w = W.partitionBy().orderBy(F.col(ORD))
+        idx_sdf = t._sdf.withColumn("__idx__", F.row_number().over(w) - 1)
+        schema = idx_sdf.schema
+
+        def _part(batches):
+            for pdf in batches:
+                mask = pdf.apply(
+                    lambda r: bool(fn(
+                        {k: v for k, v in r.to_dict().items()
+                         if k not in ("__idx__", ORD)},
+                        int(r["__idx__"]))), axis=1)
+                yield pdf[mask.values]
+
+        out = idx_sdf.mapInPandas(_part, schema=schema).drop("__idx__")
+        return t._wrap(out)
+
     def distinct(self, *cols) -> "Frame":
-        """Unique rows over selected cols, all columns retained
-        (reference: src/crysda/dataframe.cr:215-223)."""
+        """Unique rows over selected cols, all columns retained; the
+        survivor is the FIRST row per combination in current frame order
+        (reference keep-first: src/crysda/dataframe.cr:215-223 —
+        ``dropDuplicates`` alone keeps an arbitrary row, so we argmin
+        the hidden ordinal instead)."""
         if not cols:
+            # full-row distinct: any representative is value-identical,
+            # dropDuplicates needs no keep-first tie-break
             return self._wrap(self.sdf.dropDuplicates())
         names = self._resolve_selection(cols)
-        return self._wrap(self.sdf.dropDuplicates(names))
+        t = self._with_ord()
+        others = [c for c in t._sdf.columns if c not in names and c != ORD]
+        agg = [F.min(F.struct(ORD, *others)).alias("__first__")]
+        out = (t._sdf.groupBy(*[F.col(f"`{c}`") for c in names]).agg(*agg)
+               .select(*[F.col(f"`{c}`") for c in names],
+                       *[F.col(f"__first__.`{c}`").alias(c) for c in others]))
+        # restore original column order
+        out = out.select(*[F.col(f"`{c}`") for c in self.columns if c != ORD])
+        return self._wrap(out)
 
     def slice(self, *positions: int) -> "Frame":
         """Rows by 1-based positions (group-aware)

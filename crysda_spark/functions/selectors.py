@@ -58,17 +58,74 @@ def range_(start: str, end: str) -> Selector:
     return sel
 
 
+_TYPE_ALIASES = {
+    "int": "int", "integer": "int", "int32": "int",
+    "long": "bigint", "bigint": "bigint", "int64": "bigint",
+    "float": "float", "float32": "float",
+    "double": "double", "float64": "double",
+    "str": "string", "string": "string",
+    "bool": "boolean", "boolean": "boolean",
+    "date": "date", "timestamp": "timestamp",
+    "binary": "binary", "decimal": "decimal",
+    "array": "array", "map": "map", "struct": "struct",
+}
+
+
+def _type_key(t) -> str:
+    """Normalize a Spark DataType class/instance, Python type, or type
+    name string to a comparable base-type key."""
+    if isinstance(t, type):
+        if t in (int,): return "bigint"
+        if t in (float,): return "double"
+        if t in (str,): return "string"
+        if t in (bool,): return "boolean"
+        if t in (bytes,): return "binary"
+        t = t()  # Spark DataType class → instance
+    if hasattr(t, "simpleString"):
+        t = t.simpleString()
+    base = str(t).lower().split("(")[0].split("<")[0]
+    return _TYPE_ALIASES.get(base, base)
+
+
+def of_type(*types) -> Selector:
+    """Select columns by data type (reference select-by-column-type,
+    src/crysda/dataframe.cr:342-344,460-472 — `df.select(Int32Col)`).
+    Accepts Spark DataType classes/instances (``IntegerType``), Python
+    types (``int``, ``str``), or type-name strings ("bigint",
+    "decimal", "array"); parameterized types match on the base name.
+
+    Resolution needs the schema, so this selector is resolved with
+    (names, dtypes) — only usable through Frame.select/reject."""
+    wanted = {_type_key(t) for t in types}
+
+    def sel(names: list[str], dtypes: dict[str, str] | None = None):
+        if dtypes is None:
+            raise ValueError("of_type selector needs schema info; use it "
+                             "via Frame.select/reject")
+        return [(_type_key(dtypes[n]) in wanted) or None for n in names]
+    sel._needs_dtypes = True  # type: ignore[attr-defined]
+    return sel
+
+
 def except_(arg) -> Selector:
     """Negative selection: drop these from all columns."""
     inner = arg if callable(arg) else list_of(*([arg] if isinstance(arg, str) else arg))
 
-    def sel(names: list[str]) -> list[bool | None]:
-        votes = inner(names)
+    def sel(names: list[str], dtypes: dict[str, str] | None = None):
+        votes = _vote(inner, names, dtypes)
         return [False if v else None for v in votes]
+    sel._needs_dtypes = getattr(inner, "_needs_dtypes", False)  # type: ignore[attr-defined]
     return sel
 
 
-def resolve_selectors(names: list[str], selectors: Iterable) -> list[str]:
+def _vote(s: Selector, names: list[str], dtypes: dict[str, str] | None):
+    if getattr(s, "_needs_dtypes", False):
+        return s(names, dtypes)
+    return s(names)
+
+
+def resolve_selectors(names: list[str], selectors: Iterable,
+                      dtypes: dict[str, str] | None = None) -> list[str]:
     """AND-reduce selector votes with null-coalescing, then apply the
     positive/negative rule. Plain strings mix in as list_of selections."""
     sels: list[Selector] = []
@@ -81,7 +138,7 @@ def resolve_selectors(names: list[str], selectors: Iterable) -> list[str]:
             raise TypeError(f"not a selector: {s!r}")
     combined: list[bool | None] = [None] * len(names)
     for s in sels:
-        votes = s(names)
+        votes = _vote(s, names, dtypes)
         if len(votes) != len(names):
             raise ValueError("selector returned wrong arity")
         combined = [_and(a, b) for a, b in zip(combined, votes)]

@@ -41,13 +41,33 @@ def _fetch_url(path: str) -> str:
     return path
 
 
+def _unzip(path: str) -> str:
+    """Reference decompresses ``.zip`` inputs (src/crysda/builder.cr:154-169).
+    Spark streams ``.gz`` natively but has no zip codec, so we extract
+    the first archive member driver-side to a temp file — a small-file
+    convenience path like ``_fetch_url``, not the scale path (zip is not
+    splittable anyway; at scale convert to parquet/gz)."""
+    if not path.endswith(".zip"):
+        return path
+    import zipfile
+
+    with zipfile.ZipFile(path) as zf:
+        names = zf.namelist()
+        if not names:
+            raise ValueError(f"read_csv: empty zip archive {path!r}")
+        fd, tmp = tempfile.mkstemp(suffix="_" + os.path.basename(names[0]))
+        with os.fdopen(fd, "wb") as out:
+            out.write(zf.read(names[0]))
+        return tmp
+
+
 def read_csv(spark: SparkSession, path: str, separator: str = ",",
              quote_char: str = '"', skip_blank_lines: bool = True,
              skip: int = 0, comment: str | None = "#",
              header: int | None = 0, na_value: str = MISSING_VALUE,
              true_values: list[str] | None = None,
              false_values: list[str] | None = None) -> Frame:
-    path = _fetch_url(path)
+    path = _unzip(_fetch_url(path))
     reader = (spark.read
               .option("sep", separator)
               .option("quote", quote_char)

@@ -101,6 +101,41 @@ def test_distinct(sleep_df):
     assert len(out.columns) == 5  # all columns retained
 
 
+def test_distinct_keeps_first_row(sleep_df):
+    # reference keep-first semantics (src/crysda/dataframe.cr:215-223):
+    # the surviving row per combo is the FIRST in frame order
+    first_carni = sleep_df.filter(F.col("vore") == "carni").to_h()["name"][0]
+    kept = sleep_df.distinct("vore").filter(F.col("vore") == "carni").to_h()["name"]
+    assert kept == [first_carni]
+
+
+def test_filter_by_row_with_index(sleep_df):
+    out = sleep_df.filter_by_row_with_index(lambda r, i: i % 2 == 0)
+    expected = sleep_df.to_h()["name"][::2]
+    assert out.to_h()["name"] == expected
+    # predicate can also read row values
+    out2 = sleep_df.filter_by_row_with_index(
+        lambda r, i: i < 3 and r["vore"] == "carni")
+    assert out2.num_row <= 3
+
+
+def test_select_by_dtype(sleep_df, lineitem):
+    from pyspark.sql.types import DoubleType, StringType
+    strings = sleep_df.select(s.of_type(str))
+    assert all(t == "string" for _, t in strings.sdf.dtypes)
+    assert "name" in strings.columns
+    dbls = sleep_df.select(s.of_type(DoubleType))
+    assert "bodywt" in dbls.columns and "name" not in dbls.columns
+    # reject composes: drop every string column
+    no_str = sleep_df.reject(s.of_type(StringType()))
+    assert all(t != "string" for _, t in no_str.sdf.dtypes)
+    # parameterized base-name match
+    decs = lineitem.select(s.of_type("decimal")) if any(
+        t.startswith("decimal") for _, t in lineitem.sdf.dtypes) else None
+    if decs is not None:
+        assert all(t.startswith("decimal") for _, t in decs.sdf.dtypes)
+
+
 def test_sort_nulls_last(sleep_df):
     out = sleep_df.sort_desc_by("sleep_rem")
     vals = out.to_h()["sleep_rem"]

@@ -80,6 +80,16 @@ def test_csv_gzip(spark, tmp_path):
     assert dict(f.sdf.dtypes)["a"] in ("int", "bigint")
 
 
+def test_csv_zip(spark, tmp_path):
+    import zipfile
+    p = tmp_path / "data.csv.zip"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("data.csv", "a,b\n1,x\n2,y\n")
+    f = read_csv(spark, str(p))
+    assert f.num_row == 2
+    assert dict(f.sdf.dtypes)["a"] in ("int", "bigint")
+
+
 def test_json_records_missing_keys(spark, tmp_path):
     p = tmp_path / "movies.json"
     p.write_text('[{"title": "A", "year": 2000, "votes": 10},'
