@@ -779,6 +779,39 @@ def range_join_value_bins(spark, sf_dir):
     return out.sdf.select("event_id", "bin_id")
 
 
+@q("range_join_left_unmatched", """
+SELECT e.event_id, b.bin_id
+FROM events e
+LEFT JOIN (SELECT i AS bin_id, i * 2.0 AS lo, i * 2.0 + 3.0 AS hi
+           FROM range(10) t(i)) b
+  ON e.value BETWEEN b.lo AND b.hi
+""")
+def range_join_left_unmatched(spark, sf_dir):
+    """Left range join: events above every interval survive null-extended
+    (the outer completion path of operators/temporal.range_join — the
+    range predicate lives in the join, never as a post-join filter)."""
+    ev = _t(spark, sf_dir, "events")
+    bins = Frame(spark.range(10).select(
+        F.col("id").cast("int").alias("bin_id"),
+        (F.col("id") * 2.0).alias("lo"),
+        (F.col("id") * 2.0 + 3.0).alias("hi")))
+    out = ev.range_join(bins, left_on="value", right_lo="lo", right_hi="hi",
+                        bin_width=2.0, how="left")
+    return out.sdf.select("event_id", "bin_id")
+
+
+@q("select_by_dtype", """
+SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_tax
+FROM lineitem
+""")
+def select_by_dtype(spark, sf_dir):
+    """Select-by-column-type (reference `df.select(Int32Col)` parity,
+    functions/selectors.of_type): the numeric value columns of lineitem
+    plus the key, resolved from the schema before any plan is built."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", sel.of_type("double")).sdf
+
+
 # ====================================================== LLM pipeline: dedup
 @q("dedup_exact_docs", """
 SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
