@@ -852,9 +852,11 @@ def dedup_cluster_survivors(spark, sf_dir):
 
 @q("simhash_near_dups")  # no SQL oracle
 def simhash_near_dups(spark, sf_dir):
-    """SimHash near-duplicate pairs, hamming<=8 over 64-bit signatures."""
+    """SimHash near-duplicate pairs, hamming<=4 over 64-bit signatures
+    (Manku multi-block bucketing guarantees full recall at the requested
+    radius — pipeline.dedup.simhash_pairs)."""
     docs = _t(spark, sf_dir, "documents")
-    return dd.simhash_near_dups(docs, "text", "doc_id", max_hamming=8).sdf
+    return dd.simhash_near_dups(docs, "text", "doc_id", max_hamming=4).sdf
 
 
 # =============================================== LLM pipeline: text analysis

@@ -96,9 +96,11 @@ def jaccard(a: Column, b: Column) -> Column:
 
 
 # ------------------------------------------------------------- minhash + LSH
-def minhash_signatures(f: Frame, text_col: str, id_col: str,
-                       n_hashes: int = 32, k: int = 3) -> DataFrame:
-    """(id, sig: array<long>[n_hashes]) minhash signatures.
+def minhash_signatures_from_shingles(sh_df: DataFrame, id_col: str,
+                                     n_hashes: int = 32) -> DataFrame:
+    """(id, sig) minhash signatures from an existing (id, sh) shingle
+    table — lets pipelines that ALSO need the shingles (e.g. exact
+    Jaccard verification) tokenize the corpus once instead of twice.
 
     Scale path: explode shingles to rows, hash each shingle ONCE
     (xxhash64), derive the hash family by re-hashing the 8-byte digest
@@ -108,14 +110,21 @@ def minhash_signatures(f: Frame, text_col: str, id_col: str,
     (id, n_hashes × long) per document regardless of text size.
     Docs with no shingles (empty text) get a null signature row
     (explode_outer keeps them)."""
-    sh = shingled(f, text_col, id_col, k) \
-        .select(id_col, F.explode_outer("sh").alias("_s"))
+    sh = sh_df.select(id_col, F.explode_outer("sh").alias("_s"))
     hashed = sh.select(id_col, F.xxhash64("_s").alias("_h"))
     aggs = [F.min(F.xxhash64(F.lit(i), "_h")).alias(f"_mh{i}")
             for i in range(n_hashes)]
     sig = hashed.groupBy(id_col).agg(*aggs)
     return sig.select(id_col,
                       F.array(*[f"_mh{i}" for i in range(n_hashes)]).alias("sig"))
+
+
+def minhash_signatures(f: Frame, text_col: str, id_col: str,
+                       n_hashes: int = 32, k: int = 3) -> DataFrame:
+    """(id, sig: array<long>[n_hashes]) minhash signatures — see
+    ``minhash_signatures_from_shingles`` for the execution shape."""
+    return minhash_signatures_from_shingles(
+        shingled(f, text_col, id_col, k), id_col, n_hashes)
 
 
 def minhash_signature(text_col, n_hashes: int = 32, k: int = 3) -> Column:
@@ -144,16 +153,13 @@ def _band_hashes(sig: Column, n_hashes: int, bands: int) -> Column:
         for b in range(bands)])
 
 
-def minhash_lsh_candidates(f: Frame, text_col: str, id_col: str,
-                           n_hashes: int = 32, bands: int = 8, k: int = 3) -> Frame:
-    """Candidate near-duplicate pairs via LSH banding: docs sharing any
-    band of the minhash signature. Returns (id_a, id_b) with id_a < id_b.
-
-    Scale path: explode to (band_id, band_hash, id) — n_bands rows per
-    doc — then self-join on the band key. The join key space is huge
-    (64-bit hashes) so buckets stay tiny and the join never degenerates;
-    dedup of pairs happens before verification."""
-    sig = minhash_signatures(f, text_col, id_col, n_hashes, k)
+def _lsh_candidates_from_sig(sig: DataFrame, id_col: str,
+                             n_hashes: int, bands: int) -> DataFrame:
+    """(id_a, id_b) candidate pairs from a signature table: docs sharing
+    any band hash. Scale path: explode to (band_id, band_hash, id) —
+    n_bands rows per doc — then self-join on the band key. The join key
+    space is huge (64-bit hashes) so buckets stay tiny and the join
+    never degenerates; dedup of pairs happens before verification."""
     banded = (sig
               .filter(~F.element_at("sig", 1).isNull())
               .select(id_col, F.posexplode(_band_hashes(F.col("sig"), n_hashes, bands))
@@ -161,19 +167,30 @@ def minhash_lsh_candidates(f: Frame, text_col: str, id_col: str,
               .persist())
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (a.join(b, on=["band_id", "band_hash"], how="inner")
-             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-             .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-             .dropDuplicates())
-    return Frame(pairs)
+    return (a.join(b, on=["band_id", "band_hash"], how="inner")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .dropDuplicates())
+
+
+def minhash_lsh_candidates(f: Frame, text_col: str, id_col: str,
+                           n_hashes: int = 32, bands: int = 8, k: int = 3) -> Frame:
+    """Candidate near-duplicate pairs via LSH banding: docs sharing any
+    band of the minhash signature. Returns (id_a, id_b) with id_a < id_b."""
+    sig = minhash_signatures(f, text_col, id_col, n_hashes, k)
+    return Frame(_lsh_candidates_from_sig(sig, id_col, n_hashes, bands))
 
 
 def minhash_dedup(f: Frame, text_col: str, id_col: str, threshold: float = 0.8,
                   n_hashes: int = 32, bands: int = 8, k: int = 3) -> Frame:
     """Near-dup pairs with exact Jaccard verification >= threshold.
-    Shingle sets are joined back only for candidate pairs."""
-    cands = minhash_lsh_candidates(f, text_col, id_col, n_hashes, bands, k).sdf
+    The corpus is tokenized+shingled ONCE: the persisted shingle table
+    feeds both the signature aggregate and the per-candidate exact
+    Jaccard — at corpus scale that's a full text scan saved vs
+    recomputing shingles for verification."""
     sh = shingled(f, text_col, id_col, k).persist()
+    sig = minhash_signatures_from_shingles(sh, id_col, n_hashes)
+    cands = _lsh_candidates_from_sig(sig, id_col, n_hashes, bands)
     out = (cands
            .join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), on="id_a")
            .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), on="id_b")

@@ -186,7 +186,7 @@ def lsh_topk(corpus: Frame, queries: Frame, k: int = 5, dim: int = 64,
 def ivf_topk(corpus: Frame, queries: Frame, k: int = 5, n_cells: int = 16,
              n_probe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding", seed: int = 42,
-             sample_fraction: float = 1.0) -> Frame:
+             sample_fraction: float = 1.0, max_iter: int = 8) -> Frame:
     """Approximate cosine top-k via an IVF (inverted-file) index:
     k-means cells + probe-nearest-cells search.
 
@@ -207,7 +207,11 @@ def ivf_topk(corpus: Frame, queries: Frame, k: int = 5, n_cells: int = 16,
     c = corpus.sdf.select(F.col(id_col).alias("match_id"),
                           F.col(vec_col).cast("array<double>").alias("c_vec"))
     train = c.sample(fraction=sample_fraction, seed=seed) if sample_fraction < 1.0 else c
-    km = KMeans(k=n_cells, seed=seed, featuresCol="_feat", predictionCol="cell_id")
+    # an ANN index only needs rough cells — capped iterations (default 8
+    # vs ml's 20): recall comes from n_probe + exact re-rank, not from
+    # fully-converged centroids
+    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter,
+                featuresCol="_feat", predictionCol="cell_id")
     model = km.fit(train.select(array_to_vector("c_vec").alias("_feat")))
 
     cent_mat = np.array([[float(x) for x in ctr]
