@@ -109,6 +109,57 @@ def summarize_at_stats(spark, sf_dir):
     }).sdf
 
 
+@q("transform_groups_zscore", """
+SELECT c_custkey,
+       ROUND((c_acctbal - AVG(c_acctbal) OVER w)
+             / STDDEV_SAMP(c_acctbal) OVER w, 4) AS z
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment)
+""")
+def transform_groups_zscore(spark, sf_dir):
+    """transform_groups (groupBy().applyInPandas): per-segment z-score of
+    account balance, one Arrow batch per group (SURVEY §2.4 grouped-map;
+    reference transform_groups src/crysda/groupdf.cr:112-114)."""
+    import pandas as pd
+
+    def z(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        z = (pdf["c_acctbal"] - pdf["c_acctbal"].mean()) / pdf["c_acctbal"].std(ddof=1)
+        return pd.DataFrame({"c_custkey": pdf["c_custkey"], "z": z.round(4)})
+
+    cust = _t(spark, sf_dir, "customer")
+    return (cust.group_by("c_mktsegment")
+            .transform_groups(z, schema="c_custkey bigint, z double")).sdf
+
+
+@q("map_values_upper", """
+SELECT r_regionkey, upper(r_name) AS uname FROM region
+""")
+def map_values_upper(spark, sf_dir):
+    """Column map verb (reference ``col.map``): per-value Python
+    transform through the Arrow-batched pandas_udf slow path
+    (functions/columns.map_values) — checked against the engine-native
+    upper() oracle."""
+    from crysda_spark.functions.columns import map_values
+    reg = _t(spark, sf_dir, "region")
+    return reg.sdf.select("r_regionkey",
+                          map_values("r_name", lambda v: v.upper()).alias("uname"))
+
+
+@q("bpe_token_estimate", """
+SELECT doc_id,
+       CAST(list_sum(list_transform(
+           string_split_regex(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+           w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe
+FROM documents
+""")
+def bpe_token_estimate(spark, sf_dir):
+    """BPE-ish subword token estimate (pipeline.text.bpe_ish_token_count):
+    ceil(len/4) per word in one aggregate pass."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.sdf.select(
+        "doc_id", tx.bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_bpe"))
+
+
 @q("count_segments",
    'SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment')
 def count_segments(spark, sf_dir):
@@ -756,6 +807,28 @@ def asof_click_error(spark, sf_dir):
     out = clicks.asof_join(errors, on="ts", by="user_id", value_cols=["value"])
     return out.sdf.select("event_id", "user_id",
                           F.col("value_right").alias("err_value"))
+
+
+@q("asof_forward_next_purchase", """
+SELECT l.event_id, l.user_id, r.value AS next_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+  ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                  WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND r.ts >= l.ts
+""")
+def asof_forward_next_purchase(spark, sf_dir):
+    """Forward as-of join: each click gets the EARLIEST purchase value
+    at-or-after it per user (direction='forward' of
+    operators/temporal.asof_join — same union+window merge, descending
+    time order)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = Frame(ev.filter(F.col("event_type") == "purchase")
+                      .sdf.select("user_id", "ts", "value"))
+    out = clicks.asof_join(purchases, on="ts", by="user_id",
+                           value_cols=["value"], direction="forward")
+    return out.sdf.select("event_id", "user_id",
+                          F.col("value_right").alias("next_value"))
 
 
 @q("range_join_value_bins", """
