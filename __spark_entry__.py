@@ -963,6 +963,38 @@ def doc_fingerprint_rolling(spark, sf_dir):
                       tx.rolling_hash_from_tokens(F.col("_t"), window=8).alias("fp"))
 
 
+@q("pack_sequences_budget")  # bin ids are partition-local — rows-only check
+def pack_sequences_budget(spark, sf_dir):
+    """Sequence packing (pipeline.packing.pack_sequences): greedy
+    next-fit of documents into 512-token training bins, partition-local
+    (zero-shuffle). Bin ids depend on partitioning, so the driver check
+    is rows-only; budget conformance is pytest-asserted."""
+    docs = _t(spark, sf_dir, "documents")
+    from crysda_spark.pipeline import packing as pk
+    sized = Frame(docs.sdf.select(
+        "doc_id", tx.token_count(F.col("text")).alias("n_tok")))
+    return pk.pack_sequences(sized, "doc_id", "n_tok", budget=512).sdf
+
+
+@q("stratified_sample_counts", """
+SELECT lang, CAST(FLOOR(COUNT(*) * CASE lang WHEN 'en' THEN 0.5
+                                             WHEN 'de' THEN 0.25
+                                             WHEN 'fr' THEN 1.0 END + 0.5) AS BIGINT) AS n
+FROM documents WHERE lang IN ('en', 'de', 'fr') GROUP BY lang
+""")
+def stratified_sample_counts(spark, sf_dir):
+    """Exact stratified sampling for dataset mixing
+    (pipeline.packing.stratified_sample): per-stratum counts are
+    deterministic round(n·frac) regardless of seed, so the count
+    aggregate IS oracle-checkable even though row selection is random."""
+    docs = _t(spark, sf_dir, "documents")
+    from crysda_spark.pipeline import packing as pk
+    out = pk.stratified_sample(docs, "lang",
+                               {"en": 0.5, "de": 0.25, "fr": 1.0},
+                               seed=11, exact=True)
+    return out.sdf.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+
 @q("lang_id_votes")  # argmax by stopword vote; equivalence tested in pytest
 def lang_id_votes(spark, sf_dir):
     """Heuristic language ID, join-shaped: explode tokens → broadcast

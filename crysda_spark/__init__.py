@@ -23,7 +23,9 @@ from .sources import (
     read_csv,
     read_jdbc,
     read_json,
+    read_orc,
     read_parquet,
+    read_text,
 )
 from .sources.sinks import write_csv, write_json, write_parquet
 
@@ -31,7 +33,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Frame", "Ctx", "get_spark",
-    "read_csv", "read_json", "read_parquet", "read_jdbc",
+    "read_csv", "read_json", "read_parquet", "read_jdbc", "read_orc", "read_text",
     "dataframe_of", "from_records", "from_json", "empty_df",
     "write_csv", "write_json", "write_parquet",
     "bind_rows", "bind_cols",

@@ -6,12 +6,15 @@ from .readers import (
     read_csv,
     read_jdbc,
     read_json,
+    read_orc,
     read_parquet,
+    read_text,
 )
 from .sinks import write_csv, write_json, write_parquet
 
 __all__ = [
     "read_csv", "read_json", "read_parquet", "read_jdbc",
+    "read_orc", "read_text",
     "dataframe_of", "from_records", "from_json", "empty_df",
     "write_csv", "write_json", "write_parquet",
 ]

@@ -164,6 +164,27 @@ def read_parquet(spark: SparkSession, path: str, nanos_cols: dict[str, str] | No
     return Frame(sdf)
 
 
+def read_orc(spark: SparkSession, path: str) -> Frame:
+    """ORC reader — native Spark source with the same pushdown/pruning
+    properties as parquet (predicate pushdown, column pruning, splits)."""
+    return Frame(spark.read.orc(path))
+
+
+def read_text(spark: SparkSession, path: str, whole_file: bool = False,
+              line_col: str = "line") -> Frame:
+    """Plain-text reader. Default: one row per line (splittable,
+    scales to any file size). ``whole_file=True``: one row per FILE with
+    (path, content) — the shape document-ingestion pipelines want; each
+    file must fit an executor, so it's for corpora of many small docs,
+    not one giant file."""
+    if whole_file:
+        sdf = (spark.read.format("text").option("wholetext", True).load(path)
+               .select(F.input_file_name().alias("path"),
+                       F.col("value").alias("content")))
+        return Frame(sdf)
+    return Frame(spark.read.text(path).select(F.col("value").alias(line_col)))
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options: str) -> Frame:
     """SQL sources (reference `from(DB::ResultSet)`, src/crysda.cr:49-52).
     Spark JDBC pushes the query down and can parallelize on a partition

@@ -163,6 +163,40 @@ def test_lsh_near_dup_finds_planted(emb):
     assert hits == 20
 
 
+def test_pack_sequences_respects_budget(docs):
+    from crysda_spark.pipeline import packing as pk
+    sized = Frame(docs.sdf.select("doc_id", tx.token_count(F.col("text")).alias("n_tok")))
+    out = pk.pack_sequences(sized, "doc_id", "n_tok", budget=256).sdf
+    # no bin overfills (oversized docs get their own bin)
+    bins = out.groupBy("bin_id").agg(F.sum("size").alias("tot"), F.max("size").alias("mx"))
+    bad = bins.filter((F.col("tot") > 256) & (F.col("mx") <= 256)).count()
+    assert bad == 0
+    # every doc appears exactly once
+    assert out.count() == docs.sdf.count()
+    assert out.select("doc_id").distinct().count() == docs.sdf.count()
+
+
+def test_stratified_sample_exact_counts(docs):
+    from crysda_spark.pipeline import packing as pk
+    fracs = {"en": 0.5, "de": 1.0}
+    out = pk.stratified_sample(docs, "lang", fracs, seed=7, exact=True).sdf
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    import math
+    # Spark F.round is HALF_UP, python round() is banker's — match Spark
+    want = {r["lang"]: math.floor(r["n"] * fracs.get(r["lang"], 0.0) + 0.5) for r in
+            docs.sdf.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    want = {k: v for k, v in want.items() if v > 0 and k in fracs}
+    assert got == want
+    # approximate path runs and only keeps listed strata
+    approx = pk.stratified_sample(docs, "lang", fracs, seed=7, exact=False).sdf
+    langs = {r["lang"] for r in approx.select("lang").distinct().collect()}
+    assert langs <= set(fracs)
+    import pytest
+    with pytest.raises(ValueError):
+        pk.stratified_sample(docs, "lang", {"en": 1.5})
+
+
 def test_text_quality_bounds(docs):
     out = docs.sdf.select(
         "doc_id",

@@ -90,6 +90,29 @@ def test_csv_zip(spark, tmp_path):
     assert dict(f.sdf.dtypes)["a"] in ("int", "bigint")
 
 
+def test_read_orc_roundtrip(spark, tmp_path):
+    from crysda_spark import from_records, read_orc
+    f = from_records(spark, [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}])
+    p = str(tmp_path / "orc_out")
+    f.sdf.write.orc(p)
+    back = read_orc(spark, p)
+    assert back.num_row == 2
+    assert set(back.columns) == {"a", "b"}
+
+
+def test_read_text_lines_and_whole(spark, tmp_path):
+    from crysda_spark import read_text
+    p = tmp_path / "doc.txt"
+    p.write_text("line one\nline two\nline three\n")
+    lines = read_text(spark, str(p))
+    assert lines.num_row == 3
+    assert lines.columns == ["line"]
+    whole = read_text(spark, str(p), whole_file=True)
+    rows = whole.sdf.collect()
+    assert len(rows) == 1
+    assert "line two" in rows[0]["content"]
+
+
 def test_json_records_missing_keys(spark, tmp_path):
     p = tmp_path / "movies.json"
     p.write_text('[{"title": "A", "year": 2000, "votes": 10},'
