@@ -885,6 +885,41 @@ def select_by_dtype(spark, sf_dir):
     return li.select("l_orderkey", sel.of_type("double")).sdf
 
 
+@q("rollup_cascade_daily", """
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM events GROUP BY 1, 2
+""")
+def rollup_cascade_daily(spark, sf_dir):
+    """Hypertable rollup cascade (operators/rollup): hourly partials
+    aggregated once from the corpus, daily derived by MERGING the
+    hourly table — the oracle aggregates raw→daily directly, so this
+    checks the cascade's merge algebra end-to-end. Sums run in
+    decimal(18,4) so the two-level sum is bit-equal to the one-level
+    oracle sum (double addition would not be associative)."""
+    from crysda_spark.operators import rollup as ru
+    ev = _t(spark, sf_dir, "events")
+    measures = dict(n="count", total=("sum", F.col("value").cast(DEC)))
+    hourly = ru.time_rollup(ev, "ts", "hour", keys=["event_type"], **measures)
+    daily = ru.merge_rollup(hourly, "day", keys=["event_type"], **measures)
+    return daily.sdf.select("event_type", "bucket",
+                            F.col("n").cast("bigint").alias("n"),
+                            F.col("total").cast("double").alias("total"))
+
+
+@q("rollup_hll_users")  # Datasketches HLL estimates — no DuckDB oracle
+def rollup_hll_users(spark, sf_dir):
+    """Approx-distinct rollup: per-day unique users via mergeable HLL
+    sketches (union of hourly sketches — lossless, pytest-verified
+    against direct daily sketches and exact counts)."""
+    from crysda_spark.operators import rollup as ru
+    ev = _t(spark, sf_dir, "events")
+    hourly = ru.time_rollup(ev, "ts", "hour", users=("hll", "user_id"))
+    daily = ru.merge_rollup(hourly, "day", users=("hll", "user_id"))
+    return daily.sdf.select("bucket", ru.hll_estimate("users").alias("approx_users"))
+
+
 # ====================================================== LLM pipeline: dedup
 @q("dedup_exact_docs", """
 SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,

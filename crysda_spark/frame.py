@@ -671,6 +671,14 @@ class Frame:
         return range_join(self, right, left_on, right_lo, right_hi, by,
                           bin_width, how)
 
+    def time_rollup(self, ts_col: str, grain: str, keys=(), **measures) -> "Frame":
+        from .operators.rollup import time_rollup
+        return time_rollup(self, ts_col, grain, keys, **measures)
+
+    def merge_rollup(self, coarser_grain: str, keys=(), **measures) -> "Frame":
+        from .operators.rollup import merge_rollup
+        return merge_rollup(self, coarser_grain, keys, **measures)
+
     # --------------------------------------------------------------- reshape
     def spread(self, key: str, value: str, fill=None, convert: bool = False) -> "Frame":
         from .operators.reshape import spread

@@ -1,0 +1,102 @@
+"""Hypertable-style time rollups with mergeable measures
+(beyond-reference; the reference has no time-series surface).
+
+The 100 TB pattern: aggregate the raw corpus ONCE at the finest grain
+(the only corpus-sized shuffle), then derive every coarser grain by
+MERGING the fine-grain partials — a rollup cascade over tables that are
+orders of magnitude smaller than the source. That only works for
+measures with an associative merge, so measures are declared by kind:
+
+    kind    fine aggregate              merge at coarser grain
+    count   count(1)                    sum
+    sum     sum(col)                    sum
+    min     min(col)                    min
+    max     max(col)                    max
+    hll     hll_sketch_agg(col)         hll_union_agg (Datasketches
+                                        binary — mergeable approx
+                                        distinct, est. via estimate())
+
+avg is intentionally absent: it does not merge — carry (sum, count)
+and divide at read time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from ..frame import Frame
+
+GRAINS = ("minute", "hour", "day", "week", "month", "quarter", "year")
+
+# kind -> (fine-grain aggregate over the raw column,
+#          merge aggregate over the fine-grain partial)
+_KINDS: dict[str, tuple] = {
+    "count": (lambda c: F.count(F.lit(1)), F.sum),
+    "sum": (F.sum, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+    "hll": (F.hll_sketch_agg, F.hll_union_agg),
+}
+
+
+def _check(grain: str, measures: dict) -> None:
+    if grain not in GRAINS:
+        raise ValueError(f"rollup: unknown grain {grain!r}; pick one of {GRAINS}")
+    for name, spec in measures.items():
+        kind, col = spec if isinstance(spec, tuple) else (spec, None)
+        if kind not in _KINDS:
+            raise ValueError(
+                f"rollup measure {name!r}: kind {kind!r} not mergeable; "
+                f"supported: {sorted(_KINDS)} (avg does not merge — "
+                "carry sum+count instead)")
+        if col is None and kind != "count":
+            raise ValueError(
+                f"rollup measure {name!r}: kind {kind!r} needs a column — "
+                f"pass {name}=({kind!r}, <col>)")
+
+
+def time_rollup(f: Frame, ts_col: str, grain: str,
+                keys: list[str] | tuple = (),
+                **measures) -> Frame:
+    """Aggregate to a time grain: (keys..., bucket, measures...).
+
+    ``measures``: name=("count"|"sum"|"min"|"max"|"hll", col) or just the
+    kind string for column-less kinds (count). This is the one
+    corpus-sized aggregation; derive coarser grains from its OUTPUT with
+    ``merge_rollup`` instead of re-scanning the source."""
+    _check(grain, measures)
+    aggs = []
+    for name, spec in measures.items():
+        kind, col = spec if isinstance(spec, tuple) else (spec, None)
+        fine, _ = _KINDS[kind]
+        aggs.append((fine(col) if col is not None else fine(None)).alias(name))
+    out = (f.sdf
+           .withColumn("bucket", F.date_trunc(grain, F.col(ts_col)))
+           .groupBy(*keys, "bucket")
+           .agg(*aggs))
+    return Frame(out)
+
+
+def merge_rollup(rollup: Frame, coarser_grain: str,
+                 keys: list[str] | tuple = (),
+                 **measures) -> Frame:
+    """Derive a coarser rollup by merging a finer one's partials —
+    never touches the raw corpus. ``measures`` must carry the same
+    name=kind declarations used to build the fine rollup (col is
+    ignored here; the merge runs over the named partial column)."""
+    _check(coarser_grain, measures)
+    aggs = []
+    for name, spec in measures.items():
+        kind = spec[0] if isinstance(spec, tuple) else spec
+        _, merge = _KINDS[kind]
+        aggs.append(merge(name).alias(name))
+    out = (rollup.sdf
+           .withColumn("bucket", F.date_trunc(coarser_grain, F.col("bucket")))
+           .groupBy(*keys, "bucket")
+           .agg(*aggs))
+    return Frame(out)
+
+
+def hll_estimate(col) -> Column:
+    """Approximate distinct count from an hll measure column."""
+    return F.hll_sketch_estimate(col)
