@@ -160,6 +160,43 @@ def bpe_token_estimate(spark, sf_dir):
         "doc_id", tx.bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_bpe"))
 
 
+@q("column_semantics_mix", """
+SELECT CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END AS size_flag,
+       COALESCE(regexp_matches(o_orderstatus, '^[OF]'), false) AS of_status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(o_custkey AS VARCHAR) AS BIGINT)) AS BIGINT) AS key_roundtrip,
+       MIN(CAST(o_orderstatus AS VARCHAR) || '_' || CAST(o_orderpriority AS VARCHAR)) AS min_concat
+FROM orders GROUP BY 1, 2
+""")
+def column_semantics_mix(spark, sf_dir):
+    """Column-function semantics in one query: vectorized if-else
+    (where), NA-aware regex predicate (matching), checked string↔int
+    cast round-trip (as_s/as_i), NA-rendered string concat
+    (concatenate) — SURVEY §2.3/§2.6 scalar surface, oracle-checked."""
+    from crysda_spark.functions.columns import (as_int, as_string,
+                                                concatenate, matching)
+    o = _t(spark, sf_dir, "orders")
+    f = o.add_columns(
+        size_flag=lambda e: e.where(F.col("o_totalprice") > 150000, "big", "small"),
+        of_status=matching("o_orderstatus", lambda c: c.rlike("^[OF]")),
+        key_rt=as_int(as_string("o_custkey")),
+        cc=concatenate("o_orderstatus", "o_orderpriority", sep="_"))
+    return (f.group_by("size_flag", "of_status")
+            .summarize(n=F.count(F.lit(1)),
+                       key_roundtrip=F.sum("key_rt"),
+                       min_concat=F.min("cc"))).sdf
+
+
+@q("grouped_by_keys", """
+SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+""")
+def grouped_by_keys(spark, sf_dir):
+    """grouped_by verb: the distinct key tuples of a grouped frame
+    (reference src/crysda/groupdf.cr:94-97)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.group_by("c_mktsegment", "c_nationkey").grouped_by().sdf
+
+
 @q("count_segments",
    'SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment')
 def count_segments(spark, sf_dir):
