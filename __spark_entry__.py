@@ -922,6 +922,49 @@ def select_by_dtype(spark, sf_dir):
     return li.select("l_orderkey", sel.of_type("double")).sdf
 
 
+@q("salted_join_revenue", """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""")
+def salted_join_revenue(spark, sf_dir):
+    """Skew-salted equi-join (plans/skew.salted_join): left keys spread
+    over 8 salt sub-keys, right side replicated 8× — the oracle runs
+    the PLAIN join, so this checks that salting is a pure
+    semantics-preserving rewrite."""
+    from crysda_spark.plans.skew import salted_join
+    li = _t(spark, sf_dir, "lineitem").sdf.select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice")
+    orders = _t(spark, sf_dir, "orders").sdf.select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority")
+    j = salted_join(li, orders, on=["okey"], salt=8)
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(_dec("l_extendedprice")).cast("double").alias("revenue")))
+
+
+@q("salted_agg_flagstats", """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+       CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+FROM lineitem GROUP BY l_returnflag
+""")
+def salted_agg_flagstats(spark, sf_dir):
+    """Two-phase skew-salted aggregation (plans/skew.salted_agg):
+    partial agg on (key, salt), final on key — oracle is the plain
+    GROUP BY, checking re-aggregation algebra."""
+    from crysda_spark.plans.skew import salted_agg
+    li = _t(spark, sf_dir, "lineitem").sdf.withColumn(
+        "qdec", _dec("l_quantity"))
+    out = salted_agg(li, ["l_returnflag"],
+                     {"n": "count", "qty": "sum:qdec", "max_price": "max:l_extendedprice"},
+                     salt=8)
+    return out.select("l_returnflag", "n",
+                      F.col("qty").cast("double").alias("qty"),
+                      F.col("max_price").cast("double").alias("max_price"))
+
+
 @q("rollup_cascade_daily", """
 SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n,

@@ -675,6 +675,38 @@ class Frame:
         from .operators.rollup import time_rollup
         return time_rollup(self, ts_col, grain, keys, **measures)
 
+    # ------------------------------------------------- physical-layout hints
+    # Scale controls a cluster user reaches for constantly; all are
+    # semantics-free pass-throughs to the underlying DataFrame.
+    def broadcast(self) -> "Frame":
+        """Hint this (small) side for broadcast in subsequent joins."""
+        return Frame(F.broadcast(self._sdf), self._groups)
+
+    def repartition(self, num_partitions: int | None = None, *cols) -> "Frame":
+        """Hash-repartition by columns (co-locate a join/agg key) and/or
+        set the partition count."""
+        args = ([num_partitions] if num_partitions is not None else []) \
+            + [_c(c) for c in cols]
+        return Frame(self._sdf.repartition(*args), self._groups)
+
+    def coalesce_partitions(self, num_partitions: int) -> "Frame":
+        """Reduce partition count without a shuffle (pre-write compaction)."""
+        return Frame(self._sdf.coalesce(num_partitions), self._groups)
+
+    def persist(self, storage_level: str | None = None) -> "Frame":
+        if storage_level is None:
+            return Frame(self._sdf.persist(), self._groups)
+        from pyspark import StorageLevel
+        return Frame(self._sdf.persist(getattr(StorageLevel, storage_level)),
+                     self._groups)
+
+    def unpersist(self) -> "Frame":
+        return Frame(self._sdf.unpersist(), self._groups)
+
+    def checkpoint(self) -> "Frame":
+        """Materialize and truncate lineage (iterative pipelines)."""
+        return Frame(self._sdf.localCheckpoint(), self._groups)
+
     def merge_rollup(self, coarser_grain: str, keys=(), **measures) -> "Frame":
         from .operators.rollup import merge_rollup
         return merge_rollup(self, coarser_grain, keys, **measures)

@@ -32,6 +32,22 @@ def test_shuffle_count(spark):
     assert shuffle_count(agg) >= 1
 
 
+def test_frame_layout_passthroughs(spark):
+    from crysda_spark import Frame
+    f = Frame(spark.read.parquet(f"{SF_DIR}/nation.parquet"))
+    big = Frame(spark.read.parquet(f"{SF_DIR}/customer.parquet"))
+    # broadcast hint survives into the join plan
+    j = big.inner_join(f.broadcast(), by=[("c_nationkey", "n_nationkey")])
+    assert "BroadcastHashJoin" in j.sdf._jdf.queryExecution().executedPlan().toString()
+    # repartition by key sets the partitioning; coalesce reduces count
+    r = big.repartition(8, "c_nationkey")
+    assert r.sdf.rdd.getNumPartitions() == 8
+    assert f.coalesce_partitions(1).sdf.rdd.getNumPartitions() == 1
+    # persist/checkpoint round-trip preserves rows
+    assert f.persist().num_row == f.checkpoint().num_row == 25
+    f.unpersist()
+
+
 def test_salted_join_matches_plain(spark):
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet") \
         .select("o_orderkey", "o_custkey")
