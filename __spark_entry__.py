@@ -1110,6 +1110,31 @@ def stratified_sample_counts(spark, sf_dir):
     return out.sdf.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
 
 
+@q("pii_scan_counts", """
+SELECT c_custkey,
+       CAST(len(regexp_extract_all(
+           c_name || ' at ' || c_name || '@example.com from 10.' || CAST(c_custkey % 200 AS VARCHAR) || '.0.1',
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS emails,
+       CAST(len(regexp_extract_all(
+           c_name || ' at ' || c_name || '@example.com from 10.' || CAST(c_custkey % 200 AS VARCHAR) || '.0.1',
+           '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INT) AS ips
+FROM customer
+""")
+def pii_scan_counts(spark, sf_dir):
+    """PII audit pass (pipeline.text.pii_counts): per-row email / IPv4
+    match counts over synthesized PII-bearing text — one codegen'd
+    regexp_extract_all per kind, RE2-compatible patterns so the DuckDB
+    oracle runs the very same regex strings."""
+    cust = _t(spark, sf_dir, "customer")
+    synth = F.concat(F.col("c_name"), F.lit(" at "), F.col("c_name"),
+                     F.lit("@example.com from 10."),
+                     (F.col("c_custkey") % 200).cast("string"), F.lit(".0.1"))
+    c = tx.pii_counts(synth, kinds=["email", "ipv4"])
+    return cust.sdf.select("c_custkey",
+                           c["email"].alias("emails"),
+                           c["ipv4"].alias("ips"))
+
+
 @q("lang_id_votes")  # argmax by stopword vote; equivalence tested in pytest
 def lang_id_votes(spark, sf_dir):
     """Heuristic language ID, join-shaped: explode tokens → broadcast

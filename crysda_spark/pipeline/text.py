@@ -136,6 +136,39 @@ def lang_id(col) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+# PII patterns — deliberately conservative, RE2-compatible (no
+# backrefs/lookarounds) so the same strings run in Spark (Java regex),
+# DuckDB, and RE2-based scanners.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d{1,3}[-. ]?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]?\d{3,4}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_counts(col, kinds: list[str] | None = None) -> Column:
+    """struct of per-kind PII match counts — the cheap audit pass a
+    corpus runs before deciding what to redact. One codegen'd
+    regexp_extract_all + size per kind, no Python."""
+    c = _c(col)
+    ks = kinds or list(PII_PATTERNS)
+    return F.struct(*[
+        F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[k]), F.lit(0))).alias(k)
+        for k in ks])
+
+
+def redact_pii(col, kinds: list[str] | None = None,
+               replacement: str = "[PII]") -> Column:
+    """Replace PII matches with a sentinel token. Chained
+    regexp_replace — still one projection pass over the corpus, whole
+    stage codegen'd."""
+    c = _c(col)
+    for k in (kinds or list(PII_PATTERNS)):
+        c = F.regexp_replace(c, PII_PATTERNS[k], replacement)
+    return c
+
+
 def rolling_hash_from_tokens(t: Column, window: int = 8) -> Column:
     """Winnowing-style content fingerprint over an ALREADY-PROJECTED token
     array: xxhash64 of each ``window``-gram, keep the minimum — robust

@@ -197,6 +197,24 @@ def test_stratified_sample_exact_counts(docs):
         pk.stratified_sample(docs, "lang", {"en": 1.5})
 
 
+def test_pii_detect_and_redact(spark):
+    from crysda_spark import from_records
+    f = from_records(spark, [
+        {"id": 1, "t": "mail me at jo.doe+x@example.org or call +1-555-123-4567"},
+        {"id": 2, "t": "server 10.0.42.7 holds ssn 123-45-6789"},
+        {"id": 3, "t": "nothing sensitive here"},
+    ])
+    out = f.sdf.select("id", tx.pii_counts("t").alias("c"),
+                       tx.redact_pii("t").alias("r")).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["c"]["email"] == 1 and by_id[1]["c"]["phone"] >= 1
+    assert by_id[2]["c"]["ipv4"] == 1 and by_id[2]["c"]["ssn"] == 1
+    assert sum(by_id[3]["c"]) == 0
+    assert "example.org" not in by_id[1]["r"] and "[PII]" in by_id[1]["r"]
+    assert "123-45-6789" not in by_id[2]["r"]
+    assert by_id[3]["r"] == "nothing sensitive here"
+
+
 def test_text_quality_bounds(docs):
     out = docs.sdf.select(
         "doc_id",
