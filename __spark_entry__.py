@@ -197,6 +197,31 @@ def grouped_by_keys(spark, sf_dir):
     return cust.group_by("c_mktsegment", "c_nationkey").grouped_by().sdf
 
 
+@q("profile_orders", """
+SELECT 'o_orderkey' AS "column", CAST(COUNT(o_orderkey) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_v,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_v,
+       AVG(o_orderkey) AS mean
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(COUNT(o_orderstatus) AS BIGINT),
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+       CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR),
+       CAST(NULL AS DOUBLE)
+FROM orders
+""")
+def profile_orders(spark, sf_dir):
+    """Dataset profiler (Frame.profile): per-column count/nulls/distinct/
+    min/max/mean in ONE wide hash aggregate + stack unpivot — never a
+    per-column scan. exact_distinct=True here for oracle equality;
+    the corpus-scale default is HLL approx inside the same aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    return o.profile("o_orderkey", "o_orderstatus", exact_distinct=True).sdf
+
+
 @q("count_segments",
    'SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment')
 def count_segments(spark, sf_dir):

@@ -675,6 +675,43 @@ class Frame:
         from .operators.rollup import time_rollup
         return time_rollup(self, ts_col, grain, keys, **measures)
 
+    def profile(self, *cols, exact_distinct: bool = False) -> "Frame":
+        """One-pass dataset profile: per column (name, n, nulls,
+        distinct, min/max rendered as strings, mean for numerics).
+
+        Scale shape: ONE wide hash aggregate over the scan — never a
+        per-column pass — then a driver-free unpivot (stack) of the
+        single result row. ``exact_distinct=False`` (default) uses HLL
+        ``approx_count_distinct``: at corpus scale exact distinct per
+        column is a full shuffle per column, approx is free inside the
+        same aggregate."""
+        names = self._resolve_selection(cols) if cols else \
+            [c for c in self.columns]
+        numeric = {n for n, t in self._sdf.dtypes
+                   if t in ("int", "bigint", "smallint", "tinyint",
+                            "float", "double") or t.startswith("decimal")}
+        d_fn = F.count_distinct if exact_distinct else F.approx_count_distinct
+        aggs = []
+        for c in names:
+            qc = F.col(f"`{c}`")
+            aggs += [
+                F.count(qc).alias(f"__n_{c}"),
+                F.sum(qc.isNull().cast("long")).alias(f"__z_{c}"),
+                d_fn(qc).alias(f"__d_{c}"),
+                F.min(qc).cast("string").alias(f"__lo_{c}"),
+                F.max(qc).cast("string").alias(f"__hi_{c}"),
+                (F.avg(qc) if c in numeric else F.lit(None).cast("double"))
+                .alias(f"__m_{c}"),
+            ]
+        one = self._sdf.agg(*aggs)
+        stack = ", ".join(
+            f"'{c}', `__n_{c}`, `__z_{c}`, `__d_{c}`, `__lo_{c}`, `__hi_{c}`, `__m_{c}`"
+            for c in names)
+        out = one.selectExpr(
+            f"stack({len(names)}, {stack}) as "
+            "(column, n, nulls, n_distinct, min_v, max_v, mean)")
+        return Frame(out)
+
     # ------------------------------------------------- physical-layout hints
     # Scale controls a cluster user reaches for constantly; all are
     # semantics-free pass-throughs to the underlying DataFrame.

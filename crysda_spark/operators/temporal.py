@@ -28,7 +28,8 @@ def asof_join(left: Frame, right: Frame, on: str = "ts",
               suffix: str = "_right") -> Frame:
     """For each left row, attach the most recent right row at-or-before
     its ``on`` time (direction="backward"; "forward" = earliest
-    at-or-after), matching within ``by`` keys.
+    at-or-after; "nearest" = whichever of the two is closer in time,
+    backward winning ties), matching within ``by`` keys.
 
     Implementation: tag both sides, union, and run
     ``last(value, ignorenulls)`` over a window partitioned by ``by``
@@ -36,9 +37,14 @@ def asof_join(left: Frame, right: Frame, on: str = "ts",
     equal timestamps, so ties match (SQL ASOF >= semantics). Output has
     all left columns plus ``value_cols`` suffixed, plus
     ``{on}{suffix}`` (the matched right timestamp, null if no match).
+    "nearest" runs both passes over the SAME union (still one shuffle
+    on the keys — the second window reuses the partitioning) and picks
+    per row by absolute time distance.
     """
+    if direction == "nearest":
+        return _asof_nearest(left, right, on, by, value_cols, suffix)
     if direction not in ("backward", "forward"):
-        raise ValueError("direction must be backward|forward")
+        raise ValueError("direction must be backward|forward|nearest")
     keys = [by] if isinstance(by, str) else list(by or [])
     l_sdf, r_sdf = left.sdf, right.sdf
     value_cols = value_cols or [c for c in r_sdf.columns
@@ -70,6 +76,36 @@ def asof_join(left: Frame, right: Frame, on: str = "ts",
           for c in value_cols + [on]])
     out = (filled.filter(F.col("__side__") == 1)
            .drop("__side__"))
+    return Frame(out)
+
+
+def _asof_nearest(left: Frame, right: Frame, on: str, by,
+                  value_cols, suffix: str) -> Frame:
+    """nearest = backward fill AND forward fill over one union, then a
+    per-row pick by |Δt| (backward wins ties). Two window passes but
+    the second reuses the first's hash partitioning — still one
+    shuffle."""
+    keys = [by] if isinstance(by, str) else list(by or [])
+    r_sdf = right.sdf
+    value_cols = value_cols or [c for c in r_sdf.columns
+                                if c not in keys and c != on]
+    # unique row id so duplicate left rows can't cross-multiply in the
+    # pick join; the id is persisted so both direction passes see the
+    # same assignment
+    l2 = Frame(left.sdf.withColumn("__aid__", F.monotonically_increasing_id())
+               .persist())
+    back = asof_join(l2, right, on, by, value_cols, "backward", "_bk")
+    fwd = asof_join(l2, right, on, by, value_cols, "forward", "_fw")
+    j = back.sdf.join(
+        fwd.sdf.select("__aid__", *[F.col(f"{c}_fw") for c in value_cols + [on]]),
+        on="__aid__", how="inner")
+    d_back = F.abs(F.col(on).cast("double") - F.col(f"{on}_bk").cast("double"))
+    d_fwd = F.abs(F.col(f"{on}_fw").cast("double") - F.col(on).cast("double"))
+    use_back = F.col(f"{on}_bk").isNotNull() & \
+        (F.col(f"{on}_fw").isNull() | (d_back <= d_fwd))
+    picked = [F.when(use_back, F.col(f"{c}_bk")).otherwise(F.col(f"{c}_fw"))
+              .alias(f"{c}{suffix}") for c in value_cols + [on]]
+    out = j.select(*[c for c in left.sdf.columns], *picked)
     return Frame(out)
 
 

@@ -55,6 +55,35 @@ def test_asof_keeps_left_count(spark, orders):
     assert out.num_row == left.num_row  # never inflates, never drops
 
 
+def test_asof_nearest_picks_closer_side(spark):
+    left = from_records(spark, [
+        {"k": "a", "ts": 10}, {"k": "a", "ts": 100}, {"k": "a", "ts": 55}])
+    right = from_records(spark, [
+        {"k": "a", "ts": 8, "v": "early"}, {"k": "a", "ts": 102, "v": "late"}])
+    out = left.asof_join(right, on="ts", by="k", value_cols=["v"],
+                         direction="nearest")
+    got = {r["ts"]: r["v_right"] for r in out.sdf.collect()}
+    # 10 → early (Δ2 vs Δ92); 100 → late (Δ2); 55 → early (Δ47 ties? no: Δ47 vs Δ47 → backward wins)
+    assert got[10] == "early" and got[100] == "late"
+    assert got[55] == "early"  # equidistant → backward wins
+    # one-sided: only a forward match exists
+    left2 = from_records(spark, [{"k": "a", "ts": 1}])
+    out2 = left2.asof_join(right, on="ts", by="k", value_cols=["v"],
+                           direction="nearest")
+    assert out2.sdf.collect()[0]["v_right"] == "early"
+
+
+def test_frame_profile_one_pass(spark, orders):
+    prof = orders.profile("o_orderkey", "o_orderstatus", exact_distinct=True)
+    rows = {r["column"]: r for r in prof.sdf.collect()}
+    n = orders.num_row
+    assert rows["o_orderkey"]["n"] == n and rows["o_orderkey"]["nulls"] == 0
+    assert rows["o_orderkey"]["n_distinct"] == n  # primary key
+    assert rows["o_orderstatus"]["mean"] is None  # non-numeric
+    assert rows["o_orderkey"]["mean"] is not None
+    assert int(rows["o_orderkey"]["min_v"]) <= int(rows["o_orderkey"]["max_v"])
+
+
 def test_range_join_binned_equals_exact(spark):
     left = from_records(spark, [{"id": i, "v": float(i)} for i in range(30)])
     right = from_records(spark, [
