@@ -893,6 +893,31 @@ def asof_forward_next_purchase(spark, sf_dir):
                           F.col("value_right").alias("next_value"))
 
 
+@q("asof_nearest_error", """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'error'),
+     b AS (SELECT l.event_id, l.ts, r.ts AS ts_b, r.value AS v_b
+           FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts),
+     f AS (SELECT l.event_id, r.ts AS ts_f, r.value AS v_f
+           FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts >= l.ts)
+SELECT b.event_id,
+       CASE WHEN ts_b IS NOT NULL AND (ts_f IS NULL OR (b.ts - ts_b) <= (ts_f - b.ts))
+            THEN v_b ELSE v_f END AS near_value
+FROM b JOIN f USING (event_id)
+""")
+def asof_nearest_error(spark, sf_dir):
+    """Nearest-direction as-of join: each click gets the error value
+    closest in time (either side, backward wins ties) — both direction
+    passes share one shuffle (operators/temporal._asof_nearest)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    errors = Frame(ev.filter(F.col("event_type") == "error")
+                   .sdf.select("user_id", "ts", "value"))
+    out = clicks.asof_join(errors, on="ts", by="user_id",
+                           value_cols=["value"], direction="nearest")
+    return out.sdf.select("event_id", F.col("value_right").alias("near_value"))
+
+
 @q("range_join_value_bins", """
 SELECT e.event_id, b.bin_id
 FROM events e
