@@ -368,7 +368,14 @@ class Frame:
         names = self._resolve_selection(cols)
         t = self._with_ord()
         others = [c for c in t._sdf.columns if c not in names and c != ORD]
-        agg = [F.min(F.struct(ORD, *others)).alias("__first__")]
+        if any("map<" in typ for n, typ in t._sdf.dtypes if n in others):
+            # map columns are unorderable — min(struct) can't tie-break;
+            # fall back to dropDuplicates (arbitrary survivor, documented
+            # divergence from keep-first for this case)
+            return self._wrap(self.sdf.dropDuplicates(names))
+        # backtick everything: names may contain dots (join suffixes .x/.y)
+        agg = [F.min(F.struct(F.col(ORD),
+                              *[F.col(f"`{c}`") for c in others])).alias("__first__")]
         out = (t._sdf.groupBy(*[F.col(f"`{c}`") for c in names]).agg(*agg)
                .select(*[F.col(f"`{c}`") for c in names],
                        *[F.col(f"__first__.`{c}`").alias(c) for c in others]))

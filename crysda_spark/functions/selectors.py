@@ -93,10 +93,20 @@ def of_type(*types) -> Selector:
     Accepts Spark DataType classes/instances (``IntegerType``), Python
     types (``int``, ``str``), or type-name strings ("bigint",
     "decimal", "array"); parameterized types match on the base name.
+    Python ``int`` selects the whole integer family (tinyint…bigint)
+    and ``float`` both float widths — a Python type names a VALUE kind,
+    not one storage width; use a string/Spark type to pin the width.
 
     Resolution needs the schema, so this selector is resolved with
     (names, dtypes) — only usable through Frame.select/reject."""
-    wanted = {_type_key(t) for t in types}
+    _FAMILIES = {int: {"tinyint", "smallint", "int", "bigint"},
+                 float: {"float", "double"}}
+    wanted: set[str] = set()
+    for t in types:
+        if isinstance(t, type) and t in _FAMILIES:
+            wanted |= _FAMILIES[t]
+        else:
+            wanted.add(_type_key(t))
 
     def sel(names: list[str], dtypes: dict[str, str] | None = None):
         if dtypes is None:

@@ -39,6 +39,10 @@ _KINDS: dict[str, tuple] = {
 }
 
 
+def _norm_keys(keys) -> list[str]:
+    return [keys] if isinstance(keys, str) else list(keys)
+
+
 def _check(grain: str, measures: dict) -> None:
     if grain not in GRAINS:
         raise ValueError(f"rollup: unknown grain {grain!r}; pick one of {GRAINS}")
@@ -56,7 +60,7 @@ def _check(grain: str, measures: dict) -> None:
 
 
 def time_rollup(f: Frame, ts_col: str, grain: str,
-                keys: list[str] | tuple = (),
+                keys: list[str] | tuple | str = (),
                 **measures) -> Frame:
     """Aggregate to a time grain: (keys..., bucket, measures...).
 
@@ -65,6 +69,7 @@ def time_rollup(f: Frame, ts_col: str, grain: str,
     corpus-sized aggregation; derive coarser grains from its OUTPUT with
     ``merge_rollup`` instead of re-scanning the source."""
     _check(grain, measures)
+    keys = _norm_keys(keys)
     aggs = []
     for name, spec in measures.items():
         kind, col = spec if isinstance(spec, tuple) else (spec, None)
@@ -78,13 +83,14 @@ def time_rollup(f: Frame, ts_col: str, grain: str,
 
 
 def merge_rollup(rollup: Frame, coarser_grain: str,
-                 keys: list[str] | tuple = (),
+                 keys: list[str] | tuple | str = (),
                  **measures) -> Frame:
     """Derive a coarser rollup by merging a finer one's partials —
     never touches the raw corpus. ``measures`` must carry the same
     name=kind declarations used to build the fine rollup (col is
     ignored here; the merge runs over the named partial column)."""
     _check(coarser_grain, measures)
+    keys = _norm_keys(keys)
     aggs = []
     for name, spec in measures.items():
         kind = spec[0] if isinstance(spec, tuple) else spec

@@ -90,10 +90,11 @@ def _asof_nearest(left: Frame, right: Frame, on: str, by,
     value_cols = value_cols or [c for c in r_sdf.columns
                                 if c not in keys and c != on]
     # unique row id so duplicate left rows can't cross-multiply in the
-    # pick join; the id is persisted so both direction passes see the
-    # same assignment
+    # pick join; localCheckpoint freezes the assignment for both
+    # direction passes (persist would pin executor storage until an
+    # explicit unpersist — checkpoint blocks release on GC)
     l2 = Frame(left.sdf.withColumn("__aid__", F.monotonically_increasing_id())
-               .persist())
+               .localCheckpoint())
     back = asof_join(l2, right, on, by, value_cols, "backward", "_bk")
     fwd = asof_join(l2, right, on, by, value_cols, "forward", "_fw")
     j = back.sdf.join(
@@ -134,10 +135,17 @@ def range_join(left: Frame, right: Frame, left_on: str,
     keys = list(by or [])
     l_sdf, r_sdf = left.sdf, right.sdf
     need_l, need_r = how in ("left", "full"), how in ("right", "full")
+    # the row ids MUST be frozen before both the matched join and the
+    # anti-join read them: monotonically_increasing_id is evaluated per
+    # plan branch, and post-shuffle row order is not stable across
+    # re-evaluations — localCheckpoint materializes the assignment once
+    # (and, unlike persist, is released when the DataFrame is GC'd)
     if need_l:
-        l_sdf = l_sdf.withColumn("__lid__", F.monotonically_increasing_id())
+        l_sdf = l_sdf.withColumn("__lid__", F.monotonically_increasing_id()) \
+            .localCheckpoint()
     if need_r:
-        r_sdf = r_sdf.withColumn("__rid__", F.monotonically_increasing_id())
+        r_sdf = r_sdf.withColumn("__rid__", F.monotonically_increasing_id()) \
+            .localCheckpoint()
     exact = (F.col(right_lo) <= F.col(left_on)) & (F.col(left_on) <= F.col(right_hi))
 
     if bin_width is None:

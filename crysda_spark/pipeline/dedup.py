@@ -187,7 +187,12 @@ def minhash_dedup(f: Frame, text_col: str, id_col: str, threshold: float = 0.8,
     The corpus is tokenized+shingled ONCE: the persisted shingle table
     feeds both the signature aggregate and the per-candidate exact
     Jaccard — at corpus scale that's a full text scan saved vs
-    recomputing shingles for verification."""
+    recomputing shingles for verification.
+
+    Cache note: the shingle and band tables stay persisted after the
+    result is consumed (they cannot be unpersisted before the lazy
+    result runs). In long-lived sessions issuing many dedup calls,
+    release them with ``spark.catalog.clearCache()`` between corpora."""
     sh = shingled(f, text_col, id_col, k).persist()
     sig = minhash_signatures_from_shingles(sh, id_col, n_hashes)
     cands = _lsh_candidates_from_sig(sig, id_col, n_hashes, bands)

@@ -32,7 +32,9 @@ def pack_sequences(f: Frame, id_col: str, size_col: str,
     packing is the standard distributed compromise: a global greedy
     order would serialize the corpus for marginal fill improvement.
     Oversized docs (size > budget) get a bin of their own (callers
-    typically chunk or drop them first).
+    typically chunk or drop them first). Null sizes pack at cost 0
+    (they'd otherwise arrive as NaN in the Arrow batch and crash the
+    kernel — filter them upstream if zero-cost is wrong for you).
 
     py kernel note: next-fit (close the bin when the next doc doesn't
     fit) rather than first-fit-decreasing — O(n), no per-bin search
@@ -42,7 +44,9 @@ def pack_sequences(f: Frame, id_col: str, size_col: str,
     import numpy as np
     import pandas as pd
 
-    src = f.sdf.select(F.col(id_col), F.col(size_col).cast("long").alias("__sz__"),
+    src = f.sdf.select(F.col(id_col),
+                       F.coalesce(F.col(size_col).cast("long"), F.lit(0))
+                       .alias("__sz__"),
                        F.spark_partition_id().alias("__pid__"))
 
     def kernel(batches):

@@ -52,9 +52,13 @@ def _unzip(path: str) -> str:
     import zipfile
 
     with zipfile.ZipFile(path) as zf:
-        names = zf.namelist()
+        # first REAL member: skip directory entries and archiver metadata
+        # (__MACOSX/, dotfiles) — zipping a folder lists those first
+        names = [n for n in zf.namelist()
+                 if not n.endswith("/") and not n.startswith("__MACOSX/")
+                 and not os.path.basename(n).startswith(".")]
         if not names:
-            raise ValueError(f"read_csv: empty zip archive {path!r}")
+            raise ValueError(f"read_csv: no data member in zip archive {path!r}")
         fd, tmp = tempfile.mkstemp(suffix="_" + os.path.basename(names[0]))
         with os.fdopen(fd, "wb") as out:
             out.write(zf.read(names[0]))
@@ -157,7 +161,10 @@ def read_parquet(spark: SparkSession, path: str, nanos_cols: dict[str, str] | No
     except Exception as exc:  # pragma: no cover - defensive fallback
         if "PARQUET_TYPE_ILLEGAL" not in str(exc):
             raise
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            raise exc  # conf is locked down — surface the READ error
         sdf = spark.read.parquet(path)
     for src, dst in (nanos_cols or {}).items():
         sdf = sdf.withColumn(dst, F.timestamp_micros(F.expr(f"`{src}` div 1000")))

@@ -109,6 +109,30 @@ def test_distinct_keeps_first_row(sleep_df):
     assert kept == [first_carni]
 
 
+def test_distinct_keep_first_dotted_names(spark):
+    # join suffixes produce dotted names (.x/.y) — distinct must
+    # backtick-quote them in the keep-first aggregate
+    a = from_records(spark, [{"k": 1, "age": 10}, {"k": 1, "age": 11}])
+    b = from_records(spark, [{"k": 1, "age": 99}])
+    j = a.inner_join(b, by="k")  # -> k, age.x, age.y
+    assert "age.x" in j.columns
+    out = j.distinct("k")
+    assert out.num_row == 1
+    assert out.sdf.collect()[0]["age.x"] == 10  # first row survives
+
+
+def test_dtype_selector_int_family(spark):
+    from pyspark.sql import types as T
+    sdf = spark.createDataFrame([(1, 2, 3.0)], schema=T.StructType([
+        T.StructField("i32", T.IntegerType()),
+        T.StructField("i64", T.LongType()),
+        T.StructField("d", T.DoubleType())]))
+    f = Frame(sdf)
+    # python int selects the whole integer family, not just bigint
+    assert set(f.select(s.of_type(int)).columns) == {"i32", "i64"}
+    assert f.select(s.of_type(float)).columns == ["d"]
+
+
 def test_filter_by_row_with_index(sleep_df):
     out = sleep_df.filter_by_row_with_index(lambda r, i: i % 2 == 0)
     expected = sleep_df.to_h()["name"][::2]

@@ -55,6 +55,27 @@ def test_asof_keeps_left_count(spark, orders):
     assert out.num_row == left.num_row  # never inflates, never drops
 
 
+def test_range_join_outer_stable_after_shuffle(spark, orders):
+    """Outer range-join ids must be frozen (localCheckpoint) so the
+    matched join and the anti-join see the SAME id assignment even when
+    the left side is the output of a shuffle."""
+    left = (orders.group_by("o_custkey")
+            .summarize(v=__import__("pyspark.sql.functions", fromlist=["F"]).avg("o_totalprice"))
+            .rename({"o_custkey": "k"}))
+    n_left = left.num_row
+    right = from_records(spark, [
+        {"lo": 0.0, "hi": 100000.0}, {"lo": 100000.0, "hi": 200000.0}])
+    out = left.range_join(right, "v", "lo", "hi", bin_width=100000.0, how="left")
+    # every left row appears >=1 time; matched rows never also appear null-extended
+    import pyspark.sql.functions as F
+    per = out.sdf.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("lo").isNull().cast("int")).alias("null_rows"))
+    assert per.count() == n_left
+    bad = per.filter((F.col("null_rows") > 0) & (F.col("n") > F.col("null_rows"))).count()
+    assert bad == 0  # no row is both matched and null-extended
+
+
 def test_asof_nearest_picks_closer_side(spark):
     left = from_records(spark, [
         {"k": "a", "ts": 10}, {"k": "a", "ts": 100}, {"k": "a", "ts": 55}])
