@@ -88,6 +88,49 @@ def test_inner_join_multiplicity(spark, left, right):
 
 
 @SLOW
+@given(sizes=st.lists(st.integers(0, 300), min_size=1, max_size=20),
+       budget=st.integers(50, 400))
+def test_pack_sequences_budget_property(spark, sizes, budget):
+    """Every bin holds <= budget unless it contains a single oversized
+    doc; every doc lands in exactly one bin."""
+    from crysda_spark import from_records
+    from crysda_spark.pipeline import packing as pk
+    f = from_records(spark, [{"id": i, "sz": s} for i, s in enumerate(sizes)],
+                     order=["id", "sz"])
+    rows = pk.pack_sequences(f, "id", "sz", budget=budget).sdf.collect()
+    assert sorted(r["id"] for r in rows) == list(range(len(sizes)))
+    per_bin = Counter()
+    mx = {}
+    for r in rows:
+        per_bin[r["bin_id"]] += r["size"]
+        mx[r["bin_id"]] = max(mx.get(r["bin_id"], 0), r["size"])
+    for b, tot in per_bin.items():
+        assert tot <= budget or mx[b] > budget
+
+
+@SLOW
+@given(radius=st.integers(0, 12), flips=st.integers(0, 12))
+def test_simhash_pairs_pigeonhole_property(spark, radius, flips):
+    """A planted pair at hamming distance `flips` is recovered IFF
+    flips <= radius — the Manku multi-block guarantee at any radius,
+    any bit placement (adversarial: bits spread evenly)."""
+    import random
+    rnd = random.Random(radius * 31 + flips)
+    base = rnd.getrandbits(62)
+    flip_bits = rnd.sample(range(64), flips)
+    flipped = base
+    for b in flip_bits:
+        flipped ^= (1 << b)
+    flipped &= (1 << 63) - 1
+    from crysda_spark.pipeline import dedup as dd
+    sig = spark.createDataFrame([{"id": 1, "sh": base}, {"id": 2, "sh": flipped}])
+    got = {(r.id_a, r.id_b) for r in dd.simhash_pairs(sig, "id", radius).collect()}
+    # actual hamming can differ from `flips` only via the 63-bit mask
+    actual = bin(base ^ flipped).count("1")
+    assert ((1, 2) in got) == (actual <= radius)
+
+
+@SLOW
 @given(vals=st.lists(st.one_of(st.none(), st.floats(-1e6, 1e6,
                                                     allow_nan=False)),
                      min_size=1, max_size=12))
