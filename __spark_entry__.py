@@ -187,6 +187,46 @@ def column_semantics_mix(spark, sf_dir):
                        min_concat=F.min("cc"))).sdf
 
 
+@q("literal_builder_values", """
+SELECT a, b, CAST(c AS DOUBLE) AS c
+FROM (VALUES (1, 'x', 1.5), (2, 'y', 2.5), (3, NULL, NULL)) AS t(a, b, c)
+""")
+def literal_builder_values(spark, sf_dir):
+    """In-memory literal table builder (reference dataframe_of().values(),
+    src/crysda.cr:54-93) incl. all-null column type fallback
+    (sources/readers.dataframe_of / from_records)."""
+    from crysda_spark import dataframe_of
+    return dataframe_of(spark, "a", "b", "c").values(
+        1, "x", 1.5, 2, "y", 2.5, 3, None, None).sdf
+
+
+@q("slice_sorted_rows", """
+SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 5
+""")
+def slice_sorted_rows(spark, sf_dir):
+    """slice verb (1-based row positions) made deterministic by a prior
+    total sort — positions 1..5 of the sorted frame (reference
+    src/crysda/dataframe.cr:502-510)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.select("o_orderkey", "o_totalprice")
+            .sort_by("o_orderkey")
+            .slice(range(1, 6))).sdf
+
+
+@q("row_number_sorted", """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS INT) AS row_number,
+       o_orderkey
+FROM orders
+""")
+def row_number_sorted(spark, sf_dir):
+    """add_row_number on a sorted frame — 1-based ordinal numbering
+    anchored by the sort so the oracle is well-defined (reference
+    src/crysda/dataframe.cr:99-102)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.select("o_orderkey").sort_by("o_orderkey")
+            .add_row_number()).sdf
+
+
 @q("grouped_by_keys", """
 SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
 """)
