@@ -46,6 +46,10 @@ def _norm_keys(keys) -> list[str]:
 def _check(grain: str, measures: dict) -> None:
     if grain not in GRAINS:
         raise ValueError(f"rollup: unknown grain {grain!r}; pick one of {GRAINS}")
+    check_measures(measures)
+
+
+def check_measures(measures: dict) -> None:
     for name, spec in measures.items():
         kind, col = spec if isinstance(spec, tuple) else (spec, None)
         if kind not in _KINDS:

@@ -39,6 +39,34 @@ def tumbling_counts(sdf: SparkDF, ts_col: str = "ts", width: str = "1 hour",
             .select(F.col("win.start").alias("window_start"), *keys, "n", "avg_value"))
 
 
+def tumbling_rollup(sdf: SparkDF, ts_col: str = "ts", width: str = "1 hour",
+                    keys: list[str] | None = None,
+                    watermark: str | None = "30 minutes",
+                    **measures) -> SparkDF:
+    """Streaming form of ``operators.rollup.time_rollup``: the same
+    mergeable measure kinds (count/sum/min/max/hll) over a tumbling
+    window, so a live stream and the batch rollup cascade produce
+    interchangeable partials — the lambda-architecture contract. The
+    output schema matches time_rollup's (keys..., bucket, measures...);
+    merge_rollup can coarsen either source."""
+    from ..operators.rollup import _KINDS, check_measures
+
+    check_measures(measures)
+    keys = keys or []
+    if watermark:
+        sdf = sdf.withWatermark(ts_col, watermark)
+    aggs = []
+    for name, spec in measures.items():
+        kind, col = spec if isinstance(spec, tuple) else (spec, None)
+        fine, _ = _KINDS[kind]
+        aggs.append((fine(col) if col is not None else fine(None)).alias(name))
+    return (sdf
+            .groupBy(F.window(ts_col, width).alias("win"), *keys)
+            .agg(*aggs)
+            .select(F.col("win.start").alias("bucket"), *keys,
+                    *measures.keys()))
+
+
 def sliding_counts(sdf: SparkDF, ts_col: str = "ts", width: str = "1 hour",
                    slide: str = "15 minutes", keys: list[str] | None = None,
                    watermark: str | None = "30 minutes") -> SparkDF:

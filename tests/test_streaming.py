@@ -50,6 +50,30 @@ def test_tumbling_counts(spark, events_stream_dir):
     assert j.filter(got["n"] != batch["n"]).count() == 0
 
 
+def test_tumbling_rollup_matches_batch_time_rollup(spark, events_stream_dir):
+    """Lambda-architecture contract: the streaming tumbling rollup and
+    the batch time_rollup produce identical partials for the same
+    mergeable measures."""
+    from crysda_spark import Frame
+    from crysda_spark.operators import rollup as ru
+
+    schema = _batch_events(spark, events_stream_dir).schema
+    stream = sw.stream_from_parquet_dir(spark, events_stream_dir, schema)
+    measures = dict(n="count", total=("sum", "value"), vmax=("max", "value"))
+    out = sw.tumbling_rollup(stream, width="1 hour", keys=["event_type"],
+                             watermark=None, **measures)
+    q = sw.run_to_memory(out, "roll_t", mode="complete")
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["event_type"], r["bucket"]): (r["n"], r["vmax"])
+           for r in spark.table("roll_t").collect()}
+    batch = ru.time_rollup(Frame(_batch_events(spark, events_stream_dir)),
+                           "ts", "hour", keys=["event_type"], **measures)
+    want = {(r["event_type"], r["bucket"]): (r["n"], r["vmax"])
+            for r in batch.sdf.collect()}
+    assert got == want and len(got) > 0
+
+
 def test_sliding_counts(spark, events_stream_dir):
     schema = _batch_events(spark, events_stream_dir).schema
     stream = sw.stream_from_parquet_dir(spark, events_stream_dir, schema)
