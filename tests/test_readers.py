@@ -90,6 +90,21 @@ def test_csv_zip(spark, tmp_path):
     assert dict(f.sdf.dtypes)["a"] in ("int", "bigint")
 
 
+def test_read_jdbc_roundtrip_derby(spark, tmp_path):
+    """Live JDBC round-trip against the embedded Derby that ships in
+    Spark's jars — write via the JDBC sink, read back via read_jdbc."""
+    from crysda_spark import from_records, read_jdbc
+    url = f"jdbc:derby:{tmp_path}/jdbcdb;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    f = from_records(spark, [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}])
+    (f.sdf.write.format("jdbc").option("url", url).option("dbtable", "t1")
+     .option("driver", drv).mode("overwrite").save())
+    back = read_jdbc(spark, url, "t1", driver=drv)
+    assert back.num_row == 2
+    assert {c.lower() for c in back.columns} == {"a", "b"}
+    assert sorted(r[0] for r in back.sdf.select(back.columns[0]).collect()) == [1, 2]
+
+
 def test_read_orc_roundtrip(spark, tmp_path):
     from crysda_spark import from_records, read_orc
     f = from_records(spark, [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}])
