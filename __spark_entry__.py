@@ -1072,7 +1072,7 @@ def rollup_cascade_daily(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     measures = dict(n="count", total=("sum", F.col("value").cast(DEC)))
     hourly = ru.time_rollup(ev, "ts", "hour", keys=["event_type"], **measures)
-    daily = ru.merge_rollup(hourly, "day", keys=["event_type"], **measures)
+    daily = ru.merge_rollup(hourly, "day", keys=["event_type"], from_grain="hour", **measures)
     return daily.sdf.select("event_type", "bucket",
                             F.col("n").cast("bigint").alias("n"),
                             F.col("total").cast("double").alias("total"))
@@ -1086,7 +1086,7 @@ def rollup_hll_users(spark, sf_dir):
     from crysda_spark.operators import rollup as ru
     ev = _t(spark, sf_dir, "events")
     hourly = ru.time_rollup(ev, "ts", "hour", users=("hll", "user_id"))
-    daily = ru.merge_rollup(hourly, "day", users=("hll", "user_id"))
+    daily = ru.merge_rollup(hourly, "day", from_grain="hour", users=("hll", "user_id"))
     return daily.sdf.select("bucket", ru.hll_estimate("users").alias("approx_users"))
 
 

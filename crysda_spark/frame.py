@@ -694,26 +694,33 @@ class Frame:
         same aggregate."""
         names = self._resolve_selection(cols) if cols else \
             [c for c in self.columns]
-        numeric = {n for n, t in self._sdf.dtypes
+        dtypes = dict(self._sdf.dtypes)
+        numeric = {n for n, t in dtypes.items()
                    if t in ("int", "bigint", "smallint", "tinyint",
                             "float", "double") or t.startswith("decimal")}
+        # maps are unorderable (no min/max) and unhashable for distinct
+        unorderable = {n for n in names if "map<" in dtypes[n]}
         d_fn = F.count_distinct if exact_distinct else F.approx_count_distinct
+        null_s = F.lit(None).cast("string")
         aggs = []
-        for c in names:
+        for i, c in enumerate(names):
             qc = F.col(f"`{c}`")
+            skip = c in unorderable
             aggs += [
-                F.count(qc).alias(f"__n_{c}"),
-                F.sum(qc.isNull().cast("long")).alias(f"__z_{c}"),
-                d_fn(qc).alias(f"__d_{c}"),
-                F.min(qc).cast("string").alias(f"__lo_{c}"),
-                F.max(qc).cast("string").alias(f"__hi_{c}"),
+                F.count(qc).alias(f"__n_{i}"),
+                F.sum(qc.isNull().cast("long")).alias(f"__z_{i}"),
+                (F.lit(None).cast("long") if skip else d_fn(qc)).alias(f"__d_{i}"),
+                (null_s if skip else F.min(qc).cast("string")).alias(f"__lo_{i}"),
+                (null_s if skip else F.max(qc).cast("string")).alias(f"__hi_{i}"),
                 (F.avg(qc) if c in numeric else F.lit(None).cast("double"))
-                .alias(f"__m_{c}"),
+                .alias(f"__m_{i}"),
             ]
         one = self._sdf.agg(*aggs)
+        # column names go through a SQL string literal — escape quotes
+        esc = lambda s: s.replace("\\", "\\\\").replace("'", "\\'")  # noqa: E731
         stack = ", ".join(
-            f"'{c}', `__n_{c}`, `__z_{c}`, `__d_{c}`, `__lo_{c}`, `__hi_{c}`, `__m_{c}`"
-            for c in names)
+            f"'{esc(c)}', __n_{i}, __z_{i}, __d_{i}, __lo_{i}, __hi_{i}, __m_{i}"
+            for i, c in enumerate(names))
         out = one.selectExpr(
             f"stack({len(names)}, {stack}) as "
             "(column, n, nulls, n_distinct, min_v, max_v, mean)")
@@ -723,8 +730,10 @@ class Frame:
     # Scale controls a cluster user reaches for constantly; all are
     # semantics-free pass-throughs to the underlying DataFrame.
     def broadcast(self) -> "Frame":
-        """Hint this (small) side for broadcast in subsequent joins."""
-        return Frame(F.broadcast(self._sdf), self._groups)
+        """Hint this (small) side for broadcast in subsequent joins
+        (delegates to operators.joins.broadcast_right — one hint impl)."""
+        from .operators.joins import broadcast_right
+        return broadcast_right(self)
 
     def repartition(self, num_partitions: int | None = None, *cols) -> "Frame":
         """Hash-repartition by columns (co-locate a join/agg key) and/or

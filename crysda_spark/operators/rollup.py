@@ -86,14 +86,42 @@ def time_rollup(f: Frame, ts_col: str, grain: str,
     return Frame(out)
 
 
+def _assert_nests(from_grain: str | None, coarser: str) -> None:
+    """Merging is only valid when every fine bucket lies wholly inside
+    one coarse bucket. Weeks cross month/quarter/year boundaries, so a
+    week rollup CANNOT be merged into those grains — date_trunc('month',
+    week_start) would silently misattribute the week's tail days."""
+    if from_grain is None:
+        return
+    if from_grain not in GRAINS:
+        raise ValueError(f"merge_rollup: unknown from_grain {from_grain!r}")
+    order = {g: i for i, g in enumerate(GRAINS)}
+    if order[coarser] <= order[from_grain]:
+        raise ValueError(
+            f"merge_rollup: {coarser!r} is not coarser than {from_grain!r}")
+    if from_grain == "week" and coarser in ("month", "quarter", "year"):
+        raise ValueError(
+            "merge_rollup: week buckets straddle month boundaries — a week "
+            "rollup cannot be merged into month/quarter/year; build those "
+            "from a day (or finer) rollup instead")
+
+
 def merge_rollup(rollup: Frame, coarser_grain: str,
                  keys: list[str] | tuple | str = (),
+                 from_grain: str | None = None,
                  **measures) -> Frame:
     """Derive a coarser rollup by merging a finer one's partials —
     never touches the raw corpus. ``measures`` must carry the same
     name=kind declarations used to build the fine rollup (col is
-    ignored here; the merge runs over the named partial column)."""
+    ignored here; the merge runs over the named partial column).
+
+    Pass ``from_grain`` (the grain of the input rollup) to get the
+    nesting check: merging is well-defined only when fine buckets nest
+    in coarse ones — notably a WEEK rollup must never be merged into
+    month/quarter/year (weeks straddle month boundaries and the tail
+    days would be silently misattributed)."""
     _check(coarser_grain, measures)
+    _assert_nests(from_grain, coarser_grain)
     keys = _norm_keys(keys)
     aggs = []
     for name, spec in measures.items():

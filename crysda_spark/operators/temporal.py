@@ -97,16 +97,18 @@ def _asof_nearest(left: Frame, right: Frame, on: str, by,
                .localCheckpoint())
     back = asof_join(l2, right, on, by, value_cols, "backward", "_bk")
     fwd = asof_join(l2, right, on, by, value_cols, "forward", "_fw")
+    # backtick everything: value_cols may carry dots (join suffixes .x/.y)
+    bt = lambda c: F.col(f"`{c}`")  # noqa: E731
     j = back.sdf.join(
-        fwd.sdf.select("__aid__", *[F.col(f"{c}_fw") for c in value_cols + [on]]),
+        fwd.sdf.select("__aid__", *[bt(f"{c}_fw") for c in value_cols + [on]]),
         on="__aid__", how="inner")
-    d_back = F.abs(F.col(on).cast("double") - F.col(f"{on}_bk").cast("double"))
-    d_fwd = F.abs(F.col(f"{on}_fw").cast("double") - F.col(on).cast("double"))
-    use_back = F.col(f"{on}_bk").isNotNull() & \
-        (F.col(f"{on}_fw").isNull() | (d_back <= d_fwd))
-    picked = [F.when(use_back, F.col(f"{c}_bk")).otherwise(F.col(f"{c}_fw"))
+    d_back = F.abs(bt(on).cast("double") - bt(f"{on}_bk").cast("double"))
+    d_fwd = F.abs(bt(f"{on}_fw").cast("double") - bt(on).cast("double"))
+    use_back = bt(f"{on}_bk").isNotNull() & \
+        (bt(f"{on}_fw").isNull() | (d_back <= d_fwd))
+    picked = [F.when(use_back, bt(f"{c}_bk")).otherwise(bt(f"{c}_fw"))
               .alias(f"{c}{suffix}") for c in value_cols + [on]]
-    out = j.select(*[c for c in left.sdf.columns], *picked)
+    out = j.select(*[bt(c) for c in left.sdf.columns], *picked)
     return Frame(out)
 
 
@@ -129,7 +131,11 @@ def range_join(left: Frame, right: Frame, left_on: str,
     as matched-inner ∪ null-extended unmatched rows (found by an
     anti-join on a per-row id) — the range predicate can never sit as a
     post-join filter, which would silently drop the null-extended rows
-    and revert to inner semantics."""
+    and revert to inner semantics. NOTE: outer modes EAGERLY materialize
+    the id-tagged side(s) via localCheckpoint at call time — the only
+    way to freeze nondeterministic row ids across the matched and
+    anti-join branches. Inner mode (the default and the scale path)
+    stays fully lazy."""
     if how not in ("inner", "left", "right", "full"):
         raise ValueError(f"range_join: how must be inner|left|right|full, got {how!r}")
     keys = list(by or [])

@@ -404,7 +404,12 @@ def simhash_pairs(sig: DataFrame, id_col: str, max_hamming: int,
     separated so crafted signatures can exercise the pigeonhole bound
     directly in tests."""
     m = n_chunks if n_chunks is not None else max_hamming + 2
-    c = key_chunks if key_chunks is not None else min(2, m - max_hamming)
+    c = key_chunks if key_chunks is not None else max(1, min(2, m - max_hamming))
+    if c < 1:
+        raise ValueError(
+            f"simhash_pairs: key_chunks({c}) must be >= 1 — a zero-chunk "
+            "key is one global bucket, i.e. the O(n²) cross join this "
+            "bucketing exists to prevent")
     if m - c < max_hamming:
         raise ValueError(
             f"simhash_pairs: n_chunks({m}) - key_chunks({c}) < "

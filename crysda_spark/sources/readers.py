@@ -147,18 +147,17 @@ def read_parquet(spark: SparkSession, path: str, nanos_cols: dict[str, str] | No
 
     Parquet TIMESTAMP(NANOS) columns are unreadable by Spark unless
     ``spark.sql.legacy.parquet.nanosAsLong`` is on, in which case they
-    arrive as bigint nanoseconds; we set that runtime SQLConf here (not
-    just in our own session builder) so the reader does not depend on
-    who constructed the session. ``nanos_cols={"ts": "ts"}`` converts
-    such columns to real microsecond timestamps (integer div — no
-    double precision loss)."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # read-only conf in some builds; the retry below still applies
+    arrive as bigint nanoseconds; on a PARQUET_TYPE_ILLEGAL failure we
+    set that runtime SQLConf and retry, so the reader works in ANY
+    session while ordinary parquet reads leave the caller's session
+    conf untouched. ``nanos_cols={"ts": "ts"}`` converts such columns
+    to real microsecond timestamps (integer div — no double precision
+    loss)."""
     try:
         sdf = spark.read.parquet(path)
-    except Exception as exc:  # pragma: no cover - defensive fallback
+    except Exception as exc:
+        # TIMESTAMP(NANOS) needs the legacy conf; set it only on demand
+        # so ordinary parquet reads leave the caller's session untouched
         if "PARQUET_TYPE_ILLEGAL" not in str(exc):
             raise
         try:

@@ -60,10 +60,12 @@ def tumbling_rollup(sdf: SparkDF, ts_col: str = "ts", width: str = "1 hour",
         kind, col = spec if isinstance(spec, tuple) else (spec, None)
         fine, _ = _KINDS[kind]
         aggs.append((fine(col) if col is not None else fine(None)).alias(name))
+    # column order matches time_rollup exactly (keys..., bucket,
+    # measures...) so batch and stream partials union positionally too
     return (sdf
             .groupBy(F.window(ts_col, width).alias("win"), *keys)
             .agg(*aggs)
-            .select(F.col("win.start").alias("bucket"), *keys,
+            .select(*keys, F.col("win.start").alias("bucket"),
                     *measures.keys()))
 
 

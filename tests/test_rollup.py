@@ -27,7 +27,7 @@ MEASURES = dict(n="count", total=("sum", "value"),
 
 def test_merged_daily_equals_direct_daily(events):
     hourly = ru.time_rollup(events, "ts", "hour", keys=["event_type"], **MEASURES)
-    daily_merged = ru.merge_rollup(hourly, "day", keys=["event_type"], **MEASURES)
+    daily_merged = ru.merge_rollup(hourly, "day", keys=["event_type"], from_grain="hour", **MEASURES)
     daily_direct = ru.time_rollup(events, "ts", "day", keys=["event_type"], **MEASURES)
 
     m = {(r["event_type"], r["bucket"]): r for r in daily_merged.sdf.collect()}
@@ -42,7 +42,7 @@ def test_merged_daily_equals_direct_daily(events):
 
 def test_hll_union_is_lossless_and_estimate_close(events):
     hourly = ru.time_rollup(events, "ts", "hour", **MEASURES)
-    daily_merged = ru.merge_rollup(hourly, "day", **MEASURES)
+    daily_merged = ru.merge_rollup(hourly, "day", from_grain="hour", **MEASURES)
     est = daily_merged.sdf.select(
         "bucket", ru.hll_estimate("users").alias("approx"))
     exact = (events.sdf
@@ -70,3 +70,25 @@ def test_rollup_validates_kinds_and_grains(events):
         ru.time_rollup(events, "ts", "fortnight", n="count")
     with pytest.raises(ValueError, match="needs a column"):
         ru.time_rollup(events, "ts", "hour", s="sum")
+
+
+def test_merge_rollup_rejects_week_to_month(events):
+    weekly = ru.time_rollup(events, "ts", "week", n="count")
+    with pytest.raises(ValueError, match="straddle month boundaries"):
+        ru.merge_rollup(weekly, "month", from_grain="week", n="count")
+    with pytest.raises(ValueError, match="not coarser"):
+        ru.merge_rollup(weekly, "day", from_grain="week", n="count")
+    # nested merges stay allowed
+    ru.merge_rollup(weekly, "year", from_grain="day", n="count")
+
+
+def test_streaming_batch_rollup_schema_parity(spark, events):
+    """tumbling_rollup's output column order must equal time_rollup's so
+    batch and stream partials union positionally (lambda architecture)."""
+    from crysda_spark.streaming import windows as sw
+    measures = dict(n="count", total=("sum", "value"))
+    batch = ru.time_rollup(events, "ts", "hour", keys=["event_type"], **measures)
+    stream_shape = sw.tumbling_rollup(
+        events.sdf, width="1 hour", keys=["event_type"],
+        watermark=None, **measures)  # batch df: schema-only check
+    assert stream_shape.columns == batch.sdf.columns
