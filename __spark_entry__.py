@@ -531,6 +531,81 @@ def q5_local_supplier(spark, sf_dir):
     return j.group_by("n_name").summarize(revenue=F.sum(rev).cast(OUT)).sdf
 
 
+@q("q6_forecast_revenue", """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+              * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-filter-aggregate — all three predicates
+    push to the parquet scan, no shuffle except the final 1-row agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                     & (F.col("l_shipdate") < "1997-01-01")
+                     & F.col("l_discount").between(0.05, 0.07)
+                     & (F.col("l_quantity") < 24))
+           .summarize(revenue=F.sum(_dec("l_extendedprice")
+                                    * _dec("l_discount")).cast(OUT)))
+    return out.sdf
+
+
+@q("q14_promo_effect", """
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4))) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+             6) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1997-06-01' AND l_shipdate < DATE '1997-07-01'
+""")
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape: fact-dim join (part broadcast) + conditional
+    aggregate ratio. Numerator and denominator stay exact decimals and
+    convert to double BEFORE the division, so the ratio is bit-equal
+    across engines (decimal division scale rules differ; double
+    division of identical doubles does not)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-06-01") & (F.col("l_shipdate") < "1997-07-01"))
+    p = _t(spark, sf_dir, "part")
+    j = li.inner_join(p, by=[("l_partkey", "p_partkey")])
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    out = j.summarize(
+        num=F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast(OUT),
+        den=F.sum(rev).cast(OUT))
+    return out.transmute(
+        promo_revenue=F.round(100.0 * F.col("num") / F.col("den"), 6)).sdf
+
+
+@q("q18_large_volume", """
+SELECT c_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 160)
+GROUP BY c_custkey, o_orderkey, o_orderdate
+""")
+def q18_large_volume(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-subquery membership expressed as an
+    aggregate → filter → semi_join pipeline (the IN-subquery is a left
+    semi join — no row duplication, the big side streams through)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.group_by("l_orderkey")
+           .summarize(tq=F.sum(_dec("l_quantity")))
+           .filter(F.col("tq") > 160))
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    sel = o.semi_join(big, by=[("o_orderkey", "l_orderkey")])
+    j = (c.inner_join(sel, by=[("c_custkey", "o_custkey")])
+         .inner_join(li, by=[("o_orderkey", "l_orderkey")]))
+    return (j.group_by("c_custkey", "o_orderkey", "o_orderdate")
+            .summarize(total_qty=F.sum(_dec("l_quantity")).cast(OUT))).sdf
+
+
 @q("json_props_extract", """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
