@@ -1,0 +1,88 @@
+"""Guard the driver's correctness-gate roster.
+
+The driver checks the FIRST 50 registrations of ``queries()`` only
+(CORRECTNESS_r01/r02 each cover exactly registrations 1-50), so
+registration order IS the gate roster.  Round 2 silently evicted 12
+driver-checked queries by inserting new ones early; this test turns
+window eviction from silent into red.
+"""
+
+import importlib.util
+from pathlib import Path
+
+import pytest
+
+ENTRY = Path(__file__).resolve().parent.parent / "__spark_entry__.py"
+
+# Every SURVEY §2 operator family and every oracle-bearing LLM-pipeline
+# operator must keep a row in the driver gate (positions 1-50).
+MUST_BE_IN_WINDOW = {
+    # §2.4 grouping / aggregation
+    "q1_pricing_summary", "summarize_at_stats", "transform_groups_zscore",
+    "count_segments", "group_by_expr_year", "rollup_sales", "profile_orders",
+    # §2.2 projection / selectors
+    "project_rename", "selector_regex", "select_by_dtype",
+    "transmute_revenue", "literal_builder_values",
+    # §2.3 filters / slicing / distinct
+    "filter_compound", "distinct_pairs", "slice_sorted_rows",
+    "sort_top_orders", "column_semantics_mix",
+    # §2.5 window / vector
+    "window_topn_per_group", "window_lag_orders", "window_cumsum",
+    "window_ranks",
+    # §2.6 column functions
+    "map_values_upper",
+    # §2.7 joins incl. temporal
+    "join_left_nulls", "join_outer", "join_semi", "join_anti", "join_cross",
+    "asof_click_error", "asof_nearest_error", "range_join_value_bins",
+    "q5_local_supplier",
+    # §2.8 reshape
+    "spread_pivot", "gather_melt", "unite_separate", "nest_unnest_roundtrip",
+    "expand_distinct", "complete_nulls",
+    # §2.9 set ops
+    "bind_rows_union", "bind_cols_zip", "intersect_keys", "except_high_value",
+    # streaming-equivalent + plan rewrites
+    "events_tumbling_hourly", "salted_join_revenue",
+    # LLM-pipeline (oracle-bearing)
+    "rollup_cascade_daily", "dedup_exact_docs", "text_stats",
+    "pii_scan_counts", "stratified_sample_counts", "embed_topk_cosine",
+    "embed_label_centroid",
+}
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    spec = importlib.util.spec_from_file_location("spark_entry_roster", ENTRY)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_window_is_exactly_the_curated_gate(entry_mod):
+    first50 = list(entry_mod.queries())[:50]
+    assert first50 == entry_mod._GATE_ORDER, (
+        "queries() positions 1-50 drifted from _GATE_ORDER — the driver "
+        "gate roster changed"
+    )
+
+
+def test_every_required_operator_query_sits_in_window(entry_mod):
+    first50 = set(list(entry_mod.queries())[:50])
+    evicted = MUST_BE_IN_WINDOW - first50
+    assert not evicted, f"gate-required queries evicted from first 50: {sorted(evicted)}"
+
+
+def test_window_queries_all_carry_oracles(entry_mod):
+    oracles = entry_mod.oracle_sql()
+    first50 = list(entry_mod.queries())[:50]
+    missing = [n for n in first50 if n not in oracles]
+    assert not missing, (
+        f"window slots wasted on oracle-less queries (rows-only check): {missing}"
+    )
+
+
+def test_no_registration_lost_or_duplicated(entry_mod):
+    names = list(entry_mod.queries())
+    assert len(names) == len(set(names))
+    assert set(entry_mod._GATE_ORDER) <= set(names)
+    # every oracle belongs to a registered query
+    assert set(entry_mod.oracle_sql()) <= set(names)
