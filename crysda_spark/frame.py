@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import random
 from collections.abc import Callable, Iterable, Sequence
+from functools import reduce
+from operator import and_
 from typing import Any
 
 from pyspark.sql import Column, DataFrame as SparkDF, Window as W
@@ -438,14 +440,18 @@ class Frame:
         picks = sz.select(*t._groups, "__sz__").dropDuplicates(list(t._groups) or None) \
             .withColumn("__pick__", F.explode(F.array([F.lit(i) for i in range(n)]))) \
             .withColumn("__tgt__", (F.floor((F.rand(seed) if seed is not None else F.rand())
-                                            * F.col("__sz__")) + 1).cast("int"))
-        on = [*t._groups] if t._groups else None
-        if on:
-            joined = picks.join(sz, on=on + [], how="inner") \
-                .filter(F.col("__tgt__") == F.col("__rn__"))
+                                            * F.col("__sz__")) + 1).cast("int")) \
+            .select(*t._groups, "__pick__", "__tgt__")
+        if t._groups:
+            # null-safe join: a NULL group key is still a group
+            cond = reduce(and_, [F.col(f"p.`{g}`").eqNullSafe(F.col(f"s.`{g}`"))
+                                 for g in t._groups])
+            joined = (picks.alias("p").join(sz.alias("s"), on=cond, how="inner")
+                      .filter(F.col("__tgt__") == F.col("__rn__")))
+            out = joined.select(*[F.col(f"s.`{c}`") for c in self.names])
         else:
             joined = picks.crossJoin(sz).filter(F.col("__tgt__") == F.col("__rn__"))
-        out = joined.drop("__sz__", "__rn__", "__pick__", "__tgt__", ORD)
+            out = joined.select(*[F.col(f"`{c}`") for c in self.names])
         return Frame(out, self._groups)
 
     def sample_frac(self, frac: float, replace: bool = False, seed: int | None = None) -> "Frame":
@@ -453,9 +459,32 @@ class Frame:
         src/crysda/dataframe.cr:414-418)."""
         if self._groups:
             if replace:
-                raise NotImplementedError(
-                    "sample_frac(replace=True) on a grouped frame is not "
-                    "implemented; use transform_groups + sample_n(replace=True)")
+                # reference: per group sample_n(round(frac*size), replace)
+                # (src/crysda/dataframe.cr:414-418).  Same explode-picks
+                # machinery as grouped sample_n(replace=True), with the
+                # pick count computed per group from its size.
+                t = self._with_ord()
+                w = W.partitionBy(*self._groups)
+                sz = (t._sdf.withColumn("__sz__", F.count(F.lit(1)).over(w))
+                      .withColumn("__rn__", F.row_number().over(w.orderBy(F.col(ORD)))))
+                rnd = F.rand(seed) if seed is not None else F.rand()
+                picks = (sz.select(*t._groups, "__sz__")
+                         .dropDuplicates(list(t._groups))
+                         .withColumn("__k__", F.round(F.col("__sz__") * frac).cast("int"))
+                         .filter(F.col("__k__") >= 1)
+                         .withColumn("__pick__",
+                                     F.explode(F.sequence(F.lit(1), F.col("__k__"))))
+                         .withColumn("__tgt__",
+                                     (F.floor(rnd * F.col("__sz__")) + 1).cast("int"))
+                         .select(*t._groups, "__pick__", "__tgt__")
+                         .alias("p"))
+                # null-safe join: a NULL group key is still a group
+                cond = reduce(and_, [F.col(f"p.`{g}`").eqNullSafe(F.col(f"s.`{g}`"))
+                                     for g in t._groups])
+                joined = (picks.join(sz.alias("s"), on=cond, how="inner")
+                          .filter(F.col("__tgt__") == F.col("__rn__")))
+                out = joined.select(*[F.col(f"s.`{c}`") for c in self.names])
+                return Frame(out, self._groups)
             w = W.partitionBy(*self._groups)
             rnd = F.rand(seed) if seed is not None else F.rand()
             out = (self.sdf.withColumn("__sz__", F.count(F.lit(1)).over(w))

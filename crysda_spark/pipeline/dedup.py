@@ -314,7 +314,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     labels = (edges.select(F.col("src").alias("id"))
               .dropDuplicates()
               .withColumn("comp", F.col("id")))
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (edges
                         .join(labels.withColumnsRenamed({"id": "src", "comp": "c"}),
                               on="src")
@@ -335,10 +335,17 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                       .select("id", "old", F.least("comp", "cc").alias("comp"))
                       .localCheckpoint())
         stepped.unpersist()
-        changed = new_labels.filter(F.col("comp") != F.col("old")).limit(1).count()
         labels = new_labels.select("id", "comp")
-        if changed == 0:
-            break
+        # The convergence probe is a driver round-trip over the (already
+        # materialized) checkpoint.  Small graphs exit in the first rounds,
+        # so probe rounds 0-2 always; past that, chains are long and rounds
+        # halve them (pointer jumping), so probing every 2nd round costs at
+        # most one extra fixed-point round while halving probe jobs.
+        if it < 3 or it % 2 == 1:
+            changed = (new_labels.filter(F.col("comp") != F.col("old"))
+                       .limit(1).count())
+            if changed == 0:
+                break
     edges.unpersist()
     return labels
 

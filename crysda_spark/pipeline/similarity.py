@@ -317,11 +317,16 @@ def embedding_near_dups(corpus: Frame, threshold: float = 0.95, dim: int = 64,
     banded = v.select(id_col, "v",
                       F.posexplode("buckets").alias("table_id", "bucket"))
     a, b = banded.alias("a"), banded.alias("b")
+    # Dedup (id_a, id_b) BEFORE the cosine verify: a pair colliding in
+    # several tables must pay the interpreted-HOF cosine once, not once
+    # per table (verify is the hot path; candidates are linear in T).
     pairs = (a.join(b, on=["table_id", "bucket"], how="inner")
              .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-             .withColumn("cos", cosine(F.col("a.v"), F.col("b.v")))
-             .filter(F.col("cos") >= threshold)
              .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"), "cos")
-             .dropDuplicates(["id_a", "id_b"]))
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+             .dropDuplicates(["id_a", "id_b"])
+             .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+             .filter(F.col("cos") >= threshold)
+             .select("id_a", "id_b", "cos"))
     return Frame(pairs)

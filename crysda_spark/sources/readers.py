@@ -92,10 +92,15 @@ def read_csv(spark: SparkSession, path: str, separator: str = ",",
     if header is None:
         sdf = sdf.toDF(*[f"Col{i + 1}" for i in range(len(sdf.columns))])
     # skip_blank_lines: Spark's CSV source drops fully-blank lines already.
+    # Reference infers T/F columns as Bool BY DEFAULT (src/crysda.cr:28-29;
+    # spec/reader_spec.cr:37-48): run the re-inference cascade over residual
+    # string columns unconditionally.  Spark's inferSchema already claimed
+    # clean numerics, so this one aggregate pass only promotes bool-vocab
+    # columns and comma-grouped numbers the reference would also promote.
     tv = true_values or TRUE_VALUES
     fv = false_values or FALSE_VALUES
-    if true_values or false_values:
-        strings = [c for c, t in sdf.dtypes if t == "string"]
+    strings = [c for c, t in sdf.dtypes if t == "string"]
+    if strings:
         sdf = convert_types(sdf, strings, true_values=tv, false_values=fv)
     return Frame(sdf)
 

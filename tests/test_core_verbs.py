@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -240,9 +242,26 @@ def test_sample_n(sleep_df):
     assert per_group.num_row == 5
 
 
-def test_grouped_sample_frac_replace_not_silently_ignored(sleep_df):
-    with pytest.raises(NotImplementedError):
-        sleep_df.group_by("vore").sample_frac(0.5, replace=True)
+def test_grouped_sample_frac_replace(sleep_df):
+    """Reference: grouped sample_frac = per-group sample_n(round(frac*size),
+    replace) (src/crysda/dataframe.cr:414-418; spec/core_spec.cr:190-241)."""
+    grouped = sleep_df.group_by("vore")
+    sizes = {r["vore"]: r["n"]
+             for r in grouped.count().sdf.collect()}
+    # engine rounds pick counts HALF_UP (Spark F.round), documented
+    # divergence from Crystal's ties-even Float#round
+    half_up = lambda x: math.floor(x + 0.5)
+    out = grouped.sample_frac(0.5, replace=True, seed=7)
+    got = {r["vore"]: r["n"] for r in out.count().sdf.collect()}
+    expect = {k: half_up(v * 0.5) for k, v in sizes.items() if half_up(v * 0.5) >= 1}
+    assert got == expect
+    # with replacement a 1.5× oversample must also work (no guard), and the
+    # NULL vore group must survive the pick join
+    over = grouped.sample_frac(1.5, replace=True, seed=7)
+    got_over = {r["vore"]: r["n"] for r in over.count().sdf.collect()}
+    assert got_over == {k: half_up(v * 1.5) for k, v in sizes.items()}
+    assert None in got_over
+    assert out.columns == sleep_df.columns
 
 
 def test_bind_rows(sleep_df, spark):

@@ -45,6 +45,21 @@ def test_csv_type_inference_matrix(spark, header_types_path):
     assert f.num_row == 7
 
 
+def test_csv_bool_vocab_inferred_by_default(spark, header_types_path):
+    """Reference infers T/F columns as Bool WITHOUT an explicit vocabulary
+    (src/crysda.cr:28-29; spec/reader_spec.cr:37-48 expects
+    String,String,Float64,Int32,Bool,Int64 for test_header_types.csv)."""
+    f = read_csv(spark, header_types_path)  # no true_values/false_values
+    types = dict(f.sdf.dtypes)
+    assert types["a"] == "string"
+    assert types["b"] == "string"
+    assert types["c"] == "double"
+    assert types["d"] in ("int", "bigint")
+    assert types["e"] == "boolean"
+    assert types["f"] == "bigint"
+    assert f.num_row == 7
+
+
 def test_csv_custom_na(spark, tmp_path):
     p = tmp_path / "custom_na.csv"
     p.write_text("a\nCUSTOM_NA\nCUSTOM_NA\n1\n2\n3\n")
