@@ -794,12 +794,17 @@ def join_semi(spark, sf_dir):
 
 @q("join_anti", """
 SELECT * FROM customer c WHERE NOT EXISTS
-  (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+   AND o.o_orderstatus = 'F')
 """)
 def join_anti(spark, sf_dir):
-    """anti_join: rows without a match (SURVEY §2.7 freebie)."""
+    """anti_join: rows without a match (SURVEY §2.7 freebie).
+
+    Anti-joins against the finished-orders subset so the result is
+    non-empty at every SF (every customer has SOME order in the
+    synthetic data; a vacuous 0-row anti-join is no gate evidence)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return c.anti_join(o, by=[("c_custkey", "o_custkey")]).sdf
 
 
