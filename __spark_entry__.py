@@ -1187,6 +1187,36 @@ def dedup_exact_docs(spark, sf_dir):
     return out.sdf.select(F.col("fp"), F.col("doc_id"), F.col("n_copies"))
 
 
+@q("ngram_jaccard_docs", """
+WITH norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                               i -> array_to_string(toks[i:i + 2], ' '))) AS s
+  FROM norm),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
+FROM inter
+JOIN sizes na ON inter.id_a = na.doc_id
+JOIN sizes nb ON inter.id_b = nb.doc_id
+WHERE c * 1.0 / (na.n + nb.n - c) >= 0.6
+""")
+def ngram_jaccard_docs(spark, sf_dir):
+    """EXACT n-gram Jaccard near-dup pairs at threshold 0.6 — AllPairs
+    prefix filtering (pipeline.dedup.ngram_jaccard_exact), full recall,
+    verified value-for-value against DuckDB's all-pairs computation."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_exact(docs, "text", "doc_id", threshold=0.6).sdf
+
+
 @q("minhash_near_dups")  # no SQL oracle: LSH banding is not SQL-expressible
 def minhash_near_dups(spark, sf_dir):
     """MinHash+LSH near-duplicate pairs with exact Jaccard verification

@@ -213,6 +213,56 @@ def ngram_jaccard_pairs(f: Frame, text_col: str, id_col: str,
                          n_hashes=32, bands=prefilter_bands, k=k)
 
 
+def ngram_jaccard_exact(f: Frame, text_col: str, id_col: str,
+                        threshold: float = 0.6, k: int = 3) -> Frame:
+    """EXACT n-gram Jaccard near-dup pairs — full recall, no LSH.
+
+    AllPairs/PPJoin-style prefix filtering (Bayardo et al., WWW'07;
+    Chaudhuri et al., ICDE'06) keeps the join exact while avoiding the
+    quadratic shared-shingle blowup: order every document's shingles by
+    ascending global document frequency (rare first, ties by value); a
+    pair with Jaccard >= t must share a shingle inside both documents'
+    first ``n - ceil(t*n) + 1`` shingles — if the whole intersection sat
+    in a document's suffix, it would have < t*n <= |A∩B| elements, a
+    contradiction. Candidate generation therefore self-joins only those
+    prefixes, and every candidate is verified with the exact Jaccard
+    over the full shingle sets.
+
+    Scale: the corpus-wide work is one doc-frequency aggregate (combines
+    map-side) plus the prefix self-join; the high-frequency shingles that
+    make a naive shared-shingle join quadratic sort to the END of the
+    frequency order and fall out of every prefix. Shuffle rows carry
+    (shingle, id), never documents. The verify join moves only candidate
+    pairs' shingle sets.
+    """
+    sh = shingled(f, text_col, id_col, k).persist()
+    ex = sh.select(id_col, F.explode("sh").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window as W
+    w = W.partitionBy(id_col).orderBy("df", "s")
+    # prefix length: n - ceil(t*n) + 1.  The epsilon biases float ceil
+    # DOWN at rational boundaries (0.6*5 must ceil to 3, not 4): a
+    # too-long prefix only costs candidates, a too-short one loses pairs.
+    pref = (ex.join(dfreq, on="s")
+            .withColumn("pos", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(W.partitionBy(id_col)))
+            .filter(F.col("pos")
+                    <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - 1e-9) + 1)
+            .select(id_col, "s"))
+    cands = (pref.alias("a").join(pref.alias("b"), on="s")
+             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .dropDuplicates())
+    out = (cands
+           .join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), on="id_a")
+           .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), on="id_b")
+           .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+    return Frame(out)
+
+
 # -------------------------------------------------------------------- simhash
 def simhash_signatures(f: Frame, text_col: str, id_col: str,
                        bits: int = 64) -> DataFrame:

@@ -94,6 +94,33 @@ def test_simhash_column_matches_df_path(docs):
     assert j.filter(F.col("sh") != F.col("sh2")).count() == 0
 
 
+def test_ngram_jaccard_exact_matches_brute_force(docs):
+    """Prefix filtering must be lossless: the AllPairs-filtered result
+    equals the all-pairs brute force at the same threshold."""
+    corpus = Frame(docs.sdf.select("doc_id", "text").limit(120))
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in dd.ngram_jaccard_exact(corpus, "text", "doc_id",
+                                           threshold=0.5).sdf.collect()}
+    sh = dd.shingled(corpus, "text", "doc_id")
+    a = sh.withColumnsRenamed({"doc_id": "id_a", "sh": "sh_a"})
+    b = sh.withColumnsRenamed({"doc_id": "id_b", "sh": "sh_b"})
+    want = {(r.id_a, r.id_b): round(r.j, 6)
+            for r in (a.crossJoin(b)
+                      .filter(F.col("id_a") < F.col("id_b"))
+                      .withColumn("j", dd.jaccard(F.col("sh_a"), F.col("sh_b")))
+                      .filter(F.col("j") >= 0.5)).collect()}
+    assert got == want
+
+
+def test_ngram_jaccard_exact_finds_planted_pair(docs):
+    base = docs.sdf.filter(F.col("doc_id") == 3).select("doc_id", "text")
+    mutated = base.select((F.col("doc_id") + 91000).alias("doc_id"),
+                          F.concat(F.col("text"), F.lit(" tail word")).alias("text"))
+    corpus = Frame(docs.sdf.select("doc_id", "text").unionByName(mutated))
+    pairs = dd.ngram_jaccard_exact(corpus, "text", "doc_id", threshold=0.6).sdf.collect()
+    assert any(r.id_a == 3 and r.id_b == 91003 for r in pairs)
+
+
 def test_minhash_column_matches_df_path(docs):
     sigs_df = dd.minhash_signatures(Frame(docs.sdf.limit(20)), "text", "doc_id",
                                     n_hashes=8)
