@@ -1338,7 +1338,33 @@ def pii_scan_counts(spark, sf_dir):
                            c["ipv4"].alias("ips"))
 
 
-@q("lang_id_votes")  # argmax by stopword vote; equivalence tested in pytest
+@q("lang_id_votes", """
+WITH vocab(w, vlang) AS (VALUES
+  ('the','en'),('a','en'),('of','en'),('and','en'),('to','en'),
+  ('in','en'),('is','en'),('that','en'),('it','en'),('for','en'),
+  ('der','de'),('die','de'),('das','de'),('und','de'),('ist','de'),
+  ('nicht','de'),('ein','de'),('mit','de'),('von','de'),('zu','de'),
+  ('le','fr'),('la','fr'),('les','fr'),('et','fr'),('est','fr'),
+  ('un','fr'),('une','fr'),('des','fr'),('que','fr'),('pour','fr'),
+  ('el','es'),('la','es'),('los','es'),('y','es'),('es','es'),
+  ('un','es'),('una','es'),('de','es'),('que','es'),('por','es')),
+tok AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS w
+  FROM documents),
+hits AS (
+  SELECT doc_id, vlang, COUNT(*) AS n
+  FROM tok JOIN vocab USING (w)
+  GROUP BY doc_id, vlang),
+best AS (
+  SELECT doc_id, vlang AS lang_guess,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, vlang DESC) AS rk
+  FROM hits)
+SELECT d.doc_id, d.lang,
+       COALESCE(b.lang_guess, 'und') AS lang_guess
+FROM documents d
+LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rk = 1
+""")
 def lang_id_votes(spark, sf_dir):
     """Heuristic language ID, join-shaped: explode tokens → broadcast
     stopword vocab join → per-(doc,lang) counts → argmax
@@ -1350,9 +1376,36 @@ def lang_id_votes(spark, sf_dir):
             .select("doc_id", "lang", "lang_guess"))
 
 
-@q("doc_quality")  # composite heuristic; rows-only
+@q("doc_quality", """
+WITH t AS (
+  SELECT doc_id, text,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(toks) AS tc,
+         CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))) * 1.0 / length(text)
+              ELSE 0.0 END AS pr,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, w -> length(w))) * 1.0 / len(toks)
+              ELSE 0.0 END AS wl,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, w -> list_contains(
+                     ['the','a','of','and','to','in','is','that','it','for'], w))) * 1.0 / len(toks)
+              ELSE 0.0 END AS sr
+  FROM t)
+SELECT doc_id,
+       ROUND((least(tc / 20.0, 1.0)
+            + 1.0 - least(pr * 5, 1.0)
+            + CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END
+            + least(sr * 5, 1.0)) / 4, 4) AS quality
+FROM m
+""")
 def doc_quality(spark, sf_dir):
-    """Composite quality score (pipeline.text.quality_score)."""
+    """Composite quality score (pipeline.text.quality_score): length,
+    punctuation, mean word length, stopword-presence components —
+    replicated term-for-term in the DuckDB oracle."""
     docs = _t(spark, sf_dir, "documents")
     return docs.transmute(doc_id=F.col("doc_id"),
                           quality=F.round(tx.quality_score("text"), 4)).sdf
