@@ -153,6 +153,43 @@ def enrich_with_static(stream: SparkDF, dim: SparkDF, on: list[str] | str,
     return stream.join(right, on=on, how=how)
 
 
+def stream_stream_interval_join(left: SparkDF, right: SparkDF,
+                                on: list[str] | str,
+                                left_ts: str = "ts", right_ts: str = "ts",
+                                lower: str = "0 seconds",
+                                upper: str = "1 hour",
+                                left_watermark: str = "30 minutes",
+                                right_watermark: str = "30 minutes",
+                                how: str = "inner") -> SparkDF:
+    """Stream-stream join with an event-time interval condition:
+    matches right rows with ``left_ts <= right_ts <= left_ts + upper``
+    (shifted by ``lower``).
+
+    Both sides MUST carry watermarks — the interval bound plus the
+    watermarks is what lets Spark expire buffered state; an unbounded
+    stream-stream join would buffer both streams forever. State per key
+    is bounded by (watermark + interval) of events. Outer variants emit
+    unmatched rows only once the watermark passes the join window, so
+    results trail event time by that delay — the correct semantics for
+    late data, not a bug.
+
+    The equality keys shuffle both streams to the same tasks (hash
+    partitioning on ``on``); the interval condition is evaluated within
+    the state store, so no cross-partition scan happens at any scale.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lw = left.withWatermark(left_ts, left_watermark).alias("l")
+    rw = right.withWatermark(right_ts, right_watermark).alias("r")
+    cond = None
+    for k in keys:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = c if cond is None else (cond & c)
+    lo = F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower}")
+    hi = F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}")
+    cond = cond & (F.col(f"r.{right_ts}") >= lo) & (F.col(f"r.{right_ts}") <= hi)
+    return lw.join(rw, on=cond, how=how)
+
+
 def stream_from_parquet_dir(spark, path: str, schema) -> SparkDF:
     """File-source stream over a parquet directory — each new file is a
     micro-batch. Used to exercise streaming ops hermetically in tests

@@ -140,6 +140,41 @@ def test_stateful_running_totals(spark, events_stream_dir):
     assert j.filter(final["n"] != batch["n"]).count() == 0
 
 
+def test_stream_stream_interval_join_matches_batch(spark, events_stream_dir):
+    """Self interval join: pairs of same-user events within 10 minutes.
+    With a generous watermark and availableNow processing, the streaming
+    inner join must produce exactly the batch join's row set."""
+    schema = _batch_events(spark, events_stream_dir).schema
+    left = sw.stream_from_parquet_dir(spark, events_stream_dir, schema) \
+        .select("user_id", "event_id", "ts")
+    right = sw.stream_from_parquet_dir(spark, events_stream_dir, schema) \
+        .select("user_id", F.col("event_id").alias("event_id_r"),
+                F.col("ts").alias("ts_r"))
+    out = sw.stream_stream_interval_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts_r",
+        lower="0 seconds", upper="10 minutes",
+        left_watermark="100 days", right_watermark="100 days")
+    out = out.select(F.col("l.event_id").alias("a"),
+                     F.col("event_id_r").alias("b"))
+    q = sw.run_to_memory(out, "ssj_t")
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["a"], r["b"]) for r in spark.table("ssj_t").collect()}
+
+    ev = _batch_events(spark, events_stream_dir)
+    l = ev.select("user_id", "event_id", "ts").alias("l")
+    r = ev.select("user_id", F.col("event_id").alias("event_id_r"),
+                  F.col("ts").alias("ts_r")).alias("r")
+    want = {(x["event_id"], x["event_id_r"])
+            for x in l.join(
+                r, (F.col("l.user_id") == F.col("r.user_id"))
+                & (F.col("ts_r") >= F.col("ts"))
+                & (F.col("ts_r") <= F.col("ts") + F.expr("INTERVAL 10 minutes"))
+            ).select("event_id", "event_id_r").collect()}
+    assert got == want
+    assert len(got) > 0
+
+
 def test_streaming_dedup(spark, events_stream_dir):
     schema = _batch_events(spark, events_stream_dir).schema
     stream = sw.stream_from_parquet_dir(spark, events_stream_dir, schema)
