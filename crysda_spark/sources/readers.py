@@ -157,7 +157,9 @@ def read_parquet(spark: SparkSession, path: str, nanos_cols: dict[str, str] | No
     session while ordinary parquet reads leave the caller's session
     conf untouched. ``nanos_cols={"ts": "ts"}`` converts such columns
     to real microsecond timestamps (integer div — no double precision
-    loss)."""
+    loss); columns that already arrive as timestamps (e.g. the file was
+    written with TIMESTAMP(MICROS)) pass through unchanged, so callers
+    can declare the mapping without knowing the writer's resolution."""
     try:
         sdf = spark.read.parquet(path)
     except Exception as exc:
@@ -170,8 +172,16 @@ def read_parquet(spark: SparkSession, path: str, nanos_cols: dict[str, str] | No
         except Exception:
             raise exc  # conf is locked down — surface the READ error
         sdf = spark.read.parquet(path)
+    dtypes = dict(sdf.dtypes)
     for src, dst in (nanos_cols or {}).items():
-        sdf = sdf.withColumn(dst, F.timestamp_micros(F.expr(f"`{src}` div 1000")))
+        if dtypes.get(src) == "bigint":
+            sdf = sdf.withColumn(dst, F.timestamp_micros(F.expr(f"`{src}` div 1000")))
+        else:
+            # already a timestamp (file written with TIMESTAMP(MICROS));
+            # normalize TIMESTAMP_NTZ -> TIMESTAMP (session tz is UTC, so the
+            # instant is unchanged) because event-time ops (watermarks,
+            # window()) require TimestampType
+            sdf = sdf.withColumn(dst, F.col(f"`{src}`").cast("timestamp"))
     return Frame(sdf)
 
 
