@@ -47,15 +47,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        t1 = run_once(name, fn)
-        # best-of-2 for anything that didn't finish fast: the host has
-        # bursty external CPU contention (measured 10× swings on identical
-        # code), and the first run also pays one-time Janino codegen
-        # compile — neither is a property of the query plan
-        if t1 > 2.0:
-            t2 = run_once(name, fn)
-            t1 = min(t1, t2) if t2 >= 0 else t1
-        timings[name] = t1
+        # median-of-3 for EVERY query: the host has bursty external CPU
+        # contention (r3→r4 showed 8× swings on identical code), and the
+        # first run also pays one-time Janino codegen compile — neither is
+        # a property of the query plan. The median is robust to one bad
+        # run in either direction, making round-over-round 2× comparisons
+        # adjudicable.
+        runs = [run_once(name, fn) for _ in range(3)]
+        ok = sorted(t for t in runs if t >= 0)
+        # lower median: index 1 of 3; min of 2 if one run errored
+        timings[name] = ok[(len(ok) - 1) // 2] if ok else -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(json.dumps({
         "metric": "total_query_seconds",

@@ -157,9 +157,16 @@ def read_parquet(spark: SparkSession, path: str, nanos_cols: dict[str, str] | No
     session while ordinary parquet reads leave the caller's session
     conf untouched. ``nanos_cols={"ts": "ts"}`` converts such columns
     to real microsecond timestamps (integer div — no double precision
-    loss); columns that already arrive as timestamps (e.g. the file was
-    written with TIMESTAMP(MICROS)) pass through unchanged, so callers
-    can declare the mapping without knowing the writer's resolution."""
+    loss); columns that already arrive as TIMESTAMP pass through
+    unchanged, so callers can declare the mapping without knowing the
+    writer's resolution. A TIMESTAMP_NTZ source (writer stamped the
+    column timezone-naive) is interpreted as UTC wall-clock:
+    convert_timezone('UTC', sessionTz, ntz) rewrites the wall-clock
+    into the session timezone before the cast, so the resulting
+    instant is correct in ANY session timezone, not just UTC. Any
+    other source dtype (missing column, double, string, ...) raises
+    ValueError — a double of nanoseconds must never be silently cast
+    to a timestamp of *seconds*."""
     try:
         sdf = spark.read.parquet(path)
     except Exception as exc:
@@ -174,14 +181,33 @@ def read_parquet(spark: SparkSession, path: str, nanos_cols: dict[str, str] | No
         sdf = spark.read.parquet(path)
     dtypes = dict(sdf.dtypes)
     for src, dst in (nanos_cols or {}).items():
-        if dtypes.get(src) == "bigint":
+        dt = dtypes.get(src)
+        if dt == "bigint":
             sdf = sdf.withColumn(dst, F.timestamp_micros(F.expr(f"`{src}` div 1000")))
+        elif dt == "timestamp":
+            # already event-time ready (watermarks/window() want TimestampType)
+            sdf = sdf.withColumn(dst, F.col(f"`{src}`"))
+        elif dt == "timestamp_ntz":
+            # naive wall-clock: interpret as UTC regardless of session tz.
+            # A bare .cast("timestamp") would re-read the wall-clock in the
+            # session timezone and shift the instant in non-UTC sessions, so
+            # first rewrite the wall-clock from UTC into the session tz; the
+            # cast then recovers the original instant exactly.
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            sdf = sdf.withColumn(
+                dst,
+                F.convert_timezone(F.lit("UTC"), F.lit(tz), F.col(f"`{src}`"))
+                .cast("timestamp"))
+        elif dt is None:
+            raise ValueError(
+                f"read_parquet(nanos_cols): column {src!r} not found in {path} "
+                f"(columns: {sorted(dtypes)})")
         else:
-            # already a timestamp (file written with TIMESTAMP(MICROS));
-            # normalize TIMESTAMP_NTZ -> TIMESTAMP (session tz is UTC, so the
-            # instant is unchanged) because event-time ops (watermarks,
-            # window()) require TimestampType
-            sdf = sdf.withColumn(dst, F.col(f"`{src}`").cast("timestamp"))
+            raise ValueError(
+                f"read_parquet(nanos_cols): column {src!r} has dtype {dt!r}; "
+                "expected bigint (nanosAsLong), timestamp, or timestamp_ntz — "
+                "refusing a blind cast (a double of nanoseconds would silently "
+                "become seconds)")
     return Frame(sdf)
 
 

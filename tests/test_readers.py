@@ -143,6 +143,73 @@ def test_read_text_lines_and_whole(spark, tmp_path):
     assert "line two" in rows[0]["content"]
 
 
+def test_read_parquet_nanos_bigint_div(spark, tmp_path):
+    """bigint nanos → microsecond timestamps via integer div."""
+    from crysda_spark import read_parquet
+    p = str(tmp_path / "nanos_bigint")
+    spark.sql("SELECT CAST(1622548800123456789 AS BIGINT) AS ts").write.parquet(p)
+    f = read_parquet(spark, p, nanos_cols={"ts": "ts"})
+    assert dict(f.sdf.dtypes)["ts"] == "timestamp"
+    micros = f.sdf.select(F.unix_micros("ts")).collect()[0][0]
+    assert micros == 1622548800123456  # nanos div 1000, no float loss
+
+
+def test_read_parquet_nanos_guard_rejects_double(spark, tmp_path):
+    """A double of nanoseconds must NOT be silently cast to a timestamp
+    of seconds (the pre-round-5 blind else-branch did exactly that)."""
+    from crysda_spark import read_parquet
+    p = str(tmp_path / "nanos_double")
+    spark.sql("SELECT CAST(1.6225488e18 AS DOUBLE) AS ts").write.parquet(p)
+    with pytest.raises(ValueError, match="dtype 'double'"):
+        read_parquet(spark, p, nanos_cols={"ts": "ts"})
+
+
+def test_read_parquet_nanos_guard_rejects_string(spark, tmp_path):
+    from crysda_spark import read_parquet
+    p = str(tmp_path / "nanos_string")
+    spark.sql("SELECT '2021-06-01 12:00:00' AS ts").write.parquet(p)
+    with pytest.raises(ValueError, match="dtype 'string'"):
+        read_parquet(spark, p, nanos_cols={"ts": "ts"})
+
+
+def test_read_parquet_nanos_guard_missing_column(spark, tmp_path):
+    from crysda_spark import read_parquet
+    p = str(tmp_path / "nanos_missing")
+    spark.sql("SELECT 1 AS a").write.parquet(p)
+    with pytest.raises(ValueError, match="not found"):
+        read_parquet(spark, p, nanos_cols={"nope": "nope"})
+
+
+def test_read_parquet_ntz_instant_preserved_non_utc_session(spark, tmp_path):
+    """TIMESTAMP_NTZ wall-clock is interpreted as UTC: the resulting
+    instant must be identical whether the session tz is UTC or not
+    (the pre-round-5 bare cast shifted it by the session offset)."""
+    from crysda_spark import read_parquet
+    p = str(tmp_path / "ntz_col")
+    spark.sql("SELECT TIMESTAMP_NTZ'2021-06-01 12:00:00' AS ts").write.parquet(p)
+    assert dict(spark.read.parquet(p).dtypes)["ts"] == "timestamp_ntz"
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        f = read_parquet(spark, p, nanos_cols={"ts": "ts"})
+        assert dict(f.sdf.dtypes)["ts"] == "timestamp"
+        secs = f.sdf.select(F.unix_seconds("ts")).collect()[0][0]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    assert secs == 1622548800  # 2021-06-01T12:00:00Z, not shifted by -4h
+
+
+def test_read_parquet_timestamp_passthrough(spark, tmp_path):
+    """A plain TIMESTAMP source passes through with its instant intact."""
+    from crysda_spark import read_parquet
+    p = str(tmp_path / "ts_col")
+    spark.sql("SELECT TIMESTAMP'2021-06-01 12:00:00Z' AS ts").write.parquet(p)
+    f = read_parquet(spark, p, nanos_cols={"ts": "ts"})
+    assert dict(f.sdf.dtypes)["ts"] == "timestamp"
+    secs = f.sdf.select(F.unix_seconds("ts")).collect()[0][0]
+    assert secs == 1622548800
+
+
 def test_json_records_missing_keys(spark, tmp_path):
     p = tmp_path / "movies.json"
     p.write_text('[{"title": "A", "year": 2000, "votes": 10},'
