@@ -631,12 +631,20 @@ SELECT o_orderpriority,
 FROM orders GROUP BY o_orderpriority
 """)
 def percentile_prices(spark, sf_dir):
-    """Exact linear-interpolation percentiles (median/p90) — Spark
-    `percentile` ≡ DuckDB quantile_cont (SURVEY §2.4 aggregates)."""
+    """Exact linear-interpolation percentiles (median/p90) ≡ DuckDB
+    quantile_cont (SURVEY §2.4 aggregates) — computed via distributed
+    range-partitioned rank selection (operators.quantiles.quantile_cont),
+    NOT Spark's exact `percentile`, whose aggregation buffer holds every
+    group value and dies at 100 TB scale."""
+    from crysda_spark.operators.quantiles import quantile_cont
     o = _t(spark, sf_dir, "orders")
-    return (o.group_by("o_orderpriority")
-            .summarize(p50=F.round(F.percentile("o_totalprice", F.lit(0.5)), 4),
-                       p90=F.round(F.percentile("o_totalprice", F.lit(0.9)), 4))).sdf
+    qd = quantile_cont(o.sdf, "o_totalprice", [0.5, 0.9],
+                       by=["o_orderpriority"])
+    return (qd.groupBy("o_orderpriority")
+            .agg(F.round(F.max(F.when(F.col("q") == 0.5, F.col("value"))), 4)
+                 .alias("p50"),
+                 F.round(F.max(F.when(F.col("q") == 0.9, F.col("value"))), 4)
+                 .alias("p90")))
 
 
 @q("window_ranks", """

@@ -1,0 +1,82 @@
+"""operators.quantiles.quantile_cont — distributed exact quantiles must
+agree with Spark's exact `percentile` aggregate (the single-buffer
+implementation we refuse to use at scale) on real data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crysda_spark.operators.quantiles import quantile_cont
+
+
+def _percentile_ref(sdf, col, qs, by):
+    exprs = [F.percentile(col, F.lit(q)).alias(f"q{i}")
+             for i, q in enumerate(qs)]
+    return {tuple(r[k] for k in by): [r[f"q{i}"] for i in range(len(qs))]
+            for r in sdf.groupBy(*by).agg(*exprs).collect()}
+
+
+def test_grouped_matches_spark_percentile(orders):
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = {tuple([r["o_orderpriority"]]): {}
+           for r in orders.sdf.select("o_orderpriority").distinct().collect()}
+    out = quantile_cont(orders.sdf, "o_totalprice", qs,
+                        by=["o_orderpriority"]).collect()
+    for r in out:
+        got[(r["o_orderpriority"],)][r["q"]] = r["value"]
+    ref = _percentile_ref(orders.sdf, "o_totalprice", qs, ["o_orderpriority"])
+    assert set(got) == set(ref)
+    for k, vals in ref.items():
+        for q, want in zip(qs, vals):
+            assert got[k][q] == pytest.approx(want, abs=1e-9), (k, q)
+
+
+def test_ungrouped_and_single_row_groups(spark):
+    from crysda_spark import from_records
+    f = from_records(spark, [{"g": "a", "v": float(i)} for i in range(10)]
+                     + [{"g": "b", "v": 42.0}])
+    # ungrouped: median of 0..9 and 42 (12 values incl. both groups)
+    out = {r["q"]: r["value"]
+           for r in quantile_cont(f.sdf, "v", [0.5]).collect()}
+    want = f.sdf.select(F.percentile("v", F.lit(0.5))).collect()[0][0]
+    assert out[0.5] == pytest.approx(want)
+    # single-row group: every quantile is the value itself
+    grp = {(r["g"], r["q"]): r["value"]
+           for r in quantile_cont(f.sdf, "v", [0.0, 0.5, 1.0],
+                                  by=["g"]).collect()}
+    assert grp[("b", 0.0)] == grp[("b", 0.5)] == grp[("b", 1.0)] == 42.0
+
+
+def test_nulls_excluded_and_null_group_key_kept(spark):
+    from crysda_spark import from_records
+    f = from_records(spark, [
+        {"g": "a", "v": 1.0}, {"g": "a", "v": None}, {"g": "a", "v": 3.0},
+        {"g": None, "v": 5.0}, {"g": None, "v": 7.0},
+    ])
+    grp = {(r["g"], r["q"]): r["value"]
+           for r in quantile_cont(f.sdf, "v", [0.5], by=["g"]).collect()}
+    assert grp[("a", 0.5)] == 2.0       # null value excluded, not zero-filled
+    assert grp[(None, 0.5)] == 6.0      # NULL is a real group key
+
+
+def test_validates_quantile_range(orders):
+    with pytest.raises(ValueError):
+        quantile_cont(orders.sdf, "o_totalprice", [1.5])
+    with pytest.raises(ValueError):
+        quantile_cont(orders.sdf, "o_totalprice", [])
+
+
+def test_many_partitions_still_exact(spark):
+    """Force more range partitions than rows-per-group so ranks must be
+    stitched across partitions via offsets."""
+    from crysda_spark import from_records
+    rows = [{"g": chr(97 + i % 3), "v": float(i)} for i in range(30)]
+    f = from_records(spark, rows)
+    out = {(r["g"], r["q"]): r["value"]
+           for r in quantile_cont(f.sdf, "v", [0.5, 0.9], by=["g"],
+                                  num_partitions=16).collect()}
+    ref = _percentile_ref(f.sdf, "v", [0.5, 0.9], ["g"])
+    for (g,), (m, p90) in ref.items():
+        assert out[(g, 0.5)] == pytest.approx(m)
+        assert out[(g, 0.9)] == pytest.approx(p90)
