@@ -1225,37 +1225,95 @@ def ngram_jaccard_docs(spark, sf_dir):
     return dd.ngram_jaccard_exact(docs, "text", "doc_id", threshold=0.6).sdf
 
 
+# Planted-truth scaffolding for the rows-only near-dup/ANN queries: the
+# driver can only check row counts for non-SQL-expressible operators, so
+# each query plants ground truth it is GUARANTEED to recover (exact
+# copies: J=1 collides in every MinHash band, hamming=0 is inside any
+# Manku radius, cos=1 shares the query's nearest IVF cell) and raises if
+# any planted item is missed — recall failures fail the query instead of
+# silently shrinking its output.
+_PLANT_OFFSET = 10_000_000
+
+
+def _plant_copies(docs_sdf, n: int, offset: int = _PLANT_OFFSET):
+    """Union exact copies of the first ``n`` docs under a shifted id
+    namespace (real ids never reach the offset)."""
+    copies = (docs_sdf.filter(F.col("doc_id") < n)
+              .withColumn("doc_id", F.col("doc_id") + F.lit(offset)))
+    return docs_sdf.unionByName(copies)
+
+
+def _assert_recall(sdf, cond, expected: int, what: str):
+    """Driver-side planted-truth gate. The count() action is bounded
+    (one scalar); the frame is persisted first so the caller's
+    consumption reuses the materialized result instead of recomputing
+    the LSH/clustering pipeline."""
+    sdf = sdf.persist()
+    got = sdf.where(cond).count()
+    if got < expected:
+        raise AssertionError(
+            f"planted-truth recall failed for {what}: {got}/{expected}")
+    return sdf
+
+
 @q("minhash_near_dups")  # no SQL oracle: LSH banding is not SQL-expressible
 def minhash_near_dups(spark, sf_dir):
     """MinHash+LSH near-duplicate pairs with exact Jaccard verification
-    (pipeline.dedup.minhash_dedup). Rows-only driver check."""
+    (pipeline.dedup.minhash_dedup). Planted-truth rows check: 50 exact
+    copies (J=1 → every band collides, recovery guaranteed rather than
+    probabilistic) must all come back as (i, i+10M) pairs."""
     docs = _t(spark, sf_dir, "documents")
+    corpus = Frame(_plant_copies(docs.sdf, 50))
     # r=8 rows/band → band-collision prob at the word-soup docs' high
     # baseline Jaccard (~0.3) is 0.3^8≈7e-5: candidates stay linear
-    out = dd.minhash_dedup(docs, "text", "doc_id", threshold=0.6,
+    out = dd.minhash_dedup(corpus, "text", "doc_id", threshold=0.6,
                            n_hashes=64, bands=8)
-    return out.sdf.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    res = out.sdf.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    return _assert_recall(
+        res,
+        (F.col("id_b") == F.col("id_a") + _PLANT_OFFSET) & (F.col("id_a") < 50),
+        50, "minhash exact-copy pairs")
 
 
 @q("dedup_cluster_survivors")  # iterative component resolution; rows-only
 def dedup_cluster_survivors(spark, sf_dir):
     """Full near-dup collapse: minhash-LSH pairs → connected components
     (iterative min-label propagation) → one canonical survivor per
-    cluster (pipeline.dedup.dedup_survivors)."""
+    cluster (pipeline.dedup.dedup_survivors). Planted-truth: 3 exact
+    copies each of docs 0-9 must fold into their original's component —
+    a planted id surviving means a missed pair or a broken component."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dd.minhash_dedup(docs, "text", "doc_id", threshold=0.6,
+    corpus_sdf = docs.sdf
+    for off in (_PLANT_OFFSET, 2 * _PLANT_OFFSET, 3 * _PLANT_OFFSET):
+        corpus_sdf = corpus_sdf.unionByName(
+            docs.sdf.filter(F.col("doc_id") < 10)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(off)))
+    corpus = Frame(corpus_sdf)
+    pairs = dd.minhash_dedup(corpus, "text", "doc_id", threshold=0.6,
                              n_hashes=32, bands=8).sdf
-    out = dd.dedup_survivors(docs, pairs, "doc_id")
-    return out.sdf
+    out = dd.dedup_survivors(corpus, pairs, "doc_id").sdf.persist()
+    n_planted = out.where(F.col("doc_id") >= _PLANT_OFFSET).count()
+    if n_planted:
+        raise AssertionError(
+            f"planted-truth failed for dedup_cluster_survivors: {n_planted} "
+            "planted copies survived (their originals must be the canonical "
+            "min-id survivors)")
+    return out
 
 
 @q("simhash_near_dups")  # no SQL oracle
 def simhash_near_dups(spark, sf_dir):
     """SimHash near-duplicate pairs, hamming<=4 over 64-bit signatures
     (Manku multi-block bucketing guarantees full recall at the requested
-    radius — pipeline.dedup.simhash_pairs)."""
+    radius — pipeline.dedup.simhash_pairs). Planted-truth rows check: 50
+    exact copies (hamming 0) must all come back as (i, i+10M) pairs."""
     docs = _t(spark, sf_dir, "documents")
-    return dd.simhash_near_dups(docs, "text", "doc_id", max_hamming=4).sdf
+    corpus = Frame(_plant_copies(docs.sdf, 50))
+    res = dd.simhash_near_dups(corpus, "text", "doc_id", max_hamming=4).sdf
+    return _assert_recall(
+        res,
+        (F.col("id_b") == F.col("id_a") + _PLANT_OFFSET) & (F.col("id_a") < 50),
+        50, "simhash exact-copy pairs")
 
 
 # =============================================== LLM pipeline: text analysis
@@ -1481,11 +1539,25 @@ def embed_near_dups_lsh(spark, sf_dir):
 @q("embed_topk_ivf")  # KMeans index; not SQL-expressible — rows-only
 def embed_topk_ivf(spark, sf_dir):
     """IVF (k-means inverted-file) approximate top-k: broadcast centroid
-    assignment + probe-nearest-cells search (pipeline.similarity.ivf_topk)."""
+    assignment + probe-nearest-cells search (pipeline.similarity.ivf_topk).
+    Planted-truth: an exact duplicate of each query vector (+10M id) is
+    added to the corpus; it shares the query's nearest cell, so probing
+    must surface it at rank 1 with cos≈1 for all 10 queries (natural max
+    pairwise cos in this synthetic table is ≈0.49)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    out = sim.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
-    return out.sdf.withColumn("cos", F.round("cos", 4))
+    planted = queries.sdf.select(
+        (F.col("vec_id") + F.lit(_PLANT_OFFSET)).alias("vec_id"),
+        "embedding", "label")
+    corpus = Frame(emb.sdf.select("vec_id", "embedding", "label")
+                   .unionByName(planted))
+    out = sim.ivf_topk(corpus, queries, k=5, n_cells=16, n_probe=4)
+    res = out.sdf.withColumn("cos", F.round("cos", 4))
+    return _assert_recall(
+        res,
+        (F.col("rank") == 1)
+        & (F.col("match_id") == F.col("query_id") + _PLANT_OFFSET),
+        10, "IVF planted duplicate at rank 1")
 
 
 @q("embed_label_centroid", """
@@ -1528,26 +1600,31 @@ _GATE_ORDER = [
     # §2.3 filters / slicing / distinct
     "filter_compound", "distinct_pairs", "slice_sorted_rows", "sort_top_orders",
     "column_semantics_mix",
-    # §2.5 window / vector
+    # §2.5 window / vector (window_ranks demoted r5: 4th same-family
+    # variant, judge-covered; slot given to ngram_jaccard_docs)
     "window_topn_per_group", "window_lag_orders", "window_cumsum",
-    "window_ranks",
     # §2.6 column functions
     "map_values_upper",
-    # §2.7 joins (incl. temporal)
+    # §2.7 joins (incl. temporal; asof_nearest_error demoted r5 — same
+    # operator as asof_click_error with a different direction flag)
     "join_left_nulls", "join_outer", "join_semi", "join_anti", "join_cross",
-    "asof_click_error", "asof_nearest_error", "range_join_value_bins",
+    "asof_click_error", "range_join_value_bins",
     "q5_local_supplier",
-    # §2.8 reshape
+    # §2.8 reshape (complete_nulls demoted r5 — expand+join composite of
+    # the gated expand_distinct)
     "spread_pivot", "gather_melt", "unite_separate", "nest_unnest_roundtrip",
-    "expand_distinct", "complete_nulls",
+    "expand_distinct",
     # §2.9 set ops
     "bind_rows_union", "bind_cols_zip", "intersect_keys", "except_high_value",
     # streaming-equivalent + plan rewrites
     "events_tumbling_hourly", "salted_join_revenue",
-    # LLM-pipeline operators (oracle-bearing)
+    # LLM-pipeline operators (oracle-bearing; ngram_jaccard_docs /
+    # doc_quality / lang_id_votes promoted r5 — the newest oracle-bearing
+    # operators earn driver-green evidence)
     "rollup_cascade_daily", "dedup_exact_docs", "text_stats",
     "pii_scan_counts", "stratified_sample_counts", "embed_topk_cosine",
-    "embed_label_centroid",
+    "embed_label_centroid", "ngram_jaccard_docs", "doc_quality",
+    "lang_id_votes",
 ]
 
 
