@@ -58,13 +58,23 @@ def main() -> None:
         # lower median: index 1 of 3; min of 2 if one run errored
         timings[name] = ok[(len(ok) - 1) // 2] if ok else -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(json.dumps({
+    payload = json.dumps({
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    })
+    print(payload)
+    # the driver's stdout capture has truncated mid-JSON before (r4 lost
+    # the first ~9 of 82 timings); persist a full copy so totals are
+    # always auditable from the repo
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOCAL.json"), "w") as fh:
+            fh.write(payload + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
