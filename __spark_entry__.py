@@ -1432,13 +1432,11 @@ FROM documents d
 LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rk = 1
 """)
 def lang_id_votes(spark, sf_dir):
-    """Heuristic language ID, join-shaped: explode tokens → broadcast
-    stopword vocab join → per-(doc,lang) counts → argmax
-    (pipeline.text.lang_id_table)."""
+    """Heuristic language ID: explode tokens → broadcast stopword vocab
+    join → ONE-pass per-doc hit counters + struct argmax
+    (pipeline.text.lang_id_table; single shuffle, no corpus self-join)."""
     docs = _t(spark, sf_dir, "documents")
-    guesses = tx.lang_id_table(docs, "text", "doc_id")
-    return (docs.sdf.select("doc_id", "lang")
-            .join(guesses, on="doc_id")
+    return (tx.lang_id_table(docs, "text", "doc_id", keep=("lang",))
             .select("doc_id", "lang", "lang_guess"))
 
 

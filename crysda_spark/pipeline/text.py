@@ -98,26 +98,39 @@ def quality_score(col) -> Column:
     return (length_ok + punct_ok + wl_ok + sw_ok) / 4
 
 
-def lang_id_table(f, text_col: str, id_col: str):
-    """(id, lang_guess) via the join-shaped language ID: explode tokens,
-    broadcast-join the (word, lang) stopword table, count hits per
-    (doc, lang), argmax. Every stage is codegen'd hash aggregate /
-    broadcast join — no higher-order functions, no per-language pass —
-    and extending the vocabulary only grows the broadcast table, not
-    the plan. Preferred at scale over the Column-level ``lang_id``."""
+def lang_id_table(f, text_col: str, id_col: str, keep: tuple = ()):
+    """(id, *keep, lang_guess) via the join-shaped language ID, one-pass:
+    explode tokens, LEFT broadcast-join the (word, lang) stopword table,
+    then a SINGLE groupBy(id) aggregate with one hit-counter per
+    language and a struct array_max argmax (ties → larger lang code).
+    Growing the vocabulary only grows the broadcast table; growing the
+    LANGUAGE set adds one counter expression per language (fine for
+    realistic dozens). One shuffle total, map-side combinable — the
+    previous 3-shuffle shape (per-(doc,lang) agg → per-doc argmax agg →
+    re-join docs for the zero-hit 'und' rows) re-shuffled the corpus
+    twice and sort-merge-joined it against itself. Docs with zero vocab
+    hits or zero tokens resolve to 'und' inside the same aggregate
+    (explode_outer keeps them). ``keep`` carries passthrough columns as
+    extra group keys (functionally dependent on id — free)."""
     sdf = f.sdf if hasattr(f, "sdf") else f
     spark = sdf.sparkSession
+    langs = sorted(_STOPWORDS)
     vocab = spark.createDataFrame(
         [(w, lang) for lang, ws in _STOPWORDS.items() for w in ws],
-        "_w string, lang string")
-    tok = sdf.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_w"))
-    hits = (tok.join(F.broadcast(vocab), on="_w")
-            .groupBy(id_col, "lang").agg(F.count(F.lit(1)).alias("hits")))
-    best = (hits.groupBy(id_col)
-            .agg(F.max_by("lang", F.struct(F.col("hits"), F.col("lang"))).alias("lang_guess")))
-    return (sdf.select(id_col)
-            .join(best, on=id_col, how="left")
-            .select(id_col, F.coalesce("lang_guess", F.lit("und")).alias("lang_guess")))
+        "_w string, _vlang string")
+    tok = sdf.select(F.col(id_col), *[F.col(c) for c in keep],
+                     F.explode_outer(tokens(F.col(text_col))).alias("_w"))
+    hit = tok.join(F.broadcast(vocab), on="_w", how="left")
+    agg = hit.groupBy(id_col, *keep).agg(
+        *[F.count(F.when(F.col("_vlang") == lang, F.lit(1))).alias(f"_h_{i}")
+          for i, lang in enumerate(langs)])
+    best = F.array_max(F.array(*[
+        F.struct(F.col(f"_h_{i}").alias("hits"), F.lit(lang).alias("lang"))
+        for i, lang in enumerate(langs)]))
+    return agg.select(
+        id_col, *keep,
+        F.when(best["hits"] > 0, best["lang"])
+        .otherwise(F.lit("und")).alias("lang_guess"))
 
 
 def lang_id(col) -> Column:
