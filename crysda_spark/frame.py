@@ -604,6 +604,29 @@ class Frame:
 
     summarise = summarize
 
+    def quantile_cont(self, value_col: str, qs, wide: bool = True) -> "Frame":
+        """Exact per-group linear-interpolation quantiles (DuckDB
+        ``quantile_cont`` / Spark ``percentile`` semantics) computed by
+        distributed range-partitioned rank selection — no per-group
+        value buffering, so it survives few-groups × huge-data where
+        Spark's exact ``percentile`` aggregate dies (see
+        operators/quantiles.py for the algorithm). Respects the current
+        grouping. ``wide=True`` (default) pivots to one ``p<q>`` column
+        per quantile; ``wide=False`` returns long ``(*groups, q, value)``."""
+        from .operators.quantiles import quantile_cont as _qc
+        qs = [float(q) for q in qs]
+        long = _qc(self._sdf, value_col, qs, by=list(self._groups))
+        if not wide:
+            return Frame(long, ())
+        cols = [F.max(F.when(F.col("q") == q, F.col("value")))
+                .alias("p" + f"{q * 100:g}".replace(".", "_"))
+                for q in qs]
+        if self._groups:
+            out = long.groupBy(*self._groups).agg(*cols)
+        else:
+            out = long.agg(*cols)
+        return Frame(out, ())
+
     def summarize_at(self, cols, funcs, sep: str = ".") -> "Frame":
         """N agg functions × M columns, auto-named ``col.suffix``
         (reference: src/crysda/dataframe.cr:561-579). ``funcs`` is a dict

@@ -67,6 +67,22 @@ def test_validates_quantile_range(orders):
         quantile_cont(orders.sdf, "o_totalprice", [])
 
 
+def test_frame_verb_wide_and_long(orders):
+    wide = (orders.group_by("o_orderpriority")
+            .quantile_cont("o_totalprice", [0.5, 0.9]))
+    assert set(wide.columns) == {"o_orderpriority", "p50", "p90"}
+    ref = _percentile_ref(orders.sdf, "o_totalprice", [0.5, 0.9],
+                          ["o_orderpriority"])
+    for r in wide.sdf.collect():
+        m, p90 = ref[(r["o_orderpriority"],)]
+        assert r["p50"] == pytest.approx(m)
+        assert r["p90"] == pytest.approx(p90)
+    long = (orders.group_by("o_orderpriority")
+            .quantile_cont("o_totalprice", [0.5], wide=False))
+    assert set(long.columns) == {"o_orderpriority", "q", "value"}
+    assert long.num_row == 5
+
+
 def test_many_partitions_still_exact(spark):
     """Force more range partitions than rows-per-group so ranks must be
     stitched across partitions via offsets."""
