@@ -6,31 +6,40 @@ billions of doubles flowing through one final-agg task. This operator
 computes the identical result (DuckDB ``quantile_cont`` / Spark
 ``percentile`` semantics: rank ``h = 1 + (n-1)*q``, linear interpolation
 between the floor/ceil order statistics) with no per-group value
-buffering, via range-partitioned rank selection:
+buffering, via bucketed rank selection:
 
-1. range-partition rows by ``(group..., value)`` so the global per-group
-   sort order is partition-contiguous;
-2. per-(partition, group) counts → cumulative offsets (a P×G frame,
-   windowed cheaply) turn a partition-local ``row_number`` into a GLOBAL
+1. bucket every row by value with a DETERMINISTIC pure function:
+   ``bucket = #{bounds < v}`` over driver-collected ``approxQuantile``
+   split points. Bucket quality only affects balance, never
+   correctness — any monotonic bucketing yields exact ranks. Crucially,
+   because the bucket id is a function of the value (not of
+   ``spark_partition_id`` after a range exchange), every plan branch
+   sees identical bucketing by construction; an earlier design relied
+   on two range exchanges sampling identical partition bounds, which
+   Spark does not guarantee — caught by the DuckDB oracle when a
+   persist() shifted one branch's bounds.
+2. per-(group, bucket) counts → cumulative offsets (a tiny B×G frame,
+   persisted) turn a bucket-local ``row_number`` into the GLOBAL
    per-group rank; the row_number window partitions by
-   ``(group..., partition_id)`` so no window partition ever exceeds one
-   range split — group size never concentrates on one task;
+   ``(group..., bucket)`` so no window partition exceeds one bucket —
+   group size never concentrates on one task;
 3. the ≤ 2·G·Q target order statistics (floor/ceil of each ``h``) are
    selected with a broadcast join and interpolated in a final tiny
    aggregate.
 
-The full data crosses the wire exactly twice (range exchange + the
-(group, pid) window exchange), both with bounded partition sizes;
-nothing collects to the driver. Interpolation uses the same
+The heavy data crosses the wire once (the window's hash exchange); the
+counts branch reduces map-side to ≤ G·B rows per task before its
+exchange; the bounds come from one extra aggregation-only pass
+(``approxQuantile``). Interpolation uses the same
 ``lo + (hi - lo) * frac`` form as Spark/DuckDB so results agree
 bit-for-bit on the oracle path.
 
-Known caveat: range partitioning cannot split ties — a single value
-duplicated billions of times still lands in one split. For such
-degenerate distributions pre-salt the input or use approx_percentile.
+Known caveat: a single value duplicated billions of times lands in one
+bucket (bucketing cannot split equal values). For such degenerate
+distributions pre-salt the input or use approx_percentile.
 
 Beyond-reference operator (the Crystal reference has no quantile
-aggregate); SURVEY §2.4 extension.
+aggregate); SURVEY §2.11 extension.
 """
 
 from __future__ import annotations
@@ -39,6 +48,8 @@ from typing import Iterable
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+
+_MAX_BUCKETS = 512  # bounds are a driver-held literal array; cap its size
 
 
 def _null_safe_join(left: DataFrame, right: DataFrame,
@@ -65,7 +76,8 @@ def quantile_cont(sdf: DataFrame, value_col: str, qs: Iterable[float],
 
     Returns a long-format DataFrame ``(*by, q, value)`` with one row per
     (group, quantile). NULL values are excluded (aggregate semantics);
-    empty groups produce no rows.
+    empty groups produce no rows. ``num_partitions`` sets the bucket
+    count (default: spark.sql.shuffle.partitions, capped at 512).
     """
     by = list(by or [])
     qs = [float(q) for q in qs]
@@ -77,26 +89,38 @@ def quantile_cont(sdf: DataFrame, value_col: str, qs: Iterable[float],
 
     base = (sdf.select(*by, F.col(value_col).cast("double").alias("_v"))
             .where(F.col("_v").isNotNull()))
-    n_part = int(num_partitions
-                 or spark.conf.get("spark.sql.shuffle.partitions"))
-    # The explicit partition count is load-bearing, not cosmetic: the plan
-    # evaluates `ranged` in two branches (counts vs ranks), and _pid must be
-    # identical in both. Range-bound sampling is deterministic for identical
-    # input splits, and an explicit N makes the exchange REPARTITION_BY_NUM,
-    # which AQE is forbidden to coalesce — so both branches see the same pids.
-    ranged = (base.repartitionByRange(n_part, *(by + ["_v"]))
-              .withColumn("_pid", F.spark_partition_id()))
+    n_b = min(int(num_partitions
+                  or spark.conf.get("spark.sql.shuffle.partitions")),
+              _MAX_BUCKETS)
 
-    # P×G partition counts -> per-group cumulative offsets (tiny frame)
-    pcounts = ranged.groupBy(*by, "_pid").agg(F.count(F.lit(1)).alias("_c"))
-    w_off = (W.partitionBy(*by) if by else W.partitionBy()).orderBy("_pid")
-    offsets = pcounts.withColumn(
+    # deterministic monotonic bucketing: one aggregation-only pass for
+    # approximate split points (accuracy affects balance only), then
+    # bucket = #{bounds < v} as a codegen'd array filter
+    probs = [i / n_b for i in range(1, n_b)]
+    bounds = sorted(set(base.approxQuantile("_v", probs, 1.0 / (4 * n_b)))) \
+        if n_b > 1 else []
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: F.col("_v") > b))
+    else:
+        bucket = F.lit(0)
+    bucketed = base.withColumn("_b", bucket)
+
+    # B×G bucket counts -> per-group cumulative offsets (tiny frame).
+    # Persisted: it feeds both the rank join and the target-rank frame;
+    # without materialization each consumer would rescan the input to
+    # rebuild it. (Caller may release it via spark.catalog.clearCache().)
+    bcounts = bucketed.groupBy(*by, "_b").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = (W.partitionBy(*by) if by else W.partitionBy()).orderBy("_b")
+    offsets = bcounts.withColumn(
         "_off",
         F.coalesce(F.sum("_c").over(w_off.rowsBetween(W.unboundedPreceding, -1)),
-                   F.lit(0)))
+                   F.lit(0))).persist()
 
-    # G group totals -> the <= 2 target ranks per (group, quantile)
-    totals = pcounts.groupBy(*by).agg(F.sum("_c").alias("_n"))
+    # group totals from the offsets frame itself: the last bucket's
+    # offset + count IS the group total (counts are positive)
+    totals = offsets.groupBy(*by).agg(
+        F.max(F.col("_off") + F.col("_c")).alias("_n"))
     qdf = spark.createDataFrame([(q,) for q in qs], "q double")
     targets = (totals.crossJoin(F.broadcast(qdf))
                .withColumn("_h", F.lit(1.0) + (F.col("_n") - 1) * F.col("q"))
@@ -111,13 +135,13 @@ def quantile_cont(sdf: DataFrame, value_col: str, qs: Iterable[float],
                        F.col("_t._rank").alias("_rank"),
                        F.col("_t._kind").alias("_kind")))
 
-    # global per-group rank = partition offset + partition-local row_number;
-    # the window partitions by (by..., _pid) so its size is bounded by one
-    # range split, never by the group size
-    w_rn = W.partitionBy(*(by + ["_pid"])).orderBy("_v")
+    # global per-group rank = bucket offset + bucket-local row_number;
+    # the window partitions by (by..., _b) so its size is bounded by one
+    # bucket, never by the group size
+    w_rn = W.partitionBy(*(by + ["_b"])).orderBy("_v")
     ranked = _null_safe_join(
-        ranged.withColumn("_lrn", F.row_number().over(w_rn)),
-        offsets.select(*by, "_pid", "_off"), by + ["_pid"])
+        bucketed.withColumn("_lrn", F.row_number().over(w_rn)),
+        offsets.select(*by, "_b", "_off"), by + ["_b"])
     ranked = ranked.withColumn("_rank", F.col("_off") + F.col("_lrn"))
 
     picked = _null_safe_join(ranked, targets, by + ["_rank"])

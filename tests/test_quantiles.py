@@ -83,6 +83,28 @@ def test_frame_verb_wide_and_long(orders):
     assert long.num_row == 5
 
 
+def test_larger_data_many_buckets_matches_percentile(spark):
+    """Regression for the cross-branch bucketing bug: at sf0.001 the
+    divergence between the counts branch and the rank branch never
+    showed, while the sf0.01 oracle caught silently wrong medians. Use
+    enough rows that every bucket is populated and offsets genuinely
+    stitch across buckets, and compare against Spark's exact
+    percentile."""
+    from crysda_spark import read_parquet
+    import os
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    qs = [0.1, 0.5, 0.9]
+    out = {(r["l_returnflag"], r["q"]): r["value"]
+           for r in quantile_cont(li.sdf, "l_extendedprice", qs,
+                                  by=["l_returnflag"],
+                                  num_partitions=32).collect()}
+    ref = _percentile_ref(li.sdf, "l_extendedprice", qs, ["l_returnflag"])
+    for (g,), vals in ref.items():
+        for q, want in zip(qs, vals):
+            assert out[(g, q)] == pytest.approx(want, abs=1e-9), (g, q)
+
+
 def test_many_partitions_still_exact(spark):
     """Force more range partitions than rows-per-group so ranks must be
     stitched across partitions via offsets."""
