@@ -632,9 +632,9 @@ FROM orders GROUP BY o_orderpriority
 """)
 def percentile_prices(spark, sf_dir):
     """Exact linear-interpolation percentiles (median/p90) ≡ DuckDB
-    quantile_cont (SURVEY §2.4 aggregates) — computed via distributed
-    range-partitioned rank selection (operators.quantiles.quantile_cont),
-    NOT Spark's exact `percentile`, whose aggregation buffer holds every
+    quantile_cont (SURVEY §2.4 aggregates) — computed via deterministic
+    bucketed rank selection (operators.quantiles.quantile_cont), NOT
+    Spark's exact `percentile`, whose aggregation buffer holds every
     group value and dies at 100 TB scale."""
     from crysda_spark.operators.quantiles import quantile_cont
     o = _t(spark, sf_dir, "orders")
