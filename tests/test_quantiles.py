@@ -105,6 +105,35 @@ def test_larger_data_many_buckets_matches_percentile(spark):
             assert out[(g, q)] == pytest.approx(want, abs=1e-9), (g, q)
 
 
+def test_hypothesis_matches_numpy_linear(spark):
+    """Property fuzz vs numpy's 'linear' percentile (the same
+    h = 1 + (n-1)q interpolation): random value lists incl. duplicates
+    and nulls, forced multi-bucket stitching."""
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from crysda_spark import from_records
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(vals=st.lists(st.one_of(st.none(),
+                                   st.integers(-9, 9).map(float)),
+                         min_size=1, max_size=24),
+           q=st.sampled_from([0.0, 0.25, 0.5, 0.9, 1.0]))
+    def prop(vals, q):
+        present = [v for v in vals if v is not None]
+        f = from_records(spark, [{"x": v} for v in vals], order=["x"])
+        out = quantile_cont(f.sdf, "x", [q], num_partitions=4).collect()
+        if not present:
+            assert out == []
+            return
+        want = float(np.percentile(present, q * 100, method="linear"))
+        assert out[0]["value"] == pytest.approx(want, abs=1e-9)
+
+    prop()
+
+
 def test_many_partitions_still_exact(spark):
     """Force more range partitions than rows-per-group so ranks must be
     stitched across partitions via offsets."""
