@@ -1247,8 +1247,10 @@ def _assert_recall(sdf, cond, expected: int, what: str):
     """Driver-side planted-truth gate. The count() action is bounded
     (one scalar); the frame is persisted first so the caller's
     consumption reuses the materialized result instead of recomputing
-    the LSH/clustering pipeline."""
-    sdf = sdf.persist()
+    the LSH/clustering pipeline. Registered with the scoped cache
+    registry so ``release_pinned()`` (bench.py, long sessions) frees it."""
+    from crysda_spark.plans.cache import pin
+    sdf = pin(sdf)
     got = sdf.where(cond).count()
     if got < expected:
         raise AssertionError(
@@ -1291,7 +1293,8 @@ def dedup_cluster_survivors(spark, sf_dir):
     corpus = Frame(corpus_sdf)
     pairs = dd.minhash_dedup(corpus, "text", "doc_id", threshold=0.6,
                              n_hashes=32, bands=8).sdf
-    out = dd.dedup_survivors(corpus, pairs, "doc_id").sdf.persist()
+    from crysda_spark.plans.cache import pin
+    out = pin(dd.dedup_survivors(corpus, pairs, "doc_id").sdf)
     n_planted = out.where(F.col("doc_id") >= _PLANT_OFFSET).count()
     if n_planted:
         raise AssertionError(

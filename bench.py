@@ -43,10 +43,13 @@ def main() -> None:
         finally:
             # drop persisted blocks a query pinned (LSH band tables etc.)
             # so later queries aren't timed against accumulated cache
+            from crysda_spark.plans.cache import release_pinned
+            release_pinned()
             spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
+    errors: dict[str, int] = {}
     for name, fn in qs.items():
         # median-of-3 for EVERY query: the host has bursty external CPU
         # contention (r3→r4 showed 8× swings on identical code), and the
@@ -61,6 +64,10 @@ def main() -> None:
         # lower median: index 1 of 3; min of 2 if one run errored
         timings[name] = ok[(len(ok) - 1) // 2] if ok else -1.0
         timings_min[name] = ok[0] if ok else -1.0
+        if len(ok) < len(runs):
+            # intermittent failures must stay visible: a median over the
+            # surviving runs alone would silently hide a 1-in-3 crasher
+            errors[name] = len(runs) - len(ok)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     payload = json.dumps({
         "metric": "total_query_seconds",
@@ -68,6 +75,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_min": timings_min,
+        "queries_errors": errors,
         "sf": sf,
     })
     print(payload)
@@ -80,6 +88,13 @@ def main() -> None:
             fh.write(payload + "\n")
     except OSError:
         pass
+    # the driver tail-captures stdout and has lost the HEAD of the ~4 KB
+    # payload line two rounds running (BENCH_r04/r05 "parsed": null) —
+    # repeat the headline numbers in one tiny final line so any
+    # tail-window contains a complete, parseable JSON object
+    print(json.dumps({"metric": "total_query_seconds", "value": total,
+                      "unit": "sec", "sf": sf,
+                      "n_queries": len(timings), "n_errors": len(errors)}))
 
 
 if __name__ == "__main__":

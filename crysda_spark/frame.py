@@ -614,13 +614,19 @@ class Frame:
         grouping. ``wide=True`` (default) pivots to one ``p<q>`` column
         per quantile; ``wide=False`` returns long ``(*groups, q, value)``."""
         from .operators.quantiles import quantile_cont as _qc
-        qs = [float(q) for q in qs]
-        long = _qc(self._sdf, value_col, qs, by=list(self._groups))
+        # dedupe up front (duplicate qs would emit duplicate p-columns)
+        qs = list(dict.fromkeys(float(q) for q in qs))
         if not wide:
-            return Frame(long, ())
-        cols = [F.max(F.when(F.col("q") == q, F.col("value")))
+            return Frame(_qc(self._sdf, value_col, qs,
+                             by=list(self._groups)), ())
+        # pivot on the integer quantile index the operator carries
+        # through the long frame — exact-int match, immune to any float
+        # normalization drift a `q == <double literal>` equality has
+        long = _qc(self._sdf, value_col, qs, by=list(self._groups),
+                   with_index=True)
+        cols = [F.max(F.when(F.col("_qi") == i, F.col("value")))
                 .alias("p" + f"{q * 100:g}".replace(".", "_"))
-                for q in qs]
+                for i, q in enumerate(qs)]
         if self._groups:
             out = long.groupBy(*self._groups).agg(*cols)
         else:

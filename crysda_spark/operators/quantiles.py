@@ -49,7 +49,14 @@ from typing import Iterable
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..plans.cache import pin
+
 _MAX_BUCKETS = 512  # bounds are a driver-held literal array; cap its size
+
+# internal working columns; grouping by one of these would silently
+# alias the user's column into the algorithm's bookkeeping
+_RESERVED = {"_v", "_b", "_c", "_off", "_rank", "_lrn", "_frac", "_kind",
+             "_n", "_t", "_qi", "q", "value"}
 
 
 def _null_safe_join(left: DataFrame, right: DataFrame,
@@ -71,13 +78,30 @@ def _null_safe_join(left: DataFrame, right: DataFrame,
 
 def quantile_cont(sdf: DataFrame, value_col: str, qs: Iterable[float],
                   by: list[str] | None = None,
-                  num_partitions: int | None = None) -> DataFrame:
+                  num_partitions: int | None = None,
+                  with_index: bool = False) -> DataFrame:
     """Exact per-group quantiles with linear interpolation.
 
     Returns a long-format DataFrame ``(*by, q, value)`` with one row per
-    (group, quantile). NULL values are excluded (aggregate semantics);
-    empty groups produce no rows. ``num_partitions`` sets the bucket
-    count (default: spark.sql.shuffle.partitions, capped at 512).
+    (group, quantile) — plus a leading int column ``_qi`` (the position
+    of ``q`` in ``qs``) when ``with_index=True``, so callers can pivot
+    on an exact integer key instead of float equality. NULL values are
+    excluded (aggregate semantics); empty groups produce no rows.
+    ``num_partitions`` sets the bucket count (default:
+    spark.sql.shuffle.partitions, capped at 512).
+
+    DETERMINISM REQUIREMENT: the input plan is scanned twice (the
+    bucket-counts branch and the rank branch); a nondeterministic
+    upstream (``sample()``, ``rand()``, a nondeterministic UDF) can
+    yield DIFFERENT rows per scan, silently corrupting ranks.
+    Materialize such inputs first (``.persist()`` / checkpoint /
+    write-read) — persisting the full data unconditionally here would
+    be a 100 TB-scale cost imposed on the (overwhelmingly common)
+    deterministic case.
+
+    Cache note: the tiny B×G offsets frame is pinned via the scoped
+    cache registry; call ``crysda_spark.plans.cache.release_pinned()``
+    after consuming results in long-lived sessions.
     """
     by = list(by or [])
     qs = [float(q) for q in qs]
@@ -85,6 +109,13 @@ def quantile_cont(sdf: DataFrame, value_col: str, qs: Iterable[float],
         raise ValueError("quantile_cont: qs must be non-empty")
     if any(q < 0.0 or q > 1.0 for q in qs):
         raise ValueError(f"quantile_cont: quantiles must be in [0, 1], got {qs}")
+    qs = list(dict.fromkeys(qs))  # dedupe, keep first-occurrence order
+    clash = _RESERVED & set(by)  # value_col is immediately re-aliased to _v
+    if clash:
+        raise ValueError(
+            f"quantile_cont: group column(s) {sorted(clash)} collide with "
+            f"internal working columns {sorted(_RESERVED)} — rename before "
+            "calling")
     spark = sdf.sparkSession
 
     base = (sdf.select(*by, F.col(value_col).cast("double").alias("_v"))
@@ -107,31 +138,32 @@ def quantile_cont(sdf: DataFrame, value_col: str, qs: Iterable[float],
     bucketed = base.withColumn("_b", bucket)
 
     # B×G bucket counts -> per-group cumulative offsets (tiny frame).
-    # Persisted: it feeds both the rank join and the target-rank frame;
+    # Pinned: it feeds both the rank join and the target-rank frame;
     # without materialization each consumer would rescan the input to
-    # rebuild it. (Caller may release it via spark.catalog.clearCache().)
+    # rebuild it. (release_pinned() frees it once results are consumed.)
     bcounts = bucketed.groupBy(*by, "_b").agg(F.count(F.lit(1)).alias("_c"))
     w_off = (W.partitionBy(*by) if by else W.partitionBy()).orderBy("_b")
-    offsets = bcounts.withColumn(
+    offsets = pin(bcounts.withColumn(
         "_off",
         F.coalesce(F.sum("_c").over(w_off.rowsBetween(W.unboundedPreceding, -1)),
-                   F.lit(0))).persist()
+                   F.lit(0))))
 
     # group totals from the offsets frame itself: the last bucket's
     # offset + count IS the group total (counts are positive)
     totals = offsets.groupBy(*by).agg(
         F.max(F.col("_off") + F.col("_c")).alias("_n"))
-    qdf = spark.createDataFrame([(q,) for q in qs], "q double")
+    qdf = spark.createDataFrame([(i, q) for i, q in enumerate(qs)],
+                                "_qi int, q double")
     targets = (totals.crossJoin(F.broadcast(qdf))
                .withColumn("_h", F.lit(1.0) + (F.col("_n") - 1) * F.col("q"))
                .withColumn("_frac", F.col("_h") - F.floor("_h"))
-               .select(*by, "q", "_frac",
+               .select(*by, "_qi", "q", "_frac",
                        F.explode(F.array(
                            F.struct(F.floor("_h").cast("bigint").alias("_rank"),
                                     F.lit("lo").alias("_kind")),
                            F.struct(F.ceil("_h").cast("bigint").alias("_rank"),
                                     F.lit("hi").alias("_kind")))).alias("_t"))
-               .select(*by, "q", "_frac",
+               .select(*by, "_qi", "q", "_frac",
                        F.col("_t._rank").alias("_rank"),
                        F.col("_t._kind").alias("_kind")))
 
@@ -145,11 +177,12 @@ def quantile_cont(sdf: DataFrame, value_col: str, qs: Iterable[float],
     ranked = ranked.withColumn("_rank", F.col("_off") + F.col("_lrn"))
 
     picked = _null_safe_join(ranked, targets, by + ["_rank"])
-    return (picked.groupBy(*by, "q")
+    out_keys = (["_qi"] if with_index else []) + ["q"]
+    return (picked.groupBy(*by, "_qi", "q")
             .agg(F.min("_frac").alias("_frac"),
                  F.max(F.when(F.col("_kind") == "lo", F.col("_v"))).alias("_vlo"),
                  F.max(F.when(F.col("_kind") == "hi", F.col("_v"))).alias("_vhi"))
-            .select(*by, "q",
+            .select(*by, *out_keys,
                     (F.col("_vlo")
                      + (F.col("_vhi") - F.col("_vlo")) * F.col("_frac"))
                     .alias("value")))

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..frame import Frame
+from ..plans.cache import pin
 from .text import tokens
 
 LONG_MAX = (1 << 63) - 1
@@ -160,11 +161,10 @@ def _lsh_candidates_from_sig(sig: DataFrame, id_col: str,
     n_bands rows per doc — then self-join on the band key. The join key
     space is huge (64-bit hashes) so buckets stay tiny and the join
     never degenerates; dedup of pairs happens before verification."""
-    banded = (sig
-              .filter(~F.element_at("sig", 1).isNull())
-              .select(id_col, F.posexplode(_band_hashes(F.col("sig"), n_hashes, bands))
-                      .alias("band_id", "band_hash"))
-              .persist())
+    banded = pin(sig
+                 .filter(~F.element_at("sig", 1).isNull())
+                 .select(id_col, F.posexplode(_band_hashes(F.col("sig"), n_hashes, bands))
+                         .alias("band_id", "band_hash")))
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, on=["band_id", "band_hash"], how="inner")
@@ -191,9 +191,11 @@ def minhash_dedup(f: Frame, text_col: str, id_col: str, threshold: float = 0.8,
 
     Cache note: the shingle and band tables stay persisted after the
     result is consumed (they cannot be unpersisted before the lazy
-    result runs). In long-lived sessions issuing many dedup calls,
-    release them with ``spark.catalog.clearCache()`` between corpora."""
-    sh = shingled(f, text_col, id_col, k).persist()
+    result runs). They are registered with the scoped cache registry —
+    call ``crysda_spark.plans.cache.release_pinned()`` after consuming
+    the result (bench.py does this between queries) so long-lived
+    sessions don't accumulate pinned storage."""
+    sh = pin(shingled(f, text_col, id_col, k))
     sig = minhash_signatures_from_shingles(sh, id_col, n_hashes)
     cands = _lsh_candidates_from_sig(sig, id_col, n_hashes, bands)
     out = (cands
@@ -235,7 +237,7 @@ def ngram_jaccard_exact(f: Frame, text_col: str, id_col: str,
     (shingle, id), never documents. The verify join moves only candidate
     pairs' shingle sets.
     """
-    sh = shingled(f, text_col, id_col, k).persist()
+    sh = pin(shingled(f, text_col, id_col, k))
     ex = sh.select(id_col, F.explode("sh").alias("s"))
     dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql import Window as W
@@ -364,6 +366,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     labels = (edges.select(F.col("src").alias("id"))
               .dropDuplicates()
               .withColumn("comp", F.col("id")))
+    converged = False
     for it in range(max_iter):
         neighbor_min = (edges
                         .join(labels.withColumnsRenamed({"id": "src", "comp": "c"}),
@@ -385,7 +388,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                       .select("id", "old", F.least("comp", "cc").alias("comp"))
                       .localCheckpoint())
         stepped.unpersist()
-        labels = new_labels.select("id", "comp")
+        labels = new_labels  # keep "old" so the post-loop guard can probe
         # The convergence probe is a driver round-trip over the (already
         # materialized) checkpoint.  Small graphs exit in the first rounds,
         # so probe rounds 0-2 always; past that, chains are long and rounds
@@ -395,22 +398,47 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             changed = (new_labels.filter(F.col("comp") != F.col("old"))
                        .limit(1).count())
             if changed == 0:
+                converged = True
                 break
+    if not converged and "old" in labels.columns:
+        # the loop exhausted max_iter without a zero-change probe —
+        # either the last probe saw changes or the cadence skipped the
+        # final round. One extra probe over the (already materialized)
+        # checkpoint settles it. Labels converge in O(log L) rounds
+        # (pointer jumping), so hitting this needs diameter >
+        # ~2^max_iter; never return silently-wrong components if it
+        # somehow happens (unmerged clusters → duplicate survivors
+        # downstream).
+        still = labels.filter(F.col("comp") != F.col("old")).limit(1).count()
+        if still:
+            edges.unpersist()
+            pairs.unpersist()
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "iterations — raise max_iter")
     edges.unpersist()
-    return labels
+    pairs.unpersist()
+    return labels.select("id", "comp")
 
 
 def dedup_survivors(f: Frame, pairs: DataFrame, id_col: str) -> Frame:
     """Collapse near-dup clusters to one canonical row each: the min-id
     member of every connected component survives; rows in no pair
     survive untouched. Returns (id, cluster_size) — size 1 for
-    singletons. One broadcast-size join against the (tiny) component
-    table; the corpus itself is never shuffled."""
+    singletons.
+
+    Scale note: the component-membership table is proportional to the
+    DUPLICATE population — at web-corpus duplicate rates (20-50%) that
+    is NOT broadcast-sized, so the join carries no broadcast hint: AQE
+    still picks a broadcast join when the table measures small at
+    runtime, and falls back to a shuffle join on (id) when it doesn't.
+    (A forced ``F.broadcast`` here OOMed the plan review at 100 TB —
+    the hint overrides AQE's size check.)"""
     comps = connected_components(pairs, max_iter=20)
     sizes = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
     members = comps.join(sizes, on="comp")
     out = (f.sdf.select(F.col(id_col))
-           .join(F.broadcast(members.withColumnRenamed("id", id_col)),
+           .join(members.withColumnRenamed("id", id_col),
                  on=id_col, how="left")
            .filter(F.col("comp").isNull() | (F.col(id_col) == F.col("comp")))
            .select(id_col, F.coalesce("cluster_size", F.lit(1)).alias("cluster_size")))
@@ -448,7 +476,7 @@ def simhash_near_dups(f: Frame, text_col: str, id_col: str,
     n_chunks - key_chunks >= max_hamming, at C(m,c) rows/doc).
     False bucket collisions only cost join width — the exact
     ``bit_count(xor)`` filter verifies every candidate."""
-    sig = simhash_signatures(f, text_col, id_col, bits).persist()
+    sig = pin(simhash_signatures(f, text_col, id_col, bits))
     return Frame(simhash_pairs(sig, id_col, max_hamming, bits,
                                n_chunks, key_chunks))
 

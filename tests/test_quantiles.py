@@ -147,3 +147,40 @@ def test_many_partitions_still_exact(spark):
     for (g,), (m, p90) in ref.items():
         assert out[(g, 0.5)] == pytest.approx(m)
         assert out[(g, 0.9)] == pytest.approx(p90)
+
+
+def test_reserved_group_column_raises(spark):
+    from crysda_spark import from_records
+    df = from_records(spark, [{"q": "a", "x": 1.0}, {"q": "b", "x": 2.0}]).sdf
+    with pytest.raises(ValueError, match="collide with"):
+        quantile_cont(df, "x", [0.5], by=["q"])
+    # value_col named like an internal is fine — it is re-aliased at once
+    df2 = from_records(spark, [{"g": "a", "_v": 1.0}, {"g": "a", "_v": 3.0}]).sdf
+    rows = quantile_cont(df2, "_v", [0.5], by=["g"]).collect()
+    assert rows[0]["value"] == 2.0
+
+
+def test_duplicate_qs_deduped_everywhere(orders):
+    f = orders.group_by("o_orderstatus")
+    wide = f.quantile_cont("o_totalprice", [0.5, 0.5, 0.9]).sdf
+    assert wide.columns.count("p50") == 1 and "p90" in wide.columns
+    long = f.quantile_cont("o_totalprice", [0.5, 0.5, 0.9], wide=False).sdf
+    per_group = long.groupBy("o_orderstatus").count().collect()
+    assert all(r["count"] == 2 for r in per_group)  # 2 distinct qs
+
+
+def test_with_index_pivot_key(orders):
+    long = quantile_cont(orders.sdf, "o_totalprice", [0.25, 0.75],
+                         by=["o_orderstatus"], with_index=True)
+    rows = long.collect()
+    assert {(r["_qi"], r["q"]) for r in rows} <= {(0, 0.25), (1, 0.75)}
+
+
+def test_release_pinned_frees_offsets(spark, orders):
+    from crysda_spark.plans.cache import pinned_count, release_pinned
+    release_pinned()
+    out = quantile_cont(orders.sdf, "o_totalprice", [0.5], by=["o_orderstatus"])
+    out.count()
+    assert pinned_count() >= 1
+    release_pinned()
+    assert pinned_count() == 0
