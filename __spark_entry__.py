@@ -1494,6 +1494,46 @@ def multimodal_decode(spark, sf_dir):
                           F.round(F.element_at("features", 8), 6).alias("f7"))
 
 
+@q("multimodal_bmp_roundtrip")  # binary codec; not SQL-expressible — rows-only
+def multimodal_bmp_roundtrip(spark, sf_dir):
+    """REAL image codec through the distributed path (r6): per-doc
+    deterministic checkerboard BMPs are encoded executor-side
+    (pipeline.codecs.encode_bmp), resized through the Arrow resize
+    kernel, decoded back (decode_bmp), and the driver-side gate asserts
+    every decoded geometry equals the resize target — a value-level
+    proof the codec, not just the plumbing, runs end-to-end."""
+    from crysda_spark.pipeline import multimodal as mm
+    from pyspark.sql import types as T
+
+    ids = _t(spark, sf_dir, "documents").sdf.select("doc_id").limit(64)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from crysda_spark.pipeline.codecs import encode_bmp
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                h, w = 3 + int(did) % 7, 4 + int(did) % 13
+                y, x = np.mgrid[0:h, 0:w]
+                arr = np.stack([((x + y) % 2) * 255, (x * 7) % 256,
+                                (y * 11) % 256], axis=-1).astype(np.uint8)
+                payloads.append(encode_bmp(arr))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    bmps = Frame(ids.mapInPandas(gen, schema=schema))
+    resized = mm.resize_images(bmps, width=5, height=4)
+    out = mm.decode_images(resized, n_feat=8).sdf
+    bad = out.where((F.col("width") != 5) | (F.col("height") != 4)
+                    | (F.col("channels") != 3)).count()
+    if bad:
+        raise AssertionError(
+            f"BMP roundtrip gate: {bad}/64 decoded geometries wrong")
+    return out.select("id", "width", "height", "channels")
+
+
 # =========================================== LLM pipeline: similarity search
 @q("embed_topk_cosine", """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
@@ -1576,6 +1616,86 @@ def embed_label_centroid(spark, sf_dir):
            .groupBy("label", "dim")
            .agg((F.round(F.avg("v"), 4) + F.lit(0.0)).alias("centroid")))
     return out
+
+
+# ------------------------------------------- r6: pytest-only verbs → oracles
+@q("filter_by_row_predicate", """
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+FROM customer
+WHERE c_acctbal > 5000 AND c_mktsegment = 'BUILDING'
+""")
+def filter_by_row_predicate(spark, sf_dir):
+    """Row-wise Python predicate (Frame.filter_by_row — Arrow-batched
+    mapInPandas, reference spec/core_spec.cr:247-260) with a
+    DETERMINISTIC predicate, so the equivalent SQL WHERE is an exact
+    oracle. NaN/None row values make the predicate falsy, matching
+    SQL NULL-drop semantics."""
+    c = _t(spark, sf_dir, "customer").select(
+        ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"])
+    return c.filter_by_row(
+        lambda r: r["c_acctbal"] is not None and r["c_acctbal"] > 5000
+        and r["c_mktsegment"] == "BUILDING").sdf
+
+
+@q("order_rank_argsort", """
+SELECT n_nationkey, n_name,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_name) - 1 AS INT) AS ord,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_name) - 1 AS INT) AS rk
+FROM nation
+""")
+def order_rank_argsort(spark, sf_dir):
+    """Argsort semantics (functions.columns.order + Frame.rank —
+    0-based position in ascending order, ties by position; reference
+    src/crysda/columns.cr:143-159) ≡ SQL ROW_NUMBER()-1. Keyed on the
+    UNIQUE n_name so tie-breaking can't differ across engines; nation
+    is 25 rows — the documented driver-adjacent scope for the
+    unpartitioned total-order window."""
+    from crysda_spark.functions.columns import order as argsort_order
+    n = _t(spark, sf_dir, "nation")
+    return (n.add_column("ord", argsort_order("n_name").cast("int"))
+            .add_column("rk", lambda e: e.rank("n_name").cast("int"))
+            .select(["n_nationkey", "n_name", "ord", "rk"]).sdf)
+
+
+@q("sample_n_seeded_counts")  # rows-only: RNG streams differ across engines
+def sample_n_seeded_counts(spark, sf_dir):
+    """Seeded exact-count per-group sampling (Frame.sample_n, reference
+    spec/core_spec.cr:190-241 semantics). Cross-engine value equality is
+    impossible (different RNGs), so the driver-side gate asserts the
+    CONTRACT instead: exactly n rows per group, all drawn from the
+    source (both checks bounded aggregate actions)."""
+    c = _t(spark, sf_dir, "customer")
+    s = c.group_by("c_mktsegment").sample_n(5, seed=42)
+    out = (s.ungroup().sdf.groupBy("c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.count(F.col("c_custkey")).alias("n_keys")))
+    bad = out.where((F.col("n") != 5) | (F.col("n_keys") != 5)).count()
+    if bad:
+        raise AssertionError(
+            f"sample_n seeded gate: {bad} groups returned != 5 valid rows")
+    return out.select("c_mktsegment", "n")
+
+
+@q("quantile_verb_grouped", """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
+FROM orders
+GROUP BY o_orderstatus
+""")
+def quantile_verb_grouped(spark, sf_dir):
+    """The Frame.quantile_cont VERB's grouped wide-pivot path (frame.py)
+    — integer-index pivot over the distributed bucketed rank selection —
+    against DuckDB's quantile_cont. percentile_prices oracles the
+    underlying operator; this oracles the verb's pivot."""
+    o = _t(spark, sf_dir, "orders")
+    wide = (o.group_by("o_orderstatus")
+            .quantile_cont("o_totalprice", [0.25, 0.5, 0.75]))
+    return wide.sdf.select("o_orderstatus",
+                           F.round("p25", 4).alias("p25"),
+                           F.round("p50", 4).alias("p50"),
+                           F.round("p75", 4).alias("p75"))
 
 
 # ================================================================== contract

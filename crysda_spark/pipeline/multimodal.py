@@ -2,12 +2,15 @@
 with typed metadata.
 
 The Spark-side architecture is real and tested — schema, partitioning,
-Arrow batch shape, mapInPandas signatures. The actual codec work
-(PIL/ffmpeg/librosa) is NOT available in this container, so the decode
-kernels are stubbed behind ``_HAVE_CODECS`` with a deterministic fake
-that preserves shapes; swap the kernel body when the libs exist. The
-distributed plan (how bytes move, how batches form, what schema comes
-out) is identical either way.
+Arrow batch shape, mapInPandas signatures. One codec path is REAL and
+dependency-free: uncompressed 24/32-bit BMP payloads decode, resize,
+and feature-extract end-to-end through ``pipeline.codecs`` (pure
+struct+numpy). Codec work needing external libs (jpeg/png via PIL,
+video via ffmpeg, audio via librosa) is NOT available in this
+container, so those kernels stay stubbed behind ``_HAVE_CODECS`` with
+a deterministic fake that preserves shapes; swap the kernel body when
+the libs exist. The distributed plan (how bytes move, how batches
+form, what schema comes out) is identical either way.
 """
 
 from __future__ import annotations
@@ -64,11 +67,20 @@ def _fake_decode(payload: bytes, n_feat: int = 8) -> list[float]:
     return (buckets / total).tolist()
 
 
+def _is_bmp(payload) -> bool:
+    return payload is not None and bytes(payload[:2]) == b"BM"
+
+
 def decode_images(f: Frame, id_col: str = "id", payload_col: str = "payload",
                   n_feat: int = 8) -> Frame:
     """Decode/feature-extract images via mapInPandas (Arrow batches).
     Partition-parallel; each batch holds ~10k payloads; output schema is
-    fixed so downstream plans don't depend on the kernel."""
+    fixed so downstream plans don't depend on the kernel.
+
+    BMP payloads (magic-sniffed) take the REAL codec path —
+    ``codecs.decode_bmp`` + ``codecs.image_features`` — yielding true
+    width/height/channels. Other formats fall to PIL (stubbed in this
+    container) or the deterministic fake with width/height/channels=0."""
     schema = T.StructType([
         T.StructField("id", T.LongType()),
         T.StructField("width", T.IntegerType()),
@@ -79,13 +91,23 @@ def decode_images(f: Frame, id_col: str = "id", payload_col: str = "payload",
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
+        from .codecs import decode_bmp, image_features
         for pdf in batches:
-            if _HAVE_CODECS:  # pragma: no cover
-                raise NotImplementedError("real codec path: PIL decode here")
-            feats = pdf[payload_col].map(lambda p: _fake_decode(p, n_feat))
+            ids, ws, hs, cs, feats = [], [], [], [], []
+            for pid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if _is_bmp(payload):
+                    arr = decode_bmp(bytes(payload))
+                    h, w, c = arr.shape
+                    fs = image_features(arr, n_feat)
+                elif _HAVE_CODECS:  # pragma: no cover
+                    raise NotImplementedError("real codec path: PIL decode here")
+                else:
+                    w = h = c = 0
+                    fs = _fake_decode(payload, n_feat)
+                ids.append(pid); ws.append(w); hs.append(h)
+                cs.append(c); feats.append(fs)
             yield pd.DataFrame({
-                "id": pdf[id_col],
-                "width": 0, "height": 0, "channels": 0,
+                "id": ids, "width": ws, "height": hs, "channels": cs,
                 "features": feats,
             })
 
@@ -112,8 +134,35 @@ def sample_frames(f: Frame, every_n: int = 10, id_col: str = "id",
     return Frame(f.sdf.mapInPandas(kernel, schema=FRAME_SCHEMA))
 
 
+def resize_images(f: Frame, width: int, height: int, id_col: str = "id",
+                  payload_col: str = "payload") -> Frame:
+    """Resize through the Arrow path: BMP payloads are REALLY resized
+    (decode → nearest-neighbor resample → re-encode, pure numpy) and
+    come back as valid BMP bytes of the target size; other formats pass
+    through unchanged (PIL path stubbed in this container)."""
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+        from .codecs import decode_bmp, encode_bmp, resize_nearest
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                if _is_bmp(payload):
+                    out.append(encode_bmp(
+                        resize_nearest(decode_bmp(bytes(payload)), width, height)))
+                elif _HAVE_CODECS:  # pragma: no cover
+                    raise NotImplementedError("real codec path: PIL resize here")
+                else:
+                    out.append(payload)
+            yield pd.DataFrame({"id": pdf[id_col], "payload": out})
+
+    return Frame(f.sdf.mapInPandas(kernel, schema=schema))
+
+
 def resize_stub(f: Frame, width: int, height: int) -> Frame:
-    """Resize plumbing — passes payloads through the same Arrow path."""
-    if _HAVE_CODECS:  # pragma: no cover
-        raise NotImplementedError("real codec path: PIL resize here")
-    return f
+    """Back-compat alias for the pre-codec API — see resize_images."""
+    return resize_images(f, width, height)

@@ -50,3 +50,69 @@ def test_sample_frames_multiplicity(spark):
                       F.min("frame_idx").alias("lo")).collect()[0]
     assert got.n == n_in and got.lo == 0
     assert out.sdf.schema == mm.FRAME_SCHEMA
+
+
+# ---------------------------------------------------------------- BMP codec
+def _checker(h, w):
+    import numpy as np
+    y, x = np.mgrid[0:h, 0:w]
+    arr = np.zeros((h, w, 3), dtype=np.uint8)
+    arr[..., 0] = ((x + y) % 2) * 255          # red checkerboard
+    arr[..., 1] = (x * 7) % 256                # green ramp
+    arr[..., 2] = (y * 11) % 256               # blue ramp
+    return arr
+
+
+def test_bmp_roundtrip_and_errors():
+    import numpy as np
+    import pytest
+    from crysda_spark.pipeline.codecs import (
+        BmpError, decode_bmp, encode_bmp, image_features, resize_nearest)
+    for h, w in [(1, 1), (3, 5), (16, 16), (7, 2)]:  # odd widths hit row padding
+        arr = _checker(h, w)
+        assert np.array_equal(decode_bmp(encode_bmp(arr)), arr)
+    with pytest.raises(BmpError, match="magic"):
+        decode_bmp(b"NO" + b"\x00" * 60)
+    with pytest.raises(BmpError, match="too short"):
+        decode_bmp(b"BM")
+    with pytest.raises(BmpError, match="truncated"):
+        decode_bmp(encode_bmp(_checker(8, 8))[:-10])
+    small = resize_nearest(_checker(16, 16), 4, 4)
+    assert small.shape == (4, 4, 3)
+    feats = image_features(_checker(8, 8), 8)
+    assert len(feats) == 8 and all(0.0 <= v <= 1.0 for v in feats)
+
+
+def test_decode_images_real_bmp_through_arrow(spark):
+    # real bytes, real decode, through the distributed mapInPandas path:
+    # width/height/channels must be TRUE values, not the stub zeros
+    import numpy as np
+    from crysda_spark.pipeline.codecs import encode_bmp, image_features
+    payloads = [(i, bytearray(encode_bmp(_checker(4 + i, 6 + i))))
+                for i in range(6)]
+    df = spark.createDataFrame(payloads, "id long, payload binary")
+    out = mm.decode_images(Frame(df), n_feat=8).sdf.collect()
+    by_id = {r.id: r for r in out}
+    for i in range(6):
+        r = by_id[i]
+        assert (r.height, r.width, r.channels) == (4 + i, 6 + i, 3)
+        expect = image_features(_checker(4 + i, 6 + i), 8)
+        assert all(abs(a - b) < 1e-6 for a, b in zip(r.features, expect))
+
+
+def test_resize_images_real_bmp_end_to_end(spark):
+    # decode → resize → re-encode → decode again, all through Arrow
+    import numpy as np
+    from crysda_spark.pipeline.codecs import decode_bmp, encode_bmp, resize_nearest
+    src = _checker(16, 12)
+    df = spark.createDataFrame([(1, bytearray(encode_bmp(src)))],
+                               "id long, payload binary")
+    out = mm.resize_images(Frame(df), width=6, height=8).sdf.collect()[0]
+    got = decode_bmp(bytes(out.payload))
+    assert got.shape == (8, 6, 3)
+    assert np.array_equal(got, resize_nearest(src, 6, 8))
+    # non-BMP payloads pass through untouched
+    df2 = spark.createDataFrame([(2, bytearray(b"not-an-image"))],
+                                "id long, payload binary")
+    kept = mm.resize_images(Frame(df2), 4, 4).sdf.collect()[0]
+    assert bytes(kept.payload) == b"not-an-image"
