@@ -1698,6 +1698,55 @@ def quantile_verb_grouped(spark, sf_dir):
                            F.round("p75", 4).alias("p75"))
 
 
+@q("write_csv_roundtrip", """
+SELECT n_regionkey, COUNT(*) AS n, SUM(n_nationkey) AS key_sum,
+       MAX(n_name) AS max_name
+FROM nation GROUP BY n_regionkey
+""")
+def write_csv_roundtrip(spark, sf_dir):
+    """Sink correctness under the oracle gate: nation → write_csv →
+    read_csv (inference cascade) → aggregate. The oracle aggregates the
+    ORIGINAL parquet, so value equality proves the CSV sink+source
+    preserve values and types end-to-end (reference write_csv:
+    src/crysda/dataframe.cr:674-692)."""
+    import os
+    import tempfile
+
+    from crysda_spark import read_csv
+    from crysda_spark.sources.sinks import write_csv
+    n = _t(spark, sf_dir, "nation")
+    path = os.path.join(tempfile.gettempdir(), "crysda_r6_csv_roundtrip")
+    write_csv(n, path, single_file=True)
+    back = read_csv(spark, path)
+    return (back.sdf.groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_nationkey").alias("key_sum"),
+                 F.max("n_name").alias("max_name"))
+            .select(F.col("n_regionkey").cast("int").alias("n_regionkey"),
+                    "n", F.col("key_sum").cast("long").alias("key_sum"),
+                    "max_name"))
+
+
+@q("sample_frac_seeded_counts")  # rows-only: RNG streams differ across engines
+def sample_frac_seeded_counts(spark, sf_dir):
+    """Seeded per-group fractional sampling (Frame.sample_frac,
+    reference src/crysda/dataframe.cr:414-418: exact round(frac*size)
+    per group). Driver-side contract gate: per-group sampled count must
+    equal round(0.2 * group size) exactly — bounded aggregate action."""
+    c = _t(spark, sf_dir, "customer")
+    expected = (c.sdf.groupBy("c_mktsegment")
+                .agg(F.round(F.count(F.lit(1)) * 0.2).cast("long").alias("want")))
+    s = c.group_by("c_mktsegment").sample_frac(0.2, seed=7)
+    got = (s.ungroup().sdf.groupBy("c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("n")))
+    joined = got.join(expected, on="c_mktsegment", how="full")
+    bad = joined.where(F.col("n").eqNullSafe(F.col("want")) == False).count()  # noqa: E712
+    if bad:
+        raise AssertionError(
+            f"sample_frac seeded gate: {bad} groups off exact round(frac*size)")
+    return joined.select("c_mktsegment", "n")
+
+
 # ================================================================== contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""

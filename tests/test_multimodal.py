@@ -116,3 +116,28 @@ def test_resize_images_real_bmp_end_to_end(spark):
                                 "id long, payload binary")
     kept = mm.resize_images(Frame(df2), 4, 4).sdf.collect()[0]
     assert bytes(kept.payload) == b"not-an-image"
+
+
+def test_bmp_32bit_topdown_decode():
+    # hand-built 32-bit BGRA, negative height (top-down): decode must
+    # honor both branches encode_bmp never produces
+    import struct
+    import numpy as np
+    from crysda_spark.pipeline.codecs import decode_bmp
+    w, h = 3, 2
+    rows = []
+    # top-down: first stored row IS the top row; no padding at 4 B/px
+    px = [[(10, 20, 30, 255), (40, 50, 60, 255), (70, 80, 90, 255)],
+          [(1, 2, 3, 0), (4, 5, 6, 0), (7, 8, 9, 0)]]  # (B, G, R, A)
+    for row in px:
+        for b, g, r, a in row:
+            rows.append(struct.pack("<4B", b, g, r, a))
+    pix = b"".join(rows)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 32, 0, len(pix),
+                      2835, 2835, 0, 0)
+    arr = decode_bmp(header + dib + pix)
+    assert arr.shape == (2, 3, 3)
+    # RGB of the top-left stored pixel: (R=30, G=20, B=10)
+    assert arr[0, 0].tolist() == [30, 20, 10]
+    assert arr[1, 2].tolist() == [9, 8, 7]
