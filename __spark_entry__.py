@@ -982,6 +982,30 @@ def events_tumbling_hourly(spark, sf_dir):
                        avg_value=F.round(F.avg("value"), 4))).sdf
 
 
+@q("events_sliding_counts", """
+WITH w AS (
+  SELECT CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) AS ws FROM events
+  UNION ALL
+  SELECT CAST(floor(epoch(ts)/1800)*1800 - 1800 AS BIGINT) AS ws FROM events
+)
+SELECT ws AS window_epoch, COUNT(*) AS n
+FROM w GROUP BY 1
+""")
+def events_sliding_counts(spark, sf_dir):
+    """Sliding-window aggregation (batch form of
+    streaming.windows.sliding_counts; width 1 h, slide 30 min — Spark's
+    epoch-aligned window set puts every event in EXACTLY the windows
+    starting at bucket and bucket-30min). The oracle materializes that
+    2-window expansion explicitly; epoch-second keys make the compare
+    timezone-independent."""
+    from crysda_spark.streaming.windows import sliding_counts
+    ev = _t(spark, sf_dir, "events")
+    out = sliding_counts(ev.sdf, "ts", width="1 hour", slide="30 minutes",
+                         watermark=None)
+    return out.select(F.unix_timestamp("window_start").alias("window_epoch"),
+                      F.col("n"))
+
+
 @q("asof_click_error", """
 SELECT l.event_id, l.user_id, r.value AS err_value
 FROM (SELECT * FROM events WHERE event_type = 'click') l
@@ -1715,7 +1739,11 @@ def write_csv_roundtrip(spark, sf_dir):
     from crysda_spark import read_csv
     from crysda_spark.sources.sinks import write_csv
     n = _t(spark, sf_dir, "nation")
-    path = os.path.join(tempfile.gettempdir(), "crysda_r6_csv_roundtrip")
+    # path is per-sf so a local bench (sf0.1) and a driver gate run
+    # (sf0.01) can never clobber each other's round-trip files
+    path = os.path.join(tempfile.gettempdir(),
+                        "crysda_r6_csv_roundtrip_"
+                        + os.path.basename(sf_dir.rstrip("/")))
     write_csv(n, path, single_file=True)
     back = read_csv(spark, path)
     return (back.sdf.groupBy("n_regionkey")

@@ -607,10 +607,11 @@ class Frame:
     def quantile_cont(self, value_col: str, qs, wide: bool = True) -> "Frame":
         """Exact per-group linear-interpolation quantiles (DuckDB
         ``quantile_cont`` / Spark ``percentile`` semantics) computed by
-        distributed range-partitioned rank selection — no per-group
-        value buffering, so it survives few-groups × huge-data where
-        Spark's exact ``percentile`` aggregate dies (see
-        operators/quantiles.py for the algorithm). Respects the current
+        distributed value-bucketed rank selection — no per-group value
+        buffering, so it survives few-groups × huge-data where Spark's
+        exact ``percentile`` aggregate dies (see operators/quantiles.py
+        for the algorithm, its determinism requirement on the input
+        lineage, and the pinned-cache note). Respects the current
         grouping. ``wide=True`` (default) pivots to one ``p<q>`` column
         per quantile; ``wide=False`` returns long ``(*groups, q, value)``."""
         from .operators.quantiles import quantile_cont as _qc

@@ -250,9 +250,31 @@ def ngram_jaccard_exact(f: Frame, text_col: str, id_col: str,
             .withColumn("n", F.count(F.lit(1)).over(W.partitionBy(id_col)))
             .filter(F.col("pos")
                     <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - 1e-9) + 1)
-            .select(id_col, "s"))
+            .select(id_col, "s", "pos", "n"))
+    # PPJoin filters (Xiao et al., WWW'08), both epsilon-loosened at
+    # rational boundaries (extra candidates only cost the exact verify;
+    # a tight float bound losing a pair would cost recall):
+    # - length filter: J >= t forces min(|A|,|B|) >= t·max(|A|,|B|) —
+    #   size-mismatched pairs drop before the verify join ever fetches
+    #   their shingle sets.
+    # - positional filter: both shingle lists share ONE global
+    #   (df, value) sort order, so for a shared token at positions
+    #   (pa, pb): elements before it overlap at most min(pa-1, pb-1)
+    #   and elements after at most min(na-pa, nb-pb) — an upper bound
+    #   on |A∩B| valid for EVERY shared token. J >= t needs
+    #   |A∩B| >= t/(1+t)·(na+nb); rows whose bound falls short drop
+    #   out (a pair survives if any of its shared prefix tokens passes
+    #   — conservative, exact verify decides).
+    _ov_ub = (F.least(F.col("a.pos"), F.col("b.pos"))
+              + F.least(F.col("a.n") - F.col("a.pos"),
+                        F.col("b.n") - F.col("b.pos")))
+    _alpha = (F.lit(threshold / (1.0 + threshold))
+              * (F.col("a.n") + F.col("b.n")))
     cands = (pref.alias("a").join(pref.alias("b"), on="s")
-             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .filter((F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                     & (F.col("a.n") >= F.lit(threshold) * F.col("b.n") - 1e-9)
+                     & (F.col("b.n") >= F.lit(threshold) * F.col("a.n") - 1e-9)
+                     & (_ov_ub >= _alpha - 1e-9))
              .select(F.col(f"a.{id_col}").alias("id_a"),
                      F.col(f"b.{id_col}").alias("id_b"))
              .dropDuplicates())

@@ -14,9 +14,10 @@ the operational layer a 100 TB deployment needs on top:
   repeat join keys.
 """
 
+from .cache import pin, pinned_count, release_pinned
 from .inspect import scan_health, shuffle_count
 from .skew import salted_agg, salted_join
 from .bucketing import write_bucketed
 
 __all__ = ["scan_health", "shuffle_count", "salted_join", "salted_agg",
-           "write_bucketed"]
+           "write_bucketed", "pin", "release_pinned", "pinned_count"]

@@ -114,3 +114,25 @@ def test_boundary_jaccard_exactly_at_threshold(spark):
     got8 = _brute_pairs(sets8, 0.8)
     assert (0, 1) in got8 and got8[(0, 1)] == 0.8
     _run_corpus(spark, sets8, 0.8)
+
+
+def test_length_filter_boundary_pairs_kept(spark):
+    """PPJoin length filter (added r6): |A| = t·|B| with A ⊂ B gives
+    J exactly t — the size-predicate boundary; the epsilon-loosened
+    filter must keep the pair (a tight float bound could drop it)."""
+    # t=0.5: |A|=4 ⊂ |B|=8 → J = 4/8 = 0.5 exactly
+    a = frozenset(["s1", "s2", "s3", "s4"])
+    b = frozenset(["s1", "s2", "s3", "s4", "x1", "x2", "x3", "x4"])
+    others = {100 + i: frozenset([f"o{i}{j}" for j in range(5)])
+              for i in range(3)}
+    sets = {0: a, 1: b, **others}
+    got = _brute_pairs(sets, 0.5)
+    assert (0, 1) in got and got[(0, 1)] == 0.5
+    _run_corpus(spark, sets, 0.5)
+    # t=0.25: |A|=2 ⊂ |B|=8 → J = 2/8 = 0.25 exactly
+    a2 = frozenset(["s1", "s2"])
+    b2 = frozenset(["s1", "s2", "x1", "x2", "x3", "x4", "x5", "x6"])
+    sets2 = {0: a2, 1: b2, **others}
+    got2 = _brute_pairs(sets2, 0.25)
+    assert (0, 1) in got2 and got2[(0, 1)] == 0.25
+    _run_corpus(spark, sets2, 0.25)

@@ -141,3 +141,21 @@ def test_bmp_32bit_topdown_decode():
     # RGB of the top-left stored pixel: (R=30, G=20, B=10)
     assert arr[0, 0].tolist() == [30, 20, 10]
     assert arr[1, 2].tolist() == [9, 8, 7]
+
+
+def test_bmp_roundtrip_hypothesis():
+    # property fuzz: ANY uint8 (H, W, 3) array survives encode→decode
+    # bit-for-bit, across the row-padding residues W % 4 ∈ {0,1,2,3}
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+    from crysda_spark.pipeline.codecs import decode_bmp, encode_bmp
+
+    @settings(max_examples=40, deadline=None)
+    @given(h=st.integers(1, 24), w=st.integers(1, 24),
+           seed=st.integers(0, 2**31 - 1))
+    def roundtrip(h, w, seed):
+        arr = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(arr)), arr)
+
+    roundtrip()
