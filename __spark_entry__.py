@@ -1328,6 +1328,48 @@ def dedup_cluster_survivors(spark, sf_dir):
     return out
 
 
+@q("dedup_full_pipeline")  # exact-collapse → LSH → CC composite; rows-only
+def dedup_full_pipeline(spark, sf_dir):
+    """Production-shaped full dedup (pipeline.dedup.dedup_full, r6):
+    exact fingerprint collapse BEFORE LSH (kills the exact-copy
+    hot-bucket blowup at web scale), near-dup clustering on canonical
+    docs only, exact mass folded back into cluster sizes.
+    Planted-truth gates: 4 exact copies of doc 0 + a near-dup variant
+    with 2 exact copies must all fold into doc 0's cluster (size >= 8,
+    no planted survivor), and cluster sizes must conserve total mass."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.sdf.select("doc_id", "text")
+    d0 = base.where(F.col("doc_id") == 0)
+    corpus = base
+    for off in range(4):
+        corpus = corpus.unionByName(d0.select(
+            F.lit(_PLANT_OFFSET + off).cast("long").alias("doc_id"), "text"))
+    variant = d0.select(
+        F.lit(2 * _PLANT_OFFSET).cast("long").alias("doc_id"),
+        F.concat("text", F.lit(" zzzz")).alias("text"))
+    corpus = corpus.unionByName(variant)
+    for off in (1, 2):
+        corpus = corpus.unionByName(variant.select(
+            F.lit(2 * _PLANT_OFFSET + off).cast("long").alias("doc_id"), "text"))
+    out = dd.dedup_full(Frame(corpus), "text", "doc_id",
+                        threshold=0.6, n_hashes=64, bands=16)
+    from crysda_spark.plans.cache import pin
+    res = pin(out.sdf)
+    agg = res.agg(
+        F.sum("cluster_size").alias("mass"),
+        F.sum(F.when(F.col("doc_id") >= _PLANT_OFFSET, 1).otherwise(0))
+        .alias("planted_survivors"),
+        F.max(F.when(F.col("doc_id") == 0, F.col("cluster_size")))
+        .alias("c0")).collect()[0]
+    n_in = corpus.count()
+    if (agg.mass != n_in or agg.planted_survivors != 0
+            or agg.c0 is None or agg.c0 < 8):
+        raise AssertionError(
+            f"dedup_full planted gate: mass {agg.mass}/{n_in}, "
+            f"planted_survivors {agg.planted_survivors}, c0 {agg.c0}")
+    return res
+
+
 @q("simhash_near_dups")  # no SQL oracle
 def simhash_near_dups(spark, sf_dir):
     """SimHash near-duplicate pairs, hamming<=4 over 64-bit signatures

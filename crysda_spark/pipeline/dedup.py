@@ -467,6 +467,56 @@ def dedup_survivors(f: Frame, pairs: DataFrame, id_col: str) -> Frame:
     return Frame(out)
 
 
+def dedup_full(f: Frame, text_col: str, id_col: str, threshold: float = 0.8,
+               n_hashes: int = 32, bands: int = 8, k: int = 3) -> Frame:
+    """Production-shaped near-dedup for web-scale corpora: exact
+    collapse FIRST, then near-dup LSH on canonical survivors only.
+
+    Why the two stages matter at 100 TB: web corpora carry exact-copy
+    populations in the billions (mirrors, boilerplate). Every copy of a
+    document lands in the SAME LSH band buckets, so the band self-join
+    degenerates to O(copies²) rows on those keys — a hot-bucket blowup
+    no hash-key entropy can fix. Collapsing exact copies down to one
+    canonical row per fingerprint (a cheap 16-byte-digest groupBy)
+    BEFORE shingling removes that mass, shrinks the shingle/signature
+    pass by the duplicate factor, and leaves the band join operating on
+    unique content only.
+
+    Pipeline: md5-fingerprint collapse (shuffles digests, never text) →
+    minhash+LSH+exact-Jaccard on canonical docs → connected components
+    → survivor = component label (the min member id); exact-copy mass
+    folds back via sum(n_exact) per component.
+
+    Returns (id, cluster_size): one row per surviving canonical
+    document; cluster_size counts ALL original rows it absorbs (its
+    exact copies + every near-dup member's exact copies); size 1 for
+    unique singletons."""
+    # stage 1: exact collapse — canonical id + copy count per fingerprint
+    from .text import fingerprint
+    canon = pin(f.sdf
+                .select(F.col(id_col), fingerprint(text_col).alias("_fp"))
+                .groupBy("_fp")
+                .agg(F.min(id_col).alias(id_col),
+                     F.count(F.lit(1)).alias("_n_exact")))
+    # stage 2: near-dup pairs over canonical docs only (text fetched by
+    # joining canonical ids back to the corpus — a semi-shaped join)
+    canon_docs = Frame(f.sdf.select(id_col, text_col)
+                       .join(canon.select(id_col), on=id_col, how="inner"))
+    pairs = minhash_dedup(canon_docs, text_col, id_col, threshold,
+                          n_hashes, bands, k).sdf
+    # stage 3: components over canonical ids; fold exact mass back in.
+    # comp label = min reachable id, so the survivor IS the label.
+    comps = connected_components(pairs)
+    labeled = (canon.join(comps.withColumnRenamed("id", id_col), on=id_col,
+                          how="left")
+               .select(F.coalesce("comp", F.col(id_col)).alias("comp"),
+                       "_n_exact"))
+    out = (labeled.groupBy("comp")
+           .agg(F.sum("_n_exact").alias("cluster_size"))
+           .select(F.col("comp").alias(id_col), "cluster_size"))
+    return Frame(out)
+
+
 def _simhash_block(sh, offset: int, width: int) -> Column:
     return F.shiftright(sh, offset).bitwiseAND(F.lit((1 << width) - 1))
 

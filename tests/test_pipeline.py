@@ -328,3 +328,33 @@ def test_release_pinned_frees_dedup_caches(spark, docs):
     # every block the dedup pipeline pinned is gone again (other
     # session-level caches, e.g. conftest fixtures, are untouched)
     assert cached_rdd_ids() <= before
+
+
+def test_dedup_full_collapses_exact_then_near(spark, docs):
+    # corpus: 50 base docs + 3 exact copies of doc 0 + a near-dup
+    # variant of doc 0 + 2 exact copies of the variant. dedup_full must
+    # fold all 6 planted rows into doc 0's cluster (exact collapse →
+    # LSH on canonicals → component fold-back).
+    base = docs.sdf.select("doc_id", "text").filter(F.col("doc_id") < 50)
+    d0 = base.filter(F.col("doc_id") == 0)
+    parts = [base]
+    for cid in (1000, 1001, 1002):
+        parts.append(d0.select(F.lit(cid).cast("long").alias("doc_id"), "text"))
+    variant = d0.select(F.lit(2000).cast("long").alias("doc_id"),
+                        F.concat("text", F.lit(" zzzz")).alias("text"))
+    parts.append(variant)
+    for cid in (2001, 2002):
+        parts.append(variant.select(F.lit(cid).cast("long").alias("doc_id"), "text"))
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionByName(p)
+    out = dd.dedup_full(Frame(corpus), "text", "doc_id",
+                        threshold=0.6, n_hashes=64, bands=16).sdf
+    rows = {r.doc_id: r.cluster_size for r in out.collect()}
+    # no planted id survives; doc 0 survives and absorbed all 6 planted
+    assert all(i not in rows for i in (1000, 1001, 1002, 2000, 2001, 2002))
+    assert rows[0] >= 7  # ==7 unless a base doc also near-dups doc 0
+    # mass conservation: every input row counted in exactly one cluster
+    assert sum(rows.values()) == corpus.count()
+    from crysda_spark.plans.cache import release_pinned
+    release_pinned()
