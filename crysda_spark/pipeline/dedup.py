@@ -467,6 +467,26 @@ def dedup_survivors(f: Frame, pairs: DataFrame, id_col: str) -> Frame:
     return Frame(out)
 
 
+def dedup_assignments(f: Frame, pairs: DataFrame, id_col: str) -> Frame:
+    """(id, survivor_id, is_survivor) for EVERY corpus row: the
+    join-back API for actually removing duplicates. ``survivor_id`` is
+    the component label (min reachable id) for rows in any near-dup
+    pair, the row's own id otherwise. Filter ``is_survivor`` to drop
+    duplicates, or rewrite references through ``survivor_id``.
+
+    Same unhinted join shape as ``dedup_survivors`` — the assignment
+    table scales with the duplicate population, so AQE decides
+    broadcast vs shuffle at runtime."""
+    comps = connected_components(pairs)
+    out = (f.sdf.select(F.col(id_col))
+           .join(comps.withColumnRenamed("id", id_col), on=id_col, how="left")
+           .select(F.col(id_col),
+                   F.coalesce("comp", F.col(id_col)).alias("survivor_id"),
+                   (F.coalesce("comp", F.col(id_col)) == F.col(id_col))
+                   .alias("is_survivor")))
+    return Frame(out)
+
+
 def dedup_full(f: Frame, text_col: str, id_col: str, threshold: float = 0.8,
                n_hashes: int = 32, bands: int = 8, k: int = 3) -> Frame:
     """Production-shaped near-dedup for web-scale corpora: exact

@@ -358,3 +358,20 @@ def test_dedup_full_collapses_exact_then_near(spark, docs):
     assert sum(rows.values()) == corpus.count()
     from crysda_spark.plans.cache import release_pinned
     release_pinned()
+
+
+def test_dedup_assignments_join_back(spark):
+    from crysda_spark import from_records
+    docs = from_records(spark, [{"doc_id": i} for i in [1, 2, 3, 10, 11, 99]])
+    pairs = from_records(spark, [
+        {"id_a": 1, "id_b": 2}, {"id_a": 2, "id_b": 3},
+        {"id_a": 10, "id_b": 11},
+    ]).sdf
+    rows = {r.doc_id: (r.survivor_id, r.is_survivor)
+            for r in dd.dedup_assignments(docs, pairs, "doc_id").sdf.collect()}
+    assert rows == {1: (1, True), 2: (1, False), 3: (1, False),
+                    10: (10, True), 11: (10, False), 99: (99, True)}
+    # the filtered corpus equals dedup_survivors' survivor set
+    survivors = {r.doc_id
+                 for r in dd.dedup_survivors(docs, pairs, "doc_id").sdf.collect()}
+    assert {i for i, (_, s) in rows.items() if s} == survivors
