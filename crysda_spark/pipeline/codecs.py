@@ -86,6 +86,60 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + dib + rows.tobytes()
 
 
+class PpmError(ValueError):
+    """Malformed or unsupported PPM payload."""
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode a binary PPM (magic ``P6``, the Netpbm raw RGB format:
+    ASCII header ``P6 <width> <height> <maxval>`` with ``#`` comments,
+    then width*height*3 raw bytes) to an (H, W, 3) RGB uint8 array.
+    Only maxval <= 255 (1-byte samples) is supported."""
+    if payload is None or len(payload) < 10 or payload[:2] != b"P6":
+        raise PpmError("missing P6 magic")
+    # header tokenizer: whitespace-separated ints, '#' starts a comment
+    pos, fields = 2, []
+    while len(fields) < 3:
+        if pos >= len(payload):
+            raise PpmError("truncated PPM header")
+        c = payload[pos:pos + 1]
+        if c == b"#":
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                raise PpmError("unterminated comment")
+            pos = nl + 1
+        elif c.isspace():
+            pos += 1
+        elif c.isdigit():
+            end = pos
+            while end < len(payload) and payload[end:end + 1].isdigit():
+                end += 1
+            fields.append(int(payload[pos:end]))
+            pos = end
+        else:
+            raise PpmError(f"bad header byte {c!r} at {pos}")
+    w, h, maxval = fields
+    if not (0 < maxval <= 255):
+        raise PpmError(f"unsupported maxval {maxval} (1-byte samples only)")
+    if w <= 0 or h <= 0:
+        raise PpmError(f"bad dimensions {w}x{h}")
+    pos += 1  # exactly one whitespace byte separates header from raster
+    need = pos + w * h * 3
+    if len(payload) < need:
+        raise PpmError(f"raster truncated: have {len(payload)}, need {need}")
+    return (np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+            .reshape(h, w, 3).copy())
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) RGB uint8 array as binary PPM (P6)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise PpmError(f"encode_ppm wants (H, W, 3), got {arr.shape}")
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
 def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resize, pure numpy indexing (no interpolation
     libs in the container; NN is exact-pixel and deterministic)."""

@@ -67,8 +67,20 @@ def _fake_decode(payload: bytes, n_feat: int = 8) -> list[float]:
     return (buckets / total).tolist()
 
 
+def _sniff(payload) -> str | None:
+    """Real-codec dispatch on magic bytes: 'bmp' / 'ppm' / None."""
+    if payload is None or len(payload) < 2:
+        return None
+    magic = bytes(payload[:2])
+    if magic == b"BM":
+        return "bmp"
+    if magic == b"P6":
+        return "ppm"
+    return None
+
+
 def _is_bmp(payload) -> bool:
-    return payload is not None and bytes(payload[:2]) == b"BM"
+    return _sniff(payload) == "bmp"
 
 
 def decode_images(f: Frame, id_col: str = "id", payload_col: str = "payload",
@@ -91,12 +103,14 @@ def decode_images(f: Frame, id_col: str = "id", payload_col: str = "payload",
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
-        from .codecs import decode_bmp, image_features
+        from .codecs import decode_bmp, decode_ppm, image_features
+        real = {"bmp": decode_bmp, "ppm": decode_ppm}
         for pdf in batches:
             ids, ws, hs, cs, feats = [], [], [], [], []
             for pid, payload in zip(pdf[id_col], pdf[payload_col]):
-                if _is_bmp(payload):
-                    arr = decode_bmp(bytes(payload))
+                kind = _sniff(payload)
+                if kind in real:
+                    arr = real[kind](bytes(payload))
                     h, w, c = arr.shape
                     fs = image_features(arr, n_feat)
                 elif _HAVE_CODECS:  # pragma: no cover
@@ -147,13 +161,17 @@ def resize_images(f: Frame, width: int, height: int, id_col: str = "id",
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
-        from .codecs import decode_bmp, encode_bmp, resize_nearest
+        from .codecs import (decode_bmp, decode_ppm, encode_bmp, encode_ppm,
+                             resize_nearest)
+        real = {"bmp": (decode_bmp, encode_bmp), "ppm": (decode_ppm, encode_ppm)}
         for pdf in batches:
             out = []
             for payload in pdf[payload_col]:
-                if _is_bmp(payload):
-                    out.append(encode_bmp(
-                        resize_nearest(decode_bmp(bytes(payload)), width, height)))
+                kind = _sniff(payload)
+                if kind in real:
+                    dec, enc = real[kind]
+                    out.append(enc(
+                        resize_nearest(dec(bytes(payload)), width, height)))
                 elif _HAVE_CODECS:  # pragma: no cover
                     raise NotImplementedError("real codec path: PIL resize here")
                 else:

@@ -159,3 +159,39 @@ def test_bmp_roundtrip_hypothesis():
         assert np.array_equal(decode_bmp(encode_bmp(arr)), arr)
 
     roundtrip()
+
+
+def test_ppm_roundtrip_and_errors():
+    import numpy as np
+    import pytest
+    from crysda_spark.pipeline.codecs import PpmError, decode_ppm, encode_ppm
+    for h, w in [(1, 1), (3, 5), (16, 16)]:
+        arr = _checker(h, w)
+        assert np.array_equal(decode_ppm(encode_ppm(arr)), arr)
+    # header with comments and odd whitespace still parses
+    arr = _checker(2, 3)
+    raw = b"P6 # comment\n# another\n 3\t2\n255\n" + arr.tobytes()
+    assert np.array_equal(decode_ppm(raw), arr)
+    with pytest.raises(PpmError, match="magic"):
+        decode_ppm(b"P5 1 1 255 \x00" * 3)
+    with pytest.raises(PpmError, match="truncated"):
+        decode_ppm(encode_ppm(_checker(4, 4))[:-5])
+    with pytest.raises(PpmError, match="maxval"):
+        decode_ppm(b"P6 1 1 65535 " + b"\x00" * 6)
+
+
+def test_decode_and_resize_dispatch_ppm_through_arrow(spark):
+    import numpy as np
+    from crysda_spark.pipeline.codecs import decode_ppm, encode_ppm, resize_nearest
+    src = _checker(10, 8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(src))), (2, bytearray(b"not-an-image"))],
+        "id long, payload binary")
+    dec = {r.id: r for r in mm.decode_images(Frame(df), n_feat=8).sdf.collect()}
+    assert (dec[1].height, dec[1].width, dec[1].channels) == (10, 8, 3)
+    assert (dec[2].height, dec[2].width, dec[2].channels) == (0, 0, 0)  # fake path
+    rez = {r.id: r for r in mm.resize_images(Frame(df), 4, 5).sdf.collect()}
+    got = decode_ppm(bytes(rez[1].payload))
+    assert got.shape == (5, 4, 3)
+    assert np.array_equal(got, resize_nearest(src, 4, 5))
+    assert bytes(rez[2].payload) == b"not-an-image"
