@@ -1351,8 +1351,11 @@ def dedup_full_pipeline(spark, sf_dir):
     for off in (1, 2):
         corpus = corpus.unionByName(variant.select(
             F.lit(2 * _PLANT_OFFSET + off).cast("long").alias("doc_id"), "text"))
+    # 32 hashes / 8 bands (r=4): exact copies collide in EVERY band and
+    # the planted variant sits at J≈0.99 where band-detection is ≈1.0 —
+    # 64/16 would double the signature+band work for no recall
     out = dd.dedup_full(Frame(corpus), "text", "doc_id",
-                        threshold=0.6, n_hashes=64, bands=16)
+                        threshold=0.6, n_hashes=32, bands=8)
     from crysda_spark.plans.cache import pin
     res = pin(out.sdf)
     agg = res.agg(
