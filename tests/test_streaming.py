@@ -186,3 +186,24 @@ def test_streaming_dedup(spark, events_stream_dir):
     got = spark.table("dedup_t")
     n_users = _batch_events(spark, events_stream_dir).select("user_id").distinct().count()
     assert got.count() == n_users
+
+
+def test_sliding_counts_batch_equals_explicit_expansion(spark, events_stream_dir):
+    """Pin Spark's sliding-window semantics beyond the 2x-ratio the
+    events_sliding_counts oracle covers: width 1 h / slide 20 min puts
+    every event in exactly 3 epoch-aligned windows; sliding_counts must
+    equal the explicit 3-way expansion computed with plain column ops."""
+    ev = _batch_events(spark, events_stream_dir)
+    got = {(r.window_start, r.n)
+           for r in sw.sliding_counts(ev, "ts", width="1 hour",
+                                      slide="20 minutes", watermark=None)
+           .collect()}
+    b = (F.floor(F.unix_timestamp("ts") / 1200) * 1200).cast("long")
+    expanded = None
+    for k in range(3):
+        part = ev.select((b - k * 1200).cast("timestamp").alias("window_start"))
+        expanded = part if expanded is None else expanded.unionByName(part)
+    want = {(r.window_start, r.n)
+            for r in expanded.groupBy("window_start")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
