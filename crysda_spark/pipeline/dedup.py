@@ -364,8 +364,68 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 # ------------------------------------------------------ cluster resolution
+def _is_cached(df: DataFrame) -> bool:
+    sl = df.storageLevel
+    return bool(sl.useMemory or sl.useDisk or sl.useOffHeap)
+
+
+def _cc_round(labels: DataFrame, edges: DataFrame,
+              salt: int) -> tuple[DataFrame, DataFrame]:
+    """One connected-components round: neighbor-min propagation + pointer
+    jump. Returns ``(new_labels_plan, stepped_handle)`` — the caller
+    localCheckpoints the plan and unpersists the handle after.
+
+    Both skew shapes of a round are salted (``salt > 1``):
+
+    - the edge join keys on ``src`` — a web-scale hub vertex (10⁸⁺
+      edges) would land every edge row on one reducer; ``salted_join``
+      spreads them over ``salt`` sub-keys at the cost of shuffling the
+      (one-row-per-vertex) label table ``salt`` times.
+    - the neighbor-min ``groupBy(dst)`` and the pointer-jump
+      ``join(on="comp")`` key on labels that CONCENTRATE as clusters
+      merge: once a boilerplate component accretes 10⁹ members, every
+      member row hashes to the component label's reducer. ``salted_agg``
+      splits the hot reduce key (belt over map-side partial min, which
+      already bounds per-key reduce input by the map-partition count);
+      ``salted_join`` splits the jump lookup the same way.
+
+    Separated from the iteration loop so tests can assert the salted
+    path is IN THE PLAN (the loop's localCheckpoint truncates lineage,
+    hiding it from the final explain)."""
+    from ..plans.skew import salted_agg, salted_join
+
+    lbl_src = labels.withColumnsRenamed({"id": "src", "comp": "c"})
+    if salt > 1:
+        adj = salted_join(edges, lbl_src, on=["src"], how="inner", salt=salt)
+        neighbor_min = (salted_agg(adj, ["dst"], {"nmin": "min:c"}, salt=salt)
+                        .withColumnRenamed("dst", "id"))
+    else:
+        neighbor_min = (edges.join(lbl_src, on="src")
+                        .groupBy(F.col("dst").alias("id"))
+                        .agg(F.min("c").alias("nmin")))
+    # thread the pre-round label through the joins so convergence is
+    # a filter over the (already materialized) checkpoint — the old
+    # separate changed-count join cost one extra shuffle per round
+    stepped = (labels.join(neighbor_min, on="id", how="left")
+               .select("id", F.col("comp").alias("old"),
+                       F.least("comp", "nmin").alias("comp"))
+               .persist())  # both consumers below read it; without the
+    # persist the neighbor-min join would run twice per round
+    # pointer jumping: follow the label's own label one hop
+    jump = stepped.select(F.col("id").alias("comp"),
+                          F.col("comp").alias("cc"))
+    if salt > 1:
+        jumped = salted_join(stepped, jump, on=["comp"], how="left", salt=salt)
+    else:
+        jumped = stepped.join(jump, on="comp", how="left")
+    new_labels = jumped.select("id", "old",
+                               F.least("comp", "cc").alias("comp"))
+    return new_labels, stepped
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 20,
+                         salt: int = 8) -> DataFrame:
     """(id, component) for every id appearing in ``pairs``; component =
     min id reachable through the pair graph. Iterative min-label
     propagation: each round every vertex takes the min of its own and
@@ -376,11 +436,19 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     resolves in O(log L) rounds, not L. Each round is two shuffles
     (edge join + label self-join); localCheckpoint truncates the
     lineage so plan size stays constant across iterations instead of
-    growing exponentially."""
-    # persist the pair source first: both union branches consume it, and
-    # for LSH-generated pairs each branch would re-run the whole
-    # signature pipeline otherwise
-    pairs = pairs.persist()
+    growing exponentially. The comp-keyed join and dst-keyed aggregate
+    inside each round are SALTED (see ``_cc_round``) so a giant
+    component — web-scale boilerplate clusters reach 10⁸-10⁹ members —
+    cannot serialize one reducer; ``salt=1`` restores plain joins.
+
+    Cache ownership: ``pairs`` is persisted for the duration of the
+    call (both union branches consume it) and unpersisted before
+    returning — UNLESS the caller already persisted it, in which case
+    its storage level is left untouched (callers pinning the pair list
+    for reuse keep their cache)."""
+    owns_pairs = not _is_cached(pairs)
+    if owns_pairs:
+        pairs = pairs.persist()
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .unionByName(pairs.select(F.col(id_b).alias("src"),
                                        F.col(id_a).alias("dst")))
@@ -390,25 +458,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
               .withColumn("comp", F.col("id")))
     converged = False
     for it in range(max_iter):
-        neighbor_min = (edges
-                        .join(labels.withColumnsRenamed({"id": "src", "comp": "c"}),
-                              on="src")
-                        .groupBy(F.col("dst").alias("id"))
-                        .agg(F.min("c").alias("nmin")))
-        # thread the pre-round label through the joins so convergence is
-        # a filter over the (already materialized) checkpoint — the old
-        # separate changed-count join cost one extra shuffle per round
-        stepped = (labels.join(neighbor_min, on="id", how="left")
-                   .select("id", F.col("comp").alias("old"),
-                           F.least("comp", "nmin").alias("comp"))
-                   .persist())  # both consumers below read it; without the
-        # persist the neighbor-min join would run twice per round
-        # pointer jumping: follow the label's own label one hop
-        jump = stepped.select(F.col("id").alias("comp"),
-                              F.col("comp").alias("cc"))
-        new_labels = (stepped.join(jump, on="comp", how="left")
-                      .select("id", "old", F.least("comp", "cc").alias("comp"))
-                      .localCheckpoint())
+        new_plan, stepped = _cc_round(labels, edges, salt)
+        new_labels = new_plan.localCheckpoint()
         stepped.unpersist()
         labels = new_labels  # keep "old" so the post-loop guard can probe
         # The convergence probe is a driver round-trip over the (already
@@ -434,12 +485,14 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         still = labels.filter(F.col("comp") != F.col("old")).limit(1).count()
         if still:
             edges.unpersist()
-            pairs.unpersist()
+            if owns_pairs:
+                pairs.unpersist()
             raise RuntimeError(
                 f"connected_components did not converge in {max_iter} "
                 "iterations — raise max_iter")
     edges.unpersist()
-    pairs.unpersist()
+    if owns_pairs:
+        pairs.unpersist()
     return labels.select("id", "comp")
 
 
@@ -487,6 +540,34 @@ def dedup_assignments(f: Frame, pairs: DataFrame, id_col: str) -> Frame:
     return Frame(out)
 
 
+def _dedup_full_stages(f: Frame, text_col: str, id_col: str, threshold: float,
+                       n_hashes: int, bands: int, k: int
+                       ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared stages 1-2 of the production dedup pipeline: returns
+    ``(fp_rows, canon, pairs)`` —
+
+    - ``fp_rows`` (id, _fp): per-row md5 fingerprint (16-byte digest,
+      never the text, crosses every shuffle below);
+    - ``canon`` (_fp, id, _n_exact): one canonical min-id row per
+      fingerprint with its exact-copy count (pinned — feeds both the
+      near-dup stage and the caller's fold-back);
+    - ``pairs`` (id_a, id_b, jaccard): near-dup pairs over CANONICAL
+      docs only (the exact collapse has already removed the
+      O(copies²) hot-bucket mass)."""
+    from .text import fingerprint
+    fp_rows = f.sdf.select(F.col(id_col), fingerprint(text_col).alias("_fp"))
+    canon = pin(fp_rows.groupBy("_fp")
+                .agg(F.min(id_col).alias(id_col),
+                     F.count(F.lit(1)).alias("_n_exact")))
+    # near-dup pairs over canonical docs only (text fetched by joining
+    # canonical ids back to the corpus — a semi-shaped join)
+    canon_docs = Frame(f.sdf.select(id_col, text_col)
+                       .join(canon.select(id_col), on=id_col, how="inner"))
+    pairs = minhash_dedup(canon_docs, text_col, id_col, threshold,
+                          n_hashes, bands, k).sdf
+    return fp_rows, canon, pairs
+
+
 def dedup_full(f: Frame, text_col: str, id_col: str, threshold: float = 0.8,
                n_hashes: int = 32, bands: int = 8, k: int = 3) -> Frame:
     """Production-shaped near-dedup for web-scale corpora: exact
@@ -511,19 +592,8 @@ def dedup_full(f: Frame, text_col: str, id_col: str, threshold: float = 0.8,
     document; cluster_size counts ALL original rows it absorbs (its
     exact copies + every near-dup member's exact copies); size 1 for
     unique singletons."""
-    # stage 1: exact collapse — canonical id + copy count per fingerprint
-    from .text import fingerprint
-    canon = pin(f.sdf
-                .select(F.col(id_col), fingerprint(text_col).alias("_fp"))
-                .groupBy("_fp")
-                .agg(F.min(id_col).alias(id_col),
-                     F.count(F.lit(1)).alias("_n_exact")))
-    # stage 2: near-dup pairs over canonical docs only (text fetched by
-    # joining canonical ids back to the corpus — a semi-shaped join)
-    canon_docs = Frame(f.sdf.select(id_col, text_col)
-                       .join(canon.select(id_col), on=id_col, how="inner"))
-    pairs = minhash_dedup(canon_docs, text_col, id_col, threshold,
-                          n_hashes, bands, k).sdf
+    _, canon, pairs = _dedup_full_stages(f, text_col, id_col, threshold,
+                                         n_hashes, bands, k)
     # stage 3: components over canonical ids; fold exact mass back in.
     # comp label = min reachable id, so the survivor IS the label.
     comps = connected_components(pairs)
@@ -534,6 +604,38 @@ def dedup_full(f: Frame, text_col: str, id_col: str, threshold: float = 0.8,
     out = (labeled.groupBy("comp")
            .agg(F.sum("_n_exact").alias("cluster_size"))
            .select(F.col("comp").alias(id_col), "cluster_size"))
+    return Frame(out)
+
+
+def dedup_full_assignments(f: Frame, text_col: str, id_col: str,
+                           threshold: float = 0.8, n_hashes: int = 32,
+                           bands: int = 8, k: int = 3) -> Frame:
+    """Per-row ``(id, survivor_id, is_survivor)`` through the FULL
+    production pipeline — the corpus-filtering companion to
+    ``dedup_full``. Where ``dedup_assignments`` maps rows→survivors
+    from a caller-supplied pair list, this routes every input row
+    through the exact-collapse stage first: exact copies map to their
+    fingerprint's canonical min-id row, canonicals map through the
+    near-dup components, and both hops compose so EVERY row of the
+    input lands on its final survivor. ``filter(is_survivor)``
+    reproduces ``dedup_full``'s survivor set exactly.
+
+    Scale shape: the row→canonical hop is an equi-join on the 16-byte
+    fingerprint (digests shuffle, text never does); the
+    canonical→survivor hop joins the (small, duplicate-population-
+    sized) component table — both unhinted, AQE picks broadcast vs
+    shuffle at runtime."""
+    fp_rows, canon, pairs = _dedup_full_stages(f, text_col, id_col, threshold,
+                                               n_hashes, bands, k)
+    comps = connected_components(pairs)
+    canon_surv = (canon.select("_fp", F.col(id_col).alias("_cid"))
+                  .join(comps.withColumnRenamed("id", "_cid"),
+                        on="_cid", how="left")
+                  .select("_fp",
+                          F.coalesce("comp", F.col("_cid")).alias("survivor_id")))
+    out = (fp_rows.join(canon_surv, on="_fp")
+           .select(F.col(id_col), "survivor_id",
+                   (F.col(id_col) == F.col("survivor_id")).alias("is_survivor")))
     return Frame(out)
 
 

@@ -295,6 +295,65 @@ def test_connected_components_raises_when_unconverged(spark):
         dd.connected_components(pairs, max_iter=1)
 
 
+def test_connected_components_giant_component_skew(spark):
+    """r6 judge directive #1 gate: one dominant component (100k members,
+    1000:1 against the rest) resolves correctly through the salted
+    rounds — labels exact for both the giant star and the tail."""
+    big = spark.range(1, 100_001).select(
+        F.lit(0).cast("long").alias("id_a"), F.col("id").alias("id_b"))
+    base = 10_000_000
+    small = spark.range(100).select(
+        (F.lit(base) + F.col("id") * 2).alias("id_a"),
+        (F.lit(base) + F.col("id") * 2 + 1).alias("id_b"))
+    labels = dd.connected_components(big.unionByName(small))
+    agg = labels.agg(
+        F.sum(F.when(F.col("comp") == 0, 1).otherwise(0)).alias("star"),
+        F.countDistinct("comp").alias("n_comps"),
+        F.sum(F.when(
+            (F.col("id") >= base)
+            & (F.col("comp") != F.col("id") - (F.col("id") - base) % 2),
+            1).otherwise(0)).alias("bad_small")).collect()[0]
+    assert agg.star == 100_001      # every star member labeled 0
+    assert agg.n_comps == 101       # star + 100 pair components
+    assert agg.bad_small == 0       # each pair labeled by its even member
+
+
+def test_cc_round_plan_is_salted(spark):
+    """The salted path must be IN THE PLAN. localCheckpoint truncates
+    lineage in the loop, so probe one round's pre-checkpoint plan: both
+    the neighbor-min side and the pointer jump must carry the salt
+    column; salt=1 must produce a salt-free plan (escape hatch)."""
+    from crysda_spark.plans.inspect import _explain_str
+    edges = spark.range(10).select(F.lit(0).cast("long").alias("src"),
+                                   (F.col("id") + 1).alias("dst"))
+    edges = edges.unionByName(edges.select(F.col("dst").alias("src"),
+                                           F.col("src").alias("dst")))
+    labels = (edges.select(F.col("src").alias("id")).dropDuplicates()
+              .withColumn("comp", F.col("id")))
+    plan, stepped = dd._cc_round(labels, edges, salt=8)
+    try:
+        assert "__salt__" in _explain_str(plan, "formatted")
+    finally:
+        stepped.unpersist()
+    plain, stepped = dd._cc_round(labels, edges, salt=1)
+    try:
+        assert "__salt__" not in _explain_str(plain, "formatted")
+    finally:
+        stepped.unpersist()
+
+
+def test_connected_components_keeps_caller_cache(spark):
+    """ADVICE r6: a caller-persisted pair frame must stay cached after
+    the call (the function only unpersists frames it persisted itself)."""
+    from crysda_spark import from_records
+    pairs = from_records(spark, [{"id_a": 1, "id_b": 2}]).sdf.persist()
+    try:
+        dd.connected_components(pairs).collect()
+        assert pairs.storageLevel.useMemory
+    finally:
+        pairs.unpersist()
+
+
 def test_dedup_survivors_no_forced_broadcast(spark):
     # the members side must carry NO broadcast hint: at 100 TB the
     # component table scales with the duplicate population and a forced
@@ -375,3 +434,38 @@ def test_dedup_assignments_join_back(spark):
     survivors = {r.doc_id
                  for r in dd.dedup_survivors(docs, pairs, "doc_id").sdf.collect()}
     assert {i for i, (_, s) in rows.items() if s} == survivors
+
+
+def test_dedup_full_assignments_through_exact_collapse(spark, docs):
+    """r6 judge directive #3: every input row — exact copies AND
+    near-dup variants (and the variants' exact copies) — must map
+    through BOTH pipeline stages to the final survivor, and the
+    is_survivor set must equal dedup_full's survivor set."""
+    base = docs.sdf.select("doc_id", "text").filter(F.col("doc_id") < 50)
+    d0 = base.filter(F.col("doc_id") == 0)
+    parts = [base]
+    for cid in (1000, 1001, 1002):
+        parts.append(d0.select(F.lit(cid).cast("long").alias("doc_id"), "text"))
+    variant = d0.select(F.lit(2000).cast("long").alias("doc_id"),
+                        F.concat("text", F.lit(" zzzz")).alias("text"))
+    parts.append(variant)
+    for cid in (2001, 2002):
+        parts.append(variant.select(F.lit(cid).cast("long").alias("doc_id"), "text"))
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionByName(p)
+    out = dd.dedup_full_assignments(Frame(corpus), "text", "doc_id",
+                                    threshold=0.6, n_hashes=64, bands=16).sdf
+    rows = {r.doc_id: (r.survivor_id, r.is_survivor) for r in out.collect()}
+    assert len(rows) == 56  # one assignment per input row (mass conserved)
+    # all 6 planted rows map to doc 0 and none survives
+    for cid in (1000, 1001, 1002, 2000, 2001, 2002):
+        assert rows[cid] == (0, False)
+    assert rows[0] == (0, True)
+    # is_survivor reproduces dedup_full's survivor set exactly
+    full = {r.doc_id for r in dd.dedup_full(
+        Frame(corpus), "text", "doc_id",
+        threshold=0.6, n_hashes=64, bands=16).sdf.collect()}
+    assert {i for i, (_, s) in rows.items() if s} == full
+    from crysda_spark.plans.cache import release_pinned
+    release_pinned()
