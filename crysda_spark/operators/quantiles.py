@@ -19,24 +19,26 @@ buffering, via bucketed rank selection:
    Spark does not guarantee — caught by the DuckDB oracle when a
    persist() shifted one branch's bounds.
 2. per-(group, bucket) counts → cumulative offsets (a tiny B×G frame,
-   persisted) turn a bucket-local ``row_number`` into the GLOBAL
-   per-group rank; the row_number window partitions by
-   ``(group..., bucket)`` so no window partition exceeds one bucket —
-   group size never concentrates on one task;
-3. the ≤ 2·G·Q target order statistics (floor/ceil of each ``h``) are
-   selected with a broadcast join and interpolated in a final tiny
-   aggregate.
+   persisted) turn bucket-local positions into GLOBAL per-group ranks;
+3. inside each bucket, identical values COLLAPSE to (value, count)
+   first (a codegen'd hash aggregate with map-side combine), and the
+   in-bucket cumulative-count window runs over DISTINCT values only —
+   each distinct value v with count c owns the closed global rank range
+   (off + cum - c, off + cum]. The window partition is therefore
+   bounded by distinct values per bucket, NOT row counts: a single
+   value duplicated billions of times contributes one window row
+   instead of recreating the per-group buffering this design exists to
+   avoid (the degenerate-bucket caveat of the previous revision);
+4. the ≤ 2·G·Q target order statistics (floor/ceil of each ``h``) are
+   selected with a broadcast range-containment join (target rank within
+   a value's rank range) and interpolated in a final tiny aggregate.
 
-The heavy data crosses the wire once (the window's hash exchange); the
-counts branch reduces map-side to ≤ G·B rows per task before its
-exchange; the bounds come from one extra aggregation-only pass
-(``approxQuantile``). Interpolation uses the same
+The heavy data crosses the wire once (the value-collapse hash
+exchange); the counts branch reduces map-side to ≤ G·B rows per task
+before its exchange; the bounds come from one extra aggregation-only
+pass (``approxQuantile``). Interpolation uses the same
 ``lo + (hi - lo) * frac`` form as Spark/DuckDB so results agree
 bit-for-bit on the oracle path.
-
-Known caveat: a single value duplicated billions of times lands in one
-bucket (bucketing cannot split equal values). For such degenerate
-distributions pre-salt the input or use approx_percentile.
 
 Beyond-reference operator (the Crystal reference has no quantile
 aggregate); SURVEY §2.11 extension.
@@ -56,19 +58,21 @@ _MAX_BUCKETS = 512  # bounds are a driver-held literal array; cap its size
 # internal working columns; grouping by one of these would silently
 # alias the user's column into the algorithm's bookkeeping
 _RESERVED = {"_v", "_b", "_c", "_off", "_rank", "_lrn", "_frac", "_kind",
-             "_n", "_t", "_qi", "q", "value"}
+             "_n", "_t", "_qi", "_h", "_vc", "_cum", "_glo", "_ghi",
+             "_vlo", "_vhi", "q", "value"}
 
 
-def _null_safe_join(left: DataFrame, right: DataFrame,
-                    keys: list[str]) -> DataFrame:
+def _null_safe_join(left: DataFrame, right: DataFrame, keys: list[str],
+                    extra=None) -> DataFrame:
     """Broadcast inner join on keys that must not drop NULL group keys
     (groupBy treats NULL as a regular key; a plain equi-join would).
     Right-side keys are renamed before the join so the output resolves
-    unambiguously."""
+    unambiguously. ``extra`` appends a non-equi condition (used for the
+    rank-range containment join)."""
     renamed = right
     for k in keys:
         renamed = renamed.withColumnRenamed(k, f"__r_{k}")
-    cond = None
+    cond = extra
     for k in keys:
         c = left[k].eqNullSafe(F.col(f"__r_{k}"))
         cond = c if cond is None else cond & c
@@ -167,16 +171,30 @@ def quantile_cont(sdf: DataFrame, value_col: str, qs: Iterable[float],
                        F.col("_t._rank").alias("_rank"),
                        F.col("_t._kind").alias("_kind")))
 
-    # global per-group rank = bucket offset + bucket-local row_number;
-    # the window partitions by (by..., _b) so its size is bounded by one
-    # bucket, never by the group size
+    # collapse identical values to (value, count) BEFORE the in-bucket
+    # window: the cumulative-count window then runs over DISTINCT values
+    # only, so its partition is bounded by distinct values per bucket —
+    # a value duplicated billions of times is one window row, not a
+    # billion (the degenerate-bucket hazard of the row_number design).
+    # Value _v with count _vc owns global ranks (_glo .. _ghi] where
+    # _ghi = _off + cumulative count through _v.
+    vcounts = bucketed.groupBy(*by, "_b", "_v").agg(
+        F.count(F.lit(1)).alias("_vc"))
     w_rn = W.partitionBy(*(by + ["_b"])).orderBy("_v")
-    ranked = _null_safe_join(
-        bucketed.withColumn("_lrn", F.row_number().over(w_rn)),
-        offsets.select(*by, "_b", "_off"), by + ["_b"])
-    ranked = ranked.withColumn("_rank", F.col("_off") + F.col("_lrn"))
+    vranked = vcounts.withColumn(
+        "_cum", F.sum("_vc").over(w_rn.rowsBetween(W.unboundedPreceding, 0)))
+    vranked = _null_safe_join(vranked, offsets.select(*by, "_b", "_off"),
+                              by + ["_b"])
+    vranked = (vranked
+               .withColumn("_ghi", F.col("_off") + F.col("_cum"))
+               .withColumn("_glo", F.col("_ghi") - F.col("_vc") + 1))
 
-    picked = _null_safe_join(ranked, targets, by + ["_rank"])
+    # each target order statistic falls inside exactly one value's rank
+    # range; targets stay broadcast-sized (≤ 2·G·Q rows)
+    picked = _null_safe_join(
+        vranked, targets, by,
+        extra=(F.col("_rank") >= F.col("_glo"))
+        & (F.col("_rank") <= F.col("_ghi")))
     out_keys = (["_qi"] if with_index else []) + ["q"]
     return (picked.groupBy(*by, "_qi", "q")
             .agg(F.min("_frac").alias("_frac"),
