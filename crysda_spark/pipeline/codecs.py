@@ -25,6 +25,7 @@ BITMAPINFOHEADER layout):
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -44,6 +45,14 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     (dib_size,) = struct.unpack_from("<I", payload, 14)
     if dib_size < 40:
         raise BmpError(f"unsupported DIB header size {dib_size} (BITMAPCOREHEADER?)")
+    if 14 + dib_size > len(payload):
+        raise BmpError(f"DIB header size {dib_size} exceeds payload")
+    # the pixel array must START past the headers: a malformed pix_off
+    # pointing into (or before) them would silently read header bytes as
+    # pixels instead of failing loudly like every other malformed case
+    if pix_off < 14 + dib_size:
+        raise BmpError(
+            f"pixel offset {pix_off} overlaps headers (need >= {14 + dib_size})")
     width, height = struct.unpack_from("<ii", payload, 18)
     (bpp,) = struct.unpack_from("<H", payload, 28)
     (compression,) = struct.unpack_from("<I", payload, 30)
@@ -140,6 +149,172 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
 
 
+class PngError(ValueError):
+    """Malformed or unsupported PNG payload."""
+
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4): the neighbor — left a, up b,
+    up-left c — closest to a+b-c, ties resolved a, b, c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit truecolor PNG (color types 2 = RGB, 6 = RGBA,
+    non-interlaced) to an (H, W, 3|4) uint8 array, pure stdlib:
+    chunk walk with CRC verification, zlib inflate of the IDAT stream,
+    per-row un-filtering (None/Sub/Up/Average/Paeth). Everything else
+    (palette, 16-bit, grayscale, Adam7) raises PngError.
+
+    Filter math is exact per the PNG spec: filters reference the
+    DECODED bytes of the left/up neighbors; Sub un-filters via
+    stride-grouped cumulative sums (vectorized), Up is a vector add,
+    Average/Paeth walk bytes (fine for test-scale images; a production
+    deployment would use PIL where available)."""
+    if payload is None or len(payload) < 8 or bytes(payload[:8]) != PNG_MAGIC:
+        raise PngError("missing PNG magic")
+    payload = bytes(payload)
+    pos, width, nchan, idat, seen_end = 8, None, None, [], False
+    height = 0
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise PngError("truncated chunk header")
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        if pos + 12 + length > len(payload):
+            raise PngError(f"truncated {ctype!r} chunk")
+        data = payload[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc != zlib.crc32(ctype + data) & 0xFFFFFFFF:
+            raise PngError(f"bad CRC on {ctype!r} chunk")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            if length != 13:
+                raise PngError(f"IHDR length {length} != 13")
+            width, height, depth, color, comp, filt, inter = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8:
+                raise PngError(f"unsupported bit depth {depth} (8-bit only)")
+            if color not in (2, 6):
+                raise PngError(
+                    f"unsupported color type {color} (truecolor RGB/RGBA only)")
+            if comp != 0 or filt != 0:
+                raise PngError("nonzero compression/filter method")
+            if inter != 0:
+                raise PngError("interlaced (Adam7) PNG unsupported")
+            if width <= 0 or height <= 0:
+                raise PngError(f"bad dimensions {width}x{height}")
+            nchan = 3 if color == 2 else 4
+        elif ctype == b"IDAT":
+            if width is None:
+                raise PngError("IDAT before IHDR")
+            idat.append(data)
+        elif ctype == b"IEND":
+            seen_end = True
+            break
+    if width is None:
+        raise PngError("missing IHDR")
+    if not idat:
+        raise PngError("missing IDAT")
+    if not seen_end:
+        raise PngError("missing IEND")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise PngError(f"IDAT inflate failed: {e}") from None
+    stride = width * nchan
+    if len(raw) != height * (1 + stride):
+        raise PngError(
+            f"decompressed size {len(raw)} != {height * (1 + stride)}")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, 1 + stride)
+    ftypes, lines = raw[:, 0], raw[:, 1:].astype(np.int16)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = nchan
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(height):
+        f, line = int(ftypes[y]), lines[y]
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub: per-residue-class prefix sums, vectorized
+            cur = line.copy()
+            for r in range(bpp):
+                cur[r::bpp] = np.cumsum(line[r::bpp], dtype=np.int64) & 0xFF
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f == 3:  # Average
+            cur = np.zeros(stride, dtype=np.int16)
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = np.zeros(stride, dtype=np.int16)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(line[x]) + _paeth(a, int(prev[x]), c)) & 0xFF
+        else:
+            raise PngError(f"bad filter byte {f} on row {y}")
+        out[y] = cur.astype(np.uint8)
+        prev = out[y].astype(np.int16)
+    return out.reshape(height, width, nchan)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode an (H, W, 3|4) uint8 array as an 8-bit truecolor PNG.
+    ``filter_type`` applies one PNG filter (0-4) to every row — the
+    roundtrip fuzz uses it to exercise every un-filter path of
+    ``decode_png`` (filters reference the DECODED prior row, which at
+    encode time is simply the original scanline)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] not in (3, 4):
+        raise PngError(f"encode_png wants (H, W, 3|4), got {arr.shape}")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise PngError(f"bad filter type {filter_type}")
+    h, w, nchan = arr.shape
+    bpp, stride = nchan, w * nchan
+    flat = arr.reshape(h, stride).astype(np.int16)
+    rows = []
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        line = flat[y]
+        left = np.zeros(stride, dtype=np.int16)
+        left[bpp:] = line[:-bpp]
+        if filter_type == 0:
+            filt = line
+        elif filter_type == 1:
+            filt = (line - left) & 0xFF
+        elif filter_type == 2:
+            filt = (line - prev) & 0xFF
+        elif filter_type == 3:
+            filt = (line - ((left + prev) >> 1)) & 0xFF
+        else:
+            ul = np.zeros(stride, dtype=np.int16)
+            ul[bpp:] = prev[:-bpp]
+            pred = np.fromiter(
+                (_paeth(int(a), int(b), int(c))
+                 for a, b, c in zip(left, prev, ul)),
+                dtype=np.int16, count=stride)
+            filt = (line - pred) & 0xFF
+        rows.append(bytes([filter_type]) + filt.astype(np.uint8).tobytes())
+        prev = line
+    raw = b"".join(rows)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if nchan == 3 else 6, 0, 0, 0)
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
 def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resize, pure numpy indexing (no interpolation
     libs in the container; NN is exact-pixel and deterministic)."""
@@ -159,7 +334,8 @@ def image_features(arr: np.ndarray, n_feat: int = 8) -> list[float]:
     px = arr.reshape(-1, arr.shape[-1]).astype(np.float64)
     mean = px.mean(axis=0) / 255.0
     std = px.std(axis=0) / 255.0
-    luma = float((px @ np.array([0.299, 0.587, 0.114])).mean() / 255.0)
+    # luma over the color channels only (RGBA payloads carry alpha last)
+    luma = float((px[:, :3] @ np.array([0.299, 0.587, 0.114])).mean() / 255.0)
     spread = float(px.max() - px.min()) / 255.0
     feats = [*mean.tolist(), *std.tolist(), luma, spread]
     feats = feats[:n_feat]

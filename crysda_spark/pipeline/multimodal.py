@@ -2,15 +2,19 @@
 with typed metadata.
 
 The Spark-side architecture is real and tested — schema, partitioning,
-Arrow batch shape, mapInPandas signatures. One codec path is REAL and
-dependency-free: uncompressed 24/32-bit BMP payloads decode, resize,
-and feature-extract end-to-end through ``pipeline.codecs`` (pure
-struct+numpy). Codec work needing external libs (jpeg/png via PIL,
-video via ffmpeg, audio via librosa) is NOT available in this
+Arrow batch shape, mapInPandas signatures. THREE codec paths are REAL
+and dependency-free through ``pipeline.codecs`` (pure stdlib+numpy):
+uncompressed 24/32-bit BMP, binary PPM (P6), and 8-bit truecolor PNG
+(zlib inflate + per-row un-filtering) all decode, resize, and
+feature-extract end-to-end. Codec work needing external libs (jpeg via
+PIL, video via ffmpeg, audio via librosa) is NOT available in this
 container, so those kernels stay stubbed behind ``_HAVE_CODECS`` with
 a deterministic fake that preserves shapes; swap the kernel body when
 the libs exist. The distributed plan (how bytes move, how batches
-form, what schema comes out) is identical either way.
+form, what schema comes out) is identical either way. Malformed
+payloads degrade per-row to the stub output by default (strict=True to
+re-raise) — at web scale corrupt/mis-sniffed bytes are routine and one
+bad row must not kill a 100 TB decode pass.
 """
 
 from __future__ import annotations
@@ -68,14 +72,16 @@ def _fake_decode(payload: bytes, n_feat: int = 8) -> list[float]:
 
 
 def _sniff(payload) -> str | None:
-    """Real-codec dispatch on magic bytes: 'bmp' / 'ppm' / None."""
+    """Real-codec dispatch on magic bytes: 'bmp' / 'ppm' / 'png' / None."""
     if payload is None or len(payload) < 2:
         return None
-    magic = bytes(payload[:2])
-    if magic == b"BM":
+    head = bytes(payload[:8])
+    if head[:2] == b"BM":
         return "bmp"
-    if magic == b"P6":
+    if head[:2] == b"P6":
         return "ppm"
+    if head == b"\x89PNG\r\n\x1a\n":
+        return "png"
     return None
 
 
@@ -84,15 +90,21 @@ def _is_bmp(payload) -> bool:
 
 
 def decode_images(f: Frame, id_col: str = "id", payload_col: str = "payload",
-                  n_feat: int = 8) -> Frame:
+                  n_feat: int = 8, strict: bool = False) -> Frame:
     """Decode/feature-extract images via mapInPandas (Arrow batches).
     Partition-parallel; each batch holds ~10k payloads; output schema is
     fixed so downstream plans don't depend on the kernel.
 
-    BMP payloads (magic-sniffed) take the REAL codec path —
-    ``codecs.decode_bmp`` + ``codecs.image_features`` — yielding true
-    width/height/channels. Other formats fall to PIL (stubbed in this
-    container) or the deterministic fake with width/height/channels=0."""
+    BMP/PPM/PNG payloads (magic-sniffed) take the REAL codec paths in
+    ``pipeline.codecs``, yielding true width/height/channels. Other
+    formats fall to PIL (stubbed in this container) or the
+    deterministic fake with width/height/channels=0.
+
+    Error containment (default): a payload whose magic matches but
+    whose body is malformed — routine at web scale from truncation and
+    mis-sniffing — degrades to the stub output (0×0×0 + fake features)
+    instead of failing the whole Spark stage; ``strict=True`` re-raises
+    so validation jobs fail loudly on the first bad row."""
     schema = T.StructType([
         T.StructField("id", T.LongType()),
         T.StructField("width", T.IntegerType()),
@@ -103,16 +115,23 @@ def decode_images(f: Frame, id_col: str = "id", payload_col: str = "payload",
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
-        from .codecs import decode_bmp, decode_ppm, image_features
-        real = {"bmp": decode_bmp, "ppm": decode_ppm}
+        from .codecs import (BmpError, PngError, PpmError, decode_bmp,
+                             decode_png, decode_ppm, image_features)
+        real = {"bmp": decode_bmp, "ppm": decode_ppm, "png": decode_png}
         for pdf in batches:
             ids, ws, hs, cs, feats = [], [], [], [], []
             for pid, payload in zip(pdf[id_col], pdf[payload_col]):
                 kind = _sniff(payload)
                 if kind in real:
-                    arr = real[kind](bytes(payload))
-                    h, w, c = arr.shape
-                    fs = image_features(arr, n_feat)
+                    try:
+                        arr = real[kind](bytes(payload))
+                        h, w, c = arr.shape
+                        fs = image_features(arr, n_feat)
+                    except (BmpError, PpmError, PngError):
+                        if strict:
+                            raise
+                        w = h = c = 0
+                        fs = _fake_decode(payload, n_feat)
                 elif _HAVE_CODECS:  # pragma: no cover
                     raise NotImplementedError("real codec path: PIL decode here")
                 else:
@@ -149,11 +168,16 @@ def sample_frames(f: Frame, every_n: int = 10, id_col: str = "id",
 
 
 def resize_images(f: Frame, width: int, height: int, id_col: str = "id",
-                  payload_col: str = "payload") -> Frame:
-    """Resize through the Arrow path: BMP payloads are REALLY resized
-    (decode → nearest-neighbor resample → re-encode, pure numpy) and
-    come back as valid BMP bytes of the target size; other formats pass
-    through unchanged (PIL path stubbed in this container)."""
+                  payload_col: str = "payload", strict: bool = False) -> Frame:
+    """Resize through the Arrow path: BMP/PPM/PNG payloads are REALLY
+    resized (decode → nearest-neighbor resample → re-encode, pure
+    numpy/stdlib) and come back as valid bytes of the same format at
+    the target size; other formats pass through unchanged (PIL path
+    stubbed in this container). Malformed magic-matching payloads pass
+    through unchanged unless ``strict=True`` (see ``decode_images``).
+
+    PNG encode note: RGBA stays RGBA (alpha is resampled with the
+    color channels)."""
     schema = T.StructType([
         T.StructField("id", T.LongType()),
         T.StructField("payload", T.BinaryType()),
@@ -161,17 +185,25 @@ def resize_images(f: Frame, width: int, height: int, id_col: str = "id",
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
-        from .codecs import (decode_bmp, decode_ppm, encode_bmp, encode_ppm,
-                             resize_nearest)
-        real = {"bmp": (decode_bmp, encode_bmp), "ppm": (decode_ppm, encode_ppm)}
+        from .codecs import (BmpError, PngError, PpmError, decode_bmp,
+                             decode_png, decode_ppm, encode_bmp, encode_png,
+                             encode_ppm, resize_nearest)
+        real = {"bmp": (decode_bmp, encode_bmp),
+                "ppm": (decode_ppm, encode_ppm),
+                "png": (decode_png, encode_png)}
         for pdf in batches:
             out = []
             for payload in pdf[payload_col]:
                 kind = _sniff(payload)
                 if kind in real:
                     dec, enc = real[kind]
-                    out.append(enc(
-                        resize_nearest(dec(bytes(payload)), width, height)))
+                    try:
+                        out.append(enc(
+                            resize_nearest(dec(bytes(payload)), width, height)))
+                    except (BmpError, PpmError, PngError):
+                        if strict:
+                            raise
+                        out.append(payload)
                 elif _HAVE_CODECS:  # pragma: no cover
                     raise NotImplementedError("real codec path: PIL resize here")
                 else:
