@@ -13,20 +13,31 @@ ALL pipeline pins with one :func:`release_pinned` call after consuming
 their results (bench.py does this between queries; long-lived 100 TB
 sessions should do it between corpora). ``spark.catalog.clearCache()``
 also works but is a sledgehammer — it drops user caches too.
+
+Threading: the registry is process-global and guarded by a lock, so
+concurrent ``pin``/``release_pinned`` calls never corrupt the list.
+The SCOPE stays global, though — in a driver submitting pipelines from
+multiple threads, one thread's ``release_pinned()`` releases every
+thread's registered pins (forcing recomputation, never wrong results).
+Coordinate releases at quiesce points in multi-threaded drivers.
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _PINNED: list[DataFrame] = []
+_LOCK = threading.Lock()
 
 
 def pin(df: DataFrame, storage_level=None) -> DataFrame:
     """persist() a pipeline intermediate and register it for scoped
     release. Returns the persisted frame."""
     df = df.persist() if storage_level is None else df.persist(storage_level)
-    _PINNED.append(df)
+    with _LOCK:
+        _PINNED.append(df)
     return df
 
 
@@ -35,9 +46,10 @@ def release_pinned() -> int:
     release. Safe to call at any time: results already materialized are
     unaffected (they recompute if re-run), and double-release is a
     no-op. Returns the number of frames released."""
+    with _LOCK:
+        drained, _PINNED[:] = _PINNED[:], []
     n = 0
-    while _PINNED:
-        df = _PINNED.pop()
+    for df in drained:
         try:
             df.unpersist()
             n += 1
@@ -48,4 +60,5 @@ def release_pinned() -> int:
 
 def pinned_count() -> int:
     """Number of currently-registered pipeline pins (test hook)."""
-    return len(_PINNED)
+    with _LOCK:
+        return len(_PINNED)

@@ -180,14 +180,45 @@ def stream_stream_interval_join(left: SparkDF, right: SparkDF,
     keys = [on] if isinstance(on, str) else list(on)
     lw = left.withWatermark(left_ts, left_watermark).alias("l")
     rw = right.withWatermark(right_ts, right_watermark).alias("r")
+    cond = _interval_cond(keys, left_ts, right_ts, lower, upper)
+    return lw.join(rw, on=cond, how=how)
+
+
+def _interval_cond(keys: list[str], left_ts: str, right_ts: str,
+                   lower: str, upper: str):
+    """Key equality + event-time interval condition over 'l'/'r'-aliased
+    sides — the ONE matching predicate shared by the streaming join and
+    its batch equivalent, so the oracle proves the semantics both run."""
     cond = None
     for k in keys:
         c = F.col(f"l.{k}") == F.col(f"r.{k}")
         cond = c if cond is None else (cond & c)
     lo = F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower}")
     hi = F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}")
-    cond = cond & (F.col(f"r.{right_ts}") >= lo) & (F.col(f"r.{right_ts}") <= hi)
-    return lw.join(rw, on=cond, how=how)
+    return cond & (F.col(f"r.{right_ts}") >= lo) & (F.col(f"r.{right_ts}") <= hi)
+
+
+def interval_join_batch(left: SparkDF, right: SparkDF,
+                        on: list[str] | str,
+                        left_ts: str = "ts", right_ts: str = "ts",
+                        lower: str = "0 seconds", upper: str = "1 hour",
+                        how: str = "inner") -> SparkDF:
+    """Batch form of ``stream_stream_interval_join``: identical matching
+    predicate (same ``_interval_cond``) over static DataFrames, no
+    watermarks. This is the oracle surface for the streaming join —
+    watermarks only bound state and lateness, so for in-watermark data
+    the streaming inner join's row set equals this join's (pinned by
+    tests/test_streaming.py and the DuckDB-oracled
+    ``interval_join_click_error`` entry).
+
+    Scale shape: Catalyst executes the key equality as the join key
+    (shuffle or broadcast on ``on``) with the interval bounds as a
+    post-join filter within matched key groups — the same
+    per-key-locality the streaming state store exploits; no
+    cross-partition scan at any scale."""
+    keys = [on] if isinstance(on, str) else list(on)
+    cond = _interval_cond(keys, left_ts, right_ts, lower, upper)
+    return left.alias("l").join(right.alias("r"), on=cond, how=how)
 
 
 def stream_from_parquet_dir(spark, path: str, schema) -> SparkDF:

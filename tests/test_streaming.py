@@ -161,16 +161,18 @@ def test_stream_stream_interval_join_matches_batch(spark, events_stream_dir):
     q.stop()
     got = {(r["a"], r["b"]) for r in spark.table("ssj_t").collect()}
 
+    # batch reference through the SAME predicate builder the streaming
+    # join uses (interval_join_batch shares _interval_cond) — the form
+    # the DuckDB oracle checks via interval_join_click_error
     ev = _batch_events(spark, events_stream_dir)
-    l = ev.select("user_id", "event_id", "ts").alias("l")
+    l = ev.select("user_id", "event_id", "ts")
     r = ev.select("user_id", F.col("event_id").alias("event_id_r"),
-                  F.col("ts").alias("ts_r")).alias("r")
+                  F.col("ts").alias("ts_r"))
     want = {(x["event_id"], x["event_id_r"])
-            for x in l.join(
-                r, (F.col("l.user_id") == F.col("r.user_id"))
-                & (F.col("ts_r") >= F.col("ts"))
-                & (F.col("ts_r") <= F.col("ts") + F.expr("INTERVAL 10 minutes"))
-            ).select("event_id", "event_id_r").collect()}
+            for x in sw.interval_join_batch(
+                l, r, on="user_id", left_ts="ts", right_ts="ts_r",
+                lower="0 seconds", upper="10 minutes")
+            .select("event_id", "event_id_r").collect()}
     assert got == want
     assert len(got) > 0
 
