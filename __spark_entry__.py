@@ -1938,6 +1938,78 @@ def sample_frac_seeded_counts(spark, sf_dir):
     return joined.select("c_mktsegment", "n")
 
 
+@q("repetition_quality_stats", """
+WITH base AS (
+  SELECT doc_id,
+         concat(substr(text, 1, 60), chr(10), substr(text, 1, 60), chr(10),
+                substr(text, 61, 60)) AS t
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         regexp_replace(trim(lower(t)), '\\s+', ' ', 'g') AS nt,
+         string_split(t, chr(10)) AS lines
+  FROM base
+),
+tok AS (
+  SELECT doc_id, nt, lines, string_split(nt, ' ') AS w FROM feat
+),
+lstats AS (
+  SELECT doc_id,
+         length(nt) AS nc,
+         len(lines) AS nl,
+         len(list_distinct(lines)) AS ndl,
+         list_sum(list_transform(lines, x -> length(x))) AS lc,
+         list_sum(list_transform(list_distinct(lines), x -> length(x))) AS dlc
+  FROM tok
+),
+grams AS (
+  SELECT doc_id, 2 AS n,
+         unnest(list_transform(range(1, greatest(len(w) - 0, 1)),
+                               i -> array_to_string(w[i:i+1], ' '))) AS g
+  FROM tok
+  UNION ALL
+  SELECT doc_id, 5 AS n,
+         unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+                               i -> array_to_string(w[i:i+4], ' '))) AS g
+  FROM tok
+),
+gcnt AS (
+  SELECT doc_id, n, g, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3
+),
+dstats AS (
+  SELECT doc_id,
+         MAX(CASE WHEN n = 2 THEN c * length(g) END) AS topc,
+         SUM(CASE WHEN n = 5 AND c > 1 THEN c * length(g) END) AS dupc,
+         SUM(CASE WHEN n = 5 THEN c * length(g) END) AS totc
+  FROM gcnt GROUP BY 1
+)
+SELECT l.doc_id,
+       ROUND(CASE WHEN nl > 0 THEN (nl - ndl) / nl ELSE 0.0 END, 6) AS dup_line_frac,
+       ROUND(CASE WHEN lc > 0 THEN (lc - dlc) / lc ELSE 0.0 END, 6) AS dup_line_char_frac,
+       ROUND(CASE WHEN nc > 0 AND topc IS NOT NULL THEN topc / nc ELSE 0.0 END, 6) AS top_ngram_char_frac,
+       ROUND(CASE WHEN totc > 0 THEN COALESCE(dupc, 0) / totc ELSE 0.0 END, 6) AS dup_ngram_char_frac
+FROM lstats l LEFT JOIN dstats d ON l.doc_id = d.doc_id
+""")
+def repetition_quality_stats(spark, sf_dir):
+    """Gopher-style repetition filters (pipeline.text.repetition_stats,
+    Rae et al. 2021 §A1.1): duplicate-line fraction/char-fraction,
+    top-2-gram char coverage, duplicated-5-gram char mass. Documents
+    are single-line in the fixture, so the entry constructs a 3-line
+    variant (line 1 repeated, line 3 = next slice) with the same
+    expression in both engines to exercise the line-level stats
+    non-vacuously; the tiny fixture vocabulary makes 2/5-gram repeats
+    organic. Explode-shaped gram counting: the shuffle key is
+    (doc, gram), never the document text."""
+    docs = _t(spark, sf_dir, "documents")
+    t2 = F.concat(F.substring("text", 1, 60), F.lit("\n"),
+                  F.substring("text", 1, 60), F.lit("\n"),
+                  F.substring("text", 61, 60))
+    base = docs.sdf.select("doc_id", t2.alias("text"))
+    return tx.repetition_stats(base, "text", "doc_id",
+                               top_n=2, dup_n=5, round_to=6)
+
+
 # ================================================================== contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""

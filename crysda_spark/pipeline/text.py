@@ -182,6 +182,88 @@ def redact_pii(col, kinds: list[str] | None = None,
     return c
 
 
+def _grams(t: Column, n: int) -> Column:
+    """Array of word ``n``-grams (space-joined) from a token array.
+    Empty array when the document has fewer than ``n`` tokens — Spark's
+    ``sequence`` would otherwise generate a DESCENDING range and emit
+    bogus grams."""
+    idx = F.sequence(F.lit(1), F.size(t) - n + 1)
+    return F.when(F.size(t) >= n,
+                  F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+                  ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(f, text_col: str, id_col: str,
+                     top_n: int = 2, dup_n: int = 5, round_to: int = 6):
+    """Gopher-style repetition quality filters (Rae et al. 2021, §A1.1):
+    documents dominated by repeated lines or n-grams are low-quality
+    training data. Per document:
+
+    - ``dup_line_frac``       — fraction of lines (split on ``\\n``) that
+      are repeats of an earlier line;
+    - ``dup_line_char_frac``  — fraction of line characters inside those
+      repeated lines;
+    - ``top_ngram_char_frac`` — chars covered by the single most frequent
+      word ``top_n``-gram (count × gram length) over normalized chars;
+    - ``dup_ngram_char_frac`` — char mass of ``dup_n``-grams occurring
+      more than once, over total ``dup_n``-gram char mass.
+
+    Scale shape: line stats are pure per-row array expressions (no
+    shuffle); n-gram stats explode grams and aggregate on
+    ``(id, n, gram)`` — the shuffle key is well-spread (grams), never
+    the document text, and both n-branches share one shuffle via a
+    tagged union. An O(tokens²) per-row HOF alternative was rejected:
+    long web documents make it quadratic per doc. Internal working
+    columns ``_t _nc _nl _ndl _lc _dlc _n _g _c _top _dup _tot``.
+    No reference analog (no text pipeline in /root/reference/src)."""
+    sdf = f.sdf if hasattr(f, "sdf") else f
+    text = F.col(text_col)
+    toks = tokens(text)
+    lines = F.split(text, "\n")
+    dlines = F.array_distinct(lines)
+    lchars = F.aggregate(lines, F.lit(0).cast("long"),
+                         lambda a, x: a + F.length(x))
+    dchars = F.aggregate(dlines, F.lit(0).cast("long"),
+                         lambda a, x: a + F.length(x))
+    base = sdf.select(
+        F.col(id_col), toks.alias("_t"),
+        F.length(normalize(text)).alias("_nc"),
+        F.size(lines).alias("_nl"), F.size(dlines).alias("_ndl"),
+        lchars.alias("_lc"), dchars.alias("_dlc"))
+
+    def branch(n):
+        return base.select(id_col, F.lit(n).alias("_n"),
+                           F.explode(_grams(F.col("_t"), n)).alias("_g"))
+
+    grams = branch(top_n)
+    if dup_n != top_n:
+        grams = grams.unionByName(branch(dup_n))
+    chars = (F.col("_c") * F.length("_g")).cast("long")
+    doc = (grams.groupBy(id_col, "_n", "_g")
+           .agg(F.count(F.lit(1)).alias("_c"))
+           .groupBy(id_col)
+           .agg(F.max(F.when(F.col("_n") == top_n, chars)).alias("_top"),
+                F.sum(F.when((F.col("_n") == dup_n) & (F.col("_c") > 1),
+                             chars)).alias("_dup"),
+                F.sum(F.when(F.col("_n") == dup_n, chars)).alias("_tot")))
+    out = base.join(doc, on=id_col, how="left")
+    z = F.lit(0.0)
+    return out.select(
+        id_col,
+        F.round(F.when(F.col("_nl") > 0,
+                       (F.col("_nl") - F.col("_ndl")) / F.col("_nl"))
+                .otherwise(z), round_to).alias("dup_line_frac"),
+        F.round(F.when(F.col("_lc") > 0,
+                       (F.col("_lc") - F.col("_dlc")) / F.col("_lc"))
+                .otherwise(z), round_to).alias("dup_line_char_frac"),
+        F.round(F.when((F.col("_nc") > 0) & F.col("_top").isNotNull(),
+                       F.col("_top") / F.col("_nc"))
+                .otherwise(z), round_to).alias("top_ngram_char_frac"),
+        F.round(F.when(F.col("_tot") > 0,
+                       F.coalesce(F.col("_dup"), F.lit(0)) / F.col("_tot"))
+                .otherwise(z), round_to).alias("dup_ngram_char_frac"))
+
+
 def rolling_hash_from_tokens(t: Column, window: int = 8) -> Column:
     """Winnowing-style content fingerprint over an ALREADY-PROJECTED token
     array: xxhash64 of each ``window``-gram, keep the minimum — robust

@@ -469,3 +469,32 @@ def test_dedup_full_assignments_through_exact_collapse(spark, docs):
     assert {i for i, (_, s) in rows.items() if s} == full
     from crysda_spark.plans.cache import release_pinned
     release_pinned()
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Gopher repetition filters vs hand-computed values:
+    doc 1 lines = [ababab, ababab, cd] -> dup_line 1/3, chars 11/25;
+    top 2-gram 'a b' x6 * 3 chars over 27 normalized chars; 5-gram dup
+    mass (4+4)*9 over 10*9."""
+    rows = [
+        (1, "a b a b a b\na b a b a b\nc d"),
+        (2, "one two three four five six seven"),
+        (3, "x"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in
+           tx.repetition_stats(df, "text", "doc_id").collect()}
+    r1 = out[1]
+    assert abs(r1.dup_line_frac - 1 / 3) < 1e-6
+    assert abs(r1.dup_line_char_frac - 11 / 25) < 1e-9
+    assert abs(r1.top_ngram_char_frac - 18 / 27) < 1e-6
+    assert abs(r1.dup_ngram_char_frac - 72 / 90) < 1e-9
+    r2 = out[2]
+    assert r2.dup_line_frac == 0.0 and r2.dup_ngram_char_frac == 0.0
+    assert abs(r2.top_ngram_char_frac - 10 / 33) < 1e-6
+    # short/empty docs: all-zero, never null, never a descending-sequence gram
+    for i in (3, 4):
+        r = out[i]
+        assert (r.dup_line_frac, r.dup_line_char_frac,
+                r.top_ngram_char_frac, r.dup_ngram_char_frac) == (0, 0, 0, 0)
