@@ -2010,6 +2010,60 @@ def repetition_quality_stats(spark, sf_dir):
                                top_n=2, dup_n=5, round_to=6)
 
 
+@q("decontam_ngram_overlap", """
+WITH bench AS (
+  SELECT text FROM documents WHERE doc_id < 25
+),
+corp AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 25
+  UNION ALL
+  SELECT CAST(9999 AS BIGINT) AS doc_id, substr(text, 1, 120) AS text
+  FROM documents WHERE doc_id = 0
+),
+cg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+                               i -> array_to_string(w[i:i+4], ' '))) AS g
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+        FROM corp)
+),
+bg AS (
+  SELECT DISTINCT
+         unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+                               i -> array_to_string(w[i:i+4], ' '))) AS g
+  FROM (SELECT string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+        FROM bench)
+)
+SELECT cg.doc_id, COUNT(DISTINCT cg.g) AS n_overlap
+FROM cg JOIN bg USING (g)
+GROUP BY 1
+""")
+def decontam_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination (pipeline.dedup.ngram_overlap — the
+    GPT-3/PaLM word-n-gram overlap method, here n=5 so the tiny-vocab
+    fixture yields organic overlaps on top of the planted one): docs
+    0-24 act as the benchmark set, the rest as corpus, plus a planted
+    doc 9999 carrying a verbatim 120-char slice of benchmark doc 0.
+    Spark joins on xxhash64(gram) (8-byte shuffle keys — the 100 TB
+    design); the oracle joins on gram text; counts agree absent a
+    64-bit collision (P ~ 1e-9 at this scale)."""
+    docs = _t(spark, sf_dir, "documents").sdf
+    bench = docs.filter(F.col("doc_id") < 25).select("text")
+    planted = (docs.filter(F.col("doc_id") == 0)
+               .select(F.lit(9999).cast("long").alias("doc_id"),
+                       F.substring("text", 1, 120).alias("text")))
+    corp = (docs.filter(F.col("doc_id") >= 25).select("doc_id", "text")
+            .unionByName(planted))
+    out = dd.ngram_overlap(corp, bench, "text", "doc_id", n=5)
+    # contract gate: the planted slice MUST be flagged (bounded collect)
+    hit = out.filter(F.col("doc_id") == 9999).count()
+    if hit != 1:
+        raise AssertionError("decontam gate: planted benchmark slice "
+                             "not flagged as contaminated")
+    return out
+
+
 # ================================================================== contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""

@@ -716,3 +716,44 @@ def simhash_pairs(sig: DataFrame, id_col: str, max_hamming: int,
                     hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
             .dropDuplicates(["id_a", "id_b"]))
+
+
+# ------------------------------------------------------------- decontamination
+def ngram_overlap(corpus, benchmark, text_col: str, id_col: str,
+                  n: int = 13, bench_text_col: str | None = None) -> DataFrame:
+    """Benchmark decontamination scan: docs sharing >=1 word ``n``-gram
+    with a benchmark/eval set (the GPT-3 §C / PaLM 13-gram method).
+    Returns ``(id_col, n_overlap)`` for CONTAMINATED docs only, where
+    ``n_overlap`` counts distinct shared grams.
+
+    Scale shape: both sides explode word n-grams and reduce them to
+    xxhash64 keys BEFORE the join, so the shuffle moves 8-byte hashes,
+    never gram text; the benchmark side is distinct-ed (eval sets are
+    MBs against TB corpora, so AQE turns the equi-join into a broadcast
+    hash join in the common case — no hint forced, a genuinely large
+    benchmark still works as SMJ). countDistinct guards against a gram
+    repeating inside one doc. Hash collisions can in principle inflate
+    a count (P ~ |grams|^2 / 2^64 — negligible); verification-grade
+    exactness would re-join candidate docs on gram text."""
+    csdf = corpus.sdf if hasattr(corpus, "sdf") else corpus
+    bsdf = benchmark.sdf if hasattr(benchmark, "sdf") else benchmark
+    from .text import _grams
+    bcol = bench_text_col or text_col
+    cg = csdf.select(F.col(id_col),
+                     F.explode(_grams(tokens(F.col(text_col)), n)).alias("_g")) \
+        .select(id_col, F.xxhash64("_g").alias("_gh"))
+    bg = bsdf.select(F.explode(_grams(tokens(F.col(bcol)), n)).alias("_g")) \
+        .select(F.xxhash64("_g").alias("_gh")).distinct()
+    return (cg.join(bg, on="_gh", how="inner")
+            .groupBy(id_col)
+            .agg(F.countDistinct("_gh").alias("n_overlap")))
+
+
+def decontaminate(corpus, benchmark, text_col: str, id_col: str,
+                  n: int = 13, bench_text_col: str | None = None):
+    """Drop contaminated docs: anti-join the corpus against the
+    ``ngram_overlap`` hit set. Returns a Frame with the corpus schema."""
+    csdf = corpus.sdf if hasattr(corpus, "sdf") else corpus
+    hits = ngram_overlap(csdf, benchmark, text_col, id_col, n,
+                         bench_text_col).select(id_col)
+    return Frame(csdf.join(hits, on=id_col, how="left_anti"))

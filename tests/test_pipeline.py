@@ -498,3 +498,24 @@ def test_repetition_stats_hand_computed(spark):
         r = out[i]
         assert (r.dup_line_frac, r.dup_line_char_frac,
                 r.top_ngram_char_frac, r.dup_ngram_char_frac) == (0, 0, 0, 0)
+
+
+def test_decontamination_ngram_overlap(spark):
+    """ngram_overlap flags exactly the docs sharing an n-gram with the
+    benchmark; countDistinct dedupes in-doc repeats; decontaminate
+    anti-joins them out."""
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "bid int, text string")
+    corpus = spark.createDataFrame(
+        [(10, "prefix alpha beta gamma delta epsilon suffix"),   # 1 shared 5-gram
+         (11, "totally unrelated words here nothing shared at"),
+         # the shared gram occurs twice in-doc -> still n_overlap 1
+         (12, "alpha beta gamma delta epsilon x alpha beta gamma delta epsilon")],
+        "doc_id int, text string")
+    hits = {r.doc_id: r.n_overlap
+            for r in dd.ngram_overlap(corpus, bench, "text", "doc_id",
+                                      n=5, bench_text_col="text").collect()}
+    assert hits == {10: 1, 12: 1}
+    clean = dd.decontaminate(corpus, bench, "text", "doc_id", n=5)
+    assert {r.doc_id for r in clean.sdf.collect()} == {11}
