@@ -2064,6 +2064,45 @@ def decontam_ngram_overlap(spark, sf_dir):
     return out
 
 
+@q("bm25_keyword_search", """
+WITH tok AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+dl AS (SELECT doc_id, len(w) AS dl FROM tok),
+g AS (SELECT COUNT(*) AS n, SUM(dl) / COUNT(*) AS avgdl FROM dl),
+terms AS (SELECT unnest(['table', 'scan', 'fast']) AS term),
+tf AS (
+  SELECT e.doc_id, e.term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS term FROM tok) e
+  JOIN terms USING (term)
+  GROUP BY 1, 2
+),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         ROUND(SUM( ln(1.0 + (g.n - df.df + 0.5) / (df.df + 0.5))
+                    * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / g.avgdl)) ),
+               4) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  GROUP BY 1
+)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id LIMIT 10
+""")
+def bm25_keyword_search(spark, sf_dir):
+    """Okapi BM25 top-10 keyword search (pipeline.text.bm25_search) for
+    ['table','scan','fast']. Both engines order by the ROUNDED score
+    with a doc_id tie-break, so the top-k cut is deterministic; the
+    arithmetic is written with identical association in both dialects
+    so the doubles agree to the last bit before rounding."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.bm25_search(docs, "text", "doc_id",
+                          ["table", "scan", "fast"], k=10)
+
+
 # ================================================================== contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""

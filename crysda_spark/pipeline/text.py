@@ -280,3 +280,43 @@ def rolling_hash_fingerprint(col, window: int = 8) -> Column:
     """Column-level rolling-hash fingerprint for ad-hoc use. In pipelines
     project `tokens(col)` first and use ``rolling_hash_from_tokens``."""
     return rolling_hash_from_tokens(tokens(col), window)
+
+
+def bm25_search(f, text_col: str, id_col: str, terms, k: int = 10,
+                k1: float = 1.2, b: float = 0.75, round_to: int = 4):
+    """Okapi BM25 keyword search over the corpus (Robertson & Zaragoza
+    2009): top-``k`` docs for a bag of query terms, idf = ln(1 +
+    (N-df+0.5)/(df+0.5)) (always-positive variant), tf saturation k1,
+    length normalization b.
+
+    Scale shape: doc lengths and the global (N, avgdl) are one narrow
+    projection + a 1-row aggregate (broadcast — provably tiny); term
+    frequencies come from explode → filter-to-query-terms (an `isin`
+    literal predicate evaluated map-side, so non-query tokens never
+    shuffle) → groupBy(id, term); per-term document frequencies are a
+    second tiny aggregate broadcast back (bounded by |query terms|).
+    The only corpus-sized shuffles key on (doc, term) and doc. The
+    final top-k orders by the ROUNDED score with an id tie-break so
+    results are deterministic across engines and partitionings."""
+    sdf = f.sdf if hasattr(f, "sdf") else f
+    qterms = list(dict.fromkeys(t.lower() for t in terms))
+    if not qterms:
+        raise ValueError("bm25_search: empty query")
+    dl = sdf.select(F.col(id_col), F.size(tokens(F.col(text_col))).alias("_dl"))
+    g = dl.agg(F.count(F.lit(1)).alias("_n"),
+               (F.sum("_dl") / F.count(F.lit(1))).alias("_avgdl"))
+    tok = sdf.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_w"))
+    tf = (tok.filter(F.col("_w").isin(qterms))
+          .groupBy(id_col, "_w").agg(F.count(F.lit(1)).alias("_tf")))
+    dfreq = tf.groupBy("_w").agg(F.countDistinct(id_col).alias("_df"))
+    j = (tf.join(F.broadcast(dfreq), "_w")
+         .join(dl, id_col)
+         .crossJoin(F.broadcast(g)))
+    idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5)
+                / (F.col("_df") + 0.5))
+    denom = F.col("_tf") + k1 * (F.lit(1.0) - b + b * F.col("_dl")
+                                 / F.col("_avgdl"))
+    contrib = idf * (F.col("_tf") * (k1 + 1.0)) / denom
+    scored = j.groupBy(id_col).agg(
+        F.round(F.sum(contrib), round_to).alias("score"))
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

@@ -519,3 +519,39 @@ def test_decontamination_ngram_overlap(spark):
     assert hits == {10: 1, 12: 1}
     clean = dd.decontaminate(corpus, bench, "text", "doc_id", n=5)
     assert {r.doc_id for r in clean.sdf.collect()} == {11}
+
+
+def test_bm25_search_matches_pure_python(spark):
+    """bm25_search vs an independent pure-Python BM25 over a tiny corpus
+    (idf = ln(1+(N-df+.5)/(df+.5)), k1=1.2, b=0.75), including the
+    rounded-score + id tie-break ordering and the top-k cut."""
+    import math
+    corpus = {
+        1: "spark table scan fast fast",
+        2: "table table table join join",
+        3: "nothing relevant here at all",
+        4: "fast scan",
+    }
+    df_rows = [(i, t) for i, t in corpus.items()]
+    sdf = spark.createDataFrame(df_rows, "doc_id int, text string")
+    terms = ["table", "fast"]
+    # independent implementation
+    toks = {i: t.split() for i, t in corpus.items()}
+    N = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / N
+    dfq = {t: sum(1 for w in toks.values() if t in w) for t in terms}
+    exp = {}
+    for i, w in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = w.count(t)
+            if not tf:
+                continue
+            idf = math.log(1 + (N - dfq[t] + 0.5) / (dfq[t] + 0.5))
+            s += idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * len(w) / avgdl))
+        if s > 0:
+            exp[i] = round(s, 4)
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    got = [(r.doc_id, r.score) for r in
+           tx.bm25_search(sdf, "text", "doc_id", terms, k=3).collect()]
+    assert got == want
