@@ -1721,6 +1721,49 @@ def multimodal_png_roundtrip(spark, sf_dir):
     return out.select("id", "width", "height", "channels")
 
 
+@q("multimodal_gif_roundtrip")  # binary codec; not SQL-expressible — rows-only
+def multimodal_gif_roundtrip(spark, sf_dir):
+    """Pure-stdlib GIF codec through the distributed path (r7): per-doc
+    deterministic palette images are GIF-encoded executor-side
+    (pipeline.codecs.encode_gif — real LZW with variable code width;
+    every 2nd image interlaced so the 4-pass deinterlacer runs),
+    resized through the Arrow kernel (decode → NN resample → LZW
+    re-encode), decoded back, and the gate asserts every decoded
+    geometry equals the resize target at 3 channels."""
+    from crysda_spark.pipeline import multimodal as mm
+    from pyspark.sql import types as T
+
+    ids = _t(spark, sf_dir, "documents").sdf.select("doc_id").limit(64)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from crysda_spark.pipeline.codecs import encode_gif
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                h, w = 3 + d % 6, 4 + d % 9
+                y, x = np.mgrid[0:h, 0:w]
+                idx = (x + 2 * y + d) % 16
+                pal = np.stack([np.arange(16) * 17, (np.arange(16) * 31) % 256,
+                                np.full(16, d % 256)], axis=1).astype(np.uint8)
+                payloads.append(encode_gif(pal[idx], interlace=bool(d % 2)))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    gifs = Frame(ids.mapInPandas(gen, schema=schema))
+    resized = mm.resize_images(gifs, width=6, height=5)
+    out = mm.decode_images(resized, n_feat=8).sdf
+    bad = out.where((F.col("width") != 6) | (F.col("height") != 5)
+                    | (F.col("channels") != 3)).count()
+    if bad:
+        raise AssertionError(
+            f"GIF roundtrip gate: {bad}/64 decoded geometries wrong")
+    return out.select("id", "width", "height", "channels")
+
+
 # =========================================== LLM pipeline: similarity search
 @q("embed_topk_cosine", """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec

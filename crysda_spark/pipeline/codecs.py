@@ -315,6 +315,236 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
             + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
 
 
+class GifError(ValueError):
+    """Malformed or unsupported GIF payload."""
+
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytes:
+    """GIF-variant LZW decode: LSB-first variable-width codes growing
+    9→12 bits, clear/end codes, KwKwK case. Code-size growth follows
+    the giflib convention — a per-CODE counter starting at end+1,
+    width += 1 when the counter exceeds 1<<width — which is what
+    real-world encoders emit (the counter advances even on the first
+    post-clear code, where no table entry is added)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    bits = min_code_size + 1
+    count = end + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev = None
+    bitpos, nbits = 0, len(data) * 8
+    while True:
+        if bitpos + bits > nbits:
+            break  # tolerate a missing explicit end code (common in the wild)
+        byte_i = bitpos >> 3
+        val = int.from_bytes(data[byte_i:byte_i + 3], "little")
+        code = (val >> (bitpos & 7)) & ((1 << bits) - 1)
+        bitpos += bits
+        count += 1
+        if count > (1 << bits) and bits < 12:
+            bits += 1
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            bits = min_code_size + 1
+            count = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and code != clear and code != end:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK: code defined by its own emission
+        else:
+            raise GifError(f"bad LZW code {code} (table size {len(table)})")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        prev = entry
+        if len(out) >= max_pixels:
+            break
+    return bytes(out)
+
+
+def _lzw_encode(min_code_size: int, data: bytes) -> bytes:
+    """GIF-variant LZW encode, bit-exact inverse convention of
+    ``_lzw_decode`` (giflib timing: emit at current width, THEN bump
+    width when the next free code reaches 1<<width; emit a clear code
+    and reset when the table hits 4095)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    bits = min_code_size + 1
+    next_code = end + 1
+    table = {bytes([i]): i for i in range(clear)}
+    out = bytearray()
+    acc = [0, 0]  # value, bit count
+
+    def emit(code: int, width: int) -> None:
+        acc[0] |= code << acc[1]
+        acc[1] += width
+        while acc[1] >= 8:
+            out.append(acc[0] & 0xFF)
+            acc[0] >>= 8
+            acc[1] -= 8
+
+    emit(clear, bits)
+    s = data[:1]
+    for i in range(1, len(data)):
+        b = data[i:i + 1]
+        if s + b in table:
+            s = s + b
+            continue
+        emit(table[s], bits)
+        if next_code >= (1 << bits) and bits < 12:
+            bits += 1
+        if next_code >= 4095:
+            emit(clear, bits)
+            table = {bytes([j]): j for j in range(clear)}
+            next_code = end + 1
+            bits = min_code_size + 1
+        else:
+            table[s + b] = next_code
+            next_code += 1
+        s = b
+    emit(table[s], bits)
+    if next_code >= (1 << bits) and bits < 12:
+        bits += 1
+    emit(end, bits)
+    if acc[1]:
+        out.append(acc[0] & 0xFF)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode the FIRST image of a GIF87a/89a to an (H, W, 3) RGB uint8
+    array, pure stdlib+numpy: logical screen descriptor, global/local
+    color tables, full LZW (variable code width, table reset), and
+    4-pass interlacing. Extensions (including Graphics Control — i.e.
+    transparency) are skipped: first frame, rendered opaque. Anything
+    structurally malformed raises GifError."""
+    if payload is None or len(payload) < 13 or bytes(payload[:6]) not in GIF_MAGICS:
+        raise GifError("missing GIF magic")
+    payload = bytes(payload)
+    _sw, _sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if pos + 3 * n > len(payload):
+            raise GifError("truncated global color table")
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:
+            raise GifError("trailer before any image data")
+        if block == 0x21:  # extension: label byte + length-prefixed sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    raise GifError("truncated extension")
+                ln = payload[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                pos += ln
+            continue
+        if block != 0x2C:
+            raise GifError(f"unexpected block 0x{block:02x}")
+        if pos + 9 > len(payload):
+            raise GifError("truncated image descriptor")
+        _left, _top, w, h, ipack = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if w <= 0 or h <= 0:
+            raise GifError(f"bad dimensions {w}x{h}")
+        ct = gct
+        if ipack & 0x80:
+            n = 2 << (ipack & 7)
+            if pos + 3 * n > len(payload):
+                raise GifError("truncated local color table")
+            ct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise GifError("image without any color table")
+        if pos >= len(payload):
+            raise GifError("truncated LZW header")
+        min_code = payload[pos]
+        pos += 1
+        if not (2 <= min_code <= 8):
+            raise GifError(f"bad LZW min code size {min_code}")
+        chunks = []
+        while True:
+            if pos >= len(payload):
+                raise GifError("unterminated image data")
+            ln = payload[pos]
+            pos += 1
+            if ln == 0:
+                break
+            if pos + ln > len(payload):
+                raise GifError("truncated data sub-block")
+            chunks.append(payload[pos:pos + ln])
+            pos += ln
+        idx = _lzw_decode(min_code, b"".join(chunks), w * h)
+        if len(idx) < w * h:
+            raise GifError(f"LZW yielded {len(idx)} of {w * h} pixels")
+        arr = np.frombuffer(idx, np.uint8, w * h).reshape(h, w)
+        if int(arr.max(initial=0)) >= len(ct):
+            raise GifError("pixel index outside color table")
+        if ipack & 0x40:  # interlaced: rows arrive in 4 passes
+            order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                                    np.arange(2, h, 4), np.arange(1, h, 2)])
+            de = np.empty_like(arr)
+            de[order] = arr
+            arr = de
+        return np.ascontiguousarray(ct[arr])
+    raise GifError("no image block found")
+
+
+def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
+    """Encode an (H, W, 3) RGB uint8 array as a single-frame GIF89a
+    with a global color table built from the image's distinct colors
+    (raises GifError beyond 256 — GIF is palette-based) and real LZW
+    compression. ``interlace=True`` writes 4-pass interlaced row order
+    to exercise the decoder's deinterlacer."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise GifError(f"encode_gif wants (H, W, 3), got {arr.shape}")
+    h, w, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    colors, inv = np.unique(flat, axis=0, return_inverse=True)
+    inv = inv.reshape(-1)
+    if len(colors) > 256:
+        raise GifError(f"{len(colors)} distinct colors (GIF caps at 256)")
+    bits_ct = max(1, int(len(colors) - 1).bit_length())
+    size = 1 << bits_ct
+    ct = np.zeros((size, 3), np.uint8)
+    ct[:len(colors)] = colors
+    idx = inv.astype(np.uint8).reshape(h, w)
+    if interlace:
+        order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                                np.arange(2, h, 4), np.arange(1, h, 2)])
+        idx = idx[order]
+    min_code = max(2, bits_ct)
+    lzw = _lzw_encode(min_code, idx.tobytes())
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x70 | (bits_ct - 1), 0, 0)
+    out += ct.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+                       0x40 if interlace else 0)
+    out += bytes([min_code])
+    for i in range(0, len(lzw), 255):
+        sub = lzw[i:i + 255]
+        out += bytes([len(sub)]) + sub
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
 def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resize, pure numpy indexing (no interpolation
     libs in the container; NN is exact-pixel and deterministic)."""

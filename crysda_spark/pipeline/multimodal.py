@@ -2,11 +2,11 @@
 with typed metadata.
 
 The Spark-side architecture is real and tested — schema, partitioning,
-Arrow batch shape, mapInPandas signatures. THREE codec paths are REAL
+Arrow batch shape, mapInPandas signatures. FOUR codec paths are REAL
 and dependency-free through ``pipeline.codecs`` (pure stdlib+numpy):
-uncompressed 24/32-bit BMP, binary PPM (P6), and 8-bit truecolor PNG
-(zlib inflate + per-row un-filtering) all decode, resize, and
-feature-extract end-to-end. Codec work needing external libs (jpeg via
+uncompressed 24/32-bit BMP, binary PPM (P6), 8-bit truecolor PNG
+(zlib inflate + per-row un-filtering), and GIF87a/89a (full LZW +
+deinterlacing) all decode, resize, and feature-extract end-to-end. Codec work needing external libs (jpeg via
 PIL, video via ffmpeg, audio via librosa) is NOT available in this
 container, so those kernels stay stubbed behind ``_HAVE_CODECS`` with
 a deterministic fake that preserves shapes; swap the kernel body when
@@ -72,7 +72,8 @@ def _fake_decode(payload: bytes, n_feat: int = 8) -> list[float]:
 
 
 def _sniff(payload) -> str | None:
-    """Real-codec dispatch on magic bytes: 'bmp' / 'ppm' / 'png' / None."""
+    """Real-codec dispatch on magic bytes:
+    'bmp' / 'ppm' / 'png' / 'gif' / None."""
     if payload is None or len(payload) < 2:
         return None
     head = bytes(payload[:8])
@@ -82,6 +83,8 @@ def _sniff(payload) -> str | None:
         return "ppm"
     if head == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if head[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -115,9 +118,11 @@ def decode_images(f: Frame, id_col: str = "id", payload_col: str = "payload",
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
-        from .codecs import (BmpError, PngError, PpmError, decode_bmp,
-                             decode_png, decode_ppm, image_features)
-        real = {"bmp": decode_bmp, "ppm": decode_ppm, "png": decode_png}
+        from .codecs import (BmpError, GifError, PngError, PpmError,
+                             decode_bmp, decode_gif, decode_png, decode_ppm,
+                             image_features)
+        real = {"bmp": decode_bmp, "ppm": decode_ppm, "png": decode_png,
+                "gif": decode_gif}
         for pdf in batches:
             ids, ws, hs, cs, feats = [], [], [], [], []
             for pid, payload in zip(pdf[id_col], pdf[payload_col]):
@@ -127,7 +132,7 @@ def decode_images(f: Frame, id_col: str = "id", payload_col: str = "payload",
                         arr = real[kind](bytes(payload))
                         h, w, c = arr.shape
                         fs = image_features(arr, n_feat)
-                    except (BmpError, PpmError, PngError):
+                    except (BmpError, PpmError, PngError, GifError):
                         if strict:
                             raise
                         w = h = c = 0
@@ -169,7 +174,7 @@ def sample_frames(f: Frame, every_n: int = 10, id_col: str = "id",
 
 def resize_images(f: Frame, width: int, height: int, id_col: str = "id",
                   payload_col: str = "payload", strict: bool = False) -> Frame:
-    """Resize through the Arrow path: BMP/PPM/PNG payloads are REALLY
+    """Resize through the Arrow path: BMP/PPM/PNG/GIF payloads are REALLY
     resized (decode → nearest-neighbor resample → re-encode, pure
     numpy/stdlib) and come back as valid bytes of the same format at
     the target size; other formats pass through unchanged (PIL path
@@ -185,12 +190,14 @@ def resize_images(f: Frame, width: int, height: int, id_col: str = "id",
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
-        from .codecs import (BmpError, PngError, PpmError, decode_bmp,
-                             decode_png, decode_ppm, encode_bmp, encode_png,
-                             encode_ppm, resize_nearest)
+        from .codecs import (BmpError, GifError, PngError, PpmError,
+                             decode_bmp, decode_gif, decode_png, decode_ppm,
+                             encode_bmp, encode_gif, encode_png, encode_ppm,
+                             resize_nearest)
         real = {"bmp": (decode_bmp, encode_bmp),
                 "ppm": (decode_ppm, encode_ppm),
-                "png": (decode_png, encode_png)}
+                "png": (decode_png, encode_png),
+                "gif": (decode_gif, encode_gif)}
         for pdf in batches:
             out = []
             for payload in pdf[payload_col]:
@@ -200,7 +207,7 @@ def resize_images(f: Frame, width: int, height: int, id_col: str = "id",
                     try:
                         out.append(enc(
                             resize_nearest(dec(bytes(payload)), width, height)))
-                    except (BmpError, PpmError, PngError):
+                    except (BmpError, PpmError, PngError, GifError):
                         if strict:
                             raise
                         out.append(payload)

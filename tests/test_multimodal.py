@@ -309,3 +309,66 @@ def test_decode_and_resize_dispatch_ppm_through_arrow(spark):
     assert got.shape == (5, 4, 3)
     assert np.array_equal(got, resize_nearest(src, 4, 5))
     assert bytes(rez[2].payload) == b"not-an-image"
+
+
+def test_gif_roundtrip_and_errors():
+    import numpy as np
+    import pytest
+    from crysda_spark.pipeline.codecs import GifError, decode_gif, encode_gif
+    rng = np.random.default_rng(7)
+    # 256-color random image: code width grows through 12 bits and the
+    # encoder hits the 4095-entry clear/reset path
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 256, (80, 60))]
+    for interlace in (False, True):
+        assert np.array_equal(decode_gif(encode_gif(img, interlace)), img)
+    # degenerate palettes
+    assert np.array_equal(
+        decode_gif(encode_gif(np.full((5, 9, 3), 42, np.uint8))),
+        np.full((5, 9, 3), 42, np.uint8))
+    with pytest.raises(GifError, match="magic"):
+        decode_gif(b"GIF88a" + b"\x00" * 20)
+    with pytest.raises(GifError):
+        decode_gif(encode_gif(img)[:40])  # truncated mid color table
+    with pytest.raises(GifError, match="256"):
+        grad = np.arange(300, dtype=np.int32)
+        rgb = np.stack([grad % 256, grad // 256, grad * 0],
+                       axis=1).astype(np.uint8).reshape(10, 30, 3)
+        encode_gif(rgb)
+
+
+def test_gif_roundtrip_hypothesis():
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+    from crysda_spark.pipeline.codecs import decode_gif, encode_gif
+
+    @settings(max_examples=40, deadline=None)
+    @given(h=st.integers(1, 24), w=st.integers(1, 24),
+           ncol=st.sampled_from([1, 2, 3, 16, 64, 256]),
+           interlace=st.booleans(), seed=st.integers(0, 2**31 - 1))
+    def roundtrip(h, w, ncol, interlace, seed):
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, ncol, (h, w))]
+        assert np.array_equal(decode_gif(encode_gif(img, interlace)), img)
+
+    roundtrip()
+
+
+def test_decode_and_resize_dispatch_gif_through_arrow(spark):
+    import numpy as np
+    from crysda_spark.pipeline.codecs import decode_gif, encode_gif, resize_nearest
+    src = _checker(9, 11)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_gif(src))),
+         (2, bytearray(encode_gif(src, interlace=True))),
+         (3, bytearray(b"GIF89a" + b"\x13" * 40))],  # malformed body
+    "id long, payload binary")
+    dec = {r.id: r for r in mm.decode_images(Frame(df), n_feat=8).sdf.collect()}
+    for i in (1, 2):
+        assert (dec[i].height, dec[i].width, dec[i].channels) == (9, 11, 3)
+    assert (dec[3].height, dec[3].width, dec[3].channels) == (0, 0, 0)
+    rez = {r.id: r for r in mm.resize_images(Frame(df), 5, 4).sdf.collect()}
+    got = decode_gif(bytes(rez[1].payload))
+    assert np.array_equal(got, resize_nearest(src, 5, 4))
+    assert bytes(rez[3].payload) == b"GIF89a" + b"\x13" * 40  # passthrough
