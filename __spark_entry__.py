@@ -2146,6 +2146,72 @@ def bm25_keyword_search(spark, sf_dir):
                           ["table", "scan", "fast"], k=10)
 
 
+@q("unigram_lm_quality", """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS w
+  FROM documents
+),
+freq AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT SUM(c) AS t FROM freq)
+SELECT tok.doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(ln(freq.c / tot.t)), 4) AS lm_logprob
+FROM tok JOIN freq USING (w) CROSS JOIN tot
+GROUP BY 1
+""")
+def unigram_lm_quality(spark, sf_dir):
+    """Unigram-LM perplexity proxy (pipeline.text.unigram_logprob, the
+    CCNet quality-scoring shape with the KenLM swapped for a
+    self-trained unigram table): mean token log-probability per doc.
+    The term-count shuffle is vocabulary-sized; the frequency join is
+    AQE-broadcast at this scale."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.unigram_logprob(docs, "text", "doc_id")
+
+
+@q("url_domain_rollup", """
+WITH u AS (
+  SELECT doc_id, n_chars,
+         'https://www.' || source ||
+         CASE WHEN doc_id % 2 = 0 THEN '.example.com' ELSE '.example.co.uk' END
+         || '/docs/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+p AS (
+  SELECT doc_id, n_chars,
+         lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)) AS host
+  FROM u
+),
+d AS (
+  SELECT doc_id, n_chars, host, string_split(host, '.') AS parts FROM p
+)
+SELECT CASE WHEN len(parts) >= 3 AND (parts[-2] || '.' || parts[-1]) IN
+                 ('co.uk', 'com.au', 'co.jp', 'com.br', 'co.in',
+                  'com.cn', 'co.kr', 'com.mx', 'co.za', 'org.uk')
+            THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+            WHEN len(parts) >= 2 THEN parts[-2] || '.' || parts[-1]
+            ELSE host END AS domain,
+       host, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM d GROUP BY 1, 2
+""")
+def url_domain_rollup(spark, sf_dir):
+    """Web-corpus provenance rollup (pipeline.text.url_host /
+    registered_domain): synthetic crawl URLs built from the source
+    column (odd doc_ids get a .co.uk two-part public suffix so the
+    naive-PSL cut is exercised), grouped by registrable domain + host.
+    Pure codegen'd regexp/array expressions — zero Python."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://www."), F.col("source"),
+                   F.when(F.col("doc_id") % 2 == 0, F.lit(".example.com"))
+                   .otherwise(F.lit(".example.co.uk")),
+                   F.lit("/docs/"), F.col("doc_id").cast("string"))
+    base = docs.sdf.select("doc_id", "n_chars", url.alias("url"))
+    return (base.groupBy(tx.registered_domain(F.col("url")).alias("domain"),
+                         tx.url_host(F.col("url")).alias("host"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars")))
+
+
 # ================================================================== contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""

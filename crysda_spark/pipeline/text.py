@@ -320,3 +320,77 @@ def bm25_search(f, text_col: str, id_col: str, terms, k: int = 10,
     scored = j.groupBy(id_col).agg(
         F.round(F.sum(contrib), round_to).alias("score"))
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def unigram_logprob(f, text_col: str, id_col: str, model=None,
+                    round_to: int = 4):
+    """Per-document mean token log-probability under a unigram language
+    model — the cheap perplexity proxy used for corpus quality scoring
+    (the CCNet recipe swaps in a KenLM 5-gram; the pipeline shape is
+    identical). Returns ``(id, n_tokens, lm_logprob)``; lower (more
+    negative) = rarer tokens = likelier junk.
+
+    ``model`` is an optional ``(word, count)`` DataFrame; by default
+    the model is the corpus itself (self-scoring). Scale shape: one
+    explode → term-count aggregate (map-side combinable, shuffles
+    (token, count) — vocabulary-sized, not corpus-sized), a 1-row
+    total broadcast, an equi-join of the token stream against the
+    frequency table (AQE broadcasts it when the vocabulary is small),
+    and one groupBy(id) average. Out-of-vocabulary tokens (only
+    possible with an external model) are dropped from the average —
+    add-one smoothing would need the vocab size, which an external
+    model should supply."""
+    sdf = f.sdf if hasattr(f, "sdf") else f
+    tok = sdf.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_w"))
+    if model is None:
+        freq = tok.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+    else:
+        msdf = model.sdf if hasattr(model, "sdf") else model
+        freq = msdf.select(F.col(msdf.columns[0]).alias("_w"),
+                           F.col(msdf.columns[1]).cast("long").alias("_c"))
+    tot = freq.agg(F.sum("_c").alias("_t"))
+    return (tok.join(freq, on="_w", how="inner")
+            .crossJoin(F.broadcast(tot))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg(F.log(F.col("_c") / F.col("_t"))),
+                         round_to).alias("lm_logprob")))
+
+
+# URL handling — web-corpus provenance columns. RE2-compatible patterns
+# (no backrefs) so the same regex runs in Spark, DuckDB, and RE2 scanners.
+_URL_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)"
+_URL_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)"
+
+# Minimal two-part public suffixes for the naive registered-domain cut.
+# A production deployment loads the full Public Suffix List; the
+# operator shape (array slice off a split host) is unchanged by that.
+_TWO_PART_SUFFIXES = ["co.uk", "com.au", "co.jp", "com.br", "co.in",
+                      "com.cn", "co.kr", "com.mx", "co.za", "org.uk"]
+
+
+def url_host(col) -> Column:
+    """Lowercased host of a URL ('' for unparseable values)."""
+    return F.lower(F.regexp_extract(_c(col), _URL_HOST_RE, 1))
+
+
+def url_path(col) -> Column:
+    """Path component of a URL ('' when absent)."""
+    return F.regexp_extract(_c(col), _URL_PATH_RE, 1)
+
+
+def registered_domain(col) -> Column:
+    """Registrable domain of a URL's host: last two labels, or three
+    when the last two form a known two-part public suffix (naive PSL —
+    see _TWO_PART_SUFFIXES). The per-domain key for crawl dedup,
+    provenance rollups, and domain-level filtering."""
+    host = url_host(col)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(".", F.element_at(parts, -3),
+                        F.element_at(parts, -2), F.element_at(parts, -1))
+    sfx = F.array(*[F.lit(s) for s in _TWO_PART_SUFFIXES])
+    return (F.when((n >= 3) & F.array_contains(sfx, last2), last3)
+            .when(n >= 2, last2)
+            .otherwise(host))

@@ -555,3 +555,46 @@ def test_bm25_search_matches_pure_python(spark):
     got = [(r.doc_id, r.score) for r in
            tx.bm25_search(sdf, "text", "doc_id", terms, k=3).collect()]
     assert got == want
+
+
+def test_url_parsing_and_registered_domain(spark):
+    rows = [
+        (1, "https://www.news.example.co.uk/a/b?q=1"),
+        (2, "http://EXAMPLE.com/path"),
+        (3, "https://sub.deep.example.com"),
+        (4, "not a url"),
+        (5, "ftp://localhost/file"),
+    ]
+    df = spark.createDataFrame(rows, "id int, url string")
+    out = {r.id: r for r in df.select(
+        "id", tx.url_host("url").alias("h"),
+        tx.url_path("url").alias("p"),
+        tx.registered_domain("url").alias("d")).collect()}
+    assert out[1].h == "www.news.example.co.uk"
+    assert out[1].p == "/a/b"
+    assert out[1].d == "example.co.uk"   # two-part suffix -> 3 labels
+    assert out[2].h == "example.com" and out[2].d == "example.com"
+    assert out[3].d == "example.com" and out[3].p == ""
+    assert out[4].h == "" and out[4].d == ""
+    assert out[5].h == "localhost" and out[5].d == "localhost"  # single label
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Self-trained unigram model: corpus = 'a a a b'; p(a)=3/4,
+    p(b)=1/4; doc1 mean = ln(3/4); doc2 mean = (ln(3/4)*2 + ln(1/4))/3."""
+    import math
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a a b")], "doc_id int, text string")
+    out = {r.doc_id: r for r in
+           tx.unigram_logprob(df, "text", "doc_id").collect()}
+    assert out[1].n_tokens == 1
+    assert abs(out[1].lm_logprob - round(math.log(3 / 4), 4)) < 1e-9
+    assert out[2].n_tokens == 3
+    want = round((2 * math.log(3 / 4) + math.log(1 / 4)) / 3, 4)
+    assert abs(out[2].lm_logprob - want) < 1e-9
+    # external model: OOV tokens drop out of the average
+    model = spark.createDataFrame([("a", 9), ("x", 1)], "w string, c long")
+    out2 = {r.doc_id: r for r in
+            tx.unigram_logprob(df, "text", "doc_id", model=model).collect()}
+    assert out2[2].n_tokens == 2  # 'b' is OOV under the external model
+    assert abs(out2[2].lm_logprob - round(math.log(9 / 10), 4)) < 1e-9
