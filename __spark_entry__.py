@@ -2212,6 +2212,38 @@ def url_domain_rollup(spark, sf_dir):
                  F.sum("n_chars").alias("total_chars")))
 
 
+@q("token_budget_shards", """
+WITH s AS (
+  SELECT doc_id,
+         len(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s
+)
+SELECT CAST(FLOOR((cum - n_tok) / 4096) AS BIGINT) AS shard,
+       COUNT(*) AS n_docs, SUM(n_tok) AS tok_mass
+FROM c GROUP BY 1
+""")
+def token_budget_shards(spark, sf_dir):
+    """Deterministic token-budget sharding for training export
+    (pipeline.packing.shard_by_budget): globally contiguous shards cut
+    every 4096 tokens in doc_id order, via the two-phase exact
+    distributed cumsum (range shuffle + per-partition offsets — NO
+    single-reducer global window; the oracle's OVER (ORDER BY) is the
+    semantics being reproduced, not the plan)."""
+    from crysda_spark.pipeline import packing as pk
+    docs = _t(spark, sf_dir, "documents")
+    sized = Frame(docs.sdf.select(
+        "doc_id", tx.token_count(F.col("text")).alias("n_tok")))
+    sh = pk.shard_by_budget(sized, "doc_id", "n_tok", budget=4096)
+    return (sh.sdf.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("tok_mass")))
+
+
 # ================================================================== contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""

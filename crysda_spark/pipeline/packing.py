@@ -107,3 +107,78 @@ def stratified_sample(f: Frame, strata_col: str, fractions: dict,
            .filter(F.col("__rn__") <= F.round(F.col("__n__") * F.col("__f__")))
            .drop("__f__", "__n__", "__r__", "__rn__"))
     return Frame(out)
+
+
+def ordered_cumsum(f: Frame, order_by, value_col: str, out_col: str = "cum",
+                   num_partitions: int | None = None) -> Frame:
+    """EXACT global running sum over a total order — WITHOUT the
+    single-reducer global window that ``Frame.cumsum`` (reference-parity
+    semantics) requires. The classic two-phase shape:
+
+    1. range-repartition on the order key(s) and pin the partition
+       assignment (persist — spark_partition_id must agree between the
+       two passes);
+    2. per-partition totals → driver (BOUNDED collect: one row per
+       partition, thousands at most) → exclusive prefix offsets
+       broadcast back;
+    3. per-partition window cumsum + offset. Each partition sorts and
+       sums independently — full cluster parallelism, one corpus
+       shuffle total.
+
+    ``order_by`` must be a total order (include a unique tiebreak
+    column): equal keys land in one partition under range partitioning,
+    but their relative cumsum order would otherwise be undefined.
+    Nulls in ``value_col`` count as 0."""
+    from pyspark.sql import Window as W
+
+    from ..plans.cache import pin
+    sdf = f.sdf if hasattr(f, "sdf") else f
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    n = num_partitions or int(
+        sdf.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ranged = pin(sdf.repartitionByRange(n, *[F.col(c) for c in order_cols])
+                 .withColumn("__pid__", F.spark_partition_id()))
+    totals = (ranged.groupBy("__pid__")
+              .agg(F.sum(F.coalesce(F.col(value_col).cast("long"), F.lit(0)))
+                   .alias("__t__"))
+              .collect())  # bounded: one row per partition
+    run, offsets = 0, {}
+    for row in sorted(totals, key=lambda r: r["__pid__"]):
+        offsets[row["__pid__"]] = run
+        run += row["__t__"] or 0
+    off_df = sdf.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()],
+        "__pid__ int, __off__ long")
+    w = (W.partitionBy("__pid__")
+         .orderBy(*[F.col(c) for c in order_cols])
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    out = (ranged.join(F.broadcast(off_df), on="__pid__")
+           .withColumn(out_col,
+                       F.sum(F.coalesce(F.col(value_col).cast("long"),
+                                        F.lit(0))).over(w) + F.col("__off__"))
+           .drop("__pid__", "__off__"))
+    return Frame(out)
+
+
+def shard_by_budget(f: Frame, order_by, size_col: str, budget: int,
+                    shard_col: str = "shard") -> Frame:
+    """Deterministic training-export sharding: walk the corpus in
+    ``order_by`` order and start a new shard every ``budget`` tokens —
+    shard = floor(exclusive_running_sum / budget), so every engine
+    (and every re-run) cuts the corpus at identical points. Unlike
+    ``pack_sequences`` (partition-local bins, maximum parallel fill)
+    this gives globally contiguous, reproducibly numbered shards — the
+    form training dataloaders and resumable exports want. Built on
+    ``ordered_cumsum``; same scale story (one range shuffle + a
+    per-partition-totals collect)."""
+    if budget <= 0:
+        raise ValueError(f"shard_by_budget: budget must be positive, got {budget}")
+    cum = ordered_cumsum(f, order_by, size_col, out_col="__cum__")
+    out = (cum.sdf
+           .withColumn(shard_col,
+                       F.floor((F.col("__cum__")
+                                - F.coalesce(F.col(size_col).cast("long"),
+                                             F.lit(0))) / budget)
+                       .cast("long"))
+           .drop("__cum__"))
+    return Frame(out)

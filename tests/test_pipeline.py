@@ -598,3 +598,28 @@ def test_unigram_logprob_hand_computed(spark):
             tx.unigram_logprob(df, "text", "doc_id", model=model).collect()}
     assert out2[2].n_tokens == 2  # 'b' is OOV under the external model
     assert abs(out2[2].lm_logprob - round(math.log(9 / 10), 4)) < 1e-9
+
+
+def test_ordered_cumsum_and_shard_by_budget(spark):
+    """Two-phase distributed cumsum == pandas cumsum exactly, across
+    many partitions; shard cut points follow the exclusive running sum."""
+    import numpy as np
+    from crysda_spark.pipeline import packing as pk
+    rng = np.random.default_rng(3)
+    sizes = rng.integers(0, 200, 500).tolist()
+    df = spark.createDataFrame(
+        [(i, int(s)) for i, s in enumerate(sizes)], "id long, n long")
+    out = pk.ordered_cumsum(Frame(df), "id", "n", num_partitions=13)
+    got = {r.id: r.cum for r in out.sdf.collect()}
+    want = np.cumsum(sizes)
+    assert got == {i: int(want[i]) for i in range(500)}
+    sh = pk.shard_by_budget(Frame(df), "id", "n", budget=1000)
+    rows = sorted((r.id, r.shard) for r in sh.sdf.collect())
+    excl = want - np.array(sizes)
+    assert [s for _, s in rows] == [int(e // 1000) for e in excl]
+    # shards are contiguous in id order and start at 0
+    shards = [s for _, s in rows]
+    assert shards[0] == 0 and all(b - a in (0, 1)
+                                  for a, b in zip(shards, shards[1:]))
+    from crysda_spark.plans.cache import release_pinned
+    release_pinned()

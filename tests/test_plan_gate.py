@@ -54,6 +54,13 @@ EXPECTED = {
     "lang_id_votes": dict(scans=2, exchanges=1, bhj=1, smj=0),
     "ngram_jaccard_docs": dict(scans=1, exchanges=4, bhj=5, smj=0),
     "dedup_exact_docs": dict(scans=1, exchanges=1, bhj=0, smj=0),
+    # r7 additions: gram/term-keyed shuffles only; joins unhinted (BHJ
+    # at this SF via AQE-visible sizes, free to become SMJ at scale)
+    "repetition_quality_stats": dict(scans=3, exchanges=2, bhj=1, smj=0),
+    "decontam_ngram_overlap": dict(scans=3, exchanges=3, bhj=1, smj=0),
+    "bm25_keyword_search": dict(scans=4, exchanges=5, bhj=2, smj=0),
+    "unigram_lm_quality": dict(scans=3, exchanges=4, bhj=1, smj=0),
+    "url_domain_rollup": dict(scans=1, exchanges=1, bhj=0, smj=0),
 }
 
 
