@@ -2099,12 +2099,14 @@ def decontam_ngram_overlap(spark, sf_dir):
     corp = (docs.filter(F.col("doc_id") >= 25).select("doc_id", "text")
             .unionByName(planted))
     out = dd.ngram_overlap(corp, bench, "text", "doc_id", n=5)
+    from crysda_spark.plans.cache import pin
+    res = pin(out)  # gate + driver consume the same materialization
     # contract gate: the planted slice MUST be flagged (bounded collect)
-    hit = out.filter(F.col("doc_id") == 9999).count()
+    hit = res.filter(F.col("doc_id") == 9999).count()
     if hit != 1:
         raise AssertionError("decontam gate: planted benchmark slice "
                              "not flagged as contaminated")
-    return out
+    return res
 
 
 @q("bm25_keyword_search", """

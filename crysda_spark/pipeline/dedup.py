@@ -739,10 +739,15 @@ def ngram_overlap(corpus, benchmark, text_col: str, id_col: str,
     bsdf = benchmark.sdf if hasattr(benchmark, "sdf") else benchmark
     from .text import _grams
     bcol = bench_text_col or text_col
-    cg = csdf.select(F.col(id_col),
-                     F.explode(_grams(tokens(F.col(text_col)), n)).alias("_g")) \
+    # tokens are projected to an attribute BEFORE the gram lambda: HOF
+    # lambdas re-evaluate free subexpressions per element, so slicing
+    # the raw split(regexp_replace(...)) tree would re-run the regex
+    # once per gram — O(tokens) regexes per doc (see _shingles_of)
+    ctok = csdf.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    cg = ctok.select(id_col, F.explode(_grams(F.col("_t"), n)).alias("_g")) \
         .select(id_col, F.xxhash64("_g").alias("_gh"))
-    bg = bsdf.select(F.explode(_grams(tokens(F.col(bcol)), n)).alias("_g")) \
+    btok = bsdf.select(tokens(F.col(bcol)).alias("_t"))
+    bg = btok.select(F.explode(_grams(F.col("_t"), n)).alias("_g")) \
         .select(F.xxhash64("_g").alias("_gh")).distinct()
     return (cg.join(bg, on="_gh", how="inner")
             .groupBy(id_col)
