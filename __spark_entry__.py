@@ -1764,6 +1764,51 @@ def multimodal_gif_roundtrip(spark, sf_dir):
     return out.select("id", "width", "height", "channels")
 
 
+@q("multimodal_jpeg_roundtrip")  # binary codec; not SQL-expressible — rows-only
+def multimodal_jpeg_roundtrip(spark, sf_dir):
+    """Pure-stdlib baseline JPEG through the distributed path (r7):
+    per-doc gradient images are JPEG-encoded executor-side
+    (pipeline.jpeg.encode_jpeg — FDCT + Annex-K Huffman; every 2nd
+    image 4:2:0-subsampled so the chroma upsampler runs), resized
+    through the Arrow kernel (decode → NN resample → re-encode at
+    q90), decoded back, and the gate asserts every decoded geometry
+    equals the resize target at 3 channels. JPEG is lossy so the gate
+    is geometric, not pixel-exact (pixel-error bounds live in pytest
+    with all-ones quantization)."""
+    from crysda_spark.pipeline import multimodal as mm
+    from pyspark.sql import types as T
+
+    ids = _t(spark, sf_dir, "documents").sdf.select("doc_id").limit(64)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from crysda_spark.pipeline.jpeg import encode_jpeg
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                h, w = 8 + d % 9, 8 + d % 13
+                y, x = np.mgrid[0:h, 0:w]
+                arr = np.stack([(x * 9 + d) % 256, (y * 5) % 256,
+                                ((x + y) * 3) % 256], axis=-1).astype(np.uint8)
+                payloads.append(encode_jpeg(arr, quality=90,
+                                            subsample=bool(d % 2)))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    jpgs = Frame(ids.mapInPandas(gen, schema=schema))
+    resized = mm.resize_images(jpgs, width=7, height=6)
+    out = mm.decode_images(resized, n_feat=8).sdf
+    bad = out.where((F.col("width") != 7) | (F.col("height") != 6)
+                    | (F.col("channels") != 3)).count()
+    if bad:
+        raise AssertionError(
+            f"JPEG roundtrip gate: {bad}/64 decoded geometries wrong")
+    return out.select("id", "width", "height", "channels")
+
+
 # =========================================== LLM pipeline: similarity search
 @q("embed_topk_cosine", """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec

@@ -545,6 +545,11 @@ def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
     return bytes(out)
 
 
+# Baseline JPEG lives in its own module (ITU-T T.81 is a lot of table
+# data); re-exported here so the codec surface is one import.
+from .jpeg import JpegError, decode_jpeg, encode_jpeg  # noqa: E402,F401
+
+
 def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resize, pure numpy indexing (no interpolation
     libs in the container; NN is exact-pixel and deterministic)."""

@@ -2,14 +2,16 @@
 with typed metadata.
 
 The Spark-side architecture is real and tested — schema, partitioning,
-Arrow batch shape, mapInPandas signatures. FOUR codec paths are REAL
+Arrow batch shape, mapInPandas signatures. FIVE codec paths are REAL
 and dependency-free through ``pipeline.codecs`` (pure stdlib+numpy):
 uncompressed 24/32-bit BMP, binary PPM (P6), 8-bit truecolor PNG
-(zlib inflate + per-row un-filtering), and GIF87a/89a (full LZW +
-deinterlacing) all decode, resize, and feature-extract end-to-end. Codec work needing external libs (jpeg via
-PIL, video via ffmpeg, audio via librosa) is NOT available in this
-container, so those kernels stay stubbed behind ``_HAVE_CODECS`` with
-a deterministic fake that preserves shapes; swap the kernel body when
+(zlib inflate + per-row un-filtering), GIF87a/89a (full LZW +
+deinterlacing), and baseline JPEG (ITU-T T.81: Huffman + dequant +
+IDCT + 4:2:0 chroma upsampling) all decode, resize, and
+feature-extract end-to-end. Codec work needing external libs (video
+via ffmpeg, audio via librosa) is NOT available in this container, so
+those kernels stay stubbed behind ``_HAVE_CODECS`` with a
+deterministic fake that preserves shapes; swap the kernel body when
 the libs exist. The distributed plan (how bytes move, how batches
 form, what schema comes out) is identical either way. Malformed
 payloads degrade per-row to the stub output by default (strict=True to
@@ -85,6 +87,8 @@ def _sniff(payload) -> str | None:
         return "png"
     if head[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if head[:3] == b"\xFF\xD8\xFF":
+        return "jpeg"
     return None
 
 
@@ -118,11 +122,11 @@ def decode_images(f: Frame, id_col: str = "id", payload_col: str = "payload",
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
-        from .codecs import (BmpError, GifError, PngError, PpmError,
-                             decode_bmp, decode_gif, decode_png, decode_ppm,
-                             image_features)
+        from .codecs import (BmpError, GifError, JpegError, PngError,
+                             PpmError, decode_bmp, decode_gif, decode_jpeg,
+                             decode_png, decode_ppm, image_features)
         real = {"bmp": decode_bmp, "ppm": decode_ppm, "png": decode_png,
-                "gif": decode_gif}
+                "gif": decode_gif, "jpeg": decode_jpeg}
         for pdf in batches:
             ids, ws, hs, cs, feats = [], [], [], [], []
             for pid, payload in zip(pdf[id_col], pdf[payload_col]):
@@ -132,7 +136,8 @@ def decode_images(f: Frame, id_col: str = "id", payload_col: str = "payload",
                         arr = real[kind](bytes(payload))
                         h, w, c = arr.shape
                         fs = image_features(arr, n_feat)
-                    except (BmpError, PpmError, PngError, GifError):
+                    except (BmpError, PpmError, PngError, GifError,
+                            JpegError):
                         if strict:
                             raise
                         w = h = c = 0
@@ -174,8 +179,8 @@ def sample_frames(f: Frame, every_n: int = 10, id_col: str = "id",
 
 def resize_images(f: Frame, width: int, height: int, id_col: str = "id",
                   payload_col: str = "payload", strict: bool = False) -> Frame:
-    """Resize through the Arrow path: BMP/PPM/PNG/GIF payloads are REALLY
-    resized (decode → nearest-neighbor resample → re-encode, pure
+    """Resize through the Arrow path: BMP/PPM/PNG/GIF/JPEG payloads are
+    REALLY resized (decode → nearest-neighbor resample → re-encode, pure
     numpy/stdlib) and come back as valid bytes of the same format at
     the target size; other formats pass through unchanged (PIL path
     stubbed in this container). Malformed magic-matching payloads pass
@@ -190,14 +195,16 @@ def resize_images(f: Frame, width: int, height: int, id_col: str = "id",
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
-        from .codecs import (BmpError, GifError, PngError, PpmError,
-                             decode_bmp, decode_gif, decode_png, decode_ppm,
-                             encode_bmp, encode_gif, encode_png, encode_ppm,
+        from .codecs import (BmpError, GifError, JpegError, PngError,
+                             PpmError, decode_bmp, decode_gif, decode_jpeg,
+                             decode_png, decode_ppm, encode_bmp, encode_gif,
+                             encode_jpeg, encode_png, encode_ppm,
                              resize_nearest)
         real = {"bmp": (decode_bmp, encode_bmp),
                 "ppm": (decode_ppm, encode_ppm),
                 "png": (decode_png, encode_png),
-                "gif": (decode_gif, encode_gif)}
+                "gif": (decode_gif, encode_gif),
+                "jpeg": (decode_jpeg, encode_jpeg)}
         for pdf in batches:
             out = []
             for payload in pdf[payload_col]:
@@ -207,7 +214,8 @@ def resize_images(f: Frame, width: int, height: int, id_col: str = "id",
                     try:
                         out.append(enc(
                             resize_nearest(dec(bytes(payload)), width, height)))
-                    except (BmpError, PpmError, PngError, GifError):
+                    except (BmpError, PpmError, PngError, GifError,
+                            JpegError):
                         if strict:
                             raise
                         out.append(payload)

@@ -372,3 +372,80 @@ def test_decode_and_resize_dispatch_gif_through_arrow(spark):
     got = decode_gif(bytes(rez[1].payload))
     assert np.array_equal(got, resize_nearest(src, 5, 4))
     assert bytes(rez[3].payload) == b"GIF89a" + b"\x13" * 40  # passthrough
+
+
+def test_jpeg_roundtrip_and_errors():
+    """Baseline JPEG is lossy — with all-ones quantization the only
+    error is DCT float rounding + chroma conversion, so reconstruction
+    must stay within a few LSBs even on random noise (the hardest
+    input). Structural malformations raise JpegError."""
+    import numpy as np
+    import pytest
+    from crysda_spark.pipeline.codecs import JpegError, decode_jpeg, encode_jpeg
+    rng = np.random.default_rng(11)
+    ones = np.ones((8, 8), np.int32)
+    for h, w in [(8, 8), (16, 24), (9, 13), (1, 1), (33, 7)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quant_luma=ones, quant_chroma=ones))
+        assert out.shape == (h, w, 3)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+    # 4:2:0 on a smooth gradient: subsampled chroma stays close
+    y, x = np.mgrid[0:32, 0:48]
+    img = np.stack([(x * 5) % 256, (y * 3) % 256, ((x + y) * 2) % 256],
+                   axis=-1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quant_luma=ones, quant_chroma=ones,
+                                  subsample=True))
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 10
+    # default quality-90 path
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert out.shape == img.shape
+    for bad in [b"", b"\xFF\xD8", b"\xFF\xD8\xFF\xD9",
+                encode_jpeg(img)[:50]]:
+        with pytest.raises(JpegError):
+            decode_jpeg(bad)
+
+
+def test_jpeg_roundtrip_hypothesis():
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+    from crysda_spark.pipeline.codecs import decode_jpeg, encode_jpeg
+    ones = np.ones((8, 8), np.int32)
+
+    @settings(max_examples=25, deadline=None)
+    @given(h=st.integers(1, 24), w=st.integers(1, 24),
+           subsample=st.booleans(), seed=st.integers(0, 2**31 - 1))
+    def roundtrip(h, w, subsample, seed):
+        rng = np.random.default_rng(seed)
+        # smooth-ish content: random low-res field upsampled, so the
+        # 4:2:0 path has bounded chroma error too
+        base = rng.integers(0, 256, (max(1, h // 4), max(1, w // 4), 3))
+        img = np.kron(base, np.ones((4, 4, 1)))[:h, :w].astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quant_luma=ones,
+                                      quant_chroma=ones,
+                                      subsample=subsample))
+        assert out.shape == img.shape  # kron may yield < (h, w)
+        err = np.abs(out.astype(int) - img.astype(int))
+        # 4:4:4 is tight; 4:2:0 averages chroma over 2x2 cells whose
+        # tails can straddle a cell boundary of the kron blocks
+        assert err.max() <= (70 if subsample else 3)
+        assert err.mean() <= (8 if subsample else 1)
+
+    roundtrip()
+
+
+def test_decode_and_resize_dispatch_jpeg_through_arrow(spark):
+    import numpy as np
+    from crysda_spark.pipeline.codecs import decode_jpeg, encode_jpeg
+    src = _checker(9, 11)
+    ones = np.ones((8, 8), np.int32)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(src, quant_luma=ones, quant_chroma=ones))),
+         (2, bytearray(b"\xFF\xD8\xFF\xE0" + b"\x55" * 30))],  # malformed
+        "id long, payload binary")
+    dec = {r.id: r for r in mm.decode_images(Frame(df), n_feat=8).sdf.collect()}
+    assert (dec[1].height, dec[1].width, dec[1].channels) == (9, 11, 3)
+    assert (dec[2].height, dec[2].width, dec[2].channels) == (0, 0, 0)
+    rez = {r.id: r for r in mm.resize_images(Frame(df), 5, 4).sdf.collect()}
+    got = decode_jpeg(bytes(rez[1].payload))
+    assert got.shape == (4, 5, 3)  # re-encoded at the target geometry
+    assert bytes(rez[2].payload).startswith(b"\xFF\xD8")  # passthrough
