@@ -1809,6 +1809,53 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
     return out.select("id", "width", "height", "channels")
 
 
+@q("multimodal_wav_audio")  # binary codec; not SQL-expressible — rows-only
+def multimodal_wav_audio(spark, sf_dir):
+    """Pure-stdlib WAV/PCM audio through the distributed path (r7):
+    per-doc deterministic sine clips are PCM-encoded executor-side
+    (pipeline.codecs.encode_wav, alternating 8/16-bit and mono/stereo),
+    decoded back through the Arrow kernel (decode_audio), and the gate
+    asserts every decoded sample_rate / frame count / channel count is
+    the true value — plus duration == n_frames / rate to 1e-6."""
+    from crysda_spark.pipeline import multimodal as mm
+    from pyspark.sql import types as T
+
+    ids = _t(spark, sf_dir, "documents").sdf.select("doc_id").limit(64)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from crysda_spark.pipeline.codecs import encode_wav
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n, rate = 500 + 100 * (d % 5), 8000
+                t = np.arange(n) / rate
+                clip = np.sin(2 * np.pi * (200 + d % 7 * 50) * t)
+                if d % 2:
+                    clip = np.stack([clip, 0.5 * clip], axis=1)
+                else:
+                    clip = clip.reshape(-1, 1)
+                payloads.append(encode_wav(clip, rate,
+                                           bits=8 if d % 3 == 0 else 16))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    wavs = Frame(ids.mapInPandas(gen, schema=schema))
+    out = mm.decode_audio(wavs, n_feat=8).sdf
+    bad = out.where(
+        (F.col("sample_rate") != 8000)
+        | (F.col("n_frames") != 500 + (F.col("id") % 5) * 100)
+        | (F.col("n_channels") != 1 + F.col("id") % 2)
+        | (F.abs(F.element_at("features", 1)
+                 - F.col("n_frames") / 8000.0) > 1e-6)).count()
+    if bad:
+        raise AssertionError(f"WAV gate: {bad}/64 decoded clips wrong")
+    return out.select("id", "sample_rate", "n_frames", "n_channels")
+
+
 # =========================================== LLM pipeline: similarity search
 @q("embed_topk_cosine", """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec

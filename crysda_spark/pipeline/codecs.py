@@ -575,3 +575,115 @@ def image_features(arr: np.ndarray, n_feat: int = 8) -> list[float]:
     feats = [*mean.tolist(), *std.tolist(), luma, spread]
     feats = feats[:n_feat]
     return feats + [0.0] * (n_feat - len(feats))
+
+
+class WavError(ValueError):
+    """Malformed or unsupported WAV payload."""
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE PCM payload to ``(samples, sample_rate)``:
+    samples is an (n_frames, n_channels) float64 array in [-1, 1].
+    Supports 8-bit unsigned, 16/24/32-bit signed integer PCM
+    (format 1) and 32-bit float (format 3). Chunk-walks the RIFF
+    container (fmt/data in any order, unknown chunks skipped, odd
+    chunk sizes padded per spec)."""
+    if payload is None or len(payload) < 12:
+        raise WavError("payload too short for a RIFF header")
+    payload = bytes(payload)
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise WavError("missing RIFF/WAVE magic")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        pos += 8
+        if pos + size > len(payload):
+            raise WavError(f"truncated {cid!r} chunk")
+        body = payload[pos:pos + size]
+        pos += size + (size & 1)  # chunks pad to even offsets
+        if cid == b"fmt ":
+            if size < 16:
+                raise WavError("fmt chunk too short")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+    if fmt is None:
+        raise WavError("missing fmt chunk")
+    if data is None:
+        raise WavError("missing data chunk")
+    audio_fmt, nchan, rate, _brate, _align, bits = fmt
+    if nchan < 1 or rate <= 0:
+        raise WavError(f"bad channels/rate {nchan}/{rate}")
+    if audio_fmt == 1 and bits == 8:
+        x = np.frombuffer(data, np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    elif audio_fmt == 1 and bits == 16:
+        x = np.frombuffer(data[:len(data) & ~1], "<i2").astype(np.float64) / 32768.0
+    elif audio_fmt == 1 and bits == 24:
+        n = len(data) // 3
+        raw = np.frombuffer(data, np.uint8, n * 3).reshape(n, 3).astype(np.int64)
+        v = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        v = np.where(v >= (1 << 23), v - (1 << 24), v)
+        x = v.astype(np.float64) / float(1 << 23)
+    elif audio_fmt == 1 and bits == 32:
+        x = np.frombuffer(data[:len(data) & ~3], "<i4").astype(np.float64) \
+            / float(1 << 31)
+    elif audio_fmt == 3 and bits == 32:
+        x = np.frombuffer(data[:len(data) & ~3], "<f4").astype(np.float64)
+    else:
+        raise WavError(f"unsupported format {audio_fmt}/{bits}-bit")
+    frames = len(x) // nchan
+    return x[:frames * nchan].reshape(frames, nchan), rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int,
+               bits: int = 16) -> bytes:
+    """Encode an (n_frames, n_channels) float array in [-1, 1] as
+    integer PCM WAV (16 or 8 bit)."""
+    samples = np.atleast_2d(np.asarray(samples, np.float64))
+    if samples.ndim != 2:
+        raise WavError(f"encode_wav wants (frames, channels), got {samples.shape}")
+    if sample_rate <= 0:
+        raise WavError(f"bad sample rate {sample_rate}")
+    n, c = samples.shape
+    clipped = np.clip(samples, -1.0, 1.0)
+    if bits == 16:
+        pcm = np.round(clipped * 32767.0).astype("<i2").tobytes()
+    elif bits == 8:
+        pcm = (np.round(clipped * 127.0) + 128).astype(np.uint8).tobytes()
+    else:
+        raise WavError(f"unsupported encode bit depth {bits}")
+    byte_rate = sample_rate * c * (bits // 8)
+    align = c * (bits // 8)
+    fmt = struct.pack("<HHIIHH", 1, c, sample_rate, byte_rate, align, bits)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm
+            + (b"\x00" if len(pcm) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def audio_features(samples: np.ndarray, sample_rate: int,
+                   n_feat: int = 8) -> list[float]:
+    """Deterministic per-clip features from decoded PCM: duration,
+    RMS, peak, zero-crossing rate, per-half-band energy split —
+    padded/truncated to ``n_feat``; the audio analog of
+    ``image_features``."""
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    n = len(mono)
+    if n == 0:
+        return [0.0] * n_feat
+    dur = n / float(sample_rate)
+    rms = float(np.sqrt(np.mean(mono ** 2)))
+    peak = float(np.abs(mono).max())
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8))))) \
+        if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(mono))
+    half = len(spec) // 2
+    e_lo = float(np.sum(spec[:half] ** 2))
+    e_hi = float(np.sum(spec[half:] ** 2))
+    tot = e_lo + e_hi or 1.0
+    feats = [dur, rms, peak, zcr, e_lo / tot, e_hi / tot,
+             float(mono.mean()), float(mono.std())]
+    feats = feats[:n_feat]
+    return feats + [0.0] * (n_feat - len(feats))

@@ -449,3 +449,60 @@ def test_decode_and_resize_dispatch_jpeg_through_arrow(spark):
     got = decode_jpeg(bytes(rez[1].payload))
     assert got.shape == (4, 5, 3)  # re-encoded at the target geometry
     assert bytes(rez[2].payload).startswith(b"\xFF\xD8")  # passthrough
+
+
+def test_wav_roundtrip_and_errors():
+    import numpy as np
+    import pytest
+    from crysda_spark.pipeline.codecs import WavError, decode_wav, encode_wav
+    t = np.arange(4410) / 44100.0
+    sig = np.stack([np.sin(2 * np.pi * 440 * t),
+                    0.5 * np.sin(2 * np.pi * 880 * t)], axis=1)
+    # tolerance = half-LSB rounding + the standard 32767-vs-32768
+    # (127-vs-128) PCM scale asymmetry
+    for bits, tol in [(16, 1.6 / 32768), (8, 1.6 / 128)]:
+        back, rate = decode_wav(encode_wav(sig, 44100, bits=bits))
+        assert rate == 44100 and back.shape == sig.shape
+        assert np.abs(back - sig).max() <= tol
+    # 24-bit and float32 decode paths via hand-built payloads
+    import struct
+    mono = np.round(np.sin(2 * np.pi * 5 * np.arange(100) / 100)
+                    * ((1 << 23) - 1)).astype(np.int64)
+    raw = b"".join(struct.pack("<i", int(v))[:3] for v in mono)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    wav24 = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(raw))
+             + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+             + b"data" + struct.pack("<I", len(raw)) + raw)
+    x, rate = decode_wav(wav24)
+    assert rate == 8000 and x.shape == (100, 1)
+    assert np.abs(x[:, 0] - mono / float(1 << 23)).max() < 1e-6
+    f32 = np.sin(np.arange(50)).astype("<f4")
+    fmt = struct.pack("<HHIIHH", 3, 1, 16000, 16000 * 4, 4, 32)
+    wavf = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + f32.nbytes)
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", f32.nbytes) + f32.tobytes())
+    x, rate = decode_wav(wavf)
+    assert rate == 16000 and np.abs(x[:, 0] - f32.astype(np.float64)).max() < 1e-7
+    for bad in [b"", b"RIFF\x00\x00\x00\x00WAVE", wav24[:30],
+                b"RIFX" + wav24[4:]]:
+        with pytest.raises(WavError):
+            decode_wav(bad)
+
+
+def test_decode_audio_through_arrow(spark):
+    import numpy as np
+    from crysda_spark.pipeline.codecs import encode_wav
+    t = np.arange(2000) / 8000.0
+    clip = np.sin(2 * np.pi * 220 * t).reshape(-1, 1)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(clip, 8000))),
+         (2, bytearray(b"RIFF\x10\x00\x00\x00WAVEjunk")),   # malformed RIFF
+         (3, bytearray(b"ID3\x03not a wav at all......"))],  # mp3-ish
+        "id long, payload binary")
+    out = {r.id: r for r in mm.decode_audio(Frame(df), n_feat=8).sdf.collect()}
+    assert (out[1].sample_rate, out[1].n_frames, out[1].n_channels) == (8000, 2000, 1)
+    assert abs(out[1].features[0] - 0.25) < 1e-6          # duration
+    assert abs(out[1].features[1] - 0.7071) < 0.01        # RMS of a sine
+    for i in (2, 3):
+        assert (out[i].sample_rate, out[i].n_frames, out[i].n_channels) == (0, 0, 0)
+        assert len(out[i].features) == 8
