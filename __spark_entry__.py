@@ -2338,6 +2338,56 @@ def token_budget_shards(spark, sf_dir):
                  F.sum("n_tok").alias("tok_mass")))
 
 
+@q("read_warc_wet")  # container format round-trip; rows-only + contract gate
+def read_warc_wet(spark, sf_dir):
+    """WARC/WET corpus ingestion (sources.readers.read_warc — the
+    Common Crawl container, ISO 28500): 50 documents are serialized
+    into a WET file (warcinfo + one conversion record per doc; the
+    50-row collect is bounded and documented, mirroring
+    write_csv_roundtrip), read back through the DISTRIBUTED text-source
+    path with the record header as lineSep, and gated: every record's
+    payload must equal the original text and the Content-Length header
+    must match the payload byte length."""
+    import os
+    import tempfile
+
+    from crysda_spark import read_warc
+    docs = _t(spark, sf_dir, "documents")
+    rows = (docs.sdf.select("doc_id", "text")
+            .filter(F.col("doc_id") < 50).collect())  # bounded: 50 rows
+    parts = ["WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+             "Content-Length: 14\r\n\r\nsoftware: test\r\n\r\n"]
+    for r in rows:
+        body = r.text or ""
+        parts.append(
+            "WARC/1.0\r\nWARC-Type: conversion\r\n"
+            f"WARC-Target-URI: https://corpus.example/doc/{r.doc_id}\r\n"
+            "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            f"Content-Length: {len(body.encode())}\r\n\r\n" + body + "\r\n\r\n")
+    path = os.path.join(tempfile.gettempdir(),
+                        "crysda_r7_wet_" + os.path.basename(sf_dir.rstrip("/"))
+                        + ".warc")
+    with open(path, "w", newline="") as fh:
+        fh.write("".join(parts))
+    wet = read_warc(spark, path, record_types=["conversion"]).sdf
+    back = wet.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        "payload", "content_length")
+    joined = back.join(docs.sdf.select("doc_id", "text"), on="doc_id")
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("payload") != F.col("text"), 1)
+              .otherwise(0)).alias("bad_payload"),
+        F.sum(F.when(F.col("content_length") != F.length("payload"), 1)
+              .otherwise(0)).alias("bad_len")).collect()[0]
+    if agg.n != 50 or agg.bad_payload != 0 or agg.bad_len != 0:
+        raise AssertionError(
+            f"WARC gate: {agg.n}/50 records, {agg.bad_payload} payload "
+            f"mismatches, {agg.bad_len} length mismatches")
+    return back.select("doc_id", "content_length")
+
+
 # ================================================================== contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""

@@ -26,6 +26,7 @@ from .sources import (
     read_orc,
     read_parquet,
     read_text,
+    read_warc,
 )
 from .sources.sinks import write_csv, write_json, write_parquet
 
@@ -33,7 +34,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Frame", "Ctx", "get_spark",
-    "read_csv", "read_json", "read_parquet", "read_jdbc", "read_orc", "read_text",
+    "read_csv", "read_json", "read_parquet", "read_jdbc", "read_orc", "read_text", "read_warc",
     "dataframe_of", "from_records", "from_json", "empty_df",
     "write_csv", "write_json", "write_parquet",
     "bind_rows", "bind_cols",

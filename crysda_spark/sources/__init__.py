@@ -9,12 +9,13 @@ from .readers import (
     read_orc,
     read_parquet,
     read_text,
+    read_warc,
 )
 from .sinks import write_csv, write_json, write_parquet
 
 __all__ = [
     "read_csv", "read_json", "read_parquet", "read_jdbc",
-    "read_orc", "read_text",
+    "read_orc", "read_text", "read_warc",
     "dataframe_of", "from_records", "from_json", "empty_df",
     "write_csv", "write_json", "write_parquet",
 ]

@@ -232,6 +232,44 @@ def read_text(spark: SparkSession, path: str, whole_file: bool = False,
     return Frame(spark.read.text(path).select(F.col("value").alias(line_col)))
 
 
+def read_warc(spark: SparkSession, path: str,
+              record_types: list[str] | None = None,
+              version: str = "WARC/1.0") -> Frame:
+    """WARC / WET reader for web-crawl corpora (ISO 28500 — the
+    Common Crawl container format). Returns one row per record:
+    (warc_type, target_uri, warc_date, content_length, payload).
+
+    Scale shape: the file is read with Spark's text source using the
+    record header as a custom ``lineSep``, so splitting/distribution is
+    Hadoop TextInputFormat's — records split across executors with no
+    driver-side parsing; header fields and the payload cut are pure
+    codegen'd string expressions. Intended for WET / text-payload WARC
+    (the text source decodes UTF-8, which would mangle binary
+    ``response`` payloads — route those through binaryFiles + a codec
+    kernel instead). ``record_types`` filters (e.g. ["conversion"] for
+    WET text records; the filter is a pushed predicate)."""
+    raw = spark.read.option("lineSep", version + "\r\n").text(path)
+    rec = raw.filter(F.length(F.col("value")) > 0)
+    headers = F.substring_index(F.col("value"), "\r\n\r\n", 1)
+
+    def hdr(name: str):
+        # header names are case-insensitive per spec
+        return F.regexp_extract(headers, r"(?i)" + name + r":[ \t]*([^\r\n]+)", 1)
+
+    payload = F.expr(
+        "substring(value, length(substring_index(value, '\\r\\n\\r\\n', 1)) + 5)")
+    out = rec.select(
+        hdr("WARC-Type").alias("warc_type"),
+        hdr("WARC-Target-URI").alias("target_uri"),
+        hdr("WARC-Date").alias("warc_date"),
+        hdr("Content-Length").cast("long").alias("content_length"),
+        # strip the inter-record \r\n\r\n separator from the payload tail
+        F.regexp_replace(payload, r"(\r\n)+$", "").alias("payload"))
+    if record_types:
+        out = out.filter(F.col("warc_type").isin(list(record_types)))
+    return Frame(out)
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options: str) -> Frame:
     """SQL sources (reference `from(DB::ResultSet)`, src/crysda.cr:49-52).
     Spark JDBC pushes the query down and can parallelize on a partition

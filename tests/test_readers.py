@@ -250,3 +250,36 @@ def test_write_csv_roundtrip_na(spark, tmp_path):
     h = back.sort_by("b").to_h()
     assert h["b"] == ["NA-ish", "x"]
     assert h["a"] == [None, 1]  # null → "NA" sentinel → null again
+
+
+def test_read_warc_wet_records(spark, tmp_path):
+    """WARC/WET reader: record split on the version header, header
+    fields case-insensitive, payload preserved (incl. newlines), type
+    filter, trailing separator stripped."""
+    from crysda_spark.sources.readers import read_warc
+
+    def rec(wtype, uri, body, lower=False):
+        tn = "warc-type" if lower else "WARC-Type"
+        h = f"{tn}: {wtype}\r\n"
+        if uri:
+            h += f"WARC-Target-URI: {uri}\r\n"
+        h += "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        h += f"Content-Length: {len(body.encode())}\r\n"
+        return "WARC/1.0\r\n" + h + "\r\n" + body + "\r\n\r\n"
+
+    p = tmp_path / "t.warc"
+    p.write_text(rec("warcinfo", None, "software: test")
+                 + rec("conversion", "https://a.example/x", "hello world")
+                 + rec("conversion", "https://b.example/y",
+                       "two\nlines here", lower=True),
+                 newline="")
+    rows = {r.warc_type + (r.target_uri or ""): r
+            for r in read_warc(spark, str(p)).sdf.collect()}
+    assert len(rows) == 3
+    a = rows["conversionhttps://a.example/x"]
+    assert (a.payload, a.content_length) == ("hello world", 11)
+    b = rows["conversionhttps://b.example/y"]
+    assert b.payload == "two\nlines here"  # interior newlines survive
+    assert rows["warcinfo"].payload == "software: test"
+    wet = read_warc(spark, str(p), record_types=["conversion"]).sdf
+    assert wet.count() == 2
