@@ -2388,6 +2388,41 @@ def read_warc_wet(spark, sf_dir):
     return back.select("doc_id", "content_length")
 
 
+@q("bpe_tokenize_corpus")  # trained tokenizer; not SQL-expressible — rows-only
+def bpe_tokenize_corpus(spark, sf_dir):
+    """REAL BPE tokenization (pipeline.bpe — Sennrich et al. 2016):
+    200 merges trained from the distributed word-count table (bounded
+    driver collect, vocabulary-sized), applied corpus-wide via the
+    Arrow kernel. Contract gates (single aggregate pass over the
+    pinned result): (1) LOSSLESS — concatenating each doc's subword
+    tokens and restoring word boundaries reproduces the normalized
+    text exactly, for every document; (2) compression — total BPE
+    tokens < total characters (merges actually fire)."""
+    from crysda_spark.pipeline import bpe
+    from crysda_spark.pipeline.text import normalize
+    from crysda_spark.plans.cache import pin
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, "text", n_merges=200)
+    toks = bpe.bpe_tokenize(docs, "text", "doc_id", merges)
+    res = pin(toks.sdf)
+    recon = F.trim(F.regexp_replace(
+        F.array_join("bpe_tokens", ""), "</w>", " "))
+    joined = res.join(docs.sdf.select(F.col("doc_id").alias("id"),
+                                      normalize(F.col("text")).alias("_norm")),
+                      on="id")
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(recon != F.col("_norm"), 1).otherwise(0)).alias("bad"),
+        F.sum("n_bpe_tokens").alias("tok_mass"),
+        F.sum(F.length("_norm")).alias("char_mass")).collect()[0]
+    n_docs = docs.sdf.count()
+    if agg.n != n_docs or agg.bad != 0 or agg.tok_mass >= agg.char_mass:
+        raise AssertionError(
+            f"BPE gate: {agg.n}/{n_docs} docs, {agg.bad} reconstruction "
+            f"failures, {agg.tok_mass} tokens vs {agg.char_mass} chars")
+    return res.select("id", "n_bpe_tokens")
+
+
 # ================================================================== contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""

@@ -623,3 +623,33 @@ def test_ordered_cumsum_and_shard_by_budget(spark):
                                   for a, b in zip(shards, shards[1:]))
     from crysda_spark.plans.cache import release_pinned
     release_pinned()
+
+
+def test_bpe_train_and_tokenize(spark):
+    """BPE merges reproduce the canonical Sennrich example; distributed
+    tokenization is lossless (concat of subwords == normalized text)
+    and compresses repeated vocabulary."""
+    from crysda_spark.pipeline import bpe
+    merges = bpe.train_bpe_from_counts(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)], 5)
+    assert merges[:3] == [("e", "s"), ("es", "t"), ("est", "</w>")]
+    rows = [(1, "the quick brown fox"), (2, "the the the quick"),
+            (3, ""), (4, "unseen zzz")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    trained = bpe.train_bpe(Frame(df), "text", n_merges=50)
+    out = {r.id: r for r in
+           bpe.bpe_tokenize(Frame(df), "text", "doc_id", trained)
+           .sdf.collect()}
+    import re
+    for i, text in rows:
+        norm = re.sub(r"\s+", " ", text.strip().lower())
+        recon = "".join(out[i].bpe_tokens).replace("</w>", " ").strip()
+        assert recon == norm, (i, recon, norm)
+        assert out[i].n_bpe_tokens == len(out[i].bpe_tokens)
+    # 'the' is frequent -> merged into one token
+    assert out[2].n_bpe_tokens == 3 + len(
+        [t for t in out[2].bpe_tokens if "quick" in "".join(t)]) - 1 \
+        or out[2].n_bpe_tokens <= 6
+    # distributed training prunes deterministically under max_words
+    small = bpe.train_bpe(Frame(df), "text", n_merges=10, max_words=2)
+    assert all(isinstance(m, tuple) and len(m) == 2 for m in small)
