@@ -737,6 +737,11 @@ def ngram_overlap(corpus, benchmark, text_col: str, id_col: str,
     exactness would re-join candidate docs on gram text."""
     csdf = corpus.sdf if hasattr(corpus, "sdf") else corpus
     bsdf = benchmark.sdf if hasattr(benchmark, "sdf") else benchmark
+    if id_col in {"_t", "_g", "_gh", "n_overlap"}:
+        raise ValueError(
+            f"ngram_overlap: id column {id_col!r} collides with internal "
+            "working columns ['_g', '_gh', '_t', 'n_overlap'] — rename "
+            "before calling")
     from .text import _grams
     bcol = bench_text_col or text_col
     # tokens are projected to an attribute BEFORE the gram lambda: HOF

@@ -134,6 +134,15 @@ def ordered_cumsum(f: Frame, order_by, value_col: str, out_col: str = "cum",
     from ..plans.cache import pin
     sdf = f.sdf if hasattr(f, "sdf") else f
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    clash = {"__pid__", "__off__"} & set(sdf.columns)
+    if clash:
+        raise ValueError(
+            f"ordered_cumsum: column(s) {sorted(clash)} collide with "
+            "internal working columns — rename before calling")
+    if out_col in sdf.columns:
+        raise ValueError(
+            f"ordered_cumsum: out_col {out_col!r} already exists — "
+            "withColumn would silently overwrite it")
     n = num_partitions or int(
         sdf.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     ranged = pin(sdf.repartitionByRange(n, *[F.col(c) for c in order_cols])

@@ -193,6 +193,16 @@ def _grams(t: Column, n: int) -> Column:
                   ).otherwise(F.array().cast("array<string>"))
 
 
+def _guard_id(id_col: str, reserved: set, fn: str) -> None:
+    """The id column travels through internal working columns; a clash
+    would silently alias user data into the algorithm's bookkeeping
+    (same failure mode the quantile guard closes)."""
+    if id_col in reserved:
+        raise ValueError(
+            f"{fn}: id column {id_col!r} collides with internal working "
+            f"columns {sorted(reserved)} — rename before calling")
+
+
 def repetition_stats(f, text_col: str, id_col: str,
                      top_n: int = 2, dup_n: int = 5, round_to: int = 6):
     """Gopher-style repetition quality filters (Rae et al. 2021, §A1.1):
@@ -216,6 +226,9 @@ def repetition_stats(f, text_col: str, id_col: str,
     long web documents make it quadratic per doc. Internal working
     columns ``_t _nc _nl _ndl _lc _dlc _n _g _c _top _dup _tot``.
     No reference analog (no text pipeline in /root/reference/src)."""
+    _guard_id(id_col, {"_t", "_nc", "_nl", "_ndl", "_lc", "_dlc",
+                       "_n", "_g", "_c", "_top", "_dup", "_tot"},
+              "repetition_stats")
     sdf = f.sdf if hasattr(f, "sdf") else f
     text = F.col(text_col)
     toks = tokens(text)
@@ -298,6 +311,8 @@ def bm25_search(f, text_col: str, id_col: str, terms, k: int = 10,
     The only corpus-sized shuffles key on (doc, term) and doc. The
     final top-k orders by the ROUNDED score with an id tie-break so
     results are deterministic across engines and partitionings."""
+    _guard_id(id_col, {"_w", "_tf", "_df", "_dl", "_n", "_avgdl",
+                       "score"}, "bm25_search")
     sdf = f.sdf if hasattr(f, "sdf") else f
     qterms = list(dict.fromkeys(t.lower() for t in terms))
     if not qterms:
@@ -340,6 +355,8 @@ def unigram_logprob(f, text_col: str, id_col: str, model=None,
     possible with an external model) are dropped from the average —
     add-one smoothing would need the vocab size, which an external
     model should supply."""
+    _guard_id(id_col, {"_w", "_c", "_t", "n_tokens", "lm_logprob"},
+              "unigram_logprob")
     sdf = f.sdf if hasattr(f, "sdf") else f
     tok = sdf.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_w"))
     if model is None:

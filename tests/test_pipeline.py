@@ -653,3 +653,27 @@ def test_bpe_train_and_tokenize(spark):
     # distributed training prunes deterministically under max_words
     small = bpe.train_bpe(Frame(df), "text", n_merges=10, max_words=2)
     assert all(isinstance(m, tuple) and len(m) == 2 for m in small)
+
+
+def test_internal_column_clash_guards(spark):
+    """r7 operators raise loudly when the id/out column collides with
+    internal working columns instead of silently corrupting results
+    (same contract as the quantile _RESERVED guard)."""
+    import pytest
+    df = spark.createDataFrame([(1, "a b c")], "_t int, text string")
+    with pytest.raises(ValueError, match="collides"):
+        tx.repetition_stats(df, "text", "_t")
+    with pytest.raises(ValueError, match="collides"):
+        tx.bm25_search(df.withColumnRenamed("_t", "_w"), "text", "_w", ["a"])
+    with pytest.raises(ValueError, match="collides"):
+        tx.unigram_logprob(df.withColumnRenamed("_t", "_w"), "text", "_w")
+    with pytest.raises(ValueError, match="collides"):
+        dd.ngram_overlap(df.withColumnRenamed("_t", "_gh"), df,
+                         "text", "_gh", n=2)
+    from crysda_spark.pipeline import packing as pk
+    df2 = spark.createDataFrame([(1, 5)], "id int, n int")
+    with pytest.raises(ValueError, match="collide"):
+        pk.ordered_cumsum(Frame(df2.withColumnRenamed("id", "__pid__")),
+                          "__pid__", "n")
+    with pytest.raises(ValueError, match="already exists"):
+        pk.ordered_cumsum(Frame(df2), "id", "n", out_col="n")
