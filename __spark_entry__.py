@@ -609,6 +609,369 @@ def q18_large_volume(spark, sf_dir):
             .summarize(total_qty=F.sum(_dec("l_quantity")).cast(OUT))).sdf
 
 
+# ==================================================== TPC-H suite (adapted)
+# The driver schema omits partsupp and the comment/commitdate/receiptdate/
+# shipmode/container/phone columns, so q2/q9/q11/q16/q20 are out of reach
+# and the remaining queries substitute available columns for the missing
+# ones — every ADAPTED predicate is noted per-query. The operator SHAPES
+# (exists/not-exists decorrelation, correlated scalar subqueries, left-join
+# zero-groups, scalar-max membership, multi-branch OR pushdown) are the
+# point; each has the DuckDB oracle running the standard subquery form so
+# the decorrelated Spark plan is proven equivalent.
+
+@q("q4_priority_exists", """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""")
+def q4_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS → left-semi join (no row
+    duplication when an order has several matching lineitems). Adapted:
+    l_returnflag='R' marks the "late" lineitem (no commit/receipt dates
+    in the driver schema). Oracle keeps the EXISTS subquery form."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01"))
+    late = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (o.semi_join(late, by=[("o_orderkey", "l_orderkey")])
+            .group_by("o_orderpriority")
+            .summarize(order_count=F.count(F.lit(1)))).sdf
+
+
+@q("q7_volume_shipping", """
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+             OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01') shipping
+GROUP BY supp_nation, cust_nation, l_year
+""")
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: the nation dim joins TWICE under different roles
+    (supplier side / customer side) — both copies broadcast; the OR
+    nation-pair predicate applies after both joins, exactly as written."""
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.transmute(supp_nation=F.col("n_name"), s_nk=F.col("n_nationkey"))
+    n2 = n.transmute(cust_nation=F.col("n_name"), c_nk=F.col("n_nationkey"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+    j = (_t(spark, sf_dir, "supplier")
+         .inner_join(li, by=[("s_suppkey", "l_suppkey")])
+         .inner_join(_t(spark, sf_dir, "orders"), by=[("l_orderkey", "o_orderkey")])
+         .inner_join(_t(spark, sf_dir, "customer"), by=[("o_custkey", "c_custkey")])
+         .inner_join(n1, by=[("s_nationkey", "s_nk")])
+         .inner_join(n2, by=[("c_nationkey", "c_nk")])
+         .filter(((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+                 | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))))
+    vol = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (j.group_by_expr(supp_nation=F.col("supp_nation"),
+                            cust_nation=F.col("cust_nation"),
+                            l_year=F.year("l_shipdate"))
+            .summarize(revenue=F.sum(vol).cast(OUT))).sdf
+
+
+@q("q8_market_share", """
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume,
+             n2.n_name AS nation
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region ON n1.n_regionkey = r_regionkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01') all_nations
+GROUP BY o_year
+""")
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: 8-way star join (nation twice, region gating the
+    customer side) + conditional-aggregate market-share ratio. Both sums
+    stay exact decimal and convert to double BEFORE dividing."""
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.transmute(c_nk=F.col("n_nationkey"), c_rk=F.col("n_regionkey"))
+    n2 = n.transmute(nation=F.col("n_name"), s_nk=F.col("n_nationkey"))
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01"))
+    j = (_t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+         .inner_join(_t(spark, sf_dir, "lineitem"), by=[("p_partkey", "l_partkey")])
+         .inner_join(_t(spark, sf_dir, "supplier"), by=[("l_suppkey", "s_suppkey")])
+         .inner_join(o, by=[("l_orderkey", "o_orderkey")])
+         .inner_join(_t(spark, sf_dir, "customer"), by=[("o_custkey", "c_custkey")])
+         .inner_join(n1, by=[("c_nationkey", "c_nk")])
+         .inner_join(_t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA"),
+                     by=[("c_rk", "r_regionkey")])
+         .inner_join(n2, by=[("s_nationkey", "s_nk")]))
+    vol = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    out = (j.group_by_expr(o_year=F.year("o_orderdate"))
+           .summarize(num=F.sum(F.when(F.col("nation") == "NATION_1", vol)).cast(OUT),
+                      den=F.sum(vol).cast(OUT)))
+    return out.transmute(o_year=F.col("o_year"),
+                         mkt_share=F.round(F.col("num") / F.col("den"), 6)).sdf
+
+
+@q("q10_returned_items", """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+       c_acctbal, n_name
+FROM customer JOIN orders ON c_custkey = o_custkey
+     JOIN lineitem ON l_orderkey = o_orderkey
+     JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""")
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer, top-20 via
+    TakeOrderedAndProject (deterministic c_custkey tie-break)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    j = (_t(spark, sf_dir, "customer")
+         .inner_join(o, by=[("c_custkey", "o_custkey")])
+         .inner_join(li, by=[("o_orderkey", "l_orderkey")])
+         .inner_join(_t(spark, sf_dir, "nation"), by=[("c_nationkey", "n_nationkey")]))
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    out = (j.group_by("c_custkey", "c_name", "c_acctbal", "n_name")
+           .summarize(revenue=F.sum(rev).cast(OUT)))
+    return (out.sdf.select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+            .orderBy(F.col("revenue").desc(), "c_custkey").limit(20))
+
+
+@q("q12_ship_priority_lines", """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_returnflag = 'N'
+  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_linestatus
+""")
+def q12_ship_priority_lines(spark, sf_dir):
+    """TPC-H Q12 shape: fact-fact join + dual conditional counts.
+    Adapted: l_linestatus stands in for the absent l_shipmode and
+    l_returnflag='N' for the commit/receipt-date lateness predicate."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_returnflag") == "N")
+        & (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (o.inner_join(li, by=[("o_orderkey", "l_orderkey")])
+            .group_by("l_linestatus")
+            .summarize(high_line_count=F.sum(F.when(high, 1).otherwise(0)),
+                       low_line_count=F.sum(F.when(~high, 1).otherwise(0)))).sdf
+
+
+@q("q13_customer_distribution", """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count
+""")
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: left join with a right-side predicate (filter
+    BEFORE the join — NOT a post-join WHERE, which would turn it inner),
+    COUNT(col) counting only matches, then a distribution re-aggregate.
+    Customers with zero urgent orders land in the c_count=0 bucket."""
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    per_cust = (_t(spark, sf_dir, "customer")
+                .left_join(urgent, by=[("c_custkey", "o_custkey")])
+                .group_by("c_custkey")
+                .summarize(c_count=F.count("o_orderkey")))
+    return (per_cust.group_by("c_count")
+            .summarize(custdist=F.count(F.lit(1)))).sdf
+
+
+@q("q15_top_supplier", """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""")
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: scalar-MAX membership — the 1-row max aggregate
+    cross-joins (broadcast nested loop) into the per-supplier revenue
+    view, which is computed ONCE and reused for both sides. Revenue is
+    exact-decimal → double, so the equality compare is drift-free."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01"))
+    rev = (li.group_by("l_suppkey")
+           .summarize(total_revenue=F.sum(
+               _dec("l_extendedprice") * (1 - _dec("l_discount"))).cast(OUT)))
+    top = rev.summarize(mx=F.max("total_revenue"))
+    best = (rev.cross_join(top)
+            .filter(F.col("total_revenue") == F.col("mx")))
+    return (_t(spark, sf_dir, "supplier")
+            .inner_join(best, by=[("s_suppkey", "l_suppkey")])
+            .sdf.select("s_suppkey", "s_name", "total_revenue"))
+
+
+@q("q17_small_quantity", """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 4)
+       AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23' AND p_size < 15
+  AND CAST(l_quantity AS DECIMAL(18,4)) * 5
+      * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      < (SELECT SUM(CAST(l_quantity AS DECIMAL(18,4))) FROM lineitem l2
+         WHERE l2.l_partkey = p_partkey)
+""")
+def q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery (per-part 0.2·avg
+    quantity) decorrelated into a groupBy aggregate joined back to the
+    fact. The avg threshold is algebraically cleared of division —
+    qty·5·count < sum, all exact decimal — so no float-boundary row can
+    flip between engines. Adapted: p_size<15 replaces the absent
+    p_container."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = (li.group_by("l_partkey")
+                .summarize(qsum=F.sum(_dec("l_quantity")), qcnt=F.count(F.lit(1)))
+                .rename(l_partkey="pk"))
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 15))
+    j = (li.inner_join(p, by=[("l_partkey", "p_partkey")])
+         .inner_join(per_part, by=[("l_partkey", "pk")])
+         .filter(_dec("l_quantity") * 5 * F.col("qcnt") < F.col("qsum")))
+    return j.summarize(avg_yearly=F.round(
+        F.sum(_dec("l_extendedprice")).cast(OUT) / 7.0, 4)).sdf
+
+
+@q("q19_discounted_revenue", """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+              * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""")
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: three-branch OR predicate spanning both join
+    sides — Catalyst extracts the common l_partkey equi-key and keeps
+    the OR as a join residual, with the single-side conjuncts
+    (brand/size on part, quantity on lineitem) pushed to each scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.inner_join(p, by=[("l_partkey", "p_partkey")])
+    b = (lambda brand, smax, qlo, qhi:
+         (F.col("p_brand") == brand) & F.col("p_size").between(1, smax)
+         & F.col("l_quantity").between(qlo, qhi))
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (j.filter(b("Brand#12", 5, 1, 11) | b("Brand#23", 10, 10, 20)
+                     | b("Brand#34", 15, 20, 30))
+            .summarize(revenue=F.sum(rev).cast(OUT))).sdf
+
+
+@q("q21_waiting_supplier", """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' AND n_name = 'NATION_3'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 10
+""")
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: the inequality-correlated EXISTS / NOT EXISTS
+    pair decorrelates into ONE per-order aggregate — EXISTS(other
+    supplier) ⟺ countDistinct(supplier) ≥ 2, and NOT EXISTS(other
+    supplier at fault) ⟺ countDistinct(supplier | at fault) = 1 (l1
+    itself is at fault, so the sole faulty supplier must be l1's).
+    One extra scan + one broadcast-able agg replaces two correlated
+    self-joins. Adapted: l_returnflag='R' marks fault (no receipt/
+    commit dates). The oracle keeps the textbook EXISTS form, proving
+    the decorrelation equivalent."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = (li.group_by("l_orderkey")
+                 .summarize(nsupp=F.count_distinct(F.col("l_suppkey")),
+                            nfault=F.count_distinct(
+                                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))))
+                 .rename(l_orderkey="ok"))
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    j = (_t(spark, sf_dir, "supplier")
+         .inner_join(n, by=[("s_nationkey", "n_nationkey")])
+         .inner_join(l1, by=[("s_suppkey", "l_suppkey")])
+         .inner_join(o, by=[("l_orderkey", "o_orderkey")])
+         .inner_join(per_order, by=[("l_orderkey", "ok")])
+         .filter((F.col("nsupp") >= 2) & (F.col("nfault") == 1)))
+    out = j.group_by("s_name").summarize(numwait=F.count(F.lit(1)))
+    return (out.sdf.orderBy(F.col("numwait").desc(), "s_name").limit(10))
+
+
+@q("q22_dormant_customers", """
+WITH seg AS (SELECT * FROM customer
+             WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY')),
+     stats AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS bal_sum,
+                      COUNT(*) AS bal_cnt
+               FROM seg WHERE c_acctbal > 0.0)
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM seg, stats
+WHERE CAST(c_acctbal AS DECIMAL(18,4)) * bal_cnt > bal_sum
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= DATE '1999-01-01')
+GROUP BY c_mktsegment
+""")
+def q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape: scalar-AVG subquery (as exact sum/count cleared
+    of division: bal·cnt > sum) broadcast-cross-joined in, plus NOT
+    EXISTS → left-anti join against recent orders. Adapted: mktsegment
+    replaces the absent phone country code, and "no orders SINCE
+    1999" replaces "no orders ever" (every driver customer has
+    orders, which would make the anti-join vacuous)."""
+    seg = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY"))
+    stats = (seg.filter(F.col("c_acctbal") > 0.0)
+             .summarize(bal_sum=F.sum(_dec("c_acctbal")), bal_cnt=F.count(F.lit(1))))
+    recent = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1999-01-01")
+    rich = (seg.cross_join(stats)
+            .filter(_dec("c_acctbal") * F.col("bal_cnt") > F.col("bal_sum")))
+    return (rich.anti_join(recent, by=[("c_custkey", "o_custkey")])
+            .group_by("c_mktsegment")
+            .summarize(numcust=F.count(F.lit(1)),
+                       totacctbal=F.sum(_dec("c_acctbal")).cast(OUT))).sdf
+
+
 @q("json_props_extract", """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
