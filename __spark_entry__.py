@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from crysda_spark import Frame, read_parquet
 from crysda_spark.functions import selectors as sel
 from crysda_spark.functions.aggregates import AggFuncs
+from crysda_spark.pipeline import clustering as cl
 from crysda_spark.pipeline import dedup as dd
 from crysda_spark.pipeline import similarity as sim
 from crysda_spark.pipeline import text as tx
@@ -2300,6 +2301,78 @@ def embed_label_centroid(spark, sf_dir):
     out = (emb.sdf.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"))
            .groupBy("label", "dim")
            .agg((F.round(F.avg("v"), 4) + F.lit(0.0)).alias("centroid")))
+    return out
+
+
+@q("centroid_assign_counts", """
+WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+               FROM embeddings WHERE vec_id < 10),
+     d AS (SELECT e.vec_id, e.label, c.cid,
+                  ROUND(CAST(list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec)
+                             AS DOUBLE), 4) AS dist
+           FROM embeddings e CROSS JOIN cents c),
+     best AS (SELECT vec_id, label, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              FROM d)
+SELECT label, CAST(cid AS INT) AS cell, COUNT(*) AS n
+FROM best WHERE rn = 1 GROUP BY label, cid
+""")
+def centroid_assign_counts(spark, sf_dir):
+    """Nearest-centroid assignment against a FIXED centroid set (the
+    vec_id<10 vectors — 10 rows, bounded collect), fully declarative
+    via clustering.nearest_centroid_expr: per-centroid Euclidean
+    distance ROUNDED to 4 decimals with a low-index tie-break, so the
+    argmin is engine-reproducible (raw float argmin is not an oracle-
+    able contract). The production numpy kernel (assign_cells) is
+    pytest-proven equal to this expression on the same data."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [list(map(float, r[0])) for r in
+             emb.filter(F.col("vec_id") < 10).sort_by("vec_id")
+             .sdf.select("embedding").collect()]
+    cell = cl.nearest_centroid_expr("embedding", cents)
+    return (emb.sdf.select("label", cell.alias("cell"))
+            .groupBy("label", "cell").agg(F.count(F.lit(1)).alias("n")))
+
+
+@q("semantic_dedup_groups")
+def semantic_dedup_groups(spark, sf_dir):
+    """SemDeDup (k-means cells → within-cell cosine collapse) with a
+    planted-truth gate: two duplicate groups are planted (vec 7 +
+    identical copy + direction-identical 1.5× copy; vec 11 + identical
+    copy) and each must collapse to exactly ONE survivor with a single
+    shared survivor_id; total row mass must be conserved. Not SQL-
+    expressible (iterative k-means) → rows-only driver check; the gate
+    raises on any violation, so a green run IS the evidence."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.sdf.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    v = F.col("embedding")
+
+    def clone(src, new_id, scale=None):
+        e = F.transform(v, lambda x: x * F.lit(float(scale))) if scale else v
+        return (base.filter(F.col("vec_id") == src)
+                .select(F.lit(new_id).cast("long").alias("vec_id"),
+                        e.alias("embedding")))
+
+    corpus = Frame(base.unionByName(clone(7, 100007))
+                   .unionByName(clone(7, 200007, scale=1.5))
+                   .unionByName(clone(11, 100011)))
+    marks = cl.semantic_dedup(corpus, n_cells=8, threshold=0.999)
+    g = F.when(F.col("id").isin(7, 100007, 200007), "g7") \
+         .when(F.col("id").isin(11, 100011), "g11").otherwise("rest")
+    out = (marks.sdf.groupBy(g.alias("grp"))
+           .agg(F.count(F.lit(1)).alias("n_members"),
+                F.sum(F.col("is_survivor").cast("long")).alias("n_survivors"),
+                F.count_distinct("survivor_id").alias("n_groups")))
+    rows = {r["grp"]: r for r in out.collect()}   # 3 rows, bounded
+    n_base = base.count()
+    ok = (rows["g7"]["n_members"] == 3 and rows["g7"]["n_survivors"] == 1
+          and rows["g7"]["n_groups"] == 1
+          and rows["g11"]["n_members"] == 2 and rows["g11"]["n_survivors"] == 1
+          and rows["g11"]["n_groups"] == 1
+          and rows["rest"]["n_members"] == n_base - 2)
+    if not ok:
+        raise AssertionError(f"semantic dedup gate failed: "
+                             f"{ {k: tuple(v) for k, v in rows.items()} }")
     return out
 
 
