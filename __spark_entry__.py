@@ -2304,6 +2304,52 @@ def embed_label_centroid(spark, sf_dir):
     return out
 
 
+@q("line_dedup_boilerplate", """
+WITH docs AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+           substr(text, 1, 60),
+           CASE WHEN doc_id % 3 = 0 THEN 'JOIN OUR NEWSLETTER - BEST DEALS'
+                ELSE substr(text, 61, 60) END,
+           'COPYRIGHT 2020 EXAMPLE CORP ALL RIGHTS RESERVED',
+           substr(text, 121, 60)) AS text
+  FROM documents),
+l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+             generate_subscripts(string_split(text, chr(10)), 1) AS pos
+      FROM docs),
+dup AS (SELECT line FROM l WHERE length(line) >= 1
+        GROUP BY line HAVING COUNT(*) >= 5),
+m AS (SELECT l.doc_id, l.line, l.pos, (d.line IS NOT NULL) AS is_dup
+      FROM l LEFT JOIN dup d USING (line))
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN NOT is_dup THEN line END,
+                           chr(10) ORDER BY pos), '') AS text_clean,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM m GROUP BY doc_id
+""")
+def line_dedup_boilerplate(spark, sf_dir):
+    """Corpus-wide exact line dedup (text.dedup_lines) on a
+    deterministically constructed multi-line corpus: driver documents
+    are single-line, so each doc becomes 4 lines — two unique substr
+    slices, a newsletter line planted in every 3rd doc, and a copyright
+    line planted in every doc. min_dup=5 removes exactly the planted
+    boilerplate from every document; the oracle reproduces the whole
+    construction + dedup in SQL (counting raw lines where Spark counts
+    xxhash64(line) — equal absent a 64-bit collision)."""
+    d = _t(spark, sf_dir, "documents")
+    docs = d.sdf.select(
+        "doc_id",
+        F.concat_ws("\n",
+                    F.substring("text", 1, 60),
+                    F.when(F.col("doc_id") % 3 == 0,
+                           F.lit("JOIN OUR NEWSLETTER - BEST DEALS"))
+                     .otherwise(F.substring("text", 61, 60)),
+                    F.lit("COPYRIGHT 2020 EXAMPLE CORP ALL RIGHTS RESERVED"),
+                    F.substring("text", 121, 60)).alias("text"))
+    return tx.dedup_lines(Frame(docs), min_dup=5).sdf
+
+
 @q("centroid_assign_counts", """
 WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
                FROM embeddings WHERE vec_id < 10),

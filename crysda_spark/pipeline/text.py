@@ -411,3 +411,58 @@ def registered_domain(col) -> Column:
     return (F.when((n >= 3) & F.array_contains(sfx, last2), last3)
             .when(n >= 2, last2)
             .otherwise(host))
+
+
+# ------------------------------------------------------------ line dedup
+_LINE_RESERVED = {"_pos", "_line", "_lh", "_dup"}
+
+
+def dedup_lines(f, text_col: str = "text", id_col: str = "doc_id",
+                min_dup: int = 2, min_chars: int = 1,
+                delim: str = "\n"):
+    """Corpus-wide exact line deduplication (the boilerplate-removal
+    pass of CCNet/RefinedWeb-style pipelines): any line occurring in
+    ≥ ``min_dup`` documents-or-positions corpus-wide is removed from
+    EVERY document; surviving lines rejoin in original order.
+
+    Scale design:
+    - the duplicate count groups on ``xxhash64(line)`` — the corpus-
+      wide shuffle carries 8-byte keys, never line text (64-bit
+      collisions would only ever over-remove; acceptable and standard
+      for exact-dedup-on-digest, cf. dedup.exact_dedup);
+    - the duplicated-hash table is the COUNT-FILTERED output — tiny
+      relative to the corpus (boilerplate is heavy-tailed), so AQE
+      broadcasts the join back onto the line stream;
+    - document reassembly is one groupBy(id) with an in-group
+      array_sort on position — per-document state only.
+
+    Lines shorter than ``min_chars`` are never counted nor removed
+    (blank separators stay). Returns one row per input document:
+    ``(id, <text_col>_clean, n_lines, n_removed)`` — documents whose
+    every line was boilerplate come back with '' (they remain rows, so
+    a downstream filter decides their fate explicitly).
+    """
+    import re as _re
+
+    _guard_id(id_col, _LINE_RESERVED, "dedup_lines")
+    lines = f.sdf.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(delim), -1))
+         .alias("_pos", "_line"))
+    lines = lines.withColumn("_lh", F.xxhash64("_line"))
+    dup = (lines.filter(F.length("_line") >= min_chars)
+           .groupBy("_lh").agg(F.count(F.lit(1)).alias("_c"))
+           .filter(F.col("_c") >= min_dup)
+           .select("_lh", F.lit(True).alias("_dup")))
+    marked = lines.join(dup, on="_lh", how="left")
+    kept_struct = F.when(F.col("_dup").isNull(),
+                         F.struct("_pos", "_line"))
+    out = (marked.groupBy(id_col)
+           .agg(F.array_join(
+                    F.transform(F.array_sort(F.collect_list(kept_struct)),
+                                lambda s: s["_line"]),
+                    delim).alias(f"{text_col}_clean"),
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(F.col("_dup").isNotNull().cast("long")).alias("n_removed")))
+    from ..frame import Frame
+    return Frame(out)

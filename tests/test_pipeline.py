@@ -677,3 +677,55 @@ def test_internal_column_clash_guards(spark):
                           "__pid__", "n")
     with pytest.raises(ValueError, match="already exists"):
         pk.ordered_cumsum(Frame(df2), "id", "n", out_col="n")
+
+
+# ------------------------------------------------------------ dedup_lines
+def _line_corpus(spark):
+    rows = [
+        (1, "alpha\nBOILER\nbeta\nBOILER"),      # boiler twice in one doc
+        (2, "gamma\nBOILER\ndelta"),
+        (3, "BOILER\nBOILER"),                   # all lines boilerplate
+        (4, "alpha\n\nunique tail"),             # blank line + dup 'alpha'? no: min_dup=3
+        (5, "solo"),
+    ]
+    return Frame(spark.createDataFrame(rows, "doc_id long, text string"))
+
+
+def test_dedup_lines_removes_global_boilerplate(spark):
+    out = {r["doc_id"]: r for r in
+           tx.dedup_lines(_line_corpus(spark), min_dup=3).sdf.collect()}
+    assert out[1]["text_clean"] == "alpha\nbeta"
+    assert out[1]["n_lines"] == 4 and out[1]["n_removed"] == 2
+    assert out[2]["text_clean"] == "gamma\ndelta"
+    # fully-boilerplate doc survives as an empty row, not a dropped row
+    assert out[3]["text_clean"] == "" and out[3]["n_removed"] == 2
+    # 'alpha' appears only twice corpus-wide — below min_dup, kept
+    assert out[4]["text_clean"] == "alpha\n\nunique tail"
+    assert out[5]["text_clean"] == "solo" and out[5]["n_removed"] == 0
+
+
+def test_dedup_lines_min_chars_protects_blanks(spark):
+    corpus = Frame(_line_corpus(spark).sdf.sparkSession.createDataFrame(
+        [(1, "a\n\nb"), (2, "c\n\nd"), (3, "e\n\nf")],
+        "doc_id long, text string"))
+    out = {r["doc_id"]: r for r in
+           tx.dedup_lines(corpus, min_dup=2, min_chars=1).sdf.collect()}
+    # the blank line occurs 3× but is under min_chars — never removed
+    assert all(r["n_removed"] == 0 for r in out.values())
+    assert out[1]["text_clean"] == "a\n\nb"
+
+
+def test_dedup_lines_guards_reserved_id(spark):
+    corpus = Frame(_line_corpus(spark).sdf.withColumnRenamed("doc_id", "_pos"))
+    with pytest.raises(ValueError, match="collides"):
+        tx.dedup_lines(corpus, id_col="_pos", min_dup=2)
+
+
+def test_dedup_lines_custom_delimiter_is_escaped(spark):
+    corpus = Frame(_line_corpus(spark).sdf.sparkSession.createDataFrame(
+        [(1, "x|SPAM|y"), (2, "z|SPAM|w"), (3, "SPAM|q|r")],
+        "doc_id long, text string"))
+    out = {r["doc_id"]: r for r in
+           tx.dedup_lines(corpus, min_dup=3, delim="|").sdf.collect()}
+    assert out[1]["text_clean"] == "x|y"
+    assert out[3]["text_clean"] == "q|r"
