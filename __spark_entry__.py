@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from crysda_spark import Frame, read_parquet
 from crysda_spark.functions import selectors as sel
 from crysda_spark.functions.aggregates import AggFuncs
+from crysda_spark.pipeline import classify as nb
 from crysda_spark.pipeline import clustering as cl
 from crysda_spark.pipeline import dedup as dd
 from crysda_spark.pipeline import similarity as sim
@@ -2348,6 +2349,54 @@ def line_dedup_boilerplate(spark, sf_dir):
                     F.lit("COPYRIGHT 2020 EXAMPLE CORP ALL RIGHTS RESERVED"),
                     F.substring("text", 121, 60)).alias("text"))
     return tx.dedup_lines(Frame(docs), min_dup=5).sdf
+
+
+@q("nb_lang_confusion", """
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS w
+  FROM documents),
+tok2 AS (SELECT * FROM tok WHERE length(w) > 0),
+cnt AS (SELECT lang AS label, w, COUNT(*) AS c FROM tok2 GROUP BY 1, 2),
+tot AS (SELECT label, SUM(c) AS t FROM cnt GROUP BY 1),
+vocab AS (SELECT COUNT(DISTINCT w) AS v FROM cnt),
+ndocs AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+prior AS (SELECT lang AS label, COUNT(DISTINCT doc_id) AS ndl
+          FROM documents GROUP BY 1),
+labels AS (SELECT t.label, ln(p.ndl / CAST(n.nd AS DOUBLE)) AS prior,
+                  ln(1.0 / (t.t + v.v)) AS floor_lp
+           FROM tot t JOIN prior p USING (label)
+           CROSS JOIN vocab v CROSS JOIN ndocs n),
+w8 AS (SELECT c.label, c.w, ln((c.c + 1.0) / (t.t + v.v)) AS logp
+       FROM cnt c JOIN tot t USING (label) CROSS JOIN vocab v),
+dtok AS (SELECT doc_id, w, COUNT(*) AS n FROM tok2 GROUP BY 1, 2),
+grid AS (SELECT d.doc_id, l.label, d.w, d.n, l.floor_lp, l.prior
+         FROM dtok d CROSS JOIN labels l),
+sc AS (SELECT g.doc_id, g.label,
+              ROUND(SUM(g.n * COALESCE(w8.logp, g.floor_lp)) + ANY_VALUE(g.prior), 6) AS s
+       FROM grid g LEFT JOIN w8 ON w8.label = g.label AND w8.w = g.w
+       GROUP BY 1, 2),
+fin AS (SELECT doc_id, label,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, label) AS rn
+        FROM sc)
+SELECT d.lang, f.label AS predicted, COUNT(*) AS n
+FROM fin f JOIN documents d USING (doc_id)
+WHERE rn = 1
+GROUP BY 1, 2
+""")
+def nb_lang_confusion(spark, sf_dir):
+    """Multinomial naive Bayes trained IN the engine (classify.nb_fit —
+    the model is a pair of tables, not a UDF) and applied to its own
+    training corpus; output is the language confusion matrix. Rounded
+    scores + label-ascending tie-break make the argmax reproducible,
+    so the full train→predict→evaluate loop has an exact SQL oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    model = nb.nb_fit(docs, "text", "doc_id", "lang", alpha=1.0)
+    pred = nb.nb_predict(docs, model, "text", "doc_id",
+                         label_col="lang", out_col="predicted")
+    return (docs.sdf.select("doc_id", "lang")
+            .join(pred.sdf.select("doc_id", "predicted"), on="doc_id")
+            .groupBy("lang", "predicted").agg(F.count(F.lit(1)).alias("n")))
 
 
 @q("centroid_assign_counts", """
