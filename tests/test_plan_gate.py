@@ -65,6 +65,23 @@ EXPECTED = {
     "bm25_keyword_search": dict(scans=4, exchanges=5, bhj=2, smj=0),
     "unigram_lm_quality": dict(scans=3, exchanges=4, bhj=1, smj=0),
     "url_domain_rollup": dict(scans=1, exchanges=1, bhj=0, smj=0),
+    # r7 TPC-H batch: every dim broadcast, fact scanned once and never
+    # pre-shuffled; exchanges are the final aggregations only
+    "q4_priority_exists": dict(scans=2, exchanges=1, bhj=1, smj=0),
+    "q7_volume_shipping": dict(scans=6, exchanges=1, bhj=5, smj=0),
+    "q8_market_share": dict(scans=8, exchanges=1, bhj=7, smj=0),
+    "q10_returned_items": dict(scans=4, exchanges=1, bhj=3, smj=0),
+    "q12_ship_priority_lines": dict(scans=2, exchanges=1, bhj=1, smj=0),
+    "q13_customer_distribution": dict(scans=2, exchanges=2, bhj=1, smj=0),
+    "q15_top_supplier": dict(scans=3, exchanges=3, bhj=2, smj=0),
+    "q17_small_quantity": dict(scans=3, exchanges=2, bhj=2, smj=0),
+    "q19_discounted_revenue": dict(scans=2, exchanges=1, bhj=1, smj=0),
+    "q21_waiting_supplier": dict(scans=5, exchanges=3, bhj=4, smj=0),
+    "q22_dormant_customers": dict(scans=3, exchanges=2, bhj=1, smj=0),
+    # r7 pipeline additions
+    "line_dedup_boilerplate": dict(scans=2, exchanges=2, bhj=1, smj=0),
+    "centroid_assign_counts": dict(scans=1, exchanges=1, bhj=0, smj=0),
+    "nb_lang_confusion": dict(scans=8, exchanges=13, bhj=6, smj=0),
 }
 
 
