@@ -2351,6 +2351,34 @@ def line_dedup_boilerplate(spark, sf_dir):
     return tx.dedup_lines(Frame(docs), min_dup=5).sdf
 
 
+@q("tfidf_top_terms", """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS w
+  FROM documents),
+tok2 AS (SELECT * FROM tok WHERE length(w) > 0),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2),
+df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+sc AS (SELECT tf.doc_id, tf.w AS term, tf.tf,
+              ROUND(tf.tf * (ln((1.0 + n.nd) / (df.df + 1)) + 1), 6) AS score
+       FROM tf JOIN df USING (w) CROSS JOIN n),
+r AS (SELECT doc_id, term, tf, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rank
+      FROM sc)
+SELECT doc_id, term, tf, score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+""")
+def tfidf_top_terms_q(spark, sf_dir):
+    """Per-document characteristic terms by smoothed TF-IDF
+    (text.tfidf_top_terms): TF shuffle on (doc, token), DF shuffle on
+    token, AQE-broadcast vocabulary join, deterministic top-k window."""
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.tfidf_top_terms(docs, "text", "doc_id", k=3)
+    return out.sdf.withColumn("rank", F.col("rank").cast("int"))
+
+
 @q("nb_lang_confusion", """
 WITH tok AS (
   SELECT doc_id, lang,

@@ -466,3 +466,41 @@ def dedup_lines(f, text_col: str = "text", id_col: str = "doc_id",
                 F.sum(F.col("_dup").isNotNull().cast("long")).alias("n_removed")))
     from ..frame import Frame
     return Frame(out)
+
+
+# ---------------------------------------------------------------- tf-idf
+def tfidf_top_terms(f, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 5, round_decimals: int = 6):
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (sklearn's formula: ``tf · (ln((1+N)/(1+df)) + 1)``, which never
+    zeroes a corpus-wide term and needs no special-casing of df=N).
+
+    Scale shape: one (doc, token) shuffle for TF, one token shuffle
+    for DF (distinct-doc counts), an AQE-broadcastable vocabulary join
+    back, and the per-doc top-k window. Scores round before ranking
+    and ties break token-ascending, so the selection is deterministic
+    and SQL-oracle-able.
+
+    Returns (id, term, tf, score, rank) with rank 1..k.
+    """
+    from pyspark.sql.window import Window as W
+
+    _guard_id(id_col, {"_tok", "_tf", "_df", "_score", "_rank"},
+              "tfidf_top_terms")
+    tok = (f.sdf.select(F.col(id_col),
+                        F.explode(F.split(normalize(F.col(text_col)), " "))
+                         .alias("_tok"))
+           .filter(F.length("_tok") > 0))
+    tf = tok.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = f.sdf.select(id_col).distinct().count()     # scalar, 1 job
+    scored = (tf.join(df, on="_tok")
+              .select(id_col, F.col("_tok").alias("term"), "tf",
+                      F.round(F.col("tf")
+                              * (F.log(F.lit(float(1 + n_docs))
+                                       / (F.col("_df") + 1)) + 1),
+                              round_decimals).alias("score")))
+    rank = F.row_number().over(
+        W.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term")))
+    from ..frame import Frame
+    return Frame(scored.withColumn("rank", rank).filter(F.col("rank") <= k))

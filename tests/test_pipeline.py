@@ -729,3 +729,36 @@ def test_dedup_lines_custom_delimiter_is_escaped(spark):
            tx.dedup_lines(corpus, min_dup=3, delim="|").sdf.collect()}
     assert out[1]["text_clean"] == "x|y"
     assert out[3]["text_clean"] == "q|r"
+
+
+# ------------------------------------------------------------ tf-idf
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+    corpus = Frame(spark.createDataFrame(
+        [(1, "apple apple banana shared"),
+         (2, "cherry shared shared"),
+         (3, "banana cherry shared")],
+        "doc_id long, text string"))
+    out = tx.tfidf_top_terms(corpus, k=2).sdf.collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+    top1 = sorted(by_doc[1], key=lambda r: r["rank"])
+    assert top1[0]["term"] == "apple" and top1[0]["tf"] == 2
+    exp = round(2 * (math.log(4 / 2) + 1), 6)
+    assert abs(top1[0]["score"] - exp) < 1e-9
+    # 'shared' has df=3 → lowest idf; doc 2 still ranks it first via tf=2
+    top2 = sorted(by_doc[2], key=lambda r: r["rank"])
+    assert top2[0]["term"] == "shared" and top2[0]["tf"] == 2
+    assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_tfidf_tie_breaks_by_term(spark):
+    corpus = Frame(spark.createDataFrame(
+        [(1, "zeta alpha"), (2, "zeta alpha")], "doc_id long, text string"))
+    out = tx.tfidf_top_terms(corpus, k=2).sdf.collect()
+    for doc in (1, 2):
+        ranked = sorted([r for r in out if r["doc_id"] == doc],
+                        key=lambda r: r["rank"])
+        assert [r["term"] for r in ranked] == ["alpha", "zeta"]
