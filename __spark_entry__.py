@@ -2351,6 +2351,53 @@ def line_dedup_boilerplate(spark, sf_dir):
     return tx.dedup_lines(Frame(docs), min_dup=5).sdf
 
 
+@q("pagerank_cust_supplier", """
+WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+n AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes CROSS JOIN n),
+d0 AS (SELECT COALESCE(SUM(r.rank), 0) AS dang
+       FROM r0 r LEFT JOIN deg USING (node) WHERE deg.deg IS NULL),
+c0 AS (SELECT e.dst AS node, SUM(r.rank / deg.deg) AS inm
+       FROM r0 r JOIN deg USING (node) JOIN e ON e.src = r.node GROUP BY 1),
+r1 AS (SELECT nodes.node,
+              0.15 / n.n + 0.85 * d0.dang / n.n + 0.85 * COALESCE(c0.inm, 0) AS rank
+       FROM nodes CROSS JOIN n CROSS JOIN d0 LEFT JOIN c0 USING (node)),
+d1 AS (SELECT COALESCE(SUM(r.rank), 0) AS dang
+       FROM r1 r LEFT JOIN deg USING (node) WHERE deg.deg IS NULL),
+c1 AS (SELECT e.dst AS node, SUM(r.rank / deg.deg) AS inm
+       FROM r1 r JOIN deg USING (node) JOIN e ON e.src = r.node GROUP BY 1),
+r2 AS (SELECT nodes.node,
+              0.15 / n.n + 0.85 * d1.dang / n.n + 0.85 * COALESCE(c1.inm, 0) AS rank
+       FROM nodes CROSS JOIN n CROSS JOIN d1 LEFT JOIN c1 USING (node)),
+d2 AS (SELECT COALESCE(SUM(r.rank), 0) AS dang
+       FROM r2 r LEFT JOIN deg USING (node) WHERE deg.deg IS NULL),
+c2 AS (SELECT e.dst AS node, SUM(r.rank / deg.deg) AS inm
+       FROM r2 r JOIN deg USING (node) JOIN e ON e.src = r.node GROUP BY 1),
+r3 AS (SELECT nodes.node,
+              0.15 / n.n + 0.85 * d2.dang / n.n + 0.85 * COALESCE(c2.inm, 0) AS rank
+       FROM nodes CROSS JOIN n CROSS JOIN d2 LEFT JOIN c2 USING (node))
+SELECT node, ROUND(rank, 8) AS rank FROM r3
+""")
+def pagerank_cust_supplier(spark, sf_dir):
+    """PageRank (graph.pagerank — the host-authority quality prior of
+    web-corpus pipelines) over the customer→supplier purchase graph,
+    run for EXACTLY 3 iterations with tol=0: a fixed iteration count is
+    deterministic relational algebra, so the iterative operator gets an
+    exact unrolled-CTE SQL oracle — dangling-mass redistribution, the
+    lot. Suppliers have no out-edges, so the dangling term is heavily
+    exercised, not a corner case."""
+    from crysda_spark.pipeline.graph import pagerank
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (o.inner_join(li, by=[("o_orderkey", "l_orderkey")])
+             .transmute(src=F.col("o_custkey"), dst=F.col("l_suppkey")))
+    ranks = pagerank(edges, damping=0.85, max_iter=3, tol=0.0)
+    return ranks.sdf.select("node", F.round("rank", 8).alias("rank"))
+
+
 @q("tfidf_top_terms", """
 WITH tok AS (
   SELECT doc_id,

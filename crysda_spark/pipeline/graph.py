@@ -1,0 +1,103 @@
+"""Distributed graph metrics for corpus/provenance analysis.
+
+Web-scale training pipelines rank crawl domains by link authority
+(PageRank over the host graph is a standard quality prior — cf. the
+Common Crawl host-level ranks). The reference engine has no graph
+support; this module follows the same iterative-relational pattern as
+``dedup.connected_components``:
+
+- each power iteration is two shuffles (ranks⋈edges on src, then a
+  groupBy(dst) contribution sum), both expressed declaratively so AQE
+  handles skewed hubs;
+- ``localCheckpoint`` every few rounds truncates the growing lineage —
+  without it iteration i re-plans all previous joins;
+- dangling-node mass (nodes with no out-edges) is redistributed
+  uniformly each round, keeping Σrank = 1 exactly (Page et al. 1999,
+  "The PageRank citation ranking", §2.7 dangling handling).
+
+A FIXED iteration count with ``tol=0`` is deterministic relational
+algebra, so small iteration counts have an exact unrolled-CTE SQL
+oracle — rare for an iterative operator (see __spark_entry__
+``pagerank_cust_supplier``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..frame import Frame
+
+__all__ = ["pagerank", "out_degrees"]
+
+_RESERVED = {"_src", "_dst", "_deg", "_rank", "_contrib"}
+
+
+def out_degrees(edges: Frame, src: str = "src") -> Frame:
+    """(node, out-degree) over the distinct edge list."""
+    return Frame(edges.sdf.groupBy(F.col(src).alias("node"))
+                 .agg(F.count(F.lit(1)).alias("out_deg")))
+
+
+def pagerank(edges: Frame, src: str = "src", dst: str = "dst",
+             damping: float = 0.85, max_iter: int = 10, tol: float = 0.0,
+             checkpoint_every: int = 4) -> Frame:
+    """PageRank over a directed edge list (duplicate edges count once —
+    the edge list is distinct-ed on entry, matching the host-graph
+    convention). Returns (node, rank); Σrank = 1 up to float error.
+
+    ``tol > 0`` stops early when the L1 delta between iterations drops
+    below it (one extra bounded driver action per round); ``tol=0``
+    runs exactly ``max_iter`` rounds — the deterministic mode the SQL
+    oracle pins.
+    """
+    for c in (src, dst):
+        if c in _RESERVED:
+            raise ValueError(f"pagerank: column {c!r} collides with internal "
+                             f"working columns {sorted(_RESERVED)}")
+    e = (edges.sdf.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+         .distinct())
+    nodes = (e.select(F.col("_src").alias("node"))
+             .union(e.select(F.col("_dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    n = nodes.count()
+    if n == 0:
+        return Frame(nodes.withColumn("rank", F.lit(0.0)))
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    # out-degree is a per-node attribute co-keyed with ranks: attach it
+    # ONCE so the per-iteration join carries (node, rank, deg) — the
+    # dangling marker is deg IS NULL
+    base = nodes.join(deg, nodes["node"] == deg["_src"], "left").select(
+        "node", "_deg").localCheckpoint(eager=True)
+    ranks = base.withColumn("_rank", F.lit(1.0 / n))
+
+    for it in range(max_iter):
+        # dangling mass as a 1-row broadcast — the iteration stays fully
+        # lazy (zero driver actions per round unless tol > 0)
+        dang = (ranks.filter(F.col("_deg").isNull())
+                .agg(F.coalesce(F.sum("_rank"), F.lit(0.0)).alias("_dang")))
+        contrib = (ranks.join(e, ranks["node"] == e["_src"])
+                   .select(F.col("_dst").alias("node"),
+                           (F.col("_rank") / F.col("_deg")).alias("_contrib"))
+                   .groupBy("node").agg(F.sum("_contrib").alias("_in")))
+        nxt = (base.join(contrib, on="node", how="left")
+               .crossJoin(F.broadcast(dang))
+               .select("node", "_deg",
+                       (F.lit((1.0 - damping) / n)
+                        + F.lit(damping) * F.col("_dang") / n
+                        + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                        ).alias("_rank")))
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        if tol > 0.0:
+            delta = (nxt.select("node", "_rank")
+                     .join(ranks.select("node", F.col("_rank").alias("_prev")),
+                           on="node")
+                     .agg(F.sum(F.abs(F.col("_rank") - F.col("_prev"))))
+                     .collect()[0][0])
+            ranks = nxt
+            if delta < tol:
+                break
+        else:
+            ranks = nxt
+
+    return Frame(ranks.select("node", F.col("_rank").alias("rank")))
