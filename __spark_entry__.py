@@ -2002,6 +2002,61 @@ def multimodal_decode(spark, sf_dir):
                           F.round(F.element_at("features", 8), 6).alias("f7"))
 
 
+@q("multimodal_avi_frames")  # binary codec; not SQL-expressible — rows-only
+def multimodal_avi_frames(spark, sf_dir):
+    """REAL video path (r7): per-doc uncompressed AVI clips are encoded
+    executor-side (codecs.encode_avi — doc_id-derived frame count and
+    geometry), frame-sampled through the Arrow kernel (every 3rd frame,
+    each re-encoded as a standalone BMP), and the sampled frames are
+    fed STRAIGHT into the image decode kernel. The gate asserts per
+    clip: sampled-frame count == ceil(n_frames/3), frame indices are
+    the original 0,3,6,…, and every sampled frame decodes to the
+    clip's geometry — codec + sampler + cross-modality composition
+    proven end-to-end."""
+    from crysda_spark.pipeline import multimodal as mm
+    from pyspark.sql import types as T
+
+    ids = _t(spark, sf_dir, "documents").sdf.select("doc_id").limit(48)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from crysda_spark.pipeline.codecs import encode_avi
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                h, w, nf = 3 + d % 5, 4 + d % 6, 1 + d % 8
+                y, x = np.mgrid[0:h, 0:w]
+                frames = [np.stack([((x + y + i) % 2) * 255, (x * 5) % 256,
+                                    (y * 9 + i) % 256], axis=-1).astype(np.uint8)
+                          for i in range(nf)]
+                payloads.append(encode_avi(frames, fps=6.0))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    clips = Frame(ids.mapInPandas(gen, schema=schema))
+    frames = mm.sample_frames(clips, every_n=3, strict=True)
+    per_clip = (frames.sdf.groupBy("id")
+                .agg(F.count(F.lit(1)).alias("n_sampled"),
+                     F.max("frame_idx").alias("max_idx"),
+                     F.sum((F.col("frame_idx") % 3 != 0).cast("long")).alias("off_grid")))
+    exp_nf = 1 + F.col("id") % 8
+    bad_counts = per_clip.where(
+        (F.col("n_sampled") != F.ceil(exp_nf / 3.0))
+        | (F.col("off_grid") != 0)).count()
+    bad_geom = (mm.decode_images(Frame(frames.sdf), n_feat=4).sdf
+                .where((F.col("height") != 3 + F.col("id") % 5)
+                       | (F.col("width") != 4 + F.col("id") % 6)
+                       | (F.col("channels") != 3)).count())
+    if bad_counts or bad_geom:
+        raise AssertionError(
+            f"AVI frame gate: {bad_counts} clips mis-sampled, "
+            f"{bad_geom} frames mis-decoded")
+    return per_clip.select("id", "n_sampled", "max_idx")
+
+
 @q("multimodal_bmp_roundtrip")  # binary codec; not SQL-expressible — rows-only
 def multimodal_bmp_roundtrip(spark, sf_dir):
     """REAL image codec through the distributed path (r6): per-doc

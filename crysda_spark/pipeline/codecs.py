@@ -687,3 +687,142 @@ def audio_features(samples: np.ndarray, sample_rate: int,
              float(mono.mean()), float(mono.std())]
     feats = feats[:n_feat]
     return feats + [0.0] * (n_feat - len(feats))
+
+
+# ------------------------------------------------------------------ AVI
+class AviError(ValueError):
+    """Malformed or unsupported AVI payload."""
+
+
+def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
+    """Decode an uncompressed (DIB/BI_RGB 24-bit) RIFF/AVI payload to
+    ``(frames, fps)``: frames is a list of (H, W, 3) RGB uint8 arrays.
+
+    Walks the RIFF container per the AVI spec (msdn AVIMAINHEADER /
+    'movi' list): 'avih' provides geometry and frame timing, every
+    '##db'/'##dc' chunk inside 'movi' is one bottom-up BGR frame with
+    BMP-style 4-byte row padding. Compressed streams (anything but
+    biCompression=0, 24bpp) raise AviError — this codec exists to make
+    the video plumbing REAL for uncompressed payloads, not to replace
+    ffmpeg."""
+    if payload is None or len(payload) < 12:
+        raise AviError("payload too short for a RIFF header")
+    payload = bytes(payload)
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise AviError("missing RIFF/AVI magic")
+
+    width = height = None
+    usec_per_frame = 0
+    bpp = 24
+    frames: list[np.ndarray] = []
+
+    def walk(pos: int, end: int, in_movi: bool) -> None:
+        nonlocal width, height, usec_per_frame, bpp
+        while pos + 8 <= end:
+            cid = payload[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body = pos + 8
+            if body + size > end:
+                raise AviError(f"chunk {cid!r} overruns container")
+            if cid == b"LIST":
+                ltype = payload[body:body + 4]
+                walk(body + 4, body + size, in_movi or ltype == b"movi")
+            elif cid == b"avih":
+                if size < 40:
+                    raise AviError(f"avih too short ({size})")
+                (usec_per_frame,) = struct.unpack_from("<I", payload, body)
+                width, height = struct.unpack_from("<II", payload, body + 32)
+            elif cid == b"strf" and size >= 40:
+                # BITMAPINFOHEADER of the (first) video stream
+                (bi_size,) = struct.unpack_from("<I", payload, body)
+                if bi_size >= 40:
+                    (bc,) = struct.unpack_from("<H", payload, body + 14)
+                    (comp,) = struct.unpack_from("<I", payload, body + 16)
+                    if comp != 0:
+                        raise AviError(f"unsupported compression {comp} (BI_RGB only)")
+                    bpp = bc
+            elif in_movi and len(cid) == 4 and cid[2:] in (b"db", b"dc"):
+                if width is None or height is None:
+                    raise AviError("frame chunk before avih header")
+                if bpp != 24:
+                    raise AviError(f"unsupported bit depth {bpp} (24-bit only)")
+                stride = (width * 3 + 3) & ~3
+                need = stride * height
+                if size < need:
+                    raise AviError(
+                        f"frame truncated: have {size}, need {need}")
+                rows = np.frombuffer(payload, dtype=np.uint8, count=need,
+                                     offset=body).reshape(height, stride)
+                px = rows[:, : width * 3].reshape(height, width, 3)
+                frames.append(np.ascontiguousarray(px[::-1, :, ::-1]))
+            pos = body + size + (size & 1)  # chunks pad to even length
+
+    walk(12, len(payload), False)
+    if width is None:
+        raise AviError("no avih header found")
+    fps = 1e6 / usec_per_frame if usec_per_frame else 0.0
+    return frames, fps
+
+
+def encode_avi(frames: list[np.ndarray], fps: float = 10.0) -> bytes:
+    """Encode (H, W, 3) RGB uint8 frames as an uncompressed 24-bit
+    RIFF/AVI — the test-side generator for real video bytes."""
+    if not frames:
+        raise AviError("encode_avi wants at least one frame")
+    first = np.asarray(frames[0], dtype=np.uint8)
+    if first.ndim != 3 or first.shape[2] != 3:
+        raise AviError(f"encode_avi wants (H, W, 3) frames, got {first.shape}")
+    h, w, _ = first.shape
+    stride = (w * 3 + 3) & ~3
+    fsize = stride * h
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    usec = int(round(1e6 / fps)) if fps > 0 else 0
+    avih = struct.pack("<IIIIIIIIII", usec, fsize * int(round(fps or 1)), 0,
+                       0x10, len(frames), 0, 1, fsize, w, h) + b"\x00" * 16
+    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0,
+            1, max(int(round(fps or 1)), 1), 0, len(frames), fsize, 0, 0, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, fsize,
+                       2835, 2835, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b""
+    for fr in frames:
+        fr = np.asarray(fr, dtype=np.uint8)
+        if fr.shape != (h, w, 3):
+            raise AviError(f"frame shape {fr.shape} != first frame {(h, w, 3)}")
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = fr[::-1, :, ::-1].reshape(h, w * 3)
+        movi_body += chunk(b"00db", rows.tobytes())
+    movi = lst(b"movi", movi_body)
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def video_features(frames: list[np.ndarray], fps: float,
+                   n_feat: int = 8) -> list[float]:
+    """Deterministic per-clip features from decoded frames: duration,
+    mean/std luma over the clip, mean absolute inter-frame luma delta
+    (motion proxy), per-channel clip means — padded/truncated to
+    ``n_feat``. Same shape contract as a model embedding."""
+    lumas = []
+    chans = np.zeros(3)
+    for fr in frames:
+        px = fr.reshape(-1, 3).astype(np.float64)
+        lumas.append(float((px @ np.array([0.299, 0.587, 0.114])).mean() / 255.0))
+        chans += px.mean(axis=0) / 255.0
+    lumas_a = np.array(lumas)
+    chans /= max(len(frames), 1)
+    duration = len(frames) / fps if fps > 0 else 0.0
+    motion = float(np.abs(np.diff(lumas_a)).mean()) if len(lumas) > 1 else 0.0
+    feats = [duration, float(lumas_a.mean()), float(lumas_a.std()), motion,
+             *chans.tolist()]
+    feats = feats[:n_feat]
+    return feats + [0.0] * (n_feat - len(feats))

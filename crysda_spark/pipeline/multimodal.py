@@ -8,9 +8,11 @@ uncompressed 24/32-bit BMP, binary PPM (P6), 8-bit truecolor PNG
 (zlib inflate + per-row un-filtering), GIF87a/89a (full LZW +
 deinterlacing), and baseline JPEG (ITU-T T.81: Huffman + dequant +
 IDCT + 4:2:0 chroma upsampling) all decode, resize, and
-feature-extract end-to-end. Codec work needing external libs (video
-via ffmpeg, audio via librosa) is NOT available in this container, so
-those kernels stay stubbed behind ``_HAVE_CODECS`` with a
+feature-extract end-to-end. Audio is real via RIFF/WAVE PCM, and
+video is real for uncompressed RIFF/AVI (frame sampling + per-clip
+features; sampled frames re-encode as standalone BMPs). Compressed
+video (H.264 etc.) needs ffmpeg, which this container lacks — those
+payloads keep the stubbed kernel slot behind ``_HAVE_CODECS`` with a
 deterministic fake that preserves shapes; swap the kernel body when
 the libs exist. The distributed plan (how bytes move, how batches
 form, what schema comes out) is identical either way. Malformed
@@ -91,6 +93,8 @@ def _sniff(payload) -> str | None:
         return "jpeg"
     if head[:4] == b"RIFF" and bytes(payload[8:12]) == b"WAVE":
         return "wav"
+    if head[:4] == b"RIFF" and bytes(payload[8:12]) == b"AVI ":
+        return "avi"
     return None
 
 
@@ -208,23 +212,96 @@ def decode_audio(f: Frame, id_col: str = "id", payload_col: str = "payload",
 
 
 def sample_frames(f: Frame, every_n: int = 10, id_col: str = "id",
-                  payload_col: str = "payload") -> Frame:
-    """Frame-sampling plumbing for video payloads: one output row per
-    sampled frame. The split kernel is stubbed (returns the original
-    payload as frame 0); the explode-shaped plan is the real thing."""
+                  payload_col: str = "payload", strict: bool = False) -> Frame:
+    """Frame sampling for video payloads: one output row per sampled
+    frame. Uncompressed RIFF/AVI payloads take the REAL path — the
+    clip is decoded (codecs.decode_avi), every ``every_n``-th frame is
+    kept with its ORIGINAL frame index, and each sampled frame comes
+    back re-encoded as a standalone BMP payload, so the output
+    composes directly with decode_images/resize_images downstream.
+    Non-AVI payloads keep the stub shape (original payload as frame
+    0 — the ffmpeg kernel slot); malformed AVI degrades to the stub
+    row unless ``strict=True``."""
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
+        from .codecs import AviError, decode_avi, encode_bmp
         for pdf in batches:
-            if _HAVE_CODECS:  # pragma: no cover
-                raise NotImplementedError("real codec path: ffmpeg frame split here")
+            ids, idxs, payloads = [], [], []
+            for pid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if _sniff(payload) == "avi":
+                    try:
+                        frames, _ = decode_avi(bytes(payload))
+                        for i in range(0, len(frames), every_n):
+                            ids.append(pid)
+                            idxs.append(i)
+                            payloads.append(encode_bmp(frames[i]))
+                        continue
+                    except AviError:
+                        if strict:
+                            raise
+                ids.append(pid)
+                idxs.append(0)
+                payloads.append(payload)
             yield pd.DataFrame({
-                "id": pdf[id_col],
-                "frame_idx": 0,
-                "payload": pdf[payload_col],
+                "id": ids, "frame_idx": pd.array(idxs, dtype="int32"),
+                "payload": payloads,
             })
 
     return Frame(f.sdf.mapInPandas(kernel, schema=FRAME_SCHEMA))
+
+
+VIDEO_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("fps", T.DoubleType()),
+    T.StructField("features", T.ArrayType(T.FloatType())),
+])
+
+
+def decode_videos(f: Frame, id_col: str = "id", payload_col: str = "payload",
+                  n_feat: int = 8, strict: bool = False) -> Frame:
+    """Per-clip geometry + deterministic features through the Arrow
+    path. Uncompressed RIFF/AVI payloads decode for real
+    (codecs.decode_avi → codecs.video_features); anything else — or a
+    malformed AVI, unless ``strict=True`` — degrades per-row to zero
+    geometry + the byte-histogram stub features, so one corrupt clip
+    cannot kill a corpus-wide decode pass."""
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+        from .codecs import AviError, decode_avi, video_features
+        for pdf in batches:
+            ids, ws, hs, nfs, fpss, feats = [], [], [], [], [], []
+            for pid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w = h = nf = 0
+                fps = 0.0
+                fs = None
+                if _sniff(payload) == "avi":
+                    try:
+                        frames, fps = decode_avi(bytes(payload))
+                        nf = len(frames)
+                        if frames:
+                            h, w = frames[0].shape[:2]
+                        fs = video_features(frames, fps, n_feat)
+                    except AviError:
+                        if strict:
+                            raise
+                        w = h = nf = 0
+                        fps = 0.0
+                if fs is None:
+                    fs = _fake_decode(payload, n_feat)
+                ids.append(pid); ws.append(w); hs.append(h)
+                nfs.append(nf); fpss.append(fps); feats.append(fs)
+            yield pd.DataFrame({
+                "id": ids, "width": pd.array(ws, dtype="int32"),
+                "height": pd.array(hs, dtype="int32"),
+                "n_frames": pd.array(nfs, dtype="int32"),
+                "fps": fpss, "features": feats,
+            })
+
+    return Frame(f.sdf.mapInPandas(kernel, schema=VIDEO_SCHEMA))
 
 
 def resize_images(f: Frame, width: int, height: int, id_col: str = "id",

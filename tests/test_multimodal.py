@@ -5,6 +5,7 @@ batch flow, row multiplicity — which is codec-independent."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from crysda_spark import Frame
@@ -506,3 +507,70 @@ def test_decode_audio_through_arrow(spark):
     for i in (2, 3):
         assert (out[i].sample_rate, out[i].n_frames, out[i].n_channels) == (0, 0, 0)
         assert len(out[i].features) == 8
+
+
+# ---------------------------------------------------------------- AVI codec
+def test_avi_roundtrip_and_errors():
+    import numpy as np
+    from crysda_spark.pipeline.codecs import (AviError, decode_avi,
+                                              encode_avi, video_features)
+    frames = [_checker(9, 14) for _ in range(4)]
+    frames[2] = 255 - frames[2]
+    b = encode_avi(frames, fps=12.0)
+    out, fps = decode_avi(b)
+    assert fps == pytest.approx(12.0, rel=1e-4)
+    assert len(out) == 4
+    for a, c in zip(frames, out):
+        assert (a == c).all()
+    feats = video_features(out, fps)
+    assert len(feats) == 8 and feats[0] == pytest.approx(4 / fps, rel=1e-4)
+
+    with pytest.raises(AviError, match="RIFF/AVI"):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(AviError, match="at least one"):
+        encode_avi([])
+    with pytest.raises(AviError, match="overruns"):
+        decode_avi(b[:40])
+    # truncated frame chunk inside movi
+    bad = bytearray(b)
+    cut = bad[: len(bad) - 50]
+    cut[4:8] = (len(cut) - 8).to_bytes(4, "little")
+    with pytest.raises(AviError):
+        decode_avi(bytes(cut))
+
+
+def test_sample_frames_real_avi_path(spark):
+    import numpy as np
+    from crysda_spark.pipeline.codecs import decode_bmp, encode_avi
+    frames = [_checker(8, 8) for _ in range(7)]
+    for i, fr in enumerate(frames):
+        fr[0, 0] = (i, 0, 0)  # tag each frame so sampling is checkable
+    rows = [(1, bytearray(encode_avi(frames, fps=5.0))),
+            (2, bytearray(b"not a video"))]
+    f = Frame(spark.createDataFrame(rows, "id long, payload binary"))
+    out = mm.sample_frames(f, every_n=3).sdf.collect()
+    vid = sorted([r for r in out if r["id"] == 1], key=lambda r: r["frame_idx"])
+    # frames 0, 3, 6 sampled with ORIGINAL indices, each a decodable BMP
+    assert [r["frame_idx"] for r in vid] == [0, 3, 6]
+    for r in vid:
+        arr = decode_bmp(bytes(r["payload"]))
+        assert arr.shape == (8, 8, 3)
+        assert arr[0, 0, 0] == r["frame_idx"]
+    stub = [r for r in out if r["id"] == 2]
+    assert len(stub) == 1 and stub[0]["frame_idx"] == 0
+    assert bytes(stub[0]["payload"]) == b"not a video"
+
+
+def test_decode_videos_through_arrow(spark):
+    from crysda_spark.pipeline.codecs import encode_avi
+    frames = [_checker(10, 6) for _ in range(3)]
+    rows = [(1, bytearray(encode_avi(frames, fps=4.0))),
+            (2, bytearray(b"RIFF\xff\xff\xff\xffAVI corrupt"))]
+    f = Frame(spark.createDataFrame(rows, "id long, payload binary"))
+    got = {r["id"]: r for r in mm.decode_videos(f).sdf.collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_frames"]) == (6, 10, 3)
+    assert got[1]["fps"] == pytest.approx(4.0, rel=1e-4)
+    # malformed AVI degrades to the stub row (zero geometry) by default
+    assert got[2]["n_frames"] == 0 and got[2]["width"] == 0
+    with pytest.raises(Exception):
+        mm.decode_videos(f, strict=True).sdf.collect()
