@@ -2406,6 +2406,42 @@ def line_dedup_boilerplate(spark, sf_dir):
     return tx.dedup_lines(Frame(docs), min_dup=5).sdf
 
 
+@q("dup_span_coverage", """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS w,
+         generate_subscripts(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '), 1) - 1 AS pos
+  FROM documents),
+g AS (SELECT doc_id, pos,
+             w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS gram
+      FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+g2 AS (SELECT * FROM g WHERE gram IS NOT NULL),
+dup AS (SELECT gram FROM g2 GROUP BY gram HAVING COUNT(*) >= 2),
+hit AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN dup USING (gram)),
+occ AS (SELECT doc_id, COUNT(*) AS n_dup_grams FROM hit GROUP BY 1),
+cov AS (SELECT doc_id, COUNT(*) AS covered_tokens
+        FROM (SELECT DISTINCT doc_id, pos + k.k AS idx
+              FROM hit CROSS JOIN (VALUES (0), (1), (2)) k(k)) u
+        GROUP BY 1),
+base AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY 1)
+SELECT b.doc_id, b.n_tokens,
+       COALESCE(o.n_dup_grams, 0) AS n_dup_grams,
+       COALESCE(c.covered_tokens, 0) AS covered_tokens,
+       CASE WHEN b.n_tokens > 0
+            THEN ROUND(COALESCE(c.covered_tokens, 0) / CAST(b.n_tokens AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_token_frac
+FROM base b LEFT JOIN occ o USING (doc_id) LEFT JOIN cov c USING (doc_id)
+""")
+def dup_span_coverage(spark, sf_dir):
+    """Cross-document duplicated-span coverage (text.dup_span_stats):
+    tokens covered by ≥1 corpus-wide duplicated 3-gram, counted as a
+    distinct-position union of overlapping spans. The Spark side counts
+    grams by xxhash64; the oracle counts raw gram text via LEAD windows
+    — equal absent a 64-bit collision."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.dup_span_stats(docs, "text", "doc_id", n=3, min_dup=2).sdf
+
+
 @q("pagerank_cust_supplier", """
 WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),

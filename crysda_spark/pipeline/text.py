@@ -504,3 +504,52 @@ def tfidf_top_terms(f, text_col: str = "text", id_col: str = "doc_id",
         W.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term")))
     from ..frame import Frame
     return Frame(scored.withColumn("rank", rank).filter(F.col("rank") <= k))
+
+
+# ------------------------------------------------- cross-doc span dedup
+def dup_span_stats(f, text_col: str = "text", id_col: str = "doc_id",
+                   n: int = 3, min_dup: int = 2):
+    """Cross-document duplicated-span coverage: for each document, how
+    many of its tokens sit inside at least one word ``n``-gram that
+    occurs ≥ ``min_dup`` times CORPUS-WIDE (the copy-paste-contamination
+    signal behind suffix-array span dedup, Lee et al. 2022 — here the
+    bounded n-gram approximation that stays relational).
+
+    Scale shape: grams reduce to xxhash64 keys before the corpus-wide
+    count shuffle (8-byte keys, never text); duplicated-gram hits
+    explode to their ``n`` covered token positions and a distinct
+    (doc, position) count measures the UNION of overlapping spans —
+    no interval-merge state needed.
+
+    Returns per input document (zero-filled when nothing matched):
+    ``(id, n_tokens, n_dup_grams, covered_tokens, dup_token_frac)``.
+    """
+    _guard_id(id_col, {"_t", "_g", "_gh", "_gpos", "_idx", "_c", "_ntok"},
+              "dup_span_stats")
+    base = (f.sdf.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+            .select(id_col, "_t", F.size("_t").alias("_ntok")))
+    grams = (base.select(F.col(id_col),
+                         F.posexplode(_grams(F.col("_t"), n))
+                          .alias("_gpos", "_g"))
+             .select(id_col, "_gpos", F.xxhash64("_g").alias("_gh")))
+    dup = (grams.groupBy("_gh").agg(F.count(F.lit(1)).alias("_c"))
+           .filter(F.col("_c") >= min_dup).select("_gh"))
+    hit = grams.join(dup, on="_gh")
+    occ = hit.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    cov = (hit.select(F.col(id_col),
+                      F.explode(F.sequence(F.col("_gpos"),
+                                           F.col("_gpos") + n - 1)).alias("_idx"))
+           .distinct()
+           .groupBy(id_col).agg(F.count(F.lit(1)).alias("covered_tokens")))
+    out = (base.select(F.col(id_col), F.col("_ntok").alias("n_tokens"))
+           .join(occ, on=id_col, how="left")
+           .join(cov, on=id_col, how="left")
+           .select(F.col(id_col), "n_tokens",
+                   F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+                   F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+                   F.when(F.col("n_tokens") > 0,
+                          F.round(F.coalesce("covered_tokens", F.lit(0))
+                                  / F.col("n_tokens"), 6))
+                    .otherwise(0.0).alias("dup_token_frac")))
+    from ..frame import Frame
+    return Frame(out)

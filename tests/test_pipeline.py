@@ -762,3 +762,48 @@ def test_tfidf_tie_breaks_by_term(spark):
         ranked = sorted([r for r in out if r["doc_id"] == doc],
                         key=lambda r: r["rank"])
         assert [r["term"] for r in ranked] == ["alpha", "zeta"]
+
+
+# ------------------------------------------------------------ dup spans
+def test_dup_span_stats_hand_computed(spark):
+    corpus = Frame(spark.createDataFrame(
+        [(1, "a b c d e"),        # 'a b c' duplicated with doc 2
+         (2, "a b c x y"),
+         (3, "p q r s t"),        # nothing duplicated
+         (4, "a b c d e")],       # full copy of doc 1 → all grams dup
+        "doc_id long, text string"))
+    out = {r["doc_id"]: r for r in
+           tx.dup_span_stats(corpus, n=3, min_dup=2).sdf.collect()}
+    # doc 1 ≡ doc 4: grams 'a b c','b c d','c d e' all appear twice →
+    # every token covered
+    for d in (1, 4):
+        assert out[d]["n_dup_grams"] == 3
+        assert out[d]["covered_tokens"] == 5
+        assert out[d]["dup_token_frac"] == 1.0
+    # doc 2 shares only 'a b c' → tokens 0-2 covered of 5
+    assert out[2]["n_dup_grams"] == 1
+    assert out[2]["covered_tokens"] == 3
+    assert abs(out[2]["dup_token_frac"] - 0.6) < 1e-9
+    assert out[3]["n_dup_grams"] == 0 and out[3]["covered_tokens"] == 0
+
+
+def test_dup_span_stats_overlapping_spans_union(spark):
+    # 'a b c b c d' vs 'a b c' + 'b c d' both duplicated; overlap at b,c
+    corpus = Frame(spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c z"), (3, "y b c d")],
+        "doc_id long, text string"))
+    out = {r["doc_id"]: r for r in
+           tx.dup_span_stats(corpus, n=3, min_dup=2).sdf.collect()}
+    # doc 1: 'a b c' (with 2) and 'b c d' (with 3) → union covers all 4
+    assert out[1]["n_dup_grams"] == 2
+    assert out[1]["covered_tokens"] == 4
+    assert out[1]["dup_token_frac"] == 1.0
+
+
+def test_dup_span_stats_short_docs_zero_filled(spark):
+    corpus = Frame(spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id long, text string"))
+    out = {r["doc_id"]: r for r in
+           tx.dup_span_stats(corpus, n=3, min_dup=2).sdf.collect()}
+    assert out[1]["n_tokens"] == 2 and out[1]["n_dup_grams"] == 0
+    assert out[1]["dup_token_frac"] == 0.0
