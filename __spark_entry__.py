@@ -2406,6 +2406,70 @@ def line_dedup_boilerplate(spark, sf_dir):
     return tx.dedup_lines(Frame(docs), min_dup=5).sdf
 
 
+@q("merge_upsert_snapshot", """
+WITH src AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000 AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 11 = 0)
+SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+            ELSE t.c_mktsegment END AS c_mktsegment
+FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+           AND s.c_acctbal > 9000)
+""")
+def merge_upsert_snapshot(spark, sf_dir):
+    """Snapshot MERGE (operators/merge.merge_into — the CDC upsert
+    rewrite as one full-outer join): a changeset updates every 7th
+    customer (+1000 balance), inserts shifted copies of every 11th,
+    and deletes matched rows whose new balance tops 9000. The oracle
+    is the textbook MERGE-as-full-join SQL."""
+    from crysda_spark.operators.merge import merge_into
+    c = _t(spark, sf_dir, "customer").select(
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"])
+    upd = c.filter(F.col("c_custkey") % 7 == 0).add_columns(
+        c_acctbal=F.col("c_acctbal") + 1000)
+    ins = c.filter(F.col("c_custkey") % 11 == 0).add_columns(
+        c_custkey=F.col("c_custkey") + 1000000)
+    src = Frame(upd.sdf.unionByName(ins.sdf))
+    out = merge_into(c, src, on="c_custkey",
+                     delete_condition=F.col("c_acctbal") > 9000)
+    return out.sdf.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+
+
+@q("sessionize_user_gaps", """
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(LAG(ts) OVER w) > 3600 THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM x)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       COUNT(*) AS n_events, MIN(ts) AS sess_start, MAX(ts) AS sess_end
+FROM s GROUP BY 1, 2
+""")
+def sessionize_user_gaps(spark, sf_dir):
+    """Batch sessionization (temporal.sessionize — gaps-and-islands,
+    the row-preserving twin of streaming session_window): new session
+    per user when the inter-event gap exceeds 1 h, then per-session
+    aggregates. Tied timestamps always share a session, so the result
+    is deterministic despite unspecified intra-tie order."""
+    from crysda_spark.operators.temporal import sessionize
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "ts", "user_id", gap_seconds=3600)
+    return (s.group_by("user_id", "session_seq")
+            .summarize(n_events=F.count(F.lit(1)),
+                       sess_start=F.min("ts"), sess_end=F.max("ts"))).sdf
+
+
 @q("dup_span_coverage", """
 WITH tok AS (
   SELECT doc_id,

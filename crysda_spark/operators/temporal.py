@@ -186,3 +186,30 @@ def range_join(left: Frame, right: Frame, left_on: str,
                         *[F.col(c) for c in r_sdf.columns if c not in keys]))
         out = out.unionByName(un_r)
     return Frame(out.drop("__lid__", "__rid__"))
+
+
+def sessionize(f: Frame, ts_col: str, by, gap_seconds: float,
+               out_col: str = "session_seq") -> Frame:
+    """Batch sessionization (gaps-and-islands): within each ``by`` key,
+    rows ordered by ``ts_col`` start a new session whenever the gap to
+    the previous row EXCEEDS ``gap_seconds``; each row gets the key-
+    scoped session ordinal (1-based) in ``out_col``.
+
+    The batch twin of streaming ``session_window`` aggregation — but
+    row-preserving (you keep event granularity and can aggregate
+    however you like afterwards). One shuffle (the per-key window).
+    Rows tied on ``ts_col`` always land in the same session, so
+    per-session aggregates are deterministic even though intra-tie
+    ordering is not.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    if out_col in f.columns:
+        raise ValueError(f"sessionize: column {out_col!r} already exists")
+    w = W.partitionBy(*keys).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_sess = (prev.isNull()
+                | (F.col(ts_col).cast("double") - prev.cast("double")
+                   > gap_seconds)).cast("long")
+    seq = F.sum(new_sess).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    return Frame(f.sdf.withColumn(out_col, seq))

@@ -3,6 +3,7 @@ join (binned path ≡ exact inequality path)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from crysda_spark import Frame, from_records
@@ -145,3 +146,37 @@ def test_range_join_outer_semantics(spark):
     import pytest
     with pytest.raises(ValueError):
         left.range_join(right, "v", "lo", "hi", how="bogus")
+
+
+# ------------------------------------------------------------- sessionize
+def test_sessionize_gaps_and_islands(spark):
+    from crysda_spark.operators.temporal import sessionize
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00"),
+        (1, "2024-01-01 12:00:00"),                    # > 1h gap → session 2
+        (2, "2024-01-01 09:00:00"),
+    ]
+    f = Frame(spark.createDataFrame(rows, "uid long, ts string")
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = sessionize(f, "ts", "uid", gap_seconds=3600).sdf.collect()
+    got = {(r["uid"], str(r["ts"])): r["session_seq"] for r in out}
+    assert got[(1, "2024-01-01 10:00:00")] == 1
+    assert got[(1, "2024-01-01 10:10:00")] == 1
+    assert got[(1, "2024-01-01 12:00:00")] == 2
+    assert got[(2, "2024-01-01 09:00:00")] == 1
+
+
+def test_sessionize_exact_gap_is_same_session(spark):
+    from crysda_spark.operators.temporal import sessionize
+    rows = [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 11:00:00")]
+    f = Frame(spark.createDataFrame(rows, "uid long, ts string")
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = sessionize(f, "ts", "uid", gap_seconds=3600).sdf.collect()
+    assert {r["session_seq"] for r in out} == {1}  # gap == threshold: same
+
+
+def test_sessionize_rejects_column_clash(spark):
+    from crysda_spark.operators.temporal import sessionize
+    f = Frame(spark.createDataFrame([(1, 1.0)], "uid long, session_seq double"))
+    with pytest.raises(ValueError, match="already exists"):
+        sessionize(f, "session_seq", "uid", 10)
