@@ -2406,6 +2406,45 @@ def line_dedup_boilerplate(spark, sf_dir):
     return tx.dedup_lines(Frame(docs), min_dup=5).sdf
 
 
+@q("pq_adc_planted_copies")  # iterative k-means training — rows-only
+def pq_adc_planted_copies(spark, sf_dir):
+    """Product quantization ANN (pipeline/pq.py — Jégou et al. 2011):
+    train codebooks on a bounded sample, encode the corpus to m=8
+    4-bit sub-codes (zero-shuffle broadcast argmin; 64-dim float →
+    8 nibbles), search with ADC lookup tables. Gate: 20 planted exact
+    copies (negative ids, so ties break toward them) must each come
+    back at rank 1 for their original's query — an exact copy shares
+    every sub-code, making minimal ADC distance a structural
+    guarantee, not a tuning accident. Also reports recall@10 vs the
+    exact brute-force top-k (no gate — synthetic data, honest
+    number)."""
+    from crysda_spark.pipeline import pq
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.sdf.select("vec_id",
+                          F.col("embedding").cast("array<double>").alias("embedding"))
+    copies = (base.filter(F.col("vec_id") < 20)
+              .select((-F.col("vec_id") - 1).alias("vec_id"), "embedding"))
+    corpus = Frame(base.unionByName(copies))
+    cb = pq.pq_train(Frame(base), m=8, nbits=4, sample_limit=2048)
+    enc = pq.pq_encode(corpus, cb)
+    queries = Frame(base.filter(F.col("vec_id") < 20))
+    top = pq.pq_topk(enc, queries, cb, k=10)
+    r1 = {r["query_id"]: r["match_id"]
+          for r in top.sdf.filter("rank = 1").collect()}  # 20 rows, bounded
+    missed = [q for q in range(20) if r1.get(q) != -q - 1]
+    if missed:
+        raise AssertionError(f"PQ gate: planted copies missed for {missed}")
+    approx = top.sdf.groupBy("query_id").agg(
+        F.collect_set("match_id").alias("approx_ids"))
+    exact = sim.brute_force_topk(corpus, queries, k=10).sdf.groupBy(
+        "query_id").agg(F.collect_set("match_id").alias("exact_ids"))
+    out = (approx.join(exact, on="query_id")
+           .select("query_id",
+                   F.round(F.size(F.array_intersect("approx_ids", "exact_ids"))
+                           / 10.0, 2).alias("recall10")))
+    return out
+
+
 @q("merge_upsert_snapshot", """
 WITH src AS (
   SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000 AS c_acctbal,

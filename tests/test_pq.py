@@ -1,0 +1,85 @@
+"""Product quantization (pipeline/pq.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crysda_spark import Frame
+from crysda_spark.pipeline import pq
+from crysda_spark.pipeline.similarity import brute_force_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return Frame(spark.read.parquet(f"{SF_DIR}/embeddings.parquet"))
+
+
+def test_pq_train_shapes_and_errors(emb):
+    cb = pq.pq_train(emb, m=8, nbits=4, sample_limit=500)
+    assert cb.shape == (8, 16, 8)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq.pq_train(emb, m=7)
+    with pytest.raises(ValueError, match="centroids"):
+        pq.pq_train(emb, m=8, nbits=12, sample_limit=100)
+
+
+def test_pq_encode_zero_shuffle_and_codes_in_range(emb):
+    from crysda_spark.plans.inspect import shuffle_count
+    cb = pq.pq_train(emb, m=8, nbits=4, sample_limit=500)
+    enc = pq.pq_encode(emb, cb)
+    assert shuffle_count(enc.sdf) == 0
+    rows = enc.sdf.limit(20).collect()
+    for r in rows:
+        assert len(r["pq_code"]) == 8
+        assert all(0 <= c < 16 for c in r["pq_code"])
+
+
+def test_pq_adc_finds_planted_exact_copy(emb, spark):
+    """An exact copy shares every sub-code with its original, so ADC
+    gives it the minimal distance; negative planted ids win the
+    tie-break against any same-code competitor."""
+    base = emb.sdf.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    copies = (base.filter(F.col("vec_id") < 10)
+              .select((-F.col("vec_id") - 1).alias("vec_id"), "embedding"))
+    corpus = Frame(base.unionByName(copies))
+    cb = pq.pq_train(Frame(base), m=8, nbits=4, sample_limit=500)
+    enc = pq.pq_encode(corpus, cb)
+    queries = Frame(base.filter(F.col("vec_id") < 10))
+    top = pq.pq_topk(enc, queries, cb, k=3)
+    r1 = {r["query_id"]: r["match_id"]
+          for r in top.sdf.filter("rank = 1").collect()}
+    for q in range(10):
+        assert r1[q] == -q - 1
+
+
+def test_pq_recall_against_brute_force(emb):
+    """ADC recall@10 vs exact cosine on L2-normalized data — sanity
+    floor, not a tuning claim."""
+    norm = emb.sdf.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    nrm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    normed = Frame(norm.select(
+        "vec_id", F.transform("v", lambda x: x / nrm).alias("embedding")))
+    cb = pq.pq_train(normed, m=8, nbits=4, sample_limit=500)
+    enc = pq.pq_encode(normed, cb)
+    queries = Frame(normed.sdf.filter("vec_id < 15"))
+    approx = pq.pq_topk(enc, queries, cb, k=10).sdf.collect()
+    exact = brute_force_topk(normed, queries, k=10).sdf.collect()
+    a, e = {}, {}
+    for r in approx:
+        a.setdefault(r["query_id"], set()).add(r["match_id"])
+    for r in exact:
+        e.setdefault(r["query_id"], set()).add(r["match_id"])
+    recalls = [len(a[q] & e[q]) / 10 for q in e]
+    assert sum(recalls) / len(recalls) > 0.3
+
+
+def test_pq_empty_queries(emb):
+    cb = pq.pq_train(emb, m=8, nbits=4, sample_limit=500)
+    enc = pq.pq_encode(emb, cb)
+    out = pq.pq_topk(enc, Frame(emb.sdf.filter(F.lit(False))), cb)
+    assert out.sdf.count() == 0
