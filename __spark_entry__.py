@@ -2406,6 +2406,47 @@ def line_dedup_boilerplate(spark, sf_dir):
     return tx.dedup_lines(Frame(docs), min_dup=5).sdf
 
 
+@q("rollup_hist_quantile", """
+WITH b AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         LEAST(GREATEST(CAST(FLOOR(value / 25.0) AS INT), 0), 19) AS idx
+  FROM events WHERE value IS NOT NULL),
+h AS (SELECT bucket, idx, COUNT(*) AS c FROM b GROUP BY 1, 2),
+cum AS (SELECT bucket, idx, c,
+               SUM(c) OVER (PARTITION BY bucket ORDER BY idx
+                            ROWS UNBOUNDED PRECEDING) AS cs,
+               SUM(c) OVER (PARTITION BY bucket) AS total
+        FROM h),
+pick AS (SELECT bucket, total, 0.9 * total AS target, idx, c, cs,
+                ROW_NUMBER() OVER (
+                  PARTITION BY bucket, (CAST(cs AS DOUBLE) >= 0.9 * total)
+                  ORDER BY idx) AS rn
+         FROM cum WHERE c > 0)
+SELECT bucket, CAST(total AS BIGINT) AS n,
+       ROUND(0.0 + 25.0 * (idx + (target - (cs - c)) / c), 6) AS p90
+FROM pick
+WHERE CAST(cs AS DOUBLE) >= target AND rn = 1
+""")
+def rollup_hist_quantile(spark, sf_dir):
+    """Mergeable fixed-bin histogram measure through the rollup cascade
+    (operators/rollup.py 'hist' kind): hourly histograms of event value
+    merge hour→day EXACTLY (element-wise bin sums — no resketching
+    error), then hist_quantile interpolates p90 at read time. The
+    oracle rebuilds the day histograms directly from raw events — legal
+    because the merge is exact — and runs the identical interpolation
+    formula."""
+    from crysda_spark.operators.rollup import (hist_quantile, merge_rollup,
+                                               time_rollup)
+    ev = _t(spark, sf_dir, "events")
+    spec = ("hist", "value", 0.0, 500.0, 20)
+    hourly = time_rollup(ev, "ts", "hour", h=spec)
+    daily = merge_rollup(hourly, "day", from_grain="hour", h=spec)
+    total = F.aggregate(F.col("h"), F.lit(0).cast("long"), lambda a, x: a + x)
+    return daily.sdf.select(
+        "bucket", total.alias("n"),
+        F.round(hist_quantile("h", 0.9, 0.0, 500.0, 20), 6).alias("p90"))
+
+
 @q("pq_adc_planted_copies")  # iterative k-means training — rows-only
 def pq_adc_planted_copies(spark, sf_dir):
     """Product quantization ANN (pipeline/pq.py — Jégou et al. 2011):

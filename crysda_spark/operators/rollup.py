@@ -38,6 +38,82 @@ _KINDS: dict[str, tuple] = {
     "hll": (F.hll_sketch_agg, F.hll_union_agg),
 }
 
+# "hist" is handled out-of-band (it carries (lo, hi, nbins) parameters):
+# fine aggregate = fixed-boundary bin counts (array<long>), merge =
+# element-wise array sum — exactly mergeable, so histogram-derived
+# quantiles (hist_quantile) cascade through coarser grains with NO
+# additional error beyond the fixed bin resolution.
+
+
+def _hist_spec(name: str, spec) -> tuple:
+    if not (isinstance(spec, tuple) and len(spec) == 5):
+        raise ValueError(
+            f"rollup measure {name!r}: hist needs "
+            f"({name}=('hist', col, lo, hi, nbins))")
+    _, col, lo, hi, nbins = spec
+    if not isinstance(nbins, int) or nbins < 1:
+        raise ValueError(f"rollup measure {name!r}: nbins must be a "
+                         f"positive int, got {nbins!r}")
+    if not hi > lo:
+        raise ValueError(f"rollup measure {name!r}: need hi > lo, "
+                         f"got ({lo}, {hi})")
+    return col, float(lo), float(hi), nbins
+
+
+def _hist_fine(col, lo: float, hi: float, nbins: int) -> Column:
+    """Fixed-boundary histogram aggregate: array<long> of bin counts.
+    Values clamp into the edge bins (below lo → bin 0, at/above hi →
+    bin nbins-1); nulls are not counted."""
+    width = (hi - lo) / nbins
+    c = F.col(col) if isinstance(col, str) else col
+    # greatest/least IGNORE nulls (they don't propagate them), so a null
+    # value would silently clamp into bin 0 — gate on isNotNull first
+    idx = F.when(c.isNotNull(),
+                 F.least(F.greatest(F.floor((c - lo) / width).cast("int"),
+                                    F.lit(0)), F.lit(nbins - 1)))
+    return F.array(*[F.sum(F.when(idx == i, 1).otherwise(0).cast("long"))
+                     for i in range(nbins)])
+
+
+def _hist_merge(name: str, nbins: int) -> Column:
+    zero = F.array(*[F.lit(0).cast("long")] * nbins)
+    return F.aggregate(F.collect_list(F.col(name)), zero,
+                       lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b))
+
+
+def hist_quantile(col, q: float, lo: float, hi: float, nbins: int) -> Column:
+    """Interpolated quantile from a ``hist`` measure column — the read-
+    time companion of the mergeable histogram (error bounded by one bin
+    width). Deterministic arithmetic, so the whole cascade + quantile
+    is SQL-oracle-able. Returns NULL for an all-empty histogram;
+    q=0 → start of the first occupied bin, q=1 → end of the last."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"hist_quantile: q must be in [0, 1], got {q}")
+    h = F.col(col) if isinstance(col, str) else col
+    width = (hi - lo) / nbins
+    total = F.aggregate(h, F.lit(0).cast("long"), lambda a, x: a + x)
+    target = F.lit(q) * total.cast("double")
+    indexed = F.zip_with(h, F.sequence(F.lit(0), F.lit(nbins - 1)),
+                         lambda c, i: F.struct(i.alias("i"), c.alias("c")))
+    init = F.struct(F.lit(0).cast("long").alias("cum"),
+                    F.lit(-1).alias("idx"),
+                    F.lit(0).cast("long").alias("before"),
+                    F.lit(0).cast("long").alias("cf"))
+
+    def step(acc, x):
+        found = ((acc["idx"] < 0) & (x["c"] > 0)
+                 & ((acc["cum"] + x["c"]).cast("double") >= target))
+        return F.struct(
+            (acc["cum"] + x["c"]).alias("cum"),
+            F.when(found, x["i"]).otherwise(acc["idx"]).alias("idx"),
+            F.when(found, acc["cum"]).otherwise(acc["before"]).alias("before"),
+            F.when(found, x["c"]).otherwise(acc["cf"]).alias("cf"))
+
+    st = F.aggregate(indexed, init, step)
+    est = (F.lit(lo) + F.lit(width)
+           * (st["idx"] + (target - st["before"]) / st["cf"]))
+    return F.when(total > 0, est)
+
 
 def _norm_keys(keys) -> list[str]:
     return [keys] if isinstance(keys, str) else list(keys)
@@ -51,12 +127,16 @@ def _check(grain: str, measures: dict) -> None:
 
 def check_measures(measures: dict) -> None:
     for name, spec in measures.items():
-        kind, col = spec if isinstance(spec, tuple) else (spec, None)
+        kind = spec[0] if isinstance(spec, tuple) else spec
+        if kind == "hist":
+            _hist_spec(name, spec if isinstance(spec, tuple) else None)
+            continue
+        col = spec[1] if isinstance(spec, tuple) else None
         if kind not in _KINDS:
             raise ValueError(
                 f"rollup measure {name!r}: kind {kind!r} not mergeable; "
-                f"supported: {sorted(_KINDS)} (avg does not merge — "
-                "carry sum+count instead)")
+                f"supported: {sorted(_KINDS) + ['hist']} (avg does not "
+                "merge — carry sum+count instead)")
         if col is None and kind != "count":
             raise ValueError(
                 f"rollup measure {name!r}: kind {kind!r} needs a column — "
@@ -76,7 +156,11 @@ def time_rollup(f: Frame, ts_col: str, grain: str,
     keys = _norm_keys(keys)
     aggs = []
     for name, spec in measures.items():
-        kind, col = spec if isinstance(spec, tuple) else (spec, None)
+        kind = spec[0] if isinstance(spec, tuple) else spec
+        if kind == "hist":
+            aggs.append(_hist_fine(*_hist_spec(name, spec)).alias(name))
+            continue
+        col = spec[1] if isinstance(spec, tuple) else None
         fine, _ = _KINDS[kind]
         aggs.append((fine(col) if col is not None else fine(None)).alias(name))
     out = (f.sdf
@@ -126,6 +210,10 @@ def merge_rollup(rollup: Frame, coarser_grain: str,
     aggs = []
     for name, spec in measures.items():
         kind = spec[0] if isinstance(spec, tuple) else spec
+        if kind == "hist":
+            nbins = _hist_spec(name, spec)[3]
+            aggs.append(_hist_merge(name, nbins).alias(name))
+            continue
         _, merge = _KINDS[kind]
         aggs.append(merge(name).alias(name))
     out = (rollup.sdf

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from crysda_spark import Frame
 from crysda_spark.operators import rollup as ru
+from crysda_spark.operators.rollup import merge_rollup, time_rollup
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -92,3 +93,86 @@ def test_streaming_batch_rollup_schema_parity(spark, events):
         events.sdf, width="1 hour", keys=["event_type"],
         watermark=None, **measures)  # batch df: schema-only check
     assert stream_shape.columns == batch.sdf.columns
+
+
+# -------------------------------------------------------- hist measure
+def _hist_events(spark):
+    rows = []
+    for h in range(3):                      # 3 hours of one day
+        for i in range(10):
+            rows.append((f"2024-03-01 0{h}:00:{i:02d}", float(h * 10 + i)))
+    rows.append(("2024-03-02 05:00:00", 250.0))  # clamps into last bin
+    rows.append(("2024-03-02 06:00:00", -5.0))   # clamps into bin 0
+    return Frame(spark.createDataFrame(rows, "ts string, v double")
+                 .withColumn("ts", F.col("ts").cast("timestamp")))
+
+
+def test_hist_cascade_merges_exactly(spark):
+    """hour→day merged histograms must equal histograms built directly
+    at day grain — the mergeability contract, bin for bin."""
+    f = _hist_events(spark)
+    spec = ("hist", "v", 0.0, 100.0, 10)
+    hourly = time_rollup(f, "ts", "hour", h=spec)
+    daily = merge_rollup(hourly, "day", from_grain="hour", h=spec)
+    direct = time_rollup(f, "ts", "day", h=spec)
+    a = {str(r["bucket"]): list(r["h"]) for r in daily.sdf.collect()}
+    b = {str(r["bucket"]): list(r["h"]) for r in direct.sdf.collect()}
+    assert a == b
+    # clamping: day 2 has one value above hi (→ last bin), one below lo
+    day2 = a["2024-03-02 00:00:00"]
+    assert day2[0] == 1 and day2[-1] == 1 and sum(day2) == 2
+
+
+def test_hist_quantile_matches_hand_interpolation(spark):
+    from crysda_spark.operators.rollup import hist_quantile
+    f = _hist_events(spark)
+    spec = ("hist", "v", 0.0, 100.0, 10)
+    daily = time_rollup(f, "ts", "day", h=spec)
+    out = {str(r["bucket"]): r for r in daily.sdf.select(
+        "bucket",
+        hist_quantile("h", 0.5, 0.0, 100.0, 10).alias("p50"),
+        hist_quantile("h", 0.0, 0.0, 100.0, 10).alias("p0"),
+        hist_quantile("h", 1.0, 0.0, 100.0, 10).alias("p100")).collect()}
+    # day 1: 30 values uniform over bins 0-2 (10 each). target=15 →
+    # bin 1, interp 10 + 10*(15-10)/10 = 15.0
+    d1 = out["2024-03-01 00:00:00"]
+    assert abs(d1["p50"] - 15.0) < 1e-9
+    assert d1["p0"] == 0.0 and abs(d1["p100"] - 30.0) < 1e-9
+
+
+def test_hist_quantile_within_bin_width_of_exact(spark):
+    import numpy as np
+    from crysda_spark.operators.rollup import hist_quantile
+    rng = np.random.default_rng(11)
+    vals = rng.uniform(0, 100, 500).tolist()
+    f = Frame(spark.createDataFrame(
+        [("2024-01-01 00:00:00", v) for v in vals], "ts string, v double")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    daily = time_rollup(f, "ts", "day", h=("hist", "v", 0.0, 100.0, 50))
+    got = daily.sdf.select(
+        hist_quantile("h", 0.9, 0.0, 100.0, 50).alias("p90")).collect()[0]["p90"]
+    exact = float(np.quantile(np.array(vals), 0.9))
+    assert abs(got - exact) <= 2.0 + 1e-9  # one bin width
+
+
+def test_hist_spec_validation(spark):
+    f = _hist_events(spark)
+    with pytest.raises(ValueError, match="hist needs"):
+        time_rollup(f, "ts", "hour", h=("hist", "v"))
+    with pytest.raises(ValueError, match="nbins"):
+        time_rollup(f, "ts", "hour", h=("hist", "v", 0.0, 1.0, 0))
+    with pytest.raises(ValueError, match="hi > lo"):
+        time_rollup(f, "ts", "hour", h=("hist", "v", 5.0, 1.0, 4))
+    from crysda_spark.operators.rollup import hist_quantile
+    with pytest.raises(ValueError, match="q must be"):
+        hist_quantile("h", 1.5, 0.0, 1.0, 4)
+
+
+def test_hist_quantile_null_for_empty(spark):
+    from crysda_spark.operators.rollup import hist_quantile
+    f = Frame(_hist_events(spark).sdf.withColumn(
+        "v", F.lit(None).cast("double")))
+    daily = time_rollup(f, "ts", "day", h=("hist", "v", 0.0, 100.0, 4))
+    got = daily.sdf.select(
+        hist_quantile("h", 0.5, 0.0, 100.0, 4).alias("p")).collect()
+    assert all(r["p"] is None for r in got)
