@@ -2406,6 +2406,42 @@ def line_dedup_boilerplate(spark, sf_dir):
     return tx.dedup_lines(Frame(docs), min_dup=5).sdf
 
 
+@q("zorder_key_parts", """
+WITH s AS (
+  SELECT p_partkey,
+         LEAST(GREATEST(CAST(FLOOR((CAST(p_size AS DOUBLE) - 1.0)
+                                   / (50.0 - 1.0) * 255) AS BIGINT),
+                        0), 255) AS s0,
+         LEAST(GREATEST(CAST(FLOOR((CAST(p_retailprice AS DOUBLE) - 900.0)
+                                   / (1000.0 - 900.0) * 255) AS BIGINT),
+                        0), 255) AS s1
+  FROM part)
+SELECT p_partkey,
+       ( (((s0 >> 0) & 1) << 0)  + (((s1 >> 0) & 1) << 1)
+       + (((s0 >> 1) & 1) << 2)  + (((s1 >> 1) & 1) << 3)
+       + (((s0 >> 2) & 1) << 4)  + (((s1 >> 2) & 1) << 5)
+       + (((s0 >> 3) & 1) << 6)  + (((s1 >> 3) & 1) << 7)
+       + (((s0 >> 4) & 1) << 8)  + (((s1 >> 4) & 1) << 9)
+       + (((s0 >> 5) & 1) << 10) + (((s1 >> 5) & 1) << 11)
+       + (((s0 >> 6) & 1) << 12) + (((s1 >> 6) & 1) << 13)
+       + (((s0 >> 7) & 1) << 14) + (((s1 >> 7) & 1) << 15)) AS zkey
+FROM s
+""")
+def zorder_key_parts(spark, sf_dir):
+    """Morton/Z-order key (plans/zorder.zorder_key — the Delta
+    OPTIMIZE ZORDER BY layout primitive) over (p_size, p_retailprice):
+    min-max scale each column into 8 bits, interleave. Pure shift/mask
+    codegen expression, oracled bit-for-bit against the unrolled SQL.
+    zorder_by then range-partitions + sorts on this key so parquet
+    min/max stats prune BOTH columns (pytest measures the per-
+    partition extent bound)."""
+    from crysda_spark.plans.zorder import zorder_key
+    p = _t(spark, sf_dir, "part")
+    key = zorder_key({"p_size": (1.0, 50.0),
+                      "p_retailprice": (900.0, 1000.0)}, bits=8)
+    return p.sdf.select("p_partkey", key.alias("zkey"))
+
+
 @q("rollup_hist_quantile", """
 WITH b AS (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,

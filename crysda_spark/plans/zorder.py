@@ -1,0 +1,77 @@
+"""Z-order (Morton) clustering for multi-dimensional data skipping.
+
+The lakehouse layout trick (Delta OPTIMIZE ZORDER BY, Iceberg
+sort-order z-curves): interleave the bits of several columns' scaled
+values and range-partition + sort by the combined key, so rows close
+in EVERY dimension land close on disk. Parquet min/max footer stats
+then prune multi-column predicates, where a single-column sort only
+prunes its leading column.
+
+Everything is a codegen'd expression (shiftright/&/shiftleft/sum —
+no UDF): ``bits × n_cols`` terms, constant-folded per row. Column
+values min-max scale into ``2^bits`` buckets with CLAMPING, so ranges
+narrower than the data cost resolution, never correctness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..frame import Frame
+
+__all__ = ["zorder_key", "zorder_by"]
+
+
+def _scaled(col: str, lo: float, hi: float, bits: int) -> Column:
+    if not hi > lo:
+        raise ValueError(f"zorder: need hi > lo for {col!r}, got ({lo}, {hi})")
+    maxv = (1 << bits) - 1
+    x = (F.col(col).cast("double") - lo) / (hi - lo) * maxv
+    return F.least(F.greatest(F.floor(x).cast("long"), F.lit(0)),
+                   F.lit(maxv))
+
+
+def zorder_key(ranges: dict[str, tuple[float, float]], bits: int = 8) -> Column:
+    """Morton key over the given columns: column i contributes its
+    scaled value's bit b at output position ``b·n_cols + i``. Bit
+    fields are disjoint, so the interleave is a plain SUM of shifted
+    terms — one whole-stage-codegen expression, reproducible in any
+    engine with shift/mask ops (the SQL-oracle contract).
+
+    ``len(ranges)·bits`` must fit a long (≤ 63 bits).
+    """
+    cols = list(ranges)
+    n = len(cols)
+    if n == 0:
+        raise ValueError("zorder_key: need at least one column")
+    if n * bits > 63:
+        raise ValueError(f"zorder_key: {n} cols × {bits} bits exceeds a long")
+    scaled = [_scaled(c, *ranges[c], bits) for c in cols]
+    terms = []
+    for b in range(bits):
+        for i, sc in enumerate(scaled):
+            bit = F.shiftright(sc, b).bitwiseAND(F.lit(1))
+            terms.append(F.shiftleft(bit, b * n + i))
+    key = terms[0]
+    for t in terms[1:]:
+        key = key + t
+    return key
+
+
+def zorder_by(f: Frame, ranges: dict[str, tuple[float, float]],
+              bits: int = 8, num_partitions: int | None = None,
+              out_col: str | None = None) -> Frame:
+    """Re-layout the frame along the z-curve: range-partition on the
+    Morton key (balanced partitions via range exchange) and sort within
+    partitions, which is exactly what a parquet writer needs for tight
+    per-file min/max stats on EVERY z-ordered column. Keep the key with
+    ``out_col`` for inspection, or drop it (default)."""
+    key = zorder_key(ranges, bits)
+    sdf = f.sdf.withColumn("__z__", key)
+    sdf = (sdf.repartitionByRange(num_partitions, "__z__")
+           if num_partitions else sdf.repartitionByRange("__z__"))
+    sdf = sdf.sortWithinPartitions("__z__")
+    if out_col:
+        return Frame(sdf.withColumnRenamed("__z__", out_col))
+    return Frame(sdf.drop("__z__"))
