@@ -2406,6 +2406,40 @@ def line_dedup_boilerplate(spark, sf_dir):
     return tx.dedup_lines(Frame(docs), min_dup=5).sdf
 
 
+@q("rollup_moments_stddev", """
+WITH m AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         COUNT(value) AS n,
+         SUM(CAST(value AS DECIMAL(28,8))) AS s,
+         SUM(CAST(CAST(value AS DECIMAL(28,8))
+                  * CAST(value AS DECIMAL(28,8)) AS DECIMAL(28,8))) AS s2
+  FROM events GROUP BY 1)
+SELECT bucket, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(s AS DOUBLE) / n, 6) AS mean,
+       ROUND(SQRT((CAST(s2 AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                  / (n - 1)), 6) AS sd
+FROM m
+""")
+def rollup_moments_stddev(spark, sf_dir):
+    """Mergeable second-moment measure through the cascade (rollup
+    'moments' kind): (n, Σx, Σx²) as EXACT decimals — field-wise sums
+    merge hour→day with zero accumulation-order drift, then mean/
+    stddev derive in double at read time. The cross-engine trap this
+    dodges: native STDDEV aggregates sum doubles in partition order
+    (never hash-comparable); exact-decimal state + a shared double
+    formula is bit-reproducible."""
+    from crysda_spark.operators.rollup import (merge_rollup, moments_mean,
+                                               moments_stddev, time_rollup)
+    ev = _t(spark, sf_dir, "events")
+    hourly = time_rollup(ev, "ts", "hour", m=("moments", "value"))
+    daily = merge_rollup(hourly, "day", from_grain="hour", m=("moments", "value"))
+    return daily.sdf.select(
+        "bucket", F.col("m")["n"].alias("n"),
+        F.round(moments_mean("m"), 6).alias("mean"),
+        F.round(moments_stddev("m"), 6).alias("sd"))
+
+
 @q("zorder_key_parts", """
 WITH s AS (
   SELECT p_partkey,

@@ -131,6 +131,12 @@ def check_measures(measures: dict) -> None:
         if kind == "hist":
             _hist_spec(name, spec if isinstance(spec, tuple) else None)
             continue
+        if kind == "moments":
+            if not (isinstance(spec, tuple) and len(spec) == 2):
+                raise ValueError(
+                    f"rollup measure {name!r}: moments needs "
+                    f"({name}=('moments', col))")
+            continue
         col = spec[1] if isinstance(spec, tuple) else None
         if kind not in _KINDS:
             raise ValueError(
@@ -159,6 +165,9 @@ def time_rollup(f: Frame, ts_col: str, grain: str,
         kind = spec[0] if isinstance(spec, tuple) else spec
         if kind == "hist":
             aggs.append(_hist_fine(*_hist_spec(name, spec)).alias(name))
+            continue
+        if kind == "moments":
+            aggs.append(_moments_fine(spec[1]).alias(name))
             continue
         col = spec[1] if isinstance(spec, tuple) else None
         fine, _ = _KINDS[kind]
@@ -214,6 +223,9 @@ def merge_rollup(rollup: Frame, coarser_grain: str,
             nbins = _hist_spec(name, spec)[3]
             aggs.append(_hist_merge(name, nbins).alias(name))
             continue
+        if kind == "moments":
+            aggs.append(_moments_merge(name).alias(name))
+            continue
         _, merge = _KINDS[kind]
         aggs.append(merge(name).alias(name))
     out = (rollup.sdf
@@ -226,3 +238,47 @@ def merge_rollup(rollup: Frame, coarser_grain: str,
 def hll_estimate(col) -> Column:
     """Approximate distinct count from an hll measure column."""
     return F.hll_sketch_estimate(col)
+
+
+# ----------------------------------------------------- moments measure
+def _moments_fine(col) -> Column:
+    """Mergeable second-moment state: (n, sum, sumsq) as exact
+    decimal(28,8) sums — variance/stddev derive at read time and the
+    merge is field-wise addition, so the cascade carries NO float
+    accumulation-order drift (the usual cross-engine variance trap)."""
+    c = F.col(col) if isinstance(col, str) else col
+    d = c.cast("decimal(28,8)")
+    return F.struct(
+        F.count(c).alias("n"),
+        F.sum(d).alias("s"),
+        F.sum((d * d).cast("decimal(28,8)")).alias("s2"))
+
+
+def _moments_merge(name: str) -> Column:
+    m = F.col(name)
+    return F.struct(
+        F.sum(m["n"]).alias("n"),
+        F.sum(m["s"]).cast("decimal(28,8)").alias("s"),
+        F.sum(m["s2"]).cast("decimal(28,8)").alias("s2"))
+
+
+def moments_mean(col) -> Column:
+    m = F.col(col) if isinstance(col, str) else col
+    return F.when(m["n"] > 0, m["s"].cast("double") / m["n"])
+
+
+def moments_variance(col, ddof: int = 1) -> Column:
+    """Variance from a ``moments`` measure: (Σx² − (Σx)²/n) / (n−ddof).
+    The sums stay EXACT decimals through the cascade (no accumulation-
+    order drift) and convert to double right before this formula, so
+    any engine computing the same expression over the same state gets
+    bit-identical doubles (decimal÷decimal is avoided on purpose —
+    result-scale rules differ across engines; double math does not)."""
+    m = F.col(col) if isinstance(col, str) else col
+    s, s2 = m["s"].cast("double"), m["s2"].cast("double")
+    num = s2 - s * s / m["n"]
+    return F.when(m["n"] > ddof, num / (m["n"] - ddof))
+
+
+def moments_stddev(col, ddof: int = 1) -> Column:
+    return F.sqrt(moments_variance(col, ddof))

@@ -176,3 +176,44 @@ def test_hist_quantile_null_for_empty(spark):
     got = daily.sdf.select(
         hist_quantile("h", 0.5, 0.0, 100.0, 4).alias("p")).collect()
     assert all(r["p"] is None for r in got)
+
+
+# ----------------------------------------------------- moments measure
+def test_moments_cascade_and_variance(spark):
+    import numpy as np
+    f = _hist_events(spark)
+    spec = ("moments", "v")
+    hourly = time_rollup(f, "ts", "hour", m=spec)
+    daily = merge_rollup(hourly, "day", from_grain="hour", m=spec)
+    direct = time_rollup(f, "ts", "day", m=spec)
+    a = {str(r["bucket"]): tuple(r["m"]) for r in daily.sdf.collect()}
+    b = {str(r["bucket"]): tuple(r["m"]) for r in direct.sdf.collect()}
+    assert a == b
+    from crysda_spark.operators.rollup import (moments_mean, moments_stddev,
+                                               moments_variance)
+    got = {str(r["bucket"]): r for r in daily.sdf.select(
+        "bucket", moments_mean("m").alias("mu"),
+        moments_variance("m").alias("var"),
+        moments_stddev("m").alias("sd")).collect()}
+    vals = np.array([h * 10 + i for h in range(3) for i in range(10)],
+                    dtype=float)
+    d1 = got["2024-03-01 00:00:00"]
+    assert abs(d1["mu"] - vals.mean()) < 1e-9
+    assert abs(d1["var"] - vals.var(ddof=1)) < 1e-9
+    assert abs(d1["sd"] - vals.std(ddof=1)) < 1e-9
+
+
+def test_moments_degenerate_groups(spark):
+    from crysda_spark.operators.rollup import moments_variance
+    f = Frame(spark.createDataFrame(
+        [("2024-03-01 00:00:00", 5.0)], "ts string, v double")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    daily = time_rollup(f, "ts", "day", m=("moments", "v"))
+    got = daily.sdf.select(moments_variance("m").alias("v")).collect()[0]
+    assert got["v"] is None  # n=1, ddof=1 → undefined, not a crash
+
+
+def test_moments_spec_validation(spark):
+    f = _hist_events(spark)
+    with pytest.raises(ValueError, match="moments needs"):
+        time_rollup(f, "ts", "hour", m="moments")
