@@ -2406,6 +2406,54 @@ def line_dedup_boilerplate(spark, sf_dir):
     return tx.dedup_lines(Frame(docs), min_dup=5).sdf
 
 
+@q("rollup_cms_heavy_keys", """
+WITH probes AS (SELECT * FROM (VALUES (1), (2), (3), (42), (999983)) p(key)),
+hashes AS (SELECT * FROM (VALUES (0, 1103515245, 12345),
+                                 (1, 766245317, 987654321),
+                                 (2, 514229635, 271828183),
+                                 (3, 1013904223, 141421357)) h(r, a, b)),
+ev AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+       FROM events),
+evb AS (SELECT day, h.r,
+               ((((CAST(user_id AS BIGINT) % 2147483647) + 2147483647)
+                 % 2147483647 * a + b) % 2147483647) % 64 AS bkt,
+               COUNT(*) AS c
+        FROM ev CROSS JOIN hashes h GROUP BY 1, 2, 3),
+pb AS (SELECT p.key, h.r,
+              ((((CAST(p.key AS BIGINT) % 2147483647) + 2147483647)
+                % 2147483647 * a + b) % 2147483647) % 64 AS bkt
+       FROM probes p CROSS JOIN hashes h),
+grid AS (SELECT d.day, p.key, p.r, p.bkt
+         FROM (SELECT DISTINCT day FROM ev) d CROSS JOIN pb p)
+SELECT g.day AS bucket, CAST(g.key AS BIGINT) AS key,
+       CAST(MIN(COALESCE(e.c, 0)) AS BIGINT) AS est
+FROM grid g LEFT JOIN evb e ON e.day = g.day AND e.r = g.r AND e.bkt = g.bkt
+GROUP BY 1, 2
+""")
+def rollup_cms_heavy_keys(spark, sf_dir):
+    """CountMin sketch measure through the cascade (rollup 'cms' kind):
+    per-hour 4×64 Carter-Wegman counter arrays merge hour→day by
+    element-wise addition, then point-frequency estimates read out as
+    min-over-rows. The hash family is ((a·x+b) mod 2³¹−1) mod w — every
+    intermediate fits 62 bits, so the oracle replays the identical
+    arithmetic in SQL (a 64-bit mixer would overflow DuckDB's checked
+    BIGINT) and the two engines agree counter-for-counter."""
+    from crysda_spark.operators.rollup import (cms_estimate, merge_rollup,
+                                               time_rollup)
+    ev = _t(spark, sf_dir, "events")
+    spec = ("cms", "user_id", 4, 64)
+    hourly = time_rollup(ev, "ts", "hour", c=spec)
+    daily = merge_rollup(hourly, "day", from_grain="hour", c=spec)
+    parts = [daily.sdf.select(F.col("bucket"),
+                              F.lit(k).cast("long").alias("key"),
+                              cms_estimate("c", F.lit(k), 4, 64).alias("est"))
+             for k in (1, 2, 3, 42, 999983)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @q("rollup_moments_stddev", """
 WITH m AS (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,

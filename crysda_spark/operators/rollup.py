@@ -137,6 +137,9 @@ def check_measures(measures: dict) -> None:
                     f"rollup measure {name!r}: moments needs "
                     f"({name}=('moments', col))")
             continue
+        if kind == "cms":
+            _cms_spec(name, spec if isinstance(spec, tuple) else None)
+            continue
         col = spec[1] if isinstance(spec, tuple) else None
         if kind not in _KINDS:
             raise ValueError(
@@ -168,6 +171,9 @@ def time_rollup(f: Frame, ts_col: str, grain: str,
             continue
         if kind == "moments":
             aggs.append(_moments_fine(spec[1]).alias(name))
+            continue
+        if kind == "cms":
+            aggs.append(_cms_fine(*_cms_spec(name, spec)).alias(name))
             continue
         col = spec[1] if isinstance(spec, tuple) else None
         fine, _ = _KINDS[kind]
@@ -226,6 +232,10 @@ def merge_rollup(rollup: Frame, coarser_grain: str,
         if kind == "moments":
             aggs.append(_moments_merge(name).alias(name))
             continue
+        if kind == "cms":
+            _, d, w = _cms_spec(name, spec)
+            aggs.append(_cms_merge(name, d, w).alias(name))
+            continue
         _, merge = _KINDS[kind]
         aggs.append(merge(name).alias(name))
     out = (rollup.sdf
@@ -282,3 +292,66 @@ def moments_variance(col, ddof: int = 1) -> Column:
 
 def moments_stddev(col, ddof: int = 1) -> Column:
     return F.sqrt(moments_variance(col, ddof))
+
+
+# ---------------------------------------------------- count-min sketch
+# Carter-Wegman universal hashing: h_r(x) = ((a_r·x + b_r) mod p) mod w
+# with p = 2^31 − 1. Pairwise independent (the textbook CMS analysis
+# applies directly) and every intermediate fits in 62 bits — no 64-bit
+# wraparound, so the exact same arithmetic runs in ANY SQL engine
+# (DuckDB raises on BIGINT overflow; a Knuth 64-bit mixer would not
+# port). d rows × w counters as one flat array<long>, mergeable by
+# element-wise addition like "hist".
+_CMS_P = (1 << 31) - 1
+_CMS_A = (1103515245, 766245317, 514229635, 1013904223)
+_CMS_B = (12345, 987654321, 271828183, 141421357)
+
+
+def _cms_spec(name: str, spec) -> tuple:
+    if not (isinstance(spec, tuple) and len(spec) == 4):
+        raise ValueError(f"rollup measure {name!r}: cms needs "
+                         f"({name}=('cms', col, depth, width))")
+    _, col, d, w = spec
+    if not (isinstance(d, int) and 1 <= d <= len(_CMS_A)):
+        raise ValueError(f"rollup measure {name!r}: depth must be "
+                         f"1..{len(_CMS_A)}, got {d!r}")
+    if not (isinstance(w, int) and w >= 2):
+        raise ValueError(f"rollup measure {name!r}: width must be ≥ 2, "
+                         f"got {w!r}")
+    return col, d, w
+
+
+def _cms_bucket(c: Column, row: int, w: int) -> Column:
+    k = F.pmod(c.cast("long"), F.lit(_CMS_P))
+    return F.pmod(F.pmod(k * _CMS_A[row] + _CMS_B[row], F.lit(_CMS_P)),
+                  F.lit(w))
+
+
+def _cms_fine(col, d: int, w: int) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    cells = []
+    for r in range(d):
+        b = F.when(c.isNotNull(), _cms_bucket(c, r, w))
+        cells.extend(F.sum(F.when(b == i, 1).otherwise(0).cast("long"))
+                     for i in range(w))
+    return F.array(*cells)
+
+
+def _cms_merge(name: str, d: int, w: int) -> Column:
+    zero = F.array(*[F.lit(0).cast("long")] * (d * w))
+    return F.aggregate(F.collect_list(F.col(name)), zero,
+                       lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b))
+
+
+def cms_estimate(sketch, key, d: int, w: int) -> Column:
+    """Point-frequency estimate for ``key`` from a cms measure column:
+    min over the d rows' counters (classic CMS upper-bound estimate —
+    never under-counts, over-counts by at most εN w.h.p.)."""
+    s = F.col(sketch) if isinstance(sketch, str) else sketch
+    k = key if isinstance(key, Column) else F.lit(key)
+    est = None
+    for r in range(d):
+        cell = F.element_at(s, (F.lit(r * w) + _cms_bucket(k, r, w) + 1)
+                            .cast("int"))
+        est = cell if est is None else F.least(est, cell)
+    return est

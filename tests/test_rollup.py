@@ -217,3 +217,61 @@ def test_moments_spec_validation(spark):
     f = _hist_events(spark)
     with pytest.raises(ValueError, match="moments needs"):
         time_rollup(f, "ts", "hour", m="moments")
+
+
+# -------------------------------------------------------- cms measure
+def test_cms_cascade_and_point_estimates(spark):
+    from crysda_spark.operators.rollup import cms_estimate
+    rows = []
+    for h in range(3):
+        rows += [(f"2024-03-01 {h:02d}:00:00", 7)] * 5     # key 7: 15 total
+        rows += [(f"2024-03-01 {h:02d}:30:00", 11)] * 2    # key 11: 6 total
+    rows += [("2024-03-02 01:00:00", 7)]                   # day 2: one 7
+    f = Frame(spark.createDataFrame(rows, "ts string, k long")
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    spec = ("cms", "k", 4, 32)
+    hourly = time_rollup(f, "ts", "hour", c=spec)
+    daily = merge_rollup(hourly, "day", from_grain="hour", c=spec)
+    direct = time_rollup(f, "ts", "day", c=spec)
+    a = {str(r["bucket"]): list(r["c"]) for r in daily.sdf.collect()}
+    b = {str(r["bucket"]): list(r["c"]) for r in direct.sdf.collect()}
+    assert a == b                       # merge exactness, counter for counter
+    got = {str(r["bucket"]): r for r in daily.sdf.select(
+        "bucket",
+        cms_estimate("c", F.lit(7), 4, 32).alias("e7"),
+        cms_estimate("c", F.lit(11), 4, 32).alias("e11"),
+        cms_estimate("c", F.lit(9999), 4, 32).alias("e_absent")).collect()}
+    d1 = got["2024-03-01 00:00:00"]
+    # CMS never under-counts; with 21 items in a 4×32 sketch it is exact
+    assert d1["e7"] == 15 and d1["e11"] == 6 and d1["e_absent"] == 0
+    assert got["2024-03-02 00:00:00"]["e7"] == 1
+
+
+def test_cms_overestimates_only(spark):
+    import numpy as np
+    from crysda_spark.operators.rollup import cms_estimate
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 200, 2000).tolist()
+    f = Frame(spark.createDataFrame(
+        [("2024-03-01 00:00:00", int(k)) for k in keys], "ts string, k long")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    daily = time_rollup(f, "ts", "day", c=("cms", "k", 4, 64))
+    from collections import Counter
+    truth = Counter(keys)
+    probes = sorted(truth)[:30]
+    est = daily.sdf.select(
+        *[cms_estimate("c", F.lit(int(k)), 4, 64).alias(f"k{k}")
+          for k in probes]).collect()[0]
+    for k in probes:
+        assert est[f"k{k}"] >= truth[k]            # never under
+        assert est[f"k{k}"] <= truth[k] + 2000 // 16  # loose CMS bound
+
+
+def test_cms_spec_validation(spark):
+    f = _hist_events(spark)
+    with pytest.raises(ValueError, match="cms needs"):
+        time_rollup(f, "ts", "hour", c=("cms", "v"))
+    with pytest.raises(ValueError, match="depth"):
+        time_rollup(f, "ts", "hour", c=("cms", "v", 9, 32))
+    with pytest.raises(ValueError, match="width"):
+        time_rollup(f, "ts", "hour", c=("cms", "v", 2, 1))
