@@ -526,12 +526,16 @@ def dup_span_stats(f, text_col: str = "text", id_col: str = "doc_id",
     """
     _guard_id(id_col, {"_t", "_g", "_gh", "_gpos", "_idx", "_c", "_ntok"},
               "dup_span_stats")
+    from ..plans.cache import pin
     base = (f.sdf.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
             .select(id_col, "_t", F.size("_t").alias("_ntok")))
-    grams = (base.select(F.col(id_col),
-                         F.posexplode(_grams(F.col("_t"), n))
-                          .alias("_gpos", "_g"))
-             .select(id_col, "_gpos", F.xxhash64("_g").alias("_gh")))
+    # the exploded gram table feeds BOTH the corpus-wide count and the
+    # hit join — pin it so the tokenize+explode runs once, not twice
+    # (caller releases with plans.cache.release_pinned)
+    grams = pin(base.select(F.col(id_col),
+                            F.posexplode(_grams(F.col("_t"), n))
+                             .alias("_gpos", "_g"))
+                .select(id_col, "_gpos", F.xxhash64("_g").alias("_gh")))
     dup = (grams.groupBy("_gh").agg(F.count(F.lit(1)).alias("_c"))
            .filter(F.col("_c") >= min_dup).select("_gh"))
     hit = grams.join(dup, on="_gh")
