@@ -152,17 +152,11 @@ def check_measures(measures: dict) -> None:
                 f"pass {name}=({kind!r}, <col>)")
 
 
-def time_rollup(f: Frame, ts_col: str, grain: str,
-                keys: list[str] | tuple | str = (),
-                **measures) -> Frame:
-    """Aggregate to a time grain: (keys..., bucket, measures...).
-
-    ``measures``: name=("count"|"sum"|"min"|"max"|"hll", col) or just the
-    kind string for column-less kinds (count). This is the one
-    corpus-sized aggregation; derive coarser grains from its OUTPUT with
-    ``merge_rollup`` instead of re-scanning the source."""
-    _check(grain, measures)
-    keys = _norm_keys(keys)
+def fine_measure_exprs(measures: dict) -> list:
+    """Fine-grain aggregate expressions for every measure kind —
+    shared by batch time_rollup and streaming tumbling_rollup so live
+    and batch partials stay interchangeable for ALL kinds (including
+    hist/moments/cms)."""
     aggs = []
     for name, spec in measures.items():
         kind = spec[0] if isinstance(spec, tuple) else spec
@@ -178,6 +172,21 @@ def time_rollup(f: Frame, ts_col: str, grain: str,
         col = spec[1] if isinstance(spec, tuple) else None
         fine, _ = _KINDS[kind]
         aggs.append((fine(col) if col is not None else fine(None)).alias(name))
+    return aggs
+
+
+def time_rollup(f: Frame, ts_col: str, grain: str,
+                keys: list[str] | tuple | str = (),
+                **measures) -> Frame:
+    """Aggregate to a time grain: (keys..., bucket, measures...).
+
+    ``measures``: name=("count"|"sum"|"min"|"max"|"hll", col) or just the
+    kind string for column-less kinds (count). This is the one
+    corpus-sized aggregation; derive coarser grains from its OUTPUT with
+    ``merge_rollup`` instead of re-scanning the source."""
+    _check(grain, measures)
+    keys = _norm_keys(keys)
+    aggs = fine_measure_exprs(measures)
     out = (f.sdf
            .withColumn("bucket", F.date_trunc(grain, F.col(ts_col)))
            .groupBy(*keys, "bucket")

@@ -49,17 +49,13 @@ def tumbling_rollup(sdf: SparkDF, ts_col: str = "ts", width: str = "1 hour",
     interchangeable partials — the lambda-architecture contract. The
     output schema matches time_rollup's (keys..., bucket, measures...);
     merge_rollup can coarsen either source."""
-    from ..operators.rollup import _KINDS, check_measures
+    from ..operators.rollup import check_measures, fine_measure_exprs
 
     check_measures(measures)
     keys = keys or []
     if watermark:
         sdf = sdf.withWatermark(ts_col, watermark)
-    aggs = []
-    for name, spec in measures.items():
-        kind, col = spec if isinstance(spec, tuple) else (spec, None)
-        fine, _ = _KINDS[kind]
-        aggs.append((fine(col) if col is not None else fine(None)).alias(name))
+    aggs = fine_measure_exprs(measures)
     # column order matches time_rollup exactly (keys..., bucket,
     # measures...) so batch and stream partials union positionally too
     return (sdf

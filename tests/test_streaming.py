@@ -209,3 +209,28 @@ def test_sliding_counts_batch_equals_explicit_expansion(spark, events_stream_dir
             for r in expanded.groupBy("window_start")
             .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == want
+
+
+def test_tumbling_rollup_hist_and_moments_match_batch(spark, events_stream_dir):
+    """Streaming tumbling_rollup with the sketch kinds (hist/moments)
+    must produce partials interchangeable with batch time_rollup —
+    the lambda-architecture contract now covers every measure kind."""
+    from crysda_spark.operators.rollup import time_rollup
+    from crysda_spark import Frame
+
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = sw.stream_from_parquet_dir(spark, events_stream_dir, schema)
+    measures = dict(h=("hist", "value", 0.0, 500.0, 10),
+                    m=("moments", "value"))
+    out = sw.tumbling_rollup(stream, width="1 hour", watermark=None,
+                             **measures)
+    q = sw.run_to_memory(out, "hist_rollup", mode="complete")
+    q.processAllAvailable()
+    rows = spark.table("hist_rollup").collect()
+    q.stop()
+    got = {str(r["bucket"]): (list(r["h"]), tuple(r["m"])) for r in rows}
+    batch = time_rollup(Frame(spark.read.parquet(events_stream_dir)),
+                        "ts", "hour", **measures)
+    want = {str(r["bucket"]): (list(r["h"]), tuple(r["m"]))
+            for r in batch.sdf.collect()}
+    assert got == want
