@@ -419,11 +419,14 @@ _LINE_RESERVED = {"_pos", "_line", "_lh", "_dup"}
 
 def dedup_lines(f, text_col: str = "text", id_col: str = "doc_id",
                 min_dup: int = 2, min_chars: int = 1,
-                delim: str = "\n"):
+                delim: str = "\n", keep: str = "none"):
     """Corpus-wide exact line deduplication (the boilerplate-removal
     pass of CCNet/RefinedWeb-style pipelines): any line occurring in
     ≥ ``min_dup`` documents-or-positions corpus-wide is removed from
-    EVERY document; surviving lines rejoin in original order.
+    EVERY document (``keep="none"``) or from every document except its
+    globally-first occurrence by (id, position) order (``keep="first"``,
+    the RefinedWeb one-copy-survives policy; ids must sort);
+    surviving lines rejoin in original order.
 
     Scale design:
     - the duplicate count groups on ``xxhash64(line)`` — the corpus-
@@ -454,16 +457,24 @@ def dedup_lines(f, text_col: str = "text", id_col: str = "doc_id",
            .groupBy("_lh").agg(F.count(F.lit(1)).alias("_c"))
            .filter(F.col("_c") >= min_dup)
            .select("_lh", F.lit(True).alias("_dup")))
+    if keep not in ("none", "first"):
+        raise ValueError(f"dedup_lines: keep must be none|first, got {keep!r}")
     marked = lines.join(dup, on="_lh", how="left")
-    kept_struct = F.when(F.col("_dup").isNull(),
-                         F.struct("_pos", "_line"))
+    is_removed = F.col("_dup").isNotNull()
+    if keep == "first":
+        from pyspark.sql.window import Window as _W
+        rn = F.row_number().over(
+            _W.partitionBy("_lh").orderBy(F.col(id_col), F.col("_pos")))
+        marked = marked.withColumn("_rn", rn)
+        is_removed = F.col("_dup").isNotNull() & (F.col("_rn") > 1)
+    kept_struct = F.when(~is_removed, F.struct("_pos", "_line"))
     out = (marked.groupBy(id_col)
            .agg(F.array_join(
                     F.transform(F.array_sort(F.collect_list(kept_struct)),
                                 lambda s: s["_line"]),
                     delim).alias(f"{text_col}_clean"),
                 F.count(F.lit(1)).alias("n_lines"),
-                F.sum(F.col("_dup").isNotNull().cast("long")).alias("n_removed")))
+                F.sum(is_removed.cast("long")).alias("n_removed")))
     from ..frame import Frame
     return Frame(out)
 

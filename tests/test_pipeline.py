@@ -807,3 +807,21 @@ def test_dup_span_stats_short_docs_zero_filled(spark):
            tx.dup_span_stats(corpus, n=3, min_dup=2).sdf.collect()}
     assert out[1]["n_tokens"] == 2 and out[1]["n_dup_grams"] == 0
     assert out[1]["dup_token_frac"] == 0.0
+
+
+def test_dedup_lines_keep_first_policy(spark):
+    corpus = Frame(spark.createDataFrame(
+        [(1, "BOILER\nalpha"), (2, "beta\nBOILER"), (3, "BOILER\ngamma")],
+        "doc_id long, text string"))
+    out = {r["doc_id"]: r for r in
+           tx.dedup_lines(corpus, min_dup=2, keep="first").sdf.collect()}
+    # globally-first occurrence by (id, pos) is doc 1 pos 0 — it stays
+    assert out[1]["text_clean"] == "BOILER\nalpha" and out[1]["n_removed"] == 0
+    assert out[2]["text_clean"] == "beta" and out[2]["n_removed"] == 1
+    assert out[3]["text_clean"] == "gamma" and out[3]["n_removed"] == 1
+
+
+def test_dedup_lines_keep_validation(spark):
+    corpus = Frame(spark.createDataFrame([(1, "x")], "doc_id long, text string"))
+    with pytest.raises(ValueError, match="none|first"):
+        tx.dedup_lines(corpus, keep="last")
