@@ -2604,6 +2604,37 @@ def pq_adc_planted_copies(spark, sf_dir):
     return out
 
 
+@q("ivfpq_planted_copies")  # iterative k-means training — rows-only
+def ivfpq_planted_copies(spark, sf_dir):
+    """IVF-PQ composed index (pipeline/pq.ivfpq_build/_topk — the FAISS
+    IVFPQ layout): coarse k-means cells + product quantization of the
+    RESIDUAL, searched with per-(query, cell) ADC tables over n_probe
+    cells. Gate: 12 planted exact copies (negative ids) must rank 1 —
+    an exact copy shares cell and residual codes, so minimal ADC
+    distance is structural. Returns per-query (top1, rank-1 distance
+    rounded) — distances are quantization distances, deterministic
+    given the fixed seeds."""
+    from crysda_spark.pipeline import pq
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.sdf.select("vec_id",
+                          F.col("embedding").cast("array<double>").alias("embedding"))
+    copies = (base.filter(F.col("vec_id") < 12)
+              .select((-F.col("vec_id") - 1).alias("vec_id"), "embedding"))
+    corpus = Frame(base.unionByName(copies))
+    enc, cents, cb = pq.ivfpq_build(corpus, n_cells=8, m=8, nbits=4,
+                                    sample_limit=2048)
+    queries = Frame(base.filter(F.col("vec_id") < 12))
+    top = pq.ivfpq_topk(enc, cents, cb, queries, k=5, n_probe=2)
+    r1 = {r["query_id"]: r for r in top.sdf.filter("rank = 1").collect()}
+    missed = [q for q in range(12) if r1.get(q) is None
+              or r1[q]["match_id"] != -q - 1]
+    if missed:
+        raise AssertionError(f"IVF-PQ gate: planted copies missed for {missed}")
+    return (top.sdf.filter("rank = 1")
+            .select("query_id", "match_id",
+                    F.round("adc_dist", 6).alias("adc_dist")))
+
+
 @q("merge_upsert_snapshot", """
 WITH src AS (
   SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000 AS c_acctbal,

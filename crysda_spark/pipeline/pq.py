@@ -166,3 +166,125 @@ def pq_topk(encoded: Frame, queries: Frame, codebooks: np.ndarray, k: int = 5,
            .filter(F.col("rank") <= k)
            .select("query_id", "match_id", "adc_dist", "rank"))
     return Frame(out)
+
+
+# ------------------------------------------------------------- IVF-PQ
+def ivfpq_build(corpus: Frame, n_cells: int = 16, m: int = 8, nbits: int = 8,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                sample_limit: int = 65536, seed: int = 42):
+    """Build an IVF-PQ index (the FAISS IVFPQ layout, Jégou 2011 §IV):
+    coarse k-means cells + product quantization of the RESIDUAL
+    (vector − cell centroid), which concentrates the quantizer on the
+    within-cell distribution and cuts distortion vs flat PQ.
+
+    Returns ``(encoded, centroids, codebooks)`` where ``encoded`` is a
+    Frame (id, cell, pq_code) — the whole corpus reduced to an int +
+    m sub-codes per row. Both train steps are bounded-sample; encode
+    is two broadcast map-side passes and ZERO shuffles.
+    """
+    from .clustering import assign_cells, kmeans_centroids
+
+    cents = kmeans_centroids(corpus, n_cells, vec_col=vec_col,
+                             sample_fraction=1.0, seed=seed)
+    slim = Frame(corpus.sdf.select(F.col(id_col).alias("id"), vec_col))
+    assigned = assign_cells(slim, cents, vec_col=vec_col, out_col="cell")
+
+    sdf = assigned.sdf
+    bc_c = sdf.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(cents))
+
+    res_schema = f"id long, cell int, _res array<double>"
+
+    def residual_kernel(batches):
+        cm = bc_c.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            res = mat - cm[pdf["cell"].to_numpy()]
+            yield pd.DataFrame({"id": pdf["id"], "cell": pdf["cell"],
+                                "_res": list(res)})
+
+    residuals = Frame(sdf.mapInPandas(residual_kernel, schema=res_schema))
+    codebooks = pq_train(residuals, m=m, nbits=nbits, vec_col="_res",
+                         sample_limit=sample_limit, seed=seed)
+    enc = pq_encode(residuals, codebooks, id_col="id", vec_col="_res")
+    encoded = Frame(residuals.sdf.select("id", "cell")
+                    .join(enc.sdf, on="id"))
+    return encoded, cents, codebooks
+
+
+def ivfpq_topk(encoded: Frame, centroids: np.ndarray, codebooks: np.ndarray,
+               queries: Frame, k: int = 5, n_probe: int = 4,
+               q_id_col: str = "vec_id", q_vec_col: str = "embedding") -> Frame:
+    """IVF-PQ ADC search: each query probes its ``n_probe`` nearest
+    cells; within a probed cell the residual ADC table (query −
+    centroid vs residual codebooks) scores codes by m gathers. The
+    cell filter is a map-side mask (no shuffle); each partition emits
+    only its local top-k per query, so the merge carries ≤ k·|Q| rows
+    per partition. Output: (query_id, match_id, adc_dist, rank)."""
+    m, kk_codes, dsub = codebooks.shape
+    q_rows = (queries.sdf.select(F.col(q_id_col).alias("qid"),
+                                 F.col(q_vec_col).cast("array<double>").alias("v"))
+              .collect())
+    if not q_rows:
+        spark = encoded.sdf.sparkSession
+        return Frame(spark.createDataFrame(
+            [], "query_id bigint, match_id bigint, adc_dist double, rank int"))
+    q_ids = np.array([r.qid for r in q_rows])
+    q_mat = np.array([r.v for r in q_rows], dtype=np.float64)
+    # nearest n_probe cells per query (exact, driver-side — centroid
+    # table is n_cells × dim, kilobytes)
+    c_norm2 = (centroids * centroids).sum(axis=1)
+    cd = -2.0 * (q_mat @ centroids.T) + c_norm2
+    probe = np.argsort(cd, axis=1)[:, :n_probe]            # |Q| × n_probe
+    # per (query, probed cell): ADC table over the RESIDUAL q − cent
+    tables = {}
+    for qi in range(len(q_ids)):
+        for cell in probe[qi]:
+            r = q_mat[qi] - centroids[cell]
+            t = np.empty((m, kk_codes))
+            for j in range(m):
+                sub = r[j * dsub:(j + 1) * dsub]
+                cj = codebooks[j]
+                t[j] = ((cj - sub) ** 2).sum(axis=1)
+            tables[(qi, int(cell))] = t.reshape(-1)
+    sc = encoded.sdf.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, {qi: set(map(int, probe[qi]))
+                               for qi in range(len(q_ids))}, tables, k, m,
+                       kk_codes))
+
+    def local_topk(batches):
+        ids, probed, tabs, kkk, mm, wq = bq.value
+        offs = np.arange(mm) * wq
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.array(pdf["pq_code"].tolist(), dtype=np.int64) + offs
+            cells = pdf["cell"].to_numpy()
+            match_ids = pdf["match_id"].to_numpy()
+            out = []
+            for qi, qid in enumerate(ids):
+                mask = np.isin(cells, list(probed[qi])) & (match_ids != qid)
+                cand = np.nonzero(mask)[0]
+                if len(cand) == 0:
+                    continue
+                d = np.empty(len(cand))
+                for pos, row in enumerate(cand):
+                    d[pos] = tabs[(qi, int(cells[row]))][codes[row]].sum()
+                take = min(kkk, len(cand))
+                top = np.argpartition(d, take - 1)[:take]
+                out.append(pd.DataFrame({
+                    "query_id": qid, "match_id": match_ids[cand[top]],
+                    "adc_dist": d[top]}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    c = encoded.sdf.select(F.col("id").alias("match_id"), "cell", "pq_code")
+    local = c.mapInPandas(
+        local_topk, schema="query_id bigint, match_id bigint, adc_dist double")
+    w = W.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("match_id"))
+    out = (local.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k)
+           .select("query_id", "match_id", "adc_dist", "rank"))
+    return Frame(out)

@@ -83,3 +83,63 @@ def test_pq_empty_queries(emb):
     enc = pq.pq_encode(emb, cb)
     out = pq.pq_topk(enc, Frame(emb.sdf.filter(F.lit(False))), cb)
     assert out.sdf.count() == 0
+
+
+# --------------------------------------------------------------- IVF-PQ
+def test_ivfpq_finds_planted_exact_copy(emb, spark):
+    base = emb.sdf.select("vec_id",
+                          F.col("embedding").cast("array<double>").alias("embedding"))
+    copies = (base.filter(F.col("vec_id") < 8)
+              .select((-F.col("vec_id") - 1).alias("vec_id"), "embedding"))
+    corpus = Frame(base.unionByName(copies))
+    enc, cents, cb = pq.ivfpq_build(corpus, n_cells=8, m=8, nbits=4,
+                                    sample_limit=600)
+    queries = Frame(base.filter(F.col("vec_id") < 8))
+    top = pq.ivfpq_topk(enc, cents, cb, queries, k=3, n_probe=2)
+    r1 = {r["query_id"]: r["match_id"]
+          for r in top.sdf.filter("rank = 1").collect()}
+    # an exact copy shares cell + residual codes → minimal ADC distance;
+    # the query's own cell is always its nearest, so probe-1 suffices
+    for q in range(8):
+        assert r1[q] == -q - 1
+
+
+def test_ivfpq_encoded_is_compact_and_cell_tagged(emb):
+    enc, cents, cb = pq.ivfpq_build(emb, n_cells=4, m=8, nbits=4,
+                                    sample_limit=600)
+    assert cents.shape == (4, 64) and cb.shape == (8, 16, 8)
+    rows = enc.sdf.limit(10).collect()
+    for r in rows:
+        assert 0 <= r["cell"] < 4 and len(r["pq_code"]) == 8
+
+
+def test_ivfpq_recall_not_worse_than_flat_pq(emb):
+    """Residual quantization should at least match flat PQ recall on
+    the same budget (usually beats it — centroids absorb the coarse
+    structure)."""
+    norm = emb.sdf.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    nrm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    normed = Frame(norm.select("vec_id",
+                               F.transform("v", lambda x: x / nrm).alias("embedding")))
+    queries = Frame(normed.sdf.filter("vec_id < 12"))
+    exact = brute_force_topk(normed, queries, k=10).sdf.collect()
+    e = {}
+    for r in exact:
+        e.setdefault(r["query_id"], set()).add(r["match_id"])
+
+    cb_flat = pq.pq_train(normed, m=8, nbits=4, sample_limit=600)
+    flat = pq.pq_topk(pq.pq_encode(normed, cb_flat), queries, cb_flat, k=10)
+    enc, cents, cb = pq.ivfpq_build(normed, n_cells=4, m=8, nbits=4,
+                                    sample_limit=600)
+    ivf = pq.ivfpq_topk(enc, cents, cb, queries, k=10, n_probe=4)
+
+    def recall(df):
+        a = {}
+        for r in df.sdf.collect():
+            a.setdefault(r["query_id"], set()).add(r["match_id"])
+        return sum(len(a.get(q, set()) & e[q]) / 10 for q in e) / len(e)
+
+    r_flat, r_ivf = recall(flat), recall(ivf)
+    # n_probe == n_cells → no candidate loss; residual coding should
+    # not be materially worse (allow small slack for tie noise)
+    assert r_ivf >= r_flat - 0.1, (r_ivf, r_flat)
