@@ -2406,6 +2406,44 @@ def line_dedup_boilerplate(spark, sf_dir):
     return tx.dedup_lines(Frame(docs), min_dup=5).sdf
 
 
+@q("rollup_gapfill_locf", """
+WITH h AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2),
+spine AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+        FROM h GROUP BY 1) b),
+j AS (SELECT s.event_type, s.bucket, COALESCE(h.n, 0) AS n, h.s
+      FROM spine s LEFT JOIN h USING (event_type, bucket))
+SELECT event_type, bucket, n,
+       ROUND(last_value(s IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING), 4) AS s
+FROM j
+""")
+def rollup_gapfill_locf(spark, sf_dir):
+    """Gap-filled rollup (operators/rollup.gapfill — the Timescale
+    time_bucket_gapfill shape): per-key dense hourly spine between
+    first and last observed bucket (sequence+explode, proportional to
+    OUTPUT rows — never a global-calendar cross join), count filled
+    with 0, sum carried forward (LOCF ignore-nulls window)."""
+    from crysda_spark.operators.rollup import gapfill, time_rollup
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase"))
+    hourly = time_rollup(ev, "ts", "hour", keys="event_type",
+                         n="count", s=("sum", F.col("value").cast(DEC)))
+    hourly = Frame(hourly.sdf.withColumn("s", F.col("s").cast(OUT)))
+    out = gapfill(hourly, "hour", keys="event_type", fill={"n": 0},
+                  locf=["s"])
+    return out.sdf.select("event_type", "bucket", "n",
+                          F.round("s", 4).alias("s"))
+
+
 @q("rollup_cms_heavy_keys", """
 WITH probes AS (SELECT * FROM (VALUES (1), (2), (3), (42), (999983)) p(key)),
 hashes AS (SELECT * FROM (VALUES (0, 1103515245, 12345),

@@ -364,3 +364,76 @@ def cms_estimate(sketch, key, d: int, w: int) -> Column:
                             .cast("int"))
         est = cell if est is None else F.least(est, cell)
     return est
+
+
+# ------------------------------------------------------------- gap fill
+def combine_rollups(a: Frame, b: Frame, grain: str,
+                    keys: list[str] | tuple | str = (),
+                    **measures) -> Frame:
+    """Merge two same-grain rollups (incremental ingest: yesterday's
+    rollup table + today's delta rollup → updated table) — the union
+    re-aggregates shared buckets with each kind's merge function.
+    Same measure declarations as time_rollup/merge_rollup."""
+    _check(grain, measures)
+    keys = _norm_keys(keys)
+    u = a.sdf.unionByName(b.sdf)
+    aggs = []
+    for name, spec in measures.items():
+        kind = spec[0] if isinstance(spec, tuple) else spec
+        if kind == "hist":
+            aggs.append(_hist_merge(name, _hist_spec(name, spec)[3]).alias(name))
+        elif kind == "moments":
+            aggs.append(_moments_merge(name).alias(name))
+        elif kind == "cms":
+            _, d, w = _cms_spec(name, spec)
+            aggs.append(_cms_merge(name, d, w).alias(name))
+        else:
+            _, merge = _KINDS[kind]
+            aggs.append(merge(name).alias(name))
+    return Frame(u.groupBy(*keys, "bucket").agg(*aggs))
+
+
+_GRAIN_SECONDS = {"minute": 60, "hour": 3600, "day": 86400}
+
+
+def gapfill(f: Frame, grain: str, keys: list[str] | tuple | str = (),
+            fill: dict | None = None, locf: list[str] | tuple = (),
+            bucket_col: str = "bucket") -> Frame:
+    """Densify a rollup: emit a row for EVERY grain bucket between each
+    key's first and last observed bucket (the Timescale
+    ``time_bucket_gapfill`` shape). Missing measures fill from
+    ``fill`` (constant per column, e.g. ``{"n": 0}``), then columns in
+    ``locf`` carry the last observed value forward (ignore-nulls
+    window). Fixed-width grains only (minute/hour/day — month-length
+    arithmetic does not sequence).
+
+    Scale shape: the dense bucket spine generates per key from a
+    (first, last) aggregate — ``sequence`` + ``explode``, rows
+    proportional to the OUTPUT, never a cross join against a global
+    calendar; then one left join back on (keys, bucket) and at most
+    one window pass for LOCF.
+    """
+    if grain not in _GRAIN_SECONDS:
+        raise ValueError(f"gapfill: grain must be one of "
+                         f"{sorted(_GRAIN_SECONDS)}, got {grain!r}")
+    keys = _norm_keys(keys)
+    if not keys:
+        raise ValueError("gapfill: need at least one key column "
+                         "(add a constant column to densify globally)")
+    step = _GRAIN_SECONDS[grain]
+    spine = (f.sdf.groupBy(*keys)
+             .agg(F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi"))
+             .select(*keys,
+                     F.explode(F.sequence(
+                         F.col("_lo"), F.col("_hi"),
+                         F.expr(f"INTERVAL {step} SECOND"))).alias(bucket_col)))
+    out = spine.join(f.sdf, on=[*keys, bucket_col], how="left")
+    for col, v in (fill or {}).items():
+        out = out.withColumn(col, F.coalesce(F.col(col), F.lit(v)))
+    if locf:
+        from pyspark.sql.window import Window as _W
+        w = (_W.partitionBy(*keys).orderBy(bucket_col)
+             .rowsBetween(_W.unboundedPreceding, _W.currentRow))
+        for col in ([locf] if isinstance(locf, str) else list(locf)):
+            out = out.withColumn(col, F.last(col, ignorenulls=True).over(w))
+    return Frame(out)

@@ -275,3 +275,48 @@ def test_cms_spec_validation(spark):
         time_rollup(f, "ts", "hour", c=("cms", "v", 9, 32))
     with pytest.raises(ValueError, match="width"):
         time_rollup(f, "ts", "hour", c=("cms", "v", 2, 1))
+
+
+# ----------------------------------------------------- combine / gapfill
+def test_combine_rollups_incremental_ingest(spark):
+    f = _hist_events(spark)
+    spec = dict(n="count", h=("hist", "v", 0.0, 100.0, 10),
+                m=("moments", "v"))
+    day1 = Frame(f.sdf.filter(F.col("ts") < "2024-03-02"))
+    day2 = Frame(f.sdf.filter(F.col("ts") >= "2024-03-02"))
+    a = time_rollup(day1, "ts", "hour", **spec)
+    b = time_rollup(day2, "ts", "hour", **spec)
+    combined = ru.combine_rollups(a, b, "hour", **spec)
+    direct = time_rollup(f, "ts", "hour", **spec)
+    ca = {str(r["bucket"]): (r["n"], list(r["h"]), tuple(r["m"]))
+          for r in combined.sdf.collect()}
+    cd = {str(r["bucket"]): (r["n"], list(r["h"]), tuple(r["m"]))
+          for r in direct.sdf.collect()}
+    assert ca == cd
+
+
+def test_gapfill_fills_and_locf(spark):
+    rows = [("a", "2024-03-01 00:00:00", 1.0),
+            ("a", "2024-03-01 03:00:00", 4.0),   # hours 1, 2 missing
+            ("b", "2024-03-01 05:00:00", 9.0)]
+    f = Frame(spark.createDataFrame(rows, "k string, ts string, v double")
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    hourly = time_rollup(f, "ts", "hour", keys="k",
+                         n="count", s=("sum", "v"))
+    out = ru.gapfill(hourly, "hour", keys="k", fill={"n": 0}, locf=["s"])
+    got = {(r["k"], str(r["bucket"])): (r["n"], r["s"])
+           for r in out.sdf.collect()}
+    assert got[("a", "2024-03-01 01:00:00")] == (0, 1.0)   # filled + locf
+    assert got[("a", "2024-03-01 02:00:00")] == (0, 1.0)
+    assert got[("a", "2024-03-01 03:00:00")] == (1, 4.0)
+    # key b: single bucket → no fills; spine is per-key, not global
+    assert len([k for k in got if k[0] == "b"]) == 1
+
+
+def test_gapfill_validation(spark):
+    f = _hist_events(spark)
+    hourly = time_rollup(f, "ts", "hour", n="count")
+    with pytest.raises(ValueError, match="grain"):
+        ru.gapfill(hourly, "month", keys="n")
+    with pytest.raises(ValueError, match="key column"):
+        ru.gapfill(hourly, "hour")
