@@ -2406,6 +2406,63 @@ def line_dedup_boilerplate(spark, sf_dir):
     return tx.dedup_lines(Frame(docs), min_dup=5).sdf
 
 
+@q("quality_check_report", """
+SELECT 'not_null(o_orderkey)' AS "check",
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+       COUNT(*) AS total,
+       SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'unique(o_orderkey)',
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT), COUNT(*),
+       COUNT(*) = COUNT(DISTINCT o_orderkey)
+FROM orders
+UNION ALL
+SELECT 'in_range(o_totalprice, 0, 50000)',
+       CAST(SUM(CASE WHEN NOT (o_totalprice BETWEEN 0 AND 50000)
+                     THEN 1 ELSE 0 END) AS BIGINT), COUNT(*),
+       SUM(CASE WHEN NOT (o_totalprice BETWEEN 0 AND 50000)
+                THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'accepted_values(o_orderstatus)',
+       CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F')
+                     THEN 1 ELSE 0 END) AS BIGINT), COUNT(*),
+       SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'ref_integrity(o_custkey -> c_custkey)',
+       (SELECT COUNT(*) FROM orders o
+        LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          ON o.o_custkey = c.c_custkey
+        WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL),
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders o
+        LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          ON o.o_custkey = c.c_custkey
+        WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) = 0
+""")
+def quality_check_report(spark, sf_dir):
+    """Declarative data-quality suite (operators/checks.py — the Deequ
+    shape): every aggregate check compiles into ONE single-pass
+    aggregate over the table (adding a check adds a counter, not a
+    job); referential integrity runs as an anti-join count. The
+    in_range and accepted_values checks FAIL on real data
+    deliberately, proving the violation counting, not just the happy
+    path."""
+    from crysda_spark.operators import checks as ck
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    report = ck.run_checks(o, [
+        ck.not_null("o_orderkey"),
+        ck.unique("o_orderkey"),
+        ck.in_range("o_totalprice", 0, 50000),
+        ck.accepted_values("o_orderstatus", ["O", "F"]),
+        ck.ref_integrity("o_custkey", c, "c_custkey"),
+    ])
+    return report.sdf
+
+
 @q("rollup_gapfill_locf", """
 WITH h AS (
   SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,

@@ -1,0 +1,113 @@
+"""Declarative data-quality checks (the Deequ/dbt-tests surface).
+
+A check compiles to an aggregate expression counting VIOLATIONS; all
+aggregate checks on one frame run in a SINGLE pass over the data (one
+scan, one 1-row aggregate — adding a check costs one counter, not one
+job). Referential checks need a join and union in as extra plans.
+
+``run_checks`` returns a report Frame (check, violations, total,
+passed) — feed it to an alerting sink or assert_empty in CI.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..frame import Frame
+
+__all__ = ["not_null", "unique", "in_range", "matches", "accepted_values",
+           "satisfies", "ref_integrity", "run_checks"]
+
+
+@dataclass(frozen=True)
+class Check:
+    name: str
+    kind: str                 # "agg" | "ref"
+    payload: Any              # Column (agg) | (frame, col, ref_col) (ref)
+
+
+def not_null(col: str) -> Check:
+    return Check(f"not_null({col})", "agg",
+                 F.sum(F.col(col).isNull().cast("long")))
+
+
+def unique(*cols: str) -> Check:
+    """Rows must be unique on ``cols``. Rows with a NULL key component
+    count as violations (they cannot be identified), as do all copies
+    beyond the first of each duplicated key."""
+    name = f"unique({', '.join(cols)})"
+    return Check(name, "agg",
+                 F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols]))
+
+
+def in_range(col: str, lo, hi) -> Check:
+    """Non-null values must lie in [lo, hi] (nulls are not_null's job)."""
+    return Check(f"in_range({col}, {lo}, {hi})", "agg",
+                 F.sum((~F.col(col).between(lo, hi)).cast("long")))
+
+
+def matches(col: str, pattern: str) -> Check:
+    return Check(f"matches({col})", "agg",
+                 F.sum((~F.col(col).rlike(pattern)).cast("long")))
+
+
+def accepted_values(col: str, values) -> Check:
+    return Check(f"accepted_values({col})", "agg",
+                 F.sum((~F.col(col).isin(*values)).cast("long")))
+
+
+def satisfies(name: str, predicate: Column) -> Check:
+    """Custom row predicate that must hold; violations = rows where it
+    is false or NULL (SQL three-valued logic would otherwise let null
+    rows slip through a constraint)."""
+    ok = F.when(predicate, True).otherwise(False)
+    return Check(f"satisfies({name})", "agg", F.sum((~ok).cast("long")))
+
+
+def ref_integrity(col: str, ref: Frame, ref_col: str) -> Check:
+    """Every non-null value of ``col`` must exist in ``ref.ref_col``
+    (foreign key). Executes as a left-anti join count."""
+    return Check(f"ref_integrity({col} -> {ref_col})", "ref",
+                 (ref, col, ref_col))
+
+
+def run_checks(f: Frame, checks: list[Check]) -> Frame:
+    """Evaluate checks against ``f``: one aggregate pass for all "agg"
+    checks + one anti-join per referential check, unioned into a report
+    Frame (check, violations, total, passed)."""
+    if not checks:
+        raise ValueError("run_checks: no checks given")
+    sdf = f.sdf
+    spark = sdf.sparkSession
+    parts = []
+    agg_checks = [c for c in checks if c.kind == "agg"]
+    if agg_checks:
+        row = sdf.agg(F.count(F.lit(1)).alias("_total"),
+                      *[F.coalesce(c.payload, F.lit(0)).alias(f"_v{i}")
+                        for i, c in enumerate(agg_checks)])
+        stack = ", ".join(f"'{c.name.replace(chr(39), '')}', _v{i}"
+                          for i, c in enumerate(agg_checks))
+        parts.append(row.selectExpr(
+            f"stack({len(agg_checks)}, {stack}) as (check, violations)",
+            "_total as total"))
+    for c in checks:
+        if c.kind != "ref":
+            continue
+        ref, col, ref_col = c.payload
+        bad = (sdf.select(F.col(col)).filter(F.col(col).isNotNull())
+               .join(ref.sdf.select(F.col(ref_col).alias(col)).distinct(),
+                     on=col, how="left_anti"))
+        parts.append(bad.agg(F.count(F.lit(1)).alias("violations"))
+                     .crossJoin(sdf.agg(F.count(F.lit(1)).alias("total")))
+                     .select(F.lit(c.name).alias("check"), "violations",
+                             "total"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return Frame(out.select("check", F.col("violations").cast("long").alias("violations"),
+                            F.col("total").cast("long").alias("total"),
+                            (F.col("violations") == 0).alias("passed")))

@@ -1,0 +1,62 @@
+"""Data-quality checks (operators/checks.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crysda_spark import Frame
+from crysda_spark.operators import checks as ck
+
+
+@pytest.fixture()
+def dirty(spark):
+    rows = [
+        (1, "a@x.com", 10.0, "gold"),
+        (2, None, 20.0, "gold"),          # null email
+        (2, "b@x.com", -5.0, "silver"),   # dup id, out-of-range v
+        (4, "not-an-email", 30.0, "tin"), # bad format, bad tier
+    ]
+    return Frame(spark.createDataFrame(rows, "id long, email string, v double, tier string"))
+
+
+def test_run_checks_single_pass_report(dirty, spark):
+    ref = Frame(spark.createDataFrame([(1,), (2,)], "id long"))
+    report = ck.run_checks(dirty, [
+        ck.not_null("email"),
+        ck.unique("id"),
+        ck.in_range("v", 0.0, 100.0),
+        ck.matches("email", r"^[^@]+@[^@]+\.[a-z]+$"),
+        ck.accepted_values("tier", ["gold", "silver"]),
+        ck.satisfies("positive_when_gold", (F.col("tier") != "gold") | (F.col("v") > 0)),
+        ck.ref_integrity("id", ref, "id"),
+    ])
+    got = {r["check"]: (r["violations"], r["total"], r["passed"])
+           for r in report.sdf.collect()}
+    assert got["not_null(email)"] == (1, 4, False)
+    assert got["unique(id)"] == (1, 4, False)
+    assert got["in_range(v, 0.0, 100.0)"] == (1, 4, False)
+    assert got["matches(email)"][0] == 1          # null row not a format violation
+    assert got["accepted_values(tier)"] == (1, 4, False)
+    assert got["satisfies(positive_when_gold)"] == (0, 4, True)
+    assert got["ref_integrity(id -> id)"] == (1, 4, False)   # id 4 unmatched
+
+
+def test_run_checks_clean_frame_passes(spark):
+    f = Frame(spark.createDataFrame([(1, 5.0), (2, 6.0)], "id long, v double"))
+    report = ck.run_checks(f, [ck.not_null("v"), ck.unique("id"),
+                               ck.in_range("v", 0.0, 10.0)])
+    assert all(r["passed"] for r in report.sdf.collect())
+
+
+def test_run_checks_agg_checks_are_one_pass(dirty):
+    from crysda_spark.plans.inspect import scan_health
+    report = ck.run_checks(dirty, [ck.not_null("email"), ck.unique("id"),
+                                   ck.in_range("v", 0.0, 100.0)])
+    # all aggregate checks share ONE scan of the frame
+    assert len(scan_health(report.sdf)) <= 1
+
+
+def test_run_checks_requires_checks(dirty):
+    with pytest.raises(ValueError, match="no checks"):
+        ck.run_checks(dirty, [])
