@@ -2406,6 +2406,37 @@ def line_dedup_boilerplate(spark, sf_dir):
     return tx.dedup_lines(Frame(docs), min_dup=5).sdf
 
 
+@q("key_skew_report_orders", """
+WITH tagged AS (
+  SELECT 'o_orderpriority' AS "column", CAST(o_orderpriority AS VARCHAR) AS value
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', CAST(o_orderstatus AS VARCHAR) FROM orders),
+counts AS (SELECT "column", value, COUNT(*) AS n FROM tagged GROUP BY 1, 2),
+stats AS (SELECT "column", SUM(n) AS total, COUNT(*) AS nd
+          FROM counts GROUP BY 1),
+ranked AS (SELECT "column", value, n,
+                  ROW_NUMBER() OVER (PARTITION BY "column"
+                                     ORDER BY n DESC, value) AS rank
+           FROM counts)
+SELECT r."column", r.value, r.n,
+       ROUND(CAST(r.n AS DOUBLE) / s.total, 6) AS share,
+       ROUND(CAST(r.n AS DOUBLE) * s.nd / s.total, 4) AS skew_ratio,
+       CAST(r.rank AS INT) AS rank
+FROM ranked r JOIN stats s USING ("column")
+WHERE r.rank <= 3
+""")
+def key_skew_report_orders(spark, sf_dir):
+    """Skew diagnostics (plans/skew.key_skew_report): heaviest values
+    per candidate join/agg key with share and uniform-spread skew
+    ratio — the pre-flight look that decides salting before a stage
+    burns. Multi-column profile in ONE tagged-union shuffle."""
+    from crysda_spark.plans.skew import key_skew_report
+    o = _t(spark, sf_dir, "orders")
+    out = key_skew_report(o.sdf, "o_orderpriority", "o_orderstatus", top=3)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
 @q("quality_check_report", """
 SELECT 'not_null(o_orderkey)' AS "check",
        CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,

@@ -61,3 +61,37 @@ def salted_agg(sdf: SparkDF, keys: list[str], aggs: dict[str, Column],
     salted = sdf.withColumn(SALT, (F.rand(seed=42) * salt).cast("int"))
     part = salted.groupBy(*keys, SALT).agg(*partial_cols)
     return part.groupBy(*keys).agg(*final_cols)
+
+
+def key_skew_report(sdf: SparkDF, *cols: str, top: int = 10) -> SparkDF:
+    """Per candidate key column: the ``top`` heaviest values with their
+    share of rows and the skew ratio vs a perfectly uniform spread
+    (heavy_count · distinct / total — 1.0 means uniform; a join or agg
+    keyed on a column whose top value shows ratio ≫ shuffle-partition
+    count is a salting/AQE-skew candidate BEFORE it burns a stage).
+
+    One groupBy per column (tagged union — a single shuffle whose keys
+    are (column-tag, value)); output is tiny:
+    (column, value, n, share, skew_ratio, rank).
+    """
+    if not cols:
+        raise ValueError("key_skew_report: name at least one column")
+    from pyspark.sql.window import Window as W
+
+    tagged = None
+    for c in cols:
+        t = sdf.select(F.lit(c).alias("column"),
+                       F.col(c).cast("string").alias("value"))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    counts = tagged.groupBy("column", "value").agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.groupBy("column").agg(
+        F.sum("n").alias("_total"), F.count(F.lit(1)).alias("_distinct"))
+    rank = F.row_number().over(
+        W.partitionBy("column").orderBy(F.col("n").desc(), F.col("value")))
+    return (counts.withColumn("rank", rank).filter(F.col("rank") <= top)
+            .join(stats, on="column")
+            .select("column", "value", "n",
+                    F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+                    F.round(F.col("n") * F.col("_distinct") / F.col("_total"),
+                            4).alias("skew_ratio"),
+                    "rank"))

@@ -109,3 +109,25 @@ def test_bucketed_join_skips_exchange(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_key_skew_report_flags_hot_key(spark):
+    from crysda_spark import Frame
+    from crysda_spark.plans.skew import key_skew_report
+    rows = [(1, "hot")] * 90 + [(i, f"k{i}") for i in range(10)]
+    sdf = spark.createDataFrame(rows, "id long, k string")
+    out = {(r["column"], r["value"]): r
+           for r in key_skew_report(sdf, "k", top=2).collect()}
+    hot = out[("k", "hot")]
+    assert hot["rank"] == 1 and hot["n"] == 90
+    assert abs(hot["share"] - 0.9) < 1e-9
+    # 11 distinct keys, 100 rows: uniform would be ~9 rows -> ratio ~9.9
+    assert abs(hot["skew_ratio"] - round(90 * 11 / 100, 4)) < 1e-9
+
+
+def test_key_skew_report_requires_columns(spark):
+    import pytest
+    from crysda_spark.plans.skew import key_skew_report
+    sdf = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="at least one"):
+        key_skew_report(sdf)
