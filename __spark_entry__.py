@@ -2570,14 +2570,16 @@ def rollup_cms_heavy_keys(spark, sf_dir):
     spec = ("cms", "user_id", 4, 64)
     hourly = time_rollup(ev, "ts", "hour", c=spec)
     daily = merge_rollup(hourly, "day", from_grain="hour", c=spec)
-    parts = [daily.sdf.select(F.col("bucket"),
-                              F.lit(k).cast("long").alias("key"),
-                              cms_estimate("c", F.lit(k), 4, 64).alias("est"))
-             for k in (1, 2, 3, 42, 999983)]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # all probes read from ONE pass over the daily sketches: estimates
+    # as columns, then stack-unpivot (a per-probe union would recompute
+    # the whole cascade once per key)
+    probes = (1, 2, 3, 42, 999983)
+    wide = daily.sdf.select(
+        "bucket", *[cms_estimate("c", F.lit(k), 4, 64).alias(f"_e{i}")
+                    for i, k in enumerate(probes)])
+    stack = ", ".join(f"CAST({k} AS BIGINT), _e{i}" for i, k in enumerate(probes))
+    return wide.selectExpr(
+        "bucket", f"stack({len(probes)}, {stack}) as (key, est)")
 
 
 @q("rollup_moments_stddev", """

@@ -9,8 +9,11 @@ support; this module follows the same iterative-relational pattern as
 - each power iteration is two shuffles (ranks⋈edges on src, then a
   groupBy(dst) contribution sum), both expressed declaratively so AQE
   handles skewed hubs;
-- ``localCheckpoint`` every few rounds truncates the growing lineage —
-  without it iteration i re-plans all previous joins;
+- ``localCheckpoint`` EVERY round (default) truncates the lineage:
+  each round reads ``ranks`` twice (dangling mass + contributions), so
+  un-checkpointed lineage DOUBLES per iteration — O(2^rounds) replans,
+  not just long ones. Raise ``checkpoint_every`` only if you know the
+  round count is tiny;
 - dangling-node mass (nodes with no out-edges) is redistributed
   uniformly each round, keeping Σrank = 1 exactly (Page et al. 1999,
   "The PageRank citation ranking", §2.7 dangling handling).
@@ -40,7 +43,7 @@ def out_degrees(edges: Frame, src: str = "src") -> Frame:
 
 def pagerank(edges: Frame, src: str = "src", dst: str = "dst",
              damping: float = 0.85, max_iter: int = 10, tol: float = 0.0,
-             checkpoint_every: int = 4) -> Frame:
+             checkpoint_every: int = 1) -> Frame:
     """PageRank over a directed edge list (duplicate edges count once —
     the edge list is distinct-ed on entry, matching the host-graph
     convention). Returns (node, rank); Σrank = 1 up to float error.
@@ -54,8 +57,11 @@ def pagerank(edges: Frame, src: str = "src", dst: str = "dst",
         if c in _RESERVED:
             raise ValueError(f"pagerank: column {c!r} collides with internal "
                              f"working columns {sorted(_RESERVED)}")
+    # materialize the (possibly expensive) edge derivation ONCE — every
+    # round joins against it twice, and GraphX-style iteration always
+    # pins the edge table rather than replaying its lineage per round
     e = (edges.sdf.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
-         .distinct())
+         .distinct().localCheckpoint(eager=True))
     nodes = (e.select(F.col("_src").alias("node"))
              .union(e.select(F.col("_dst").alias("node")))
              .distinct().localCheckpoint(eager=True))

@@ -82,6 +82,23 @@ EXPECTED = {
     "line_dedup_boilerplate": dict(scans=2, exchanges=2, bhj=1, smj=0),
     "centroid_assign_counts": dict(scans=1, exchanges=1, bhj=0, smj=0),
     "nb_lang_confusion": dict(scans=8, exchanges=13, bhj=6, smj=0),
+    "sessionize_user_gaps": dict(scans=1, exchanges=1, bhj=0, smj=0),
+    "merge_upsert_snapshot": dict(scans=3, exchanges=2, bhj=0, smj=1),
+    "tfidf_top_terms": dict(scans=2, exchanges=4, bhj=1, smj=0),
+    "rollup_hist_quantile": dict(scans=1, exchanges=2, bhj=0, smj=0),
+    "rollup_moments_stddev": dict(scans=1, exchanges=2, bhj=0, smj=0),
+    # cms: estimates stack-unpivoted from ONE cascade pass (a per-probe
+    # union would recompute the rollup once per key — scans would jump
+    # to n_probes and this lock is what catches that regression)
+    "rollup_cms_heavy_keys": dict(scans=1, exchanges=2, bhj=0, smj=0),
+    "rollup_gapfill_locf": dict(scans=2, exchanges=2, bhj=1, smj=0),
+    "zorder_key_parts": dict(scans=1, exchanges=0, bhj=0, smj=0),
+    "quality_check_report": dict(scans=4, exchanges=5, bhj=1, smj=0),
+    "key_skew_report_orders": dict(scans=4, exchanges=4, bhj=1, smj=0),
+    # pagerank materializes per-round via localCheckpoint: the final
+    # plan is ONE checkpoint scan, zero exchanges — lineage-doubling
+    # regressions show up here as scans/exchanges exploding
+    "pagerank_cust_supplier": dict(scans=1, exchanges=0, bhj=0, smj=0),
 }
 
 
