@@ -3038,7 +3038,8 @@ def semantic_dedup_groups(spark, sf_dir):
     corpus = Frame(base.unionByName(clone(7, 100007))
                    .unionByName(clone(7, 200007, scale=1.5))
                    .unionByName(clone(11, 100011)))
-    marks = cl.semantic_dedup(corpus, n_cells=8, threshold=0.999)
+    marks = cl.semantic_dedup(corpus, n_cells=8, threshold=0.999,
+                              kmeans_max_iter=8)
     g = F.when(F.col("id").isin(7, 100007, 200007), "g7") \
          .when(F.col("id").isin(11, 100011), "g11").otherwise("rest")
     out = (marks.sdf.groupBy(g.alias("grp"))

@@ -189,7 +189,8 @@ def semantic_dedup(corpus: Frame, n_cells: int = 16, threshold: float = 0.95,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    sample_fraction: float = 1.0, seed: int = 42,
                    keep: str = "far", max_exact_cell: int = 8192,
-                   lsh_tables: int = 8, lsh_bits: int = 12) -> Frame:
+                   lsh_tables: int = 8, lsh_bits: int = 12,
+                   kmeans_max_iter: int = 20) -> Frame:
     """SemDeDup: spherical k-means cells → within-cell cosine dedup.
 
     Returns one row per input row: ``(id, cell, is_survivor,
@@ -209,9 +210,12 @@ def semantic_dedup(corpus: Frame, n_cells: int = 16, threshold: float = 0.95,
     """
     if keep not in ("far", "near"):
         raise ValueError(f"semantic_dedup: keep must be far|near, got {keep!r}")
+    # cells only PARTITION the space — dedup correctness comes from the
+    # within-cell verification, so capped iterations (like ivf_topk) are
+    # a pure speed knob
     centroids = kmeans_centroids(corpus, n_cells, vec_col=vec_col,
                                  sample_fraction=sample_fraction, seed=seed,
-                                 normalize=True)
+                                 max_iter=kmeans_max_iter, normalize=True)
     cm = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True),
                                 1e-12)
     slim = corpus.sdf.select(F.col(id_col).cast("long").alias("id"), vec_col)
