@@ -2406,6 +2406,43 @@ def line_dedup_boilerplate(spark, sf_dir):
     return tx.dedup_lines(Frame(docs), min_dup=5).sdf
 
 
+@q("fuzzy_join_suppliers", """
+WITH dirty AS (
+  SELECT s_suppkey + 100000 AS did,
+         CASE WHEN s_suppkey % 3 = 0
+                THEN substr(s_name, 1, 8) || 'X' || substr(s_name, 10)
+              WHEN s_suppkey % 3 = 1
+                THEN substr(s_name, 1, length(s_name) - 1)
+              ELSE s_name || 'XY' END AS dname
+  FROM supplier)
+SELECT d.did, s.s_suppkey,
+       CAST(levenshtein(d.dname, s.s_name) AS INT) AS edit_distance
+FROM dirty d JOIN supplier s ON levenshtein(d.dname, s.s_name) <= 2
+""")
+def fuzzy_join_suppliers(spark, sf_dir):
+    """Edit-distance join (operators/fuzzy.fuzzy_join — the entity-
+    resolution primitive): supplier names corrupted three ways
+    (substitution / truncation / suffix, all distance ≤ 2) re-match
+    the clean list. The Spark plan blocks on the length-band lower
+    bound and runs an EQUI-join (no nested loop — pytest pins it);
+    the oracle is the naive cross join + filter, proving the blocking
+    loses nothing."""
+    from crysda_spark.operators.fuzzy import fuzzy_join
+    s = _t(spark, sf_dir, "supplier")
+    dname = (F.when(F.col("s_suppkey") % 3 == 0,
+                    F.concat(F.expr("substring(s_name, 1, 8)"), F.lit("X"),
+                             F.expr("substring(s_name, 10, length(s_name))")))
+             .when(F.col("s_suppkey") % 3 == 1,
+                   F.expr("substring(s_name, 1, length(s_name) - 1)"))
+             .otherwise(F.concat(F.col("s_name"), F.lit("XY"))))
+    dirty = Frame(s.sdf.select((F.col("s_suppkey") + 100000).alias("did"),
+                               dname.alias("dname")))
+    clean = Frame(s.sdf.select("s_suppkey", "s_name"))
+    out = fuzzy_join(dirty, clean, "dname", "s_name", max_distance=2)
+    return out.sdf.select("did", "s_suppkey",
+                          F.col("edit_distance").cast("int").alias("edit_distance"))
+
+
 @q("key_skew_report_orders", """
 WITH tagged AS (
   SELECT 'o_orderpriority' AS "column", CAST(o_orderpriority AS VARCHAR) AS value
