@@ -2406,6 +2406,34 @@ def line_dedup_boilerplate(spark, sf_dir):
     return tx.dedup_lines(Frame(docs), min_dup=5).sdf
 
 
+@q("sample_weighted_quality")  # seeded randomness — rows-only w/ contract gate
+def sample_weighted_quality(spark, sf_dir):
+    """Weighted sampling without replacement (packing.sample_weighted,
+    Efraimidis-Spirakis exponential keys): draw 100 documents with
+    probability ∝ length — the quality-weighted data-mix primitive.
+    Contract gate: exactly 100 rows, none from the planted zero-weight
+    block, and the draw is reproducible (two runs identical)."""
+    from crysda_spark.pipeline.packing import sample_weighted
+    d = _t(spark, sf_dir, "documents")
+    base = d.sdf.select("doc_id", F.col("n_chars").cast("double").alias("w"))
+    poisoned = base.unionByName(
+        base.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.lit(0.0).alias("w")))
+    samp = sample_weighted(Frame(poisoned), "w", n=100, seed=11)
+    rows = samp.sdf.select("doc_id").collect()      # 100 rows, bounded
+    ids = sorted(r["doc_id"] for r in rows)
+    again = sorted(r["doc_id"] for r in
+                   sample_weighted(Frame(poisoned), "w", n=100, seed=11)
+                   .sdf.select("doc_id").collect())
+    ok = (len(ids) == 100 and all(i < 1000000 for i in ids) and ids == again)
+    if not ok:
+        raise AssertionError(
+            f"weighted-sample gate: n={len(ids)}, "
+            f"zero-weight leaked={any(i >= 1000000 for i in ids)}, "
+            f"deterministic={ids == again}")
+    return samp.sdf.select("doc_id", "w")
+
+
 @q("fuzzy_join_suppliers", """
 WITH dirty AS (
   SELECT s_suppkey + 100000 AS did,

@@ -191,3 +191,39 @@ def shard_by_budget(f: Frame, order_by, size_col: str, budget: int,
                        .cast("long"))
            .drop("__cum__"))
     return Frame(out)
+
+
+def sample_weighted(f: Frame, weight_col: str, n: int,
+                    seed: int = 42, by: str | list[str] | None = None) -> Frame:
+    """Weighted sampling WITHOUT replacement: keep ``n`` rows where a
+    row's inclusion probability is proportional to ``weight_col`` —
+    the quality-weighted data-mix draw (sample by model score instead
+    of uniformly).
+
+    Algorithm: Efraimidis & Spirakis 2006 — each row draws an
+    exponential sort key ``−ln(u)/w`` and the n SMALLEST keys win;
+    provably equivalent to sequential weighted draws, embarrassingly
+    parallel, one top-n (per group with ``by``). Zero/negative/null
+    weights never sample. Deterministic for a fixed seed.
+
+    At scale the top-n is a window over the group (or a global
+    rank for ``by=None`` — same TakeOrdered shape as any top-k);
+    n must be small enough to collect per group into one partition's
+    sort, which is what "take a sample" means.
+    """
+    if n < 0:
+        raise ValueError(f"sample_weighted: n must be ≥ 0, got {n}")
+    from pyspark.sql import Window as W
+
+    w = F.col(weight_col).cast("double")
+    # rand(seed) is deterministic per row position; clamp away exact 0
+    u = F.greatest(F.rand(seed), F.lit(1e-12))
+    key = F.when(w > 0, -F.log(u) / w)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    win = (W.partitionBy(*keys) if keys else W.partitionBy()).orderBy(
+        F.col("__k__").asc_nulls_last(), F.col("__u__"))
+    out = (f.sdf.withColumn("__u__", u).withColumn("__k__", key)
+           .withColumn("__rn__", F.row_number().over(win))
+           .filter(F.col("__k__").isNotNull() & (F.col("__rn__") <= n))
+           .drop("__u__", "__k__", "__rn__"))
+    return Frame(out)

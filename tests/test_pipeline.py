@@ -825,3 +825,46 @@ def test_dedup_lines_keep_validation(spark):
     corpus = Frame(spark.createDataFrame([(1, "x")], "doc_id long, text string"))
     with pytest.raises(ValueError, match="none|first"):
         tx.dedup_lines(corpus, keep="last")
+
+
+# ------------------------------------------------------ weighted sampling
+def test_sample_weighted_counts_and_zero_weights(spark):
+    from crysda_spark.pipeline.packing import sample_weighted
+    rows = [(i, 1.0 if i < 50 else 0.0) for i in range(100)]
+    f = Frame(spark.createDataFrame(rows, "id long, w double"))
+    got = sample_weighted(f, "w", n=20, seed=7).sdf.collect()
+    assert len(got) == 20
+    assert all(r["id"] < 50 for r in got)      # zero weights never sample
+    # deterministic for a fixed seed
+    again = sample_weighted(f, "w", n=20, seed=7).sdf.collect()
+    assert sorted(r["id"] for r in got) == sorted(r["id"] for r in again)
+
+
+def test_sample_weighted_prefers_heavy_rows(spark):
+    from crysda_spark.pipeline.packing import sample_weighted
+    # 10 heavy rows (w=50) vs 90 light (w=1): heavy should dominate
+    rows = [(i, 50.0 if i < 10 else 1.0) for i in range(100)]
+    f = Frame(spark.createDataFrame(rows, "id long, w double"))
+    heavy = 0
+    for seed in range(5):
+        got = sample_weighted(f, "w", n=10, seed=seed).sdf.collect()
+        heavy += sum(1 for r in got if r["id"] < 10)
+    # E[heavy per draw] ≈ 8-9 of 10; across 5 seeds demand a clear majority
+    assert heavy >= 30, heavy
+
+
+def test_sample_weighted_per_group(spark):
+    from crysda_spark.pipeline.packing import sample_weighted
+    rows = [(i, "a" if i % 2 == 0 else "b", 1.0) for i in range(40)]
+    f = Frame(spark.createDataFrame(rows, "id long, g string, w double"))
+    got = sample_weighted(f, "w", n=3, by="g").sdf.collect()
+    from collections import Counter
+    assert Counter(r["g"] for r in got) == {"a": 3, "b": 3}
+
+
+def test_sample_weighted_oversample_returns_all_positive(spark):
+    from crysda_spark.pipeline.packing import sample_weighted
+    f = Frame(spark.createDataFrame(
+        [(1, 2.0), (2, 0.0), (3, 1.0)], "id long, w double"))
+    got = sample_weighted(f, "w", n=10).sdf.collect()
+    assert sorted(r["id"] for r in got) == [1, 3]
