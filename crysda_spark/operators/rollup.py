@@ -83,9 +83,11 @@ def _hist_merge(name: str, nbins: int) -> Column:
 
 def hist_quantile(col, q: float, lo: float, hi: float, nbins: int) -> Column:
     """Interpolated quantile from a ``hist`` measure column — the read-
-    time companion of the mergeable histogram (error bounded by one bin
-    width). Deterministic arithmetic, so the whole cascade + quantile
-    is SQL-oracle-able. Returns NULL for an all-empty histogram;
+    time companion of the mergeable histogram. Error contract: within
+    one bin width of the EMPIRICAL-CDF inverse (the type-1 /
+    ``inverted_cdf`` quantile — the found bin contains that order
+    statistic; Hypothesis-fuzzed). Deterministic arithmetic, so the
+    whole cascade + quantile is SQL-oracle-able. Returns NULL for an all-empty histogram;
     q=0 → start of the first occupied bin, q=1 → end of the last."""
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"hist_quantile: q must be in [0, 1], got {q}")

@@ -145,3 +145,52 @@ def test_mean_strict_vs_skip(spark, vals):
     if has_null:
         with pytest.raises(Exception):
             f.summarize(m=agg.mean("x")).sdf.collect()
+
+
+# ------------------------------------------------- sketch-family fuzzing
+@given(vals=st.lists(st.floats(min_value=0.0, max_value=100.0,
+                               allow_nan=False), min_size=1, max_size=40),
+       q=st.sampled_from([0.0, 0.1, 0.5, 0.9, 1.0]),
+       nbins=st.sampled_from([4, 10, 25]))
+@SLOW
+def test_hist_quantile_within_bin_width_fuzz(spark, vals, q, nbins):
+    """hist_quantile must stay within one bin width of the EMPIRICAL-CDF
+    inverse (numpy method='inverted_cdf') for ANY data/bins/q: the found
+    bin contains that order statistic, so both values share a bin. (The
+    bound does NOT hold vs numpy's default order-statistic interpolation
+    on tiny samples — two points 49 apart interpolate across the gap,
+    which no histogram can track.)"""
+    import numpy as np
+    from crysda_spark import Frame
+    from crysda_spark.operators.rollup import hist_quantile, time_rollup
+    f = Frame(spark.createDataFrame(
+        [("2024-01-01 00:00:00", float(v)) for v in vals],
+        "ts string, v double").withColumn("ts", F.col("ts").cast("timestamp")))
+    daily = time_rollup(f, "ts", "day", h=("hist", "v", 0.0, 100.0, nbins))
+    got = daily.sdf.select(
+        hist_quantile("h", q, 0.0, 100.0, nbins).alias("p")).collect()[0]["p"]
+    exact = float(np.quantile(np.array(vals), q, method="inverted_cdf"))
+    width = 100.0 / nbins
+    assert abs(got - exact) <= width + 1e-9, (got, exact, width)
+
+
+@given(vals=st.lists(st.floats(min_value=-1000.0, max_value=1000.0,
+                               allow_nan=False), min_size=2, max_size=40))
+@SLOW
+def test_moments_match_numpy_fuzz(spark, vals):
+    import numpy as np
+    from crysda_spark import Frame
+    from crysda_spark.operators.rollup import (moments_mean, moments_stddev,
+                                               time_rollup)
+    # decimal(28,8) state: quantize inputs to 4 decimals so the exact-sum
+    # contract is about ACCUMULATION, not input rounding
+    vals = [round(v, 4) for v in vals]
+    f = Frame(spark.createDataFrame(
+        [("2024-01-01 00:00:00", float(v)) for v in vals],
+        "ts string, v double").withColumn("ts", F.col("ts").cast("timestamp")))
+    daily = time_rollup(f, "ts", "day", m=("moments", "v"))
+    got = daily.sdf.select(moments_mean("m").alias("mu"),
+                           moments_stddev("m").alias("sd")).collect()[0]
+    a = np.array(vals)
+    assert got["mu"] == pytest.approx(a.mean(), rel=1e-9, abs=1e-9)
+    assert got["sd"] == pytest.approx(a.std(ddof=1), rel=1e-7, abs=1e-9)
