@@ -46,6 +46,19 @@ def main() -> None:
             from crysda_spark.plans.cache import release_pinned
             release_pinned()
             spark.catalog.clearCache()
+            # clearCache does NOT release localCheckpoint RDDs or
+            # broadcasts whose py4j handles are already unreferenced —
+            # Spark's ContextCleaner frees those only after a DRIVER
+            # GC. Iterative/broadcast-heavy queries (CC, PageRank,
+            # k-means, PQ) otherwise leak executor storage across the
+            # run and later heavyweight queries get timed under memory
+            # pressure (measured 2.4x inflation by query ~120).
+            import gc
+            gc.collect()
+            try:
+                spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
