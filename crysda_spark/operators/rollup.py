@@ -422,6 +422,12 @@ def gapfill(f: Frame, grain: str, keys: list[str] | tuple | str = (),
     if not keys:
         raise ValueError("gapfill: need at least one key column "
                          "(add a constant column to densify globally)")
+    locf_cols = [locf] if isinstance(locf, str) else list(locf)
+    unknown = [c for c in [*(fill or {}), *locf_cols] if c not in f.columns]
+    if unknown:
+        # withColumn would silently CREATE a typo'd column instead of
+        # filling the intended one
+        raise ValueError(f"gapfill: fill/locf columns not in frame: {unknown}")
     step = _GRAIN_SECONDS[grain]
     spine = (f.sdf.groupBy(*keys)
              .agg(F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi"))
@@ -432,10 +438,10 @@ def gapfill(f: Frame, grain: str, keys: list[str] | tuple | str = (),
     out = spine.join(f.sdf, on=[*keys, bucket_col], how="left")
     for col, v in (fill or {}).items():
         out = out.withColumn(col, F.coalesce(F.col(col), F.lit(v)))
-    if locf:
+    if locf_cols:
         from pyspark.sql.window import Window as _W
         w = (_W.partitionBy(*keys).orderBy(bucket_col)
              .rowsBetween(_W.unboundedPreceding, _W.currentRow))
-        for col in ([locf] if isinstance(locf, str) else list(locf)):
+        for col in locf_cols:
             out = out.withColumn(col, F.last(col, ignorenulls=True).over(w))
     return Frame(out)

@@ -320,3 +320,13 @@ def test_gapfill_validation(spark):
         ru.gapfill(hourly, "month", keys="n")
     with pytest.raises(ValueError, match="key column"):
         ru.gapfill(hourly, "hour")
+
+
+def test_gapfill_rejects_unknown_fill_columns(spark):
+    f = _hist_events(spark)
+    hourly = time_rollup(f, "ts", "hour", keys=(), n="count")
+    hourly2 = Frame(hourly.sdf.withColumn("k", F.lit("x")))
+    with pytest.raises(ValueError, match="not in frame"):
+        ru.gapfill(hourly2, "hour", keys="k", fill={"typo": 0})
+    with pytest.raises(ValueError, match="not in frame"):
+        ru.gapfill(hourly2, "hour", keys="k", locf=["typo"])
