@@ -974,6 +974,40 @@ def q22_dormant_customers(spark, sf_dir):
                        totacctbal=F.sum(_dec("c_acctbal")).cast(OUT))).sdf
 
 
+@q("tpch_refresh_cycle", """
+WITH inserted AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 0),
+after_rf1 AS (
+  SELECT * FROM orders UNION ALL SELECT * FROM inserted),
+after_rf2 AS (
+  SELECT * FROM after_rf1 WHERE o_orderkey % 91 <> 0)
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM after_rf2 GROUP BY o_orderstatus
+""")
+def tpch_refresh_cycle(spark, sf_dir):
+    """TPC-H refresh functions (§2.27-2.28) as snapshot transforms:
+    RF1 inserts a new-sales batch (merge_into with no matches — pure
+    append through the same full-outer machinery), RF2 deletes old
+    orders (anti-join on the delete-key set). The maintained snapshot
+    then answers an aggregate, proving insert+delete compose with the
+    query surface."""
+    from crysda_spark.operators.merge import merge_into
+    o = _t(spark, sf_dir, "orders")
+    inserted = Frame(o.sdf.filter(F.col("o_orderkey") % 97 == 0)
+                     .withColumn("o_orderkey", F.col("o_orderkey") + 10000000))
+    after_rf1 = merge_into(o, inserted, on="o_orderkey")
+    deletes = after_rf1.filter(F.col("o_orderkey") % 91 == 0)
+    after_rf2 = after_rf1.anti_join(deletes.select(["o_orderkey"]),
+                                    by="o_orderkey")
+    return (after_rf2.group_by("o_orderstatus")
+            .summarize(n=F.count(F.lit(1)),
+                       total=F.sum(_dec("o_totalprice")).cast(OUT))).sdf
+
+
 @q("json_props_extract", """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
