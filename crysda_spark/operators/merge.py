@@ -22,12 +22,17 @@ __all__ = ["merge_into"]
 def merge_into(target: Frame, source: Frame, on,
                when_matched: str = "update",
                when_not_matched: str = "insert",
-               delete_condition: Column | None = None) -> Frame:
+               delete_condition: Column | None = None,
+               validate_source_unique: bool = True) -> Frame:
     """SQL ``MERGE INTO`` subset as a pure snapshot transform.
 
     - ``on``: merge key column(s), present in both frames; source keys
-      must be UNIQUE (duplicate source keys would fan out matched
-      target rows, as in every MERGE implementation).
+      must be UNIQUE — duplicate source keys would silently fan out
+      matched target rows, so by default the plan carries a lazy
+      per-row assertion that FAILS THE JOB on a duplicate source key
+      (one window pass over the source — cheap next to the join;
+      ``validate_source_unique=False`` drops it for pre-deduped CDC
+      feeds).
     - ``when_matched``: ``"update"`` (source row wins) or ``"keep"``
       (target row wins).
     - ``when_not_matched``: ``"insert"`` (source-only rows append) or
@@ -58,13 +63,28 @@ def merge_into(target: Frame, source: Frame, on,
     vals = [c for c in target.columns if c not in keys]
     t = target.sdf.withColumn("_t_present", F.lit(True))
     s = source.sdf
+    present = F.lit(True)
+    if validate_source_unique:
+        from pyspark.sql.window import Window as _W
+        kc = F.count(F.lit(1)).over(_W.partitionBy(*keys))
+        s = s.withColumn("_kc", kc)
+        # fold the assertion into the PRESENCE flag the join logic
+        # reads — a free-standing asserted column would be pruned by
+        # Catalyst and never evaluated (assert_true yields NULL on
+        # success, so the when() collapses to lit(True))
+        chk = F.assert_true(
+            F.col("_kc") == 1,
+            F.concat(F.lit("merge_into: duplicate source key "),
+                     F.concat_ws("|", *[F.col(k).cast("string")
+                                        for k in keys])))
+        present = F.when(chk.isNull(), F.lit(True))
     if delete_condition is not None:
         s = s.withColumn("_s_del", delete_condition)
     else:
         s = s.withColumn("_s_del", F.lit(False))
     s = (s.select(*[F.col(k) for k in keys],
-                  *[F.col(c).alias(f"_s_{c}") for c in vals], "_s_del")
-         .withColumn("_s_present", F.lit(True)))
+                  *[F.col(c).alias(f"_s_{c}") for c in vals], "_s_del",
+                  present.alias("_s_present")))
 
     j = t.join(s, on=keys, how="full_outer")
     matched = F.col("_t_present").isNotNull() & F.col("_s_present").isNotNull()

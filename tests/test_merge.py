@@ -73,3 +73,14 @@ def test_merge_rejects_bad_modes(frames):
         merge_into(t, s, on="k", when_not_matched="explode")
     with pytest.raises(ValueError, match="not in columns"):
         merge_into(t, s, on="zz")
+
+
+def test_merge_rejects_duplicate_source_keys(frames, spark):
+    t, _ = frames
+    dup = Frame(spark.createDataFrame(
+        [(2, "x", 1.0), (2, "y", 2.0)], "k long, name string, v double"))
+    with pytest.raises(Exception, match="duplicate source key"):
+        merge_into(t, dup, on="k").sdf.collect()
+    # escape hatch for pre-deduped feeds: no assertion in the plan
+    out = merge_into(t, dup, on="k", validate_source_unique=False)
+    assert out.sdf.count() == 4  # fan-out happens, caller opted in
