@@ -2440,6 +2440,39 @@ def line_dedup_boilerplate(spark, sf_dir):
     return tx.dedup_lines(Frame(docs), min_dup=5).sdf
 
 
+@q("bloom_prefiltered_revenue", """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""")
+def bloom_prefiltered_revenue(spark, sf_dir):
+    """Explicit Bloom runtime filter (plans/skew.bloom_prefilter):
+    the ASIA-supplier keys compress into a broadcast bit array and
+    prune lineitem MAP-SIDE before the join shuffles anything — the
+    semi-join-pushdown rewrite Spark only injects under specific plan
+    shapes, made explicit and composable. Bloom false positives are
+    join-transparent, so the plain SQL join IS an exact oracle of the
+    whole rewritten pipeline."""
+    from crysda_spark.plans.skew import bloom_prefilter
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dim = (s.inner_join(n, by=[("s_nationkey", "n_nationkey")])
+           .inner_join(r, by=[("n_regionkey", "r_regionkey")]))
+    li = _t(spark, sf_dir, "lineitem")
+    pre = bloom_prefilter(li.sdf, "l_suppkey", dim.sdf, "s_suppkey",
+                          nbits=1 << 16)
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    j = Frame(pre).inner_join(dim, by=[("l_suppkey", "s_suppkey")])
+    return j.group_by("n_name").summarize(revenue=F.sum(rev).cast(OUT)).sdf
+
+
 @q("sample_weighted_quality")  # seeded randomness — rows-only w/ contract gate
 def sample_weighted_quality(spark, sf_dir):
     """Weighted sampling without replacement (packing.sample_weighted,

@@ -95,3 +95,66 @@ def key_skew_report(sdf: SparkDF, *cols: str, top: int = 10) -> SparkDF:
                     F.round(F.col("n") * F.col("_distinct") / F.col("_total"),
                             4).alias("skew_ratio"),
                     "rank"))
+
+
+# ------------------------------------------------------- bloom prefilter
+_BLOOM_P = (1 << 31) - 1
+_BLOOM_HASHES = ((1103515245, 12345), (766245317, 987654321),
+                 (514229635, 271828183), (1013904223, 141421357))
+
+
+def _bloom_pos(c: Column, i: int, nbits: int) -> Column:
+    a, b = _BLOOM_HASHES[i]
+    k = F.pmod(F.xxhash64(c), F.lit(_BLOOM_P))
+    return F.pmod(F.pmod(k * a + b, F.lit(_BLOOM_P)), F.lit(nbits))
+
+
+def bloom_prefilter(fact: SparkDF, fact_col: str, dim: SparkDF, dim_col: str,
+                    nbits: int = 1 << 20, n_hashes: int = 3):
+    """Semi-join pushdown without a shuffle: build a Bloom filter over
+    the dim side's keys (one small aggregate — the filter is
+    ``nbits/8`` bytes regardless of dim cardinality), broadcast it as
+    a literal bit array, and drop fact rows map-side BEFORE any join
+    shuffles them. False positives pass through (the later join stays
+    correct); false negatives cannot happen.
+
+    Spark injects runtime bloom filters only under specific plan
+    shapes; this makes the rewrite explicit and composable. Returns
+    the filtered fact DataFrame — join it as usual.
+
+    Sizing: ~10 bits/key ≈ 1% FP at n_hashes=3 (the classic Bloom
+    trade-off); nbits must be a multiple of 64.
+    """
+    if nbits % 64 or nbits <= 0:
+        raise ValueError(f"bloom_prefilter: nbits must be a positive "
+                         f"multiple of 64, got {nbits}")
+    if not 1 <= n_hashes <= len(_BLOOM_HASHES):
+        raise ValueError(f"bloom_prefilter: n_hashes must be "
+                         f"1..{len(_BLOOM_HASHES)}, got {n_hashes}")
+    n_words = nbits // 64
+    # build: per key, per hash -> (word_idx, bit); OR bits per word via
+    # a grouped aggregate over at most n_words * 1 rows out
+    key = F.col(dim_col)
+    pos = [ _bloom_pos(key, i, nbits) for i in range(n_hashes) ]
+    pairs = dim.select(F.explode(F.array(*[
+        F.struct((p / 64).cast("int").alias("w"),
+                 F.pmod(p, F.lit(64)).cast("int").alias("b"))
+        for p in pos])).alias("pb"))
+    words = (pairs.groupBy(F.col("pb.w").alias("w"))
+             .agg(F.bit_or(F.expr("shiftleft(1L, pb.b)")).alias("bits"))
+             .collect())  # ≤ n_words rows — the filter itself, bounded
+    arr = [0] * n_words
+    for r in words:
+        arr[r["w"]] = r["bits"]
+    lit_arr = F.array(*[F.lit(x).cast("long") for x in arr])
+    fkey = F.col(fact_col)
+    cond = F.lit(True)
+    for i in range(n_hashes):
+        p = _bloom_pos(fkey, i, nbits)
+        word = F.element_at(lit_arr, (p / 64).cast("int") + 1)
+        # python-level F.shiftleft only takes a literal count; the SQL
+        # function accepts a column — call it directly
+        bit = F.call_function("shiftleft", F.lit(1).cast("long"),
+                              F.pmod(p, F.lit(64)).cast("int"))
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    return fact.filter(fkey.isNotNull() & cond)

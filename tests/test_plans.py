@@ -131,3 +131,42 @@ def test_key_skew_report_requires_columns(spark):
     sdf = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError, match="at least one"):
         key_skew_report(sdf)
+
+
+# ------------------------------------------------------- bloom prefilter
+def test_bloom_prefilter_no_false_negatives(spark):
+    from crysda_spark.plans.skew import bloom_prefilter
+    dim = spark.createDataFrame([(i,) for i in range(0, 1000, 3)], "k long")
+    fact = spark.createDataFrame([(i, i) for i in range(0, 1000, 3)], "id long, k long")
+    out = bloom_prefilter(fact, "k", dim, "k", nbits=1 << 14)
+    assert out.count() == fact.count()      # every member survives
+
+
+def test_bloom_prefilter_drops_most_non_members(spark):
+    from crysda_spark.plans.skew import bloom_prefilter
+    dim = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    fact = spark.createDataFrame([(i,) for i in range(100000, 110000)], "k long")
+    out = bloom_prefilter(fact, "k", dim, "k", nbits=1 << 14)
+    # 500 keys in 16384 bits ≈ 32 bits/key → FP well under 5%
+    assert out.count() < 500
+
+
+def test_bloom_prefilter_join_equivalence(spark):
+    from crysda_spark.plans.skew import bloom_prefilter
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(0, 200, 2)],
+                                "k long, name string")
+    fact = spark.createDataFrame([(i, float(i)) for i in range(300)],
+                                 "k long, v double")
+    plain = fact.join(dim, on="k").count()
+    filtered = bloom_prefilter(fact, "k", dim, "k", nbits=1 << 10).join(dim, on="k").count()
+    assert plain == filtered                # FPs are join-transparent
+
+
+def test_bloom_prefilter_validation(spark):
+    import pytest
+    from crysda_spark.plans.skew import bloom_prefilter
+    dim = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_prefilter(dim, "k", dim, "k", nbits=100)
+    with pytest.raises(ValueError, match="n_hashes"):
+        bloom_prefilter(dim, "k", dim, "k", n_hashes=9)
