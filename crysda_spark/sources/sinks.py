@@ -33,3 +33,22 @@ def write_parquet(f: Frame, path: str, mode: str = "overwrite",
 
 def write_json(f: Frame, path: str, mode: str = "overwrite") -> None:
     f.sdf.write.mode(mode).json(path)
+
+
+def write_parquet_dynamic(f: Frame, path: str,
+                          partition_by: list[str] | str) -> None:
+    """Dynamic partition overwrite: rewrite ONLY the partitions present
+    in ``f``, leaving every other partition untouched — the incremental
+    ingest write (daily batch replaces its own day, history stays).
+    Plain mode="overwrite" with partitionBy would TRUNCATE the whole
+    table first; the static/dynamic distinction is the single most
+    destructive default in Spark's write path, so it gets its own verb.
+    """
+    cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    spark = f.sdf.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        f.sdf.write.mode("overwrite").partitionBy(*cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

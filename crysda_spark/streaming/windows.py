@@ -231,3 +231,27 @@ def run_to_memory(stream_df: SparkDF, name: str, mode: str = "append"):
          .queryName(name).outputMode(mode)
          .trigger(availableNow=True).start())
     return q
+
+
+def sliding_rollup(sdf: SparkDF, ts_col: str = "ts", width: str = "1 hour",
+                   slide: str = "30 minutes", keys: list[str] | None = None,
+                   watermark: str | None = "30 minutes",
+                   **measures) -> SparkDF:
+    """Sliding-window twin of ``tumbling_rollup`` — every measure kind
+    (count/sum/min/max/hll/hist/moments/cms) over overlapping windows.
+    Each event lands in width/slide windows; partials from overlapping
+    windows must NOT be merged across window starts (they share
+    events), which is why the bucket is the window START, never a
+    coarser truncation."""
+    from ..operators.rollup import check_measures, fine_measure_exprs
+
+    check_measures(measures)
+    keys = keys or []
+    if watermark:
+        sdf = sdf.withWatermark(ts_col, watermark)
+    aggs = fine_measure_exprs(measures)
+    return (sdf
+            .groupBy(F.window(ts_col, width, slide).alias("win"), *keys)
+            .agg(*aggs)
+            .select(*keys, F.col("win.start").alias("bucket"),
+                    *measures.keys()))

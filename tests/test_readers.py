@@ -283,3 +283,21 @@ def test_read_warc_wet_records(spark, tmp_path):
     assert rows["warcinfo"].payload == "software: test"
     wet = read_warc(spark, str(p), record_types=["conversion"]).sdf
     assert wet.count() == 2
+
+
+def test_write_parquet_dynamic_preserves_other_partitions(spark, tmp_path):
+    from crysda_spark import Frame
+    from crysda_spark.sources.sinks import write_parquet_dynamic
+    path = str(tmp_path / "t")
+    base = Frame(spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2)], "day string, v int"))
+    write_parquet_dynamic(base, path, "day")
+    # overwrite ONLY day 2 with new data; day 1 must survive
+    delta = Frame(spark.createDataFrame(
+        [("2024-01-02", 99)], "day string, v int"))
+    write_parquet_dynamic(delta, path, "day")
+    # partition-column inference reads 'day' back as DateType
+    got = {(str(r["day"]), r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {("2024-01-01", 1), ("2024-01-02", 99)}
+    # config restored afterwards
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"

@@ -234,3 +234,28 @@ def test_tumbling_rollup_hist_and_moments_match_batch(spark, events_stream_dir):
     want = {str(r["bucket"]): (list(r["h"]), tuple(r["m"]))
             for r in batch.sdf.collect()}
     assert got == want
+
+
+def test_sliding_rollup_hist_matches_batch_expansion(spark, events_stream_dir):
+    """Sliding windows with sketch measures: each event lands in
+    width/slide windows; the stream result must equal the batch
+    2-window expansion bin-for-bin."""
+    from crysda_spark.operators.rollup import fine_measure_exprs
+
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = sw.stream_from_parquet_dir(spark, events_stream_dir, schema)
+    measures = dict(h=("hist", "value", 0.0, 500.0, 8), n="count")
+    out = sw.sliding_rollup(stream, width="1 hour", slide="30 minutes",
+                            watermark=None, **measures)
+    q = sw.run_to_memory(out, "slide_rollup", mode="complete")
+    q.processAllAvailable()
+    got = {str(r["bucket"]): (list(r["h"]), r["n"])
+           for r in spark.table("slide_rollup").collect()}
+    q.stop()
+
+    ev = spark.read.parquet(events_stream_dir)
+    win = F.window("ts", "1 hour", "30 minutes").alias("win")
+    batch = (ev.groupBy(win).agg(*fine_measure_exprs(measures))
+             .select(F.col("win.start").alias("bucket"), "h", "n"))
+    want = {str(r["bucket"]): (list(r["h"]), r["n"]) for r in batch.collect()}
+    assert got == want
