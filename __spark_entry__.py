@@ -2440,6 +2440,47 @@ def line_dedup_boilerplate(spark, sf_dir):
     return tx.dedup_lines(Frame(docs), min_dup=5).sdf
 
 
+@q("bitmap_user_segments", """
+WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+     p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT 'and' AS op,
+       (SELECT COUNT(*) FROM c WHERE user_id IN (SELECT user_id FROM p)) AS n_distinct
+UNION ALL
+SELECT 'or',
+       (SELECT COUNT(*) FROM (SELECT user_id FROM c
+                              UNION SELECT user_id FROM p) u)
+UNION ALL
+SELECT 'andnot',
+       (SELECT COUNT(*) FROM c
+        WHERE user_id NOT IN (SELECT user_id FROM p))
+""")
+def bitmap_user_segments(spark, sf_dir):
+    """Bitmap-index segment algebra (operators/bitmap.py): distinct
+    users who clicked AND/OR/AND-NOT purchased, computed on (word,
+    bits) bitmaps — the events table is scanned once per segment to
+    BUILD, then every set question is a word equi-join + bit_count,
+    never a re-scan or a distinct-join of raw rows. Exact (unlike
+    HLL) and intersectable (which HLL is not)."""
+    from crysda_spark.operators import bitmap as bmp
+    ev = _t(spark, sf_dir, "events")
+    clicks = bmp.bitmap_build(
+        Frame(ev.sdf.filter(F.col("event_type") == "click")), "user_id")
+    buys = bmp.bitmap_build(
+        Frame(ev.sdf.filter(F.col("event_type") == "purchase")), "user_id")
+    parts = [
+        bmp.bitmap_count(bmp.bitmap_and(clicks, buys))
+           .select(F.lit("and").alias("op"), "n_distinct"),
+        bmp.bitmap_count(bmp.bitmap_or(clicks, buys))
+           .select(F.lit("or").alias("op"), "n_distinct"),
+        bmp.bitmap_count(bmp.bitmap_andnot(clicks, buys))
+           .select(F.lit("andnot").alias("op"), "n_distinct"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @q("bloom_prefiltered_revenue", """
 SELECT n_name,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
