@@ -2440,6 +2440,59 @@ def line_dedup_boilerplate(spark, sf_dir):
     return tx.dedup_lines(Frame(docs), min_dup=5).sdf
 
 
+@q("funnel_view_click_purchase", """
+WITH s1 AS (SELECT user_id AS u, MIN(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id AS u, MIN(e.ts) AS t
+       FROM events e JOIN s1 ON e.user_id = s1.u
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id AS u, MIN(e.ts) AS t
+       FROM events e JOIN s2 ON e.user_id = s2.u
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+n AS (SELECT (SELECT COUNT(*) FROM s1) AS n1,
+             (SELECT COUNT(*) FROM s2) AS n2,
+             (SELECT COUNT(*) FROM s3) AS n3)
+SELECT 1 AS step, 'view' AS event, n1 AS n_users,
+       ROUND(CAST(n1 AS DOUBLE) / n1, 6) AS conversion FROM n
+UNION ALL SELECT 2, 'click', n2, ROUND(CAST(n2 AS DOUBLE) / n1, 6) FROM n
+UNION ALL SELECT 3, 'purchase', n3, ROUND(CAST(n3 AS DOUBLE) / n1, 6) FROM n
+""")
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered funnel (operators/funnel.funnel — greedy earliest-
+    completion semantics): view → click → purchase per user, each step
+    strictly after the previous step's bind time. The oracle chains
+    the same greedy MINs as CTEs."""
+    from crysda_spark.operators.funnel import funnel
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"]).sdf
+
+
+@q("retention_weekly_cohorts", """
+WITH act AS (SELECT DISTINCT user_id AS u,
+                    CAST(date_trunc('week', ts) AS TIMESTAMP) AS b
+             FROM events),
+first AS (SELECT u, MIN(b) AS cohort FROM act GROUP BY 1),
+j AS (SELECT act.u, f.cohort,
+             CAST((CAST(act.b AS DATE) - CAST(f.cohort AS DATE)) / 7 AS INT) AS "offset"
+      FROM act JOIN first f USING (u)
+      WHERE CAST((CAST(act.b AS DATE) - CAST(f.cohort AS DATE)) / 7 AS INT) <= 6),
+sizes AS (SELECT cohort, COUNT(*) AS sz FROM j WHERE "offset" = 0 GROUP BY 1)
+SELECT j.cohort, j."offset", COUNT(DISTINCT j.u) AS n_active,
+       ROUND(CAST(COUNT(DISTINCT j.u) AS DOUBLE) / s.sz, 6) AS retention
+FROM j JOIN sizes s USING (cohort)
+GROUP BY j.cohort, j."offset", s.sz
+""")
+def retention_weekly_cohorts(spark, sf_dir):
+    """Cohort retention (operators/funnel.retention_cohorts): users
+    cohorted by first-seen ISO week, matrix of distinct-active by week
+    offset, capped at 6 — first-touch attribution + two aggregates +
+    a join, never a calendar cross join. Spark and DuckDB both
+    Monday-truncate weeks, so the cohort keys align exactly."""
+    from crysda_spark.operators.funnel import retention_cohorts
+    ev = _t(spark, sf_dir, "events")
+    return retention_cohorts(ev, grain="week", max_offset=6).sdf
+
+
 @q("bitmap_user_segments", """
 WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
      p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')

@@ -1,0 +1,98 @@
+"""Event-analytics operators: ordered funnels and retention cohorts.
+
+The product-analytics surface (Amplitude/Mixpanel-shaped) expressed
+relationally:
+
+- ``funnel``: how many users completed step1 → step2 → … IN ORDER,
+  each step within ``within_seconds`` of the previous completion.
+  Step k's timestamp is the EARLIEST qualifying event after step k−1
+  (the standard greedy funnel semantics — earliest-completion chains
+  maximize conversion counts for fixed windows). One aggregate per
+  step over the per-user event set: step counts are small constants,
+  so the plan is k sequential joins of (user, t_{k-1}) back onto the
+  user's events — each a key-partitioned aggregate, never a window
+  over raw history.
+- ``retention_cohorts``: users cohorted by FIRST-seen bucket; the
+  matrix counts distinct users active at each bucket offset from
+  their cohort. Two aggregates (first-seen, distinct activity) and a
+  join — the corpus is never crossed with a calendar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..frame import Frame
+
+__all__ = ["funnel", "retention_cohorts"]
+
+
+def funnel(f: Frame, steps: list[str], user_col: str = "user_id",
+           ts_col: str = "ts", event_col: str = "event_type",
+           within_seconds: float | None = None) -> Frame:
+    """Per-step completion counts: (step, event, n_users, conversion)
+    — conversion is vs the FIRST step's cohort. Greedy semantics:
+    each step binds to the earliest event strictly AFTER the previous
+    step's time (and within ``within_seconds`` of it, when set)."""
+    if len(steps) < 1:
+        raise ValueError("funnel: need at least one step")
+    ev = f.sdf.select(F.col(user_col).alias("_u"),
+                      F.col(ts_col).cast("timestamp").alias("_ts"),
+                      F.col(event_col).alias("_e"))
+    # step 1: earliest occurrence per user
+    cur = (ev.filter(F.col("_e") == steps[0])
+           .groupBy("_u").agg(F.min("_ts").alias("_t")))
+    counts = [cur.count()]
+    for step in steps[1:]:
+        nxt = (ev.filter(F.col("_e") == step)
+               .join(cur, on="_u")
+               .filter(F.col("_ts") > F.col("_t")))
+        if within_seconds is not None:
+            nxt = nxt.filter(
+                F.col("_ts").cast("double") - F.col("_t").cast("double")
+                <= within_seconds)
+        cur = nxt.groupBy("_u").agg(F.min("_ts").alias("_t"))
+        counts.append(cur.count())
+    spark = f.sdf.sparkSession
+    base = counts[0]
+    rows = [(i + 1, s, int(n), round(n / base, 6) if base else 0.0)
+            for i, (s, n) in enumerate(zip(steps, counts))]
+    return Frame(spark.createDataFrame(
+        rows, "step int, event string, n_users long, conversion double"))
+
+
+def retention_cohorts(f: Frame, user_col: str = "user_id",
+                      ts_col: str = "ts", grain: str = "week",
+                      max_offset: int | None = None) -> Frame:
+    """Cohort retention matrix: (cohort, offset, n_active, retention).
+    cohort = the user's first-seen ``grain`` bucket; offset counts
+    grain periods since the cohort bucket; retention is vs the
+    cohort's size (offset 0 row = the cohort itself, retention 1.0).
+    """
+    if grain not in ("day", "week", "month"):
+        raise ValueError(f"retention_cohorts: grain must be day|week|month, "
+                         f"got {grain!r}")
+    act = (f.sdf.select(F.col(user_col).alias("_u"),
+                        F.date_trunc(grain, F.col(ts_col)).alias("_b"))
+           .distinct())
+    first = act.groupBy("_u").agg(F.min("_b").alias("_cohort"))
+    if grain == "month":
+        offset = (F.months_between(F.col("_b"), F.col("_cohort"))
+                  .cast("int"))
+    else:
+        days = {"day": 1, "week": 7}[grain]
+        offset = (F.datediff(F.col("_b"), F.col("_cohort")) / days).cast("int")
+    j = (act.join(first, on="_u")
+         .select("_u", F.col("_cohort").alias("cohort"),
+                 offset.alias("offset")))
+    if max_offset is not None:
+        j = j.filter(F.col("offset") <= max_offset)
+    sizes = (j.filter(F.col("offset") == 0)
+             .groupBy("cohort").agg(F.count(F.lit(1)).alias("_size")))
+    out = (j.groupBy("cohort", "offset")
+           .agg(F.count_distinct("_u").alias("n_active"))
+           .join(sizes, on="cohort")
+           .select("cohort", "offset", "n_active",
+                   F.round(F.col("n_active") / F.col("_size"), 6)
+                    .alias("retention")))
+    return Frame(out)
