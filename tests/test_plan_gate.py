@@ -99,6 +99,16 @@ EXPECTED = {
     # plan is ONE checkpoint scan, zero exchanges — lineage-doubling
     # regressions show up here as scans/exchanges exploding
     "pagerank_cust_supplier": dict(scans=1, exchanges=0, bhj=0, smj=0),
+    # late-r7 additions (funnel omitted: its step jobs run eagerly, the
+    # returned frame is a local literal — nothing to lock)
+    "tpch_refresh_cycle": dict(scans=4, exchanges=7, bhj=0, smj=3),
+    # bloom prefilter: lineitem scanned ONCE, filtered map-side, all
+    # dims broadcast — a second lineitem scan or an SMJ here means the
+    # rewrite stopped pruning before the shuffle
+    "bloom_prefiltered_revenue": dict(scans=4, exchanges=1, bhj=3, smj=0),
+    "bitmap_user_segments": dict(scans=6, exchanges=9, bhj=2, smj=1),
+    "retention_weekly_cohorts": dict(scans=4, exchanges=7, bhj=3, smj=0),
+    "fuzzy_join_suppliers": dict(scans=2, exchanges=0, bhj=1, smj=0),
 }
 
 
