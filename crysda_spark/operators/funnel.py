@@ -42,7 +42,7 @@ def funnel(f: Frame, steps: list[str], user_col: str = "user_id",
     # step 1: earliest occurrence per user
     cur = (ev.filter(F.col("_e") == steps[0])
            .groupBy("_u").agg(F.min("_ts").alias("_t")))
-    counts = [cur.count()]
+    step_counts = [cur.agg(F.count(F.lit(1)).alias("_n"))]
     for step in steps[1:]:
         nxt = (ev.filter(F.col("_e") == step)
                .join(cur, on="_u")
@@ -52,13 +52,22 @@ def funnel(f: Frame, steps: list[str], user_col: str = "user_id",
                 F.col("_ts").cast("double") - F.col("_t").cast("double")
                 <= within_seconds)
         cur = nxt.groupBy("_u").agg(F.min("_ts").alias("_t"))
-        counts.append(cur.count())
-    spark = f.sdf.sparkSession
-    base = counts[0]
-    rows = [(i + 1, s, int(n), round(n / base, 6) if base else 0.0)
-            for i, (s, n) in enumerate(zip(steps, counts))]
-    return Frame(spark.createDataFrame(
-        rows, "step int, event string, n_users long, conversion double"))
+        step_counts.append(cur.agg(F.count(F.lit(1)).alias("_n")))
+    # fully LAZY: each step count is a 1-row aggregate; the base
+    # cohort's count broadcast-cross-joins in for the conversion ratio
+    base = step_counts[0].select(F.col("_n").alias("_base"))
+    parts = []
+    for i, (step, cnt) in enumerate(zip(steps, step_counts)):
+        parts.append(cnt.crossJoin(F.broadcast(base)).select(
+            F.lit(i + 1).alias("step"), F.lit(step).alias("event"),
+            F.col("_n").alias("n_users"),
+            F.when(F.col("_base") > 0,
+                   F.round(F.col("_n") / F.col("_base"), 6))
+             .otherwise(0.0).alias("conversion")))
+    out = parts[0]
+    for prt in parts[1:]:
+        out = out.unionByName(prt)
+    return Frame(out)
 
 
 def retention_cohorts(f: Frame, user_col: str = "user_id",
