@@ -2440,6 +2440,47 @@ def line_dedup_boilerplate(spark, sf_dir):
     return tx.dedup_lines(Frame(docs), min_dup=5).sdf
 
 
+@q("anomaly_daily_volume", """
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         CAST(COUNT(*) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT event_type, bucket, v,
+         ROUND(AVG(v) OVER t, 6) AS expected,
+         COUNT(v) OVER t AS n,
+         STDDEV_SAMP(v) OVER t AS sd
+  FROM d WINDOW t AS (PARTITION BY event_type ORDER BY bucket
+                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT event_type, bucket, CAST(v AS BIGINT) AS n_events, expected,
+       CASE WHEN n = 7 AND sd > 0
+            THEN ROUND((v - AVG(v) OVER (PARTITION BY event_type ORDER BY bucket
+                                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+                       / sd, 6) END AS zscore,
+       COALESCE(ABS(CASE WHEN n = 7 AND sd > 0
+                         THEN ROUND((v - AVG(v) OVER (PARTITION BY event_type ORDER BY bucket
+                                                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+                                    / sd, 6) END) > 3.0, FALSE) AS is_anomaly
+FROM w
+""")
+def anomaly_daily_volume(spark, sf_dir):
+    """Trailing-window anomaly flags (operators/anomaly.anomaly_flags)
+    over per-type daily event volumes: z vs the previous 7 days,
+    current row excluded from its own baseline, full-window + nonzero
+    variance required. Rounded zscores make the flag an engine-
+    reproducible contract."""
+    from crysda_spark.operators.anomaly import anomaly_flags
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.group_by_expr(event_type=F.col("event_type"),
+                              bucket=F.date_trunc("day", "ts"))
+             .summarize(v=F.count(F.lit(1)).cast("double")))
+    out = anomaly_flags(daily, "v", by="event_type", order_col="bucket",
+                        window=7, z=3.0)
+    return out.sdf.select("event_type", "bucket",
+                          F.col("v").cast("long").alias("n_events"),
+                          "expected", "zscore", "is_anomaly")
+
+
 @q("funnel_view_click_purchase", """
 WITH s1 AS (SELECT user_id AS u, MIN(ts) AS t FROM events
             WHERE event_type = 'view' GROUP BY 1),

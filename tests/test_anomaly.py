@@ -1,0 +1,56 @@
+"""Trailing-window anomaly flags (operators/anomaly.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crysda_spark import Frame
+from crysda_spark.operators.anomaly import anomaly_flags
+
+
+def _series(spark, vals, key="a"):
+    rows = [(key, i, float(v)) for i, v in enumerate(vals)]
+    return Frame(spark.createDataFrame(rows, "k string, bucket int, v double"))
+
+
+def test_anomaly_flags_spike(spark):
+    vals = [10, 11, 9, 10, 11, 9, 10, 100, 10]   # spike at index 7
+    out = {r["bucket"]: r for r in
+           anomaly_flags(_series(spark, vals), "v", by="k",
+                         order_col="bucket", window=7, z=3.0).sdf.collect()}
+    assert out[7]["is_anomaly"] is True
+    assert out[7]["zscore"] > 3
+    # the row AFTER the spike: trailing window absorbs the outlier into
+    # a huge stddev, so a normal value is not flagged
+    assert out[8]["is_anomaly"] is False
+    assert all(not out[i]["is_anomaly"] for i in range(7))  # cold start: never
+
+
+def test_anomaly_cold_start_and_zero_variance(spark):
+    flat = [5.0] * 10
+    out = anomaly_flags(_series(spark, flat), "v", by="k",
+                        window=4).sdf.collect()
+    # zero trailing variance → NULL zscore, no flag (division guarded)
+    assert all(r["zscore"] is None and r["is_anomaly"] is False for r in out)
+
+
+def test_anomaly_per_key_isolation(spark):
+    a = _series(spark, [1, 1, 1, 1, 50], key="a").sdf
+    b = _series(spark, [50, 50, 50, 50, 50], key="b").sdf
+    f = Frame(a.unionByName(b))
+    out = {(r["k"], r["bucket"]): r["is_anomaly"]
+           for r in anomaly_flags(f, "v", by="k", window=4, z=2.0).sdf.collect()}
+    # key b is flat — nothing flagged despite key a's spike; a's spike
+    # itself is unflagged only because a's trailing variance is zero
+    # (guarded) — per-key isolation is the point here
+    assert all(not out[("b", i)] for i in range(5))
+
+
+def test_anomaly_validation(spark):
+    f = _series(spark, [1, 2, 3])
+    with pytest.raises(ValueError, match="window"):
+        anomaly_flags(f, "v", window=1)
+    bad = Frame(f.sdf.withColumn("zscore", F.lit(1.0)))
+    with pytest.raises(ValueError, match="already exists"):
+        anomaly_flags(bad, "v")
