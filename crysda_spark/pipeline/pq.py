@@ -288,3 +288,37 @@ def ivfpq_topk(encoded: Frame, centroids: np.ndarray, codebooks: np.ndarray,
            .filter(F.col("rank") <= k)
            .select("query_id", "match_id", "adc_dist", "rank"))
     return Frame(out)
+
+
+def pq_rerank(candidates: Frame, corpus: Frame, queries: Frame, k: int = 5,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              q_id_col: str = "vec_id", q_vec_col: str = "embedding") -> Frame:
+    """Exact re-rank of ADC candidates — the standard two-stage ANN
+    recipe: generate a GENEROUS candidate set with pq_topk/ivfpq_topk
+    (k' of 3-10× the final k), then join back ONLY those candidates'
+    raw vectors (k'·|Q| rows — never the corpus) and score exact
+    cosine against the broadcast queries in pure JVM expressions.
+    Output: (query_id, match_id, cos, rank) — identical shape to
+    similarity.brute_force_topk, and identical VALUES whenever the
+    candidate set covers the true top-k."""
+    q = F.broadcast(queries.sdf.select(
+        F.col(q_id_col).alias("query_id"),
+        F.col(q_vec_col).cast("array<double>").alias("_qv")))
+    cand = (candidates.sdf.select("query_id", "match_id")
+            .join(corpus.sdf.select(F.col(id_col).alias("match_id"),
+                                    F.col(vec_col).cast("array<double>")
+                                     .alias("_cv")),
+                  on="match_id")
+            .join(q, on="query_id"))
+    dot = F.aggregate(F.zip_with("_qv", "_cv", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nq = F.sqrt(F.aggregate("_qv", F.lit(0.0), lambda a, x: a + x * x))
+    nc = F.sqrt(F.aggregate("_cv", F.lit(0.0), lambda a, x: a + x * x))
+    cos = F.when((nq > 0) & (nc > 0), dot / (nq * nc)).otherwise(0.0)
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                          F.col("match_id"))
+    out = (cand.withColumn("cos", cos)
+           .withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k)
+           .select("query_id", "match_id", "cos", "rank"))
+    return Frame(out)

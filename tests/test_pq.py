@@ -143,3 +143,51 @@ def test_ivfpq_recall_not_worse_than_flat_pq(emb):
     # n_probe == n_cells → no candidate loss; residual coding should
     # not be materially worse (allow small slack for tie noise)
     assert r_ivf >= r_flat - 0.1, (r_ivf, r_flat)
+
+
+def test_pq_rerank_exact_when_candidates_cover(emb):
+    """Re-rank correctness: with candidates = the WHOLE corpus the
+    refined result must equal brute force row for row — any deviation
+    is a scoring bug, not a recall artifact."""
+    norm = emb.sdf.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    nrm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    normed = Frame(norm.select("vec_id",
+                               F.transform("v", lambda x: x / nrm).alias("embedding")))
+    queries = Frame(normed.sdf.filter("vec_id < 6"))
+    all_cand = Frame(queries.sdf.select(F.col("vec_id").alias("query_id"))
+                     .crossJoin(normed.sdf.select(F.col("vec_id").alias("match_id")))
+                     .filter("query_id <> match_id"))
+    refined = pq.pq_rerank(all_cand, normed, queries, k=5)
+    exact = brute_force_topk(normed, queries, k=5)
+    got = sorted((r["query_id"], r["rank"], r["match_id"])
+                 for r in refined.sdf.collect())
+    want = sorted((r["query_id"], r["rank"], r["match_id"])
+                  for r in exact.sdf.collect())
+    assert got == want
+
+
+def test_pq_rerank_improves_adc_recall(emb):
+    """Two-stage (generous ADC candidates -> exact re-rank) must not
+    recall WORSE than single-stage ADC top-k at the same final k."""
+    norm = emb.sdf.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    nrm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    normed = Frame(norm.select("vec_id",
+                               F.transform("v", lambda x: x / nrm).alias("embedding")))
+    cb = pq.pq_train(normed, m=8, nbits=4, sample_limit=500)
+    enc = pq.pq_encode(normed, cb)
+    queries = Frame(normed.sdf.filter("vec_id < 10"))
+    exact = brute_force_topk(normed, queries, k=5)
+    e = {}
+    for r in exact.sdf.collect():
+        e.setdefault(r["query_id"], set()).add(r["match_id"])
+
+    def recall(df):
+        a = {}
+        for r in df.sdf.collect():
+            a.setdefault(r["query_id"], set()).add(r["match_id"])
+        return sum(len(a.get(q, set()) & e[q]) / 5 for q in e) / len(e)
+
+    single = recall(pq.pq_topk(enc, queries, cb, k=5))
+    cand = pq.pq_topk(enc, queries, cb, k=60)
+    two_stage = recall(pq.pq_rerank(cand, normed, queries, k=5))
+    assert two_stage >= single - 1e-9, (two_stage, single)
