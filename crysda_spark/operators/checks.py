@@ -20,19 +20,21 @@ from pyspark.sql import functions as F
 from ..frame import Frame
 
 __all__ = ["not_null", "unique", "in_range", "matches", "accepted_values",
-           "satisfies", "ref_integrity", "run_checks"]
+           "satisfies", "ref_integrity", "run_checks", "violation_rows"]
 
 
 @dataclass(frozen=True)
 class Check:
     name: str
-    kind: str                 # "agg" | "ref"
+    kind: str                 # "agg" | "ref" | "window"
     payload: Any              # Column (agg) | (frame, col, ref_col) (ref)
+    predicate: Any = None     # row-level violation predicate, when one exists
 
 
 def not_null(col: str) -> Check:
+    pred = F.col(col).isNull()
     return Check(f"not_null({col})", "agg",
-                 F.sum(F.col(col).isNull().cast("long")))
+                 F.sum(pred.cast("long")), pred)
 
 
 def unique(*cols: str) -> Check:
@@ -46,18 +48,21 @@ def unique(*cols: str) -> Check:
 
 def in_range(col: str, lo, hi) -> Check:
     """Non-null values must lie in [lo, hi] (nulls are not_null's job)."""
+    pred = F.coalesce(~F.col(col).between(lo, hi), F.lit(False))
     return Check(f"in_range({col}, {lo}, {hi})", "agg",
-                 F.sum((~F.col(col).between(lo, hi)).cast("long")))
+                 F.sum((~F.col(col).between(lo, hi)).cast("long")), pred)
 
 
 def matches(col: str, pattern: str) -> Check:
+    pred = F.coalesce(~F.col(col).rlike(pattern), F.lit(False))
     return Check(f"matches({col})", "agg",
-                 F.sum((~F.col(col).rlike(pattern)).cast("long")))
+                 F.sum((~F.col(col).rlike(pattern)).cast("long")), pred)
 
 
 def accepted_values(col: str, values) -> Check:
+    pred = F.coalesce(~F.col(col).isin(*values), F.lit(False))
     return Check(f"accepted_values({col})", "agg",
-                 F.sum((~F.col(col).isin(*values)).cast("long")))
+                 F.sum((~F.col(col).isin(*values)).cast("long")), pred)
 
 
 def satisfies(name: str, predicate: Column) -> Check:
@@ -65,7 +70,7 @@ def satisfies(name: str, predicate: Column) -> Check:
     is false or NULL (SQL three-valued logic would otherwise let null
     rows slip through a constraint)."""
     ok = F.when(predicate, True).otherwise(False)
-    return Check(f"satisfies({name})", "agg", F.sum((~ok).cast("long")))
+    return Check(f"satisfies({name})", "agg", F.sum((~ok).cast("long")), ~ok)
 
 
 def ref_integrity(col: str, ref: Frame, ref_col: str) -> Check:
@@ -111,3 +116,39 @@ def run_checks(f: Frame, checks: list[Check]) -> Frame:
     return Frame(out.select("check", F.col("violations").cast("long").alias("violations"),
                             F.col("total").cast("long").alias("total"),
                             (F.col("violations") == 0).alias("passed")))
+
+
+def violation_rows(f: Frame, check: Check, limit: int | None = None) -> Frame:
+    """The OFFENDING rows for a check — counts say a table is dirty,
+    these say WHERE (the triage step after a red report).
+
+    - predicate-backed checks (not_null/in_range/matches/
+      accepted_values/satisfies) filter in one map-side pass;
+    - ``unique`` returns every row of each duplicated-or-null key
+      (a per-key window count);
+    - ``ref_integrity`` returns the left-anti rows.
+    """
+    sdf = f.sdf
+    if check.kind == "ref":
+        ref, col, ref_col = check.payload
+        out = (sdf.filter(F.col(col).isNotNull())
+               .join(ref.sdf.select(F.col(ref_col).alias(col)).distinct(),
+                     on=col, how="left_anti"))
+    elif check.predicate is not None:
+        out = sdf.filter(check.predicate)
+    elif check.name.startswith("unique("):
+        from pyspark.sql.window import Window as _W
+        cols = [c.strip() for c in check.name[len("unique("):-1].split(",")]
+        cnt = F.count(F.lit(1)).over(_W.partitionBy(*cols))
+        any_null = None
+        for c in cols:
+            n = F.col(c).isNull()
+            any_null = n if any_null is None else (any_null | n)
+        out = (sdf.withColumn("_kc", cnt)
+               .filter((F.col("_kc") > 1) | any_null).drop("_kc"))
+    else:
+        raise ValueError(
+            f"violation_rows: check {check.name!r} has no row-level form")
+    if limit is not None:
+        out = out.limit(limit)
+    return Frame(out.withColumn("check", F.lit(check.name)))

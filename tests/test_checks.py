@@ -60,3 +60,28 @@ def test_run_checks_agg_checks_are_one_pass(dirty):
 def test_run_checks_requires_checks(dirty):
     with pytest.raises(ValueError, match="no checks"):
         ck.run_checks(dirty, [])
+
+
+def test_violation_rows_predicate_checks(dirty):
+    rows = ck.violation_rows(dirty, ck.not_null("email")).sdf.collect()
+    assert len(rows) == 1 and rows[0]["id"] == 2 and rows[0]["check"] == "not_null(email)"
+    rows = ck.violation_rows(dirty, ck.in_range("v", 0.0, 100.0)).sdf.collect()
+    assert [r["v"] for r in rows] == [-5.0]
+    rows = ck.violation_rows(dirty, ck.accepted_values("tier", ["gold", "silver"])).sdf.collect()
+    assert [r["tier"] for r in rows] == ["tin"]
+
+
+def test_violation_rows_unique_returns_all_copies(dirty):
+    rows = ck.violation_rows(dirty, ck.unique("id")).sdf.collect()
+    assert sorted(r["id"] for r in rows) == [2, 2]
+
+
+def test_violation_rows_ref_integrity(dirty, spark):
+    ref = Frame(spark.createDataFrame([(1,), (2,)], "id long"))
+    rows = ck.violation_rows(dirty, ck.ref_integrity("id", ref, "id")).sdf.collect()
+    assert sorted(r["id"] for r in rows) == [4]
+
+
+def test_violation_rows_limit(dirty):
+    rows = ck.violation_rows(dirty, ck.unique("id"), limit=1).sdf.collect()
+    assert len(rows) == 1
