@@ -75,3 +75,16 @@ def zorder_by(f: Frame, ranges: dict[str, tuple[float, float]],
     if out_col:
         return Frame(sdf.withColumnRenamed("__z__", out_col))
     return Frame(sdf.drop("__z__"))
+
+
+def write_zordered(f: Frame, path: str,
+                   ranges: dict[str, tuple[float, float]], bits: int = 8,
+                   num_partitions: int | None = None) -> None:
+    """Z-order and WRITE: one file per range-partition of the Morton
+    key, so every parquet footer carries tight min/max stats on ALL
+    z-ordered columns — the artifact a min/max-pruning reader
+    actually skips on. (repartitionByRange then sortWithinPartitions;
+    a plain write after a global sort would re-split arbitrarily.)"""
+    zorder_by(f, ranges, bits=bits,
+              num_partitions=num_partitions).sdf.write.mode(
+        "overwrite").parquet(path)

@@ -82,3 +82,37 @@ def test_zorder_by_preserves_rows_and_columns(spark):
     zk = zorder_by(f, {"x": (0.0, 7.0), "y": (0.0, 7.0)}, bits=3,
                    out_col="zkey")
     assert "zkey" in zk.columns
+
+
+def test_write_zordered_footer_stats_prune_both_columns(spark, tmp_path):
+    """End-to-end data-skipping proof: read the WRITTEN parquet files'
+    footer min/max for both z-ordered columns — every file must span
+    far less than the full range in BOTH dimensions, which is exactly
+    the property a pruning reader exploits (and which a single-column
+    sort cannot deliver for the second column)."""
+    import glob
+    import pyarrow.parquet as pq
+
+    from crysda_spark.plans.zorder import write_zordered
+    f = _grid(spark, 32)
+    path = str(tmp_path / "z")
+    write_zordered(f, path, {"x": (0.0, 31.0), "y": (0.0, 31.0)},
+                   bits=5, num_partitions=8)
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert len(files) >= 4
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        spans = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name not in ("x", "y") or col.statistics is None:
+                    continue
+                lo, hi = col.statistics.min, col.statistics.max
+                cur = spans.get(name)
+                spans[name] = ((min(cur[0], lo), max(cur[1], hi))
+                               if cur else (lo, hi))
+        for name in ("x", "y"):
+            lo, hi = spans[name]
+            assert hi - lo <= 16, (fp, name, lo, hi)
