@@ -170,3 +170,29 @@ def test_bloom_prefilter_validation(spark):
         bloom_prefilter(dim, "k", dim, "k", nbits=100)
     with pytest.raises(ValueError, match="n_hashes"):
         bloom_prefilter(dim, "k", dim, "k", n_hashes=9)
+
+
+# --------------------------------------------------------------- sizing
+def test_input_bytes_matches_filesystem(spark):
+    import os
+    from crysda_spark.plans.sizing import input_bytes
+    sdf = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    want = sum(os.path.getsize(p.replace("file://", ""))
+               for p in sdf.inputFiles())
+    assert input_bytes(sdf) == want > 0
+
+
+def test_recommend_shuffle_partitions_scales(spark):
+    import pytest
+    from crysda_spark.plans.sizing import (input_bytes,
+                                           recommend_shuffle_partitions)
+    sdf = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    b = input_bytes(sdf)
+    # tiny target → proportional count; huge target → clamps to minimum
+    small = recommend_shuffle_partitions(sdf, target_partition_mb=1)
+    assert small == b // (1024 * 1024) + 1
+    assert recommend_shuffle_partitions(sdf, target_partition_mb=10_000) == 1
+    # expansion multiplies the estimate
+    assert recommend_shuffle_partitions(sdf, 1, expansion=4.0) >= small
+    with pytest.raises(ValueError, match="positive"):
+        recommend_shuffle_partitions(sdf, 0)
