@@ -176,7 +176,10 @@ def test_bloom_prefilter_validation(spark):
 def test_input_bytes_matches_filesystem(spark):
     import os
     from crysda_spark.plans.sizing import input_bytes
-    sdf = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    # sf0.01, NOT sf0.001: conftest caches the sf0.001 lineitem and the
+    # cache manager substitutes InMemoryRelation into same-path plans,
+    # leaving inputFiles() empty (same pitfall the plan gate pins)
+    sdf = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
     want = sum(os.path.getsize(p.replace("file://", ""))
                for p in sdf.inputFiles())
     assert input_bytes(sdf) == want > 0
@@ -186,7 +189,7 @@ def test_recommend_shuffle_partitions_scales(spark):
     import pytest
     from crysda_spark.plans.sizing import (input_bytes,
                                            recommend_shuffle_partitions)
-    sdf = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    sdf = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
     b = input_bytes(sdf)
     # tiny target → proportional count; huge target → clamps to minimum
     small = recommend_shuffle_partitions(sdf, target_partition_mb=1)
