@@ -2853,9 +2853,12 @@ def rollup_cms_heavy_keys(spark, sf_dir):
 WITH m AS (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
          COUNT(value) AS n,
-         SUM(CAST(value AS DECIMAL(28,8))) AS s,
-         SUM(CAST(CAST(value AS DECIMAL(28,8))
-                  * CAST(value AS DECIMAL(28,8)) AS DECIMAL(28,8))) AS s2
+         SUM(CAST(value AS DECIMAL(18,8))) AS s,
+         -- DECIMAL(19,8) operands: DuckDB needs INT128 storage for the
+         -- multiply; product DECIMAL(38,16) is exact, same as Spark's
+         -- decimal(18,8)² → decimal(37,16)
+         SUM(CAST(CAST(value AS DECIMAL(19,8))
+                  * CAST(value AS DECIMAL(19,8)) AS DECIMAL(29,8))) AS s2
   FROM events GROUP BY 1)
 SELECT bucket, CAST(n AS BIGINT) AS n,
        ROUND(CAST(s AS DOUBLE) / n, 6) AS mean,
@@ -2877,6 +2880,47 @@ def rollup_moments_stddev(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     hourly = time_rollup(ev, "ts", "hour", m=("moments", "value"))
     daily = merge_rollup(hourly, "day", from_grain="hour", m=("moments", "value"))
+    return daily.sdf.select(
+        "bucket", F.col("m")["n"].alias("n"),
+        F.round(moments_mean("m"), 6).alias("mean"),
+        F.round(moments_stddev("m"), 6).alias("sd"))
+
+
+@q("moments_4dp_exactness", """
+WITH e AS (
+  SELECT ts, value + CAST(event_id % 16 AS DOUBLE) / 16.0 AS value4
+  FROM events),
+m AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         COUNT(value4) AS n,
+         SUM(CAST(value4 AS DECIMAL(18,8))) AS s,
+         SUM(CAST(CAST(value4 AS DECIMAL(19,8))
+                  * CAST(value4 AS DECIMAL(19,8)) AS DECIMAL(29,8))) AS s2
+  FROM e GROUP BY 1)
+SELECT bucket, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(s AS DOUBLE) / n, 6) AS mean,
+       ROUND(SQRT((CAST(s2 AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                  / (n - 1)), 6) AS sd
+FROM m
+""")
+def moments_4dp_exactness(spark, sf_dir):
+    """Regression oracle for the r7 moments precision bug: inputs carry
+    FOUR decimal places (value + k/16, a dyadic fraction exact in
+    double and ≤ 4 dp in decimal), so squares carry 8 dp — the r7
+    state (decimal(28,8) squared → Spark precision-loss collapse to
+    decimal(38,6)) provably rounded every squared value at 6 dp here,
+    while the r8 state (decimal(18,8) squared → decimal(37,16), exact)
+    matches the oracle hash-for-hash."""
+    from crysda_spark.operators.rollup import (merge_rollup, moments_mean,
+                                               moments_stddev, time_rollup)
+    ev = _t(spark, sf_dir, "events")
+    f = Frame(ev.sdf.withColumn(
+        "value4",
+        F.col("value") + (F.col("event_id") % 16).cast("double") / F.lit(16.0)))
+    hourly = time_rollup(f, "ts", "hour", m=("moments", "value4"))
+    daily = merge_rollup(hourly, "day", from_grain="hour",
+                         m=("moments", "value4"))
     return daily.sdf.select(
         "bucket", F.col("m")["n"].alias("n"),
         F.round(moments_mean("m"), 6).alias("mean"),

@@ -263,24 +263,40 @@ def hll_estimate(col) -> Column:
 
 # ----------------------------------------------------- moments measure
 def _moments_fine(col) -> Column:
-    """Mergeable second-moment state: (n, sum, sumsq) as exact
-    decimal(28,8) sums — variance/stddev derive at read time and the
-    merge is field-wise addition, so the cascade carries NO float
-    accumulation-order drift (the usual cross-engine variance trap)."""
+    """Mergeable second-moment state: (n, sum, sumsq) as exact decimal
+    sums — variance/stddev derive at read time and the merge is
+    field-wise addition, so the cascade carries NO float accumulation-
+    order drift (the usual cross-engine variance trap).
+
+    Precision contract (r8 fix): the square is computed on a
+    decimal(18,8) operand, whose product type decimal(37,16) fits
+    Spark's 38-digit cap with ZERO loss — squaring decimal(28,8)
+    operands hit the allowPrecisionLoss collapse to decimal(38,6),
+    silently rounding every squared value to 6 dp. The per-row square
+    is then stored at scale 8 (exact whenever the input carries ≤ 4
+    decimal places; 5-8 dp inputs round the square at 8 dp, never the
+    value) and both sums carry decimal(38,8) headroom (~1e30). Inputs
+    with |x| ≥ 1e10 (or NaN/Inf) RAISE rather than silently falling
+    out of the sum via a null-producing cast."""
     c = F.col(col) if isinstance(col, str) else col
-    d = c.cast("decimal(28,8)")
+    d0 = c.cast("decimal(18,8)")
+    d = F.when(
+        c.isNotNull() & d0.isNull(),
+        F.raise_error(F.lit(
+            "moments measure: |value| >= 1e10 (or NaN/Inf) overflows "
+            "the exact decimal(18,8) state"))).otherwise(d0)
     return F.struct(
         F.count(c).alias("n"),
-        F.sum(d).alias("s"),
-        F.sum((d * d).cast("decimal(28,8)")).alias("s2"))
+        F.sum(d).cast("decimal(38,8)").alias("s"),
+        F.sum((d * d).cast("decimal(29,8)")).cast("decimal(38,8)").alias("s2"))
 
 
 def _moments_merge(name: str) -> Column:
     m = F.col(name)
     return F.struct(
         F.sum(m["n"]).alias("n"),
-        F.sum(m["s"]).cast("decimal(28,8)").alias("s"),
-        F.sum(m["s2"]).cast("decimal(28,8)").alias("s2"))
+        F.sum(m["s"]).cast("decimal(38,8)").alias("s"),
+        F.sum(m["s2"]).cast("decimal(38,8)").alias("s2"))
 
 
 def moments_mean(col) -> Column:

@@ -8,7 +8,7 @@ from __future__ import annotations
 from collections import Counter
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -176,6 +176,10 @@ def test_hist_quantile_within_bin_width_fuzz(spark, vals, q, nbins):
 
 @given(vals=st.lists(st.floats(min_value=-1000.0, max_value=1000.0,
                                allow_nan=False), min_size=2, max_size=40))
+# r7's falsifying example: 0.0625² = 0.00390625 needs 8 dp; the old
+# decimal(28,8)² state collapsed to decimal(38,6) and stored 0.003906.
+@example(vals=[0.0, 0.0625])
+@example(vals=[0.0001, 0.0625, -999.9999])  # 4-dp boundary magnitudes
 @SLOW
 def test_moments_match_numpy_fuzz(spark, vals):
     import numpy as np

@@ -219,6 +219,39 @@ def test_moments_spec_validation(spark):
         time_rollup(f, "ts", "hour", m="moments")
 
 
+def test_moments_8dp_square_exact(spark):
+    """r7 regression: the squared state must carry 8 exact decimal
+    places. 0.0625² = 0.00390625; the old decimal(28,8)² state
+    collapsed to decimal(38,6) and stored 0.00390600."""
+    from decimal import Decimal
+    f = Frame(spark.createDataFrame(
+        [("2024-03-01 00:00:00", 0.0), ("2024-03-01 01:00:00", 0.0625)],
+        "ts string, v double").withColumn("ts", F.col("ts").cast("timestamp")))
+    daily = time_rollup(f, "ts", "day", m=("moments", "v"))
+    m = daily.sdf.select("m").collect()[0]["m"]
+    assert m["s2"] == Decimal("0.00390625")
+    from crysda_spark.operators.rollup import moments_stddev
+    sd = daily.sdf.select(moments_stddev("m").alias("sd")).collect()[0]["sd"]
+    import numpy as np
+    assert sd == pytest.approx(np.std([0.0, 0.0625], ddof=1), rel=1e-12)
+
+
+def test_moments_overflow_raises_not_nulls(spark):
+    """|x| ≥ 1e10 overflows the decimal(18,8) operand; the contract is
+    an ERROR, never a silent null that F.sum would skip (which yields
+    a wrong — not null — variance)."""
+    # Under ANSI mode (Spark 4 default) the cast itself raises; with
+    # ANSI off, the explicit raise_error guard fires. Either way: error.
+    from pyspark.errors import PySparkException
+    f = Frame(spark.createDataFrame(
+        [("2024-03-01 00:00:00", 1.0), ("2024-03-01 01:00:00", 1.5e10)],
+        "ts string, v double").withColumn("ts", F.col("ts").cast("timestamp")))
+    daily = time_rollup(f, "ts", "day", m=("moments", "v"))
+    with pytest.raises(PySparkException,
+                       match=r"1e10|Decimal\(18, ?8\)"):
+        daily.sdf.collect()
+
+
 # -------------------------------------------------------- cms measure
 def test_cms_cascade_and_point_estimates(spark):
     from crysda_spark.operators.rollup import cms_estimate
