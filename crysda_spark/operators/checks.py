@@ -29,6 +29,8 @@ class Check:
     kind: str                 # "agg" | "ref" | "window"
     payload: Any              # Column (agg) | (frame, col, ref_col) (ref)
     predicate: Any = None     # row-level violation predicate, when one exists
+    cols: tuple = ()          # key columns (unique) — typed, not parsed
+                              # back out of the display name
 
 
 def not_null(col: str) -> Check:
@@ -43,7 +45,8 @@ def unique(*cols: str) -> Check:
     beyond the first of each duplicated key."""
     name = f"unique({', '.join(cols)})"
     return Check(name, "agg",
-                 F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols]))
+                 F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols]),
+                 cols=tuple(cols))
 
 
 def in_range(col: str, lo, hi) -> Check:
@@ -94,11 +97,17 @@ def run_checks(f: Frame, checks: list[Check]) -> Frame:
         row = sdf.agg(F.count(F.lit(1)).alias("_total"),
                       *[F.coalesce(c.payload, F.lit(0)).alias(f"_v{i}")
                         for i, c in enumerate(agg_checks)])
-        stack = ", ".join(f"'{c.name.replace(chr(39), '')}', _v{i}"
-                          for i, c in enumerate(agg_checks))
-        parts.append(row.selectExpr(
-            f"stack({len(agg_checks)}, {stack}) as (check, violations)",
-            "_total as total"))
+        # typed literals, not a string-interpolated stack(): check names
+        # survive quotes/backslashes verbatim, so report keys always
+        # equal Check.name. The explode runs over the 1-row aggregate —
+        # still a single pass over the data.
+        pairs = F.array(*[
+            F.struct(F.lit(c.name).alias("check"),
+                     F.col(f"_v{i}").cast("long").alias("violations"))
+            for i, c in enumerate(agg_checks)])
+        parts.append(row.select(F.explode(pairs).alias("_p"),
+                                F.col("_total").alias("total"))
+                     .select("_p.check", "_p.violations", "total"))
     for c in checks:
         if c.kind != "ref":
             continue
@@ -136,9 +145,9 @@ def violation_rows(f: Frame, check: Check, limit: int | None = None) -> Frame:
                      on=col, how="left_anti"))
     elif check.predicate is not None:
         out = sdf.filter(check.predicate)
-    elif check.name.startswith("unique("):
+    elif check.cols:
         from pyspark.sql.window import Window as _W
-        cols = [c.strip() for c in check.name[len("unique("):-1].split(",")]
+        cols = list(check.cols)
         cnt = F.count(F.lit(1)).over(_W.partitionBy(*cols))
         any_null = None
         for c in cols:

@@ -58,6 +58,14 @@ def fuzzy_join(left: Frame, right: Frame, left_col: str, right_col: str,
     def _q(name):  # suffixed names contain dots — backtick-quote
         return F.col(f"`{name}`")
 
+    # Row identity for the left-outer recovery: anti-joining on the
+    # left COLUMNS equates rows by value, where a NULL in any matched
+    # row's column fails its own equality and the row comes back a
+    # second time with null right columns. An id column makes the
+    # anti-join exact (and shuffles 8-byte keys instead of whole rows).
+    if how == "left":
+        l2 = l2.withColumn("__lid__", F.monotonically_increasing_id())
+
     r3 = r_sdf.withColumn(
         "__band__",
         F.explode(F.sequence(F.length(_q(rcol)) - k, F.length(_q(rcol)) + k)))
@@ -74,10 +82,9 @@ def fuzzy_join(left: Frame, right: Frame, left_col: str, right_col: str,
         return Frame(matched)
     # left: keep unmatched left rows with null right side
     r_cols = [c for c in r3.columns if c != "__band__"]
-    un = (l2.join(matched.select(*[F.col(f"`{c}`") for c in l2.columns])
-                  .distinct(),
-                  on=list(l2.columns), how="left_anti")
+    un = (l2.join(matched.select("__lid__").distinct(),
+                  on="__lid__", how="left_anti")
           .select("*", *[F.lit(None).cast(dict(r3.dtypes)[c]).alias(c)
                          for c in r_cols],
                   F.lit(None).cast("int").alias(out_col)))
-    return Frame(matched.unionByName(un))
+    return Frame(matched.unionByName(un).drop("__lid__"))

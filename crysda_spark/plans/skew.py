@@ -109,6 +109,42 @@ def _bloom_pos(c: Column, i: int, nbits: int) -> Column:
     return F.pmod(F.pmod(k * a + b, F.lit(_BLOOM_P)), F.lit(nbits))
 
 
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _bloom_key_exprs(fact: SparkDF, fact_col: str,
+                     dim: SparkDF, dim_col: str) -> tuple[Column, Column]:
+    """One hash representation for both key sides. ``xxhash64`` is
+    type-sensitive — int 5 and bigint 5 hash DIFFERENTLY — so join-
+    equal values reaching the hash through different physical types
+    would drop matching fact rows as false negatives, breaking the
+    'false negatives cannot happen' contract. Integral pairs hash as
+    long; any numeric mix hashes as double (the join-coercion superset;
+    ``+ 0.0`` folds -0.0 into +0.0 so IEEE-equal zeros hash equal);
+    equal non-numeric types hash as-is; anything else raises."""
+    tf, td = dict(fact.dtypes)[fact_col], dict(dim.dtypes)[dim_col]
+    fk, dk = F.col(fact_col), F.col(dim_col)
+
+    def family(t: str) -> str:
+        if t in _INTEGRAL:
+            return "int"
+        if t in ("float", "double") or t.startswith("decimal"):
+            return "frac"
+        return t
+
+    ff, fd = family(tf), family(td)
+    if ff == "int" and fd == "int":
+        return fk.cast("long"), dk.cast("long")
+    if ff in ("int", "frac") and fd in ("int", "frac"):
+        return fk.cast("double") + F.lit(0.0), dk.cast("double") + F.lit(0.0)
+    if tf == td:
+        return fk, dk
+    raise ValueError(
+        f"bloom_prefilter: key dtypes {tf!r} ({fact_col}) and {td!r} "
+        f"({dim_col}) have no common hash representation — cast one "
+        f"side to the other's type first")
+
+
 def bloom_prefilter(fact: SparkDF, fact_col: str, dim: SparkDF, dim_col: str,
                     nbits: int = 1 << 20, n_hashes: int = 3):
     """Semi-join pushdown without a shuffle: build a Bloom filter over
@@ -132,9 +168,9 @@ def bloom_prefilter(fact: SparkDF, fact_col: str, dim: SparkDF, dim_col: str,
         raise ValueError(f"bloom_prefilter: n_hashes must be "
                          f"1..{len(_BLOOM_HASHES)}, got {n_hashes}")
     n_words = nbits // 64
+    fkey, key = _bloom_key_exprs(fact, fact_col, dim, dim_col)
     # build: per key, per hash -> (word_idx, bit); OR bits per word via
     # a grouped aggregate over at most n_words * 1 rows out
-    key = F.col(dim_col)
     pos = [ _bloom_pos(key, i, nbits) for i in range(n_hashes) ]
     pairs = dim.select(F.explode(F.array(*[
         F.struct((p / 64).cast("int").alias("w"),
@@ -147,7 +183,6 @@ def bloom_prefilter(fact: SparkDF, fact_col: str, dim: SparkDF, dim_col: str,
     for r in words:
         arr[r["w"]] = r["bits"]
     lit_arr = F.array(*[F.lit(x).cast("long") for x in arr])
-    fkey = F.col(fact_col)
     cond = F.lit(True)
     for i in range(n_hashes):
         p = _bloom_pos(fkey, i, nbits)

@@ -85,3 +85,28 @@ def test_violation_rows_ref_integrity(dirty, spark):
 def test_violation_rows_limit(dirty):
     rows = ck.violation_rows(dirty, ck.unique("id"), limit=1).sdf.collect()
     assert len(rows) == 1
+
+
+def test_check_names_survive_quotes_verbatim(dirty):
+    """r8 regression (ADVICE): report keys must equal Check.name even
+    for names carrying quotes/backslashes — the old stack() string
+    interpolation stripped single quotes (and backslashes could corrupt
+    the expression)."""
+    name = r"it's a \"weird\" name \ with backslash"
+    c = ck.satisfies(name, F.col("v") > -100)
+    report = ck.run_checks(dirty, [c])
+    got = report.sdf.collect()
+    assert len(got) == 1 and got[0]["check"] == c.name
+    assert got[0]["passed"]
+
+
+def test_unique_key_columns_are_typed_not_parsed(spark):
+    """unique()'s key list rides in Check.cols; a column name
+    containing a comma must not be split into two bogus columns by
+    violation_rows."""
+    f = Frame(spark.createDataFrame(
+        [(1, "x"), (1, "y")], ["weird, name", "other"]))
+    c = ck.unique("weird, name")
+    assert c.cols == ("weird, name",)
+    rows = ck.violation_rows(f, c).sdf.collect()
+    assert len(rows) == 2  # both copies of the duplicated key

@@ -39,6 +39,26 @@ def test_fuzzy_join_left_keeps_unmatched(names):
     assert len(rows) == 3
 
 
+def test_fuzzy_join_left_null_payload_not_duplicated(spark):
+    """r8 regression (ADVICE): a MATCHED left row carrying a NULL in a
+    non-key column must not ALSO come back through the unmatched-
+    recovery anti-join (NULL never equals NULL in join equality, so a
+    column-wise anti-join kept it and emitted a duplicate)."""
+    dirty = Frame(spark.createDataFrame(
+        [(10, "alcie", None), (12, "zzzzzz", "x")],
+        "id long, name string, note string"))
+    clean = Frame(spark.createDataFrame(
+        [(1, "alice")], "id long, nm string"))
+    out = fuzzy_join(dirty, clean, "name", "nm", max_distance=2, how="left")
+    rows = out.sdf.collect()
+    assert len(rows) == 2
+    matched = [r for r in rows if r["id.x"] == 10]
+    assert len(matched) == 1 and matched[0]["id.y"] == 1
+    unmatched = [r for r in rows if r["id.x"] == 12]
+    assert len(unmatched) == 1 and unmatched[0]["id.y"] is None
+    assert "__lid__" not in out.columns
+
+
 def test_fuzzy_join_zero_distance_is_exact(names):
     clean, _ = names
     out = fuzzy_join(clean, clean, "name", "name", max_distance=0)

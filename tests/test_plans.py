@@ -162,6 +162,28 @@ def test_bloom_prefilter_join_equivalence(spark):
     assert plain == filtered                # FPs are join-transparent
 
 
+def test_bloom_prefilter_mixed_key_types_no_false_negatives(spark):
+    """r8 regression (ADVICE): xxhash64 is type-sensitive — int 5 and
+    bigint 5 hash differently — so an int fact key probed against a
+    bigint-built filter silently dropped every matching row."""
+    from crysda_spark.plans.skew import bloom_prefilter
+    dim = spark.createDataFrame([(i,) for i in range(0, 100, 2)], "k long")
+    fact = spark.createDataFrame([(i,) for i in range(100)], "k int")
+    out = bloom_prefilter(fact, "k", dim, "k", nbits=1 << 14)
+    got = {r["k"] for r in out.collect()}
+    assert got >= set(range(0, 100, 2))     # every member survives
+    # numeric/double mix goes through the double representation
+    dimd = spark.createDataFrame([(float(i),) for i in range(0, 100, 2)],
+                                 "k double")
+    outd = bloom_prefilter(fact, "k", dimd, "k", nbits=1 << 14)
+    assert {r["k"] for r in outd.collect()} >= set(range(0, 100, 2))
+    # incompatible families raise instead of silently dropping
+    import pytest
+    dims = spark.createDataFrame([("5",)], "k string")
+    with pytest.raises(ValueError, match="common hash representation"):
+        bloom_prefilter(fact, "k", dims, "k")
+
+
 def test_bloom_prefilter_validation(spark):
     import pytest
     from crysda_spark.plans.skew import bloom_prefilter
