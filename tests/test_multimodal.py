@@ -148,12 +148,16 @@ def test_bmp_roundtrip_hypothesis():
     # property fuzz: ANY uint8 (H, W, 3) array survives encode→decode
     # bit-for-bit, across the row-padding residues W % 4 ∈ {0,1,2,3}
     import numpy as np
-    from hypothesis import given, settings, strategies as st
+    from hypothesis import example, given, settings, strategies as st
     from crysda_spark.pipeline.codecs import decode_bmp, encode_bmp
 
     @settings(max_examples=40, deadline=None)
     @given(h=st.integers(1, 24), w=st.integers(1, 24),
            seed=st.integers(0, 2**31 - 1))
+    @example(h=1, w=1, seed=0)
+    @example(h=3, w=2, seed=1)
+    @example(h=2, w=3, seed=2)
+    @example(h=5, w=4, seed=3)
     def roundtrip(h, w, seed):
         arr = np.random.default_rng(seed).integers(
             0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -224,13 +228,18 @@ def test_png_roundtrip_hypothesis():
     # r6 judge directive #4 gate: encode via the writer with EVERY
     # filter type, decode back bit-for-bit, RGB and RGBA, random dims
     import numpy as np
-    from hypothesis import given, settings, strategies as st
+    from hypothesis import example, given, settings, strategies as st
     from crysda_spark.pipeline.codecs import decode_png, encode_png
 
     @settings(max_examples=40, deadline=None)
     @given(h=st.integers(1, 20), w=st.integers(1, 20),
            nchan=st.sampled_from([3, 4]), ft=st.integers(0, 4),
            seed=st.integers(0, 2**31 - 1))
+    @example(h=1, w=1, nchan=3, ft=0, seed=0)
+    @example(h=4, w=3, nchan=4, ft=1, seed=1)   # Sub filter
+    @example(h=3, w=4, nchan=3, ft=2, seed=2)   # Up filter
+    @example(h=5, w=5, nchan=4, ft=3, seed=3)   # Average filter
+    @example(h=6, w=2, nchan=3, ft=4, seed=4)   # Paeth filter
     def roundtrip(h, w, nchan, ft, seed):
         arr = np.random.default_rng(seed).integers(
             0, 256, size=(h, w, nchan), dtype=np.uint8)
@@ -340,13 +349,16 @@ def test_gif_roundtrip_and_errors():
 
 def test_gif_roundtrip_hypothesis():
     import numpy as np
-    from hypothesis import given, settings, strategies as st
+    from hypothesis import example, given, settings, strategies as st
     from crysda_spark.pipeline.codecs import decode_gif, encode_gif
 
     @settings(max_examples=40, deadline=None)
     @given(h=st.integers(1, 24), w=st.integers(1, 24),
            ncol=st.sampled_from([1, 2, 3, 16, 64, 256]),
            interlace=st.booleans(), seed=st.integers(0, 2**31 - 1))
+    @example(h=1, w=1, ncol=1, interlace=False, seed=0)
+    @example(h=9, w=5, ncol=256, interlace=True, seed=1)  # all 4 passes
+    @example(h=3, w=7, ncol=2, interlace=True, seed=2)
     def roundtrip(h, w, ncol, interlace, seed):
         rng = np.random.default_rng(seed)
         pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
@@ -408,13 +420,16 @@ def test_jpeg_roundtrip_and_errors():
 
 def test_jpeg_roundtrip_hypothesis():
     import numpy as np
-    from hypothesis import given, settings, strategies as st
+    from hypothesis import example, given, settings, strategies as st
     from crysda_spark.pipeline.codecs import decode_jpeg, encode_jpeg
     ones = np.ones((8, 8), np.int32)
 
     @settings(max_examples=25, deadline=None)
     @given(h=st.integers(1, 24), w=st.integers(1, 24),
            subsample=st.booleans(), seed=st.integers(0, 2**31 - 1))
+    @example(h=1, w=1, subsample=False, seed=0)
+    @example(h=17, w=9, subsample=True, seed=1)   # partial MCUs
+    @example(h=8, w=8, subsample=True, seed=2)    # exact one MCU
     def roundtrip(h, w, subsample, seed):
         rng = np.random.default_rng(seed)
         # smooth-ish content: random low-res field upsampled, so the

@@ -30,6 +30,8 @@ def _frame(spark, vals, extra=None):
 
 @SLOW
 @given(vals=ints_with_nulls, threshold=st.integers(-50, 50))
+@example(vals=[None], threshold=0)
+@example(vals=[-50, None, 50], threshold=-50)
 def test_filter_null_is_false(spark, vals, threshold):
     f = _frame(spark, vals)
     got = sorted(f.filter(F.col("x") > threshold).to_h()["i"])
@@ -40,6 +42,7 @@ def test_filter_null_is_false(spark, vals, threshold):
 
 @SLOW
 @given(vals=ints_with_nulls)
+@example(vals=[None, 0, None, -1])
 def test_sort_nulls_last(spark, vals):
     f = _frame(spark, vals)
     got = f.sort_by("x").to_h()["x"]
@@ -49,6 +52,8 @@ def test_sort_nulls_last(spark, vals):
 
 @SLOW
 @given(vals=ints_with_nulls)
+@example(vals=[None, 1, 2])
+@example(vals=[1, None, 2, None])
 def test_cumsum_poisons_after_first_null(spark, vals):
     f = _frame(spark, vals)
     got = f.add_column("c", lambda e: e.cumsum("x", order_by=["i"])) \
@@ -66,6 +71,7 @@ def test_cumsum_poisons_after_first_null(spark, vals):
 
 @SLOW
 @given(vals=ints_with_nulls)
+@example(vals=[None, None, 1])
 def test_distinct_counts_null_as_value(spark, vals):
     f = _frame(spark, vals)
     assert f.select("x").distinct().num_row == len(set(vals))
@@ -73,6 +79,8 @@ def test_distinct_counts_null_as_value(spark, vals):
 
 @SLOW
 @given(left=ints_with_nulls, right=ints_with_nulls)
+@example(left=[None, 1, 1], right=[1, 1, None])
+@example(left=[None], right=[None])
 def test_inner_join_multiplicity(spark, left, right):
     """Join cardinality = sum over keys of count_l*count_r; null keys
     never match (SQL semantics both engines)."""
@@ -90,6 +98,8 @@ def test_inner_join_multiplicity(spark, left, right):
 @SLOW
 @given(sizes=st.lists(st.integers(0, 300), min_size=1, max_size=20),
        budget=st.integers(50, 400))
+@example(sizes=[300, 0, 300], budget=50)   # oversized singletons + zero-size
+@example(sizes=[50, 50, 50], budget=50)     # exact-fit boundary
 def test_pack_sequences_budget_property(spark, sizes, budget):
     """Every bin holds <= budget unless it contains a single oversized
     doc; every doc lands in exactly one bin."""
@@ -110,6 +120,9 @@ def test_pack_sequences_budget_property(spark, sizes, budget):
 
 @SLOW
 @given(radius=st.integers(0, 12), flips=st.integers(0, 12))
+@example(radius=0, flips=0)
+@example(radius=3, flips=4)   # just past the radius
+@example(radius=12, flips=12)
 def test_simhash_pairs_pigeonhole_property(spark, radius, flips):
     """A planted pair at hamming distance `flips` is recovered IFF
     flips <= radius — the Manku multi-block guarantee at any radius,
@@ -134,6 +147,8 @@ def test_simhash_pairs_pigeonhole_property(spark, radius, flips):
 @given(vals=st.lists(st.one_of(st.none(), st.floats(-1e6, 1e6,
                                                     allow_nan=False)),
                      min_size=1, max_size=12))
+@example(vals=[None])
+@example(vals=[0.0, None])
 def test_mean_strict_vs_skip(spark, vals):
     from crysda_spark.functions import aggregates as agg
     f = _frame(spark, vals)
@@ -153,6 +168,9 @@ def test_mean_strict_vs_skip(spark, vals):
        q=st.sampled_from([0.0, 0.1, 0.5, 0.9, 1.0]),
        nbins=st.sampled_from([4, 10, 25]))
 @SLOW
+@example(vals=[0.0, 100.0], q=1.0, nbins=4)   # range-edge bins
+@example(vals=[25.0] * 5, q=0.0, nbins=4)     # single-value pile
+@example(vals=[49.0, 98.0], q=0.5, nbins=25)  # wide gap, narrow bins
 def test_hist_quantile_within_bin_width_fuzz(spark, vals, q, nbins):
     """hist_quantile must stay within one bin width of the EMPIRICAL-CDF
     inverse (numpy method='inverted_cdf') for ANY data/bins/q: the found

@@ -110,7 +110,7 @@ def test_hypothesis_matches_numpy_linear(spark):
     h = 1 + (n-1)q interpolation): random value lists incl. duplicates
     and nulls, forced multi-bucket stitching."""
     import numpy as np
-    from hypothesis import HealthCheck, given, settings
+    from hypothesis import HealthCheck, example, given, settings
     from hypothesis import strategies as st
     from crysda_spark import from_records
 
@@ -121,6 +121,9 @@ def test_hypothesis_matches_numpy_linear(spark):
                                    st.integers(-9, 9).map(float)),
                          min_size=1, max_size=24),
            q=st.sampled_from([0.0, 0.25, 0.5, 0.9, 1.0]))
+    @example(vals=[1.0] * 20, q=0.5)      # massive-duplicate collapse
+    @example(vals=[None, None], q=0.0)    # all-null group
+    @example(vals=[-9.0, 9.0], q=0.25)    # two-point interpolation
     def prop(vals, q):
         present = [v for v in vals if v is not None]
         f = from_records(spark, [{"x": v} for v in vals], order=["x"])
