@@ -26,6 +26,14 @@ def main() -> None:
 
     spark = get_spark("crysda_bench")
 
+    # Size the shuffle-partition count from the ACTUAL input bytes of
+    # this run's scale factor (floored at core count, so sf0.1-local
+    # keeps its 32; a 100 TB run would land in the tens of thousands).
+    from crysda_spark.plans.sizing import apply_recommended_shuffle_partitions
+    n_parts = apply_recommended_shuffle_partitions(spark, sf_dir)
+    print(f"# shuffle partitions sized to {n_parts} for {sf_dir}",
+          file=sys.stderr)
+
     qs = entry.queries()
     # warm the JVM + parquet footer caches with one tiny action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()

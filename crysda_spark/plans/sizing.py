@@ -17,7 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame as SparkDF
 
-__all__ = ["input_bytes", "recommend_shuffle_partitions"]
+__all__ = ["input_bytes", "dir_input_bytes", "recommend_shuffle_partitions",
+           "apply_recommended_shuffle_partitions"]
 
 
 def input_bytes(sdf: SparkDF) -> int:
@@ -50,3 +51,42 @@ def recommend_shuffle_partitions(sdf: SparkDF, target_partition_mb: int = 128,
     total = input_bytes(sdf) * expansion
     n = int(total // (target_partition_mb * 1024 * 1024)) + 1
     return max(min_partitions, min(n, max_partitions))
+
+
+def dir_input_bytes(spark, path: str) -> int:
+    """Recursive byte total of all files under ``path`` (driver-side
+    Hadoop FileSystem listing — any supported scheme). The dataset-level
+    counterpart of ``input_bytes`` for sizing a whole session before any
+    DataFrame exists."""
+    jvm = spark._jvm                                     # noqa: SLF001
+    hconf = spark._jsc.hadoopConfiguration()             # noqa: SLF001
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    total = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        total += it.next().getLen()
+    return total
+
+
+def apply_recommended_shuffle_partitions(
+        spark, path: str, target_partition_mb: int = 128,
+        expansion: float = 2.0, floor: int | None = None,
+        max_partitions: int = 200_000) -> int:
+    """Size ``spark.sql.shuffle.partitions`` from the dataset the
+    session is about to process: bytes-under-``path`` × ``expansion``
+    (parquet→shuffle decompression fan-out, default 2×) split into
+    ~``target_partition_mb`` partitions. Floored at the session's
+    default parallelism — below core count the extra partitions cost
+    nothing and dropping under it would idle cores. At 100 TB this is
+    the config that matters most: AQE coalesces an over-partitioned
+    shuffle for free but cannot split one that already spilled.
+
+    Returns the applied count (also set on the session)."""
+    if floor is None:
+        floor = spark.sparkContext.defaultParallelism
+    total = dir_input_bytes(spark, path) * expansion
+    n = int(total // (target_partition_mb * 1024 * 1024)) + 1
+    n = max(floor, min(n, max_partitions))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return n
