@@ -2136,7 +2136,9 @@ def multimodal_png_roundtrip(spark, sf_dir):
     """Pure-stdlib PNG codec through the distributed path (r7): per-doc
     deterministic RGB/RGBA gradients are PNG-encoded executor-side with
     a rotating row filter (pipeline.codecs.encode_png, filters 0-4 so
-    every un-filter branch runs), resized through the Arrow kernel,
+    every un-filter branch runs; every third doc Adam7-interlaced so
+    the r8 de-interlacer runs distributed too), resized through the
+    Arrow kernel,
     decoded back (zlib inflate + Sub/Up/Average/Paeth un-filtering),
     and the gate asserts every decoded geometry equals the resize
     target with the source's channel count (alpha preserved)."""
@@ -2159,7 +2161,8 @@ def multimodal_png_roundtrip(spark, sf_dir):
                 if nchan == 4:
                     chans.append((x * y + d) % 256)
                 arr = np.stack(chans, axis=-1).astype(np.uint8)
-                payloads.append(encode_png(arr, filter_type=d % 5))
+                payloads.append(encode_png(arr, filter_type=d % 5,
+                                           interlace=(d % 3 == 0)))
             yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
 
     schema = T.StructType([T.StructField("id", T.LongType()),

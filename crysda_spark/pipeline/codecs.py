@@ -166,12 +166,61 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+# Adam7 pass grid (PNG spec §8.2): (x0, y0, dx, dy) per pass. Empty
+# passes (a dimension rounds to zero) contribute NO bytes, not even
+# filter bytes.
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _unfilter_rows(raw: np.ndarray, height: int, stride: int,
+                   bpp: int) -> np.ndarray:
+    """Un-filter ``height`` scanlines of ``1 + stride`` raw bytes each
+    (filter byte + filtered data) into decoded (height, stride) bytes.
+    Filters reference the DECODED left/up neighbors (PNG spec §9);
+    Sub un-filters via stride-grouped cumulative sums (vectorized),
+    Up is a vector add, Average/Paeth walk bytes."""
+    raw = raw.reshape(height, 1 + stride)
+    ftypes, lines = raw[:, 0], raw[:, 1:].astype(np.int16)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(height):
+        f, line = int(ftypes[y]), lines[y]
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub: per-residue-class prefix sums, vectorized
+            cur = line.copy()
+            for r in range(bpp):
+                cur[r::bpp] = np.cumsum(line[r::bpp], dtype=np.int64) & 0xFF
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f == 3:  # Average
+            cur = np.zeros(stride, dtype=np.int16)
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = np.zeros(stride, dtype=np.int16)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(line[x]) + _paeth(a, int(prev[x]), c)) & 0xFF
+        else:
+            raise PngError(f"bad filter byte {f} on row {y}")
+        out[y] = cur.astype(np.uint8)
+        prev = out[y].astype(np.int16)
+    return out
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode an 8-bit truecolor PNG (color types 2 = RGB, 6 = RGBA,
-    non-interlaced) to an (H, W, 3|4) uint8 array, pure stdlib:
-    chunk walk with CRC verification, zlib inflate of the IDAT stream,
-    per-row un-filtering (None/Sub/Up/Average/Paeth). Everything else
-    (palette, 16-bit, grayscale, Adam7) raises PngError.
+    sequential OR Adam7-interlaced) to an (H, W, 3|4) uint8 array,
+    pure stdlib: chunk walk with CRC verification, zlib inflate of the
+    IDAT stream, per-row un-filtering (None/Sub/Up/Average/Paeth);
+    interlaced images un-filter each of the 7 Adam7 passes as an
+    independent sub-image (filters reset per pass, PNG spec §8.2) and
+    scatter it onto the output grid. Everything else (palette, 16-bit,
+    grayscale) raises PngError.
 
     Filter math is exact per the PNG spec: filters reference the
     DECODED bytes of the left/up neighbors; Sub un-filters via
@@ -207,8 +256,8 @@ def decode_png(payload: bytes) -> np.ndarray:
                     f"unsupported color type {color} (truecolor RGB/RGBA only)")
             if comp != 0 or filt != 0:
                 raise PngError("nonzero compression/filter method")
-            if inter != 0:
-                raise PngError("interlaced (Adam7) PNG unsupported")
+            if inter not in (0, 1):
+                raise PngError(f"bad interlace method {inter}")
             if width <= 0 or height <= 0:
                 raise PngError(f"bad dimensions {width}x{height}")
             nchan = 3 if color == 2 else 4
@@ -230,56 +279,42 @@ def decode_png(payload: bytes) -> np.ndarray:
     except zlib.error as e:
         raise PngError(f"IDAT inflate failed: {e}") from None
     stride = width * nchan
-    if len(raw) != height * (1 + stride):
+    raw = np.frombuffer(raw, dtype=np.uint8)
+    if inter == 0:
+        if len(raw) != height * (1 + stride):
+            raise PngError(
+                f"decompressed size {len(raw)} != {height * (1 + stride)}")
+        out = _unfilter_rows(raw, height, stride, nchan)
+        return out.reshape(height, width, nchan)
+    # Adam7: each pass is an independently-filtered sub-image scattered
+    # onto the (y0::dy, x0::dx) grid
+    img = np.zeros((height, width, nchan), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        pstride = pw * nchan
+        nbytes = ph * (1 + pstride)
+        if pos + nbytes > len(raw):
+            raise PngError("truncated Adam7 pass data")
+        block = _unfilter_rows(raw[pos:pos + nbytes], ph, pstride, nchan)
+        img[y0::dy, x0::dx, :] = block.reshape(ph, pw, nchan)
+        pos += nbytes
+    if pos != len(raw):
         raise PngError(
-            f"decompressed size {len(raw)} != {height * (1 + stride)}")
-    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, 1 + stride)
-    ftypes, lines = raw[:, 0], raw[:, 1:].astype(np.int16)
-    out = np.zeros((height, stride), dtype=np.uint8)
-    bpp = nchan
-    prev = np.zeros(stride, dtype=np.int16)
-    for y in range(height):
-        f, line = int(ftypes[y]), lines[y]
-        if f == 0:
-            cur = line
-        elif f == 1:  # Sub: per-residue-class prefix sums, vectorized
-            cur = line.copy()
-            for r in range(bpp):
-                cur[r::bpp] = np.cumsum(line[r::bpp], dtype=np.int64) & 0xFF
-        elif f == 2:  # Up
-            cur = (line + prev) & 0xFF
-        elif f == 3:  # Average
-            cur = np.zeros(stride, dtype=np.int16)
-            for x in range(stride):
-                left = int(cur[x - bpp]) if x >= bpp else 0
-                cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            cur = np.zeros(stride, dtype=np.int16)
-            for x in range(stride):
-                a = int(cur[x - bpp]) if x >= bpp else 0
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                cur[x] = (int(line[x]) + _paeth(a, int(prev[x]), c)) & 0xFF
-        else:
-            raise PngError(f"bad filter byte {f} on row {y}")
-        out[y] = cur.astype(np.uint8)
-        prev = out[y].astype(np.int16)
-    return out.reshape(height, width, nchan)
+            f"decompressed size {len(raw)} != Adam7 total {pos}")
+    return img
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
-    """Encode an (H, W, 3|4) uint8 array as an 8-bit truecolor PNG.
-    ``filter_type`` applies one PNG filter (0-4) to every row — the
-    roundtrip fuzz uses it to exercise every un-filter path of
-    ``decode_png`` (filters reference the DECODED prior row, which at
-    encode time is simply the original scanline)."""
-    arr = np.asarray(arr, dtype=np.uint8)
-    if arr.ndim != 3 or arr.shape[2] not in (3, 4):
-        raise PngError(f"encode_png wants (H, W, 3|4), got {arr.shape}")
-    if filter_type not in (0, 1, 2, 3, 4):
-        raise PngError(f"bad filter type {filter_type}")
-    h, w, nchan = arr.shape
-    bpp, stride = nchan, w * nchan
-    flat = arr.reshape(h, stride).astype(np.int16)
+def _filter_rows(sub: np.ndarray, bpp: int, filter_type: int) -> bytes:
+    """Filter an (h, w, bpp) sub-image's scanlines with one PNG filter
+    (filters reference the DECODED prior row, which at encode time is
+    simply the original scanline)."""
+    h = sub.shape[0]
+    stride = sub.shape[1] * bpp
+    flat = sub.reshape(h, stride).astype(np.int16)
     rows = []
     prev = np.zeros(stride, dtype=np.int16)
     for y in range(h):
@@ -304,13 +339,37 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
             filt = (line - pred) & 0xFF
         rows.append(bytes([filter_type]) + filt.astype(np.uint8).tobytes())
         prev = line
-    raw = b"".join(rows)
+    return b"".join(rows)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0,
+               interlace: bool = False) -> bytes:
+    """Encode an (H, W, 3|4) uint8 array as an 8-bit truecolor PNG.
+    ``filter_type`` applies one PNG filter (0-4) to every row — the
+    roundtrip fuzz uses it to exercise every un-filter path of
+    ``decode_png``. ``interlace=True`` writes Adam7 pass order (each
+    pass filtered as an independent sub-image, empty passes omitted
+    entirely per spec §8.2) to exercise the decoder's de-interlacer."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] not in (3, 4):
+        raise PngError(f"encode_png wants (H, W, 3|4), got {arr.shape}")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise PngError(f"bad filter type {filter_type}")
+    h, w, nchan = arr.shape
+    if interlace:
+        raw = b"".join(
+            _filter_rows(arr[y0::dy, x0::dx], nchan, filter_type)
+            for x0, y0, dx, dy in _ADAM7
+            if arr[y0::dy, x0::dx].size)
+    else:
+        raw = _filter_rows(arr, nchan, filter_type)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if nchan == 3 else 6, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if nchan == 3 else 6, 0, 0,
+                       1 if interlace else 0)
     return (PNG_MAGIC + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
 

@@ -234,16 +234,23 @@ def test_png_roundtrip_hypothesis():
     @settings(max_examples=40, deadline=None)
     @given(h=st.integers(1, 20), w=st.integers(1, 20),
            nchan=st.sampled_from([3, 4]), ft=st.integers(0, 4),
-           seed=st.integers(0, 2**31 - 1))
-    @example(h=1, w=1, nchan=3, ft=0, seed=0)
-    @example(h=4, w=3, nchan=4, ft=1, seed=1)   # Sub filter
-    @example(h=3, w=4, nchan=3, ft=2, seed=2)   # Up filter
-    @example(h=5, w=5, nchan=4, ft=3, seed=3)   # Average filter
-    @example(h=6, w=2, nchan=3, ft=4, seed=4)   # Paeth filter
-    def roundtrip(h, w, nchan, ft, seed):
+           interlace=st.booleans(), seed=st.integers(0, 2**31 - 1))
+    @example(h=1, w=1, nchan=3, ft=0, interlace=False, seed=0)
+    @example(h=4, w=3, nchan=4, ft=1, interlace=False, seed=1)  # Sub
+    @example(h=3, w=4, nchan=3, ft=2, interlace=False, seed=2)  # Up
+    @example(h=5, w=5, nchan=4, ft=3, interlace=False, seed=3)  # Average
+    @example(h=6, w=2, nchan=3, ft=4, interlace=False, seed=4)  # Paeth
+    # r8 Adam7: sub-8x8 images leave passes empty; 9x9+ hits all 7;
+    # 1x1 uses ONLY pass 1; Paeth+interlace exercises per-pass reset
+    @example(h=1, w=1, nchan=3, ft=4, interlace=True, seed=5)
+    @example(h=9, w=9, nchan=4, ft=4, interlace=True, seed=6)
+    @example(h=3, w=7, nchan=3, ft=3, interlace=True, seed=7)
+    @example(h=16, w=2, nchan=4, ft=1, interlace=True, seed=8)
+    def roundtrip(h, w, nchan, ft, interlace, seed):
         arr = np.random.default_rng(seed).integers(
             0, 256, size=(h, w, nchan), dtype=np.uint8)
-        assert np.array_equal(decode_png(encode_png(arr, ft)), arr)
+        assert np.array_equal(
+            decode_png(encode_png(arr, ft, interlace=interlace)), arr)
 
     roundtrip()
 
