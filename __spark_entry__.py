@@ -2226,7 +2226,9 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
     """Pure-stdlib baseline JPEG through the distributed path (r7):
     per-doc gradient images are JPEG-encoded executor-side
     (pipeline.jpeg.encode_jpeg — FDCT + Annex-K Huffman; every 2nd
-    image 4:2:0-subsampled so the chroma upsampler runs), resized
+    image 4:2:0-subsampled so the chroma upsampler runs, every 3rd
+    PROGRESSIVE (SOF2, r8) so the Annex-G scan accumulator runs
+    distributed too), resized
     through the Arrow kernel (decode → NN resample → re-encode at
     q90), decoded back, and the gate asserts every decoded geometry
     equals the resize target at 3 channels. JPEG is lossy so the gate
@@ -2250,7 +2252,8 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
                 arr = np.stack([(x * 9 + d) % 256, (y * 5) % 256,
                                 ((x + y) * 3) % 256], axis=-1).astype(np.uint8)
                 payloads.append(encode_jpeg(arr, quality=90,
-                                            subsample=bool(d % 2)))
+                                            subsample=bool(d % 2),
+                                            progressive=(d % 3 == 0)))
             yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
 
     schema = T.StructType([T.StructField("id", T.LongType()),

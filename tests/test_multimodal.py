@@ -433,11 +433,16 @@ def test_jpeg_roundtrip_hypothesis():
 
     @settings(max_examples=25, deadline=None)
     @given(h=st.integers(1, 24), w=st.integers(1, 24),
-           subsample=st.booleans(), seed=st.integers(0, 2**31 - 1))
-    @example(h=1, w=1, subsample=False, seed=0)
-    @example(h=17, w=9, subsample=True, seed=1)   # partial MCUs
-    @example(h=8, w=8, subsample=True, seed=2)    # exact one MCU
-    def roundtrip(h, w, subsample, seed):
+           subsample=st.booleans(), progressive=st.booleans(),
+           seed=st.integers(0, 2**31 - 1))
+    @example(h=1, w=1, subsample=False, progressive=False, seed=0)
+    @example(h=17, w=9, subsample=True, progressive=False, seed=1)
+    @example(h=8, w=8, subsample=True, progressive=False, seed=2)
+    # r8 SOF2: 1x1 (single DC), partial MCUs + 4:2:0, multi-MCU bands
+    @example(h=1, w=1, subsample=False, progressive=True, seed=3)
+    @example(h=17, w=9, subsample=True, progressive=True, seed=4)
+    @example(h=24, w=24, subsample=False, progressive=True, seed=5)
+    def roundtrip(h, w, subsample, progressive, seed):
         rng = np.random.default_rng(seed)
         # smooth-ish content: random low-res field upsampled, so the
         # 4:2:0 path has bounded chroma error too
@@ -445,7 +450,8 @@ def test_jpeg_roundtrip_hypothesis():
         img = np.kron(base, np.ones((4, 4, 1)))[:h, :w].astype(np.uint8)
         out = decode_jpeg(encode_jpeg(img, quant_luma=ones,
                                       quant_chroma=ones,
-                                      subsample=subsample))
+                                      subsample=subsample,
+                                      progressive=progressive))
         assert out.shape == img.shape  # kron may yield < (h, w)
         err = np.abs(out.astype(int) - img.astype(int))
         # 4:4:4 is tight; 4:2:0 averages chroma over 2x2 cells whose
@@ -454,6 +460,42 @@ def test_jpeg_roundtrip_hypothesis():
         assert err.mean() <= (8 if subsample else 1)
 
     roundtrip()
+
+
+def test_jpeg_progressive_decodes_identical_to_baseline():
+    """The strongest SOF2 gate: baseline and progressive encodes of the
+    SAME image quantize identical coefficients, so the two decodes must
+    agree BIT-FOR-BIT — any drift in the Annex-G scan accumulation
+    (EOB runs, ZRL-in-refinement, DC successive approximation) breaks
+    exact equality, not just an error bound."""
+    import numpy as np
+    from crysda_spark.pipeline.codecs import JpegError, decode_jpeg, encode_jpeg
+    ones = np.ones((8, 8), np.int32)
+    rng = np.random.default_rng(3)
+    cases = []
+    for h, w, sub in [(8, 8, False), (1, 1, False), (17, 9, True),
+                      (33, 7, False), (16, 16, True)]:
+        cases.append((rng.integers(0, 256, (h, w, 3), dtype=np.uint8),
+                      dict(quant_luma=ones, quant_chroma=ones,
+                           subsample=sub)))          # dense coefficients
+        cases.append((np.full((h, w, 3), 77, np.uint8),
+                      dict(quality=50, subsample=sub)))  # long EOB runs
+    yy, xx = np.mgrid[0:24, 0:24]
+    checker = (((yy + xx) % 2) * 255).astype(np.uint8)[..., None] \
+        .repeat(3, axis=2)
+    cases.append((checker, dict(quant_luma=ones, quant_chroma=ones)))
+    for img, kw in cases:
+        b = decode_jpeg(encode_jpeg(img, **kw))
+        p = decode_jpeg(encode_jpeg(img, progressive=True, **kw))
+        assert np.array_equal(b, p), (img.shape, kw)
+    # still-unsupported modes keep raising (containment pins them to
+    # stub rows in the Arrow path, never a job failure)
+    import pytest
+    prog = bytearray(encode_jpeg(checker, progressive=True))
+    i = prog.find(b"\xFF\xC2")
+    prog[i + 1] = 0xC9  # arithmetic-coded SOF: unsupported
+    with pytest.raises(JpegError, match="unsupported SOF"):
+        decode_jpeg(bytes(prog))
 
 
 def test_decode_and_resize_dispatch_jpeg_through_arrow(spark):
