@@ -18,7 +18,32 @@ from pyspark.sql.window import Window as W
 
 from ..frame import Frame
 
-__all__ = ["anomaly_flags"]
+__all__ = ["anomaly_flags", "trailing_score"]
+
+
+def trailing_score(values, x, window: int, z: float):
+    """THE scoring contract, stated once for batch and stream (the
+    ``interval_join_batch`` pattern): ``values`` are the previous
+    ``window`` ROWS' values (None for nulls — positional frame
+    semantics), ``x`` the current value. Returns (expected, zscore,
+    is_anomaly): expected = trailing mean of non-null values rounded
+    to 6 dp (None when all-null); zscore = (x − mean)/sample-stddev
+    rounded to 6 dp, only when ALL ``window`` trailing rows are
+    non-null, the stddev is > 0, and ``x`` is non-null; is_anomaly =
+    |zscore| > z, False on null zscore. ``anomaly_flags`` implements
+    the same contract as JVM window expressions; the streaming twin
+    calls this directly — equality is pinned by pytest."""
+    import math
+    present = [v for v in values if v is not None]
+    expected = round(sum(present) / len(present), 6) if present else None
+    zscore = None
+    if len(present) == window and x is not None:
+        mean = sum(present) / window
+        var = sum((v - mean) ** 2 for v in present) / (window - 1)
+        sd = math.sqrt(var)
+        if sd > 0:
+            zscore = round((x - mean) / sd, 6)
+    return expected, zscore, (zscore is not None and abs(zscore) > z)
 
 
 def anomaly_flags(f: Frame, value_col: str, by: list[str] | str | tuple = (),

@@ -259,3 +259,108 @@ def test_sliding_rollup_hist_matches_batch_expansion(spark, events_stream_dir):
              .select(F.col("win.start").alias("bucket"), "h", "n"))
     want = {str(r["bucket"]): (list(r["h"]), r["n"]) for r in batch.collect()}
     assert got == want
+
+
+# ------------------------------------------------ r8 read-layer twins
+@pytest.fixture()
+def rollup_table_dir(spark, tmp_path_factory):
+    """A small per-key rollup table with gaps and nulls, written as a
+    streamable parquet dir. Series (key a): hourly buckets 0,1,2,4,7
+    (gaps at 3, 5, 6), n-count and v-value with one null v; key b:
+    buckets 0,2 only."""
+    d = tmp_path_factory.mktemp("rollup_read_layer")
+    rows = [
+        ("a", "2024-01-01 00:00:00", 3, 10.0),
+        ("a", "2024-01-01 01:00:00", 1, 11.0),
+        ("a", "2024-01-01 02:00:00", 4, None),
+        ("a", "2024-01-01 04:00:00", 2, 14.0),
+        ("a", "2024-01-01 07:00:00", 9, 17.0),
+        ("b", "2024-01-01 00:00:00", 5, 50.0),
+        ("b", "2024-01-01 02:00:00", 6, None),
+    ]
+    df = spark.createDataFrame(rows, "k string, bucket string, n long, v double") \
+        .withColumn("bucket", F.col("bucket").cast("timestamp"))
+    df.coalesce(1).write.mode("overwrite").parquet(str(d))
+    return str(d)
+
+
+def _run_stream(spark, out, name):
+    q = sw.run_to_memory(out, name, mode="append")
+    q.processAllAvailable()
+    rows = spark.table(name).collect()
+    q.stop()
+    return rows
+
+
+def test_streaming_gapfill_matches_batch(spark, rollup_table_dir):
+    """r7 judge directive #6: the watermarked streaming gapfill and the
+    batch gapfill share one fill-then-LOCF contract — same dense spine,
+    same constants, same carry resets, row-for-row."""
+    from crysda_spark import Frame
+    from crysda_spark.operators.rollup import gapfill
+    from crysda_spark.streaming.read_layer import streaming_gapfill
+
+    kw = dict(fill={"n": 0}, locf=["v"])
+    batch = gapfill(Frame(spark.read.parquet(rollup_table_dir)), "hour",
+                    keys=["k"], **kw)
+    want = {(r["k"], str(r["bucket"]), r["n"], r["v"])
+            for r in batch.sdf.collect()}
+
+    schema = spark.read.parquet(rollup_table_dir).schema
+    stream = sw.stream_from_parquet_dir(spark, rollup_table_dir, schema)
+    out = streaming_gapfill(stream, "hour", by=["k"], **kw)
+    got = {(r["k"], str(r["bucket"]), r["n"], r["v"])
+           for r in _run_stream(spark, out, "gapfill_stream")}
+    assert got == want
+    # key a: 8 dense buckets (0..7), key b: 3 (0..2)
+    assert len(got) == 11
+
+
+def test_streaming_anomaly_flags_matches_batch(spark, rollup_table_dir):
+    """One scoring contract (operators.anomaly.trailing_score) drives
+    both the batch JVM window expressions and the streaming state
+    machine — scores must agree row-for-row, including the cold-start
+    NULLs, the null-value row, and a planted spike."""
+    from crysda_spark import Frame
+    from crysda_spark.operators.anomaly import anomaly_flags
+    from crysda_spark.streaming.read_layer import streaming_anomaly_flags
+
+    # denser series with a spike so a flag actually fires at window=3
+    rows = [("a", f"2024-01-01 {h:02d}:00:00",
+             float(v)) for h, v in enumerate([10, 11, 10, 12, 11, 99, 10])]
+    rows += [("b", "2024-01-01 00:00:00", 5.0),
+             ("b", "2024-01-01 01:00:00", None)]
+    df = spark.createDataFrame(rows, "k string, bucket string, v double") \
+        .withColumn("bucket", F.col("bucket").cast("timestamp"))
+    import tempfile
+    d = tempfile.mkdtemp(prefix="anom_stream")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+
+    kw = dict(value_col="v", by=["k"], order_col="bucket", window=3, z=2.0)
+    batch = anomaly_flags(Frame(spark.read.parquet(d)), **kw)
+    want = {(r["k"], str(r["bucket"]), r["expected"], r["zscore"],
+             r["is_anomaly"]) for r in batch.sdf.collect()}
+
+    stream = sw.stream_from_parquet_dir(spark, d, spark.read.parquet(d).schema)
+    out = streaming_anomaly_flags(stream, **kw)
+    got = {(r["k"], str(r["bucket"]), r["expected"], r["zscore"],
+            r["is_anomaly"])
+           for r in _run_stream(spark, out, "anom_stream")}
+    assert got == want
+    assert any(r[4] for r in got)  # the spike is flagged in BOTH
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_read_layer_validation(spark, rollup_table_dir):
+    from crysda_spark.streaming.read_layer import (streaming_anomaly_flags,
+                                                   streaming_gapfill)
+    schema = spark.read.parquet(rollup_table_dir).schema
+    stream = sw.stream_from_parquet_dir(spark, rollup_table_dir, schema)
+    with pytest.raises(ValueError, match="grain"):
+        streaming_gapfill(stream, "month", by=["k"])
+    with pytest.raises(ValueError, match="not in frame"):
+        streaming_gapfill(stream, "hour", by=["k"], fill={"typo": 0})
+    with pytest.raises(ValueError, match="window"):
+        streaming_anomaly_flags(stream, "v", by=["k"], window=1)
+    with pytest.raises(ValueError, match="key"):
+        streaming_anomaly_flags(stream, "v", by=[])
