@@ -3859,6 +3859,119 @@ def bpe_tokenize_corpus(spark, sf_dir):
     return res.select("id", "n_bpe_tokens")
 
 
+
+# ==================================================== r8: drift / graph / layout
+@q("drift_psi_value", """
+WITH binned AS (
+  SELECT event_id % 2 AS grp,
+         LEAST(GREATEST(CAST(FLOOR(CAST(value AS DOUBLE) / 5.0) AS BIGINT),
+                        0), 9) AS bin
+  FROM events WHERE value IS NOT NULL),
+spine AS (SELECT CAST(x AS BIGINT) AS bin FROM generate_series(0, 9) t(x)),
+h AS (
+  SELECT s.bin,
+         COALESCE(SUM(CASE WHEN b.grp = 0 THEN 1 ELSE 0 END), 0) AS n_base,
+         COALESCE(SUM(CASE WHEN b.grp = 1 THEN 1 ELSE 0 END), 0) AS n_current
+  FROM spine s LEFT JOIN binned b ON b.bin = s.bin GROUP BY 1),
+t AS (SELECT SUM(n_base) AS tb, SUM(n_current) AS tc FROM h),
+terms AS (
+  SELECT h.bin, n_base, n_current, tb, tc,
+         GREATEST(CAST(n_base AS DOUBLE) / tb, 1e-6) AS p,
+         GREATEST(CAST(n_current AS DOUBLE) / tc, 1e-6) AS q,
+         SUM(n_base) OVER (ORDER BY h.bin) AS cb,
+         SUM(n_current) OVER (ORDER BY h.bin) AS cc
+  FROM h CROSS JOIN t)
+SELECT ROUND(SUM(ROUND((q - p) * LN(q / p), 6)), 6) AS psi,
+       ROUND(MAX(ABS(ROUND(CAST(cb AS DOUBLE) / tb, 6)
+                     - ROUND(CAST(cc AS DOUBLE) / tc, 6))), 6) AS ks,
+       CAST(SUM(n_base) AS BIGINT) AS n_base,
+       CAST(SUM(n_current) AS BIGINT) AS n_current
+FROM terms
+""")
+def drift_psi_value(spark, sf_dir):
+    """Distribution drift between two snapshot halves of the events
+    table (pipeline.drift.psi): PSI with epsilon-floored bins + binned
+    KS distance on a shared fixed grid. Each snapshot reduces map-side
+    to nbins rows (one codegen'd aggregate); the compare joins two
+    broadcast histograms — no shuffle carries snapshot-sized data.
+    Even/odd event_id halves of the same corpus → PSI ~ 0 here; the
+    pytest plants a mean shift and demands PSI > 0.25."""
+    from crysda_spark.pipeline.drift import psi
+    ev = _t(spark, sf_dir, "events").sdf
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    return psi(base, cur, "value", 0.0, 50.0, nbins=10)
+
+
+@q("triangle_census", """
+WITH raw AS (
+  SELECT o_custkey % 40 AS a, o_orderkey % 40 AS b FROM orders),
+und AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+  FROM raw WHERE a <> b),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY 1),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v),
+w AS (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges FROM deg)
+SELECT n_triangles, n_wedges,
+       CASE WHEN n_wedges > 0
+            THEN ROUND(3.0 * n_triangles / n_wedges, 6)
+            ELSE 0.0 END AS global_clustering
+FROM tri, w
+""")
+def triangle_census(spark, sf_dir):
+    """Global triangle census (pipeline.graph.triangle_stats) over a
+    derived co-occurrence graph from orders. Degree-ordered orientation
+    (Suri & Vassilvitskii 2011) bounds wedge fan-out by O(sqrt(m)) so a
+    hub vertex never serializes the wedge stage; the DuckDB oracle
+    independently counts the same triangles through the canonical
+    u<v<w three-way join — two different algorithms, one exact answer."""
+    from crysda_spark.pipeline.graph import triangle_stats
+    o = _t(spark, sf_dir, "orders").sdf
+    edges = Frame(o.select((F.col("o_custkey") % 40).alias("id_a"),
+                           (F.col("o_orderkey") % 40).alias("id_b")))
+    return triangle_stats(edges).sdf
+
+
+@q("bucketed_agg_orders", """
+SELECT o_custkey, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders GROUP BY 1
+""")
+def bucketed_agg_orders(spark, sf_dir):
+    """Bucketed-table layout (plans.bucketing.write_bucketed): orders
+    written bucketBy(o_custkey) — the ONE shuffle a 100 TB fact pays,
+    spent at write time — then the per-key aggregate reads co-located
+    buckets with ZERO Exchange in the plan (gated in-query: the plan is
+    inspected and a shuffle raises). Every later join or groupBy on
+    o_custkey reuses the layout for free; pytest additionally proves
+    the bucketed-bucketed join is shuffle-free with broadcast off."""
+    import re as _re
+    from crysda_spark.plans.bucketing import write_bucketed
+    from crysda_spark.plans.inspect import _explain_str
+    o = _t(spark, sf_dir, "orders").sdf.select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(18,4)").alias("tp"))
+    write_bucketed(o, "bk_r8_orders", "o_custkey", 16,
+                   sort_cols="o_custkey")
+    t = spark.table("bk_r8_orders")
+    agg = (t.groupBy("o_custkey")
+           .agg(F.count(F.lit(1)).alias("n_orders"),
+                F.sum("tp").cast("double").alias("total")))
+    n_exchanges = len(_re.findall(r"\(\d+\) Exchange",
+                                  _explain_str(agg, "formatted")))
+    if n_exchanges != 0:
+        raise AssertionError(
+            f"bucketed aggregate gate: {n_exchanges} shuffle exchanges in "
+            "a plan that the bucket layout should satisfy for free")
+    return agg
+
+
 # ================================================================== contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""

@@ -82,3 +82,66 @@ def test_out_degrees(spark):
     got = {r["node"]: r["out_deg"] for r in
            out_degrees(_edges(spark, [(1, 2), (1, 3), (2, 3)])).sdf.collect()}
     assert got == {1: 2, 2: 1}
+
+
+# ------------------------------------------------------- triangle census
+def _py_triangles(pairs):
+    """Brute-force reference: set-based triangle count + wedge count."""
+    from collections import defaultdict
+    adj = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    tris = 0
+    nodes = sorted(adj)
+    for u in nodes:
+        for v in adj[u]:
+            if v <= u:
+                continue
+            tris += sum(1 for w in adj[u] & adj[v] if w > v)
+    wedges = sum(len(n) * (len(n) - 1) // 2 for n in adj.values())
+    return tris, wedges
+
+
+def test_triangle_stats_matches_bruteforce(spark):
+    import random
+    from crysda_spark import Frame
+    from crysda_spark.pipeline.graph import triangle_stats
+    rnd = random.Random(13)
+    pairs = {(rnd.randrange(30), rnd.randrange(30)) for _ in range(120)}
+    f = Frame(spark.createDataFrame([(a, b) for a, b in pairs],
+                                    "id_a long, id_b long"))
+    got = triangle_stats(f).sdf.collect()[0]
+    tris, wedges = _py_triangles(pairs)
+    assert got["n_triangles"] == tris
+    assert got["n_wedges"] == wedges
+    want_cc = round(3.0 * tris / wedges, 6) if wedges else 0.0
+    assert got["global_clustering"] == want_cc
+
+
+def test_triangle_stats_normalizes_input(spark):
+    """Self-loops, duplicates, and reversed duplicates must not count."""
+    from crysda_spark import Frame
+    from crysda_spark.pipeline.graph import triangle_stats
+    f = Frame(spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)],
+        "id_a long, id_b long"))
+    got = triangle_stats(f).sdf.collect()[0]
+    assert got["n_triangles"] == 1
+    assert got["n_wedges"] == 3            # each vertex has degree 2
+    assert got["global_clustering"] == 1.0  # a pure triangle
+
+
+def test_triangle_stats_hub_graph_exact(spark):
+    """A star (hub of degree 50) has zero triangles but many wedges —
+    the degree-ordered orientation must not blow up or miscount."""
+    from pyspark.sql import functions as F
+    from crysda_spark import Frame
+    from crysda_spark.pipeline.graph import triangle_stats
+    star = spark.range(1, 51).select(
+        F.lit(0).cast("long").alias("id_a"), F.col("id").alias("id_b"))
+    got = triangle_stats(Frame(star)).sdf.collect()[0]
+    assert got["n_triangles"] == 0
+    assert got["n_wedges"] == 50 * 49 // 2
+    assert got["global_clustering"] == 0.0
