@@ -3972,6 +3972,85 @@ def bucketed_agg_orders(spark, sf_dir):
     return agg
 
 
+@q("leakage_safe_split_counts", """
+WITH b AS (
+  SELECT doc_id,
+         ((doc_id % 2147483647) * 1103515245 + 987654321)
+           % 2147483647 % 10000 AS bucket
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         CASE WHEN bucket < 9800 THEN 'train'
+              WHEN bucket < 9900 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b)
+SELECT split, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM s GROUP BY split
+""")
+def leakage_safe_split_counts(spark, sf_dir):
+    """Deterministic train/val/test assignment (pipeline.split.
+    assign_splits): Carter-Wegman bucket of the key — 62-bit-safe
+    arithmetic any engine replays exactly, so the oracle verifies the
+    ASSIGNMENT value-for-value (id checksums per split), not just the
+    counts. Pure map-side stamp, zero shuffles before the counting
+    aggregate; hashing a dedup survivor_id instead of doc_id makes the
+    same stamp near-dup-leakage-safe (pytest gates cluster atomicity)."""
+    from crysda_spark.pipeline.split import assign_splits
+    docs = _t(spark, sf_dir, "documents")
+    out = assign_splits(Frame(docs.sdf.select("doc_id")), "doc_id")
+    return (out.sdf.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("doc_id").alias("id_checksum")))
+
+
+@q("scd2_segment_history", """
+WITH dim AS (SELECT c_custkey, c_mktsegment AS seg FROM customer),
+chg AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN 'MOVED'
+              ELSE c_mktsegment END AS seg
+  FROM customer),
+changed AS (
+  SELECT d.c_custkey, c.seg AS new_seg
+  FROM dim d JOIN chg c USING (c_custkey) WHERE d.seg <> c.seg)
+SELECT d.c_custkey, d.seg,
+       CAST('2023-01-01 00:00:00' AS TIMESTAMP) AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+FROM dim d WHERE d.c_custkey NOT IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT d.c_custkey, d.seg,
+       CAST('2023-01-01 00:00:00' AS TIMESTAMP),
+       CAST('2024-01-01 00:00:00' AS TIMESTAMP), FALSE
+FROM dim d WHERE d.c_custkey IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT c_custkey, new_seg,
+       CAST('2024-01-01 00:00:00' AS TIMESTAMP),
+       CAST(NULL AS TIMESTAMP), TRUE
+FROM changed
+""")
+def scd2_segment_history(spark, sf_dir):
+    """Slowly-changing-dimension type 2 (operators.merge.scd2_apply):
+    a market-segment change batch (10% of customers move) closes the
+    affected current versions at the batch timestamp and opens new
+    ones — one full-outer key shuffle of the CURRENT slice against the
+    batch, history untouched, NULL-safe change detection, duplicate
+    change keys fail the job lazily. The oracle rebuilds the same
+    version table with plain set logic."""
+    from crysda_spark.operators.merge import scd2_apply
+    c = _t(spark, sf_dir, "customer").sdf
+    dim = Frame(c.select(
+        "c_custkey", F.col("c_mktsegment").alias("seg"),
+        F.lit("2023-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current")))
+    changes = Frame(c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment")).alias("seg")))
+    return scd2_apply(dim, changes, "c_custkey",
+                      "2024-01-01 00:00:00").sdf
+
+
 # ================================================================== contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..frame import Frame
 
-__all__ = ["merge_into"]
+__all__ = ["merge_into", "scd2_apply"]
 
 
 def merge_into(target: Frame, source: Frame, on,
@@ -111,3 +111,92 @@ def merge_into(target: Frame, source: Frame, on,
             expr = F.when(s_only, sv).otherwise(tv)
         cols.append(expr.alias(c))
     return Frame(out.select(*cols))
+
+
+def scd2_apply(dim: Frame, changes: Frame, on,
+               batch_ts, valid_from: str = "valid_from",
+               valid_to: str = "valid_to",
+               current_col: str = "is_current",
+               validate_changes_unique: bool = True) -> Frame:
+    """Slowly-changing-dimension type 2: apply a change batch to a
+    versioned dimension, returning the NEW history snapshot.
+
+    ``dim`` carries key column(s) ``on``, the tracked attributes, and
+    the SCD bookkeeping (``valid_from`` timestamp, ``valid_to``
+    timestamp NULL-while-open, ``current_col`` boolean). ``changes``
+    carries the keys plus the same attributes — the state observed at
+    ``batch_ts``. Semantics per key:
+
+    - attribute change (NULL-safe comparison on every tracked column):
+      the current version CLOSES (``valid_to`` = batch_ts, flag off)
+      and a new open version inserts at ``batch_ts``;
+    - no change: history passes through untouched (idempotent replay);
+    - unseen key: a first open version inserts;
+    - keys absent from the batch, and all already-closed versions:
+      untouched. Deletions are modeled upstream as a change to a
+      tombstone attribute, keeping this transform append-only.
+
+    One full-outer join of the CURRENT slice against the batch (one
+    key shuffle; AQE broadcasts small batches) unioned with the
+    untouched history; duplicate change keys fail the job lazily
+    unless ``validate_changes_unique=False`` (same guard as
+    ``merge_into`` — a duplicate key would fork two open versions).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    scd_cols = {valid_from, valid_to, current_col}
+    for c in scd_cols:
+        if c not in dim.columns:
+            raise ValueError(f"scd2_apply: dimension lacks SCD column {c!r}")
+        if c in changes.columns:
+            raise ValueError(f"scd2_apply: changes must not carry SCD "
+                             f"column {c!r}")
+    tracked = [c for c in changes.columns if c not in keys]
+    want = set(keys) | set(tracked) | scd_cols
+    if set(dim.columns) != want:
+        raise ValueError(
+            f"scd2_apply: dimension columns {sorted(dim.columns)} != keys "
+            f"+ tracked + SCD {sorted(want)} (align schemas first)")
+    ts = F.lit(batch_ts).cast("timestamp")
+
+    hist = dim.sdf.filter(~F.col(current_col))
+    cur = dim.sdf.filter(F.col(current_col)) \
+        .withColumn("_t_present", F.lit(True))
+    s = changes.sdf
+    present = F.lit(True)
+    if validate_changes_unique:
+        from pyspark.sql.window import Window as _W
+        s = s.withColumn("_kc", F.count(F.lit(1)).over(_W.partitionBy(*keys)))
+        chk = F.assert_true(
+            F.col("_kc") == 1,
+            F.concat(F.lit("scd2_apply: duplicate change key "),
+                     F.concat_ws("|", *[F.col(k).cast("string")
+                                        for k in keys])))
+        present = F.when(chk.isNull(), F.lit(True))
+    s = s.select(*keys, *[F.col(c).alias(f"_s_{c}") for c in tracked],
+                 present.alias("_s_present"))
+    j = cur.join(s, on=keys, how="full_outer")
+    matched = F.col("_t_present").isNotNull() & F.col("_s_present").isNotNull()
+    t_only = F.col("_s_present").isNull()
+    s_only = F.col("_t_present").isNull()
+    same = F.lit(True)
+    for c in tracked:
+        same = same & F.col(c).eqNullSafe(F.col(f"_s_{c}"))
+
+    order = [*keys, *tracked, valid_from, valid_to, current_col]
+
+    untouched = j.filter(t_only | (matched & same)).select(
+        *keys, *tracked, F.col(valid_from), F.col(valid_to),
+        F.col(current_col))
+    closed = j.filter(matched & ~same).select(
+        *keys, *tracked, F.col(valid_from), ts.alias(valid_to),
+        F.lit(False).alias(current_col))
+    opened = j.filter(s_only | (matched & ~same)).select(
+        *keys, *[F.col(f"_s_{c}").alias(c) for c in tracked],
+        ts.alias(valid_from),
+        F.lit(None).cast("timestamp").alias(valid_to),
+        F.lit(True).alias(current_col))
+    out = (hist.select(*order)
+           .unionByName(untouched)
+           .unionByName(closed)
+           .unionByName(opened))
+    return Frame(out)

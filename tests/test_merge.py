@@ -84,3 +84,106 @@ def test_merge_rejects_duplicate_source_keys(frames, spark):
     # escape hatch for pre-deduped feeds: no assertion in the plan
     out = merge_into(t, dup, on="k", validate_source_unique=False)
     assert out.sdf.count() == 4  # fan-out happens, caller opted in
+
+
+# ------------------------------------------------------------ SCD2
+def _scd_dim(spark):
+    rows = [
+        # cust 1: one closed + one open version
+        (1, "street A", "gold",   "2023-01-01 00:00:00", "2023-06-01 00:00:00", False),
+        (1, "street B", "gold",   "2023-06-01 00:00:00", None, True),
+        # cust 2: single open version
+        (2, "road X",   "silver", "2023-02-01 00:00:00", None, True),
+        # cust 3: fully closed history, no open version
+        (3, "gone St",  "tin",    "2023-01-01 00:00:00", "2023-03-01 00:00:00", False),
+    ]
+    df = spark.createDataFrame(
+        rows, "cust long, addr string, tier string, valid_from string, "
+              "valid_to string, is_current boolean")
+    return Frame(df.withColumn("valid_from", F.col("valid_from").cast("timestamp"))
+                 .withColumn("valid_to", F.col("valid_to").cast("timestamp")))
+
+
+def test_scd2_apply_versions(spark):
+    from crysda_spark.operators.merge import scd2_apply
+    dim = _scd_dim(spark)
+    changes = Frame(spark.createDataFrame(
+        [(1, "street B", "platinum"),   # tier changed → new version
+         (2, "road X", "silver"),       # unchanged → no-op
+         (9, "new Ave", "tin")],        # unseen key → first version
+        "cust long, addr string, tier string"))
+    out = scd2_apply(dim, changes, "cust", "2024-01-01 00:00:00")
+    rows = sorted(((r["cust"], str(r["valid_from"]),
+                    str(r["valid_to"]), r["is_current"], r["tier"])
+                   for r in out.sdf.collect()))
+    # cust 1: old closed row + previously-open row now closed + new open
+    c1 = [r for r in rows if r[0] == 1]
+    assert len(c1) == 3
+    assert ("2023-06-01 00:00:00", "2024-01-01 00:00:00", False) in \
+        {(r[1], r[2], r[3]) for r in c1}
+    assert ("2024-01-01 00:00:00", "None", True, "platinum") in \
+        {(r[1], r[2], r[3], r[4]) for r in c1}
+    # cust 2 untouched; cust 3 history untouched; cust 9 inserted open
+    assert sum(1 for r in rows if r[0] == 2) == 1
+    assert [r for r in rows if r[0] == 3][0][3] is False
+    c9 = [r for r in rows if r[0] == 9]
+    assert len(c9) == 1 and c9[0][3] is True and c9[0][1] == "2024-01-01 00:00:00"
+    # exactly one open version per changed/inserted key
+    open_counts = {r[0]: 0 for r in rows}
+    for r in rows:
+        open_counts[r[0]] += int(r[3])
+    assert open_counts == {1: 1, 2: 1, 3: 0, 9: 1}
+
+
+def test_scd2_apply_is_idempotent_on_replay(spark):
+    from crysda_spark.operators.merge import scd2_apply
+    dim = _scd_dim(spark)
+    changes = Frame(spark.createDataFrame(
+        [(1, "street C", "gold")], "cust long, addr string, tier string"))
+    once = scd2_apply(dim, changes, "cust", "2024-01-01 00:00:00")
+    twice = scd2_apply(once, changes, "cust", "2024-02-01 00:00:00")
+    # replaying the SAME state later must not fork another version
+    assert twice.sdf.count() == once.sdf.count()
+
+
+def test_scd2_null_safe_attribute_compare(spark):
+    from crysda_spark.operators.merge import scd2_apply
+    dim = Frame(spark.createDataFrame(
+        [(1, None, "2023-01-01 00:00:00", None, True)],
+        "k long, v string, valid_from string, valid_to string, "
+        "is_current boolean")
+        .withColumn("valid_from", F.col("valid_from").cast("timestamp"))
+        .withColumn("valid_to", F.col("valid_to").cast("timestamp")))
+    same = Frame(spark.createDataFrame([(1, None)], "k long, v string"))
+    out = scd2_apply(dim, same, "k", "2024-01-01 00:00:00")
+    assert out.sdf.count() == 1  # NULL == NULL for change detection
+    diff = Frame(spark.createDataFrame([(1, "x")], "k long, v string"))
+    out2 = scd2_apply(dim, diff, "k", "2024-01-01 00:00:00")
+    assert out2.sdf.count() == 2  # NULL → 'x' IS a change
+
+
+def test_scd2_duplicate_change_key_fails_lazily(spark):
+    import pytest
+    from crysda_spark.operators.merge import scd2_apply
+    dim = _scd_dim(spark)
+    dup = Frame(spark.createDataFrame(
+        [(1, "a", "x"), (1, "b", "y")], "cust long, addr string, tier string"))
+    out = scd2_apply(dim, dup, "cust", "2024-01-01 00:00:00")
+    with pytest.raises(Exception, match="duplicate change key"):
+        out.sdf.collect()
+
+
+def test_scd2_schema_validation(spark):
+    import pytest
+    from crysda_spark.operators.merge import scd2_apply
+    dim = _scd_dim(spark)
+    with pytest.raises(ValueError, match="SCD column"):
+        scd2_apply(Frame(dim.sdf.drop("is_current")),
+                   Frame(dim.sdf.select("cust", "addr")), "cust",
+                   "2024-01-01 00:00:00")
+    with pytest.raises(ValueError, match="must not carry"):
+        scd2_apply(dim, Frame(dim.sdf.select("cust", "is_current")),
+                   "cust", "2024-01-01 00:00:00")
+    with pytest.raises(ValueError, match="align schemas"):
+        scd2_apply(dim, Frame(dim.sdf.select("cust", "addr")), "cust",
+                   "2024-01-01 00:00:00")
