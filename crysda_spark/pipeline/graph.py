@@ -127,20 +127,26 @@ def triangle_stats(edges: Frame, id_a: str = "id_a",
 
     Deterministic relational algebra end-to-end → exact SQL oracle
     (__spark_entry__ ``triangle_census``)."""
+    from ..plans.cache import pin
+
     sdf = edges.sdf
     a, b = F.col(id_a), F.col(id_b)
-    # canonical undirected edges: (lo, hi), self-loops dropped
-    und = (sdf.filter(a != b)
-           .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
-           .dropDuplicates())
+    # canonical undirected edges: (lo, hi), self-loops dropped — PINNED:
+    # the plan reads this table four times (degrees ×2, orientation,
+    # closing edges); unpinned, each reference re-runs the distinct
+    # over the raw edges (17 scans at plan review, one at 100 TB is
+    # already too many). Caller releases via plans.cache.release_pinned.
+    und = pin(sdf.filter(a != b)
+              .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+              .dropDuplicates())
     deg = (und.select(F.col("u").alias("node"))
            .unionByName(und.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
     # orient by (degree, id): strict total order → acyclic orientation
     du = deg.withColumnsRenamed({"node": "u", "deg": "du"})
     dv = deg.withColumnsRenamed({"node": "v", "deg": "dv"})
-    oriented = (und.join(du, on="u").join(dv, on="v")
-                .select(
+    oriented = pin(und.join(du, on="u").join(dv, on="v")
+                   .select(
                     F.when((F.col("du") < F.col("dv"))
                            | ((F.col("du") == F.col("dv"))
                               & (F.col("u") < F.col("v"))),

@@ -124,6 +124,21 @@ EXPECTED = {
     # ONE exchange for the top-k merge; a second exchange or scan means
     # the encode stage started shuffling codes
     "ivfpq_planted_copies": dict(scans=4, exchanges=1, bhj=1, smj=0),
+    # r8 additions. moments: same cascade shape as rollup_moments_stddev
+    "moments_4dp_exactness": dict(scans=1, exchanges=2, bhj=0, smj=0),
+    # drift: each snapshot reduces map-side to nbins rows; both
+    # histogram joins broadcast — an SMJ here means a snapshot-sized
+    # table reached a join
+    "drift_psi_value": dict(scans=2, exchanges=3, bhj=2, smj=0),
+    # triangles: ONE scan (und/oriented pinned — unpinned, every
+    # reference replays the distinct: 17 scans), wedge+closing joins
+    # broadcast at this SF
+    "triangle_census": dict(scans=1, exchanges=6, bhj=4, smj=0),
+    # split: a pure map-side stamp + ONE counting aggregate
+    "leakage_safe_split_counts": dict(scans=1, exchanges=1, bhj=0, smj=0),
+    # scd2: current-slice ⋈ batch full outer (SMJ: both sides are the
+    # dimension's scale) + the unchanged-history union
+    "scd2_segment_history": dict(scans=6, exchanges=5, bhj=1, smj=2),
 }
 
 
