@@ -52,3 +52,53 @@ def write_parquet_dynamic(f: Frame, path: str,
         f.sdf.write.mode("overwrite").partitionBy(*cols).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_parquet_sized(f: Frame, path: str, target_file_mb: int = 256,
+                        mode: str = "overwrite") -> int:
+    """Write parquet with output files sized toward ``target_file_mb``
+    of INPUT bytes each (compressed size is what both the scheduler
+    and the next reader see). Returns the partition count written.
+
+    Spark writes one file per partition, so a frame fresh off a wide
+    shuffle writes shuffle-partition-count files — at 100 TB that is
+    either millions of small files (metadata storms on every future
+    scan/list) or a handful of giants (no read parallelism). Sizing
+    from measured bytes instead of partition counts keeps both
+    failure modes out."""
+    from ..plans.sizing import input_bytes
+    if target_file_mb <= 0:
+        raise ValueError(f"write_parquet_sized: target must be positive, "
+                         f"got {target_file_mb}")
+    total = input_bytes(f.sdf)
+    n = max(1, int(total // (target_file_mb * 1024 * 1024)) + 1)
+    f.sdf.repartition(n).write.mode(mode).parquet(path)
+    return n
+
+
+def compact_parquet(spark, src_path: str, dst_path: str,
+                    target_file_mb: int = 256) -> dict:
+    """Small-file compaction: rewrite a parquet directory with files
+    sized toward ``target_file_mb`` — the table-maintenance pass every
+    long-lived ingest needs (streaming sinks and dynamic-partition
+    writes accrete small files; scan cost grows with file COUNT via
+    listing + footer reads + task scheduling, not just bytes).
+
+    Reads ``src_path``, writes ``dst_path`` (refuses same-path rewrite:
+    overwrite-while-reading truncates the source mid-scan). Returns
+    {files_before, files_after, bytes, rows}."""
+    import os
+    if os.path.abspath(src_path) == os.path.abspath(dst_path):
+        raise ValueError("compact_parquet: dst must differ from src "
+                         "(in-place overwrite truncates the input "
+                         "mid-scan)")
+    from ..plans.sizing import input_bytes
+    sdf = spark.read.parquet(src_path)
+    files_before = len(sdf.inputFiles())
+    total = input_bytes(sdf)
+    n = max(1, int(total // (target_file_mb * 1024 * 1024)) + 1)
+    sdf.repartition(n).write.mode("overwrite").parquet(dst_path)
+    out = spark.read.parquet(dst_path)
+    return {"files_before": files_before,
+            "files_after": len(out.inputFiles()),
+            "bytes": total, "rows": out.count()}

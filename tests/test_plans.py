@@ -251,3 +251,33 @@ def test_recommend_shuffle_partitions_scales(spark):
     assert recommend_shuffle_partitions(sdf, 1, expansion=4.0) >= small
     with pytest.raises(ValueError, match="positive"):
         recommend_shuffle_partitions(sdf, 0)
+
+
+# ---------------------------------------------------------- compaction
+def test_write_parquet_sized_and_compact(spark, tmp_path):
+    from crysda_spark import Frame
+    from crysda_spark.sources.sinks import compact_parquet, write_parquet_sized
+    src = str(tmp_path / "small_files")
+    # accrete 40 small files (the streaming-sink failure mode)
+    base = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    base.repartition(40).write.parquet(src)
+    assert len(spark.read.parquet(src).inputFiles()) == 40
+    dst = str(tmp_path / "compacted")
+    rep = compact_parquet(spark, src, dst, target_file_mb=256)
+    assert rep["files_before"] == 40
+    assert rep["files_after"] <= 2          # ~1 MB of input → one file
+    assert rep["rows"] == base.count()      # nothing lost
+    # value-level: same multiset of orderkey sums
+    import pyspark.sql.functions as F
+    a = spark.read.parquet(src).agg(F.sum("l_orderkey")).collect()[0][0]
+    b = spark.read.parquet(dst).agg(F.sum("l_orderkey")).collect()[0][0]
+    assert a == b
+    # sized write returns its partition count and refuses nonsense
+    out = str(tmp_path / "sized")
+    n = write_parquet_sized(Frame(base), out, target_file_mb=256)
+    assert n >= 1 and len(spark.read.parquet(out).inputFiles()) == n
+    import pytest
+    with pytest.raises(ValueError, match="positive"):
+        write_parquet_sized(Frame(base), out, target_file_mb=0)
+    with pytest.raises(ValueError, match="dst must differ"):
+        compact_parquet(spark, src, src)
