@@ -2038,9 +2038,11 @@ def multimodal_decode(spark, sf_dir):
 
 @q("multimodal_avi_frames")  # binary codec; not SQL-expressible — rows-only
 def multimodal_avi_frames(spark, sf_dir):
-    """REAL video path (r7): per-doc uncompressed AVI clips are encoded
+    """REAL video path (r7): per-doc AVI clips are encoded
     executor-side (codecs.encode_avi — doc_id-derived frame count and
-    geometry), frame-sampled through the Arrow kernel (every 3rd frame,
+    geometry; r8: every 2nd clip MJPEG-compressed, each frame a
+    standalone JPEG, so COMPRESSED video decode runs distributed),
+    frame-sampled through the Arrow kernel (every 3rd frame,
     each re-encoded as a standalone BMP), and the sampled frames are
     fed STRAIGHT into the image decode kernel. The gate asserts per
     clip: sampled-frame count == ceil(n_frames/3), frame indices are
@@ -2065,7 +2067,9 @@ def multimodal_avi_frames(spark, sf_dir):
                 frames = [np.stack([((x + y + i) % 2) * 255, (x * 5) % 256,
                                     (y * 9 + i) % 256], axis=-1).astype(np.uint8)
                           for i in range(nf)]
-                payloads.append(encode_avi(frames, fps=6.0))
+                payloads.append(encode_avi(
+                    frames, fps=6.0,
+                    codec="mjpeg" if d % 2 else "raw", quality=95))
             yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
 
     schema = T.StructType([T.StructField("id", T.LongType()),
@@ -2266,6 +2270,51 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
     if bad:
         raise AssertionError(
             f"JPEG roundtrip gate: {bad}/64 decoded geometries wrong")
+    return out.select("id", "width", "height", "channels")
+
+
+@q("multimodal_tiff_roundtrip")  # binary codec; not SQL-expressible — rows-only
+def multimodal_tiff_roundtrip(spark, sf_dir):
+    """Pure-stdlib TIFF codec through the distributed path (r8):
+    per-doc deterministic RGB/RGBA gradients are TIFF-encoded
+    executor-side (pipeline.codecs.encode_tiff — rotating PackBits
+    compression and rows-per-strip so the RLE and multi-strip decode
+    paths both run), resized through the Arrow kernel, decoded back,
+    and the gate asserts every decoded geometry equals the resize
+    target with the source's channel count (alpha preserved)."""
+    from crysda_spark.pipeline import multimodal as mm
+    from pyspark.sql import types as T
+
+    ids = _t(spark, sf_dir, "documents").sdf.select("doc_id").limit(64)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from crysda_spark.pipeline.codecs import encode_tiff
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                h, w, nchan = 3 + d % 6, 4 + d % 9, 3 + (d % 2)
+                y, x = np.mgrid[0:h, 0:w]
+                chans = [((x + y) % 2) * 255, (x * 7) % 256, (y * 11) % 256]
+                if nchan == 4:
+                    chans.append((x * y + d) % 256)
+                arr = np.stack(chans, axis=-1).astype(np.uint8)
+                payloads.append(encode_tiff(arr, packbits=bool(d % 2),
+                                            rows_per_strip=1 + d % 4))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    tiffs = Frame(ids.mapInPandas(gen, schema=schema))
+    resized = mm.resize_images(tiffs, width=6, height=5)
+    out = mm.decode_images(resized, n_feat=8).sdf
+    bad = out.where((F.col("width") != 6) | (F.col("height") != 5)
+                    | (F.col("channels") != 3 + F.col("id") % 2)).count()
+    if bad:
+        raise AssertionError(
+            f"TIFF roundtrip gate: {bad}/64 decoded geometries wrong")
     return out.select("id", "width", "height", "channels")
 
 

@@ -753,17 +753,23 @@ class AviError(ValueError):
     """Malformed or unsupported AVI payload."""
 
 
+_MJPG = struct.unpack("<I", b"MJPG")[0]
+
+
 def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
-    """Decode an uncompressed (DIB/BI_RGB 24-bit) RIFF/AVI payload to
-    ``(frames, fps)``: frames is a list of (H, W, 3) RGB uint8 arrays.
+    """Decode a RIFF/AVI payload to ``(frames, fps)``: frames is a
+    list of (H, W, 3) RGB uint8 arrays. Two stream codecs:
+
+    - uncompressed DIB/BI_RGB 24-bit: every '##db'/'##dc' chunk inside
+      'movi' is one bottom-up BGR frame with BMP-style 4-byte padding;
+    - MJPEG (biCompression = 'MJPG', r8): every frame chunk is a
+      standalone baseline-or-progressive JPEG decoded through
+      ``pipeline.jpeg`` — real COMPRESSED video with zero external
+      dependencies (MJPEG is still the commodity capture format).
 
     Walks the RIFF container per the AVI spec (msdn AVIMAINHEADER /
-    'movi' list): 'avih' provides geometry and frame timing, every
-    '##db'/'##dc' chunk inside 'movi' is one bottom-up BGR frame with
-    BMP-style 4-byte row padding. Compressed streams (anything but
-    biCompression=0, 24bpp) raise AviError — this codec exists to make
-    the video plumbing REAL for uncompressed payloads, not to replace
-    ffmpeg."""
+    'movi' list); other compressions raise AviError — the ffmpeg
+    kernel slot covers those."""
     if payload is None or len(payload) < 12:
         raise AviError("payload too short for a RIFF header")
     payload = bytes(payload)
@@ -773,10 +779,12 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
     width = height = None
     usec_per_frame = 0
     bpp = 24
+    compression = 0
     frames: list[np.ndarray] = []
+    from .jpeg import JpegError, decode_jpeg
 
     def walk(pos: int, end: int, in_movi: bool) -> None:
-        nonlocal width, height, usec_per_frame, bpp
+        nonlocal width, height, usec_per_frame, bpp, compression
         while pos + 8 <= end:
             cid = payload[pos:pos + 4]
             (size,) = struct.unpack_from("<I", payload, pos + 4)
@@ -797,12 +805,30 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
                 if bi_size >= 40:
                     (bc,) = struct.unpack_from("<H", payload, body + 14)
                     (comp,) = struct.unpack_from("<I", payload, body + 16)
-                    if comp != 0:
-                        raise AviError(f"unsupported compression {comp} (BI_RGB only)")
+                    if comp not in (0, _MJPG):
+                        raise AviError(f"unsupported compression {comp} "
+                                       "(BI_RGB or MJPG only)")
+                    compression = comp
                     bpp = bc
             elif in_movi and len(cid) == 4 and cid[2:] in (b"db", b"dc"):
                 if width is None or height is None:
                     raise AviError("frame chunk before avih header")
+                if compression == _MJPG:
+                    try:
+                        fr = decode_jpeg(payload[body:body + size])
+                    except JpegError as exc:
+                        # containment boundary: video kernels catch
+                        # AviError — a bad frame must not escape as a
+                        # JpegError and kill the stage
+                        raise AviError(
+                            f"MJPEG frame decode failed: {exc}") from exc
+                    if fr.shape[:2] != (height, width):
+                        raise AviError(
+                            f"MJPEG frame {fr.shape[1]}x{fr.shape[0]} != "
+                            f"avih {width}x{height}")
+                    frames.append(fr)
+                    pos = body + size + (size & 1)
+                    continue
                 if bpp != 24:
                     raise AviError(f"unsupported bit depth {bpp} (24-bit only)")
                 stride = (width * 3 + 3) & ~3
@@ -823,9 +849,14 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
     return frames, fps
 
 
-def encode_avi(frames: list[np.ndarray], fps: float = 10.0) -> bytes:
-    """Encode (H, W, 3) RGB uint8 frames as an uncompressed 24-bit
-    RIFF/AVI — the test-side generator for real video bytes."""
+def encode_avi(frames: list[np.ndarray], fps: float = 10.0,
+               codec: str = "raw", quality: int = 90) -> bytes:
+    """Encode (H, W, 3) RGB uint8 frames as RIFF/AVI: ``codec="raw"``
+    writes uncompressed 24-bit DIB frames; ``codec="mjpeg"`` (r8)
+    writes each frame as a standalone baseline JPEG at ``quality``
+    ('MJPG' fourcc) — the compressed-video test generator."""
+    if codec not in ("raw", "mjpeg"):
+        raise AviError(f"encode_avi codec must be raw|mjpeg, got {codec!r}")
     if not frames:
         raise AviError("encode_avi wants at least one frame")
     first = np.asarray(frames[0], dtype=np.uint8)
@@ -845,18 +876,25 @@ def encode_avi(frames: list[np.ndarray], fps: float = 10.0) -> bytes:
     usec = int(round(1e6 / fps)) if fps > 0 else 0
     avih = struct.pack("<IIIIIIIIII", usec, fsize * int(round(fps or 1)), 0,
                        0x10, len(frames), 0, 1, fsize, w, h) + b"\x00" * 16
-    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0,
+    fourcc = b"DIB " if codec == "raw" else b"MJPG"
+    bi_comp = 0 if codec == "raw" else _MJPG
+    strh = (b"vids" + fourcc + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0,
             1, max(int(round(fps or 1)), 1), 0, len(frames), fsize, 0, 0, 0)
             + struct.pack("<4H", 0, 0, w, h))
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, fsize,
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, bi_comp, fsize,
                        2835, 2835, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih)
                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
     movi_body = b""
+    if codec == "mjpeg":
+        from .jpeg import encode_jpeg
     for fr in frames:
         fr = np.asarray(fr, dtype=np.uint8)
         if fr.shape != (h, w, 3):
             raise AviError(f"frame shape {fr.shape} != first frame {(h, w, 3)}")
+        if codec == "mjpeg":
+            movi_body += chunk(b"00dc", encode_jpeg(fr, quality=quality))
+            continue
         rows = np.zeros((h, stride), dtype=np.uint8)
         rows[:, : w * 3] = fr[::-1, :, ::-1].reshape(h, w * 3)
         movi_body += chunk(b"00db", rows.tobytes())
@@ -885,3 +923,244 @@ def video_features(frames: list[np.ndarray], fps: float,
              *chans.tolist()]
     feats = feats[:n_feat]
     return feats + [0.0] * (n_feat - len(feats))
+
+
+# ----------------------------------------------------------------- TIFF
+class TiffError(ValueError):
+    """Malformed or unsupported TIFF payload."""
+
+
+TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    """Apple PackBits RLE (TIFF compression 32773, spec §9): control
+    byte 0..127 → copy n+1 literals; -1..-127 → repeat next byte
+    1-n times; -128 → no-op."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expect:
+        c = data[i]
+        i += 1
+        if c < 128:
+            if i + c + 1 > n:
+                raise TiffError("PackBits literal run truncated")
+            out += data[i:i + c + 1]
+            i += c + 1
+        elif c == 128:
+            continue
+        else:
+            if i >= n:
+                raise TiffError("PackBits repeat run truncated")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+    if len(out) < expect:
+        raise TiffError(f"PackBits underrun: {len(out)} < {expect}")
+    return bytes(out[:expect])
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """Per-row PackBits: greedy runs ≥ 3 become repeats, else literals
+    (row-at-a-time per the TIFF recommendation)."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, row[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and (len(row) - i) and (i - lit_start) < 128:
+            run = 1
+            while i + run < n and run < 128 and row[i + run] == row[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += run
+            if i - lit_start >= 128:
+                i = lit_start + 128
+                break
+        out += bytes([i - lit_start - 1]) + row[lit_start:i]
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Decode a baseline 8-bit RGB/RGBA TIFF (both byte orders,
+    compression 1 = none or 32773 = PackBits, chunky planar config,
+    strip-organized) to an (H, W, 3|4) uint8 array. Tiled, planar,
+    palette, LZW/JPEG-compressed, and non-8-bit variants raise
+    TiffError (the PIL kernel slot covers those)."""
+    if payload is None or len(payload) < 8:
+        raise TiffError("payload too short for a TIFF header")
+    payload = bytes(payload)
+    if payload[:4] == TIFF_MAGICS[0]:
+        e = "<"
+    elif payload[:4] == TIFF_MAGICS[1]:
+        e = ">"
+    else:
+        raise TiffError("missing TIFF magic")
+    (ifd_off,) = struct.unpack_from(e + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise TiffError("IFD offset past payload")
+    (n_entries,) = struct.unpack_from(e + "H", payload, ifd_off)
+    if ifd_off + 2 + 12 * n_entries > len(payload):
+        raise TiffError("truncated IFD")
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(e + "HHI", payload, base)
+        if typ not in _TIFF_TYPE_SIZE:
+            continue  # unknown types are skippable per spec
+        total = _TIFF_TYPE_SIZE[typ] * cnt
+        off = base + 8 if total <= 4 else \
+            struct.unpack_from(e + "I", payload, base + 8)[0]
+        if off + total > len(payload):
+            raise TiffError(f"tag {tag} data past payload")
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I", 5: "II"}[typ]
+        vals = []
+        for k in range(cnt):
+            sz = _TIFF_TYPE_SIZE[typ]
+            v = struct.unpack_from(e + fmt, payload, off + k * sz)
+            vals.append(v[0] if typ != 5 else v)
+        tags[tag] = vals
+
+    def one(tag: int, default=None):
+        if tag not in tags:
+            if default is None:
+                raise TiffError(f"required TIFF tag {tag} missing")
+            return default
+        return tags[tag][0]
+
+    w, h = one(256), one(257)
+    comp = one(259, 1)
+    photo = one(262, 2)
+    spp = one(277, 3)
+    bits = tags.get(258, [8] * spp)
+    planar = one(284, 1)
+    if comp not in (1, 32773):
+        raise TiffError(f"unsupported compression {comp} "
+                        "(none/PackBits only)")
+    if photo != 2 or spp not in (3, 4):
+        raise TiffError(f"unsupported photometric {photo}/samples {spp} "
+                        "(8-bit RGB/RGBA only)")
+    if any(b != 8 for b in bits) or planar != 1:
+        raise TiffError("unsupported bit depth or planar configuration")
+    if w <= 0 or h <= 0:
+        raise TiffError(f"bad dimensions {w}x{h}")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise TiffError("missing/mismatched strip offsets and byte counts")
+    rows_per_strip = one(278, h)
+    stride = w * spp
+    raw = bytearray()
+    rows_left = h
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(payload):
+            raise TiffError("strip past payload")
+        strip_rows = min(rows_per_strip, rows_left)
+        expect = strip_rows * stride
+        data = payload[off:off + cnt]
+        raw += data[:expect] if comp == 1 else _packbits_decode(data, expect)
+        if comp == 1 and cnt < expect:
+            raise TiffError(f"strip truncated: {cnt} < {expect}")
+        rows_left -= strip_rows
+    if rows_left > 0:
+        raise TiffError("strips cover fewer rows than ImageLength")
+    return np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+
+
+def encode_tiff(arr: np.ndarray, packbits: bool = False,
+                rows_per_strip: int = 16) -> bytes:
+    """Encode an (H, W, 3|4) uint8 array as a little-endian baseline
+    TIFF — uncompressed or PackBits, strip-organized so the decoder's
+    multi-strip path is exercised."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] not in (3, 4):
+        raise TiffError(f"encode_tiff wants (H, W, 3|4), got {arr.shape}")
+    h, w, spp = arr.shape
+    flat = arr.reshape(h, w * spp)
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        block = flat[y0:y0 + rows_per_strip]
+        if packbits:
+            strips.append(b"".join(_packbits_encode(bytes(r)) for r in block))
+        else:
+            strips.append(block.tobytes())
+    n_strips = len(strips)
+
+    entries = []  # (tag, type, count, packed-or-offset placeholder)
+
+    def entry(tag, typ, vals):
+        entries.append((tag, typ, vals))
+
+    entry(256, 4, [w])
+    entry(257, 4, [h])
+    entry(258, 3, [8] * spp)
+    entry(259, 3, [32773 if packbits else 1])
+    entry(262, 3, [2])
+    entry(273, 4, [0] * n_strips)      # patched below
+    entry(277, 3, [spp])
+    entry(278, 4, [rows_per_strip])
+    entry(279, 4, [len(s) for s in strips])
+    if spp == 4:
+        entry(338, 3, [2])             # unassociated alpha
+
+    # layout: header(8) | IFD | out-of-line tag data | strips
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    data_off = ifd_off + ifd_size
+    ool = bytearray()
+
+    def pack_vals(typ, vals):
+        fmt = {3: "H", 4: "I"}[typ]
+        return b"".join(struct.pack("<" + fmt, v) for v in vals)
+
+    fixed = []
+    for tag, typ, vals in entries:
+        total = _TIFF_TYPE_SIZE[typ] * len(vals)
+        if total <= 4:
+            fixed.append((tag, typ, vals, pack_vals(typ, vals).ljust(4, b"\0")))
+        else:
+            fixed.append((tag, typ, vals, data_off + len(ool)))
+            ool += pack_vals(typ, vals)
+    strip0 = data_off + len(ool)
+    offs = []
+    pos = strip0
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += struct.pack("<H", len(fixed))
+    for tag, typ, vals, packed in fixed:
+        if tag == 273:
+            vals = offs
+            if _TIFF_TYPE_SIZE[typ] * len(vals) <= 4:
+                packed = pack_vals(typ, vals).ljust(4, b"\0")
+            else:
+                # the placeholder already reserved out-of-line room
+                pass
+        out += struct.pack("<HHI", tag, typ, len(vals))
+        if isinstance(packed, int):
+            out += struct.pack("<I", packed)
+        else:
+            out += packed
+    out += struct.pack("<I", 0)  # no next IFD
+    # patch the strip-offset values into the out-of-line block
+    ool_b = bytearray(ool)
+    for tag, typ, vals, packed in fixed:
+        if tag == 273 and isinstance(packed, int):
+            rel = packed - data_off
+            ool_b[rel:rel + 4 * n_strips] = pack_vals(4, offs)
+    out += ool_b
+    for s in strips:
+        out += s
+    return bytes(out)

@@ -95,6 +95,8 @@ def _sniff(payload) -> str | None:
         return "wav"
     if head[:4] == b"RIFF" and bytes(payload[8:12]) == b"AVI ":
         return "avi"
+    if head[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return None
 
 
@@ -108,7 +110,7 @@ def decode_images(f: Frame, id_col: str = "id", payload_col: str = "payload",
     Partition-parallel; each batch holds ~10k payloads; output schema is
     fixed so downstream plans don't depend on the kernel.
 
-    BMP/PPM/PNG payloads (magic-sniffed) take the REAL codec paths in
+    BMP/PPM/PNG/GIF/JPEG/TIFF payloads (magic-sniffed) take the REAL codec paths in
     ``pipeline.codecs``, yielding true width/height/channels. Other
     formats fall to PIL (stubbed in this container) or the
     deterministic fake with width/height/channels=0.
@@ -129,10 +131,11 @@ def decode_images(f: Frame, id_col: str = "id", payload_col: str = "payload",
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
         from .codecs import (BmpError, GifError, JpegError, PngError,
-                             PpmError, decode_bmp, decode_gif, decode_jpeg,
-                             decode_png, decode_ppm, image_features)
+                             PpmError, TiffError, decode_bmp, decode_gif,
+                             decode_jpeg, decode_png, decode_ppm,
+                             decode_tiff, image_features)
         real = {"bmp": decode_bmp, "ppm": decode_ppm, "png": decode_png,
-                "gif": decode_gif, "jpeg": decode_jpeg}
+                "gif": decode_gif, "jpeg": decode_jpeg, "tiff": decode_tiff}
         for pdf in batches:
             ids, ws, hs, cs, feats = [], [], [], [], []
             for pid, payload in zip(pdf[id_col], pdf[payload_col]):
@@ -143,7 +146,7 @@ def decode_images(f: Frame, id_col: str = "id", payload_col: str = "payload",
                         h, w, c = arr.shape
                         fs = image_features(arr, n_feat)
                     except (BmpError, PpmError, PngError, GifError,
-                            JpegError):
+                            JpegError, TiffError):
                         if strict:
                             raise
                         w = h = c = 0
@@ -306,7 +309,7 @@ def decode_videos(f: Frame, id_col: str = "id", payload_col: str = "payload",
 
 def resize_images(f: Frame, width: int, height: int, id_col: str = "id",
                   payload_col: str = "payload", strict: bool = False) -> Frame:
-    """Resize through the Arrow path: BMP/PPM/PNG/GIF/JPEG payloads are
+    """Resize through the Arrow path: BMP/PPM/PNG/GIF/JPEG/TIFF payloads are
     REALLY resized (decode → nearest-neighbor resample → re-encode, pure
     numpy/stdlib) and come back as valid bytes of the same format at
     the target size; other formats pass through unchanged (PIL path
@@ -323,15 +326,17 @@ def resize_images(f: Frame, width: int, height: int, id_col: str = "id",
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
         from .codecs import (BmpError, GifError, JpegError, PngError,
-                             PpmError, decode_bmp, decode_gif, decode_jpeg,
-                             decode_png, decode_ppm, encode_bmp, encode_gif,
+                             PpmError, TiffError, decode_bmp, decode_gif,
+                             decode_jpeg, decode_png, decode_ppm,
+                             decode_tiff, encode_bmp, encode_gif,
                              encode_jpeg, encode_png, encode_ppm,
-                             resize_nearest)
+                             encode_tiff, resize_nearest)
         real = {"bmp": (decode_bmp, encode_bmp),
                 "ppm": (decode_ppm, encode_ppm),
                 "png": (decode_png, encode_png),
                 "gif": (decode_gif, encode_gif),
-                "jpeg": (decode_jpeg, encode_jpeg)}
+                "jpeg": (decode_jpeg, encode_jpeg),
+                "tiff": (decode_tiff, encode_tiff)}
         for pdf in batches:
             out = []
             for payload in pdf[payload_col]:
@@ -342,7 +347,7 @@ def resize_images(f: Frame, width: int, height: int, id_col: str = "id",
                         out.append(enc(
                             resize_nearest(dec(bytes(payload)), width, height)))
                     except (BmpError, PpmError, PngError, GifError,
-                            JpegError):
+                            JpegError, TiffError):
                         if strict:
                             raise
                         out.append(payload)

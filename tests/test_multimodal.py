@@ -638,3 +638,108 @@ def test_decode_videos_through_arrow(spark):
     assert got[2]["n_frames"] == 0 and got[2]["width"] == 0
     with pytest.raises(Exception):
         mm.decode_videos(f, strict=True).sdf.collect()
+
+
+# ------------------------------------------------------------- TIFF (r8)
+def test_tiff_roundtrip_hypothesis():
+    import numpy as np
+    from hypothesis import example, given, settings, strategies as st
+    from crysda_spark.pipeline.codecs import decode_tiff, encode_tiff
+
+    @settings(max_examples=40, deadline=None)
+    @given(h=st.integers(1, 24), w=st.integers(1, 24),
+           nchan=st.sampled_from([3, 4]), packbits=st.booleans(),
+           rps=st.sampled_from([1, 4, 16]), seed=st.integers(0, 2**31 - 1))
+    @example(h=1, w=1, nchan=3, packbits=False, rps=16, seed=0)
+    @example(h=17, w=9, nchan=4, packbits=True, rps=4, seed=1)  # multi-strip RLE
+    @example(h=16, w=16, nchan=3, packbits=True, rps=16, seed=2)
+    @example(h=5, w=3, nchan=3, packbits=True, rps=1, seed=3)   # strip per row
+    def roundtrip(h, w, nchan, packbits, rps, seed):
+        arr = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, nchan), dtype=np.uint8)
+        out = decode_tiff(encode_tiff(arr, packbits=packbits,
+                                      rows_per_strip=rps))
+        assert np.array_equal(out, arr)
+
+    roundtrip()
+    # maximal-run content stresses the RLE encoder's repeat path
+    flat = np.full((20, 30, 3), 9, np.uint8)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(flat, packbits=True)), flat)
+
+
+def test_tiff_errors():
+    import numpy as np
+    import pytest
+    from crysda_spark.pipeline.codecs import TiffError, decode_tiff, encode_tiff
+    good = encode_tiff(np.zeros((4, 4, 3), np.uint8))
+    for bad in [b"", b"II*\x00", good[:30],
+                b"XX*\x00" + good[4:]]:
+        with pytest.raises(TiffError):
+            decode_tiff(bad)
+    with pytest.raises(TiffError, match="wants"):
+        encode_tiff(np.zeros((4, 4), np.uint8))
+
+
+def test_tiff_through_arrow_dispatch(spark):
+    import numpy as np
+    from crysda_spark.pipeline.codecs import decode_tiff, encode_tiff
+    src = _checker(9, 11)
+    rgba = np.concatenate(
+        [src, np.full((9, 11, 1), 200, dtype=np.uint8)], axis=2)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_tiff(src))),
+         (2, bytearray(encode_tiff(rgba, packbits=True)))],
+        "id long, payload binary")
+    dec = {r.id: r for r in mm.decode_images(Frame(df), n_feat=8).sdf.collect()}
+    assert (dec[1].height, dec[1].width, dec[1].channels) == (9, 11, 3)
+    assert (dec[2].height, dec[2].width, dec[2].channels) == (9, 11, 4)
+    rez = {r.id: r for r in mm.resize_images(Frame(df), 5, 4).sdf.collect()}
+    got = decode_tiff(bytes(rez[1].payload))
+    assert got.shape == (4, 5, 3)
+    got4 = decode_tiff(bytes(rez[2].payload))
+    assert got4.shape == (4, 5, 4)
+    assert (got4[:, :, 3] == 200).all()  # alpha survives the resample
+
+
+# ------------------------------------------------------ MJPEG AVI (r8)
+def test_mjpeg_avi_roundtrip_and_kernels(spark):
+    import numpy as np
+    from crysda_spark.pipeline.codecs import decode_avi, encode_avi
+    rng = np.random.default_rng(2)
+    base = rng.integers(0, 256, (4, 5, 3))
+    frames = [((np.kron(base, np.ones((4, 4, 1)))[:16, :20] + 7 * i) % 256)
+              .astype(np.uint8) for i in range(6)]
+    avi = encode_avi(frames, fps=8.0, codec="mjpeg", quality=95)
+    dec, fps = decode_avi(avi)
+    assert len(dec) == 6 and abs(fps - 8.0) < 0.01
+    assert dec[0].shape == (16, 20, 3)
+    # lossy but close on smooth content
+    err = max(np.abs(d.astype(int) - f.astype(int)).mean()
+              for d, f in zip(dec, frames))
+    assert err < 8.0
+    # through the distributed video kernels: geometry + frame sampling
+    df = spark.createDataFrame([(1, bytearray(avi))], "id long, payload binary")
+    vid = mm.decode_videos(Frame(df)).sdf.collect()[0]
+    assert (vid.width, vid.height, vid.n_frames) == (20, 16, 6)
+    sampled = mm.sample_frames(Frame(df), every_n=2).sdf.collect()
+    assert sorted(r.frame_idx for r in sampled) == [0, 2, 4]
+    # a corrupted MJPEG frame degrades to the stub row, not a stage kill
+    bad = bytearray(avi)
+    i = bad.find(b"\xFF\xD8\xFF", 200)   # first frame's JPEG SOI
+    bad[i + 2] = 0x00                     # break the marker stream
+    dfb = spark.createDataFrame([(1, bytes(bad))], "id long, payload binary")
+    row = mm.decode_videos(Frame(dfb)).sdf.collect()[0]
+    assert row.n_frames == 0              # contained
+    import pytest
+    from crysda_spark.pipeline.codecs import AviError
+    with pytest.raises(AviError, match="MJPEG frame decode failed"):
+        decode_avi(bytes(bad))
+
+
+def test_encode_avi_validates_codec():
+    import numpy as np
+    import pytest
+    from crysda_spark.pipeline.codecs import AviError, encode_avi
+    with pytest.raises(AviError, match="raw|mjpeg"):
+        encode_avi([np.zeros((4, 4, 3), np.uint8)], codec="h264")
