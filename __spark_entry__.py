@@ -4100,6 +4100,38 @@ def scd2_segment_history(spark, sf_dir):
                       "2024-01-01 00:00:00").sdf
 
 
+@q("aggressive_normalize_dedup", """
+WITH n AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(regexp_replace(lower(text),
+               '[^\\p{L}\\p{N}\\s]', ' ', 'g')), '\\s+', ' ', 'g')) AS agg_fp,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS raw_fp
+  FROM documents)
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT raw_fp) AS distinct_normalized,
+       COUNT(DISTINCT agg_fp) AS distinct_aggressive
+FROM n
+""")
+def aggressive_normalize_dedup(spark, sf_dir):
+    """Aggressive canonicalization for near-dup pipelines
+    (text.normalize_aggressive): punctuation/symbols fold to
+    whitespace before collapsing, so reformatting cannot hide a
+    duplicate — distinct-counts under the plain vs aggressive
+    canonical forms quantify how much the corpus collapses. Pure
+    codegen regex with RE2-compatible classes; the oracle replays the
+    identical transform character-for-character (md5 fingerprints
+    must agree across engines for the distinct counts to match)."""
+    from crysda_spark.pipeline import text as tx
+    docs = _t(spark, sf_dir, "documents").sdf
+    n = docs.select(
+        F.md5(tx.normalize_aggressive(F.col("text"))).alias("agg_fp"),
+        F.md5(tx.normalize(F.col("text"))).alias("raw_fp"))
+    return n.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("raw_fp").alias("distinct_normalized"),
+        F.countDistinct("agg_fp").alias("distinct_aggressive"))
+
+
 # ================================================================== contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""

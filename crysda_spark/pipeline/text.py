@@ -22,6 +22,40 @@ def normalize(col) -> Column:
     return F.regexp_replace(F.trim(F.lower(_c(col))), WS, " ")
 
 
+def normalize_aggressive(col) -> Column:
+    """``normalize`` plus punctuation/symbol stripping (everything that
+    is not a Unicode letter, digit, or whitespace becomes a space
+    before collapsing) — the MinHash-style canonical form: near-dup
+    pipelines normalize this hard before shingling so reformatting
+    (quotes, dashes, markup residue) cannot hide a duplicate. Pure
+    codegen regex; \p{L}/\p{N} classes are RE2-compatible, so the
+    DuckDB oracle replays the identical transform."""
+    stripped = F.regexp_replace(F.lower(_c(col)),
+                                r"[^\p{L}\p{N}\s]", " ")
+    return F.regexp_replace(F.trim(stripped), WS, " ")
+
+
+def nfkc_normalize(col) -> Column:
+    """Unicode NFKC compatibility normalization (full-width forms,
+    ligatures, compatibility glyphs fold to canonical codepoints) —
+    the step BEFORE ``normalize_aggressive`` for multilingual corpora.
+    Needs Python's unicodedata table, so it runs as an Arrow-batched
+    pandas_udf (vectorized, never per-row Python in the JVM loop)."""
+    import pandas
+    from pyspark.sql.functions import pandas_udf
+
+    def k(s: pandas.Series) -> pandas.Series:
+        import unicodedata
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize("NFKC", x))
+
+    # annotations are strings under `from __future__ import annotations`;
+    # pyspark resolves them in THIS function's globals, so bind pandas
+    # there before wrapping
+    k.__globals__.setdefault("pandas", pandas)
+    return pandas_udf(k, "string")(_c(col))
+
+
 def fingerprint(col) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
     md5 (not xxhash) so external engines can reproduce it bit-for-bit."""

@@ -922,3 +922,31 @@ def test_sample_weighted_oversample_returns_all_positive(spark):
         [(1, 2.0), (2, 0.0), (3, 1.0)], "id long, w double"))
     got = sample_weighted(f, "w", n=10).sdf.collect()
     assert sorted(r["id"] for r in got) == [1, 3]
+
+
+def test_normalize_aggressive_folds_punctuation(spark):
+    from crysda_spark import from_records
+    from crysda_spark.pipeline import text as tx
+    f = from_records(spark, [
+        {"t": 'Hello, "World"!  --  again...'},
+        {"t": "hello world again"},
+        {"t": "HELLO-world (again)"},
+    ], order=["t"])
+    out = [r["n"] for r in f.sdf.select(
+        tx.normalize_aggressive(F.col("t")).alias("n")).collect()]
+    assert out == ["hello world again"] * 3  # all three collapse to one
+
+
+def test_nfkc_normalize_folds_compatibility_forms(spark):
+    from crysda_spark import from_records
+    from crysda_spark.pipeline import text as tx
+    f = from_records(spark, [
+        {"t": "Ｈｅｌｌｏ"},  # full-width "Hello"
+        {"t": "ﬁle"},                         # fi-ligature "file"
+        {"t": None},
+    ], order=["t"])
+    out = [r["n"] for r in f.sdf.select(
+        tx.nfkc_normalize(F.col("t")).alias("n")).collect()]
+    assert out[0] == "Hello"
+    assert out[1] == "file"
+    assert out[2] is None
