@@ -1,0 +1,123 @@
+"""Differential fuzzing: SEEDED random query specs built through the
+engine's verb surface (group_by / summarize / filter / sort) and
+replayed as SQL on DuckDB over the same parquet — canonicalized
+results must agree value-for-value.
+
+The hand-written oracles in __spark_entry__ cover curated queries;
+this harness covers the COMBINATORIAL space around them (key-set ×
+aggregate × filter interactions, incl. empty groups and null
+handling). The seed is fixed so the 30 specs are deterministic —
+failures reproduce; widen MAX_SPECS locally to hunt."""
+
+from __future__ import annotations
+
+import decimal
+import math
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from crysda_spark import Frame
+
+SF_DIR = "/root/testdata/sf0.001"
+KEYS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+NUMS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+MAX_SPECS = 30
+
+
+def _specs():
+    rnd = random.Random(20240814)
+    out = []
+    for i in range(MAX_SPECS):
+        keys = rnd.sample(KEYS, rnd.randint(1, 2))
+        aggs = []
+        for j in range(rnd.randint(1, 3)):
+            col = rnd.choice(NUMS)
+            kind = rnd.choice(["sum", "min", "max", "count", "avg"])
+            aggs.append((f"a{j}", kind, col))
+        filt = None
+        if rnd.random() < 0.7:
+            fc = rnd.choice(NUMS + ["l_orderkey"])
+            op = rnd.choice(["<", ">=", "="])
+            if fc == "l_orderkey":
+                lit = rnd.randrange(0, 6000)
+            elif fc in ("l_discount", "l_tax"):
+                lit = round(rnd.uniform(0.0, 0.1), 2)
+            else:
+                lit = round(rnd.uniform(1.0, 50.0), 1)
+            filt = (fc, op, lit)
+        out.append((i, keys, aggs, filt))
+    return out
+
+
+def _canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    return str(v)
+
+
+def _rows_canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
+
+
+def _spark_agg(kind, col, name):
+    # exact decimal sums; rounded avgs — the same discipline the
+    # curated oracles use, so float accumulation order cannot differ
+    if kind == "sum":
+        return F.sum(F.col(col).cast("decimal(18,4)")) \
+            .cast("double").alias(name)
+    if kind == "avg":
+        return F.round(F.avg(col), 6).alias(name)
+    if kind == "count":
+        return F.count(col).alias(name)
+    return getattr(F, kind)(col).alias(name)
+
+
+def _sql_agg(kind, col, name):
+    if kind == "sum":
+        return f"CAST(SUM(CAST({col} AS DECIMAL(18,4))) AS DOUBLE) AS {name}"
+    if kind == "avg":
+        return f"ROUND(AVG({col}), 6) AS {name}"
+    if kind == "count":
+        return f"COUNT({col}) AS {name}"
+    return f"{kind.upper()}({col}) AS {name}"
+
+
+@pytest.mark.parametrize("spec", _specs(), ids=lambda s: f"spec{s[0]}")
+def test_random_groupby_matches_duckdb(spark, spec):
+    _, keys, aggs, filt = spec
+    f = Frame(spark.read.parquet(f"{SF_DIR}/lineitem.parquet"))
+    if filt:
+        fc, op, lit = filt
+        cond = {"<": F.col(fc) < lit, ">=": F.col(fc) >= lit,
+                "=": F.col(fc) == lit}[op]
+        f = f.filter(cond)
+    out = f.group_by(*keys).summarize(
+        **{name: _spark_agg(kind, col, name) for name, kind, col in aggs})
+    got_cols = out.columns
+    got = _rows_canon(got_cols, [tuple(r) for r in out.sdf.collect()])
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"'{SF_DIR}/lineitem.parquet'")
+    where = ""
+    if filt:
+        fc, op, lit = filt
+        where = f"WHERE {fc} {op} {lit}"
+    sql = (f"SELECT {', '.join(keys)}, "
+           f"{', '.join(_sql_agg(k, c, n) for n, k, c in aggs)} "
+           f"FROM lineitem {where} GROUP BY {', '.join(keys)}")
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    want = _rows_canon(cols, cur.fetchall())
+    assert sorted(got_cols) == sorted(cols)
+    assert got == want, f"spec diverged: keys={keys} aggs={aggs} filt={filt}"
