@@ -121,3 +121,114 @@ def test_random_groupby_matches_duckdb(spark, spec):
     want = _rows_canon(cols, cur.fetchall())
     assert sorted(got_cols) == sorted(cols)
     assert got == want, f"spec diverged: keys={keys} aggs={aggs} filt={filt}"
+
+
+# ----------------------------------------------------- join differential
+JOIN_HOWS = ["inner", "left", "semi", "anti"]
+
+
+def _join_specs():
+    rnd = random.Random(4242)
+    out = []
+    for i in range(12):
+        how = rnd.choice(JOIN_HOWS)
+        seg = rnd.choice([None, "BUILDING", "MACHINERY", "AUTOMOBILE"])
+        cap = rnd.choice([None, 500, 5000])
+        out.append((i, how, seg, cap))
+    return out
+
+
+@pytest.mark.parametrize("spec", _join_specs(), ids=lambda s: f"join{s[0]}_{s[1]}")
+def test_random_join_matches_duckdb(spark, spec):
+    _, how, seg, cap = spec
+    o = Frame(spark.read.parquet(f"{SF_DIR}/orders.parquet"))
+    c = Frame(spark.read.parquet(f"{SF_DIR}/customer.parquet"))
+    if seg:
+        c = c.filter(F.col("c_mktsegment") == seg)
+    if cap:
+        o = o.filter(F.col("o_orderkey") < cap)
+    joiner = {"inner": o.inner_join, "left": o.left_join,
+              "semi": o.semi_join, "anti": o.anti_join}[how]
+    j = joiner(c, by=[("o_custkey", "c_custkey")])
+    out = j.group_by().summarize(
+        n=F.count(F.lit(1)),
+        key_sum=F.sum(F.col("o_orderkey").cast("decimal(18,0)"))
+        .cast("double"))
+    got = _rows_canon(out.columns, [tuple(r) for r in out.sdf.collect()])
+
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{SF_DIR}/{t}.parquet'")
+    where_c = f"WHERE c_mktsegment = '{seg}'" if seg else ""
+    where_o = f"WHERE o_orderkey < {cap}" if cap else ""
+    base = (f"WITH o AS (SELECT * FROM orders {where_o}), "
+            f"c AS (SELECT * FROM customer {where_c})")
+    if how in ("inner", "left"):
+        q = (f"{base} SELECT COUNT(*) AS n, "
+             f"CAST(SUM(CAST(o_orderkey AS DECIMAL(18,0))) AS DOUBLE) "
+             f"AS key_sum FROM o {how.upper()} JOIN c "
+             f"ON o.o_custkey = c.c_custkey")
+    else:
+        op = "IN" if how == "semi" else "NOT IN"
+        # NOT IN needs null-safe form: anti = keys with no match
+        q = (f"{base} SELECT COUNT(*) AS n, "
+             f"CAST(SUM(CAST(o_orderkey AS DECIMAL(18,0))) AS DOUBLE) "
+             f"AS key_sum FROM o WHERE "
+             f"{'EXISTS' if how == 'semi' else 'NOT EXISTS'} "
+             f"(SELECT 1 FROM c WHERE c.c_custkey = o.o_custkey)")
+    cur = con.execute(q)
+    cols = [d[0] for d in cur.description]
+    want = _rows_canon(cols, cur.fetchall())
+    assert got == want, f"join diverged: how={how} seg={seg} cap={cap}"
+
+
+# --------------------------------------------------- window differential
+def _window_specs():
+    rnd = random.Random(99)
+    out = []
+    for i in range(10):
+        fn = rnd.choice(["lag", "lead", "row_number", "cumsum"])
+        key = rnd.choice(["o_custkey", "o_orderpriority"])
+        out.append((i, fn, key))
+    return out
+
+
+@pytest.mark.parametrize("spec", _window_specs(), ids=lambda s: f"win{s[0]}_{s[1]}")
+def test_random_window_matches_duckdb(spark, spec):
+    _, fn, key = spec
+    f = Frame(spark.read.parquet(f"{SF_DIR}/orders.parquet")) \
+        .filter(F.col("o_orderkey") < 800)
+    g = f.group_by(key)
+    if fn == "lag":
+        out = g.add_column("w", lambda e: e.lag("o_totalprice",
+                                                order_by=["o_orderkey"]))
+        sql_w = (f"LAG(o_totalprice) OVER "
+                 f"(PARTITION BY {key} ORDER BY o_orderkey)")
+    elif fn == "lead":
+        out = g.add_column("w", lambda e: e.lead("o_totalprice",
+                                                 order_by=["o_orderkey"]))
+        sql_w = (f"LEAD(o_totalprice) OVER "
+                 f"(PARTITION BY {key} ORDER BY o_orderkey)")
+    elif fn == "row_number":
+        out = g.add_column("w", lambda e: e.row_number(
+            order_by=["o_orderkey"]).cast("double"))
+        sql_w = (f"CAST(ROW_NUMBER() OVER (PARTITION BY {key} "
+                 f"ORDER BY o_orderkey) AS DOUBLE)")
+    else:
+        out = g.add_column("w", lambda e: F.round(
+            e.cumsum("o_totalprice", order_by=["o_orderkey"]), 4))
+        sql_w = (f"ROUND(SUM(o_totalprice) OVER (PARTITION BY {key} "
+                 f"ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING), 4)")
+    res = out.ungroup().select("o_orderkey", "w")
+    got = _rows_canon(res.columns, [tuple(r) for r in res.sdf.collect()])
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"'{SF_DIR}/orders.parquet'")
+    cur = con.execute(
+        f"SELECT o_orderkey, {sql_w} AS w FROM orders "
+        f"WHERE o_orderkey < 800")
+    cols = [d[0] for d in cur.description]
+    want = _rows_canon(cols, cur.fetchall())
+    assert got == want, f"window diverged: fn={fn} key={key}"
