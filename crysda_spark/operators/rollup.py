@@ -461,3 +461,19 @@ def gapfill(f: Frame, grain: str, keys: list[str] | tuple | str = (),
         for col in locf_cols:
             out = out.withColumn(col, F.last(col, ignorenulls=True).over(w))
     return Frame(out)
+
+
+def suggest_hist_bounds(f: Frame, col: str,
+                        pad_frac: float = 0.0) -> tuple[float, float]:
+    """One bounded 1-row aggregate: the (min, max) of ``col`` padded by
+    ``pad_frac`` of the range on each side — the bounds probe for a
+    ``hist`` measure when the domain is unknown (values outside the
+    grid clamp into edge bins, so a pad absorbs future drift). Eager
+    by design (documented driver action: two doubles)."""
+    row = f.sdf.agg(F.min(col).alias("lo"), F.max(col).alias("hi")) \
+        .collect()[0]
+    if row["lo"] is None:
+        raise ValueError(f"suggest_hist_bounds: column {col!r} is all-null")
+    lo, hi = float(row["lo"]), float(row["hi"])
+    span = (hi - lo) or 1.0
+    return lo - pad_frac * span, hi + pad_frac * span

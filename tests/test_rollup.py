@@ -363,3 +363,25 @@ def test_gapfill_rejects_unknown_fill_columns(spark):
         ru.gapfill(hourly2, "hour", keys="k", fill={"typo": 0})
     with pytest.raises(ValueError, match="not in frame"):
         ru.gapfill(hourly2, "hour", keys="k", locf=["typo"])
+
+
+def test_suggest_hist_bounds(spark):
+    from crysda_spark.operators.rollup import (hist_quantile,
+                                               suggest_hist_bounds,
+                                               time_rollup)
+    f = Frame(spark.createDataFrame(
+        [("2024-03-01 00:00:00", float(v)) for v in range(10, 61)],
+        "ts string, v double").withColumn("ts", F.col("ts").cast("timestamp")))
+    lo, hi = suggest_hist_bounds(f, "v")
+    assert (lo, hi) == (10.0, 60.0)
+    lo2, hi2 = suggest_hist_bounds(f, "v", pad_frac=0.1)
+    assert (lo2, hi2) == (5.0, 65.0)
+    # feeds the hist measure directly
+    daily = time_rollup(f, "ts", "day", h=("hist", "v", lo, hi, 10))
+    med = daily.sdf.select(
+        hist_quantile("h", 0.5, lo, hi, 10).alias("m")).collect()[0]["m"]
+    assert abs(med - 35.0) <= (hi - lo) / 10 + 1e-9
+    import pytest
+    empty = Frame(spark.createDataFrame([(None,)], "v double"))
+    with pytest.raises(ValueError, match="all-null"):
+        suggest_hist_bounds(empty, "v")

@@ -364,3 +364,40 @@ def test_streaming_read_layer_validation(spark, rollup_table_dir):
         streaming_anomaly_flags(stream, "v", by=["k"], window=1)
     with pytest.raises(ValueError, match="key"):
         streaming_anomaly_flags(stream, "v", by=[])
+
+
+# ------------------------------------------------------ r8 CDC upsert sink
+def test_stream_upsert_maintains_snapshot(spark, tmp_path):
+    """foreachBatch merge sink: a change stream of keyed rows maintains
+    a parquet snapshot equal to applying the batches with merge_into —
+    update-wins per key, latest-by-seq within a batch, A/B manifest
+    flip so readers never see a half-written table."""
+    from crysda_spark.streaming.cdc import (read_snapshot,
+                                            stream_upsert_to_parquet)
+    src = str(tmp_path / "changes")
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+    import os
+    os.makedirs(src)
+    df1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (2, "b2", 11)],
+        "k long, v string, seq long")
+    df1.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(df1.schema).parquet(src)
+    q = stream_upsert_to_parquet(stream, snap, on="k", seq_col="seq",
+                                 checkpoint=ckpt)
+    try:
+        q.processAllAvailable()
+        got = {r["k"]: r["v"] for r in read_snapshot(spark, snap).collect()}
+        assert got == {1: "a", 2: "b2"}       # latest-by-seq within batch
+        # second batch: update k=1, insert k=3
+        spark.createDataFrame([(1, "a2", 20), (3, "c", 20)],
+                              "k long, v string, seq long") \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {r["k"]: r["v"] for r in read_snapshot(spark, snap).collect()}
+        assert got == {1: "a2", 2: "b2", 3: "c"}
+    finally:
+        q.stop()
+    # manifest points at a complete side
+    assert open(os.path.join(snap, "MANIFEST")).read() in ("a", "b")
