@@ -139,6 +139,10 @@ EXPECTED = {
     # scd2: current-slice ⋈ batch full outer (SMJ: both sides are the
     # dimension's scale) + the unchanged-history union
     "scd2_segment_history": dict(scans=6, exchanges=5, bhj=1, smj=2),
+    # normalization: ONE scan, two multi-distinct exchanges — a regex
+    # in a UDF (instead of codegen) wouldn't change counts, but a
+    # second scan would mean the canonical forms stopped sharing a pass
+    "aggressive_normalize_dedup": dict(scans=1, exchanges=2, bhj=0, smj=0),
 }
 
 
