@@ -187,3 +187,47 @@ def test_scd2_schema_validation(spark):
     with pytest.raises(ValueError, match="align schemas"):
         scd2_apply(dim, Frame(dim.sdf.select("cust", "addr")), "cust",
                    "2024-01-01 00:00:00")
+
+
+def test_scd2_random_batches_match_reference_model(spark):
+    """Property: applying k random change batches sequentially must
+    equal a dict-based SCD2 reference model — versions, validity
+    windows, and current flags all exact. Deterministic seed; covers
+    change/no-change/new-key interleavings the handwritten cases
+    can't enumerate."""
+    import random
+    from crysda_spark.operators.merge import scd2_apply
+    rnd = random.Random(77)
+    keys = list(range(6))
+    vals = ["a", "b", "c", None]
+
+    # reference: key -> list of [vf, vt, v, current]
+    ref: dict[int, list] = {}
+
+    def ref_apply(batch, ts):
+        for k, v in batch.items():
+            versions = ref.setdefault(k, [])
+            cur = next((x for x in versions if x[3]), None)
+            if cur is None:
+                versions.append([ts, None, v, True])
+            elif cur[2] != v:
+                cur[1], cur[3] = ts, False
+                versions.append([ts, None, v, True])
+
+    dim = Frame(spark.createDataFrame(
+        [], "k long, v string, valid_from timestamp, valid_to timestamp, "
+            "is_current boolean"))
+    for step in range(4):
+        ts = f"2024-0{step + 1}-01 00:00:00"
+        batch = {k: rnd.choice(vals)
+                 for k in rnd.sample(keys, rnd.randint(1, 5))}
+        ref_apply(batch, ts)
+        changes = Frame(spark.createDataFrame(
+            [(k, v) for k, v in batch.items()], "k long, v string"))
+        dim = scd2_apply(dim, changes, "k", ts)
+    got = sorted((r["k"], str(r["valid_from"]), str(r["valid_to"]),
+                  r["v"], r["is_current"]) for r in dim.sdf.collect())
+    want = sorted((k, f"{vf}", f"{vt}" if vt else "None", v, cur)
+                  for k, versions in ref.items()
+                  for vf, vt, v, cur in versions)
+    assert got == want
