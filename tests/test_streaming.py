@@ -401,3 +401,86 @@ def test_stream_upsert_maintains_snapshot(spark, tmp_path):
         q.stop()
     # manifest points at a complete side
     assert open(os.path.join(snap, "MANIFEST")).read() in ("a", "b")
+
+
+def test_streaming_gapfill_state_survives_micro_batches(spark, tmp_path):
+    """The carry must cross MICRO-BATCH boundaries: batch 1 ends at
+    bucket 2, batch 2 opens at bucket 5 — the gap rows (3, 4) emit in
+    batch 2 from persisted state, with LOCF carrying batch 1's last
+    value and a fill column that is ALSO in locf resetting the carry
+    (the batch operator's precedence)."""
+    from crysda_spark import Frame
+    from crysda_spark.operators.rollup import gapfill
+    from crysda_spark.streaming.read_layer import streaming_gapfill
+
+    d = str(tmp_path / "rollup_mb")
+    rows1 = [("a", "2024-01-01 00:00:00", 1.0, 10.0),
+             ("a", "2024-01-01 02:00:00", None, 12.0)]
+    rows2 = [("a", "2024-01-01 05:00:00", 5.0, None)]
+    schema = "k string, bucket string, m double, v double"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema) \
+            .withColumn("bucket", F.col("bucket").cast("timestamp")) \
+            .coalesce(1).write.mode("append").parquet(d)
+
+    write(rows1)
+    stream = sw.stream_from_parquet_dir(
+        spark, d, spark.read.parquet(d).schema)
+    kw = dict(fill={"m": 0.0}, locf=["m", "v"])  # m in BOTH fill+locf
+    out = streaming_gapfill(stream, "hour", by=["k"], **kw)
+    # continuous trigger (run_to_memory's availableNow stops after the
+    # initial snapshot — the whole point here is the SECOND batch)
+    q = (out.writeStream.format("memory").queryName("gapfill_mb")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    write(rows2)           # second micro-batch — state must carry
+    q.processAllAvailable()
+    got = {(r["k"], str(r["bucket"]), r["m"], r["v"])
+           for r in spark.table("gapfill_mb").collect()}
+    q.stop()
+    batch = gapfill(Frame(spark.read.parquet(d)), "hour", keys=["k"], **kw)
+    want = {(r["k"], str(r["bucket"]), r["m"], r["v"])
+            for r in batch.sdf.collect()}
+    assert got == want
+    assert len(got) == 6  # dense buckets 0..5
+    # the gap rows carry v=12.0 (LOCF across the batch boundary) and
+    # m=0.0 (fill constant, which also reset the m-carry)
+    assert ("a", "2024-01-01 04:00:00", 0.0, 12.0) in got
+
+
+def test_streaming_anomaly_state_survives_micro_batches(spark, tmp_path):
+    from crysda_spark import Frame
+    from crysda_spark.operators.anomaly import anomaly_flags
+    from crysda_spark.streaming.read_layer import streaming_anomaly_flags
+
+    d = str(tmp_path / "anom_mb")
+    schema = "k string, bucket string, v double"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema) \
+            .withColumn("bucket", F.col("bucket").cast("timestamp")) \
+            .coalesce(1).write.mode("append").parquet(d)
+
+    write([("a", f"2024-01-01 {h:02d}:00:00", float(v))
+           for h, v in enumerate([10, 11, 10])])
+    stream = sw.stream_from_parquet_dir(
+        spark, d, spark.read.parquet(d).schema)
+    kw = dict(value_col="v", by=["k"], order_col="bucket", window=3, z=2.0)
+    out = streaming_anomaly_flags(stream, **kw)
+    q = (out.writeStream.format("memory").queryName("anom_mb")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    # batch 2: the spike scores against batch 1's trailing buffer
+    write([("a", "2024-01-01 03:00:00", 99.0),
+           ("a", "2024-01-01 04:00:00", 10.0)])
+    q.processAllAvailable()
+    got = {(r["k"], str(r["bucket"]), r["expected"], r["zscore"],
+            r["is_anomaly"]) for r in spark.table("anom_mb").collect()}
+    q.stop()
+    batch = anomaly_flags(Frame(spark.read.parquet(d)), **kw)
+    want = {(r["k"], str(r["bucket"]), r["expected"], r["zscore"],
+             r["is_anomaly"]) for r in batch.sdf.collect()}
+    assert got == want
+    spike = [r for r in got if r[1] == "2024-01-01 03:00:00"][0]
+    assert spike[4] is True  # flagged from cross-batch state
