@@ -743,3 +743,76 @@ def test_encode_avi_validates_codec():
     from crysda_spark.pipeline.codecs import AviError, encode_avi
     with pytest.raises(AviError, match="raw|mjpeg"):
         encode_avi([np.zeros((4, 4, 3), np.uint8)], codec="h264")
+
+
+def test_progressive_ac_scan_block_roundtrip_adversarial():
+    """Unit roundtrip of the Annex-G AC scan pair (first at Al=1,
+    refinement Ah=1→Al=0) over hand-built coefficient blocks hitting
+    the branches random images rarely reach: pure multi-block EOB
+    runs, newly-significant coefficients after >16 zero-HISTORY
+    positions (ZRL-in-refinement with buffered correction bits),
+    mixed-magnitude bands, negatives, and band-edge positions. The
+    combination first+refine reconstructs EXACT values for any
+    magnitude (first gives (|v|>>1)<<1 with sign, refine adds bit 0)."""
+    import numpy as np
+    from crysda_spark.pipeline.jpeg import (_PROG_AC, _BitReader, _BitWriter,
+                                            _EobState, _ac_first_block,
+                                            _ac_refine_block,
+                                            _canonical_codes,
+                                            _emit_ac_first_block,
+                                            _emit_ac_refine_block)
+    enc, dec = _canonical_codes(*_PROG_AC)
+    ss, se = 1, 63
+
+    def blk(pairs):
+        z = np.zeros(64, np.int32)
+        for k, v in pairs:
+            z[k] = v
+        return z
+
+    blocks = [
+        blk([]),                                     # EOB-run member
+        blk([]),                                     # EOB-run member
+        blk([(1, 5), (2, -4), (63, 1)]),             # band edges, mixed
+        blk([(40, 1)]),                              # 39 zero-history gap
+        blk([(1, 9), (2, 8), (30, -1), (60, 1)]),    # corrections buffered
+        blk([]),                                     # trailing EOB run
+        blk([(k, ((k * 7) % 13) - 6) for k in range(1, 64, 3)]),  # dense
+        blk([(1, -1023), (63, 1023)]),               # max magnitudes
+        blk([]),
+    ]
+
+    # --- AC first scan at Al=1
+    w = _BitWriter()
+    st = _EobState()
+    for z in blocks:
+        _emit_ac_first_block(w, z, enc, ss, se, 1, st)
+    st.flush(w, enc)
+    w.flush()
+    data = bytes(w.out) + b"\xFF\xD9"
+    r = _BitReader(data, 0)
+    decoded = [np.zeros(64, np.int32) for _ in blocks]
+    eobrun = 0
+    for d in decoded:
+        eobrun = _ac_first_block(r, d, dec, ss, se, 1, eobrun)
+    for z, d in zip(blocks, decoded):
+        for k in range(ss, se + 1):
+            v = int(z[k])
+            want = ((abs(v) >> 1) << 1) * (1 if v >= 0 else -1)
+            assert int(d[k]) == want, (k, v, int(d[k]))
+
+    # --- refinement Ah=1 → Al=0 on top of the first-scan state
+    w2 = _BitWriter()
+    st2 = _EobState()
+    for z in blocks:
+        _emit_ac_refine_block(w2, z, enc, ss, se, 0, st2)
+    st2.flush(w2, enc)
+    w2.flush()
+    data2 = bytes(w2.out) + b"\xFF\xD9"
+    r2 = _BitReader(data2, 0)
+    eobrun = 0
+    for d in decoded:
+        eobrun = _ac_refine_block(r2, d, dec, ss, se, 0, eobrun)
+    for z, d in zip(blocks, decoded):
+        assert np.array_equal(d[ss:se + 1], z[ss:se + 1]), \
+            (z[ss:se + 1].tolist(), d[ss:se + 1].tolist())
