@@ -4132,6 +4132,85 @@ def aggressive_normalize_dedup(spark, sf_dir):
         F.countDistinct("agg_fp").alias("distinct_aggressive"))
 
 
+@q("e2e_corpus_prep", """
+WITH canon AS (
+  SELECT doc_id, text,
+         md5(regexp_replace(trim(regexp_replace(lower(text),
+             '[^\\p{L}\\p{N}\\s]', ' ', 'g')), '\\s+', ' ', 'g')) AS fp
+  FROM documents),
+surv AS (SELECT MIN(doc_id) AS doc_id FROM canon GROUP BY fp),
+kept AS (SELECT c.doc_id, c.text FROM canon c
+         WHERE c.doc_id IN (SELECT doc_id FROM surv)),
+t AS (
+  SELECT doc_id, text,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                      ' ') AS toks
+  FROM kept),
+m AS (
+  SELECT doc_id, len(toks) AS tc,
+         CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text,
+                    '[!-/:-@\\[-`{-~]', '', 'g'))) * 1.0 / length(text)
+              ELSE 0.0 END AS pr,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, w -> length(w))) * 1.0
+                   / len(toks) ELSE 0.0 END AS wl,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, w -> list_contains(
+                     ['the','a','of','and','to','in','is','that','it','for'],
+                     w))) * 1.0 / len(toks) ELSE 0.0 END AS sr
+  FROM t),
+scored AS (
+  SELECT doc_id, tc,
+         ROUND((least(tc / 20.0, 1.0)
+              + 1.0 - least(pr * 5, 1.0)
+              + CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END
+              + least(sr * 5, 1.0)) / 4, 4) AS quality
+  FROM m),
+labeled AS (
+  SELECT doc_id, tc,
+         CASE WHEN ((doc_id % 2147483647) * 1103515245 + 987654321)
+                   % 2147483647 % 10000 < 9800 THEN 'train'
+              WHEN ((doc_id % 2147483647) * 1103515245 + 987654321)
+                   % 2147483647 % 10000 < 9900 THEN 'val'
+              ELSE 'test' END AS split
+  FROM scored WHERE quality >= 0.5)
+SELECT split, COUNT(*) AS n_docs,
+       CAST(SUM(tc) AS BIGINT) AS n_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM labeled GROUP BY split
+""")
+def e2e_corpus_prep(spark, sf_dir):
+    """CAPSTONE composition — the minimal real training-data prep run,
+    every stage an already-oracled operator, the WHOLE pipeline
+    verified end-to-end against one SQL oracle: aggressive
+    canonicalization (normalize_aggressive) → exact dedup keep-min
+    (fingerprint groupBy) → quality filter (quality_score ≥ 0.5,
+    rounded so the cut is engine-reproducible) → deterministic
+    train/val/test stamp (split_bucket) → per-split doc/token/checksum
+    accounting. One corpus scan, two shuffles (fingerprint collapse +
+    final counting aggregate), the rest map-side."""
+    from crysda_spark.pipeline import text as tx
+    from crysda_spark.pipeline.split import split_bucket
+    docs = _t(spark, sf_dir, "documents").sdf.select("doc_id", "text")
+    canon = docs.withColumn(
+        "fp", F.md5(tx.normalize_aggressive(F.col("text"))))
+    surv = canon.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = canon.join(surv.select("doc_id"), on="doc_id", how="left_semi")
+    scored = kept.select(
+        "doc_id", tx.token_count(F.col("text")).alias("tc"),
+        F.round(tx.quality_score(F.col("text")), 4).alias("quality"))
+    b = split_bucket("doc_id")
+    labeled = (scored.filter(F.col("quality") >= 0.5)
+               .withColumn("split",
+                           F.when(b < 9800, "train")
+                           .when(b < 9900, "val").otherwise("test")))
+    return (labeled.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("tc").alias("n_tokens"),
+                 F.sum("doc_id").alias("id_checksum")))
+
+
 # ================================================================== contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""

@@ -143,6 +143,11 @@ EXPECTED = {
     # in a UDF (instead of codegen) wouldn't change counts, but a
     # second scan would mean the canonical forms stopped sharing a pass
     "aggressive_normalize_dedup": dict(scans=1, exchanges=2, bhj=0, smj=0),
+    # e2e capstone: fingerprint collapse + final counting aggregate are
+    # the only shuffles; the survivor semi-join broadcasts (AQE would
+    # keep it shuffle-free at scale too — min-per-fp is corpus/dup-rate
+    # sized, but a regression to SMJ with a THIRD exchange trips here)
+    "e2e_corpus_prep": dict(scans=2, exchanges=2, bhj=1, smj=0),
 }
 
 
