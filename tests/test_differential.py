@@ -232,3 +232,46 @@ def test_random_window_matches_duckdb(spark, spec):
     cols = [d[0] for d in cur.description]
     want = _rows_canon(cols, cur.fetchall())
     assert got == want, f"window diverged: fn={fn} key={key}"
+
+
+def _rank_specs():
+    rnd = random.Random(311)
+    out = []
+    for i in range(8):
+        fn = rnd.choice(["rank", "dense_rank", "ntile4", "percent_rank"])
+        key = rnd.choice(["o_custkey", "o_orderpriority"])
+        out.append((i, fn, key))
+    return out
+
+
+@pytest.mark.parametrize("spec", _rank_specs(), ids=lambda s: f"rank{s[0]}_{s[1]}")
+def test_random_rank_matches_duckdb(spark, spec):
+    """Ranking-family differential: ties (o_totalprice repeats across
+    a partition are possible) must rank identically in both engines."""
+    from pyspark.sql.window import Window as W
+    _, fn, key = spec
+    sdf = spark.read.parquet(f"{SF_DIR}/orders.parquet") \
+        .filter(F.col("o_orderkey") < 1200)
+    w = W.partitionBy(key).orderBy("o_totalprice", "o_orderkey")
+    expr = {"rank": F.rank(), "dense_rank": F.dense_rank(),
+            "ntile4": F.ntile(4), "percent_rank": F.percent_rank()}[fn]
+    col = expr.over(w)
+    if fn == "percent_rank":
+        col = F.round(col, 9)      # round AFTER the over clause
+    res = sdf.select("o_orderkey", col.cast("double").alias("w"))
+    got = _rows_canon(res.columns, [tuple(r) for r in res.collect()])
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"'{SF_DIR}/orders.parquet'")
+    sql_fn = {"rank": "RANK()", "dense_rank": "DENSE_RANK()",
+              "ntile4": "NTILE(4)", "percent_rank": "PERCENT_RANK()"}[fn]
+    over = (f"{sql_fn} OVER (PARTITION BY {key} "
+            f"ORDER BY o_totalprice, o_orderkey)")
+    if fn == "percent_rank":
+        over = f"ROUND({over}, 9)"   # round wraps the whole window expr
+    cur = con.execute(
+        f"SELECT o_orderkey, CAST({over} AS DOUBLE) AS w "
+        f"FROM orders WHERE o_orderkey < 1200")
+    want = _rows_canon([d[0] for d in cur.description], cur.fetchall())
+    assert got == want, f"rank diverged: fn={fn} key={key}"
