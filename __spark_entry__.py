@@ -424,14 +424,23 @@ def window_cumsum(spark, sf_dir):
 
 @q("window_pct_change", """
 SELECT user_id, event_id,
-       ROUND(value / NULLIF(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) - 1, 6) + 0 AS pct
+       FLOOR((value / NULLIF(LAG(value) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id), 0) - 1) * 1000000) / 1000000 + 0 AS pct
 FROM events
 """)
 def window_pct_change(spark, sf_dir):
-    """pct_change per group (SURVEY §2.5). The ``+0`` normalizes -0.0."""
+    """pct_change per group (SURVEY §2.5). The ``+0`` normalizes -0.0.
+
+    Quantization discipline (r8, found by the sf0.1 oracle sweep):
+    both engines compute the IDENTICAL IEEE quotient (same parquet
+    operands), but their ROUND implementations break .0000005 ties
+    differently (shortest-decimal-repr half-up vs binary-value
+    rounding) — one row at sf0.1 landed on the boundary. FLOOR of the
+    scaled value is a pure function of the shared double."""
     ev = _t(spark, sf_dir, "events").group_by("user_id")
-    out = ev.add_column("pct", lambda e: F.round(
-        e.pct_change("value", order_by=["ts", "event_id"]), 6) + F.lit(0.0))
+    out = ev.add_column("pct", lambda e: F.floor(
+        e.pct_change("value", order_by=["ts", "event_id"])
+        * F.lit(1000000.0)) / F.lit(1000000.0) + F.lit(0.0))
     return out.ungroup().select("user_id", "event_id", "pct").sdf
 
 
@@ -1369,16 +1378,28 @@ def intersect_keys(spark, sf_dir):
 # ======================================================= events / time series
 @q("events_tumbling_hourly", """
 SELECT date_trunc('hour', ts) AS hour, event_type,
-       COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+       COUNT(*) AS n,
+       FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*) * 10000) / 10000 AS avg_value
 FROM events GROUP BY 1, 2
 """)
 def events_tumbling_hourly(spark, sf_dir):
-    """Tumbling-window aggregation (batch form of the streaming op)."""
+    """Tumbling-window aggregation (batch form of the streaming op).
+
+    Mean discipline (r8, found by the sf0.1 oracle sweep): AVG over
+    raw doubles accumulates in partition order, so Spark and an oracle
+    can differ in the last ulp and a ROUND sitting on a .00005
+    boundary flips the 4th decimal — at sf0.1 three buckets did.
+    Exact decimal sums make the quotient bit-identical across engines,
+    and FLOOR-quantization has no tie semantics to disagree on."""
     ev = _t(spark, sf_dir, "events")
+    s = F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
     return (ev.group_by_expr(hour=F.date_trunc("hour", "ts"))
             .group_by("hour", "event_type")
             .summarize(n=F.count(F.lit(1)),
-                       avg_value=F.round(F.avg("value"), 4))).sdf
+                       avg_value=F.floor(s / F.count(F.lit(1))
+                                         * F.lit(10000.0))
+                       / F.lit(10000.0))).sdf
 
 
 @q("events_sliding_counts", """
