@@ -64,8 +64,10 @@ SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-       ROUND(AVG(l_quantity), 4) AS avg_qty,
-       ROUND(AVG(l_discount), 6) AS avg_disc,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*), 4) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -82,8 +84,14 @@ def q1_pricing_summary(spark, sf_dir):
                 sum_base_price=F.sum(_dec("l_extendedprice")).cast(OUT),
                 sum_disc_price=F.sum((_dec("l_extendedprice")
                                       * (1 - _dec("l_discount"))).cast("decimal(18,6)")).cast(OUT),
-                avg_qty=F.round(F.avg("l_quantity"), 4),
-                avg_disc=F.round(F.avg("l_discount"), 6),
+                # averages from EXACT decimal sums: raw-double AVG
+                # accumulates in partition order and can differ from
+                # the oracle in the last ulp (the class the sf0.1
+                # sweep caught in events_tumbling_hourly)
+                avg_qty=F.round(F.sum(_dec("l_quantity")).cast("double")
+                                / F.count(F.lit(1)), 4),
+                avg_disc=F.round(F.sum(_dec("l_discount")).cast("double")
+                                 / F.count(F.lit(1)), 6),
                 count_order=F.count(F.lit(1)))
             ).sdf
 
