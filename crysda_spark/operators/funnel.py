@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..frame import Frame
 
-__all__ = ["funnel", "retention_cohorts"]
+__all__ = ["funnel", "retention_cohorts", "funnel_advance"]
 
 
 def funnel(f: Frame, steps: list[str], user_col: str = "user_id",
@@ -105,3 +105,23 @@ def retention_cohorts(f: Frame, user_col: str = "user_id",
                    F.round(F.col("n_active") / F.col("_size"), 6)
                     .alias("retention")))
     return Frame(out)
+
+
+def funnel_advance(step_idx: int, last_t, event, ts, steps,
+                   within_seconds=None):
+    """THE greedy funnel transition, stated once for batch and stream
+    (the ``trailing_score`` pattern): a user at ``(step_idx, last_t)``
+    advances iff ``event`` is the NEXT step and — past step one —
+    strictly after ``last_t`` and within the window. Processing a
+    user's events in time order through this rule reproduces the
+    batch operator's earliest-completion chains exactly (step one
+    binds to the first occurrence; each later step to the earliest
+    qualifying event). Returns the new ``(step_idx, last_t)``."""
+    if step_idx >= len(steps) or event != steps[step_idx]:
+        return step_idx, last_t
+    if step_idx > 0:
+        if not ts > last_t:
+            return step_idx, last_t
+        if within_seconds is not None and ts - last_t > within_seconds:
+            return step_idx, last_t
+    return step_idx + 1, ts

@@ -36,7 +36,8 @@ from pyspark.sql import types as T
 from ..operators.anomaly import trailing_score
 from ..operators.rollup import _GRAIN_SECONDS
 
-__all__ = ["streaming_anomaly_flags", "streaming_gapfill"]
+__all__ = ["streaming_anomaly_flags", "streaming_gapfill",
+           "streaming_funnel_states"]
 
 
 def _keys(by) -> list[str]:
@@ -199,3 +200,57 @@ def streaming_gapfill(sdf: SparkDF, grain: str,
     return (sdf.groupBy(*keys)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def streaming_funnel_states(sdf: SparkDF, steps: list[str],
+                            user_col: str = "user_id",
+                            ts_col: str = "ts",
+                            event_col: str = "event_type",
+                            within_seconds: float | None = None) -> SparkDF:
+    """Streaming twin of ``operators.funnel.funnel`` (completes the r7
+    read-layer gap list): per-user state is ``(step_reached,
+    last_step_epoch)`` and every event runs through the SHARED greedy
+    transition ``funnel.funnel_advance`` — the single statement of the
+    earliest-completion semantics the batch operator implements
+    relationally. Emits one (user, step_reached, last_step_ts) row per
+    user per micro-batch the user appears in (update-shaped; steps
+    only ever advance, so the per-user MAX step across emissions is
+    the live funnel position). Aggregate a snapshot with
+    groupBy(step_reached) for the batch operator's count shape —
+    parity pinned by tests/test_streaming.py."""
+    if len(steps) < 1:
+        raise ValueError("streaming_funnel_states: need at least one step")
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.funnel import funnel_advance
+
+    user_field = next(f for f in sdf.schema.fields if f.name == user_col)
+    out_schema = T.StructType([
+        user_field,
+        T.StructField("step_reached", T.IntegerType()),
+        T.StructField("last_step_ts", T.TimestampType())])
+    state_schema = "step int, last_t double"
+
+    def fn(key, pdfs, state):
+        step, last_t = state.get if state.exists else (0, float("-inf"))
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(ts_col, kind="stable", ignore_index=True)
+        for ev, ts in zip(pdf[event_col], pdf[ts_col]):
+            if pd.isna(ts):
+                continue
+            step, last_t = funnel_advance(step, last_t, ev,
+                                          ts.timestamp(), steps,
+                                          within_seconds)
+            if step == len(steps):
+                break  # funnel complete — later events cannot regress
+        state.update((step, last_t))
+        yield pd.DataFrame({
+            user_col: [key[0]],
+            "step_reached": pd.array([step], dtype="int32"),
+            "last_step_ts": [pd.Timestamp(last_t, unit="s")
+                             if last_t != float("-inf") else None]})
+
+    return (sdf.groupBy(user_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))

@@ -484,3 +484,59 @@ def test_streaming_anomaly_state_survives_micro_batches(spark, tmp_path):
     assert got == want
     spike = [r for r in got if r[1] == "2024-01-01 03:00:00"][0]
     assert spike[4] is True  # flagged from cross-batch state
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """The streaming funnel state machine (shared funnel_advance rule)
+    must reproduce the batch operator's greedy earliest-completion
+    counts — including a user whose steps straddle a MICRO-BATCH
+    boundary, an out-of-window pair, and a wrong-order user."""
+    from crysda_spark import Frame
+    from crysda_spark.operators.funnel import funnel
+    from crysda_spark.streaming.read_layer import streaming_funnel_states
+
+    d = str(tmp_path / "funnel_ev")
+    schema = "user_id long, ts string, event_type string"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema) \
+            .withColumn("ts", F.col("ts").cast("timestamp")) \
+            .coalesce(1).write.mode("append").parquet(d)
+
+    # u1: completes across the batch boundary; u2: view+click only;
+    # u3: wrong order (click before view → stuck after view);
+    # u4: purchase outside the window
+    write([(1, "2024-01-01 00:00:00", "view"),
+           (1, "2024-01-01 00:10:00", "click"),
+           (2, "2024-01-01 00:00:00", "view"),
+           (2, "2024-01-01 00:20:00", "click"),
+           (3, "2024-01-01 00:00:00", "click"),
+           (3, "2024-01-01 00:05:00", "view"),
+           (4, "2024-01-01 00:00:00", "view"),
+           (4, "2024-01-01 00:01:00", "click")])
+    steps = ["view", "click", "purchase"]
+    stream = sw.stream_from_parquet_dir(spark, d,
+                                        spark.read.parquet(d).schema)
+    out = streaming_funnel_states(stream, steps, within_seconds=3600.0)
+    q = (out.writeStream.format("memory").queryName("funnel_stream")
+         .outputMode("update").start())
+    q.processAllAvailable()
+    write([(1, "2024-01-01 00:30:00", "purchase"),   # completes u1
+           (4, "2024-01-01 02:00:00", "purchase")])  # outside 1 h window
+    q.processAllAvailable()
+    rows = spark.table("funnel_stream").collect()
+    q.stop()
+    # steps only advance → live position = max step per user
+    pos = {}
+    for r in rows:
+        pos[r["user_id"]] = max(pos.get(r["user_id"], 0), r["step_reached"])
+    # u3's click PRECEDES their view: greedy binds step 1 to the view
+    # at 00:05 and no later click exists → stuck at step 1
+    assert pos == {1: 3, 2: 2, 3: 1, 4: 2}
+    # aggregate to the batch shape and compare counts
+    batch = funnel(Frame(spark.read.parquet(d)), steps,
+                   within_seconds=3600.0)
+    want = {r["step"]: r["n_users"] for r in batch.sdf.collect()}
+    got = {s: sum(1 for p in pos.values() if p >= s)
+           for s in range(1, len(steps) + 1)}
+    assert got == want == {1: 4, 2: 3, 3: 1}
