@@ -37,7 +37,7 @@ from ..operators.anomaly import trailing_score
 from ..operators.rollup import _GRAIN_SECONDS
 
 __all__ = ["streaming_anomaly_flags", "streaming_gapfill",
-           "streaming_funnel_states"]
+           "streaming_funnel_states", "streaming_retention_pairs"]
 
 
 def _keys(by) -> list[str]:
@@ -254,3 +254,72 @@ def streaming_funnel_states(sdf: SparkDF, steps: list[str],
     return (sdf.groupBy(user_col)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def streaming_retention_pairs(sdf: SparkDF, user_col: str = "user_id",
+                              ts_col: str = "ts",
+                              grain: str = "week") -> SparkDF:
+    """Streaming twin of ``operators.funnel.retention_cohorts``'s
+    per-user stage: state is the user's FIRST-seen bucket; every
+    micro-batch emits the user's NEW distinct (cohort, offset) pairs
+    (append mode — each pair exactly once, so a downstream
+    ``groupBy(cohort, offset).agg(count)`` over the sink equals the
+    batch matrix's ``n_active``; batch parity pinned by test).
+    Fixed-width grains only (day/week — month arithmetic does not
+    stream through an epoch offset)."""
+    if grain not in ("day", "week"):
+        raise ValueError(f"streaming_retention_pairs: grain must be "
+                         f"day|week, got {grain!r}")
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    step = 86400 * (7 if grain == "week" else 1)
+    user_field = next(f for f in sdf.schema.fields if f.name == user_col)
+    out_schema = T.StructType([
+        user_field,
+        T.StructField("cohort", T.TimestampType()),
+        T.StructField("offset", T.IntegerType())])
+    # first-seen bucket + seen-offset ledger (offsets are small ints —
+    # a retention read is bounded by max_offset in practice)
+    state_schema = "cohort bigint, seen string"
+
+    def _bucket(ts) -> int:
+        # date_trunc to the grain in epoch seconds; week buckets start
+        # Monday (Spark's date_trunc('week') convention): epoch day 0
+        # (1970-01-01) was a THURSDAY, so shift by 4 days before
+        # flooring to weeks
+        e = int(ts.timestamp())
+        if step == 86400:
+            return (e // 86400) * 86400
+        return ((e - 4 * 86400) // step) * step + 4 * 86400
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            cohort, seen_s = state.get
+            seen = set(json.loads(seen_s))
+        else:
+            cohort, seen = None, set()
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(ts_col, kind="stable", ignore_index=True)
+        new_pairs = []
+        for ts in pdf[ts_col]:
+            if pd.isna(ts):
+                continue
+            b = _bucket(ts)
+            if cohort is None:
+                cohort = b
+            off = (b - cohort) // step
+            if off >= 0 and off not in seen:
+                seen.add(off)
+                new_pairs.append(off)
+        state.update((cohort, json.dumps(sorted(seen))))
+        if not new_pairs:
+            return
+        yield pd.DataFrame({
+            user_col: [key[0]] * len(new_pairs),
+            "cohort": [pd.Timestamp(cohort, unit="s")] * len(new_pairs),
+            "offset": pd.array(new_pairs, dtype="int32")})
+
+    return (sdf.groupBy(user_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

@@ -540,3 +540,49 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     got = {s: sum(1 for p in pos.values() if p >= s)
            for s in range(1, len(steps) + 1)}
     assert got == want == {1: 4, 2: 3, 3: 1}
+
+
+def test_streaming_retention_matches_batch(spark, tmp_path):
+    """streaming_retention_pairs emits each user's (cohort, offset)
+    exactly once across micro-batches; aggregating the sink equals the
+    batch retention_cohorts matrix — cohort buckets included (the
+    epoch week arithmetic must agree with date_trunc('week'))."""
+    from crysda_spark import Frame
+    from crysda_spark.operators.funnel import retention_cohorts
+    from crysda_spark.streaming.read_layer import streaming_retention_pairs
+
+    d = str(tmp_path / "ret_ev")
+    schema = "user_id long, ts string"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema) \
+            .withColumn("ts", F.col("ts").cast("timestamp")) \
+            .coalesce(1).write.mode("append").parquet(d)
+
+    # week of 2024-01-01 (a Monday): u1 active wk0+wk1, u2 wk0 only,
+    # u3 joins wk1; duplicates within a week must not double-count
+    write([(1, "2024-01-01 10:00:00"), (1, "2024-01-03 10:00:00"),
+           (2, "2024-01-02 10:00:00")])
+    stream = sw.stream_from_parquet_dir(spark, d,
+                                        spark.read.parquet(d).schema)
+    out = streaming_retention_pairs(stream, grain="week")
+    q = (out.writeStream.format("memory").queryName("ret_stream")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    write([(1, "2024-01-09 10:00:00"),          # u1 wk1 (2nd batch)
+           (3, "2024-01-10 10:00:00"),          # u3 joins in wk1
+           (2, "2024-01-04 23:00:00")])         # u2 dup week: no new pair
+    q.processAllAvailable()
+    pairs = [(r["user_id"], str(r["cohort"]), r["offset"])
+             for r in spark.table("ret_stream").collect()]
+    q.stop()
+    assert len(pairs) == len(set(pairs))        # exactly-once per pair
+    got = {}
+    for _, cohort, off in pairs:
+        got[(cohort, off)] = got.get((cohort, off), 0) + 1
+    batch = retention_cohorts(Frame(spark.read.parquet(d)), grain="week")
+    want = {(str(r["cohort"]), r["offset"]): r["n_active"]
+            for r in batch.sdf.collect()}
+    assert got == want
+    assert got[("2024-01-01 00:00:00", 0)] == 2  # u1+u2 cohort wk0
+    assert got[("2024-01-08 00:00:00", 0)] == 1  # u3 cohort wk1
