@@ -275,3 +275,55 @@ def test_random_rank_matches_duckdb(spark, spec):
         f"FROM orders WHERE o_orderkey < 1200")
     want = _rows_canon([d[0] for d in cur.description], cur.fetchall())
     assert got == want, f"rank diverged: fn={fn} key={key}"
+
+
+# ---------------------------------------------------- set-op differential
+def _setop_specs():
+    rnd = random.Random(515)
+    out = []
+    for i in range(9):
+        op = rnd.choice(["intersect", "except", "union_all"])
+        lo_a, hi_a = sorted(rnd.sample(range(0, 3000), 2))
+        lo_b, hi_b = sorted(rnd.sample(range(0, 3000), 2))
+        out.append((i, op, lo_a, hi_a, lo_b, hi_b))
+    return out
+
+
+@pytest.mark.parametrize("spec", _setop_specs(),
+                         ids=lambda s: f"set{s[0]}_{s[1]}")
+def test_random_setops_match_duckdb(spark, spec):
+    """Set-op differential: Spark intersect/exceptAll-free verbs vs SQL
+    INTERSECT/EXCEPT (both DISTINCT semantics) and UNION ALL, over
+    overlapping key ranges with duplicate rows in play."""
+    _, op, lo_a, hi_a, lo_b, hi_b = spec
+    o = Frame(spark.read.parquet(f"{SF_DIR}/orders.parquet"))
+    a = o.filter((F.col("o_orderkey") >= lo_a)
+                 & (F.col("o_orderkey") < hi_a)).select("o_custkey")
+    b = o.filter((F.col("o_orderkey") >= lo_b)
+                 & (F.col("o_orderkey") < hi_b)).select("o_custkey")
+    if op == "intersect":
+        res = a.intersect(b)
+    elif op == "except":
+        res = a.except_rows(b)
+    else:
+        res = a.bind_rows(b)
+    out = res.group_by().summarize(
+        n=F.count(F.lit(1)),
+        ks=F.sum(F.col("o_custkey").cast("decimal(18,0)")).cast("double"))
+    got = _rows_canon(out.columns, [tuple(r) for r in out.sdf.collect()])
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"'{SF_DIR}/orders.parquet'")
+    sql_op = {"intersect": "INTERSECT", "except": "EXCEPT",
+              "union_all": "UNION ALL"}[op]
+    q = (f"WITH a AS (SELECT o_custkey FROM orders WHERE o_orderkey >= "
+         f"{lo_a} AND o_orderkey < {hi_a}), "
+         f"b AS (SELECT o_custkey FROM orders WHERE o_orderkey >= "
+         f"{lo_b} AND o_orderkey < {hi_b}), "
+         f"u AS (SELECT * FROM a {sql_op} SELECT * FROM b) "
+         f"SELECT COUNT(*) AS n, CAST(SUM(CAST(o_custkey AS "
+         f"DECIMAL(18,0))) AS DOUBLE) AS ks FROM u")
+    cur = con.execute(q)
+    want = _rows_canon([d[0] for d in cur.description], cur.fetchall())
+    assert got == want, f"setop diverged: {spec}"
