@@ -327,3 +327,50 @@ def test_random_setops_match_duckdb(spark, spec):
     cur = con.execute(q)
     want = _rows_canon([d[0] for d in cur.description], cur.fetchall())
     assert got == want, f"setop diverged: {spec}"
+
+
+# ---------------------------------------------------- as-of differential
+def _asof_specs():
+    rnd = random.Random(808)
+    out = []
+    for i in range(8):
+        direction = rnd.choice(["backward", "forward"])
+        mod = rnd.choice([3, 7, 20])     # right-side sparsity
+        out.append((i, direction, mod))
+    return out
+
+
+@pytest.mark.parametrize("spec", _asof_specs(),
+                         ids=lambda s: f"asof{s[0]}_{s[1]}_m{s[2]}")
+def test_random_asof_matches_duckdb_native(spark, spec):
+    """As-of join vs DuckDB's NATIVE ASOF JOIN — a fully independent
+    implementation (binary search vs our union+window merge), random
+    right-side sparsity, per-user keys, tie timestamps included."""
+    _, direction, mod = spec
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+        .select("event_id", "user_id",
+                F.col("ts").cast("timestamp").alias("t"), "value") \
+        .filter(F.col("event_id") < 3000)
+    left = Frame(ev.select("event_id", "user_id", "t"))
+    right = Frame(ev.filter(F.col("event_id") % mod == 0)
+                  .select("user_id", "t", "value"))
+    out = __import__("crysda_spark.operators.temporal",
+                     fromlist=["asof_join"]).asof_join(
+        left, right, on="t", by="user_id", value_cols=["value"],
+        direction=direction)
+    res = out.sdf.select("event_id", F.col("value_right").alias("v"))
+    got = _rows_canon(res.columns, [tuple(r) for r in res.collect()])
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{SF_DIR}/events.parquet'")
+    cmp = ">=" if direction == "backward" else "<="
+    q = (f"WITH l AS (SELECT event_id, user_id, ts AS t FROM events "
+         f"WHERE event_id < 3000), "
+         f"r AS (SELECT user_id, ts AS t, value FROM events "
+         f"WHERE event_id < 3000 AND event_id % {mod} = 0) "
+         f"SELECT l.event_id, r.value AS v FROM l "
+         f"ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t {cmp} r.t")
+    cur = con.execute(q)
+    want = _rows_canon([d[0] for d in cur.description], cur.fetchall())
+    assert got == want, f"asof diverged: {spec}"
