@@ -374,3 +374,40 @@ def test_random_asof_matches_duckdb_native(spark, spec):
     cur = con.execute(q)
     want = _rows_canon([d[0] for d in cur.description], cur.fetchall())
     assert got == want, f"asof diverged: {spec}"
+
+
+# -------------------------------------------------- quantile differential
+def _quantile_specs():
+    rnd = random.Random(616)
+    out = []
+    for i in range(6):
+        q = rnd.choice([0.1, 0.25, 0.5, 0.9, 0.99])
+        col = rnd.choice(["l_quantity", "l_extendedprice", "l_discount"])
+        out.append((i, q, col))
+    return out
+
+
+@pytest.mark.parametrize("spec", _quantile_specs(),
+                         ids=lambda s: f"q{s[0]}_{s[2]}_{s[1]}")
+def test_random_quantiles_match_duckdb(spark, spec):
+    """Exact distributed quantile_cont vs DuckDB percentile_cont
+    WITHIN GROUP — both implement the linear-interpolation
+    h = 1 + (n-1)q contract; duplicate-heavy columns (l_quantity has
+    50 distinct values over thousands of rows) stress the
+    value-collapse path."""
+    from crysda_spark.operators.quantiles import quantile_cont
+    _, q, col = spec
+    sdf = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    out = quantile_cont(sdf, col, [q], by=["l_returnflag"],
+                        num_partitions=8)
+    got = {(r["l_returnflag"],): round(r["value"], 9)
+           for r in out.collect()}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"'{SF_DIR}/lineitem.parquet'")
+    cur = con.execute(
+        f"SELECT l_returnflag, PERCENTILE_CONT({q}) WITHIN GROUP "
+        f"(ORDER BY {col}) AS v FROM lineitem GROUP BY l_returnflag")
+    want = {(r[0],): round(r[1], 9) for r in cur.fetchall()}
+    assert got == want, f"quantile diverged: {spec}"
