@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 
 from ..frame import Frame
 
-__all__ = ["bin_counts", "psi", "drift_report"]
+__all__ = ["bin_counts", "psi", "drift_report",
+           "streaming_bin_counts"]
 
 _EPS = 1e-6
 
@@ -104,3 +105,33 @@ def drift_report(base: SparkDF, current: SparkDF, col: str, lo: float,
                         F.round(F.sum("n_base").over(ordered) / tb, 6))
             .withColumn("cdf_current",
                         F.round(F.sum("n_current").over(ordered) / tc, 6)))
+
+
+def streaming_bin_counts(stream, col: str, lo: float, hi: float,
+                         nbins: int, width: str = "1 hour",
+                         ts_col: str = "ts",
+                         watermark: str | None = "30 minutes"):
+    """Streaming companion of ``bin_counts``: per tumbling window, the
+    fixed-grid histogram of ``col`` — the live side of a drift
+    monitor. Shares ``_bucket`` (the SAME binning expression as the
+    batch/baseline side), so ``psi``-style compares between a window's
+    counts and a baseline snapshot are apples-to-apples. Pure built-in
+    aggregation (watermark + window + groupBy) — no Python state.
+
+    Returns (window_start, bin, n); feed completed windows into
+    ``drift_report``/``psi`` against the baseline's ``bin_counts``."""
+    from pyspark.sql import functions as F
+    if nbins < 2:
+        raise ValueError(f"streaming_bin_counts: nbins must be ≥ 2, "
+                         f"got {nbins}")
+    if not hi > lo:
+        raise ValueError(f"streaming_bin_counts: need hi > lo, "
+                         f"got [{lo}, {hi})")
+    s = stream
+    if watermark:
+        s = s.withWatermark(ts_col, watermark)
+    return (s.filter(F.col(col).isNotNull())
+            .groupBy(F.window(ts_col, width).alias("_w"),
+                     _bucket(F.col(col), lo, hi, nbins).alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("_w.start").alias("window_start"), "bin", "n"))

@@ -95,3 +95,50 @@ def test_drift_plan_is_two_aggregates_no_wide_shuffle(spark):
                       "formatted")
     assert "SortMergeJoin" not in txt
     assert "BroadcastHashJoin" in txt or "BroadcastNestedLoopJoin" not in txt
+
+
+def test_streaming_bin_counts_match_batch(spark, tmp_path):
+    """The live drift monitor's windowed histograms must equal batch
+    bin_counts per window — same _bucket expression, same clamping."""
+    from crysda_spark.pipeline.drift import bin_counts, streaming_bin_counts
+    d = str(tmp_path / "drift_ev")
+    rows = [(f"2024-01-01 {h:02d}:{m:02d}:00", float(v))
+            for h in range(2) for m, v in
+            enumerate([1.0, 4.5, 9.9, -3.0, 15.0, 7.2])]
+    df = spark.createDataFrame(rows, "ts string, x double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(df.schema).parquet(d)
+    out = streaming_bin_counts(stream, "x", 0.0, 10.0, 5,
+                               width="1 hour", watermark=None)
+    q = (out.writeStream.format("memory").queryName("drift_stream")
+         .outputMode("complete").start())
+    q.processAllAvailable()
+    got = {(str(r["window_start"]), r["bin"]): r["n"]
+           for r in spark.table("drift_stream").collect()}
+    q.stop()
+    batch = spark.read.parquet(d)
+    want = {}
+    for h in ("2024-01-01 00:00:00", "2024-01-01 01:00:00"):
+        hour = batch.filter(F.date_trunc("hour", "ts") == h)
+        for r in bin_counts(hour, "x", 0.0, 10.0, 5).collect():
+            want[(h, r["bin"])] = r["n"]
+    assert got == want
+    # clamping visible: -3.0 → bin 0, 15.0 → bin 4, each hour
+    assert got[("2024-01-01 00:00:00", 0)] >= 2
+    assert got[("2024-01-01 00:00:00", 4)] >= 2
+
+
+def test_streaming_bin_counts_validation(spark, tmp_path):
+    from crysda_spark.pipeline.drift import streaming_bin_counts
+    df = spark.createDataFrame([("2024-01-01 00:00:00", 1.0)],
+                               "ts string, x double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    d = str(tmp_path / "v")
+    df.write.parquet(d)
+    s = spark.readStream.schema(df.schema).parquet(d)
+    import pytest
+    with pytest.raises(ValueError, match="nbins"):
+        streaming_bin_counts(s, "x", 0.0, 1.0, 1)
+    with pytest.raises(ValueError, match="hi > lo"):
+        streaming_bin_counts(s, "x", 1.0, 1.0, 4)
