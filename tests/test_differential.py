@@ -411,3 +411,57 @@ def test_random_quantiles_match_duckdb(spark, spec):
         f"(ORDER BY {col}) AS v FROM lineitem GROUP BY l_returnflag")
     want = {(r[0],): round(r[1], 9) for r in cur.fetchall()}
     assert got == want, f"quantile diverged: {spec}"
+
+
+# -------------------------------------------------- range-join differential
+def _range_specs():
+    rnd = random.Random(909)
+    out = []
+    for i in range(8):
+        how = rnd.choice(["inner", "left"])
+        span = rnd.choice([50, 500, 2000])   # interval length
+        binw = rnd.choice([100, 777, 2500])  # binning vs span mismatch
+        out.append((i, how, span, binw))
+    return out
+
+
+@pytest.mark.parametrize("spec", _range_specs(),
+                         ids=lambda s: f"range{s[0]}_{s[1]}_s{s[2]}b{s[3]}")
+def test_random_range_join_matches_duckdb(spark, spec):
+    """Binned range join vs a plain SQL BETWEEN join: the binning is a
+    pure optimization, so ANY (span, bin_width) combination — bins
+    finer, coarser, or misaligned vs the intervals — must return the
+    exact BETWEEN result, for inner and left."""
+    from crysda_spark.operators.temporal import range_join
+    _, how, span, binw = spec
+    left = Frame(spark.read.parquet(f"{SF_DIR}/orders.parquet")
+                 .select("o_orderkey",
+                         F.col("o_totalprice").alias("p"))
+                 .filter(F.col("o_orderkey") < 900))
+    right = Frame(spark.range(40).select(
+        F.col("id").alias("seg"),
+        (F.col("id") * 400.0).alias("lo"),
+        (F.col("id") * 400.0 + span).alias("hi")))
+    j = range_join(left, right, "p", "lo", "hi",
+                   bin_width=binw, how=how)
+    out = j.sdf.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_orderkey").cast("decimal(18,0)") ).cast("double")
+        .alias("ks"),
+        F.sum("seg").alias("segsum"))
+    got = _rows_canon(out.columns, [tuple(r) for r in out.collect()])
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"'{SF_DIR}/orders.parquet'")
+    join = "JOIN" if how == "inner" else "LEFT JOIN"
+    q = (f"WITH l AS (SELECT o_orderkey, o_totalprice AS p FROM orders "
+         f"WHERE o_orderkey < 900), "
+         f"r AS (SELECT x AS seg, x * 400.0 AS lo, x * 400.0 + {span} "
+         f"AS hi FROM generate_series(0, 39) t(x)) "
+         f"SELECT COUNT(*) AS n, CAST(SUM(CAST(o_orderkey AS "
+         f"DECIMAL(18,0))) AS DOUBLE) AS ks, SUM(seg) AS segsum "
+         f"FROM l {join} r ON l.p BETWEEN r.lo AND r.hi")
+    cur = con.execute(q)
+    want = _rows_canon([d[0] for d in cur.description], cur.fetchall())
+    assert got == want, f"range join diverged: {spec}"
