@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from ..frame import Frame
 
 __all__ = ["bin_counts", "psi", "drift_report",
-           "streaming_bin_counts"]
+           "drift_report_from_counts", "streaming_bin_counts"]
 
 _EPS = 1e-6
 
@@ -78,13 +78,24 @@ def drift_report(base: SparkDF, current: SparkDF, col: str, lo: float,
     so the report always has ``nbins`` rows. The full-outer join of
     the two tiny histograms happens against a literal bin spine —
     every shuffle in the plan carries at most ``nbins`` rows."""
+    return drift_report_from_counts(
+        bin_counts(base, col, lo, hi, nbins),
+        bin_counts(current, col, lo, hi, nbins), nbins)
+
+
+def drift_report_from_counts(base_counts: SparkDF,
+                             current_counts: SparkDF,
+                             nbins: int) -> SparkDF:
+    """``drift_report`` from PRE-BINNED (bin, n) frames — the entry
+    point for histograms that already exist: a completed
+    ``streaming_bin_counts`` window, a stored rollup, yesterday's
+    baseline table. Same output contract as ``drift_report``."""
     from pyspark.sql.window import Window as W
 
-    spark = base.sparkSession
+    spark = base_counts.sparkSession
     spine = spark.range(nbins).select(F.col("id").alias("bin"))
-    b = bin_counts(base, col, lo, hi, nbins).withColumnRenamed("n", "n_base")
-    c = (bin_counts(current, col, lo, hi, nbins)
-         .withColumnRenamed("n", "n_current"))
+    b = base_counts.select("bin", F.col("n").alias("n_base"))
+    c = current_counts.select("bin", F.col("n").alias("n_current"))
     j = (spine.join(F.broadcast(b), on="bin", how="left")
          .join(F.broadcast(c), on="bin", how="left")
          .select("bin",
@@ -118,8 +129,8 @@ def streaming_bin_counts(stream, col: str, lo: float, hi: float,
     counts and a baseline snapshot are apples-to-apples. Pure built-in
     aggregation (watermark + window + groupBy) — no Python state.
 
-    Returns (window_start, bin, n); feed completed windows into
-    ``drift_report``/``psi`` against the baseline's ``bin_counts``."""
+    Returns (window_start, bin, n); feed a completed window into
+    ``drift_report_from_counts`` against the baseline's counts."""
     from pyspark.sql import functions as F
     if nbins < 2:
         raise ValueError(f"streaming_bin_counts: nbins must be ≥ 2, "

@@ -142,3 +142,43 @@ def test_streaming_bin_counts_validation(spark, tmp_path):
         streaming_bin_counts(s, "x", 0.0, 1.0, 1)
     with pytest.raises(ValueError, match="hi > lo"):
         streaming_bin_counts(s, "x", 1.0, 1.0, 4)
+
+
+def test_drift_report_from_counts_composes_with_streaming(spark, tmp_path):
+    """The advertised composition: a completed streaming window's
+    counts vs a baseline's bin_counts through
+    drift_report_from_counts — equal to running drift_report on the
+    raw slices directly."""
+    from crysda_spark.pipeline.drift import (bin_counts, drift_report,
+                                             drift_report_from_counts,
+                                             streaming_bin_counts)
+    d = str(tmp_path / "ev")
+    rows = [(f"2024-01-01 {h:02d}:{m:02d}:00", float(v))
+            for h in range(2) for m, v in
+            enumerate([1.0, 2.5, 6.0, 8.5, 3.0 + h * 4])]
+    df = spark.createDataFrame(rows, "ts string, x double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(df.schema).parquet(d)
+    out = streaming_bin_counts(stream, "x", 0.0, 10.0, 5,
+                               width="1 hour", watermark=None)
+    q = (out.writeStream.format("memory").queryName("compose_stream")
+         .outputMode("complete").start())
+    q.processAllAvailable()
+    win = spark.table("compose_stream")
+    q.stop()
+    hour1_counts = win.filter(
+        F.col("window_start") == "2024-01-01 01:00:00").select("bin", "n")
+    batch = spark.read.parquet(d)
+    base_slice = batch.filter(F.date_trunc("hour", "ts")
+                              == "2024-01-01 00:00:00")
+    cur_slice = batch.filter(F.date_trunc("hour", "ts")
+                             == "2024-01-01 01:00:00")
+    via_counts = {r["bin"]: (r["n_base"], r["n_current"], r["psi_term"])
+                  for r in drift_report_from_counts(
+                      bin_counts(base_slice, "x", 0.0, 10.0, 5),
+                      hour1_counts, 5).collect()}
+    direct = {r["bin"]: (r["n_base"], r["n_current"], r["psi_term"])
+              for r in drift_report(base_slice, cur_slice, "x",
+                                    0.0, 10.0, 5).collect()}
+    assert via_counts == direct and len(via_counts) == 5
