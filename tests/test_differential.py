@@ -465,3 +465,60 @@ def test_random_range_join_matches_duckdb(spark, spec):
     cur = con.execute(q)
     want = _rows_canon([d[0] for d in cur.description], cur.fetchall())
     assert got == want, f"range join diverged: {spec}"
+
+
+# ---------------------------------------------------- reshape differential
+def _reshape_specs():
+    rnd = random.Random(1001)
+    out = []
+    for i in range(6):
+        agg = rnd.choice(["n", "total"])
+        fill = rnd.choice([None, 0.0])
+        cap = rnd.choice([400, 1500, 6000])
+        out.append((i, agg, fill, cap))
+    return out
+
+
+@pytest.mark.parametrize("spec", _reshape_specs(),
+                         ids=lambda s: f"spread{s[0]}_{s[1]}_f{s[2]}")
+def test_random_spread_matches_duckdb(spark, spec):
+    """spread (long→wide pivot) vs SQL conditional aggregation over the
+    five o_orderpriority values — missing cells as NULL or a fill
+    constant, per-customer aggregates of varying density."""
+    _, agg, fill, cap = spec
+    o = Frame(spark.read.parquet(f"{SF_DIR}/orders.parquet")
+              .filter(F.col("o_orderkey") < cap))
+    if agg == "n":
+        long_f = o.group_by("o_custkey", "o_orderpriority").summarize(
+            v=F.count(F.lit(1)).cast("double"))
+    else:
+        long_f = o.group_by("o_custkey", "o_orderpriority").summarize(
+            v=F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double"))
+    from crysda_spark.operators.reshape import spread
+    wide = spread(long_f, "o_orderpriority", "v", fill=fill)
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    cols = ["o_custkey"] + [p for p in prios if p in wide.columns]
+    res = wide.sdf.select(*[F.col(f"`{c}`") for c in cols])
+    got = _rows_canon(cols, [tuple(r) for r in res.collect()])
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"'{SF_DIR}/orders.parquet'")
+    if agg == "n":
+        inner = "CAST(COUNT(*) AS DOUBLE)"
+    else:
+        inner = ("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) "
+                 "AS DOUBLE)")
+    cells = []
+    for p in cols[1:]:
+        cell = (f"MAX(CASE WHEN o_orderpriority = '{p}' THEN v END)")
+        if fill is not None:
+            cell = f"COALESCE({cell}, {fill})"
+        cells.append(f'{cell} AS "{p}"')
+    q = (f"WITH lng AS (SELECT o_custkey, o_orderpriority, {inner} AS v "
+         f"FROM orders WHERE o_orderkey < {cap} GROUP BY 1, 2) "
+         f"SELECT o_custkey, {', '.join(cells)} FROM lng GROUP BY 1")
+    cur = con.execute(q)
+    want = _rows_canon([d[0] for d in cur.description], cur.fetchall())
+    assert got == want, f"spread diverged: {spec}"
