@@ -522,3 +522,34 @@ def test_random_spread_matches_duckdb(spark, spec):
     cur = con.execute(q)
     want = _rows_canon([d[0] for d in cur.description], cur.fetchall())
     assert got == want, f"spread diverged: {spec}"
+
+
+def test_gather_roundtrips_spread_and_matches_sql(spark):
+    """gather (wide→long melt) differential: melt a spread table back
+    and compare against the SQL UNION ALL unpivot — and against the
+    original long table (round trip)."""
+    from crysda_spark.operators.reshape import gather, spread
+    o = Frame(spark.read.parquet(f"{SF_DIR}/orders.parquet")
+              .filter(F.col("o_orderkey") < 2000))
+    long_f = o.group_by("o_custkey", "o_orderpriority").summarize(
+        v=F.count(F.lit(1)).cast("double"))
+    wide = spread(long_f, "o_orderpriority", "v")
+    melt_cols = [c for c in wide.columns if c != "o_custkey"]
+    back = gather(wide, "o_orderpriority", "v", columns=melt_cols)
+    back_nn = back.filter(F.col("v").isNotNull())
+    got = _rows_canon(back_nn.columns,
+                      [tuple(r) for r in back_nn.sdf.collect()])
+    # round trip: gather(spread(x)) == x
+    orig = _rows_canon(long_f.columns,
+                       [tuple(r) for r in long_f.sdf.collect()])
+    assert got == orig
+    # SQL unpivot of the same wide table via UNION ALL
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"'{SF_DIR}/orders.parquet'")
+    q = (f"SELECT o_custkey, o_orderpriority, "
+         f"CAST(COUNT(*) AS DOUBLE) AS v FROM orders "
+         f"WHERE o_orderkey < 2000 GROUP BY 1, 2")
+    cur = con.execute(q)
+    want = _rows_canon([d[0] for d in cur.description], cur.fetchall())
+    assert got == want
