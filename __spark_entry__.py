@@ -4240,6 +4240,39 @@ def e2e_corpus_prep(spark, sf_dir):
                  F.sum("doc_id").alias("id_checksum")))
 
 
+@q("props_json_rollup", """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events WHERE props IS NOT NULL)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       CAST(MIN(k) AS BIGINT) AS k_min,
+       CAST(MAX(k) AS BIGINT) AS k_max,
+       COUNT(DISTINCT k) AS k_distinct
+FROM e GROUP BY event_type
+""")
+def props_json_rollup(spark, sf_dir):
+    """Semi-structured payload handling over the events table's JSON
+    ``props`` column (the only dataset facet no other query touches):
+    schema-on-read via from_json (a typed struct, pure JVM — no Python
+    in the parse path), then a per-event-type rollup of the extracted
+    field. The oracle replays the extraction with DuckDB's JSON
+    functions — two independent JSON parsers, one answer."""
+    from pyspark.sql import types as T
+    ev = _t(spark, sf_dir, "events").sdf
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    e = (ev.filter(F.col("props").isNotNull())
+         .select("event_type",
+                 F.from_json(F.col("props"), schema)["k"].alias("k")))
+    return (e.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").alias("k_sum"),
+                 F.min("k").alias("k_min"),
+                 F.max("k").alias("k_max"),
+                 F.countDistinct("k").alias("k_distinct")))
+
+
 # ================================================================== contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""

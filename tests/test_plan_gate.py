@@ -148,6 +148,10 @@ EXPECTED = {
     # keep it shuffle-free at scale too — min-per-fp is corpus/dup-rate
     # sized, but a regression to SMJ with a THIRD exchange trips here)
     "e2e_corpus_prep": dict(scans=2, exchanges=2, bhj=1, smj=0),
+    # JSON props: from_json stays inside codegen — a Python parse
+    # escape would not change these counts, but a second scan or a
+    # pre-shuffle would
+    "props_json_rollup": dict(scans=1, exchanges=2, bhj=0, smj=0),
 }
 
 
