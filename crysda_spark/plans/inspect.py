@@ -44,3 +44,27 @@ def shuffle_count(sdf: SparkDF) -> int:
     review: did this verb chain add a shuffle it didn't need?"""
     text = _explain_str(sdf, "formatted")
     return len(re.findall(r"\(\d+\) Exchange", text))
+
+
+def plan_stats(sdf: SparkDF) -> dict:
+    """Catalyst's size/row estimate for this plan — the numbers the
+    broadcast decision actually reads. Returns {size_bytes, row_count}
+    (row_count None when stats carry no count). Use BEFORE submitting
+    a 100 TB join: a dimension whose estimate exceeds the broadcast
+    threshold will silently become a shuffle join."""
+    st = sdf._jdf.queryExecution().optimizedPlan().stats()  # noqa: SLF001
+    rc = st.rowCount()
+    return {
+        "size_bytes": int(str(st.sizeInBytes())),
+        "row_count": int(str(rc.get())) if rc.isDefined() else None,
+    }
+
+
+def will_broadcast(sdf: SparkDF) -> bool:
+    """Whether Catalyst's size estimate for this plan sits under the
+    session's autoBroadcastJoinThreshold — the pre-flight check for
+    'is my dimension actually broadcast-sized?'. AQE can still convert
+    at runtime when the measured size disagrees with the estimate."""
+    thr = int(sdf.sparkSession.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold"))
+    return thr > 0 and plan_stats(sdf)["size_bytes"] <= thr

@@ -281,3 +281,21 @@ def test_write_parquet_sized_and_compact(spark, tmp_path):
         write_parquet_sized(Frame(base), out, target_file_mb=0)
     with pytest.raises(ValueError, match="dst must differ"):
         compact_parquet(spark, src, src)
+
+
+def test_plan_stats_and_broadcast_preflight(spark):
+    from crysda_spark.plans.inspect import plan_stats, will_broadcast
+    nation = spark.read.parquet("/root/testdata/sf0.01/nation.parquet")
+    st = plan_stats(nation)
+    assert st["size_bytes"] > 0
+    assert will_broadcast(nation)          # 25 rows, tiny
+    # estimates shrink under column pruning
+    pruned = plan_stats(nation.select("n_nationkey"))
+    assert pruned["size_bytes"] < st["size_bytes"]
+    # a disabled threshold means nothing broadcasts
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert not will_broadcast(nation)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
