@@ -630,9 +630,10 @@ def q18_large_volume(spark, sf_dir):
 
 # ==================================================== TPC-H suite (adapted)
 # The driver schema omits partsupp and the comment/commitdate/receiptdate/
-# shipmode/container/phone columns, so q2/q9/q11/q16/q20 are out of reach
-# and the remaining queries substitute available columns for the missing
-# ones — every ADAPTED predicate is noted per-query. The operator SHAPES
+# shipmode/container/phone columns; q2/q9/q11/q16/q20 run against a
+# DERIVED pseudo-partsupp (see _PS_SQL below — identical CTE in every
+# oracle), and the remaining queries substitute available columns for the
+# missing ones — every ADAPTED predicate is noted per-query. The operator SHAPES
 # (exists/not-exists decorrelation, correlated scalar subqueries, left-join
 # zero-groups, scalar-max membership, multi-branch OR pushdown) are the
 # point; each has the DuckDB oracle running the standard subquery form so
@@ -989,6 +990,239 @@ def q22_dormant_customers(spark, sf_dir):
             .group_by("c_mktsegment")
             .summarize(numcust=F.count(F.lit(1)),
                        totacctbal=F.sum(_dec("c_acctbal")).cast(OUT))).sdf
+
+
+# The driver schema has no partsupp table, but lineitem's
+# (l_partkey, l_suppkey) pairs define the same relation, so q2/q9/q11/
+# q16/q20 run against this derived stand-in — supplycost = min observed
+# unit price line total, availqty = total observed quantity. Both
+# aggregates are order-free exact decimals, so the Spark frame and the
+# DuckDB CTE (_PS_SQL) agree bit-for-bit and every downstream oracle
+# hash-matches. The point of the five queries is their operator shapes
+# (correlated scalar-min membership, HAVING-scalar threshold, NOT-IN
+# anti join, correlated-agg semi join), which survive the substitution.
+_PS_SQL = """partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(18,4))) AS ps_supplycost,
+         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS ps_availqty
+  FROM lineitem GROUP BY l_partkey, l_suppkey)"""
+
+
+def _partsupp(spark, sf_dir):
+    """Derived pseudo-partsupp (see _PS_SQL). One shuffle on the
+    composite key; at 100 TB this is a map-side-combined hash aggregate
+    over the fact table, reused by every consumer in the same plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.group_by("l_partkey", "l_suppkey")
+            .summarize(ps_supplycost=F.min(_dec("l_extendedprice")),
+                       ps_availqty=F.sum(_dec("l_quantity")))
+            .rename(l_partkey="ps_partkey", l_suppkey="ps_suppkey"))
+
+
+@q("q2_min_cost_supplier", f"""
+WITH {_PS_SQL}
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       CAST(ps_supplycost AS DOUBLE) AS min_cost
+FROM part JOIN partsupp ON p_partkey = ps_partkey
+     JOIN supplier ON s_suppkey = ps_suppkey
+     JOIN nation ON s_nationkey = n_nationkey
+     JOIN region ON n_regionkey = r_regionkey
+WHERE p_size BETWEEN 1 AND 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+  AND ps_supplycost = (SELECT MIN(ps_supplycost)
+                       FROM partsupp ps2 JOIN supplier s2 ON ps2.ps_suppkey = s2.s_suppkey
+                            JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                            JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                       WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+""")
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: correlated scalar-MIN subquery → decorrelated as
+    a per-part min aggregate over the region-eligible partsupp slice,
+    equality-joined back (ties keep every min-cost supplier, as the
+    subquery form does). Dims broadcast; the one shuffle is the
+    pseudo-partsupp aggregate. LIMIT's order is total (s_name unique
+    per supplier), so membership is deterministic."""
+    ps = _partsupp(spark, sf_dir)
+    eur = (_t(spark, sf_dir, "supplier")
+           .inner_join(_t(spark, sf_dir, "nation"), by=[("s_nationkey", "n_nationkey")])
+           .inner_join(_t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"),
+                       by=[("n_regionkey", "r_regionkey")]))
+    ps_eur = ps.inner_join(eur, by=[("ps_suppkey", "s_suppkey")])
+    # decorrelate the scalar-min as a partition window, not a
+    # groupBy+join-back: one pass over ps_eur (no subtree recompute,
+    # no partkey self-join SMJ), one extra exchange on ps_partkey
+    from pyspark.sql import Window as _W
+    winners = Frame(
+        ps_eur.sdf
+        .withColumn("mc", F.min("ps_supplycost").over(_W.partitionBy("ps_partkey")))
+        .filter(F.col("ps_supplycost") == F.col("mc")))
+    out = (_t(spark, sf_dir, "part")
+           .filter(F.col("p_size").between(1, 15) & (F.col("p_type") == "STANDARD"))
+           .inner_join(winners, by=[("p_partkey", "ps_partkey")]))
+    return (out.transmute(s_acctbal=F.col("s_acctbal"), s_name=F.col("s_name"),
+                          n_name=F.col("n_name"), p_partkey=F.col("p_partkey"),
+                          p_brand=F.col("p_brand"),
+                          min_cost=F.col("ps_supplycost").cast(OUT))
+            .sdf.orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+            .limit(100))
+
+
+@q("q9_product_profit", f"""
+WITH {_PS_SQL}
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6))
+             - CAST(ps_supplycost * CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(18,6)) AS amount
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE 'red%') profit
+GROUP BY nation, o_year
+""")
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: 6-way join (part-filtered fact, composite-key
+    partsupp join) + profit = revenue − supplycost·qty per nation/year.
+    Both products are clamped to DECIMAL(18,6) BEFORE subtracting:
+    prices carry 2 dp and discounts 2 dp, so 6 dp is exact, while
+    subtracting the raw decimal(38,8) products would trip Spark's
+    precision-loss scale reduction (the moments-bug class)."""
+    ps = _partsupp(spark, sf_dir)
+    j = (_t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+         .inner_join(_t(spark, sf_dir, "lineitem"), by=[("p_partkey", "l_partkey")])
+         .inner_join(_t(spark, sf_dir, "supplier"), by=[("l_suppkey", "s_suppkey")])
+         # the part⋈lineitem join surfaced l_partkey under the left key
+         # name p_partkey (unequal-by rename), so the composite ps key
+         # joins on (p_partkey, l_suppkey)
+         .inner_join(ps, by=[("p_partkey", "ps_partkey"), ("l_suppkey", "ps_suppkey")])
+         .inner_join(_t(spark, sf_dir, "orders"), by=[("l_orderkey", "o_orderkey")])
+         .inner_join(_t(spark, sf_dir, "nation"), by=[("s_nationkey", "n_nationkey")]))
+    revenue = (_dec("l_extendedprice") * (1 - _dec("l_discount"))).cast("decimal(18,6)")
+    cost = (F.col("ps_supplycost") * _dec("l_quantity")).cast("decimal(18,6)")
+    return (j.group_by_expr(nation=F.col("n_name"), o_year=F.year("o_orderdate"))
+            .summarize(sum_profit=F.sum(revenue - cost).cast(OUT))).sdf
+
+
+@q("q11_important_stock", f"""
+WITH {_PS_SQL},
+nps AS (SELECT ps_partkey, ps_supplycost * CAST(ps_availqty AS DECIMAL(18,4)) AS v
+        FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3')
+SELECT ps_partkey, CAST(SUM(v) AS DOUBLE) AS part_value
+FROM nps
+GROUP BY ps_partkey
+HAVING CAST(CAST(SUM(v) AS DECIMAL(27,8))
+            * (SELECT CAST(COUNT(DISTINCT ps_partkey) AS DECIMAL(10,0)) FROM nps)
+            AS DECIMAL(38,8)) >
+       (SELECT CAST(CAST(SUM(v) AS DECIMAL(28,8)) * 2 AS DECIMAL(38,8)) FROM nps)
+""")
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: HAVING against an uncorrelated scalar subquery
+    (share-of-total threshold) → 1-row broadcast cross join + filter.
+    Stock TPC-H uses a fixed fraction (0.0001/SF) that zeroes out as
+    the part count grows, so the adapted threshold is scale-free:
+    keep parts whose value exceeds 2× the mean part value, compared
+    integer-scaled (pv·nparts > 2·total) so both engines decide the
+    threshold on exact decimals — no float fraction, no tie
+    ambiguity. Operand casts keep every product inside decimal(38,8)
+    with zero precision loss (pv≤10^19, nparts≤10^10, total≤10^20 —
+    far above any test SF; a 100 TB run would widen the casts)."""
+    ps = _partsupp(spark, sf_dir)
+    n3 = (_t(spark, sf_dir, "supplier")
+          .inner_join(_t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3"),
+                      by=[("s_nationkey", "n_nationkey")]))
+    nps = (ps.semi_join(n3, by=[("ps_suppkey", "s_suppkey")])
+           .transmute(ps_partkey=F.col("ps_partkey"),
+                      v=F.col("ps_supplycost") * F.col("ps_availqty").cast(DEC)))
+    # pin the parts-sized per-part aggregate so the scalar total is a
+    # re-aggregation of it (exact decimal sums are associative), not a
+    # second pass over the partsupp subtree; released by the caller via
+    # release_pinned() (bench does this between queries)
+    from crysda_spark.plans.cache import pin
+    per_part = Frame(pin(
+        nps.group_by("ps_partkey").summarize(pv=F.sum(F.col("v"))).sdf))
+    total = per_part.summarize(total=F.sum(F.col("pv")),
+                               nparts=F.count(F.lit(1)))
+    return (per_part.cross_join(total)
+            .filter((F.col("pv").cast("decimal(27,8)")
+                     * F.col("nparts").cast("decimal(10,0)")).cast("decimal(38,8)")
+                    > (F.col("total").cast("decimal(28,8)") * 2).cast("decimal(38,8)"))
+            .transmute(ps_partkey=F.col("ps_partkey"),
+                       part_value=F.col("pv").cast(OUT))).sdf
+
+
+@q("q16_supplier_part_counts", f"""
+WITH {_PS_SQL}
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#1' AND p_type NOT IN ('ECONOMY','PROMO')
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""")
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: NOT-IN subquery → left-anti join (s_suppkey is
+    non-nullable, so NOT IN ≡ anti join), negative/IN-list part
+    predicates, COUNT(DISTINCT) per 3-column group. Adapted: the
+    complaint suppliers are the negative-balance ones (no comment
+    column in the driver schema)."""
+    ps = _partsupp(spark, sf_dir)
+    complaint = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    p = (_t(spark, sf_dir, "part")
+         .filter((F.col("p_brand") != "Brand#1")
+                 & ~F.col("p_type").isin("ECONOMY", "PROMO")
+                 & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)))
+    return (ps.anti_join(complaint, by=[("ps_suppkey", "s_suppkey")])
+            .inner_join(p, by=[("ps_partkey", "p_partkey")])
+            .group_by("p_brand", "p_type", "p_size")
+            .summarize(supplier_cnt=F.count_distinct(F.col("ps_suppkey")))).sdf
+
+
+@q("q20_excess_stock_suppliers", f"""
+WITH {_PS_SQL}
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_5','NATION_6','NATION_7')
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM partsupp
+    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND CAST(ps_availqty AS DECIMAL(28,4)) <
+          (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(28,4)) * 2
+           FROM lineitem
+           WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+             AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'))
+""")
+def q20_excess_stock_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: nested IN-membership with a CORRELATED aggregate
+    scalar subquery — decorrelated as a grouped 1997-quantity aggregate
+    inner-joined to partsupp on the composite key (inner join ≡ the
+    NULL-comparison drop of the scalar-subquery form), then two semi
+    joins up the chain. Threshold flipped vs stock-TPC-H (qty97 >
+    availqty/2, i.e. 'more than half this pair's lifetime volume
+    shipped in 1997') because the derived availqty already contains
+    every year — the original direction would be vacuously true.
+    Compared as availqty < 2·qty97 in exact decimal."""
+    ps = _partsupp(spark, sf_dir)
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    qty97 = (_t(spark, sf_dir, "lineitem")
+             .filter((F.col("l_shipdate") >= "1997-01-01")
+                     & (F.col("l_shipdate") < "1998-01-01"))
+             .group_by("l_partkey", "l_suppkey")
+             .summarize(qty97=F.sum(_dec("l_quantity")).cast("decimal(28,4)")))
+    excess = (ps.semi_join(red, by=[("ps_partkey", "p_partkey")])
+              .inner_join(qty97, by=[("ps_partkey", "l_partkey"),
+                                     ("ps_suppkey", "l_suppkey")])
+              .filter(F.col("ps_availqty").cast("decimal(28,4)")
+                      < F.col("qty97") * 2))
+    return (_t(spark, sf_dir, "supplier")
+            .inner_join(_t(spark, sf_dir, "nation")
+                        .filter(F.col("n_name").isin("NATION_5", "NATION_6", "NATION_7")),
+                        by=[("s_nationkey", "n_nationkey")])
+            .semi_join(excess, by=[("s_suppkey", "ps_suppkey")])
+            .transmute(s_name=F.col("s_name"), n_name=F.col("n_name"))).sdf
 
 
 @q("tpch_refresh_cycle", """

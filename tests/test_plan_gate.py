@@ -152,6 +152,16 @@ EXPECTED = {
     # escape would not change these counts, but a second scan or a
     # pre-shuffle would
     "props_json_rollup": dict(scans=1, exchanges=2, bhj=0, smj=0),
+    # r8: the five pseudo-partsupp TPC-H queries. q2's scalar-min is a
+    # partition window over ONE ps_eur pass (a groupBy+join-back here
+    # regressed to 9 scans + a partkey SMJ); q11's scalar total
+    # re-aggregates the pinned per-part frame (the InMemoryRelation
+    # branch is why q11 scans=3, not 6).
+    "q2_min_cost_supplier": dict(scans=5, exchanges=2, bhj=4, smj=0),
+    "q9_product_profit": dict(scans=6, exchanges=2, bhj=5, smj=0),
+    "q11_important_stock": dict(scans=3, exchanges=3, bhj=2, smj=0),
+    "q16_supplier_part_counts": dict(scans=3, exchanges=3, bhj=2, smj=0),
+    "q20_excess_stock_suppliers": dict(scans=5, exchanges=2, bhj=4, smj=0),
 }
 
 
