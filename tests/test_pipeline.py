@@ -292,7 +292,7 @@ def test_connected_components_raises_when_unconverged(spark):
         {"id_a": i, "id_b": i + 1} for i in range(40)
     ]).sdf
     with pytest.raises(RuntimeError, match="did not converge"):
-        dd.connected_components(pairs, max_iter=1)
+        dd.connected_components(pairs, max_iter=1, driver_max_edges=0)
 
 
 def test_connected_components_giant_component_skew(spark):
@@ -327,7 +327,8 @@ def test_cc_auto_salt_uniform_stays_unsalted(spark, monkeypatch):
                         lambda l, e, s: calls.append(s) or orig(l, e, s))
     pairs = spark.range(100).select((F.col("id") * 2).alias("id_a"),
                                     (F.col("id") * 2 + 1).alias("id_b"))
-    labels = dd.connected_components(pairs, skew_floor=50, auto_salt=4)
+    labels = dd.connected_components(pairs, skew_floor=50, auto_salt=4,
+                                     driver_max_edges=0)
     assert calls and all(s == 1 for s in calls)
     assert labels.filter(F.col("comp") != F.col("id") - F.col("id") % 2) \
         .count() == 0
@@ -340,7 +341,8 @@ def test_cc_auto_salt_hub_salts_from_round_zero(spark, monkeypatch):
                         lambda l, e, s: calls.append(s) or orig(l, e, s))
     star = spark.range(200).select(F.lit(0).cast("long").alias("id_a"),
                                    (F.col("id") + 1).alias("id_b"))
-    labels = dd.connected_components(star, skew_floor=50, auto_salt=4)
+    labels = dd.connected_components(star, skew_floor=50, auto_salt=4,
+                                     driver_max_edges=0)
     assert calls and all(s == 4 for s in calls)
     assert labels.filter(F.col("comp") != 0).count() == 0
 
@@ -355,12 +357,62 @@ def test_cc_auto_salt_escalates_on_concentration(spark, monkeypatch):
                         lambda l, e, s: calls.append(s) or orig(l, e, s))
     chain = spark.range(63).select(F.col("id").alias("id_a"),
                                    (F.col("id") + 1).alias("id_b"))
-    labels = dd.connected_components(chain, skew_floor=4, auto_salt=4)
+    labels = dd.connected_components(chain, skew_floor=4, auto_salt=4,
+                                     driver_max_edges=0)
     assert calls[0] == 1 and 4 in calls          # started plain, escalated
     agg = labels.agg(F.countDistinct("comp").alias("c"),
                      F.min("comp").alias("m"),
                      F.count(F.lit(1)).alias("n")).collect()[0]
     assert (agg.c, agg.m, agg.n) == (1, 0, 64)   # labels still exact
+
+
+def test_cc_driver_fast_path_small_graph(spark, monkeypatch):
+    """r8: a probed-small graph (directed edges <= driver_max_edges)
+    must resolve via driver union-find — zero _cc_round invocations —
+    with labels identical to the distributed path (min reachable id)."""
+    def _boom(*a, **k):
+        raise AssertionError("_cc_round must not run on the driver path")
+    monkeypatch.setattr(dd, "_cc_round", _boom)
+    from crysda_spark import from_records
+    pairs = from_records(spark, [
+        {"id_a": 5, "id_b": 2}, {"id_a": 2, "id_b": 9},   # chain -> min 2
+        {"id_a": 40, "id_b": 41},
+    ]).sdf
+    comps = {r.id: r.comp for r in dd.connected_components(pairs).collect()}
+    assert comps == {5: 2, 2: 2, 9: 2, 40: 40, 41: 40}
+
+
+def test_cc_driver_fast_path_threshold_boundary(spark, monkeypatch):
+    """Just past the threshold the distributed path must engage: the
+    probe counts DIRECTED edge rows, so 3 undirected pairs = 6 > 5."""
+    calls = []
+    orig = dd._cc_round
+    monkeypatch.setattr(dd, "_cc_round",
+                        lambda l, e, s: calls.append(s) or orig(l, e, s))
+    from crysda_spark import from_records
+    pairs = from_records(spark, [
+        {"id_a": 1, "id_b": 2}, {"id_a": 3, "id_b": 4},
+        {"id_a": 5, "id_b": 6},
+    ]).sdf
+    labels = dd.connected_components(pairs, driver_max_edges=5)
+    assert calls, "expected the distributed path past the threshold"
+    assert labels.filter(F.col("comp") != F.col("id") - (F.col("id") + 1) % 2) \
+        .count() == 0
+
+
+def test_cc_driver_fast_path_matches_distributed(spark):
+    """Differential: random graph through BOTH paths, identical labels."""
+    import random
+    rng = random.Random(8)
+    rows = [{"id_a": rng.randrange(60), "id_b": rng.randrange(60)}
+            for _ in range(80)]
+    from crysda_spark import from_records
+    pairs = from_records(spark, rows).sdf
+    fast = {r.id: r.comp for r in dd.connected_components(pairs).collect()}
+    slow = {r.id: r.comp
+            for r in dd.connected_components(pairs, driver_max_edges=0)
+            .collect()}
+    assert fast == slow
 
 
 def test_cc_salt_validation(spark):
