@@ -3893,6 +3893,64 @@ def repetition_quality_stats(spark, sf_dir):
                                top_n=2, dup_n=5, round_to=6)
 
 
+@q("entity_resolution_docs", """
+WITH RECURSIVE base AS (
+  SELECT doc_id AS id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS name
+  FROM documents),
+planted AS (
+  SELECT id + 9000000 AS id, name || 'x' AS name FROM base WHERE id < 3
+  UNION ALL
+  SELECT 9000100 AS id, name || 'xy' AS name FROM base WHERE id = 0),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+norm AS (SELECT id, trim(regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g')) AS nm
+         FROM corpus),
+keys AS (
+  SELECT id, nm, nm AS k FROM norm
+  UNION ALL
+  SELECT id, nm, unnest(list_transform(range(1, greatest(length(nm),1)+1),
+                        i -> substr(nm,1,i-1) || substr(nm,i+1,100000))) AS k
+  FROM norm),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.nm AS nm_a, b.nm AS nm_b
+  FROM keys a JOIN keys b ON a.k = b.k AND a.id < b.id),
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  WHERE 1.0 - CAST(levenshtein(nm_a, nm_b) AS DOUBLE)
+              / greatest(length(nm_a), length(nm_b), 1) >= 0.9),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (SELECT id, id FROM norm
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+ent AS (SELECT a AS id, MIN(b) AS entity_id FROM reach GROUP BY a)
+SELECT id, entity_id, (id = entity_id) AS is_canonical FROM ent
+""")
+def entity_resolution_docs(spark, sf_dir):
+    """Entity resolution (pipeline.entity.resolve_entities): SymSpell
+    deletion-neighborhood blocking → codegen Levenshtein scoring on
+    candidates only → transitive clustering through components. The
+    record key is each document's first-3-words "name"; planted
+    variants prove the radius-1 recall guarantee ('x' appended, lev 1)
+    AND transitivity (the 'xy' variant is lev 2 from its base — no
+    direct pair — but chains through the 'x' variant). The oracle
+    re-derives the SAME pipeline in SQL with a recursive-CTE
+    transitive closure, so blocking, scoring, and clustering are all
+    value-checked cross-engine."""
+    from crysda_spark.pipeline import entity as er
+    docs = _t(spark, sf_dir, "documents")
+    name = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3))
+    base = docs.sdf.select(F.col("doc_id").alias("id"), name.alias("name"))
+    p1 = (base.filter(F.col("id") < 3)
+          .select((F.col("id") + 9_000_000).alias("id"),
+                  F.concat("name", F.lit("x")).alias("name")))
+    p2 = (base.filter(F.col("id") == 0)
+          .select(F.lit(9_000_100).cast("long").alias("id"),
+                  F.concat("name", F.lit("xy")).alias("name")))
+    corpus = base.unionByName(p1).unionByName(p2)
+    return er.resolve_entities(Frame(corpus), "id", "name",
+                               threshold=0.9).sdf
+
+
 @q("decontam_ngram_overlap", """
 WITH bench AS (
   SELECT text FROM documents WHERE doc_id < 25
