@@ -2109,6 +2109,70 @@ def dedup_full_assignments_rows(spark, sf_dir):
     return res
 
 
+@q("dedup_incremental_batch")  # rows-only; planted gates
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental dedup (pipeline.dedup.dedup_incremental): the even
+    doc_ids form the ALREADY-INDEXED corpus (build_dedup_index — 16-byte
+    fp + survivor + minhash signature per distinct doc, ~300 B/doc of
+    state), the odd doc_ids plus planted rows arrive as a new batch,
+    and no old text is ever re-read. Planted gates: an exact copy of
+    doc 0 must assign (0, 'exact'), a one-token variant of doc 0 must
+    assign (0, 'near') through the estimated-Jaccard verify, an
+    intra-batch copy pair must collapse, and exactly one assignment row
+    per batch row (mass conservation). The index delta is checked to
+    exclude already-indexed fingerprints."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.sdf.select("doc_id", "text")
+    corpus = Frame(base.filter(F.col("doc_id") % 2 == 0))
+    idx = dd.build_dedup_index(corpus, "text", "doc_id").persist()
+    n_idx = idx.count()
+    from crysda_spark.plans.cache import release_pinned
+    release_pinned()
+
+    d0 = base.filter(F.col("doc_id") == 0)
+    batch = base.filter(F.col("doc_id") % 2 == 1)
+    batch = batch.unionByName(d0.select(
+        F.lit(_PLANT_OFFSET).cast("long").alias("doc_id"), "text"))
+    batch = batch.unionByName(d0.select(
+        F.lit(_PLANT_OFFSET + 1).cast("long").alias("doc_id"),
+        F.concat("text", F.lit(" zzzz")).alias("text")))
+    batch = batch.unionByName(d0.select(
+        F.lit(_PLANT_OFFSET + 2).cast("long").alias("doc_id"),
+        F.concat("text", F.lit(" zzzz")).alias("text")))
+    n_batch = base.filter(F.col("doc_id") % 2 == 1).count() + 3
+
+    assigns, delta = dd.dedup_incremental(Frame(batch), idx, "text",
+                                          "doc_id", threshold=0.6)
+    from crysda_spark.plans.cache import pin
+    res = pin(assigns.sdf)
+    agg = res.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(F.when(F.col("doc_id") == _PLANT_OFFSET,
+                     F.col("survivor_id"))).alias("exact_surv"),
+        F.max(F.when(F.col("doc_id") == _PLANT_OFFSET,
+                     F.col("reason"))).alias("exact_reason"),
+        F.max(F.when(F.col("doc_id") == _PLANT_OFFSET + 1,
+                     F.col("survivor_id"))).alias("near_surv"),
+        F.max(F.when(F.col("doc_id") == _PLANT_OFFSET + 1,
+                     F.col("reason"))).alias("near_reason"),
+        F.max(F.when(F.col("doc_id") == _PLANT_OFFSET + 2,
+                     F.col("reason"))).alias("copy_reason"),
+    ).collect()[0]
+    bad_delta = (delta.join(idx.select("_fp"), on="_fp", how="left_semi")
+                 .count())
+    idx.unpersist()
+    if (agg.n_rows != n_batch or agg.exact_surv != 0
+            or agg.exact_reason != "exact" or agg.near_surv != 0
+            or agg.near_reason != "near" or agg.copy_reason != "exact"
+            or bad_delta != 0 or n_idx == 0):
+        raise AssertionError(
+            f"dedup_incremental gate: rows {agg.n_rows}/{n_batch}, "
+            f"exact ({agg.exact_surv},{agg.exact_reason}), "
+            f"near ({agg.near_surv},{agg.near_reason}), "
+            f"copy {agg.copy_reason}, stale_delta {bad_delta}")
+    return res
+
+
 @q("simhash_near_dups")  # no SQL oracle
 def simhash_near_dups(spark, sf_dir):
     """SimHash near-duplicate pairs, hamming<=4 over 64-bit signatures

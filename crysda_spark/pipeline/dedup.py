@@ -754,6 +754,169 @@ def dedup_full_assignments(f: Frame, text_col: str, id_col: str,
     return Frame(out)
 
 
+# ------------------------------------------------------- incremental dedup
+def build_dedup_index(f: Frame, text_col: str, id_col: str,
+                      n_hashes: int = 32, k: int = 3) -> DataFrame:
+    """Compact dedup state for INCREMENTAL ingestion: one row per
+    distinct content fingerprint — ``(_fp, id, survivor_id, sig)``.
+
+    A production corpus is not re-deduped per arriving batch; it keeps
+    this index (16-byte digest + canonical id + its near-dup survivor
+    + the n_hashes-long minhash signature ≈ 300 bytes/distinct doc —
+    ~0.3 TB of state per billion docs, independent of document size)
+    and runs :func:`dedup_incremental` on each new batch. Here
+    ``survivor_id`` starts as the canonical id itself; feed the frame
+    through :func:`dedup_full_assignments` output (or merge the delta
+    rows returned by ``dedup_incremental``) to fold in near-dup
+    survivorship."""
+    from .text import fingerprint
+    fp_rows = f.sdf.select(F.col(id_col), fingerprint(text_col).alias("_fp"))
+    canon = (fp_rows.groupBy("_fp")
+             .agg(F.min(id_col).alias(id_col)))
+    canon_docs = Frame(f.sdf.select(id_col, text_col)
+                       .join(canon.select(id_col), on=id_col, how="inner"))
+    sigs = minhash_signatures(canon_docs, text_col, id_col, n_hashes, k)
+    return (canon.join(sigs, on=id_col)
+            .select("_fp", F.col(id_col).alias("id"),
+                    F.col(id_col).alias("survivor_id"), "sig"))
+
+
+def _sig_jaccard(a: Column, b: Column, n_hashes: int) -> Column:
+    """Minhash-estimated Jaccard: fraction of agreeing components —
+    the standard unbiased estimator (Broder 1997), stderr ≈
+    sqrt(J(1−J)/n_hashes). Null signatures (empty docs) estimate 0."""
+    agree = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v)
+    return (F.when(a.isNull() | b.isNull(), F.lit(0.0))
+            .otherwise(agree.cast("double") / F.lit(float(n_hashes))))
+
+
+def dedup_incremental(new: Frame, index: DataFrame, text_col: str,
+                      id_col: str, threshold: float = 0.8,
+                      n_hashes: int = 32, bands: int = 8,
+                      k: int = 3) -> tuple[Frame, DataFrame]:
+    """Dedup a NEW batch against an existing corpus WITHOUT touching
+    the corpus: returns ``(assignments, index_delta)``.
+
+    - ``assignments``: one row per new-batch row —
+      ``(id, survivor_id, reason ∈ {exact, near, unique})``. ``exact``
+      rows match an indexed fingerprint (or an earlier row of this
+      batch) byte-for-byte and map to its survivor; ``near`` rows band-
+      collide with an indexed signature and verify at
+      estimated-Jaccard ≥ ``threshold``, or near-match within the
+      batch (exact-Jaccard verified — the batch's text is in hand);
+      ``unique`` rows survive and seed new clusters.
+    - ``index_delta``: index rows for this batch's NEW distinct
+      fingerprints (survivor_id already resolved through both the
+      old-corpus and intra-batch near-dup stages). Union it onto the
+      index for the next batch — the index grows only by genuinely
+      novel content.
+
+    Verification difference vs the batch path, stated honestly: new-vs-
+    OLD near-dups verify on the minhash ESTIMATE (the index stores
+    signatures, not shingle sets — exact verification would require
+    keeping every past document's text reachable), while new-vs-new
+    near-dups verify exact Jaccard like ``dedup_full``. At the default
+    32 hashes the estimator's stderr at J=0.8 is ±0.07; raise
+    ``n_hashes`` in the index when the threshold needs sharper edges.
+
+    Scale shape: every stage is an equi-join keyed on digests or band
+    hashes; the batch shuffles, the index is probed (AQE may broadcast
+    a small delta); nothing re-reads old text. Band keys for the index
+    are derived from stored signatures map-side at probe time (bands ×
+    |index| rows, no shuffle) — persist a banded copy alongside the
+    index if probing dominates."""
+    from .text import fingerprint
+    # pinned (not persist/unpersist inline): the returned frames are
+    # lazy and still reference these — callers release via
+    # release_pinned() after consuming, like every pipeline operator
+    new_rows = pin(new.sdf.select(F.col(id_col), F.col(text_col),
+                                  fingerprint(text_col).alias("_fp")))
+    idx = pin(index)
+
+    # 1. exact vs index + intra-batch exact collapse (one groupBy
+    #    handles both: the batch canonical is the min id per fp)
+    batch_canon = (new_rows.groupBy("_fp")
+                   .agg(F.min(id_col).alias("_bcid"),
+                        F.count(F.lit(1)).alias("_n")))
+    exact_hit = batch_canon.join(idx.select("_fp", "survivor_id"),
+                                 on="_fp", how="left")
+    # fresh fps only continue to the near-dup stages
+    fresh = exact_hit.filter(F.col("survivor_id").isNull()) \
+        .select("_fp", "_bcid")
+    fresh_docs = Frame(new_rows.join(
+        fresh.select(F.col("_bcid").alias(id_col)), on=id_col, how="inner")
+        .select(id_col, text_col))
+
+    # 2. near vs index: band-join new signatures against index bands
+    sigs = pin(minhash_signatures(fresh_docs, text_col, id_col, n_hashes, k))
+    new_banded = (sigs.filter(~F.element_at("sig", 1).isNull())
+                  .select(id_col, F.posexplode(
+                      _band_hashes(F.col("sig"), n_hashes, bands))
+                      .alias("_b", "_bh")))
+    idx_banded = (idx.filter(~F.element_at("sig", 1).isNull())
+                  .select(F.col("survivor_id").alias("_old_surv"),
+                          F.col("sig").alias("_old_sig"),
+                          F.posexplode(
+                              _band_hashes(F.col("sig"), n_hashes, bands))
+                          .alias("_b", "_bh")))
+    old_cand = (new_banded.join(idx_banded, on=["_b", "_bh"])
+                .select(id_col, "_old_surv", "_old_sig")
+                .dropDuplicates([id_col, "_old_surv"]))
+    old_match = (old_cand.join(sigs, on=id_col)
+                 .withColumn("_est", _sig_jaccard(F.col("sig"),
+                                                  F.col("_old_sig"),
+                                                  n_hashes))
+                 .filter(F.col("_est") >= threshold)
+                 .groupBy(id_col)
+                 .agg(F.min("_old_surv").alias("_near_surv")))
+
+    # 3. near within the batch (exact-Jaccard verified, as dedup_full)
+    still = Frame(fresh_docs.sdf.join(old_match.select(id_col),
+                                      on=id_col, how="left_anti"))
+    batch_pairs = minhash_dedup(still, text_col, id_col, threshold,
+                                n_hashes, bands, k).sdf
+    batch_comps = connected_components(batch_pairs)
+
+    # compose: batch row → batch canonical → (old survivor | batch
+    # component | itself)
+    canon_surv = (fresh
+                  .join(old_match.withColumnRenamed(id_col, "_bcid"),
+                        on="_bcid", how="left")
+                  .join(batch_comps.withColumnRenamed("id", "_bcid"),
+                        on="_bcid", how="left")
+                  .select("_fp", "_bcid",
+                          F.coalesce("_near_surv", "comp", F.col("_bcid"))
+                          .alias("_surv"),
+                          F.when(F.col("_near_surv").isNotNull(), "near")
+                          .when(F.col("comp").isNotNull()
+                                & (F.col("comp") != F.col("_bcid")), "near")
+                          .otherwise("unique").alias("_canon_reason")))
+    fp_to_surv = (exact_hit.select("_fp", "_bcid",
+                                   F.col("survivor_id").alias("_old"))
+                  .join(canon_surv.select("_fp", "_surv", "_canon_reason"),
+                        on="_fp", how="left")
+                  .select("_fp", "_bcid",
+                          F.coalesce("_old", "_surv").alias("_final"),
+                          F.when(F.col("_old").isNotNull(), "exact")
+                          .otherwise(F.col("_canon_reason"))
+                          .alias("_fp_reason")))
+    assignments = (new_rows.join(fp_to_surv, on="_fp")
+                   .select(F.col(id_col),
+                           F.col("_final").alias("survivor_id"),
+                           # a non-canonical exact copy within the batch
+                           # is an exact dup even when its fp is fresh
+                           F.when(F.col(id_col) != F.col("_bcid"), "exact")
+                           .otherwise(F.col("_fp_reason")).alias("reason")))
+
+    delta = (canon_surv.join(sigs.withColumnRenamed(id_col, "_bcid"),
+                             on="_bcid", how="left")
+             .select("_fp", F.col("_bcid").alias("id"),
+                     F.col("_surv").alias("survivor_id"), "sig"))
+    return Frame(assignments), delta
+
+
 def _simhash_block(sh, offset: int, width: int) -> Column:
     return F.shiftright(sh, offset).bitwiseAND(F.lit((1 << width) - 1))
 

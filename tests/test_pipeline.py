@@ -1002,3 +1002,136 @@ def test_nfkc_normalize_folds_compatibility_forms(spark):
     assert out[0] == "Hello"
     assert out[1] == "file"
     assert out[2] is None
+
+
+# ------------------------------------------------------- incremental dedup
+def _mkdocs(words, n=12):
+    return " ".join(words[i % len(words)] for i in range(n))
+
+
+def test_dedup_incremental_planted_categories(spark):
+    """Every assignment category lands: exact-vs-index, near-vs-index
+    (estimated-Jaccard verify), intra-batch exact, intra-batch near,
+    and genuinely novel rows."""
+    from crysda_spark import from_records
+    from crysda_spark.plans.cache import release_pinned
+    base_text = ("the quick brown fox jumps over the lazy dog near the "
+                 "river bank every single morning before sunrise begins")
+    other = ("completely different content about database engines and "
+             "distributed query planning with columnar storage formats")
+    corpus = from_records(spark, [
+        {"id": 0, "text": base_text},
+        {"id": 1, "text": other},
+    ])
+    idx = dd.build_dedup_index(corpus, "text", "id").persist()
+    idx.count()
+    release_pinned()
+
+    batch = from_records(spark, [
+        {"id": 10, "text": base_text},                 # exact vs index
+        {"id": 11, "text": base_text + " extra"},      # near vs index
+        {"id": 12, "text": "novel unique content nobody has ever written "
+                           "about seventeen purple submarines and jazz"},
+        {"id": 13, "text": "novel unique content nobody has ever written "
+                           "about seventeen purple submarines and jazz"},
+        # ^ intra-batch exact copy of 12
+        {"id": 14, "text": "shared sentence with many common tokens in a "
+                           "row one two three four five six seven eight"},
+        {"id": 15, "text": "shared sentence with many common tokens in a "
+                           "row one two three four five six seven nine"},
+        # ^ intra-batch near pair (one token differs)
+    ])
+    assigns, delta = dd.dedup_incremental(batch, idx, "text", "id",
+                                          threshold=0.6)
+    got = {r.id: (r.survivor_id, r.reason) for r in assigns.sdf.collect()}
+    assert got[10] == (0, "exact")
+    assert got[11] == (0, "near")
+    assert got[12] == (12, "unique")
+    assert got[13] == (12, "exact")
+    assert got[14] == (14, "unique")
+    assert got[15] == (14, "near")
+    # delta: one row per FRESH fingerprint, survivors resolved
+    drows = {r.id: r.survivor_id for r in delta.collect()}
+    assert 10 not in drows            # exact hit adds no index row
+    assert drows[11] == 0             # near-of-old folds to old survivor
+    assert drows[12] == 12 and drows[14] == 14 and drows[15] == 14
+    assert 13 not in drows            # intra-batch exact copy: same fp
+    release_pinned()
+    idx.unpersist()
+
+
+def test_dedup_incremental_delta_feeds_next_batch(spark):
+    """Union(index, delta) must catch copies of the PREVIOUS batch."""
+    from crysda_spark import from_records
+    from crysda_spark.plans.cache import release_pinned
+    t1 = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+          "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    corpus = from_records(spark, [{"id": 0, "text": t1}])
+    idx = dd.build_dedup_index(corpus, "text", "id").persist()
+    idx.count()
+    release_pinned()
+
+    b2_text = ("brand new second batch document with its own words "
+               "that match nothing in the original corpus at all")
+    b2 = from_records(spark, [{"id": 20, "text": b2_text}])
+    a2, delta2 = dd.dedup_incremental(b2, idx, "text", "id")
+    idx2 = idx.unionByName(delta2).persist()
+    idx2.count()
+    release_pinned()
+
+    b3 = from_records(spark, [
+        {"id": 30, "text": b2_text},               # copy of batch-2 doc
+        {"id": 31, "text": t1},                    # copy of batch-1 doc
+    ])
+    a3, _ = dd.dedup_incremental(b3, idx2, "text", "id")
+    got = {r.id: (r.survivor_id, r.reason) for r in a3.sdf.collect()}
+    assert got[30] == (20, "exact")
+    assert got[31] == (0, "exact")
+    release_pinned()
+    idx.unpersist()
+    idx2.unpersist()
+
+
+def test_dedup_incremental_matches_batch_on_clean_data(spark):
+    """Differential: incremental(b1 → b2) must reproduce the batch
+    pipeline's survivor count over union(b1, b2) when similarities are
+    far from the threshold (where estimator-vs-exact verification
+    cannot disagree)."""
+    from crysda_spark import from_records
+    from crysda_spark.plans.cache import release_pinned
+    import random
+    rng = random.Random(7)
+    vocab = ("spark query shuffle join scan filter agg window sort merge "
+             "batch stream row column table index hash range bloom").split()
+    docs = []
+    for i in range(30):
+        words = [rng.choice(vocab) for _ in range(25)]
+        docs.append({"id": i, "text": " ".join(words)})
+    # plant exact copies across the batch boundary
+    docs.append({"id": 100, "text": docs[0]["text"]})
+    docs.append({"id": 101, "text": docs[1]["text"]})
+    b1, b2 = docs[:20], docs[20:]
+
+    both = from_records(spark, b1 + b2)
+    batch_survivors = {
+        r.doc_id if hasattr(r, "doc_id") else r.id
+        for r in dd.dedup_full(both, "text", "id", threshold=0.8)
+        .sdf.collect()}
+    release_pinned()
+
+    idx = dd.build_dedup_index(from_records(spark, b1), "text", "id") \
+        .persist()
+    idx.count()
+    release_pinned()
+    a2, delta = dd.dedup_incremental(from_records(spark, b2), idx,
+                                     "text", "id", threshold=0.8)
+    inc_survivors = (
+        {r.id for r in from_records(spark, b1).sdf.select("id").collect()}
+        - set()  # b1 had no dups among itself by construction
+    ) | {r.id for r in a2.sdf.filter(F.col("survivor_id") == F.col("id"))
+         .collect()}
+    # b1 rows that lost to nothing stay survivors; b2's exact copies of
+    # b1 docs must NOT appear
+    assert inc_survivors == batch_survivors
+    release_pinned()
+    idx.unpersist()
