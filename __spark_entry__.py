@@ -3631,6 +3631,68 @@ def tfidf_top_terms_q(spark, sf_dir):
     return out.sdf.withColumn("rank", F.col("rank").cast("int"))
 
 
+def _logreg_oracle_sql(dims: int = 64, iters: int = 3,
+                       lr: float = 0.5) -> str:
+    """Unrolled-CTE oracle for logreg_gd_fit: every GD iteration is one
+    CTE level computing the SAME decimal-quantized gradient sums and
+    double weight updates the Spark driver loop performs — weights are
+    VALUES, not floats-embedded-by-the-builder, so the oracle
+    independently reproduces the whole training trajectory."""
+    xs = [f"CAST(embedding[{j + 1}] AS DOUBLE)" for j in range(dims)]
+    w0 = ", ".join(["0.0 AS b"] + [f"0.0 AS w{j}" for j in range(dims)])
+    parts = [
+        "WITH e AS (SELECT embedding,",
+        "  CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y FROM embeddings),",
+        f"w0 AS (SELECT {w0}),",
+    ]
+    for i in range(1, iters + 1):
+        z = " + ".join(["b"] + [f"{xs[j]}*w{j}" for j in range(dims)])
+        gsum = ", ".join(
+            ["SUM(CAST(err AS DECIMAL(28,14))) AS gb", "COUNT(*) AS n"]
+            + [f"SUM(CAST({xs[j]}*err AS DECIMAL(28,14))) AS g{j}"
+               for j in range(dims)])
+        wsel = ", ".join(
+            [f"w{i - 1}.b - {lr}*(CAST(gb AS DOUBLE)/n) AS b"]
+            + [f"w{i - 1}.w{j} - {lr}*(CAST(g{j} AS DOUBLE)/n) AS w{j}"
+               for j in range(dims)])
+        parts += [
+            f"p{i} AS (SELECT embedding, y,",
+            f"  (0.5 + 0.5*z/(1+abs(z))) - y AS err FROM",
+            f"  (SELECT e.*, ({z}) AS z FROM e, w{i - 1}) t),",
+            f"g{i} AS (SELECT {gsum} FROM p{i}),",
+            f"w{i} AS (SELECT {wsel} FROM g{i}, w{i - 1}),",
+        ]
+    outs = [f"SELECT 0 AS dim, b AS weight FROM w{iters}"] + [
+        f"SELECT {j + 1} AS dim, w{j} AS weight FROM w{iters}"
+        for j in range(dims)]
+    sql = "\n".join(parts)[:-1] + "\n" + "\nUNION ALL ".join(outs)
+    # drop the trailing comma on the last CTE
+    return sql
+
+
+@q("logreg_gd_weights", _logreg_oracle_sql())
+def logreg_gd_weights(spark, sf_dir):
+    """Distributed full-batch GD for a binary linear classifier
+    (pipeline.classify.logreg_gd_fit): 3 iterations over the 64-dim
+    embeddings (label<5 vs rest), each ONE map-side-combined aggregate
+    with the weights broadcast into the plan as literals. The oracle
+    re-runs the ENTIRE training trajectory as unrolled CTEs — the
+    algebraic-sigmoid link and decimal-quantized gradient sums make
+    every intermediate weight bit-identical across engines (the
+    docstring of logreg_gd_fit states the determinism contract), so
+    this is an iterative-ML algorithm whose oracle checks values, not
+    just shape."""
+    from crysda_spark.pipeline.classify import logreg_gd_fit
+    emb = _t(spark, sf_dir, "embeddings")
+    train = emb.sdf.select(
+        "embedding",
+        F.when(F.col("label") < 5, 1.0).otherwise(0.0).alias("y"))
+    weights = logreg_gd_fit(train, "embedding", "y", dims=64,
+                            iters=3, lr=0.5)
+    return spark.createDataFrame(
+        [(j, w) for j, w in enumerate(weights)], "dim int, weight double")
+
+
 @q("nb_lang_confusion", """
 WITH tok AS (
   SELECT doc_id, lang,

@@ -110,3 +110,66 @@ def nb_predict(f: Frame, model: dict[str, Frame], text_col: str, id_col: str,
            .select(id_col, F.col(label_col).alias(out_col),
                    F.col("_score").alias("score")))
     return Frame(out)
+
+
+# ---------------------------------------------------- linear model (GD)
+def algebraic_sigmoid(z: "F.Column") -> "F.Column":
+    """0.5 + 0.5·z/(1+|z|) — a rational squashing link (the 'fast
+    sigmoid'). Chosen over exp-based σ deliberately: transcendental
+    functions are NOT bit-identical across engines (libm vs libstdc++
+    last-ulp differences), while +,−,×,÷,abs are IEEE-exact everywhere,
+    so a training run under this link is reproducible bit-for-bit on
+    any engine — the property the cross-engine oracle checks."""
+    return F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+
+
+def logreg_gd_fit(sdf, features_col: str, label_col: str, dims: int,
+                  iters: int = 3, lr: float = 0.5,
+                  quant: str = "decimal(28,14)") -> list[float]:
+    """Full-batch gradient descent for a binary linear classifier over a
+    fixed-width array feature column. Returns ``[bias, w1..w_dims]``.
+
+    Execution shape (the point at 100 TB): each iteration is ONE
+    map-side-combined aggregate over the fact table — weights travel
+    INTO the plan as literals (broadcast by the closure, no parameter
+    server, no Python in the row path) and ``dims+2`` partial-aggregated
+    sums come back to the driver. The driver loop is bounded by
+    ``iters`` exactly like PageRank's rounds.
+
+    Determinism contract: per-row gradient terms are DOUBLE products
+    (bit-identical given identical weights) quantized to ``quant``
+    decimals BEFORE summation, so the cross-row sum is exact decimal —
+    independent of partition order — and every derived weight is the
+    same double on every engine and cluster layout. The mean gradient
+    divides by the row count in double (exact: one correctly-rounded
+    op), and the update w −= lr·mean runs in plain IEEE doubles."""
+    x = [F.element_at(F.col(features_col), j + 1).cast("double")
+         for j in range(dims)]
+    y = F.col(label_col).cast("double")
+    w = [0.0] * dims
+    b = 0.0
+    for _ in range(iters):
+        z = F.lit(b)
+        for j in range(dims):
+            z = z + x[j] * F.lit(w[j])
+        err = algebraic_sigmoid(z) - y
+        aggs = [F.sum(err.cast(quant)).alias("gb"),
+                F.count(F.lit(1)).alias("n")]
+        aggs += [F.sum((x[j] * err).cast(quant)).alias(f"g{j}")
+                 for j in range(dims)]
+        row = sdf.agg(*aggs).collect()[0]
+        n = row["n"]
+        b = b - lr * (float(row["gb"]) / n)
+        w = [w[j] - lr * (float(row[f"g{j}"]) / n) for j in range(dims)]
+    return [b] + w
+
+
+def logreg_gd_predict(sdf, features_col: str, weights: list[float],
+                      out_col: str = "score") -> "F.Column":
+    """Score column for a trained ``logreg_gd_fit`` weight vector —
+    same literal-broadcast shape as training."""
+    z = F.lit(weights[0])
+    for j, wj in enumerate(weights[1:]):
+        z = z + F.element_at(F.col(features_col), j + 1).cast("double") \
+            * F.lit(wj)
+    return algebraic_sigmoid(z).alias(out_col)

@@ -60,11 +60,27 @@ def plan_stats(sdf: SparkDF) -> dict:
     }
 
 
+def _parse_bytes(v: str) -> int:
+    """Spark size-conf strings: bare numbers, '10485760b', '10MB',
+    '1g', '-1'. A bare int() here broke the first time the conf
+    reverted to Spark's DEFAULT ('10MB') after a conf.unset()."""
+    s = v.strip().lower()
+    units = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+             "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
+             "t": 1 << 40, "tb": 1 << 40}
+    for suffix in sorted(units, key=len, reverse=True):
+        if s.endswith(suffix):
+            num = s[: -len(suffix)].strip()
+            if num.lstrip("-").isdigit():
+                return int(num) * units[suffix]
+    return int(s)
+
+
 def will_broadcast(sdf: SparkDF) -> bool:
     """Whether Catalyst's size estimate for this plan sits under the
     session's autoBroadcastJoinThreshold — the pre-flight check for
     'is my dimension actually broadcast-sized?'. AQE can still convert
     at runtime when the measured size disagrees with the estimate."""
-    thr = int(sdf.sparkSession.conf.get(
+    thr = _parse_bytes(sdf.sparkSession.conf.get(
         "spark.sql.autoBroadcastJoinThreshold"))
     return thr > 0 and plan_stats(sdf)["size_bytes"] <= thr

@@ -84,3 +84,41 @@ def test_nb_model_roundtrips_through_parquet(corpus, tmp_path):
     a = sorted(map(tuple, cls.nb_predict(corpus, model, "text", "doc_id").sdf.collect()))
     b = sorted(map(tuple, cls.nb_predict(corpus, loaded, "text", "doc_id").sdf.collect()))
     assert a == b
+
+
+# ---------------------------------------------------- linear model (GD)
+def test_logreg_gd_separates_planted_classes(spark):
+    """A linearly separable planted problem must train to near-perfect
+    scores in a few full-batch iterations."""
+    import random
+    from crysda_spark.pipeline.classify import (logreg_gd_fit,
+                                                logreg_gd_predict)
+    rng = random.Random(3)
+    rows = []
+    for i in range(200):
+        y = i % 2
+        center = 0.8 if y else -0.8
+        vec = [center + rng.gauss(0, 0.2) for _ in range(4)]
+        rows.append((vec, float(y)))
+    sdf = spark.createDataFrame(rows, "embedding array<double>, y double")
+    w = logreg_gd_fit(sdf, "embedding", "y", dims=4, iters=8, lr=2.0)
+    scored = sdf.select("y", logreg_gd_predict(sdf, "embedding", w))
+    acc = scored.selectExpr(
+        "avg(CASE WHEN (score >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END) a"
+    ).collect()[0].a
+    assert acc >= 0.97
+
+
+def test_logreg_gd_bit_reproducible(spark):
+    """The determinism contract: two runs over differently-partitioned
+    copies of the same data produce IDENTICAL weight doubles (the
+    decimal-quantized gradient sums are partition-order-free)."""
+    from crysda_spark.pipeline.classify import logreg_gd_fit
+    rows = [([float(i % 7) / 7, float(i % 3) / 3], float(i % 2))
+            for i in range(100)]
+    a = spark.createDataFrame(rows, "embedding array<double>, y double")
+    b = spark.createDataFrame(rows, "embedding array<double>, y double") \
+        .repartition(13)
+    wa = logreg_gd_fit(a, "embedding", "y", dims=2, iters=4, lr=0.7)
+    wb = logreg_gd_fit(b, "embedding", "y", dims=2, iters=4, lr=0.7)
+    assert wa == wb

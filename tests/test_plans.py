@@ -99,14 +99,18 @@ def test_bucketed_join_skips_exchange(spark):
         pytest.skip(f"managed tables unavailable: {e}")
     a = spark.table("b_orders")
     b = spark.table("b_lineitem")
-    # disable auto-broadcast so the bucketed SMJ path is observable
+    # disable auto-broadcast so the bucketed SMJ path is observable;
+    # RESTORE (not unset) after — unset reverts to Spark's default
+    # "10MB", not the session-builder value, leaking a changed
+    # threshold into later tests
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         j = a.join(b, on="o_orderkey")
         assert shuffle_count(j) == 0  # bucketing IS the shuffle
         assert j.count() > 0
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
@@ -299,3 +303,16 @@ def test_plan_stats_and_broadcast_preflight(spark):
         assert not will_broadcast(nation)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+
+
+def test_parse_bytes_conf_formats():
+    """will_broadcast must survive every Spark size-conf spelling —
+    including the '10MB' DEFAULT that conf.unset() reverts to (the
+    full-suite order-dependence this fixed)."""
+    from crysda_spark.plans.inspect import _parse_bytes
+    assert _parse_bytes("1048576") == 1 << 20
+    assert _parse_bytes("10485760b") == 10 * (1 << 20)
+    assert _parse_bytes("10MB") == 10 * (1 << 20)
+    assert _parse_bytes("1g") == 1 << 30
+    assert _parse_bytes(" 2K ") == 2048
+    assert _parse_bytes("-1") == -1
