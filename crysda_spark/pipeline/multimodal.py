@@ -2,11 +2,15 @@
 with typed metadata.
 
 The Spark-side architecture is real and tested — schema, partitioning,
-Arrow batch shape, mapInPandas signatures. FIVE codec paths are REAL
-and dependency-free through ``pipeline.codecs`` (pure stdlib+numpy):
-uncompressed 24/32-bit BMP, binary PPM (P6), 8-bit truecolor PNG
-(zlib inflate + per-row un-filtering), GIF87a/89a (full LZW +
-deinterlacing), and baseline JPEG (ITU-T T.81: Huffman + dequant +
+Arrow batch shape, mapInPandas signatures. SEVEN image codec paths are
+REAL and dependency-free through ``pipeline.codecs`` /
+``pipeline.webp`` (pure stdlib+numpy): uncompressed 24/32-bit BMP,
+binary PPM (P6), 8-bit truecolor PNG (zlib inflate + per-row
+un-filtering), GIF87a/89a (full LZW + deinterlacing), TIFF
+(both byte orders, PackBits), lossless WebP (full VP8L: prefix codes,
+all four transforms, color cache, LZ77, meta-prefix — cross-validated
+bit-for-bit against libwebp), and baseline+progressive JPEG
+(ITU-T T.81: Huffman + dequant +
 IDCT + 4:2:0 chroma upsampling) all decode, resize, and
 feature-extract end-to-end. Audio is real via RIFF/WAVE PCM, and
 video is real for uncompressed RIFF/AVI (frame sampling + per-clip
@@ -95,6 +99,8 @@ def _sniff(payload) -> str | None:
         return "wav"
     if head[:4] == b"RIFF" and bytes(payload[8:12]) == b"AVI ":
         return "avi"
+    if head[:4] == b"RIFF" and bytes(payload[8:12]) == b"WEBP":
+        return "webp"
     if head[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
     return None
@@ -134,8 +140,10 @@ def decode_images(f: Frame, id_col: str = "id", payload_col: str = "payload",
                              PpmError, TiffError, decode_bmp, decode_gif,
                              decode_jpeg, decode_png, decode_ppm,
                              decode_tiff, image_features)
+        from .webp import WebpError, decode_webp
         real = {"bmp": decode_bmp, "ppm": decode_ppm, "png": decode_png,
-                "gif": decode_gif, "jpeg": decode_jpeg, "tiff": decode_tiff}
+                "gif": decode_gif, "jpeg": decode_jpeg, "tiff": decode_tiff,
+                "webp": decode_webp}
         for pdf in batches:
             ids, ws, hs, cs, feats = [], [], [], [], []
             for pid, payload in zip(pdf[id_col], pdf[payload_col]):
@@ -146,7 +154,7 @@ def decode_images(f: Frame, id_col: str = "id", payload_col: str = "payload",
                         h, w, c = arr.shape
                         fs = image_features(arr, n_feat)
                     except (BmpError, PpmError, PngError, GifError,
-                            JpegError, TiffError):
+                            JpegError, TiffError, WebpError):
                         if strict:
                             raise
                         w = h = c = 0
@@ -331,12 +339,14 @@ def resize_images(f: Frame, width: int, height: int, id_col: str = "id",
                              decode_tiff, encode_bmp, encode_gif,
                              encode_jpeg, encode_png, encode_ppm,
                              encode_tiff, resize_nearest)
+        from .webp import WebpError, decode_webp, encode_webp
         real = {"bmp": (decode_bmp, encode_bmp),
                 "ppm": (decode_ppm, encode_ppm),
                 "png": (decode_png, encode_png),
                 "gif": (decode_gif, encode_gif),
                 "jpeg": (decode_jpeg, encode_jpeg),
-                "tiff": (decode_tiff, encode_tiff)}
+                "tiff": (decode_tiff, encode_tiff),
+                "webp": (decode_webp, encode_webp)}
         for pdf in batches:
             out = []
             for payload in pdf[payload_col]:
@@ -347,7 +357,7 @@ def resize_images(f: Frame, width: int, height: int, id_col: str = "id",
                         out.append(enc(
                             resize_nearest(dec(bytes(payload)), width, height)))
                     except (BmpError, PpmError, PngError, GifError,
-                            JpegError, TiffError):
+                            JpegError, TiffError, WebpError):
                         if strict:
                             raise
                         out.append(payload)

@@ -1,0 +1,224 @@
+"""VP8L (lossless WebP) codec: self-roundtrips over the full feature
+matrix, golden cross-validation against the system libwebp when
+present (ctypes, test-only — the production codec is pure stdlib),
+and containment-relevant error paths."""
+
+import ctypes
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from crysda_spark.pipeline.webp import (WebpError, decode_webp,
+                                        encode_webp)
+
+
+def _libwebp():
+    try:
+        lib = ctypes.CDLL("libwebp.so.7")
+    except OSError:  # pragma: no cover - lib-less environments
+        return None
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_ubyte)
+    lib.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+    lib.WebPEncodeLosslessRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_char_p)]
+    return lib
+
+
+LIB = _libwebp()
+
+
+def _lib_decode(data):
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    p = LIB.WebPDecodeRGBA(data, len(data), ctypes.byref(w), ctypes.byref(h))
+    assert p, "libwebp rejected the stream"
+    arr = np.ctypeslib.as_array(p, shape=(h.value, w.value, 4)).copy()
+    LIB.WebPFree(p)
+    return arr
+
+
+def _lib_encode(arr):
+    h, w, c = arr.shape
+    a4 = arr if c == 4 else np.dstack(
+        [arr, np.full((h, w), 255, np.uint8)])
+    out = ctypes.c_char_p()
+    n = LIB.WebPEncodeLosslessRGBA(a4.tobytes(), w, h, w * 4,
+                                   ctypes.byref(out))
+    assert n > 0
+    data = ctypes.string_at(out, n)
+    LIB.WebPFree(out)
+    return data
+
+
+def _check_roundtrip(arr, **opts):
+    data = encode_webp(arr, **opts)
+    dec = decode_webp(data)
+    if arr.shape[2] == 3:
+        assert dec.shape == arr.shape
+        assert np.array_equal(dec, arr)
+    else:
+        assert np.array_equal(dec, arr)
+    return data
+
+
+OPTS = [
+    dict(),
+    dict(subtract_green=True),
+    dict(predictor=0), dict(predictor=1), dict(predictor=2),
+    dict(predictor=3), dict(predictor=4), dict(predictor=5),
+    dict(predictor=6), dict(predictor=7), dict(predictor=8),
+    dict(predictor=9), dict(predictor=10), dict(predictor=11),
+    dict(predictor=12), dict(predictor=13),
+    dict(color_transform=(23, 251, 64)),
+    dict(subtract_green=True, predictor=2),
+    dict(subtract_green=True, color_transform=(3, 7, 11), predictor=1),
+    dict(cache_bits=4),
+    dict(rle=True),
+    dict(cache_bits=6, rle=True),
+]
+
+
+@pytest.mark.parametrize("opts", OPTS,
+                         ids=[str(i) for i in range(len(OPTS))])
+def test_option_matrix_roundtrip(opts):
+    rng = np.random.default_rng(5)
+    noise = rng.integers(0, 256, (14, 19, 4), dtype=np.uint8)
+    grad = np.zeros((16, 11, 3), np.uint8)
+    for y in range(16):
+        for x in range(11):
+            grad[y, x] = (x * 20 % 256, y * 15 % 256, (x + y) * 9 % 256)
+    runs = np.repeat(rng.integers(0, 256, (6, 4, 4), dtype=np.uint8),
+                     6, axis=1)
+    for arr in (noise, grad, runs):
+        data = _check_roundtrip(arr, **opts)
+        if LIB is not None:   # golden: libwebp must agree byte-for-byte
+            theirs = _lib_decode(data)
+            want = arr if arr.shape[2] == 4 else np.dstack(
+                [arr, np.full(arr.shape[:2], 255, np.uint8)])
+            assert np.array_equal(theirs, want)
+
+
+def test_palette_roundtrips_with_bundling():
+    rng = np.random.default_rng(7)
+    for ncolors, shape in [(2, (13, 29)), (3, (20, 37)), (4, (8, 9)),
+                           (16, (10, 33)), (17, (12, 21)), (200, (25, 16))]:
+        pal = rng.integers(0, 256, (ncolors, 4), dtype=np.uint8)
+        pal[:, 3] = 255
+        # force distinct colors so the palette has exactly ncolors
+        pal[:, 0] = (np.arange(ncolors) * 7) % 256
+        pal[:, 1] = np.arange(ncolors) // 256
+        arr = pal[rng.integers(0, ncolors, shape)]
+        data = _check_roundtrip(arr, palette=True)
+        if LIB is not None:
+            assert np.array_equal(_lib_decode(data), arr)
+
+
+def test_edge_geometries():
+    rng = np.random.default_rng(9)
+    for shape in [(1, 1), (1, 40), (40, 1), (2, 2), (3, 64)]:
+        arr = rng.integers(0, 256, (*shape, 4), dtype=np.uint8)
+        _check_roundtrip(arr)
+
+
+@pytest.mark.skipif(LIB is None, reason="system libwebp not present")
+def test_golden_libwebp_encodes_decode_exactly():
+    """The other direction: streams produced by the REAL encoder —
+    which uses predictors, cross-color, color cache, LZ77, and
+    meta-prefix images at its own discretion — must decode
+    bit-identically to libwebp's own decoder."""
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:90, 0:110]
+    cases = [
+        np.full((8, 8, 4), 128, np.uint8),
+        rng.integers(0, 256, (16, 13, 4), dtype=np.uint8),
+        rng.integers(0, 256, (120, 160, 4), dtype=np.uint8),  # meta-huffman
+        np.dstack([(np.sin(xx / 9) * 100 + 120),
+                   (np.cos(yy / 7) * 90 + 130),
+                   ((xx + yy) / 2 % 256),
+                   np.full_like(xx, 255)]).astype(np.uint8),
+    ]
+    pal = np.array([[255, 0, 0, 255], [0, 255, 0, 255],
+                    [0, 0, 255, 255]], np.uint8)
+    cases.append(pal[rng.integers(0, 3, (20, 37))])
+    for arr in cases:
+        data = _lib_encode(arr)
+        mine = decode_webp(data)
+        theirs = _lib_decode(data)
+        if mine.shape[2] == 3:      # alpha-hint 0 → RGB output
+            assert np.array_equal(mine, theirs[..., :3])
+            assert np.all(theirs[..., 3] == 255)
+        else:
+            assert np.array_equal(mine, theirs)
+
+
+def test_lossy_vp8_raises():
+    import struct
+    body = b"\x00" * 20
+    chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+    riff = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    with pytest.raises(WebpError, match="lossy"):
+        decode_webp(riff)
+
+
+def test_malformed_payloads_raise_not_crash():
+    good = encode_webp(np.full((5, 5, 3), 77, np.uint8))
+    for bad in [b"", b"RIFF", good[:20], good[:-4],
+                good.replace(b"VP8L", b"XXXX"),
+                b"RIFF\x10\x00\x00\x00WEBPJUNK" + b"\x00" * 8]:
+        with pytest.raises(WebpError):
+            decode_webp(bad)
+
+
+def test_backref_run_and_cache_paths():
+    """RLE emits dist-1 backrefs (overlapping copy) and the cache run
+    inserts run pixels — decode must agree with the literal encoding."""
+    arr = np.zeros((9, 40, 4), np.uint8)
+    arr[:, :, 3] = 255
+    arr[2:5, :] = (200, 10, 30, 255)
+    arr[7, ::2] = (1, 2, 3, 255)
+    plain = decode_webp(encode_webp(arr))
+    rle = decode_webp(encode_webp(arr, rle=True))
+    cached = decode_webp(encode_webp(arr, cache_bits=5, rle=True))
+    assert np.array_equal(plain, rle)
+    assert np.array_equal(plain, cached)
+    assert np.array_equal(plain, arr)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    w=st.integers(1, 24), h=st.integers(1, 18),
+    channels=st.sampled_from([3, 4]),
+    seed=st.integers(0, 2**31),
+    opt=st.sampled_from([
+        dict(), dict(subtract_green=True), dict(predictor=7),
+        dict(predictor=12), dict(cache_bits=3), dict(rle=True),
+        dict(subtract_green=True, predictor=11),
+    ]))
+def test_fuzz_roundtrip(w, h, channels, seed, opt):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (h, w, channels), dtype=np.uint8)
+    _check_roundtrip(arr, **opt)
+
+
+def test_decode_images_dispatches_webp(spark):
+    """The Arrow kernel path: webp payloads yield true geometry; a
+    corrupt webp degrades to the stub row (containment)."""
+    from crysda_spark import Frame
+    from crysda_spark.pipeline.multimodal import decode_images
+    rng = np.random.default_rng(3)
+    good = encode_webp(rng.integers(0, 256, (12, 17, 3), dtype=np.uint8))
+    bad = good[:30]
+    sdf = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(bad))],
+        "id long, payload binary")
+    out = {r.id: (r.width, r.height, r.channels)
+           for r in decode_images(Frame(sdf)).sdf.collect()}
+    assert out[1] == (17, 12, 3)
+    assert out[2] == (0, 0, 0)
