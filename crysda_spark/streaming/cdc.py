@@ -92,3 +92,65 @@ def stream_upsert_to_parquet(stream: SparkDF, path: str,
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def stream_dedup_incremental(stream: SparkDF, path: str, text_col: str,
+                             id_col: str, threshold: float = 0.8,
+                             n_hashes: int = 32, bands: int = 8,
+                             checkpoint: str | None = None):
+    """Streaming corpus dedup: every micro-batch of documents runs
+    :func:`~crysda_spark.pipeline.dedup.dedup_incremental` against the
+    accreted fingerprint+signature index and commits TWO tables under
+    ``path`` via the same A/B-manifest discipline as the upsert sink —
+
+    - ``index/``: the dedup state (grows only by genuinely novel
+      content; ~300 B per distinct doc, never any text), and
+    - ``assignments/``: append-only per-row ``(id, survivor_id,
+      reason, batch_id)`` — the log a downstream training-data job
+      filters on (``reason = 'unique'`` keeps survivors).
+
+    This is the production shape for web-crawl ingestion: the corpus
+    is never re-deduped; each arriving crawl segment pays one pass
+    over ITS OWN text plus equi-joins against digests/signatures.
+    Exactly-once: assignments are appended under the batch id (Spark
+    replays a failed batch with the same id — overwrite-by-partition
+    makes the append idempotent), and the index flip is atomic."""
+    from ..pipeline.dedup import build_dedup_index, dedup_incremental
+    from ..plans.cache import release_pinned
+    idx_dir = os.path.join(path, "index")
+    asg_dir = os.path.join(path, "assignments")
+    os.makedirs(idx_dir, exist_ok=True)
+    os.makedirs(asg_dir, exist_ok=True)
+
+    def apply_batch(batch: SparkDF, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        current = read_snapshot(spark, idx_dir)
+        if current is None:
+            current = build_dedup_index(
+                Frame(batch.limit(0)), text_col, id_col, n_hashes)
+        assigns, delta = dedup_incremental(
+            Frame(batch), current, text_col, id_col,
+            threshold=threshold, n_hashes=n_hashes, bands=bands)
+        out = assigns.sdf.withColumn("batch_id", F.lit(batch_id))
+        # idempotent append: one subdir per batch id, overwritten on
+        # replay of the same id
+        out.write.mode("overwrite").parquet(
+            os.path.join(asg_dir, f"batch_id={batch_id}"))
+        new_index = current.unionByName(delta)
+        side = _active_side(idx_dir)
+        nxt = "b" if side == "a" else "a"
+        new_index.write.mode("overwrite").parquet(
+            os.path.join(idx_dir, nxt))
+        release_pinned()
+        tmp = os.path.join(idx_dir, _MANIFEST + ".tmp")
+        with open(tmp, "w") as fh:
+            fh.write(nxt)
+        os.replace(tmp, os.path.join(idx_dir, _MANIFEST))
+
+    writer = stream.writeStream.foreachBatch(apply_batch) \
+        .outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

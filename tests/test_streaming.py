@@ -586,3 +586,51 @@ def test_streaming_retention_matches_batch(spark, tmp_path):
     assert got == want
     assert got[("2024-01-01 00:00:00", 0)] == 2  # u1+u2 cohort wk0
     assert got[("2024-01-08 00:00:00", 0)] == 1  # u3 cohort wk1
+
+
+def test_stream_dedup_incremental_accretes_index(spark, tmp_path):
+    """Streaming dedup sink: batch 2's exact copy of a batch-1 doc must
+    assign to the batch-1 survivor through the ACCRETED index (no old
+    text re-read — the index carries only fp+signature state); the
+    assignments log partitions by batch id and the index grows only by
+    novel fingerprints."""
+    import os
+    from crysda_spark.streaming.cdc import (read_snapshot,
+                                            stream_dedup_incremental)
+    src = str(tmp_path / "docs")
+    state = str(tmp_path / "dedup")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(src)
+    t1 = ("the quick brown fox jumps over the lazy dog near the river "
+          "bank every single morning before sunrise begins again")
+    t2 = ("completely different content about database engines and "
+          "distributed query planning with columnar storage formats")
+    spark.createDataFrame([(0, t1), (1, t2)], "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = stream_dedup_incremental(stream, state, "text", "doc_id",
+                                 threshold=0.6, checkpoint=ckpt)
+    try:
+        q.processAllAvailable()
+        idx1 = read_snapshot(spark, os.path.join(state, "index"))
+        assert idx1.count() == 2
+        # batch 2: exact copy of doc 0, near-variant of doc 1, novel doc
+        spark.createDataFrame(
+            [(10, t1), (11, t2 + " extra"), (12, "totally novel words "
+              "about seventeen purple submarines and jazz music today")],
+            "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        asg = spark.read.parquet(os.path.join(state, "assignments"))
+        got = {r.doc_id: (r.survivor_id, r.reason) for r in asg.collect()}
+        assert got[10] == (0, "exact")
+        assert got[11] == (1, "near")
+        assert got[12] == (12, "unique")
+        idx2 = read_snapshot(spark, os.path.join(state, "index"))
+        # batch-2 novelty: the variant (fresh fp) + the novel doc;
+        # the exact copy adds NO index row
+        assert idx2.count() == 4
+        # every assignment row carries its batch id
+        assert set(r.batch_id for r in asg.collect()) == {0, 1}
+    finally:
+        q.stop()
