@@ -162,6 +162,11 @@ EXPECTED = {
     "q11_important_stock": dict(scans=3, exchanges=3, bhj=2, smj=0),
     "q16_supplier_part_counts": dict(scans=3, exchanges=3, bhj=2, smj=0),
     "q20_excess_stock_suppliers": dict(scans=5, exchanges=2, bhj=4, smj=0),
+    # r8 late: entity resolution — the deletion-key self-join is the
+    # one SMJ (both sides corpus-sized key tables; a broadcast would
+    # ship the whole corpus). CC resolves on the driver fast path at
+    # this SF, so no iterative shuffles appear.
+    "entity_resolution_docs": dict(scans=4, exchanges=2, bhj=0, smj=1),
 }
 
 
