@@ -3290,6 +3290,44 @@ def rollup_cms_heavy_keys(spark, sf_dir):
         "bucket", f"stack({len(probes)}, {stack}) as (key, est)")
 
 
+@q("rollup_ksample_quantiles", """
+WITH base AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         CAST(value AS DOUBLE) AS v,
+         md5(CAST(event_id AS VARCHAR)) AS h
+  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY h) AS rn
+           FROM base),
+st AS (SELECT bucket, list(v ORDER BY h) AS vs
+       FROM ranked WHERE rn <= 64 GROUP BY bucket)
+SELECT bucket, len(vs) AS n,
+       list_sort(vs)[greatest(CAST(ceil(0.5 * len(vs)) AS INT), 1)] AS p50,
+       list_sort(vs)[greatest(CAST(ceil(0.95 * len(vs)) AS INT), 1)] AS p95
+FROM st
+""")
+def rollup_ksample_quantiles(spark, sf_dir):
+    """ksample rollup measure (operators.rollup): a deterministic KMV
+    quantile sample — bottom-64 rows per bucket by md5(event_id), the
+    one approximate-quantile state whose merge is EXACTLY associative
+    (bottom-k of a union = bottom-k of bottom-k's), so the state is
+    identical under any partitioning or cascade path AND a SQL oracle
+    can check it by value. The Spark side builds the HOURLY rollup and
+    cascades hour→day via merge_rollup; the oracle samples each day
+    directly — the hash match proves the cascade introduces zero
+    error. p50/p95 extracted JVM-side (ksample_quantile)."""
+    from crysda_spark.operators.rollup import (ksample_quantile,
+                                               merge_rollup, time_rollup)
+    ev = _t(spark, sf_dir, "events")
+    hourly = time_rollup(ev, "ts", "hour",
+                         vs=("ksample", "value", "event_id", 64))
+    daily = merge_rollup(hourly, "day", from_grain="hour",
+                         vs=("ksample", "value", "event_id", 64))
+    return daily.sdf.select(
+        "bucket", F.size("vs").alias("n"),
+        ksample_quantile("vs", 0.5).alias("p50"),
+        ksample_quantile("vs", 0.95).alias("p95"))
+
+
 @q("rollup_moments_stddev", """
 WITH m AS (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,

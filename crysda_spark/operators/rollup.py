@@ -45,6 +45,60 @@ _KINDS: dict[str, tuple] = {
 # additional error beyond the fixed bin resolution.
 
 
+# "ksample" is a deterministic KMV quantile sample (bottom-k rows by a
+# portable hash of the row id): state = array<struct<h,v>> of the k
+# hash-smallest rows' values, sorted by hash. Bottom-k of a union IS
+# the bottom-k of bottom-k's, so the merge (concat -> sort -> truncate)
+# is exactly associative AND commutative -- the state is identical
+# under any partitioning, shuffle order, or rollup cascade path, which
+# also makes it the one approximate-quantile state a cross-engine SQL
+# oracle can check for exact VALUE equality. Rank error is the usual
+# uniform-sampling bound O(1/sqrt(k)). The hash is md5 over the id's
+# decimal string -- bit-identical in every engine (xxhash64 is
+# Spark-only); ids must be unique or duplicate rows silently collapse.
+
+
+def _ksample_spec(name: str, spec) -> tuple:
+    if not (isinstance(spec, tuple) and len(spec) == 4):
+        raise ValueError(
+            f"rollup measure {name!r}: ksample needs "
+            f"({name}=('ksample', value_col, id_col, k))")
+    _, col, id_col, k = spec
+    if not (isinstance(k, int) and 16 <= k <= 65536):
+        raise ValueError(
+            f"rollup measure {name!r}: ksample k must be an int in "
+            f"[16, 65536], got {k!r}")
+    return col, id_col, k
+
+
+def _ksample_fine(col, id_col, k: int) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    i = F.col(id_col) if isinstance(id_col, str) else id_col
+    entry = F.when(c.isNotNull() & i.isNotNull(),
+                   F.struct(F.md5(i.cast("string")).alias("h"),
+                            c.cast("double").alias("v")))
+    return F.slice(F.array_sort(F.collect_list(entry)), 1, k)
+
+
+def _ksample_merge(name: str, k: int) -> Column:
+    return F.slice(F.array_sort(F.flatten(F.collect_list(F.col(name)))),
+                   1, k)
+
+
+def ksample_quantile(state, q: float) -> Column:
+    """Quantile estimate from a ksample state: the ceil(q*n)-th
+    smallest sampled value (n = current sample size; exact when the
+    bucket held <= k rows). Pure JVM expressions, usable on any grain
+    the state was cascaded to."""
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"ksample_quantile: q must be in (0, 1], got {q}")
+    s = F.col(state) if isinstance(state, str) else state
+    vals = F.array_sort(F.transform(s, lambda x: x["v"]))
+    n = F.size(vals)
+    idx = F.greatest(F.ceil(F.lit(float(q)) * n).cast("int"), F.lit(1))
+    return F.when(n > 0, F.element_at(vals, idx))
+
+
 def _hist_spec(name: str, spec) -> tuple:
     if not (isinstance(spec, tuple) and len(spec) == 5):
         raise ValueError(
@@ -142,6 +196,9 @@ def check_measures(measures: dict) -> None:
         if kind == "cms":
             _cms_spec(name, spec if isinstance(spec, tuple) else None)
             continue
+        if kind == "ksample":
+            _ksample_spec(name, spec if isinstance(spec, tuple) else None)
+            continue
         col = spec[1] if isinstance(spec, tuple) else None
         if kind not in _KINDS:
             raise ValueError(
@@ -171,9 +228,36 @@ def fine_measure_exprs(measures: dict) -> list:
         if kind == "cms":
             aggs.append(_cms_fine(*_cms_spec(name, spec)).alias(name))
             continue
+        if kind == "ksample":
+            aggs.append(_ksample_fine(*_ksample_spec(name, spec)).alias(name))
+            continue
         col = spec[1] if isinstance(spec, tuple) else None
         fine, _ = _KINDS[kind]
         aggs.append((fine(col) if col is not None else fine(None)).alias(name))
+    return aggs
+
+
+def merge_measure_exprs(measures: dict) -> list:
+    """Merge aggregates over the named partial columns for every kind —
+    shared by merge_rollup, combine_rollups, and time_rollup's
+    split-stage (ksample)."""
+    aggs = []
+    for name, spec in measures.items():
+        kind = spec[0] if isinstance(spec, tuple) else spec
+        if kind == "hist":
+            aggs.append(_hist_merge(name, _hist_spec(name, spec)[3])
+                        .alias(name))
+        elif kind == "moments":
+            aggs.append(_moments_merge(name).alias(name))
+        elif kind == "cms":
+            _, d, w = _cms_spec(name, spec)
+            aggs.append(_cms_merge(name, d, w).alias(name))
+        elif kind == "ksample":
+            aggs.append(_ksample_merge(name, _ksample_spec(name, spec)[2])
+                        .alias(name))
+        else:
+            _, merge = _KINDS[kind]
+            aggs.append(merge(name).alias(name))
     return aggs
 
 
@@ -189,10 +273,25 @@ def time_rollup(f: Frame, ts_col: str, grain: str,
     _check(grain, measures)
     keys = _norm_keys(keys)
     aggs = fine_measure_exprs(measures)
-    out = (f.sdf
-           .withColumn("bucket", F.date_trunc(grain, F.col(ts_col)))
-           .groupBy(*keys, "bucket")
-           .agg(*aggs))
+    base = f.sdf.withColumn("bucket", F.date_trunc(grain, F.col(ts_col)))
+    ksamples = [spec for spec in measures.values()
+                if isinstance(spec, tuple) and spec[0] == "ksample"]
+    if ksamples:
+        # ksample's fine aggregate buffers a list per group before
+        # truncation; a billion-row bucket would pool in one reducer.
+        # Pre-split each bucket by a hash of the sample id (so a row's
+        # split is stable under any partitioning), build bounded
+        # per-split states, then merge — bottom-k associativity makes
+        # the result IDENTICAL to the unsplit aggregate.
+        id_col = ksamples[0][2]
+        base = base.withColumn(
+            "_split", F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                             F.lit(64)))
+        fine = base.groupBy(*keys, "bucket", "_split").agg(*aggs)
+        out = fine.groupBy(*keys, "bucket").agg(
+            *merge_measure_exprs(measures))
+    else:
+        out = base.groupBy(*keys, "bucket").agg(*aggs)
     return Frame(out)
 
 
@@ -233,22 +332,7 @@ def merge_rollup(rollup: Frame, coarser_grain: str,
     _check(coarser_grain, measures)
     _assert_nests(from_grain, coarser_grain)
     keys = _norm_keys(keys)
-    aggs = []
-    for name, spec in measures.items():
-        kind = spec[0] if isinstance(spec, tuple) else spec
-        if kind == "hist":
-            nbins = _hist_spec(name, spec)[3]
-            aggs.append(_hist_merge(name, nbins).alias(name))
-            continue
-        if kind == "moments":
-            aggs.append(_moments_merge(name).alias(name))
-            continue
-        if kind == "cms":
-            _, d, w = _cms_spec(name, spec)
-            aggs.append(_cms_merge(name, d, w).alias(name))
-            continue
-        _, merge = _KINDS[kind]
-        aggs.append(merge(name).alias(name))
+    aggs = merge_measure_exprs(measures)
     out = (rollup.sdf
            .withColumn("bucket", F.date_trunc(coarser_grain, F.col("bucket")))
            .groupBy(*keys, "bucket")
@@ -395,20 +479,8 @@ def combine_rollups(a: Frame, b: Frame, grain: str,
     _check(grain, measures)
     keys = _norm_keys(keys)
     u = a.sdf.unionByName(b.sdf)
-    aggs = []
-    for name, spec in measures.items():
-        kind = spec[0] if isinstance(spec, tuple) else spec
-        if kind == "hist":
-            aggs.append(_hist_merge(name, _hist_spec(name, spec)[3]).alias(name))
-        elif kind == "moments":
-            aggs.append(_moments_merge(name).alias(name))
-        elif kind == "cms":
-            _, d, w = _cms_spec(name, spec)
-            aggs.append(_cms_merge(name, d, w).alias(name))
-        else:
-            _, merge = _KINDS[kind]
-            aggs.append(merge(name).alias(name))
-    return Frame(u.groupBy(*keys, "bucket").agg(*aggs))
+    return Frame(u.groupBy(*keys, "bucket")
+                 .agg(*merge_measure_exprs(measures)))
 
 
 _GRAIN_SECONDS = {"minute": 60, "hour": 3600, "day": 86400}

@@ -385,3 +385,89 @@ def test_suggest_hist_bounds(spark):
     empty = Frame(spark.createDataFrame([(None,)], "v double"))
     with pytest.raises(ValueError, match="all-null"):
         suggest_hist_bounds(empty, "v")
+
+
+# ------------------------------------------------------------- ksample
+def test_ksample_exact_when_small_and_partition_invariant(spark):
+    """Buckets with <= k rows sample EVERYTHING (quantiles exact), and
+    the state is identical under different partitionings (bottom-k by
+    hash is associative + commutative)."""
+    import numpy as np
+    from crysda_spark import Frame
+    from crysda_spark.operators.rollup import ksample_quantile, time_rollup
+    rows = [(i, f"2024-01-01 0{i % 3}:10:00", float((i * 37) % 101))
+            for i in range(90)]
+    sdf = spark.createDataFrame(rows, "id long, ts string, v double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    r1 = time_rollup(Frame(sdf), "ts", "hour",
+                     s=("ksample", "v", "id", 128))
+    r2 = time_rollup(Frame(sdf.repartition(13)), "ts", "hour",
+                     s=("ksample", "v", "id", 128))
+    q1 = {r.bucket: r.p for r in r1.sdf.select(
+        "bucket", ksample_quantile("s", 0.5).alias("p")).collect()}
+    q2 = {r.bucket: r.p for r in r2.sdf.select(
+        "bucket", ksample_quantile("s", 0.5).alias("p")).collect()}
+    assert q1 == q2
+    # exact: every hour has 30 rows <= k=128, so p50 = 15th smallest
+    for b, vals in [(b, sorted(float((i * 37) % 101)
+                               for i in range(90) if i % 3 == h))
+                    for h, b in enumerate(sorted(q1))]:
+        assert q1[b] == vals[int(np.ceil(0.5 * len(vals))) - 1]
+
+
+def test_ksample_cascade_equals_direct(spark):
+    """merge_rollup(hour -> day) must produce the IDENTICAL state as
+    sampling the day bucket directly — exact associativity, the
+    property that makes the sketch cascade- and oracle-safe."""
+    from crysda_spark import Frame
+    from crysda_spark.operators.rollup import merge_rollup, time_rollup
+    rows = [(i, f"2024-01-0{1 + i % 2} {i % 24:02d}:00:30", float(i) / 7)
+            for i in range(2000)]
+    sdf = spark.createDataFrame(rows, "id long, ts string, v double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    f = Frame(sdf)
+    hourly = time_rollup(f, "ts", "hour", s=("ksample", "v", "id", 64))
+    daily_c = merge_rollup(hourly, "day", from_grain="hour",
+                           s=("ksample", "v", "id", 64))
+    daily_d = time_rollup(f, "ts", "day", s=("ksample", "v", "id", 64))
+    a = {r.bucket: r.s for r in daily_c.sdf.collect()}
+    b = {r.bucket: r.s for r in daily_d.sdf.collect()}
+    assert a == b
+
+
+def test_ksample_rank_error_bound(spark):
+    """Sampling error: with k=512 over 20k rows the p50 estimate's
+    rank must sit within 4*sqrt(k) ranks of the true median (~5 sigma
+    of the binomial rank spread — deterministic, not flaky: the hash
+    sample is fixed)."""
+    from crysda_spark import Frame
+    from crysda_spark.operators.rollup import ksample_quantile, time_rollup
+    n, k = 20000, 512
+    rows = [(i, "2024-03-01 05:00:00", float((i * 7919) % n))
+            for i in range(n)]
+    sdf = spark.createDataFrame(rows, "id long, ts string, v double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    est = time_rollup(Frame(sdf), "ts", "hour",
+                      s=("ksample", "v", "id", k)).sdf \
+        .select(ksample_quantile("s", 0.5).alias("p")).collect()[0].p
+    true_rank = est  # values are a permutation of 0..n-1
+    assert abs(true_rank - n / 2) <= 4 * (n / (k ** 0.5)) / 2
+
+
+def test_ksample_null_and_validation(spark):
+    from crysda_spark import Frame
+    from crysda_spark.operators.rollup import ksample_quantile, time_rollup
+    import pytest as _pt
+    rows = [(1, "2024-01-01 00:00:00", None),
+            (2, "2024-01-01 00:30:00", 5.0)]
+    sdf = spark.createDataFrame(rows, "id long, ts string, v double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = time_rollup(Frame(sdf), "ts", "hour",
+                      s=("ksample", "v", "id", 16)).sdf \
+        .select(F.size("s").alias("n"),
+                ksample_quantile("s", 0.9).alias("p")).collect()[0]
+    assert out.n == 1 and out.p == 5.0       # null value excluded
+    with _pt.raises(ValueError, match="ksample k"):
+        time_rollup(Frame(sdf), "ts", "hour", s=("ksample", "v", "id", 4))
+    with _pt.raises(ValueError, match="ksample needs"):
+        time_rollup(Frame(sdf), "ts", "hour", s=("ksample", "v"))
