@@ -634,3 +634,27 @@ def test_stream_dedup_incremental_accretes_index(spark, tmp_path):
         assert set(r.batch_id for r in asg.collect()) == {0, 1}
     finally:
         q.stop()
+
+
+def test_tumbling_rollup_ksample_matches_batch(spark, events_stream_dir):
+    """ksample through streaming aggregation: the deterministic KMV
+    state must be IDENTICAL stream vs batch (associativity makes even
+    the micro-batch split invisible), completing measure-kind parity."""
+    from crysda_spark import Frame
+    from crysda_spark.operators.rollup import time_rollup
+
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = sw.stream_from_parquet_dir(spark, events_stream_dir, schema)
+    measures = dict(s=("ksample", "value", "event_id", 32))
+    out = sw.tumbling_rollup(stream, width="1 hour", watermark=None,
+                             **measures)
+    q = sw.run_to_memory(out, "ks_rollup", mode="complete")
+    q.processAllAvailable()
+    got = {str(r["bucket"]): [tuple(x) for x in r["s"]]
+           for r in spark.table("ks_rollup").collect()}
+    q.stop()
+    batch = time_rollup(Frame(spark.read.parquet(events_stream_dir)),
+                        "ts", "hour", **measures)
+    want = {str(r["bucket"]): [tuple(x) for x in r["s"]]
+            for r in batch.sdf.collect()}
+    assert got == want and len(got) > 0
