@@ -553,3 +553,54 @@ def test_gather_roundtrips_spread_and_matches_sql(spark):
     cur = con.execute(q)
     want = _rows_canon([d[0] for d in cur.description], cur.fetchall())
     assert got == want
+
+
+# ------------------------------------------------ ksample differential
+def _ksample_specs():
+    rnd = random.Random(777)
+    out = []
+    for i in range(6):
+        k = rnd.choice([16, 32, 64, 128])
+        q = rnd.choice([0.1, 0.5, 0.9, 1.0])
+        grain = rnd.choice(["hour", "day"])
+        out.append((i, k, q, grain))
+    return out
+
+
+@pytest.mark.parametrize("spec", _ksample_specs(),
+                         ids=lambda s: f"ks{s[0]}_k{s[1]}_q{s[2]}_{s[3]}")
+def test_random_ksample_matches_duckdb(spark, spec):
+    """The deterministic KMV quantile sample vs an independent DuckDB
+    derivation (window bottom-k by md5) across random (k, q, grain) —
+    exact value equality, the property no conventional quantile sketch
+    offers an oracle for."""
+    from crysda_spark import read_parquet
+    from crysda_spark.operators.rollup import ksample_quantile, time_rollup
+    _, k, q, grain = spec
+    ev = read_parquet(spark, f"{SF_DIR}/events.parquet",
+                      nanos_cols={"ts": "ts"})
+    roll = time_rollup(ev, "ts", grain,
+                       s=("ksample", "value", "event_id", k))
+    got = {str(r["bucket"]): (r["n"], round(r["p"], 9))
+           for r in roll.sdf.select(
+               "bucket", F.size("s").alias("n"),
+               ksample_quantile("s", q).alias("p")).collect()}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{SF_DIR}/events.parquet'")
+    cur = con.execute(f"""
+        WITH base AS (
+          SELECT CAST(date_trunc('{grain}', ts) AS TIMESTAMP) AS bucket,
+                 CAST(value AS DOUBLE) AS v,
+                 md5(CAST(event_id AS VARCHAR)) AS h
+          FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+        ranked AS (SELECT *, row_number() OVER
+                   (PARTITION BY bucket ORDER BY h) AS rn FROM base),
+        st AS (SELECT bucket, list(v ORDER BY h) AS vs
+               FROM ranked WHERE rn <= {k} GROUP BY bucket)
+        SELECT bucket, len(vs),
+               list_sort(vs)[greatest(CAST(ceil({q} * len(vs)) AS INT), 1)]
+        FROM st""")
+    want = {str(r[0]): (r[1], round(r[2], 9)) for r in cur.fetchall()}
+    assert got == want, f"ksample diverged: {spec}"
