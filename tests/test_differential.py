@@ -604,3 +604,77 @@ def test_random_ksample_matches_duckdb(spark, spec):
         FROM st""")
     want = {str(r[0]): (r[1], round(r[2], 9)) for r in cur.fetchall()}
     assert got == want, f"ksample diverged: {spec}"
+
+
+# ------------------------------------- entity-resolution differential
+def _er_specs():
+    return [(i, 1000 + i) for i in range(4)]
+
+
+@pytest.mark.parametrize("spec", _er_specs(), ids=lambda s: f"er{s[0]}")
+def test_random_entity_resolution_matches_duckdb(spark, spec):
+    """resolve_entities vs a DuckDB re-derivation (deletion-key
+    blocking + levenshtein + recursive-CTE closure) over RANDOM
+    corpora with random single/double edits — the full pipeline
+    (normalize, block, score, transitively cluster) value-checked."""
+    from crysda_spark import from_records
+    from crysda_spark.pipeline.entity import resolve_entities
+    _, seed = spec
+    rnd = random.Random(seed)
+    vocab = ("amber birch cedar dune ember fjord grove haven iris "
+             "juniper kestrel lumen moss nectar onyx pine quartz "
+             "reed sable thorn").split()
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    rows = []
+    for i in range(40):
+        rows.append({"id": i,
+                     "name": " ".join(rnd.sample(vocab, 3))})
+    nxt = 1000
+    for _ in range(12):
+        base = rnd.choice(rows[:40])["name"]
+        v = base
+        for _ in range(rnd.randint(1, 2)):
+            pos = rnd.randrange(len(v))
+            kind = rnd.randrange(3)
+            if kind == 0:
+                v = v[:pos] + rnd.choice(alpha) + v[pos + 1:]
+            elif kind == 1:
+                v = v[:pos] + rnd.choice(alpha) + v[pos:]
+            else:
+                v = v[:pos] + v[pos + 1:]
+        rows.append({"id": nxt, "name": v})
+        nxt += 1
+    got = {r.id: r.entity_id
+           for r in resolve_entities(from_records(spark, rows),
+                                     "id", "name", threshold=0.9)
+           .sdf.collect()}
+
+    import pandas as pd
+    corpus_df = pd.DataFrame(rows)  # noqa: F841 — duckdb reads by name
+    con = duckdb.connect()
+    cur = con.execute("""
+        WITH RECURSIVE
+        norm AS (SELECT id, trim(regexp_replace(lower(name),
+                 '[^a-z0-9]+', ' ', 'g')) AS nm FROM corpus_df),
+        keys AS (
+          SELECT id, nm, nm AS k FROM norm
+          UNION ALL
+          SELECT id, nm, unnest(list_transform(
+                 range(1, greatest(length(nm), 1) + 1),
+                 i -> substr(nm, 1, i - 1) || substr(nm, i + 1, 100000)))
+          FROM norm),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                        a.nm AS nm_a, b.nm AS nm_b
+                 FROM keys a JOIN keys b ON a.k = b.k AND a.id < b.id),
+        pairs AS (SELECT id_a, id_b FROM cand
+                  WHERE 1.0 - CAST(levenshtein(nm_a, nm_b) AS DOUBLE)
+                        / greatest(length(nm_a), length(nm_b), 1) >= 0.9),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (SELECT id, id FROM norm
+                        UNION
+                        SELECT r.a, e.b FROM reach r
+                        JOIN edges e ON r.b = e.a)
+        SELECT a, MIN(b) FROM reach GROUP BY a""")
+    want = {r[0]: r[1] for r in cur.fetchall()}
+    assert got == want, f"entity resolution diverged: seed {seed}"
