@@ -769,9 +769,12 @@ def _fwd_predictor(pix: list[int], width: int, height: int,
 
 
 def _emit_entropy_image(bw: _BitWriter, pix: list[int], width: int,
-                        cache_bits: int | None, rle: bool) -> None:
+                        cache_bits: int | None, rle: bool,
+                        level0: bool = False) -> None:
     """One image stream (no transforms written here): tokens → code
-    headers → coded pixels."""
+    headers → coded pixels. ``level0`` adds the meta-prefix-codes bit
+    (always 0 — this encoder writes one group) in its §5 slot: after
+    the color-cache info, before the code headers."""
     cache = [None] * (1 << cache_bits) if cache_bits else None
     tokens = []                              # (kind, payload)
     i = 0
@@ -828,6 +831,8 @@ def _emit_entropy_image(bw: _BitWriter, pix: list[int], width: int,
         bw.write(cache_bits, 4)
     else:
         bw.write(0, 1)
+    if level0:
+        bw.write(0, 1)                       # no meta prefix codes
     gc = _write_prefix_code(bw, gf, green_size)
     rc = _write_prefix_code(bw, rf, 256)
     bc = _write_prefix_code(bw, bf, 256)
@@ -950,7 +955,7 @@ def encode_webp(arr: np.ndarray, *, subtract_green: bool = False,
                                 * (tw * th), tw, None, False)
             pix = _fwd_predictor(pix, cur_w, h, predictor)
     bw.write(0, 1)                           # no more transforms
-    _emit_entropy_image_l0(bw, pix, cur_w, cache_bits, rle)
+    _emit_entropy_image(bw, pix, cur_w, cache_bits, rle, level0=True)
 
     body = b"\x2f" + bw.tobytes()
     vp8l = b"VP8L" + struct.pack("<I", len(body)) + body
@@ -960,18 +965,3 @@ def encode_webp(arr: np.ndarray, *, subtract_green: bool = False,
     return riff
 
 
-def _emit_entropy_image_l0(bw: _BitWriter, pix: list[int], width: int,
-                           cache_bits: int | None, rle: bool) -> None:
-    """Level-0 wrapper: the meta-prefix bit precedes the code headers
-    but FOLLOWS the color-cache bit in the stream? No — §5 order for a
-    spatially-coded image is: color cache info, then meta prefix info,
-    then the code headers. _emit_entropy_image writes cache info first
-    already; we interpose the meta bit here."""
-    cacheless = _BitWriter()
-    _emit_entropy_image(cacheless, pix, width, cache_bits, rle)
-    # splice: cache-info bits come first in what _emit wrote; the meta
-    # bit must go right after them
-    n_cache_bits = 1 + (4 if cache_bits else 0)
-    bw.bits.extend(cacheless.bits[:n_cache_bits])
-    bw.write(0, 1)                           # no meta prefix codes
-    bw.bits.extend(cacheless.bits[n_cache_bits:])
