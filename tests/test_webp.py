@@ -222,3 +222,24 @@ def test_decode_images_dispatches_webp(spark):
            for r in decode_images(Frame(sdf)).sdf.collect()}
     assert out[1] == (17, 12, 3)
     assert out[2] == (0, 0, 0)
+
+
+def test_mutation_fuzz_raises_cleanly():
+    """Random single-byte corruptions of valid streams must either
+    decode (the mutation hit a don't-care bit) or raise WebpError —
+    never an unguarded IndexError/KeyError/hang. This is what the
+    multimodal containment wrapper catches per-row at scale."""
+    import random
+    rng = np.random.default_rng(13)
+    arr = rng.integers(0, 256, (9, 14, 4), dtype=np.uint8)
+    base = bytearray(encode_webp(arr, subtract_green=True, cache_bits=4))
+    rnd = random.Random(13)
+    for _ in range(200):
+        data = bytearray(base)
+        pos = rnd.randrange(20, len(data))   # keep the RIFF head intact
+        data[pos] ^= 1 << rnd.randrange(8)
+        try:
+            out = decode_webp(bytes(data))
+            assert out.ndim == 3             # decoded: shape still sane
+        except WebpError:
+            pass                             # clean, containable failure
