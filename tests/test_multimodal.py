@@ -816,3 +816,59 @@ def test_progressive_ac_scan_block_roundtrip_adversarial():
     for z, d in zip(blocks, decoded):
         assert np.array_equal(d[ss:se + 1], z[ss:se + 1]), \
             (z[ss:se + 1].tolist(), d[ss:se + 1].tolist())
+
+
+def test_all_codecs_mutation_fuzz_raise_cleanly():
+    """Systematic single-bit corruption across EVERY image codec:
+    each mutated payload must either still decode (don't-care bit) or
+    raise that codec's typed error — never an unguarded IndexError/
+    struct.error/zlib crash. This is the exception contract the
+    Arrow containment kernels rely on at web scale."""
+    import random
+    import numpy as np
+    from crysda_spark.pipeline.codecs import (BmpError, GifError,
+                                              JpegError, PngError,
+                                              PpmError, TiffError,
+                                              encode_bmp, encode_gif,
+                                              encode_jpeg, encode_png,
+                                              encode_ppm, encode_tiff,
+                                              decode_bmp, decode_gif,
+                                              decode_jpeg, decode_png,
+                                              decode_ppm, decode_tiff)
+    from crysda_spark.pipeline.webp import (WebpError, decode_webp,
+                                            encode_webp)
+    rng = np.random.default_rng(21)
+    arr = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    codecs = [
+        (encode_bmp, decode_bmp, BmpError),
+        (encode_ppm, decode_ppm, PpmError),
+        (encode_png, decode_png, PngError),
+        (encode_gif, decode_gif, GifError),
+        (encode_jpeg, decode_jpeg, JpegError),
+        (encode_tiff, decode_tiff, TiffError),
+        (encode_webp, decode_webp, WebpError),
+    ]
+    # audio/video containers too (mono WAV; 2-frame AVI)
+    from crysda_spark.pipeline.codecs import (AviError, WavError,
+                                              decode_avi, decode_wav,
+                                              encode_avi, encode_wav)
+    samples = (rng.standard_normal(400) * 0.2).astype(np.float32)
+    codecs.append((lambda _a: encode_wav(samples, 8000),
+                   lambda b: decode_wav(b), WavError))
+    frames = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+              for _ in range(2)]
+    codecs.append((lambda _a: encode_avi(frames, fps=5.0),
+                   lambda b: decode_avi(b), AviError))
+    rnd = random.Random(21)
+    for enc, dec, err in codecs:
+        base = bytearray(enc(arr))
+        for _ in range(60):
+            data = bytearray(base)
+            pos = rnd.randrange(len(data))
+            data[pos] ^= 1 << rnd.randrange(8)
+            try:
+                out = dec(bytes(data))
+                assert out is not None
+            except err:
+                pass            # the ONLY allowed failure: the typed
+                                # error the containment kernels catch
