@@ -2881,6 +2881,70 @@ def line_dedup_boilerplate(spark, sf_dir):
     return tx.dedup_lines(Frame(docs), min_dup=5).sdf
 
 
+@q("winsorize_price_sums", """
+WITH b AS (SELECT l_returnflag,
+             percentile_cont(0.05) WITHIN GROUP (ORDER BY l_extendedprice) AS lo,
+             percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS hi
+           FROM lineitem GROUP BY l_returnflag)
+SELECT l.l_returnflag, COUNT(*) AS n,
+       SUM(FLOOR(least(greatest(CAST(l_extendedprice AS DOUBLE), lo), hi)
+                 * 10000)) AS wsum_e4
+FROM lineitem l JOIN b USING (l_returnflag)
+GROUP BY l.l_returnflag
+""")
+def winsorize_price_sums(spark, sf_dir):
+    """winsorize (operators.anomaly): per-group exact [p05, p95] clamp
+    of l_extendedprice — the heavy-tail guard before means on noisy
+    data. Quantiles via the exact distributed quantile_cont (no
+    per-group buffering), broadcast back, codegen'd clamp. The checked
+    sum FLOOR-quantizes each clamped value to 1e-4 first: every term
+    is then an integer-valued double (< 2^53, order-free summation),
+    so engine ROUND-tie differences cannot touch the hash (the r8
+    cross-SF lesson)."""
+    from crysda_spark.operators.anomaly import winsorize
+    li = _t(spark, sf_dir, "lineitem")
+    w = winsorize(li, "l_extendedprice", by="l_returnflag",
+                  q_lo=0.05, q_hi=0.95)
+    return (w.sdf.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.floor(F.col("l_extendedprice_w") * 10000))
+                 .cast("double").alias("wsum_e4")))
+
+
+@q("mad_outlier_counts", """
+WITH m AS (SELECT l_returnflag,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS med
+           FROM lineitem GROUP BY l_returnflag),
+d AS (SELECT l.l_returnflag,
+             abs(CAST(l_quantity AS DOUBLE) - med) AS dev
+      FROM lineitem l JOIN m USING (l_returnflag)),
+md AS (SELECT l_returnflag,
+              percentile_cont(0.5) WITHIN GROUP (ORDER BY dev) AS mad
+       FROM d GROUP BY l_returnflag)
+SELECT d.l_returnflag,
+       CAST(SUM(CASE WHEN mad > 0
+                     AND round(dev, 9) > round(3.0 * mad, 9)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       COUNT(*) AS n
+FROM d JOIN md USING (l_returnflag)
+GROUP BY d.l_returnflag
+""")
+def mad_outlier_counts(spark, sf_dir):
+    """mad_outliers (operators.anomaly): the robust |v − median| >
+    k·MAD rule — a few extreme points cannot drag the baseline the way
+    they drag a z-score's mean/stddev. Two exact quantile passes, each
+    reduced to a broadcast groups-table; flags compare round(9) values
+    so last-ulp ties cannot flip cross-engine. Zero-MAD groups flag
+    nothing (no-false-positive posture)."""
+    from crysda_spark.operators.anomaly import mad_outliers
+    li = _t(spark, sf_dir, "lineitem")
+    out = mad_outliers(li, "l_quantity", by="l_returnflag", k=3.0)
+    return (out.sdf.groupBy("l_returnflag")
+            .agg(F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+                 .cast("bigint").alias("n_outliers"),
+                 F.count(F.lit(1)).alias("n")))
+
+
 @q("anomaly_daily_volume", """
 WITH d AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,

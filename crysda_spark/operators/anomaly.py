@@ -75,3 +75,74 @@ def anomaly_flags(f: Frame, value_col: str, by: list[str] | str | tuple = (),
                  .withColumn("is_anomaly",
                              F.coalesce(F.abs(F.col("zscore")) > z,
                                         F.lit(False))))
+
+
+def winsorize(f: Frame, value_col: str, by: list[str] | str | tuple = (),
+              q_lo: float = 0.01, q_hi: float = 0.99,
+              out_col: str | None = None) -> Frame:
+    """Clamp ``value_col`` into its per-group [q_lo, q_hi] EXACT
+    quantile range — the standard heavy-tail guard before computing
+    means/regressions on noisy web data. Adds ``out_col`` (default
+    ``{value_col}_w``); rows keep their order and count.
+
+    Scale shape: the quantiles come from the exact distributed
+    ``quantile_cont`` (no per-group value buffering), arrive as one
+    tiny (groups × 2) table, and join back broadcast; the clamp is a
+    codegen'd least/greatest. Deterministic: interpolation arithmetic
+    is fixed IEEE, so the clamped values are reproducible — and
+    SQL-oracle-able (DuckDB's percentile_cont implements the same
+    h = 1+(n−1)q contract)."""
+    from .quantiles import quantile_cont
+    if not 0.0 <= q_lo < q_hi <= 1.0:
+        raise ValueError(f"winsorize: need 0 <= q_lo < q_hi <= 1, "
+                         f"got ({q_lo}, {q_hi})")
+    keys = [by] if isinstance(by, str) else list(by)
+    out_col = out_col or f"{value_col}_w"
+    qs = quantile_cont(f.sdf, value_col, [q_lo, q_hi],
+                       by=keys or None, with_index=True)
+    bounds = (qs.groupBy(*keys)
+              .agg(F.min(F.when(F.col("_qi") == 0, F.col("value")))
+                   .alias("_lo"),
+                   F.min(F.when(F.col("_qi") == 1, F.col("value")))
+                   .alias("_hi")))
+    joined = (f.sdf.join(F.broadcast(bounds), on=keys) if keys
+              else f.sdf.crossJoin(F.broadcast(bounds)))
+    clamped = F.least(F.greatest(F.col(value_col).cast("double"),
+                                 F.col("_lo")), F.col("_hi"))
+    return Frame(joined.withColumn(out_col, clamped)
+                 .drop("_lo", "_hi"))
+
+
+def mad_outliers(f: Frame, value_col: str,
+                 by: list[str] | str | tuple = (),
+                 k: float = 3.0) -> Frame:
+    """Flag rows whose |value − median| exceeds ``k`` × MAD (median
+    absolute deviation) within their group — the robust outlier rule
+    that, unlike z-scores, a few extreme points cannot drag. Adds
+    ``is_outlier``. A zero MAD (over half the group at one value)
+    flags NOTHING — constant-ish groups produce no alarms, matching
+    the no-false-positive posture of ``anomaly_flags``.
+
+    Two exact quantile passes (median of values, then median of
+    absolute deviations — quantile_cont both times), each reduced to a
+    groups-sized broadcast table. The comparison runs on round(9)
+    values so the flag is reproducible cross-engine (|v−m| sits
+    exactly AT k·MAD in ties; rounding both sides first removes the
+    last-ulp ambiguity)."""
+    from .quantiles import quantile_cont
+    keys = [by] if isinstance(by, str) else list(by)
+    med = (quantile_cont(f.sdf, value_col, [0.5], by=keys or None)
+           .select(*keys, F.col("value").alias("_med")))
+    with_med = (f.sdf.join(F.broadcast(med), on=keys) if keys
+                else f.sdf.crossJoin(F.broadcast(med)))
+    dev = with_med.withColumn(
+        "_dev", F.abs(F.col(value_col).cast("double") - F.col("_med")))
+    mad = (quantile_cont(dev, "_dev", [0.5], by=keys or None)
+           .select(*keys, F.col("value").alias("_mad")))
+    full = (dev.join(F.broadcast(mad), on=keys) if keys
+            else dev.crossJoin(F.broadcast(mad)))
+    flag = ((F.col("_mad") > 0)
+            & (F.round(F.col("_dev"), 9)
+               > F.round(F.lit(float(k)) * F.col("_mad"), 9)))
+    return Frame(full.withColumn("is_outlier", flag)
+                 .drop("_dev"))

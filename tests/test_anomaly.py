@@ -54,3 +54,48 @@ def test_anomaly_validation(spark):
     bad = Frame(f.sdf.withColumn("zscore", F.lit(1.0)))
     with pytest.raises(ValueError, match="already exists"):
         anomaly_flags(bad, "v")
+
+
+# --------------------------------------------------- winsorize / MAD
+def test_winsorize_clamps_to_exact_quantiles(spark):
+    from crysda_spark import from_records
+    from crysda_spark.operators.anomaly import winsorize
+    rows = [{"g": "a", "v": float(i)} for i in range(1, 101)]
+    rows += [{"g": "a", "v": 1e9}, {"g": "b", "v": 5.0}]
+    out = winsorize(from_records(spark, rows), "v", by="g",
+                    q_lo=0.10, q_hi=0.90)
+    a = [r.v_w for r in out.sdf.filter(F.col("g") == "a").collect()]
+    assert max(a) < 1e9                      # the tail point clamped
+    assert min(a) >= 1.0
+    b = [r.v_w for r in out.sdf.filter(F.col("g") == "b").collect()]
+    assert b == [5.0]                        # single-row group: v==q==v
+    assert out.sdf.count() == len(rows)      # row count preserved
+
+
+def test_winsorize_validation():
+    import pytest as _pt
+    from crysda_spark.operators.anomaly import winsorize
+    with _pt.raises(ValueError, match="q_lo"):
+        winsorize(None, "v", q_lo=0.9, q_hi=0.1)
+
+
+def test_mad_outliers_robust_to_the_outlier_itself(spark):
+    """The defining property vs z-scores: ONE extreme point cannot
+    drag the baseline enough to hide itself or flag good points."""
+    from crysda_spark import from_records
+    from crysda_spark.operators.anomaly import mad_outliers
+    rows = [{"g": "a", "v": float(v)}
+            for v in [10, 11, 9, 10, 12, 10, 11, 9, 10, 1000]]
+    out = {r.v: r.is_outlier
+           for r in mad_outliers(from_records(spark, rows), "v",
+                                 by="g", k=3.0).sdf.collect()}
+    assert out[1000.0] is True
+    assert all(not out[v] for v in out if v != 1000.0)
+
+
+def test_mad_outliers_zero_mad_flags_nothing(spark):
+    from crysda_spark import from_records
+    from crysda_spark.operators.anomaly import mad_outliers
+    rows = [{"g": "c", "v": 7.0}] * 9 + [{"g": "c", "v": 7.5}]
+    out = mad_outliers(from_records(spark, rows), "v", by="g", k=3.0)
+    assert out.sdf.filter(F.col("is_outlier")).count() == 0
