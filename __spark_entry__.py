@@ -4708,6 +4708,42 @@ def scd2_segment_history(spark, sf_dir):
                       "2024-01-01 00:00:00").sdf
 
 
+@q("chunk_documents_windows", """
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN length(norm) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(norm, ' ') END AS t
+  FROM (SELECT doc_id,
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+        FROM documents)),
+fanned AS (
+  SELECT doc_id, t,
+         unnest(range(1, greatest(len(t), 1) + 1, 16)) AS start
+  FROM tok)
+SELECT doc_id,
+       CAST((start - 1) / 16 AS INT) AS chunk_id,
+       md5(array_to_string(list_slice(t, start, start + 23), ' ')) AS chunk_fp,
+       CAST(least(greatest(len(t) - start + 1, 0), 24) AS INT) AS n_tokens
+FROM fanned
+""")
+def chunk_documents_windows(spark, sf_dir):
+    """Document chunking (pipeline.text.chunk_documents): fixed
+    24-token windows with 8-token overlap (stride 16) — the step
+    between a cleaned corpus and sequence packing when docs exceed the
+    training context. Pure codegen expressions (tokens projected once,
+    sequence + posexplode fan-out, slice), zero shuffles; per-chunk
+    text compared via md5 so the oracle checks content, not just
+    counts."""
+    from crysda_spark.pipeline.text import chunk_documents
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, "text", "doc_id",
+                          chunk_tokens=24, overlap=8)
+    return out.sdf.select(
+        "doc_id", "chunk_id",
+        F.md5(F.col("chunk_text")).alias("chunk_fp"),
+        F.col("n_tokens").cast("int"))
+
+
 @q("aggressive_normalize_dedup", """
 WITH n AS (
   SELECT doc_id,

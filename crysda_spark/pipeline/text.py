@@ -602,3 +602,50 @@ def dup_span_stats(f, text_col: str = "text", id_col: str = "doc_id",
                     .otherwise(0.0).alias("dup_token_frac")))
     from ..frame import Frame
     return Frame(out)
+
+
+# ------------------------------------------------------------ chunking
+def chunk_documents(f, text_col: str, id_col: str,
+                    chunk_tokens: int = 512, overlap: int = 0):
+    """Split long documents into fixed-size token windows — the step
+    between a cleaned corpus and sequence packing when documents
+    exceed the training context. One row per chunk:
+    ``(id, chunk_id, chunk_text, n_tokens)``; ``overlap`` tokens of
+    each chunk repeat at the start of the next (stride =
+    chunk_tokens − overlap). Empty/whitespace-only docs yield one
+    empty chunk (provenance preserved — downstream joins never lose a
+    doc id). The final chunk is the short remainder.
+
+    Scale shape: tokens are projected ONCE per doc (the HOF-lesson
+    from shingling), chunk starts come from a ``sequence`` expression,
+    and ``posexplode`` fans out — all codegen'd JVM expressions, no
+    shuffle at all until the caller aggregates. Deterministic slicing,
+    so the whole operator is SQL-oracle-able."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_documents: chunk_tokens must be >= 1, "
+                         f"got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"chunk_documents: need 0 <= overlap < "
+                         f"chunk_tokens, got {overlap}")
+    stride = chunk_tokens - overlap
+    tok = f.sdf.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    # empty text -> split gives [""]; treat as zero tokens
+    tok = tok.withColumn(
+        "_t", F.when((F.size("_t") == 1) & (F.element_at("_t", 1) == ""),
+                     F.array().cast("array<string>")).otherwise(F.col("_t")))
+    n = F.size("_t")
+    # chunk start indices (1-based): 1, 1+stride, ... while start <= n;
+    # max(n,1) keeps one (empty) chunk for empty docs
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    out = (tok.select(
+        F.col(id_col), "_t",
+        F.posexplode(starts).alias("chunk_id", "_start"))
+        .select(
+            F.col(id_col), "chunk_id",
+            F.concat_ws(" ", F.slice(F.col("_t"), F.col("_start"),
+                                     chunk_tokens)).alias("chunk_text"),
+            F.least(F.greatest(F.size("_t") - F.col("_start") + 1,
+                               F.lit(0)),
+                    F.lit(chunk_tokens)).alias("n_tokens")))
+    from ..frame import Frame
+    return Frame(out)

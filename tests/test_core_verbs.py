@@ -309,3 +309,32 @@ def test_rowwise_and_ungroup(sleep_df):
     g = sleep_df.group_by("vore")
     assert g.ungroup().groups == ()
     assert g.grouped_by().num_row == 5
+
+
+# -------------------------------------------------------- doc chunking
+def test_chunk_documents_windows_and_edges(spark):
+    from crysda_spark import from_records
+    from crysda_spark.pipeline.text import chunk_documents
+    import pytest as _pt
+    words = " ".join(f"w{i}" for i in range(10))
+    rows = [{"doc_id": 1, "text": words},
+            {"doc_id": 2, "text": "only three words"},
+            {"doc_id": 3, "text": "   "}]
+    out = chunk_documents(from_records(spark, rows), "text", "doc_id",
+                          chunk_tokens=4, overlap=1)
+    got = {(r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+           for r in out.sdf.collect()}
+    # doc 1: stride 3 -> starts 1,4,7,10
+    assert got[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert got[(1, 1)] == ("w3 w4 w5 w6", 4)       # 1-token overlap
+    assert got[(1, 2)] == ("w6 w7 w8 w9", 4)
+    assert got[(1, 3)] == ("w9", 1)                # remainder
+    assert got[(2, 0)] == ("only three words", 3)  # short doc: one chunk
+    assert got[(3, 0)] == ("", 0)                  # empty doc kept
+    assert len(got) == 6
+    with _pt.raises(ValueError, match="overlap"):
+        chunk_documents(from_records(spark, rows), "text", "doc_id",
+                        chunk_tokens=4, overlap=4)
+    # zero shuffles: chunking is pure projection + explode
+    from crysda_spark.plans import shuffle_count
+    assert shuffle_count(out.sdf) == 0
