@@ -4888,6 +4888,40 @@ def props_json_rollup(spark, sf_dir):
                  F.countDistinct("k").alias("k_distinct")))
 
 
+@q("write_xml_roundtrip", """
+SELECT n_regionkey, COUNT(*) AS n, SUM(n_nationkey) AS key_sum,
+       MAX(n_name) AS max_name
+FROM nation GROUP BY n_regionkey
+""")
+def write_xml_roundtrip(spark, sf_dir):
+    """XML sink+source correctness under the oracle gate: nation →
+    write_xml → read_xml (Spark 4 built-in XML source, type inference)
+    → aggregate. The oracle aggregates the ORIGINAL parquet, so value
+    equality proves the XML round-trip preserves values and types —
+    including markup-significant characters in n_comment surviving
+    entity escaping (the column rides along and is parsed back, even
+    though the aggregate doesn't read it)."""
+    import os
+    import tempfile
+
+    from crysda_spark import read_xml
+    from crysda_spark.sources.sinks import write_xml
+    n = _t(spark, sf_dir, "nation")
+    path = os.path.join(tempfile.gettempdir(),
+                        "crysda_r8_xml_roundtrip_"
+                        + os.path.basename(sf_dir.rstrip("/")))
+    write_xml(n, path, row_tag="nation", root_tag="nations",
+              single_file=True)
+    back = read_xml(spark, path, row_tag="nation")
+    return (back.sdf.groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_nationkey").alias("key_sum"),
+                 F.max("n_name").alias("max_name"))
+            .select(F.col("n_regionkey").cast("int").alias("n_regionkey"),
+                    "n", F.col("key_sum").cast("long").alias("key_sum"),
+                    "max_name"))
+
+
 # ================================================================== contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""

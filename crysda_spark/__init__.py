@@ -27,16 +27,18 @@ from .sources import (
     read_parquet,
     read_text,
     read_warc,
+    read_xml,
 )
-from .sources.sinks import write_csv, write_json, write_parquet
+from .sources.sinks import write_csv, write_json, write_parquet, write_xml
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Frame", "Ctx", "get_spark",
     "read_csv", "read_json", "read_parquet", "read_jdbc", "read_orc", "read_text", "read_warc",
+    "read_xml",
     "dataframe_of", "from_records", "from_json", "empty_df",
-    "write_csv", "write_json", "write_parquet",
+    "write_csv", "write_json", "write_parquet", "write_xml",
     "bind_rows", "bind_cols",
 ]
 

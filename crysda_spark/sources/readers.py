@@ -270,6 +270,23 @@ def read_warc(spark: SparkSession, path: str,
     return Frame(out)
 
 
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row",
+             **options: str) -> Frame:
+    """XML reader — Spark 4's built-in XML source (migrated from
+    spark-xml into sql/core): one row per ``row_tag`` element, nested
+    elements become structs, attributes become ``_attr`` columns, types
+    inferred. Splittable across executors like json/csv; schema
+    inference is a separate pass, so pass ``schema=...`` (DDL string) in
+    ``options`` at scale to skip it (same rule as read_json)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    schema = options.pop("schema", None)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return Frame(reader.load(path))
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options: str) -> Frame:
     """SQL sources (reference `from(DB::ResultSet)`, src/crysda.cr:49-52).
     Spark JDBC pushes the query down and can parallelize on a partition

@@ -35,6 +35,18 @@ def write_json(f: Frame, path: str, mode: str = "overwrite") -> None:
     f.sdf.write.mode(mode).json(path)
 
 
+def write_xml(f: Frame, path: str, row_tag: str = "row",
+              root_tag: str = "rows", single_file: bool = False,
+              mode: str = "overwrite") -> None:
+    """XML sink (Spark 4 built-in source). One ``root_tag`` document per
+    partition file with one ``row_tag`` element per row — distributed
+    like every other sink; ``single_file`` coalesces for one-document
+    parity (small results only)."""
+    sdf = f.sdf.coalesce(1) if single_file else f.sdf
+    (sdf.write.mode(mode).format("xml")
+     .option("rowTag", row_tag).option("rootTag", root_tag).save(path))
+
+
 def write_parquet_dynamic(f: Frame, path: str,
                           partition_by: list[str] | str) -> None:
     """Dynamic partition overwrite: rewrite ONLY the partitions present

@@ -252,6 +252,43 @@ def test_write_csv_roundtrip_na(spark, tmp_path):
     assert h["a"] == [None, 1]  # null → "NA" sentinel → null again
 
 
+def test_write_xml_roundtrip(spark, tmp_path):
+    """XML sink → source: types inferred back, markup-significant
+    characters entity-escaped and restored, nulls as absent elements."""
+    from crysda_spark import read_xml
+    from crysda_spark.sources.sinks import write_xml
+    f = from_records(spark, [
+        {"id": 1, "name": "a<b>&c", "score": 1.5},
+        {"id": 2, "name": 'quote"apos\'', "score": None},
+        {"id": 3, "name": "plain", "score": -2.25},
+    ])
+    out = str(tmp_path / "out_xml")
+    write_xml(f, out, row_tag="doc", root_tag="docs", single_file=True)
+    back = read_xml(spark, out, row_tag="doc")
+    h = Frame(back.sdf.select("id", "name", "score")).sort_by("id").to_h()
+    assert h["id"] == [1, 2, 3]
+    assert h["name"] == ["a<b>&c", 'quote"apos\'', "plain"]
+    assert h["score"] == [1.5, None, -2.25]
+
+
+def test_read_xml_explicit_schema_and_attributes(spark, tmp_path):
+    """Explicit-schema path skips inference (the at-scale rule);
+    attributes surface as _attr columns; nested elements as structs."""
+    from crysda_spark import read_xml
+    p = tmp_path / "t.xml"
+    p.write_text(
+        "<rows>"
+        '<row id="7"><name>x</name><meta><lang>en</lang></meta></row>'
+        '<row id="8"><name>y</name><meta><lang>de</lang></meta></row>'
+        "</rows>")
+    back = read_xml(spark, str(p), row_tag="row",
+                    schema="_id long, name string, "
+                           "meta struct<lang: string>")
+    rows = sorted(back.sdf.collect(), key=lambda r: r._id)
+    assert [(r._id, r.name, r.meta.lang) for r in rows] == [
+        (7, "x", "en"), (8, "y", "de")]
+
+
 def test_read_warc_wet_records(spark, tmp_path):
     """WARC/WET reader: record split on the version header, header
     fields case-insensitive, payload preserved (incl. newlines), type
