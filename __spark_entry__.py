@@ -4888,6 +4888,129 @@ def props_json_rollup(spark, sf_dir):
                  F.countDistinct("k").alias("k_distinct")))
 
 
+@q("hashed_features_sparse", """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(trim(lower(text)),
+                                                 '\\s+', ' ', 'g'), ' '),
+                     x -> length(x) > 0) AS toks
+  FROM documents WHERE doc_id % 50 = 0),
+g AS (
+  SELECT doc_id, unnest(toks) AS g FROM t
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS g
+  FROM t)
+SELECT doc_id,
+       ('0x' || substr(md5(g), 1, 15))::BIGINT % 64 AS bucket,
+       COUNT(*) AS cnt,
+       SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS tot
+FROM g GROUP BY 1, 2
+""")
+def hashed_features_sparse(spark, sf_dir):
+    """Hashing-trick featurizer (pipeline.classify.hash_features_sparse,
+    Weinberger 2009): word 1+2-grams of normalized text → md5-derived
+    bucket in [0,64) → per-doc sparse counts. The oracle replays
+    tokenization, bigram windowing, and the 60-bit md5 hex-parse bucket
+    value-for-value (the portable-hash discipline of split_bucket /
+    the CMS sketch — xxhash64 exists only in Spark). Sliced to 2% of
+    docs so the sparse rows stay bounded at any SF."""
+    from crysda_spark.pipeline.classify import hash_features_sparse
+    d = _t(spark, sf_dir, "documents").sdf.filter(F.col("doc_id") % 50 == 0)
+    return hash_features_sparse(d, "text", "doc_id", dims=64, ngrams=(1, 2))
+
+
+def _fixed_clf_weights(dims: int = 64):
+    """Deterministic demo weight vector: nonzero only at the buckets of
+    four corpus words (md5-derived — same arithmetic as hash_bucket),
+    so the SQL oracle can replay the dot product term-for-term."""
+    import hashlib
+    w = {}
+    for word, wt in [("spark", 3.0), ("join", -2.0),
+                     ("merge", 1.5), ("window", -1.0)]:
+        b = int(hashlib.md5(word.encode()).hexdigest()[:15], 16) % dims
+        w[b] = w.get(b, 0.0) + wt
+    return 0.25, dict(sorted(w.items()))
+
+
+def _fixed_clf_oracle(dims: int = 64) -> str:
+    bias, w = _fixed_clf_weights(dims)
+    xs = ", ".join(
+        f"COALESCE(MAX(CASE WHEN b = {b} THEN c END), 0)::DOUBLE"
+        f" / ANY_VALUE(tot) AS x{b}" for b in w)
+    # ascending-bucket left association — identical to the Spark fold
+    z = f"{bias!r}"
+    for b, wt in w.items():
+        z = f"({z} + x{b}*{wt!r})"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(trim(lower(text)),
+                                                 '\\s+', ' ', 'g'), ' '),
+                     x -> length(x) > 0) AS toks
+  FROM documents),
+g AS (SELECT doc_id, unnest(toks) AS g FROM t),
+s AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % {dims} AS b,
+             COUNT(*) AS c
+      FROM g GROUP BY 1, 2),
+tt AS (SELECT doc_id, SUM(c)::DOUBLE AS tot FROM s GROUP BY 1),
+x AS (SELECT s.doc_id, {xs}
+      FROM s JOIN tt ON s.doc_id = tt.doc_id GROUP BY 1)
+SELECT doc_id, 0.5 + 0.5*z/(1 + abs(z)) AS score
+FROM (SELECT doc_id, {z} AS z FROM x) q
+"""
+
+
+@q("text_classifier_score_fixed", _fixed_clf_oracle())
+def text_classifier_score_fixed(spark, sf_dir):
+    """Linear text-classifier INFERENCE path
+    (classify.text_classifier_predict): hashing-trick features → fold
+    dot product with literal weights → algebraic sigmoid. Weights are
+    nonzero at four md5-derived buckets, so the oracle replays the
+    EXACT IEEE association (ascending-bucket left fold; the skipped
+    terms are exact +0.0 products that cannot change a partial sum)
+    and scores match as raw doubles — a VALUE-level oracle on the whole
+    featurize→score path, no rounding."""
+    from crysda_spark.pipeline.classify import text_classifier_predict
+    bias, w = _fixed_clf_weights(64)
+    weights = [bias] + [w.get(j, 0.0) for j in range(64)]
+    d = _t(spark, sf_dir, "documents").sdf
+    return text_classifier_predict(d, "text", "doc_id", weights,
+                                   ngrams=(1,))
+
+
+@q("text_classifier_planted")  # rows-only: GD argmin has no closed SQL form
+def text_classifier_planted(spark, sf_dir):
+    """End-to-end trainability gate for the fastText-shaped classifier
+    (classify.text_classifier_fit): plant y = text contains 'spark',
+    train 5 GD iterations over 256 hashed binary unigram features, and
+    gate that the model RANKS the classes apart — mean score of planted
+    positives must exceed mean score of negatives by ≥ 0.05 (the
+    'spark' bucket's weight must dominate its collisions). Two 1-row
+    aggregates; the training loop is logreg_gd_fit's literal-broadcast
+    shape (itself value-oracled by logreg_gd_weights)."""
+    from crysda_spark.pipeline.classify import (text_classifier_fit,
+                                                text_classifier_predict)
+    d = (_t(spark, sf_dir, "documents").sdf
+         .withColumn("y", F.col("text").contains("spark").cast("int")))
+    w = text_classifier_fit(d, "text", "doc_id", "y", dims=256,
+                            ngrams=(1,), iters=5, lr=2.0, scale="binary")
+    scored = text_classifier_predict(d, "text", "doc_id", w, ngrams=(1,),
+                                     scale="binary")
+    per_class = (scored.join(d.select("doc_id", "y"), on="doc_id")
+                 .groupBy("y").agg(F.avg("score").alias("mean_score"),
+                                   F.count(F.lit(1)).alias("n")))
+    rows = {r.y: r for r in per_class.collect()}
+    gap = rows[1].mean_score - rows[0].mean_score
+    if gap < 0.05:
+        raise AssertionError(
+            f"text_classifier_planted: mean-score gap {gap:.4f} < 0.05 — "
+            f"GD failed to lift the planted token's bucket")
+    return per_class.select("y", F.round("mean_score", 4).alias("mean_score"),
+                            "n")
+
+
 @q("write_xml_roundtrip", """
 SELECT n_regionkey, COUNT(*) AS n, SUM(n_nationkey) AS key_sum,
        MAX(n_name) AS max_name

@@ -30,7 +30,8 @@ from pyspark.sql.window import Window as W
 from ..frame import Frame
 from .text import normalize
 
-__all__ = ["nb_fit", "nb_predict"]
+__all__ = ["nb_fit", "nb_predict", "hash_features", "hash_features_sparse",
+           "hash_bucket", "text_classifier_fit", "text_classifier_predict"]
 
 _RESERVED = {"_tok", "_n", "_c", "_tot", "_prior", "_logp", "_floor",
              "_score", "_rn", "_ndl", "_nd"}
@@ -112,6 +113,145 @@ def nb_predict(f: Frame, model: dict[str, Frame], text_col: str, id_col: str,
     return Frame(out)
 
 
+# ------------------------------------------------- hashing-trick features
+def _c(col):
+    return col if not isinstance(col, str) else F.col(col)
+
+
+def hash_bucket(col, dims: int) -> "F.Column":
+    """Portable feature-hash bucket in [0, dims): the first 15 hex chars
+    of md5 (60 bits, always positive) parsed as an integer, mod dims.
+    Chosen over xxhash64/F.hash for the same reason as split_bucket and
+    the CMS sketch: md5 and hex-parse exist in every SQL engine with
+    identical semantics, so a DuckDB oracle replays bucket assignment
+    value-for-value (xxhash64's output additionally depends on the
+    column's physical type — the bloom_prefilter false-negative class)."""
+    h = F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(dims)).cast("int")
+
+
+def _grams(toks, ngrams: tuple[int, ...]):
+    """Word n-gram arrays from a token array — space-joined, matching
+    the tokenizer's canonical form so a gram string is reproducible."""
+    outs = []
+    for n in ngrams:
+        if n == 1:
+            outs.append(toks)
+        else:
+            # zip token windows: gram i = toks[i] .. toks[i+n-1]
+            g = F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+            for k in range(1, n):
+                nxt = F.slice(toks, 1 + k,
+                              F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+                g = F.zip_with(g, nxt, lambda a, b: F.concat_ws(" ", a, b))
+            outs.append(g)
+    return F.concat(*outs) if len(outs) > 1 else outs[0]
+
+
+def hash_features_sparse(sdf, text_col: str, id_col: str, dims: int = 256,
+                         ngrams: tuple[int, ...] = (1,)):
+    """Sparse half of the hashing-trick featurizer: one row per
+    (document, occupied bucket) — (id_col, bucket, cnt, tot) with
+    ``tot`` the document's total gram count. Bounded by
+    min(doc grams, dims) rows per doc; documents with zero grams after
+    normalization produce no rows (and no feature vector)."""
+    if dims <= 0:
+        raise ValueError(f"hash_features: dims must be positive, got {dims}")
+    toks = F.filter(F.split(normalize(F.col(text_col)), " "),
+                    lambda t: F.length(t) > 0)
+    grams = sdf.select(
+        F.col(id_col),
+        F.explode(_grams(toks, tuple(ngrams))).alias("_g"))
+    sparse = (grams.groupBy(id_col, hash_bucket(F.col("_g"), dims)
+                            .alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    tot = F.sum("cnt").over(W.partitionBy(id_col))
+    return sparse.select(id_col, "bucket", "cnt", tot.alias("tot"))
+
+
+def hash_features(sdf, text_col: str, id_col: str, dims: int = 256,
+                  ngrams: tuple[int, ...] = (1,),
+                  out_col: str = "features", scale: str = "relfreq"):
+    """Hashing-trick featurizer (Weinberger et al. 2009): word n-grams
+    of the normalized text hash into a fixed ``dims``-wide vector of
+    RELATIVE frequencies (count / total grams — one exact IEEE divide,
+    keeping features in [0,1] so GD needs no per-feature scaling).
+    Returns (id_col, out_col: array<double> length dims).
+
+    Scale shape: tokenize/gram/hash are pure codegen expressions; ONE
+    shuffle keyed by (id, bucket) builds sparse counts (bounded by
+    min(doc grams, dims) rows per doc), then a per-doc map collects ≤
+    ``dims`` entries and an O(1)-size transform densifies — no
+    dims-wide expression tree (the Janino-compile trap logreg_gd_fit's
+    docstring records), no Python in the row path. The fixed width is
+    what makes downstream training a literal-broadcast aggregate
+    instead of a vocabulary join: memory per row is dims·8 bytes
+    regardless of corpus vocabulary.
+
+    ``scale``: "relfreq" (count / doc total — magnitude shrinks with
+    document length, right for scoring against fixed weights) or
+    "binary" (1.0 if the bucket is occupied — length-invariant, the
+    right scale for GD TRAINING: relfreq features of ~1/doc_len give
+    vanishing gradients). Both are exact cross-engine values (an IEEE
+    quotient of integers / a constant)."""
+    if dims <= 0:
+        raise ValueError(f"hash_features: dims must be positive, got {dims}")
+    if scale not in ("relfreq", "binary"):
+        raise ValueError(f"hash_features: unknown scale {scale!r}")
+    sparse = hash_features_sparse(sdf, text_col, id_col, dims=dims,
+                                  ngrams=ngrams)
+    per_doc = (sparse.groupBy(id_col)
+               .agg(F.map_from_entries(
+                        F.collect_list(F.struct("bucket", "cnt"))).alias("_m"),
+                    F.max("tot").alias("_tot")))
+    if scale == "binary":
+        feats = F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda i: F.when(F.element_at(F.col("_m"), i.cast("int"))
+                             .isNotNull(), 1.0).otherwise(0.0))
+    else:
+        feats = F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("_m"), i.cast("int")),
+                                 F.lit(0)).cast("double")
+            / F.col("_tot").cast("double"))
+    return per_doc.select(id_col, feats.alias(out_col))
+
+
+def text_classifier_fit(sdf, text_col: str, id_col: str, label_col: str,
+                        dims: int = 256, ngrams: tuple[int, ...] = (1,),
+                        iters: int = 3, lr: float = 0.5,
+                        scale: str = "binary") -> list[float]:
+    """fastText-shaped linear text classifier: hashing-trick features →
+    full-batch GD (``logreg_gd_fit``). ``label_col`` must be 0/1.
+    Returns ``[bias, w0..w_{dims-1}]`` — a plain weight list; broadcast
+    it into ``text_classifier_predict`` as literals. Inherits
+    logreg_gd_fit's bit-reproducibility contract (features are exact
+    IEEE quotients of integer counts, identical on every engine)."""
+    f = hash_features(sdf.select(id_col, text_col, label_col),
+                      text_col, id_col, dims=dims, ngrams=ngrams,
+                      scale=scale)
+    labels = sdf.select(id_col, F.col(label_col).cast("double").alias("_y"))
+    train = f.join(labels, on=id_col)
+    return logreg_gd_fit(train, "features", "_y", dims=dims,
+                         iters=iters, lr=lr)
+
+
+def text_classifier_predict(sdf, text_col: str, id_col: str,
+                            weights: list[float], ngrams: tuple[int, ...] = (1,),
+                            out_col: str = "score", scale: str = "relfreq"):
+    """Score documents with a trained weight list. Featurizes with the
+    SAME dims the weights were trained at (len(weights) - 1) and folds
+    the dot product exactly like training — one shuffle (the
+    featurizer's), weights ride into the plan as literals. Pass the
+    SAME ``scale`` the weights were trained at."""
+    dims = len(weights) - 1
+    f = hash_features(sdf.select(id_col, text_col), text_col, id_col,
+                      dims=dims, ngrams=ngrams, scale=scale)
+    return f.select(id_col, logreg_gd_predict(f, "features", weights,
+                                              out_col=out_col))
+
+
 # ---------------------------------------------------- linear model (GD)
 def algebraic_sigmoid(z: "F.Column") -> "F.Column":
     """0.5 + 0.5·z/(1+|z|) — a rational squashing link (the 'fast
@@ -180,9 +320,14 @@ def logreg_gd_fit(sdf, features_col: str, label_col: str, dims: int,
 def logreg_gd_predict(sdf, features_col: str, weights: list[float],
                       out_col: str = "score") -> "F.Column":
     """Score column for a trained ``logreg_gd_fit`` weight vector —
-    same literal-broadcast shape as training."""
-    z = F.lit(weights[0])
-    for j, wj in enumerate(weights[1:]):
-        z = z + F.element_at(F.col(features_col), j + 1).cast("double") \
-            * F.lit(wj)
+    same literal-broadcast fold shape (and therefore the same IEEE
+    association, ((b + x1·w1) + x2·w2)…) as training; the fold keeps
+    the plan O(1) in dims (a dims-wide unrolled tree at dims≥256 pays
+    more in Janino compile than the scan — see logreg_gd_fit)."""
+    dims = len(weights) - 1
+    feats = F.transform(F.slice(F.col(features_col), 1, dims),
+                        lambda v: v.cast("double"))
+    w_arr = F.array(*[F.lit(float(v)) for v in weights[1:]])
+    z = F.aggregate(F.zip_with(feats, w_arr, lambda a, c: a * c),
+                    F.lit(float(weights[0])), lambda acc, v: acc + v)
     return algebraic_sigmoid(z).alias(out_col)

@@ -122,3 +122,99 @@ def test_logreg_gd_bit_reproducible(spark):
     wa = logreg_gd_fit(a, "embedding", "y", dims=2, iters=4, lr=0.7)
     wb = logreg_gd_fit(b, "embedding", "y", dims=2, iters=4, lr=0.7)
     assert wa == wb
+
+
+# ------------------------------------------------ hashing-trick features
+def test_hash_bucket_matches_md5_arithmetic(spark):
+    """The bucket is the first 15 md5 hex chars as an integer mod dims —
+    pinned against hashlib so the portable-hash contract (any engine
+    can replay it) is a tested value, not a docstring claim."""
+    import hashlib
+    words = ["spark", "join", "", "Ünïcode", "two words"]
+    got = spark.createDataFrame([(w,) for w in words], "w string").select(
+        "w", cls.hash_bucket(F.col("w"), 64).alias("b")).collect()
+    for r in got:
+        want = int(hashlib.md5(r.w.encode()).hexdigest()[:15], 16) % 64
+        assert r.b == want, r.w
+
+
+def test_hash_features_relfreq_sums_to_one_and_is_partition_invariant(spark):
+    sdf = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} common word here") for i in range(40)],
+        "doc_id long, text string")
+    a = {r.doc_id: r.features for r in
+         cls.hash_features(sdf, "text", "doc_id", dims=32).collect()}
+    b = {r.doc_id: r.features for r in
+         cls.hash_features(sdf.repartition(13), "text", "doc_id",
+                           dims=32).collect()}
+    assert a == b  # exact doubles, any partitioning
+    for v in a.values():
+        assert len(v) == 32 and abs(sum(v) - 1.0) < 1e-12
+
+
+def test_hash_features_binary_is_presence(spark):
+    sdf = spark.createDataFrame([(1, "aa aa aa bb")], "doc_id long, text string")
+    feats = cls.hash_features(sdf, "text", "doc_id", dims=16,
+                              scale="binary").first().features
+    assert sorted(set(feats)) == [0.0, 1.0]
+    assert sum(feats) == 2.0  # two distinct tokens -> two occupied buckets
+
+
+def test_hash_features_bigrams_counted(spark):
+    sdf = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    sp = cls.hash_features_sparse(sdf, "text", "doc_id", dims=1024,
+                                  ngrams=(1, 2)).collect()
+    # grams: a,b,a,b + "a b","b a","a b" -> 7 total
+    assert sum(r.cnt for r in sp) == 7
+    assert all(r.tot == 7 for r in sp)
+
+
+def test_hash_features_empty_text_drops_doc(spark):
+    sdf = spark.createDataFrame([(1, "  "), (2, "word")],
+                                "doc_id long, text string")
+    out = cls.hash_features(sdf, "text", "doc_id", dims=8).collect()
+    assert [r.doc_id for r in out] == [2]
+
+
+def test_hash_features_rejects_bad_args(spark):
+    sdf = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="dims"):
+        cls.hash_features(sdf, "text", "doc_id", dims=0)
+    with pytest.raises(ValueError, match="scale"):
+        cls.hash_features(sdf, "text", "doc_id", dims=8, scale="tfidf")
+
+
+def test_text_classifier_learns_planted_token(spark):
+    """y = contains 'zebra': after a few GD rounds every positive must
+    outscore every negative (the planted bucket's weight dominates)."""
+    rows = [(i, ("zebra stripes run fast" if i % 2 else
+                 "plain horse walks slow"), i % 2) for i in range(20)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    w = cls.text_classifier_fit(sdf, "text", "doc_id", "y", dims=64,
+                                iters=6, lr=2.0)
+    sc = {r.doc_id: r.score for r in
+          cls.text_classifier_predict(sdf, "text", "doc_id", w,
+                                      scale="binary").collect()}
+    pos = [sc[i] for i in range(20) if i % 2]
+    neg = [sc[i] for i in range(20) if not i % 2]
+    assert min(pos) > max(neg)
+
+
+def test_logreg_gd_predict_fold_matches_unrolled(spark):
+    """The fold dot product must equal the naive unrolled sum exactly
+    (same left association) — the property the fixed-weight oracle
+    relies on."""
+    import random
+    rng = random.Random(5)
+    weights = [0.25] + [rng.choice([0.0, 1.5, -2.0]) for _ in range(16)]
+    rows = [(i, [rng.random() for _ in range(16)]) for i in range(30)]
+    sdf = spark.createDataFrame(rows, "id long, features array<double>")
+    got = {r.id: r.score for r in
+           sdf.select("id", cls.logreg_gd_predict(sdf, "features",
+                                                  weights)).collect()}
+    for i, feats in rows:
+        z = weights[0]
+        for x, wj in zip(feats, weights[1:]):
+            z = z + x * wj
+        want = 0.5 + 0.5 * z / (1.0 + abs(z))
+        assert got[i] == want, i
