@@ -4984,29 +4984,38 @@ def text_classifier_score_fixed(spark, sf_dir):
 def text_classifier_planted(spark, sf_dir):
     """End-to-end trainability gate for the fastText-shaped classifier
     (classify.text_classifier_fit): plant y = text contains 'spark',
-    train 5 GD iterations over 256 hashed binary unigram features, and
-    gate that the model RANKS the classes apart — mean score of planted
-    positives must exceed mean score of negatives by ≥ 0.05 (the
-    'spark' bucket's weight must dominate its collisions). Two 1-row
-    aggregates; the training loop is logreg_gd_fit's literal-broadcast
-    shape (itself value-oracled by logreg_gd_weights)."""
+    train 4 GD iterations over 64 hashed binary unigram features, and
+    gate that the planted token's bucket earns the ARGMAX weight
+    (collision-free at dims=64 — every other vocabulary word is
+    label-independent, so any other bucket winning means training is
+    broken) and that positives outscore negatives on average. The
+    training loop is logreg_gd_fit's broadcast-weight aggregate shape
+    (itself value-oracled by logreg_gd_weights)."""
+    import hashlib
+
     from crysda_spark.pipeline.classify import (text_classifier_fit,
                                                 text_classifier_predict)
     d = (_t(spark, sf_dir, "documents").sdf
          .withColumn("y", F.col("text").contains("spark").cast("int")))
-    w = text_classifier_fit(d, "text", "doc_id", "y", dims=256,
-                            ngrams=(1,), iters=5, lr=2.0, scale="binary")
+    w = text_classifier_fit(d, "text", "doc_id", "y", dims=64,
+                            ngrams=(1,), iters=4, lr=2.0, scale="binary")
+    planted = int(hashlib.md5(b"spark").hexdigest()[:15], 16) % 64
+    top = max(range(64), key=lambda j: w[1 + j])
+    if top != planted or w[1 + planted] <= 0:
+        raise AssertionError(
+            f"text_classifier_planted: argmax weight at bucket {top} "
+            f"(w={w[1 + top]:.4f}), expected planted bucket {planted} "
+            f"(w={w[1 + planted]:.4f}) — GD failed to lift the planted "
+            f"token")
     scored = text_classifier_predict(d, "text", "doc_id", w, ngrams=(1,),
                                      scale="binary")
     per_class = (scored.join(d.select("doc_id", "y"), on="doc_id")
                  .groupBy("y").agg(F.avg("score").alias("mean_score"),
                                    F.count(F.lit(1)).alias("n")))
     rows = {r.y: r for r in per_class.collect()}
-    gap = rows[1].mean_score - rows[0].mean_score
-    if gap < 0.05:
+    if rows[1].mean_score <= rows[0].mean_score:
         raise AssertionError(
-            f"text_classifier_planted: mean-score gap {gap:.4f} < 0.05 — "
-            f"GD failed to lift the planted token's bucket")
+            "text_classifier_planted: positives do not outscore negatives")
     return per_class.select("y", F.round("mean_score", 4).alias("mean_score"),
                             "n")
 

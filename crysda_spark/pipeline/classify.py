@@ -232,9 +232,15 @@ def text_classifier_fit(sdf, text_col: str, id_col: str, label_col: str,
                       text_col, id_col, dims=dims, ngrams=ngrams,
                       scale=scale)
     labels = sdf.select(id_col, F.col(label_col).cast("double").alias("_y"))
-    train = f.join(labels, on=id_col)
-    return logreg_gd_fit(train, "features", "_y", dims=dims,
-                         iters=iters, lr=lr)
+    # persist: every GD iteration re-reads the feature table; without
+    # this the featurizer's tokenize+hash+2-shuffle pipeline would run
+    # ``iters`` times (PageRank's lineage lesson, same fix)
+    train = f.join(labels, on=id_col).persist()
+    try:
+        return logreg_gd_fit(train, "features", "_y", dims=dims,
+                             iters=iters, lr=lr)
+    finally:
+        train.unpersist()
 
 
 def text_classifier_predict(sdf, text_col: str, id_col: str,
@@ -286,6 +292,7 @@ def logreg_gd_fit(sdf, features_col: str, label_col: str, dims: int,
     y = F.col(label_col).cast("double")
     feats = F.transform(F.slice(F.col(features_col), 1, dims),
                         lambda v: v.cast("double"))
+    spark = sdf.sparkSession
     w = [0.0] * dims
     b = 0.0
     for _ in range(iters):
@@ -294,15 +301,21 @@ def logreg_gd_fit(sdf, features_col: str, label_col: str, dims: int,
         # the IEEE rounding path is identical. A dims-wide unrolled
         # expression tree here cost more in Catalyst planning + Janino
         # compile than the whole scan (first cut: 17 s for 3 iterations
-        # at dims=64); the fold + explode below keep every plan O(1)
-        # in dims.
-        w_arr = F.array(*[F.lit(float(v)) for v in w])
-        z = F.aggregate(F.zip_with(feats, w_arr, lambda a, c: a * c),
-                        F.lit(float(b)), lambda acc, v: acc + v)
+        # at dims=64); the fold + explode keep every plan O(1) in dims.
+        # Weights travel as a broadcast 1-ROW TABLE, not literals: a
+        # dims-wide literal array changes the generated code every
+        # iteration (at dims=256 each round paid ~7 s of Janino compile
+        # for a sub-second scan); as data, every iteration reuses one
+        # compiled plan shape and the arithmetic is bit-identical.
+        w_row = spark.createDataFrame([(list(map(float, w)), float(b))],
+                                      "_w array<double>, _b double")
+        joined = sdf.crossJoin(F.broadcast(w_row))
+        z = F.aggregate(F.zip_with(feats, F.col("_w"), lambda a, c: a * c),
+                        F.col("_b"), lambda acc, v: acc + v)
         err = (algebraic_sigmoid(z) - y).alias("_err")
-        # gradient via posexplode + 65-key groupBy: one tiny map-side-
-        # combined shuffle; pos `dims` is the appended bias slot (x=1)
-        exploded = sdf.select(
+        # gradient via posexplode + (dims+1)-key groupBy: one tiny map-
+        # side-combined shuffle; pos `dims` is the appended bias slot
+        exploded = joined.select(
             err, F.posexplode(F.concat(feats, F.array(F.lit(1.0))))
             .alias("_pos", "_x"))
         rows = (exploded.groupBy("_pos")
