@@ -5020,6 +5020,60 @@ def text_classifier_planted(spark, sf_dir):
                             "n")
 
 
+def _corr_oracle(table: str, cols: list[str], quant: int = 6) -> str:
+    """Mirror oracle for operators.stats.corr_matrix: the SAME exact-
+    decimal sums and the SAME double-arithmetic association, so values
+    match bit-for-bit with no rounding."""
+    pairs = [(cols[i], cols[j]) for i in range(len(cols))
+             for j in range(i + 1, len(cols))]
+    sums, outs = [], []
+    for x, y in pairs:
+        t = f"{x}__{y}"
+        # DECIMAL(19,q): same values as Spark's (18,q) quantization, but
+        # width 19 forces DuckDB onto INT128 arithmetic — at width 18 its
+        # decimal multiply overflows int64 (the r8 DECIMAL(19,8) lesson)
+        qx, qy = (f"CAST({x} AS DECIMAL(19,{quant}))",
+                  f"CAST({y} AS DECIMAL(19,{quant}))")
+        both = f"{x} IS NOT NULL AND {y} IS NOT NULL"
+        sums += [
+            f"SUM(CASE WHEN {both} THEN 1 ELSE 0 END) AS n_{t}",
+            f"SUM(CASE WHEN {both} THEN {qx} END) AS sx_{t}",
+            f"SUM(CASE WHEN {both} THEN {qy} END) AS sy_{t}",
+            f"SUM(CASE WHEN {both} THEN {qx}*{qy} END) AS sxy_{t}",
+            f"SUM(CASE WHEN {both} THEN {qx}*{qx} END) AS sxx_{t}",
+            f"SUM(CASE WHEN {both} THEN {qy}*{qy} END) AS syy_{t}",
+        ]
+        nd = f"CAST(n_{t} AS DOUBLE)"
+        dx, dy = f"CAST(sx_{t} AS DOUBLE)", f"CAST(sy_{t} AS DOUBLE)"
+        num = f"(CAST(sxy_{t} AS DOUBLE)*{nd} - {dx}*{dy})"
+        denx = f"(CAST(sxx_{t} AS DOUBLE)*{nd} - {dx}*{dx})"
+        deny = f"(CAST(syy_{t} AS DOUBLE)*{nd} - {dy}*{dy})"
+        outs.append(
+            f"SELECT '{x}' AS col_x, '{y}' AS col_y, n_{t} AS n,\n"
+            f"  CASE WHEN n_{t} >= 2 THEN {num}/({nd}*({nd}-1.0)) END AS cov,\n"
+            f"  CASE WHEN n_{t} >= 2 AND {denx} > 0 AND {deny} > 0\n"
+            f"       THEN {num}/(sqrt({denx})*sqrt({deny})) END AS corr\n"
+            f"FROM s")
+    return ("WITH s AS (SELECT " + ",\n".join(sums) + f" FROM {table})\n"
+            + "\nUNION ALL ".join(outs))
+
+
+@q("corr_matrix_lineitem",
+   _corr_oracle("lineitem",
+                ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]))
+def corr_matrix_lineitem(spark, sf_dir):
+    """One-pass pairwise Pearson/covariance over four lineitem measures
+    (operators.stats.corr_matrix): 36 exact-decimal partial sums in ONE
+    map-side-combined aggregate (no data shuffle — one result row), then
+    an IEEE-exact epilogue (products, subtractions, correctly-rounded
+    sqrt and divide). The oracle replays both stages verbatim and the
+    doubles match raw — no rounding column anywhere."""
+    from crysda_spark.operators.stats import corr_matrix
+    li = _t(spark, sf_dir, "lineitem")
+    return corr_matrix(li, ["l_quantity", "l_extendedprice",
+                            "l_discount", "l_tax"]).sdf
+
+
 @q("write_xml_roundtrip", """
 SELECT n_regionkey, COUNT(*) AS n, SUM(n_nationkey) AS key_sum,
        MAX(n_name) AS max_name

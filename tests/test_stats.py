@@ -1,0 +1,95 @@
+"""One-pass pairwise correlation/covariance (operators/stats.py)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from crysda_spark import Frame
+from crysda_spark.operators.stats import corr_matrix
+
+
+def _rows(f):
+    return {(r.col_x, r.col_y): r for r in f.sdf.collect()}
+
+
+def test_corr_matrix_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    a = rng.normal(10, 3, 400).round(4)
+    b = (2.5 * a + rng.normal(0, 1, 400)).round(4)
+    c = rng.uniform(-5, 5, 400).round(4)
+    sdf = spark.createDataFrame(
+        [(float(x), float(y), float(z)) for x, y, z in zip(a, b, c)],
+        "a double, b double, c double")
+    got = _rows(corr_matrix(Frame(sdf), ["a", "b", "c"]))
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    # inputs have <= 4 dp, so quant=6 is lossless and corr is the true one
+    assert got[("a", "b")].corr == pytest.approx(
+        np.corrcoef(a, b)[0, 1], abs=1e-12)
+    assert got[("a", "c")].corr == pytest.approx(
+        np.corrcoef(a, c)[0, 1], abs=1e-12)
+    assert got[("a", "b")].cov == pytest.approx(
+        np.cov(a, b, ddof=1)[0, 1], abs=1e-10)
+    assert all(r.n == 400 for r in got.values())
+
+
+def test_corr_matrix_pairwise_null_handling(spark):
+    # b is null exactly where a == 1.0: the (a,b) pair must use only the
+    # 3 complete rows; the (a,c) pair must still use all 4
+    rows = [(1.0, None, 10.0), (2.0, 4.0, 20.0),
+            (3.0, 6.0, 30.0), (4.0, 8.0, 40.0)]
+    sdf = spark.createDataFrame(rows, "a double, b double, c double")
+    got = _rows(corr_matrix(Frame(sdf), ["a", "b", "c"]))
+    assert got[("a", "b")].n == 3
+    assert got[("a", "c")].n == 4
+    assert got[("a", "b")].corr == pytest.approx(1.0, abs=1e-12)
+    assert got[("a", "c")].corr == pytest.approx(1.0, abs=1e-12)
+
+
+def test_corr_matrix_degenerate_pairs_are_null(spark):
+    rows = [(1.0, 5.0, 1.0), (2.0, 5.0, None), (3.0, 5.0, None)]
+    sdf = spark.createDataFrame(rows, "a double, const double, mostly double")
+    got = _rows(corr_matrix(Frame(sdf), ["a", "const", "mostly"]))
+    assert got[("a", "const")].corr is None          # zero variance
+    assert got[("a", "mostly")].corr is None         # n = 1 < 2
+    assert got[("a", "mostly")].cov is None
+    assert got[("a", "const")].cov is not None       # cov(const)=0 is defined
+    assert got[("a", "const")].cov == pytest.approx(0.0, abs=1e-12)
+
+
+def test_corr_matrix_partition_invariant_bitwise(spark):
+    rng = np.random.default_rng(11)
+    rows = [(float(x), float(y)) for x, y in
+            rng.normal(0, 1, (500, 2)).round(5)]
+    sdf = spark.createDataFrame(rows, "a double, b double")
+    one = _rows(corr_matrix(Frame(sdf.coalesce(1)), ["a", "b"]))
+    many = _rows(corr_matrix(Frame(sdf.repartition(17)), ["a", "b"]))
+    # exact-decimal sums -> the doubles are IDENTICAL, not approximately so
+    assert one[("a", "b")].corr == many[("a", "b")].corr
+    assert one[("a", "b")].cov == many[("a", "b")].cov
+
+
+def test_corr_matrix_guards(spark):
+    sdf = spark.createDataFrame([(1.0, 2.0)], "a double, b double")
+    f = Frame(sdf)
+    with pytest.raises(ValueError, match="at least 2"):
+        corr_matrix(f, ["a"])
+    with pytest.raises(ValueError, match="duplicate"):
+        corr_matrix(f, ["a", "a"])
+    with pytest.raises(ValueError, match="unknown"):
+        corr_matrix(f, ["a", "zz"])
+    with pytest.raises(ValueError, match="quant"):
+        corr_matrix(f, ["a", "b"], quant=12)
+    with pytest.raises(ValueError, match="batches"):
+        corr_matrix(f, [f"c{i}" for i in range(40)])
+
+
+def test_corr_matrix_anticorrelated_sign(spark):
+    rows = [(float(i), float(100 - i)) for i in range(50)]
+    sdf = spark.createDataFrame(rows, "up double, down double")
+    got = _rows(corr_matrix(Frame(sdf), ["up", "down"]))
+    assert got[("up", "down")].corr == pytest.approx(-1.0, abs=1e-12)
+    assert got[("up", "down")].cov < 0
+    assert math.isfinite(got[("up", "down")].cov)
