@@ -99,6 +99,165 @@ def ksample_quantile(state, q: float) -> Column:
     return F.when(n > 0, F.element_at(vals, idx))
 
 
+# ------------------------------------------------------- topk measure
+# "topk" is a mergeable heavy-hitters state: the k keys with the
+# largest per-bucket counts, each carrying [lb, ub] bounds on its true
+# count, plus a bucket-level `cut` — an upper bound on the count of ANY
+# key absent from the state. Fine states are EXACT (lb = ub = count,
+# cut = the (k+1)-th count); merging unions entries (absent-state mass
+# enters ub via that state's cut) and re-truncates, keeping the
+# invariant: every key with true count > cut is guaranteed present,
+# and every present key's true count lies in [lb, ub] (the Datasketches
+# "frequent items" bound structure, Misra-Gries style).
+#
+# Unlike every other kind, topk is NOT a single aggregate expression —
+# it needs a per-(bucket, key) count before truncation — so
+# time_rollup / merge_rollup build it out-of-band with relational
+# stages (fine_measure_exprs raises for it, which also makes the
+# streaming rollups reject it with a clear error: stream into a finer
+# batch rollup and merge instead).
+
+_TOPK_ENTRY_T = "array<struct<key:string,lb:bigint,ub:bigint>>"
+_TOPK_SPLITS = 64  # stage-1 tournament fan-in (see _topk_fine_frame)
+
+
+def _topk_spec(name: str, spec) -> tuple:
+    if not (isinstance(spec, tuple) and len(spec) == 3):
+        raise ValueError(
+            f"rollup measure {name!r}: topk needs "
+            f"({name}=('topk', key_col, k))")
+    _, col, k = spec
+    if not (isinstance(k, int) and 1 <= k <= 4096):
+        raise ValueError(
+            f"rollup measure {name!r}: topk k must be an int in "
+            f"[1, 4096], got {k!r}")
+    return col, k
+
+
+def _topk_measures(measures: dict) -> dict:
+    return {n: s for n, s in measures.items()
+            if isinstance(s, tuple) and s[0] == "topk"}
+
+
+def _topk_state(entries: Column, cut: Column) -> Column:
+    return F.struct(entries.alias("entries"), cut.alias("cut"))
+
+
+def _topk_collect_entries(rn: Column, k: int, key: Column, lb: Column,
+                          ub: Column) -> Column:
+    """Entries array for rows with rn <= k, sorted (count desc, key) —
+    collect_list drops the when()'s nulls, array_sort orders by the
+    leading negated-count field, transform strips it."""
+    e = F.when(rn <= k,
+               F.struct((-lb).alias("nc"), key.alias("key"),
+                        lb.alias("lb"), ub.alias("ub")))
+    return F.transform(
+        F.array_sort(F.collect_list(e)),
+        lambda s: F.struct(s["key"].alias("key"), s["lb"].alias("lb"),
+                           s["ub"].alias("ub")))
+
+
+def _topk_fine_frame(base, keys: list, name: str, key_col: str, k: int):
+    """Exact per-bucket top-k state from raw rows — (keys..., bucket,
+    state). Selection is a two-stage tournament so no single task ever
+    sorts a whole bucket's key set: per-key counts shuffle by
+    (bucket, key); stage 1 ranks within (bucket, hash(key) % S) splits
+    (each window ≤ |keys|/S rows); stage 2 ranks the ≤ S·(k+1) split
+    winners. Exact for the entry list (a global top-k key is top-k in
+    its split); `cut` may be the max of split cuts rather than the
+    global (k+1)-th count — a VALID (just possibly looser) absent-key
+    bound."""
+    kc = F.col(key_col).cast("string")
+    cnt = (base.filter(kc.isNotNull())
+           .groupBy(*keys, "bucket", kc.alias("_k"))
+           .agg(F.count(F.lit(1)).alias("_c")))
+    from pyspark.sql.window import Window as _W
+    sp = F.pmod(F.xxhash64(F.col("_k")), F.lit(_TOPK_SPLITS))
+    w1 = (_W.partitionBy(*keys, "bucket", "_sp")
+          .orderBy(F.col("_c").desc(), F.col("_k")))
+    s1 = (cnt.withColumn("_sp", sp)
+          .withColumn("_rn", F.row_number().over(w1))
+          .filter(F.col("_rn") <= k + 1))
+    # split cuts: the (k+1)-th count per split bounds anything dropped
+    # in that split
+    split_cut = (s1.filter(F.col("_rn") == k + 1)
+                 .groupBy(*keys, "bucket")
+                 .agg(F.max("_c").alias("_sc")))
+    w2 = (_W.partitionBy(*keys, "bucket")
+          .orderBy(F.col("_c").desc(), F.col("_k")))
+    s2 = (s1.filter(F.col("_rn") <= k)
+          .withColumn("_rn2", F.row_number().over(w2)))
+    st = (s2.groupBy(*keys, "bucket")
+          .agg(_topk_collect_entries(F.col("_rn2"), k, F.col("_k"),
+                                     F.col("_c"), F.col("_c"))
+               .alias("_entries"),
+               F.coalesce(F.max(F.when(F.col("_rn2") > k, F.col("_c"))),
+                          F.lit(0)).alias("_s2cut")))
+    out = (st.join(split_cut, on=[*keys, "bucket"], how="left")
+           .select(*keys, "bucket",
+                   _topk_state(F.col("_entries"),
+                               F.greatest(F.col("_s2cut"),
+                                          F.coalesce(F.col("_sc"),
+                                                     F.lit(0))))
+                   .alias(name)))
+    return out
+
+
+def _topk_merge_frame(sdf, keys: list, name: str, k: int):
+    """Merge topk states sharing a (keys..., bucket) cell — ``sdf``
+    must already carry the COARSE bucket column. Row volume is bounded
+    by merge arity × k per cell (hour→day = 24·k), so the ranking
+    window is safe."""
+    base = sdf.select(*keys, "bucket", F.col(name).alias("_st"))
+    percell = (base.groupBy(*keys, "bucket")
+               .agg(F.sum("_st.cut").alias("_cuts")))
+    ex = base.select(*keys, "bucket", F.col("_st.cut").alias("_scut"),
+                     F.explode("_st.entries").alias("_e"))
+    perkey = (ex.groupBy(*keys, "bucket", F.col("_e.key").alias("_k"))
+              .agg(F.sum("_e.lb").alias("_lb"),
+                   F.sum("_e.ub").alias("_ubp"),
+                   F.sum("_scut").alias("_cutp")))
+    j = perkey.join(percell, on=[*keys, "bucket"])
+    # a state where the key is absent can hide at most its cut of mass
+    ub = F.col("_ubp") + (F.col("_cuts") - F.col("_cutp"))
+    from pyspark.sql.window import Window as _W
+    w = (_W.partitionBy(*keys, "bucket")
+         .orderBy(F.col("_lb").desc(), F.col("_k")))
+    ranked = j.select(*keys, "bucket", "_k", "_lb", ub.alias("_ub"),
+                      "_cuts").withColumn("_rn", F.row_number().over(w))
+    st = (ranked.groupBy(*keys, "bucket")
+          .agg(_topk_collect_entries(F.col("_rn"), k, F.col("_k"),
+                                     F.col("_lb"), F.col("_ub"))
+               .alias("_entries"),
+               F.coalesce(F.max(F.when(F.col("_rn") > k, F.col("_ub"))),
+                          F.lit(0)).alias("_cx")))
+    out = (percell.join(st, on=[*keys, "bucket"], how="left")
+           .select(*keys, "bucket",
+                   _topk_state(
+                       F.coalesce(F.col("_entries"),
+                                  F.lit(None).cast(_TOPK_ENTRY_T),
+                                  ),
+                       F.greatest(F.col("_cuts"),
+                                  F.coalesce(F.col("_cx"), F.lit(0))))
+                   .alias(name)))
+    return out
+
+
+def topk_explode(rollup: Frame, name: str,
+                 keys: list[str] | tuple | str = ()) -> Frame:
+    """Read a topk measure column as rows: (keys..., bucket, key, lb,
+    ub, cut). Contract: every key whose true count in the bucket
+    exceeds ``cut`` is present; each present key's true count lies in
+    [lb, ub] (fine states: lb = ub = exact count, cut = (k+1)-th)."""
+    keys = _norm_keys(keys)
+    sdf = rollup.sdf
+    ex = sdf.select(*keys, "bucket", F.col(f"{name}.cut").alias("cut"),
+                    F.explode(f"{name}.entries").alias("_e"))
+    return Frame(ex.select(*keys, "bucket", F.col("_e.key").alias("key"),
+                           F.col("_e.lb").alias("lb"),
+                           F.col("_e.ub").alias("ub"), "cut"))
+
+
 def _hist_spec(name: str, spec) -> tuple:
     if not (isinstance(spec, tuple) and len(spec) == 5):
         raise ValueError(
