@@ -4977,7 +4977,7 @@ def text_classifier_score_fixed(spark, sf_dir):
     weights = [bias] + [w.get(j, 0.0) for j in range(64)]
     d = _t(spark, sf_dir, "documents").sdf
     return text_classifier_predict(d, "text", "doc_id", weights,
-                                   ngrams=(1,))
+                                   ngrams=(1,), scale="relfreq")
 
 
 @q("text_classifier_planted")  # rows-only: GD argmin has no closed SQL form

@@ -112,10 +112,11 @@ def ksample_quantile(state, q: float) -> Column:
 #
 # Unlike every other kind, topk is NOT a single aggregate expression —
 # it needs a per-(bucket, key) count before truncation — so
-# time_rollup / merge_rollup build it out-of-band with relational
-# stages (fine_measure_exprs raises for it, which also makes the
-# streaming rollups reject it with a clear error: stream into a finer
-# batch rollup and merge instead).
+# time_rollup / merge_rollup / combine_rollups split topk measures out,
+# build them with the relational stages below, and join the state back
+# on (keys..., bucket). fine_measure_exprs raises for it, which also
+# makes the streaming rollups reject it with a clear error: stream into
+# a finer batch rollup and merge instead.
 
 _TOPK_ENTRY_T = "array<struct<key:string,lb:bigint,ub:bigint>>"
 _TOPK_SPLITS = 64  # stage-1 tournament fan-in (see _topk_fine_frame)
@@ -234,9 +235,13 @@ def _topk_merge_frame(sdf, keys: list, name: str, k: int):
     out = (percell.join(st, on=[*keys, "bucket"], how="left")
            .select(*keys, "bucket",
                    _topk_state(
+                       # a cell whose input states were ALL empty has no
+                       # exploded rows — coalesce to an EMPTY entries
+                       # array so merged states keep the fine states'
+                       # non-null shape (r8 advice: the NULL cast here
+                       # was a no-op producing inconsistent state)
                        F.coalesce(F.col("_entries"),
-                                  F.lit(None).cast(_TOPK_ENTRY_T),
-                                  ),
+                                  F.array().cast(_TOPK_ENTRY_T)),
                        F.greatest(F.col("_cuts"),
                                   F.coalesce(F.col("_cx"), F.lit(0))))
                    .alias(name)))
@@ -358,6 +363,9 @@ def check_measures(measures: dict) -> None:
         if kind == "ksample":
             _ksample_spec(name, spec if isinstance(spec, tuple) else None)
             continue
+        if kind == "topk":
+            _topk_spec(name, spec if isinstance(spec, tuple) else None)
+            continue
         col = spec[1] if isinstance(spec, tuple) else None
         if kind not in _KINDS:
             raise ValueError(
@@ -390,6 +398,13 @@ def fine_measure_exprs(measures: dict) -> list:
         if kind == "ksample":
             aggs.append(_ksample_fine(*_ksample_spec(name, spec)).alias(name))
             continue
+        if kind == "topk":
+            raise ValueError(
+                f"rollup measure {name!r}: topk is not a single aggregate "
+                "expression (it ranks per-(bucket, key) counts before "
+                "truncation) — batch time_rollup/merge_rollup build it "
+                "relationally; streaming rollups cannot: stream into a "
+                "finer batch rollup and merge instead")
         col = spec[1] if isinstance(spec, tuple) else None
         fine, _ = _KINDS[kind]
         aggs.append((fine(col) if col is not None else fine(None)).alias(name))
@@ -414,6 +429,11 @@ def merge_measure_exprs(measures: dict) -> list:
         elif kind == "ksample":
             aggs.append(_ksample_merge(name, _ksample_spec(name, spec)[2])
                         .alias(name))
+        elif kind == "topk":
+            raise ValueError(
+                f"rollup measure {name!r}: topk merges relationally "
+                "(merge_rollup/combine_rollups split it out) — it has no "
+                "single merge aggregate expression")
         else:
             _, merge = _KINDS[kind]
             aggs.append(merge(name).alias(name))
@@ -431,8 +451,24 @@ def time_rollup(f: Frame, ts_col: str, grain: str,
     ``merge_rollup`` instead of re-scanning the source."""
     _check(grain, measures)
     keys = _norm_keys(keys)
-    aggs = fine_measure_exprs(measures)
+    topks = _topk_measures(measures)
+    measures = {n: s for n, s in measures.items() if n not in topks}
     base = f.sdf.withColumn("bucket", F.date_trunc(grain, F.col(ts_col)))
+    if not measures:
+        out = None
+    else:
+        out = _time_rollup_plain(base, keys, measures)
+    for name, spec in topks.items():
+        tf = _topk_fine_frame(base, keys, name, *_topk_spec(name, spec))
+        # left join from the plain agg (every bucket with rows exists
+        # there); a bucket whose key_col is all-null has no topk row —
+        # fill the empty state so the column is never null
+        out = tf if out is None else _topk_join_back(out, tf, keys, name)
+    return Frame(out)
+
+
+def _time_rollup_plain(base, keys: list, measures: dict):
+    aggs = fine_measure_exprs(measures)
     ksamples = [spec for spec in measures.values()
                 if isinstance(spec, tuple) and spec[0] == "ksample"]
     if ksamples:
@@ -447,11 +483,31 @@ def time_rollup(f: Frame, ts_col: str, grain: str,
             "_split", F.pmod(F.xxhash64(F.col(id_col).cast("string")),
                              F.lit(64)))
         fine = base.groupBy(*keys, "bucket", "_split").agg(*aggs)
-        out = fine.groupBy(*keys, "bucket").agg(
+        return fine.groupBy(*keys, "bucket").agg(
             *merge_measure_exprs(measures))
-    else:
-        out = base.groupBy(*keys, "bucket").agg(*aggs)
-    return Frame(out)
+    return base.groupBy(*keys, "bucket").agg(*aggs)
+
+
+def _topk_empty_state() -> Column:
+    return _topk_state(F.array().cast(_TOPK_ENTRY_T), F.lit(0).cast("bigint"))
+
+
+def _topk_join_back(out, tf, keys: list, name: str):
+    """Left-join a topk state frame onto the plain-measure rollup on
+    (keys..., bucket), filling absent cells (key_col all-null in the
+    bucket) with the empty state. Both sides are already rollup-sized
+    (post-aggregation), so this join never touches the corpus."""
+    jk = [*keys, "bucket"]
+    renamed = tf
+    for k in jk:
+        renamed = renamed.withColumnRenamed(k, f"__r_{k}")
+    cond = None
+    for k in jk:
+        c = out[k].eqNullSafe(F.col(f"__r_{k}"))  # null keys/buckets are
+        cond = c if cond is None else cond & c    # real groupBy cells
+    joined = out.join(renamed, cond, "left").drop(*[f"__r_{k}" for k in jk])
+    return joined.withColumn(name, F.coalesce(F.col(name),
+                                              _topk_empty_state()))
 
 
 def _assert_nests(from_grain: str | None, coarser: str) -> None:
@@ -491,11 +547,15 @@ def merge_rollup(rollup: Frame, coarser_grain: str,
     _check(coarser_grain, measures)
     _assert_nests(from_grain, coarser_grain)
     keys = _norm_keys(keys)
-    aggs = merge_measure_exprs(measures)
-    out = (rollup.sdf
-           .withColumn("bucket", F.date_trunc(coarser_grain, F.col("bucket")))
-           .groupBy(*keys, "bucket")
-           .agg(*aggs))
+    topks = _topk_measures(measures)
+    plain = {n: s for n, s in measures.items() if n not in topks}
+    coarse = rollup.sdf.withColumn(
+        "bucket", F.date_trunc(coarser_grain, F.col("bucket")))
+    out = (coarse.groupBy(*keys, "bucket")
+           .agg(*merge_measure_exprs(plain))) if plain else None
+    for name, spec in topks.items():
+        mf = _topk_merge_frame(coarse, keys, name, _topk_spec(name, spec)[1])
+        out = mf if out is None else _topk_join_back(out, mf, keys, name)
     return Frame(out)
 
 
@@ -638,8 +698,14 @@ def combine_rollups(a: Frame, b: Frame, grain: str,
     _check(grain, measures)
     keys = _norm_keys(keys)
     u = a.sdf.unionByName(b.sdf)
-    return Frame(u.groupBy(*keys, "bucket")
-                 .agg(*merge_measure_exprs(measures)))
+    topks = _topk_measures(measures)
+    plain = {n: s for n, s in measures.items() if n not in topks}
+    out = (u.groupBy(*keys, "bucket")
+           .agg(*merge_measure_exprs(plain))) if plain else None
+    for name, spec in topks.items():
+        mf = _topk_merge_frame(u, keys, name, _topk_spec(name, spec)[1])
+        out = mf if out is None else _topk_join_back(out, mf, keys, name)
+    return Frame(out)
 
 
 _GRAIN_SECONDS = {"minute": 60, "hour": 3600, "day": 86400}

@@ -245,12 +245,15 @@ def text_classifier_fit(sdf, text_col: str, id_col: str, label_col: str,
 
 def text_classifier_predict(sdf, text_col: str, id_col: str,
                             weights: list[float], ngrams: tuple[int, ...] = (1,),
-                            out_col: str = "score", scale: str = "relfreq"):
+                            out_col: str = "score", scale: str = "binary"):
     """Score documents with a trained weight list. Featurizes with the
     SAME dims the weights were trained at (len(weights) - 1) and folds
     the dot product exactly like training — one shuffle (the
     featurizer's), weights ride into the plan as literals. Pass the
-    SAME ``scale`` the weights were trained at."""
+    SAME ``scale`` the weights were trained at; the default matches
+    ``text_classifier_fit``'s default ('binary'), so fit → predict
+    with defaults scores at the trained scaling (a 'relfreq' default
+    here silently mismatched default-trained weights — r8 advice)."""
     dims = len(weights) - 1
     f = hash_features(sdf.select(id_col, text_col), text_col, id_col,
                       dims=dims, ngrams=ngrams, scale=scale)
@@ -289,6 +292,12 @@ def logreg_gd_fit(sdf, features_col: str, label_col: str, dims: int,
     same double on every engine and cluster layout. The mean gradient
     divides by the row count in double (exact: one correctly-rounded
     op), and the update w −= lr·mean runs in plain IEEE doubles."""
+    clash = {"_w", "_b"} & set(sdf.columns)
+    if clash:
+        raise ValueError(
+            f"logreg_gd_fit: input column(s) {sorted(clash)} collide with "
+            "the broadcast-weight working columns _w/_b — rename them "
+            "before training")
     y = F.col(label_col).cast("double")
     feats = F.transform(F.slice(F.col(features_col), 1, dims),
                         lambda v: v.cast("double"))

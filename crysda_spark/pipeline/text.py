@@ -23,7 +23,7 @@ def normalize(col) -> Column:
 
 
 def normalize_aggressive(col) -> Column:
-    """``normalize`` plus punctuation/symbol stripping (everything that
+    r"""``normalize`` plus punctuation/symbol stripping (everything that
     is not a Unicode letter, digit, or whitespace becomes a space
     before collapsing) — the MinHash-style canonical form: near-dup
     pipelines normalize this hard before shingling so reformatting

@@ -471,3 +471,99 @@ def test_ksample_null_and_validation(spark):
         time_rollup(Frame(sdf), "ts", "hour", s=("ksample", "v", "id", 4))
     with _pt.raises(ValueError, match="ksample needs"):
         time_rollup(Frame(sdf), "ts", "hour", s=("ksample", "v"))
+
+
+# ------------------------------------------------------------- topk
+def test_topk_fine_is_exact_topk(events):
+    hourly = ru.time_rollup(events, "ts", "hour", n="count",
+                            hot=("topk", "event_type", 3))
+    ex = ru.topk_explode(hourly, "hot").sdf.collect()
+    # ground truth: per-bucket counts of event_type
+    truth_rows = (events.sdf
+                  .withColumn("bucket", F.date_trunc("hour", F.col("ts")))
+                  .filter(F.col("event_type").isNotNull())
+                  .groupBy("bucket", "event_type").count().collect())
+    truth: dict = {}
+    for r in truth_rows:
+        truth.setdefault(r["bucket"], {})[r["event_type"]] = r["count"]
+    got: dict = {}
+    for r in ex:
+        got.setdefault(r["bucket"], []).append(r)
+    assert len(got) > 0
+    for bucket, rows in got.items():
+        t = truth[bucket]
+        want = sorted(t.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        assert [(r["key"], r["lb"]) for r in rows] == want
+        # fine states are exact: lb == ub == true count
+        for r in rows:
+            assert r["lb"] == r["ub"] == t[r["key"]]
+            assert t[r["key"]] >= 0
+        # cut bounds every absent key
+        cut = rows[0]["cut"]
+        present = {r["key"] for r in rows}
+        for k_, c_ in t.items():
+            if k_ not in present:
+                assert c_ <= cut
+
+
+def test_topk_merge_invariants_and_join_back(events):
+    hourly = ru.time_rollup(events, "ts", "hour", n="count",
+                            hot=("topk", "event_type", 2))
+    daily = ru.merge_rollup(hourly, "day", from_grain="hour",
+                            n="count", hot=("topk", "event_type", 2))
+    # plain measure survives the join-back
+    direct = ru.time_rollup(events, "ts", "day", n="count")
+    nd = {r["bucket"]: r["n"] for r in direct.sdf.collect()}
+    rows = daily.sdf.collect()
+    assert {r["bucket"] for r in rows} == set(nd)
+    for r in rows:
+        assert r["n"] == nd[r["bucket"]]
+    # invariants: true count within [lb, ub]; any key with true count
+    # > cut must be present in the state
+    truth_rows = (events.sdf
+                  .withColumn("bucket", F.date_trunc("day", F.col("ts")))
+                  .filter(F.col("event_type").isNotNull())
+                  .groupBy("bucket", "event_type").count().collect())
+    truth: dict = {}
+    for tr in truth_rows:
+        truth.setdefault(tr["bucket"], {})[tr["event_type"]] = tr["count"]
+    for r in rows:
+        st = r["hot"]
+        present = {e["key"]: e for e in st["entries"]}
+        for k_, c_ in truth[r["bucket"]].items():
+            if c_ > st["cut"]:
+                assert k_ in present, (k_, c_, st["cut"])
+            if k_ in present:
+                assert present[k_]["lb"] <= c_ <= present[k_]["ub"]
+
+
+def test_topk_only_measures_and_combine(events):
+    # a rollup with ONLY a topk measure works (no plain agg to join to)
+    hourly = ru.time_rollup(events, "ts", "hour",
+                            hot=("topk", "event_type", 2))
+    assert set(hourly.columns) == {"bucket", "hot"}
+    # combine_rollups merges two disjoint halves into valid states
+    a = Frame(hourly.sdf.filter(F.dayofmonth("bucket") % 2 == 0))
+    b = Frame(hourly.sdf.filter(F.dayofmonth("bucket") % 2 == 1))
+    both = ru.combine_rollups(a, b, "hour", hot=("topk", "event_type", 2))
+    assert both.sdf.count() == hourly.sdf.count()
+    # merging a partition of the input changes nothing (single-state
+    # cells merge to themselves: lb/ub stay exact)
+    orig = {r["bucket"]: r["hot"] for r in hourly.sdf.collect()}
+    for r in both.sdf.collect():
+        o = orig[r["bucket"]]
+        assert [e["key"] for e in r["hot"]["entries"]] == \
+            [e["key"] for e in o["entries"]]
+        assert [e["lb"] for e in r["hot"]["entries"]] == \
+            [e["lb"] for e in o["entries"]]
+
+
+def test_topk_validation_and_streaming_rejection(events):
+    with pytest.raises(ValueError, match="topk needs"):
+        ru.check_measures(dict(h=("topk", "event_type")))
+    with pytest.raises(ValueError, match="k must be an int"):
+        ru.check_measures(dict(h=("topk", "event_type", 0)))
+    with pytest.raises(ValueError, match="stream into a finer"):
+        ru.fine_measure_exprs(dict(h=("topk", "event_type", 3)))
+    with pytest.raises(ValueError, match="no single merge"):
+        ru.merge_measure_exprs(dict(h=("topk", "event_type", 3)))
