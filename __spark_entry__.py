@@ -5021,36 +5021,52 @@ def text_classifier_planted(spark, sf_dir):
 
 
 def _corr_oracle(table: str, cols: list[str], quant: int = 6) -> str:
-    """Mirror oracle for operators.stats.corr_matrix: the SAME exact-
-    decimal sums and the SAME double-arithmetic association, so values
-    match bit-for-bit with no rounding."""
+    """Mirror oracle for operators.stats.corr_matrix (r9 scaled-long
+    contract): the SAME floor(x·10^q + 0.5) quantization, the SAME
+    exact integer sums with products hi/lo-split around 2³¹ (DuckDB
+    sums BIGINT into HUGEINT, so the word sums and the hi·2³¹ + lo
+    reconstruction are exact int128 arithmetic — the twin of Spark's
+    decimal(38,0) epilogue), and the SAME double association, so
+    values match bit-for-bit with no rounding."""
     pairs = [(cols[i], cols[j]) for i in range(len(cols))
              for j in range(i + 1, len(cols))]
+    m = 2147483648  # 2^31 — the hi/lo split base
     sums, outs = [], []
     for x, y in pairs:
         t = f"{x}__{y}"
-        # DECIMAL(19,q): same values as Spark's (18,q) quantization, but
-        # width 19 forces DuckDB onto INT128 arithmetic — at width 18 its
-        # decimal multiply overflows int64 (the r8 DECIMAL(19,8) lesson)
-        qx, qy = (f"CAST({x} AS DECIMAL(19,{quant}))",
-                  f"CAST({y} AS DECIMAL(19,{quant}))")
         both = f"{x} IS NOT NULL AND {y} IS NOT NULL"
+        vx = f"CAST(FLOOR({x} * 1e{quant} + 0.5) AS BIGINT)"
+        vy = f"CAST(FLOOR({y} * 1e{quant} + 0.5) AS BIGINT)"
+
+        def _words(p, name):
+            lo = f"((({p}) % {m}) + {m}) % {m}"
+            return [f"SUM(CASE WHEN {both} THEN (({p}) - ({lo})) // {m} END)"
+                    f" AS {name}h_{t}",
+                    f"SUM(CASE WHEN {both} THEN {lo} END) AS {name}l_{t}"]
+
         sums += [
             f"SUM(CASE WHEN {both} THEN 1 ELSE 0 END) AS n_{t}",
-            f"SUM(CASE WHEN {both} THEN {qx} END) AS sx_{t}",
-            f"SUM(CASE WHEN {both} THEN {qy} END) AS sy_{t}",
-            f"SUM(CASE WHEN {both} THEN {qx}*{qy} END) AS sxy_{t}",
-            f"SUM(CASE WHEN {both} THEN {qx}*{qx} END) AS sxx_{t}",
-            f"SUM(CASE WHEN {both} THEN {qy}*{qy} END) AS syy_{t}",
+            f"SUM(CASE WHEN {both} THEN {vx} END) AS sx_{t}",
+            f"SUM(CASE WHEN {both} THEN {vy} END) AS sy_{t}",
+            *_words(f"{vx}*{vy}", "sxy"),
+            *_words(f"{vx}*{vx}", "sxx"),
+            *_words(f"{vy}*{vy}", "syy"),
         ]
         nd = f"CAST(n_{t} AS DOUBLE)"
         dx, dy = f"CAST(sx_{t} AS DOUBLE)", f"CAST(sy_{t} AS DOUBLE)"
-        num = f"(CAST(sxy_{t} AS DOUBLE)*{nd} - {dx}*{dy})"
-        denx = f"(CAST(sxx_{t} AS DOUBLE)*{nd} - {dx}*{dx})"
-        deny = f"(CAST(syy_{t} AS DOUBLE)*{nd} - {dy}*{dy})"
+
+        def _recon(name):
+            return (f"CAST(CAST({name}h_{t} AS HUGEINT) * {m} "
+                    f"+ {name}l_{t} AS DOUBLE)")
+
+        num = f"({_recon('sxy')}*{nd} - {dx}*{dy})"
+        denx = f"({_recon('sxx')}*{nd} - {dx}*{dx})"
+        deny = f"({_recon('syy')}*{nd} - {dy}*{dy})"
+        inv_sq = f"1e-{2 * quant}"
         outs.append(
             f"SELECT '{x}' AS col_x, '{y}' AS col_y, n_{t} AS n,\n"
-            f"  CASE WHEN n_{t} >= 2 THEN {num}/({nd}*({nd}-1.0)) END AS cov,\n"
+            f"  CASE WHEN n_{t} >= 2 THEN {num}/({nd}*({nd}-1.0))*{inv_sq} "
+            f"END AS cov,\n"
             f"  CASE WHEN n_{t} >= 2 AND {denx} > 0 AND {deny} > 0\n"
             f"       THEN {num}/(sqrt({denx})*sqrt({deny})) END AS corr\n"
             f"FROM s")
@@ -5060,18 +5076,25 @@ def _corr_oracle(table: str, cols: list[str], quant: int = 6) -> str:
 
 @q("corr_matrix_lineitem",
    _corr_oracle("lineitem",
-                ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]))
+                ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+                quant=4))
 def corr_matrix_lineitem(spark, sf_dir):
     """One-pass pairwise Pearson/covariance over four lineitem measures
-    (operators.stats.corr_matrix): 36 exact-decimal partial sums in ONE
-    map-side-combined aggregate (no data shuffle — one result row), then
-    an IEEE-exact epilogue (products, subtractions, correctly-rounded
-    sqrt and divide). The oracle replays both stages verbatim and the
-    doubles match raw — no rounding column anywhere."""
+    (operators.stats.corr_matrix): exact scaled-LONG partial sums
+    (products hi/lo-split around 2³¹) in ONE map-side-combined
+    aggregate (no data shuffle — one result row), then an IEEE-exact
+    epilogue (decimal(38,0) word reconstruction, products,
+    subtractions, correctly-rounded sqrt and divide). quant=4 is
+    information-lossless for TPC-H (prices/rates carry 2 dp) while
+    keeping |x|·10⁴ inside the guarded product domain. The oracle
+    replays both stages verbatim (HUGEINT words in DuckDB) and the
+    doubles match raw — no rounding column anywhere. r9: the r8
+    exact-decimal sums computed the same statistic at ~19× the CPU
+    (decimal aggregation buffers vs codegen'd long sums)."""
     from crysda_spark.operators.stats import corr_matrix
     li = _t(spark, sf_dir, "lineitem")
     return corr_matrix(li, ["l_quantity", "l_extendedprice",
-                            "l_discount", "l_tax"]).sdf
+                            "l_discount", "l_tax"], quant=4).sdf
 
 
 @q("write_xml_roundtrip", """

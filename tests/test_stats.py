@@ -93,3 +93,40 @@ def test_corr_matrix_anticorrelated_sign(spark):
     assert got[("up", "down")].corr == pytest.approx(-1.0, abs=1e-12)
     assert got[("up", "down")].cov < 0
     assert math.isfinite(got[("up", "down")].cov)
+
+
+def test_corr_matrix_overflow_guard_raises_not_wraps(spark):
+    # |x|*10^6 = 1e11 >> 3.03e9: a single product would overflow i64 —
+    # the epilogue guard must RAISE, never return wrapped garbage
+    rows = [(1e5 + i, 2e5 + i) for i in range(10)]
+    sdf = spark.createDataFrame(rows, "a double, b double")
+    # under ANSI (Spark 4 default) the product overflow itself raises
+    # before the epilogue guard; with ANSI off the guard raises instead —
+    # either way the result is an error, never wrapped garbage
+    with pytest.raises(Exception,
+                       match="scaled-long domain|ARITHMETIC_OVERFLOW"):
+        corr_matrix(Frame(sdf), ["a", "b"], quant=6).sdf.collect()
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="scaled-long domain"):
+            corr_matrix(Frame(sdf), ["a", "b"], quant=6).sdf.collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+    # the same data fits at quant=2 (1e7 < 3.03e9) and is exact there
+    got = _rows(corr_matrix(Frame(sdf), ["a", "b"], quant=2))
+    assert got[("a", "b")].corr == pytest.approx(1.0, abs=1e-12)
+
+
+def test_corr_matrix_negative_values_split_words_exact(spark):
+    # negative products exercise the pmod/shiftright word split; compare
+    # against numpy on sign-mixed data
+    rng = np.random.default_rng(3)
+    a = rng.normal(0, 50, 300).round(3)
+    b = (-1.5 * a + rng.normal(0, 5, 300)).round(3)
+    sdf = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(a, b)], "a double, b double")
+    got = _rows(corr_matrix(Frame(sdf), ["a", "b"], quant=4))
+    assert got[("a", "b")].corr == pytest.approx(
+        np.corrcoef(a, b)[0, 1], abs=1e-12)
+    assert got[("a", "b")].cov == pytest.approx(
+        np.cov(a, b, ddof=1)[0, 1], rel=1e-10)
