@@ -3795,10 +3795,12 @@ def tfidf_top_terms_q(spark, sf_dir):
 def _logreg_oracle_sql(dims: int = 64, iters: int = 3,
                        lr: float = 0.5) -> str:
     """Unrolled-CTE oracle for logreg_gd_fit: every GD iteration is one
-    CTE level computing the SAME decimal-quantized gradient sums and
-    double weight updates the Spark driver loop performs — weights are
-    VALUES, not floats-embedded-by-the-builder, so the oracle
-    independently reproduces the whole training trajectory."""
+    CTE level computing the SAME scaled-long-quantized gradient sums
+    (floor(t·10^12 + 0.5) BIGINTs — the r9 contract; the r8 decimal
+    sums cost ~19× the CPU) and double weight updates the Spark driver
+    loop performs — weights are VALUES, not floats-embedded-by-the-
+    builder, so the oracle independently reproduces the whole training
+    trajectory."""
     xs = [f"CAST(embedding[{j + 1}] AS DOUBLE)" for j in range(dims)]
     w0 = ", ".join(["0.0 AS b"] + [f"0.0 AS w{j}" for j in range(dims)])
     parts = [
@@ -3809,12 +3811,13 @@ def _logreg_oracle_sql(dims: int = 64, iters: int = 3,
     for i in range(1, iters + 1):
         z = " + ".join(["b"] + [f"{xs[j]}*w{j}" for j in range(dims)])
         gsum = ", ".join(
-            ["SUM(CAST(err AS DECIMAL(28,14))) AS gb", "COUNT(*) AS n"]
-            + [f"SUM(CAST({xs[j]}*err AS DECIMAL(28,14))) AS g{j}"
-               for j in range(dims)])
+            ["SUM(CAST(FLOOR((err)*1e12 + 0.5) AS BIGINT)) AS gb",
+             "COUNT(*) AS n"]
+            + [f"SUM(CAST(FLOOR(({xs[j]}*err)*1e12 + 0.5) AS BIGINT)) "
+               f"AS g{j}" for j in range(dims)])
         wsel = ", ".join(
-            [f"w{i - 1}.b - {lr}*(CAST(gb AS DOUBLE)/n) AS b"]
-            + [f"w{i - 1}.w{j} - {lr}*(CAST(g{j} AS DOUBLE)/n) AS w{j}"
+            [f"w{i - 1}.b - {lr}*(CAST(gb AS DOUBLE)/1e12/n) AS b"]
+            + [f"w{i - 1}.w{j} - {lr}*(CAST(g{j} AS DOUBLE)/1e12/n) AS w{j}"
                for j in range(dims)])
         parts += [
             f"p{i} AS (SELECT embedding, y,",

@@ -274,7 +274,7 @@ def algebraic_sigmoid(z: "F.Column") -> "F.Column":
 
 def logreg_gd_fit(sdf, features_col: str, label_col: str, dims: int,
                   iters: int = 3, lr: float = 0.5,
-                  quant: str = "decimal(28,14)") -> list[float]:
+                  quant: int = 12) -> list[float]:
     """Full-batch gradient descent for a binary linear classifier over a
     fixed-width array feature column. Returns ``[bias, w1..w_dims]``.
 
@@ -285,13 +285,25 @@ def logreg_gd_fit(sdf, features_col: str, label_col: str, dims: int,
     sums come back to the driver. The driver loop is bounded by
     ``iters`` exactly like PageRank's rounds.
 
-    Determinism contract: per-row gradient terms are DOUBLE products
-    (bit-identical given identical weights) quantized to ``quant``
-    decimals BEFORE summation, so the cross-row sum is exact decimal —
-    independent of partition order — and every derived weight is the
-    same double on every engine and cluster layout. The mean gradient
-    divides by the row count in double (exact: one correctly-rounded
-    op), and the update w −= lr·mean runs in plain IEEE doubles."""
+    Determinism contract (r9 — scaled-long gradients, the corr_matrix
+    rewrite): per-row gradient terms are DOUBLE products (bit-identical
+    given identical weights) quantized to ``quant`` decimals as
+    ``floor(t·10^q + 0.5)`` LONGS before summation — one correctly-
+    rounded IEEE multiply plus exact add/floor/long-sum, so the
+    cross-row sum is an exact integer, independent of partition order,
+    and every derived weight is the same double on every engine and
+    cluster layout. (The r8 decimal(28,14) quantization computed the
+    same sums at ~19× the CPU — decimal aggregation buffers vs
+    codegen'd long sums.) The mean gradient converts once to double
+    and divides by 10^q then by the row count (each a correctly-
+    rounded op); the update w −= lr·mean runs in plain IEEE doubles.
+
+    Overflow raises, never wraps: ANSI mode (the session default)
+    raises on an overflowing partial; a driver-side guard on the
+    collected per-term max additionally rejects domains where
+    n·max|t|·10^q could exceed 2⁶³ with an actionable message.
+    Capacity at the default quant=12: |t| ≤ 1 features allow ~9.2e6
+    rows per sum word — lower ``quant`` for larger batches."""
     clash = {"_w", "_b"} & set(sdf.columns)
     if clash:
         raise ValueError(
@@ -327,15 +339,25 @@ def logreg_gd_fit(sdf, features_col: str, label_col: str, dims: int,
         exploded = joined.select(
             err, F.posexplode(F.concat(feats, F.array(F.lit(1.0))))
             .alias("_pos", "_x"))
+        scale = float(10 ** quant)
+        term = F.col("_x") * F.col("_err")
         rows = (exploded.groupBy("_pos")
-                .agg(F.sum((F.col("_x") * F.col("_err")).cast(quant))
+                .agg(F.sum(F.floor(term * F.lit(scale) + F.lit(0.5)))
                      .alias("g"),
+                     F.max(F.abs(term)).alias("m"),
                      F.count(F.lit(1)).alias("n"))
                 .collect())
         grads = {r["_pos"]: r for r in rows}
         n = grads[dims]["n"]
-        b = b - lr * (float(grads[dims]["g"]) / n)
-        w = [w[j] - lr * (float(grads[j]["g"]) / n) for j in range(dims)]
+        mx = max((r["m"] or 0.0) for r in rows)
+        if n * (mx * scale + 1.0) > 9.0e18:
+            raise ValueError(
+                f"logreg_gd_fit: gradient domain overflows scaled-long "
+                f"sums at quant={quant} (n={n}, max|x*err|={mx:.3g}) — "
+                "lower quant or scale features into [-1, 1]")
+        b = b - lr * (float(grads[dims]["g"]) / scale / n)
+        w = [w[j] - lr * (float(grads[j]["g"]) / scale / n)
+             for j in range(dims)]
     return [b] + w
 
 
