@@ -3569,7 +3569,8 @@ def pq_adc_planted_copies(spark, sf_dir):
     cb = pq.pq_train(Frame(base), m=8, nbits=4, sample_limit=2048)
     enc = pq.pq_encode(corpus, cb)
     queries = Frame(base.filter(F.col("vec_id") < 20))
-    top = pq.pq_topk(enc, queries, cb, k=10)
+    from crysda_spark.plans.cache import pin
+    top = Frame(pin(pq.pq_topk(enc, queries, cb, k=10).sdf))
     r1 = {r["query_id"]: r["match_id"]
           for r in top.sdf.filter("rank = 1").collect()}  # 20 rows, bounded
     missed = [q for q in range(20) if r1.get(q) != -q - 1]
@@ -3606,7 +3607,8 @@ def ivfpq_planted_copies(spark, sf_dir):
     enc, cents, cb = pq.ivfpq_build(corpus, n_cells=8, m=8, nbits=4,
                                     sample_limit=2048)
     queries = Frame(base.filter(F.col("vec_id") < 12))
-    top = pq.ivfpq_topk(enc, cents, cb, queries, k=5, n_probe=2)
+    from crysda_spark.plans.cache import pin
+    top = Frame(pin(pq.ivfpq_topk(enc, cents, cb, queries, k=5, n_probe=2).sdf))
     r1 = {r["query_id"]: r for r in top.sdf.filter("rank = 1").collect()}
     missed = [q for q in range(12) if r1.get(q) is None
               or r1[q]["match_id"] != -q - 1]
