@@ -77,6 +77,19 @@ def anomaly_flags(f: Frame, value_col: str, by: list[str] | str | tuple = (),
                                         F.lit(False))))
 
 
+def _as_local(sdf):
+    """Materialize a groups-sized frame as a LOCAL DataFrame (collect +
+    createDataFrame). quantile_cont outputs are lazy PLANS — joining
+    the plan back onto the input embeds the whole multi-pass quantile
+    pipeline as a subtree that re-executes once per downstream scan
+    (measured 3× full re-runs inside the second mad_outliers pass).
+    The result is G×Q rows (bounded by the grouping contract — it was
+    already broadcast), so collecting is the same boundedness bet;
+    the local table joins back as pure data with a one-job plan."""
+    rows = sdf.collect()
+    return sdf.sparkSession.createDataFrame(rows, sdf.schema)
+
+
 def winsorize(f: Frame, value_col: str, by: list[str] | str | tuple = (),
               q_lo: float = 0.01, q_hi: float = 0.99,
               out_col: str | None = None) -> Frame:
@@ -100,11 +113,12 @@ def winsorize(f: Frame, value_col: str, by: list[str] | str | tuple = (),
     out_col = out_col or f"{value_col}_w"
     qs = quantile_cont(f.sdf, value_col, [q_lo, q_hi],
                        by=keys or None, with_index=True)
-    bounds = (qs.groupBy(*keys)
-              .agg(F.min(F.when(F.col("_qi") == 0, F.col("value")))
-                   .alias("_lo"),
-                   F.min(F.when(F.col("_qi") == 1, F.col("value")))
-                   .alias("_hi")))
+    bounds = _as_local(
+        qs.groupBy(*keys)
+        .agg(F.min(F.when(F.col("_qi") == 0, F.col("value")))
+             .alias("_lo"),
+             F.min(F.when(F.col("_qi") == 1, F.col("value")))
+             .alias("_hi")))
     joined = (f.sdf.join(F.broadcast(bounds), on=keys) if keys
               else f.sdf.crossJoin(F.broadcast(bounds)))
     clamped = F.least(F.greatest(F.col(value_col).cast("double"),
@@ -124,21 +138,23 @@ def mad_outliers(f: Frame, value_col: str,
     the no-false-positive posture of ``anomaly_flags``.
 
     Two exact quantile passes (median of values, then median of
-    absolute deviations — quantile_cont both times), each reduced to a
-    groups-sized broadcast table. The comparison runs on round(9)
+    absolute deviations — quantile_cont both times), each COLLECTED to
+    a groups-sized local table before joining back — as a lazy plan
+    the first pass would re-execute inside every scan of the second
+    (measured 3×) and again in the output. The comparison runs on round(9)
     values so the flag is reproducible cross-engine (|v−m| sits
     exactly AT k·MAD in ties; rounding both sides first removes the
     last-ulp ambiguity)."""
     from .quantiles import quantile_cont
     keys = [by] if isinstance(by, str) else list(by)
-    med = (quantile_cont(f.sdf, value_col, [0.5], by=keys or None)
-           .select(*keys, F.col("value").alias("_med")))
+    med = _as_local(quantile_cont(f.sdf, value_col, [0.5], by=keys or None)
+                    .select(*keys, F.col("value").alias("_med")))
     with_med = (f.sdf.join(F.broadcast(med), on=keys) if keys
                 else f.sdf.crossJoin(F.broadcast(med)))
     dev = with_med.withColumn(
         "_dev", F.abs(F.col(value_col).cast("double") - F.col("_med")))
-    mad = (quantile_cont(dev, "_dev", [0.5], by=keys or None)
-           .select(*keys, F.col("value").alias("_mad")))
+    mad = _as_local(quantile_cont(dev, "_dev", [0.5], by=keys or None)
+                    .select(*keys, F.col("value").alias("_mad")))
     full = (dev.join(F.broadcast(mad), on=keys) if keys
             else dev.crossJoin(F.broadcast(mad)))
     flag = ((F.col("_mad") > 0)
