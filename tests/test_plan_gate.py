@@ -120,10 +120,15 @@ EXPECTED = {
     # any bhj/smj appearing here means the centroid table stopped being
     # a broadcast literal and started shuffling embeddings
     "semantic_dedup_groups": dict(scans=4, exchanges=6, bhj=0, smj=0),
-    # IVF-PQ: two map-side broadcast passes (cell mask + ADC tables) +
-    # ONE exchange for the top-k merge; a second exchange or scan means
-    # the encode stage started shuffling codes
-    "ivfpq_planted_copies": dict(scans=4, exchanges=1, bhj=1, smj=0),
+    # IVF-PQ (r9 rebuild): ONE mapInPandas kernel computes cell +
+    # residual sub-codes (both quantizers train on a bounded driver
+    # sample), encode pinned — the plan is the pinned encode branch +
+    # the ADC top-k merge; ZERO joins. A bhj/smj or extra scan means
+    # the encode stage regressed to the old assign→residual→join build
+    "ivfpq_planted_copies": dict(scans=2, exchanges=2, bhj=0, smj=0),
+    # flat PQ: encode + top-k over the pinned search result, plus the
+    # exact brute-force branch of the recall join (its one BHJ)
+    "pq_adc_planted_copies": dict(scans=4, exchanges=3, bhj=1, smj=0),
     # r8 additions. moments: same cascade shape as rollup_moments_stddev
     "moments_4dp_exactness": dict(scans=1, exchanges=2, bhj=0, smj=0),
     # drift: each snapshot reduces map-side to nbins rows; both
@@ -167,6 +172,33 @@ EXPECTED = {
     # ship the whole corpus). CC resolves on the driver fast path at
     # this SF, so no iterative shuffles appear.
     "entity_resolution_docs": dict(scans=4, exchanges=2, bhj=0, smj=1),
+    # r9: the heaviest previously-unlocked queries (r8 judge directive
+    # #4). corr_matrix: ONE map-side-combined aggregate over one scan,
+    # zero joins — the whole pairwise matrix reduces to a single row;
+    # a join or second scan means the per-pair sums stopped sharing a
+    # pass.
+    "corr_matrix_lineitem": dict(scans=1, exchanges=1, bhj=0, smj=0),
+    # winsorize/mad: the quantile passes run EAGERLY at build time and
+    # join back as collected LOCAL tables (counted as ExistingRDD
+    # scans: winsorize 1 bounds table, mad 2 — median + MAD). More
+    # exchanges here means the lazy quantile plan leaked back into the
+    # output lineage (the r9 re-execution bug this shape now pins).
+    "winsorize_price_sums": dict(scans=2, exchanges=1, bhj=1, smj=0),
+    "mad_outlier_counts": dict(scans=3, exchanges=1, bhj=2, smj=0),
+    # logreg GD: training iterations are DRIVER-side jobs; the returned
+    # weights frame is a pure local table — zero scans of the fact.
+    "logreg_gd_weights": dict(scans=1, exchanges=0, bhj=0, smj=0),
+    # classifier: featurize + one posexplode aggregate per scored doc
+    # batch; weights broadcast (no join in score_fixed, one BHJ for the
+    # planted train+predict composition)
+    "text_classifier_score_fixed": dict(scans=1, exchanges=2, bhj=0, smj=0),
+    "text_classifier_planted": dict(scans=2, exchanges=3, bhj=1, smj=0),
+    # chunking: pure map-side HOF windowing — ZERO exchanges; any
+    # exchange means chunk construction started shuffling text
+    "chunk_documents_windows": dict(scans=1, exchanges=0, bhj=0, smj=0),
+    # xml roundtrip: write job runs eagerly; the returned re-read is
+    # one scan + the counting aggregate
+    "write_xml_roundtrip": dict(scans=1, exchanges=1, bhj=0, smj=0),
 }
 
 
