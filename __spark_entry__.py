@@ -5025,6 +5025,203 @@ def text_classifier_planted(spark, sf_dir):
                             "n")
 
 
+def _logreg_multi_oracle_sql(dims: int = 8, n_classes: int = 3,
+                             iters: int = 2, lr: float = 0.5) -> str:
+    """Unrolled-CTE oracle for logreg_gd_fit_multi: K one-vs-rest
+    trajectories re-derived together, each iteration one CTE level
+    computing the SAME scaled-long-quantized gradient sums and double
+    weight updates the Spark driver loop performs for every
+    (class, feature) pair. Values, not shape — the multi-class twin of
+    _logreg_oracle_sql."""
+    K = n_classes
+    xs = [f"CAST(embedding[{j + 1}] AS DOUBLE)" for j in range(dims)]
+    w0 = ", ".join([f"0.0 AS b{k}" for k in range(K)]
+                   + [f"0.0 AS w{k}_{j}" for k in range(K)
+                      for j in range(dims)])
+    parts = [
+        "WITH e AS (SELECT embedding,",
+        f"  CAST(label % {K} AS INT) AS y FROM embeddings),",
+        f"w0 AS (SELECT {w0}),",
+    ]
+    for i in range(1, iters + 1):
+        zs = ", ".join(
+            "(" + " + ".join([f"b{k}"] + [f"{xs[j]}*w{k}_{j}"
+                                          for j in range(dims)])
+            + f") AS z{k}" for k in range(K))
+        errs = ", ".join(
+            f"(0.5 + 0.5*z{k}/(1+abs(z{k})))"
+            f" - (CASE WHEN y = {k} THEN 1.0 ELSE 0.0 END) AS err{k}"
+            for k in range(K))
+        gsum = ", ".join(
+            ["COUNT(*) AS n"]
+            + [f"SUM(CAST(FLOOR((err{k})*1e12 + 0.5) AS BIGINT)) AS gb{k}"
+               for k in range(K)]
+            + [f"SUM(CAST(FLOOR(({xs[j]}*err{k})*1e12 + 0.5) AS BIGINT))"
+               f" AS g{k}_{j}" for k in range(K) for j in range(dims)])
+        wsel = ", ".join(
+            [f"w{i - 1}.b{k} - {lr}*(CAST(gb{k} AS DOUBLE)/1e12/n) AS b{k}"
+             for k in range(K)]
+            + [f"w{i - 1}.w{k}_{j} - {lr}*(CAST(g{k}_{j} AS DOUBLE)/1e12/n)"
+               f" AS w{k}_{j}" for k in range(K) for j in range(dims)])
+        parts += [
+            f"p{i} AS (SELECT y, embedding, {errs} FROM",
+            f"  (SELECT e.*, {zs} FROM e, w{i - 1}) t),",
+            f"g{i} AS (SELECT {gsum} FROM p{i}),",
+            f"w{i} AS (SELECT {wsel} FROM g{i}, w{i - 1}),",
+        ]
+    outs = []
+    for k in range(K):
+        outs.append(f"SELECT {k} AS cls, 0 AS dim, b{k} AS weight "
+                    f"FROM w{iters}")
+        outs += [f"SELECT {k} AS cls, {j + 1} AS dim, w{k}_{j} AS weight "
+                 f"FROM w{iters}" for j in range(dims)]
+    return "\n".join(parts)[:-1] + "\n" + "\nUNION ALL ".join(outs)
+
+
+@q("logreg_gd_multi_weights", _logreg_multi_oracle_sql())
+def logreg_gd_multi_weights(spark, sf_dir):
+    """K-class one-vs-rest GD (classify.logreg_gd_fit_multi): 2
+    iterations over the first 8 embedding dims, labels = label % 3,
+    ALL THREE class trajectories trained in ONE aggregate per
+    iteration keyed by (class, feature) via double posexplode. The
+    oracle re-derives every (class, dim) weight as unrolled CTEs —
+    bit-exact VALUES for an iterative multi-class trainer (the
+    binary twin is logreg_gd_weights)."""
+    from crysda_spark.pipeline.classify import logreg_gd_fit_multi
+    emb = _t(spark, sf_dir, "embeddings")
+    train = emb.sdf.select("embedding",
+                           (F.col("label") % 3).cast("int").alias("y"))
+    w = logreg_gd_fit_multi(train, "embedding", "y", dims=8,
+                            n_classes=3, iters=2, lr=0.5)
+    rows = [(k, j, wkj) for k, wk in enumerate(w)
+            for j, wkj in enumerate(wk)]
+    return spark.createDataFrame(rows, "cls int, dim int, weight double")
+
+
+def _fixed_multi_weights(dims: int = 64):
+    """Three deterministic per-class weight rows, nonzero only at
+    md5-derived buckets of six corpus words — the multi-class twin of
+    _fixed_clf_weights, replayable term-for-term in SQL."""
+    import hashlib
+    spec = [(0.25, [("spark", 3.0), ("merge", 1.0)]),
+            (0.15, [("join", 3.0), ("window", 1.0)]),
+            (0.05, [("filter", 3.0), ("stream", 1.0)])]
+    out = []
+    for bias, words in spec:
+        w = {}
+        for word, wt in words:
+            b = int(hashlib.md5(word.encode()).hexdigest()[:15], 16) % dims
+            w[b] = w.get(b, 0.0) + wt
+        out.append((bias, dict(sorted(w.items()))))
+    return out
+
+
+def _fixed_multi_oracle(dims: int = 64) -> str:
+    per_class = _fixed_multi_weights(dims)
+    buckets = sorted({b for _, w in per_class for b in w})
+    xs = ", ".join(
+        f"COALESCE(MAX(CASE WHEN b = {b} THEN c END), 0)::DOUBLE"
+        f" / ANY_VALUE(tot) AS x{b}" for b in buckets)
+    zs = []
+    for bias, w in per_class:
+        z = f"{bias!r}"
+        for b, wt in w.items():
+            z = f"({z} + x{b}*{wt!r})"
+        zs.append(z)
+    scores = ", ".join(
+        f"0.5 + 0.5*z{k}/(1 + abs(z{k})) AS s{k}" for k in range(3))
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(trim(lower(text)),
+                                                 '\\s+', ' ', 'g'), ' '),
+                     x -> length(x) > 0) AS toks
+  FROM documents),
+g AS (SELECT doc_id, unnest(toks) AS g FROM t),
+s AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % {dims} AS b,
+             COUNT(*) AS c
+      FROM g GROUP BY 1, 2),
+tt AS (SELECT doc_id, SUM(c)::DOUBLE AS tot FROM s GROUP BY 1),
+x AS (SELECT s.doc_id, {xs}
+      FROM s JOIN tt ON s.doc_id = tt.doc_id GROUP BY 1),
+sc AS (SELECT doc_id, {scores} FROM
+       (SELECT doc_id, {zs[0]} AS z0, {zs[1]} AS z1, {zs[2]} AS z2
+        FROM x) q)
+SELECT doc_id,
+       CASE WHEN s0 >= s1 AND s0 >= s2 THEN 0
+            WHEN s1 >= s2 THEN 1 ELSE 2 END AS pred,
+       s0, s1, s2
+FROM sc
+"""
+
+
+@q("multiclass_argmax_fixed", _fixed_multi_oracle())
+def multiclass_argmax_fixed(spark, sf_dir):
+    """Multi-class INFERENCE path (classify.text_classifier_predict_
+    multi): one featurize pass, three literal-weight folds, argmax with
+    first-maximal-class tie-break. The oracle replays every fold at the
+    exact IEEE association and re-derives the argmax with the same
+    tie-break — per-doc prediction AND all three raw scores match as
+    unrounded doubles."""
+    from crysda_spark.pipeline.classify import text_classifier_predict_multi
+    per_class = _fixed_multi_weights(64)
+    weights = [[bias] + [w.get(j, 0.0) for j in range(64)]
+               for bias, w in per_class]
+    d = _t(spark, sf_dir, "documents").sdf
+    out = text_classifier_predict_multi(d, "text", "doc_id", weights,
+                                        ngrams=(1,), scale="relfreq")
+    return out.select("doc_id", "pred",
+                      F.element_at("scores", 1).alias("s0"),
+                      F.element_at("scores", 2).alias("s1"),
+                      F.element_at("scores", 3).alias("s2"))
+
+
+@q("multiclass_confusion_planted")  # rows-only: GD argmin has no closed SQL
+def multiclass_confusion_planted(spark, sf_dir):
+    """End-to-end K-class trainability gate (classify.text_classifier_
+    fit_multi): append one of three planted tokens by doc_id % 3, train
+    3 one-vs-rest GD iterations over 64 hashed binary unigram features,
+    and gate that (a) EACH class's argmax weight sits at its planted
+    token's bucket (buckets verified pairwise distinct) and (b) the
+    resulting confusion matrix is perfectly diagonal — every other
+    token is label-independent, so any off-diagonal mass means the
+    shared-featurize multi-class trainer is broken. Returns the 3x3
+    confusion matrix."""
+    import hashlib
+
+    from crysda_spark.pipeline.classify import (
+        text_classifier_fit_multi, text_classifier_predict_multi)
+    words = ["zebraone", "zebratwo", "zebrathree"]
+    buckets = [int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % 64
+               for w in words]
+    assert len(set(buckets)) == 3, "planted buckets must be distinct"
+    d = (_t(spark, sf_dir, "documents").sdf
+         .withColumn("y", (F.col("doc_id") % 3).cast("int"))
+         .withColumn("text", F.concat(
+             F.col("text"), F.lit(" "),
+             F.element_at(F.array(*[F.lit(w) for w in words]),
+                          (F.col("doc_id") % 3 + 1).cast("int")))))
+    w = text_classifier_fit_multi(d, "text", "doc_id", "y", n_classes=3,
+                                  dims=64, ngrams=(1,), iters=3, lr=2.0,
+                                  scale="binary")
+    for k in range(3):
+        top = max(range(64), key=lambda j: w[k][1 + j])
+        if top != buckets[k] or w[k][1 + buckets[k]] <= 0:
+            raise AssertionError(
+                f"multiclass gate: class {k} argmax bucket {top}, "
+                f"expected planted {buckets[k]}")
+    pred = text_classifier_predict_multi(d, "text", "doc_id", w,
+                                         ngrams=(1,), scale="binary",
+                                         scores_col=None)
+    conf = (pred.join(d.select("doc_id", "y"), on="doc_id")
+            .groupBy("y", "pred").agg(F.count(F.lit(1)).alias("n")))
+    off = conf.filter(F.col("y") != F.col("pred")).count()
+    if off:
+        raise AssertionError(
+            f"multiclass gate: {off} off-diagonal confusion cells")
+    return conf.orderBy("y", "pred")
+
+
 def _corr_oracle(table: str, cols: list[str], quant: int = 6) -> str:
     """Mirror oracle for operators.stats.corr_matrix (r9 scaled-long
     contract): the SAME floor(x·10^q + 0.5) quantization, the SAME

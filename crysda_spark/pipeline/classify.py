@@ -31,7 +31,9 @@ from ..frame import Frame
 from .text import normalize
 
 __all__ = ["nb_fit", "nb_predict", "hash_features", "hash_features_sparse",
-           "hash_bucket", "text_classifier_fit", "text_classifier_predict"]
+           "hash_bucket", "text_classifier_fit", "text_classifier_predict",
+           "logreg_gd_fit_multi", "logreg_gd_predict_multi",
+           "text_classifier_fit_multi", "text_classifier_predict_multi"]
 
 _RESERVED = {"_tok", "_n", "_c", "_tot", "_prior", "_logp", "_floor",
              "_score", "_rn", "_ndl", "_nd"}
@@ -375,3 +377,158 @@ def logreg_gd_predict(sdf, features_col: str, weights: list[float],
     z = F.aggregate(F.zip_with(feats, w_arr, lambda a, c: a * c),
                     F.lit(float(weights[0])), lambda acc, v: acc + v)
     return algebraic_sigmoid(z).alias(out_col)
+
+
+# ------------------------------------------------- multi-class (K > 2)
+def logreg_gd_fit_multi(sdf, features_col: str, label_col: str, dims: int,
+                        n_classes: int, iters: int = 3, lr: float = 0.5,
+                        quant: int = 12) -> list[list[float]]:
+    """One-vs-rest full-batch GD for a K-class linear classifier — the
+    fastText shape: K independent binary problems trained TOGETHER in
+    ONE map-side-combined aggregate per iteration, keyed by
+    (class, feature) via a double posexplode. ``label_col`` must hold
+    integer class ids in [0, n_classes). Returns K weight lists, each
+    ``[bias, w0..w_{dims-1}]`` (row k is the binary
+    ``logreg_gd_fit``-shaped model for class k vs rest; with K=2 the
+    class-1 row reproduces the binary trainer bit-for-bit).
+
+    Execution shape at 100 TB: weights travel as ONE broadcast 1-row
+    table (``_wm`` K×dims + ``_bm`` K), so every iteration reuses one
+    compiled O(1)-width plan regardless of K and dims; the aggregate
+    returns K·(dims+1) scaled-long sums to the driver. Inherits the
+    binary trainer's bit-reproducibility contract (algebraic sigmoid,
+    floor-quantized long gradient sums, overflow raises)."""
+    if n_classes < 2:
+        raise ValueError(
+            f"logreg_gd_fit_multi: n_classes must be >= 2, got {n_classes}")
+    clash = {"_wm", "_bm"} & set(sdf.columns)
+    if clash:
+        raise ValueError(
+            f"logreg_gd_fit_multi: input column(s) {sorted(clash)} collide "
+            "with the broadcast-weight working columns _wm/_bm — rename "
+            "them before training")
+    y = F.col(label_col).cast("int")
+    feats = F.transform(F.slice(F.col(features_col), 1, dims),
+                        lambda v: v.cast("double"))
+    spark = sdf.sparkSession
+    K = n_classes
+    w = [[0.0] * dims for _ in range(K)]
+    b = [0.0] * K
+    scale = float(10 ** quant)
+    for _ in range(iters):
+        w_row = spark.createDataFrame(
+            [([list(map(float, wk)) for wk in w], list(map(float, b)))],
+            "_wm array<array<double>>, _bm array<double>")
+        joined = sdf.crossJoin(F.broadcast(w_row))
+
+        def err_for(k):
+            # same fold-seeded-with-bias association as the binary
+            # trainer (and its unrolled-CTE oracle)
+            wk = F.element_at(F.col("_wm"), k + F.lit(1))
+            bk = F.element_at(F.col("_bm"), k + F.lit(1))
+            z = F.aggregate(F.zip_with(feats, wk, lambda a, c: a * c),
+                            bk, lambda acc, v: acc + v)
+            return (algebraic_sigmoid(z)
+                    - F.when(y == k, F.lit(1.0)).otherwise(F.lit(0.0)))
+
+        errs = F.transform(F.sequence(F.lit(0), F.lit(K - 1)), err_for)
+        step1 = joined.select(
+            F.posexplode(errs).alias("_cls", "_err"), feats.alias("_f"))
+        step2 = step1.select(
+            "_cls", "_err",
+            F.posexplode(F.concat(F.col("_f"), F.array(F.lit(1.0))))
+            .alias("_pos", "_x"))
+        term = F.col("_x") * F.col("_err")
+        rows = (step2.groupBy("_cls", "_pos")
+                .agg(F.sum(F.floor(term * F.lit(scale) + F.lit(0.5)))
+                     .alias("g"),
+                     F.max(F.abs(term)).alias("m"),
+                     F.count(F.lit(1)).alias("n"))
+                .collect())
+        grads = {(r["_cls"], r["_pos"]): r for r in rows}
+        n = grads[(0, dims)]["n"]
+        mx = max((r["m"] or 0.0) for r in rows)
+        if n * (mx * scale + 1.0) > 9.0e18:
+            raise ValueError(
+                f"logreg_gd_fit_multi: gradient domain overflows scaled-"
+                f"long sums at quant={quant} (n={n}, max|x*err|={mx:.3g}) "
+                "— lower quant or scale features into [-1, 1]")
+        for k in range(K):
+            b[k] = b[k] - lr * (float(grads[(k, dims)]["g"]) / scale / n)
+            w[k] = [w[k][j] - lr * (float(grads[(k, j)]["g"]) / scale / n)
+                    for j in range(dims)]
+    return [[b[k]] + w[k] for k in range(K)]
+
+
+def logreg_gd_predict_multi(sdf, features_col: str,
+                            weights: list[list[float]],
+                            out_col: str = "pred",
+                            scores_col: str | None = "scores"):
+    """Argmax inference for ``logreg_gd_fit_multi`` weights: per class,
+    the SAME literal-weight fold (and IEEE association) as the binary
+    ``logreg_gd_predict``; the prediction is the first class attaining
+    the maximal sigmoid score (deterministic lowest-index tie-break via
+    ``array_position``). Appends ``out_col`` (int class id) and, when
+    ``scores_col`` is not None, the K-vector of per-class scores."""
+    if not weights or len({len(wk) for wk in weights}) != 1:
+        raise ValueError("logreg_gd_predict_multi: weights must be a "
+                         "non-empty list of equal-length per-class rows")
+    dims = len(weights[0]) - 1
+    feats = F.transform(F.slice(F.col(features_col), 1, dims),
+                        lambda v: v.cast("double"))
+
+    def score_k(wk):
+        w_arr = F.array(*[F.lit(float(v)) for v in wk[1:]])
+        z = F.aggregate(F.zip_with(feats, w_arr, lambda a, c: a * c),
+                        F.lit(float(wk[0])), lambda acc, v: acc + v)
+        return algebraic_sigmoid(z)
+
+    scores = F.array(*[score_k(wk) for wk in weights])
+    pred = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    out = sdf.withColumn(out_col, pred)
+    if scores_col:
+        out = out.withColumn(scores_col, scores)
+    return out
+
+
+def text_classifier_fit_multi(sdf, text_col: str, id_col: str,
+                              label_col: str, n_classes: int,
+                              dims: int = 256,
+                              ngrams: tuple[int, ...] = (1,),
+                              iters: int = 3, lr: float = 0.5,
+                              scale: str = "binary") -> list[list[float]]:
+    """K-class fastText-shaped text classifier: ONE hashing-trick
+    featurize pass shared across all classes → ``logreg_gd_fit_multi``.
+    ``label_col`` must hold integer class ids in [0, n_classes).
+    Returns K per-class weight lists for
+    ``text_classifier_predict_multi`` (train and predict at the SAME
+    ``scale``)."""
+    f = hash_features(sdf.select(id_col, text_col, label_col),
+                      text_col, id_col, dims=dims, ngrams=ngrams,
+                      scale=scale)
+    labels = sdf.select(id_col, F.col(label_col).cast("int").alias("_y"))
+    train = f.join(labels, on=id_col).persist()
+    try:
+        return logreg_gd_fit_multi(train, "features", "_y", dims=dims,
+                                   n_classes=n_classes, iters=iters, lr=lr)
+    finally:
+        train.unpersist()
+
+
+def text_classifier_predict_multi(sdf, text_col: str, id_col: str,
+                                  weights: list[list[float]],
+                                  ngrams: tuple[int, ...] = (1,),
+                                  scale: str = "binary",
+                                  out_col: str = "pred",
+                                  scores_col: str | None = "scores"):
+    """Argmax-score documents with ``text_classifier_fit_multi``
+    weights: one featurize pass (dims = len(row) − 1), K literal-weight
+    folds, first-maximal-class tie-break. Pass the SAME ``scale`` the
+    weights were trained at (defaults match fit)."""
+    dims = len(weights[0]) - 1
+    f = hash_features(sdf.select(id_col, text_col), text_col, id_col,
+                      dims=dims, ngrams=ngrams, scale=scale)
+    out = logreg_gd_predict_multi(f, "features", weights,
+                                  out_col=out_col, scores_col=scores_col)
+    keep = [id_col, out_col] + ([scores_col] if scores_col else [])
+    return out.select(*keep)

@@ -218,3 +218,69 @@ def test_logreg_gd_predict_fold_matches_unrolled(spark):
             z = z + x * wj
         want = 0.5 + 0.5 * z / (1.0 + abs(z))
         assert got[i] == want, i
+
+
+# ------------------------------------------------- multi-class (K > 2)
+def test_multi_k2_class1_bitexact_binary(spark):
+    """With K=2 the one-vs-rest class-1 trajectory IS the binary
+    problem: logreg_gd_fit_multi must reproduce logreg_gd_fit's weights
+    bit-for-bit (same fold association, same quantized gradient sums)."""
+    rows = [([float(i % 7) / 7, float(i % 3) / 3, 1.0 if i % 2 else 0.0],
+             1 if i % 2 else 0) for i in range(40)]
+    sdf = spark.createDataFrame(rows, "f array<double>, y int")
+    wb = cls.logreg_gd_fit(
+        sdf.withColumn("y", F.col("y").cast("double")), "f", "y",
+        dims=3, iters=3, lr=0.7)
+    wm = cls.logreg_gd_fit_multi(sdf, "f", "y", dims=3, n_classes=2,
+                                 iters=3, lr=0.7)
+    assert wm[1] == wb
+    assert wm[0] != wm[1]
+
+
+def test_multi_planted_tokens_win_their_class(spark):
+    import hashlib
+    words = ["zebraone", "zebratwo", "zebrathree"]
+    rows = [(i, f"common filler text {words[i % 3]} end", i % 3)
+            for i in range(60)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    w = cls.text_classifier_fit_multi(sdf, "text", "doc_id", "y",
+                                      n_classes=3, dims=64, iters=3, lr=2.0)
+    for k, word in enumerate(words):
+        b = int(hashlib.md5(word.encode()).hexdigest()[:15], 16) % 64
+        assert max(range(64), key=lambda j: w[k][1 + j]) == b
+    pred = cls.text_classifier_predict_multi(sdf, "text", "doc_id", w)
+    joined = pred.join(sdf.select("doc_id", "y"), on="doc_id")
+    assert joined.filter(F.col("pred") != F.col("y")).count() == 0
+
+
+def test_multi_predict_tiebreak_lowest_class(spark):
+    """Equal per-class weights give equal scores for every doc; the
+    argmax must deterministically pick class 0 (array_position picks
+    the FIRST maximal entry)."""
+    sdf = spark.createDataFrame([([0.5, 0.5],)], "f array<double>")
+    w = [[0.1, 1.0, -1.0], [0.1, 1.0, -1.0], [0.1, 1.0, -1.0]]
+    out = cls.logreg_gd_predict_multi(sdf, "f", w).collect()[0]
+    assert out["pred"] == 0
+    assert len(out["scores"]) == 3
+
+
+def test_multi_partition_invariant(spark):
+    rows = [([float((i * 7) % 11) / 11, float(i % 5) / 5], i % 3)
+            for i in range(90)]
+    sdf = spark.createDataFrame(rows, "f array<double>, y int")
+    w1 = cls.logreg_gd_fit_multi(sdf.coalesce(1), "f", "y", dims=2,
+                                 n_classes=3, iters=2)
+    w32 = cls.logreg_gd_fit_multi(sdf.repartition(32), "f", "y", dims=2,
+                                  n_classes=3, iters=2)
+    assert w1 == w32
+
+
+def test_multi_validation_errors(spark):
+    sdf = spark.createDataFrame([([1.0], 0)], "f array<double>, y int")
+    with pytest.raises(ValueError, match="n_classes"):
+        cls.logreg_gd_fit_multi(sdf, "f", "y", dims=1, n_classes=1)
+    bad = sdf.withColumn("_wm", F.lit(1))
+    with pytest.raises(ValueError, match="_wm"):
+        cls.logreg_gd_fit_multi(bad, "f", "y", dims=1, n_classes=2)
+    with pytest.raises(ValueError, match="equal-length"):
+        cls.logreg_gd_predict_multi(sdf, "f", [[0.1, 1.0], [0.1]])
