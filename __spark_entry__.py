@@ -2568,6 +2568,73 @@ def multimodal_webp_roundtrip(spark, sf_dir):
     return out.select("id", "width", "height", "channels")
 
 
+@q("multimodal_vp8_roundtrip")  # binary codec; not SQL-expressible — rows-only
+def multimodal_vp8_roundtrip(spark, sf_dir):
+    """Lossy WebP (VP8 key frame, RFC 6386 — r9) through the
+    distributed path: per-doc gradient+block images are VP8-encoded
+    executor-side with a rotating quantizer (pipeline/vp8.encode_vp8:
+    boolean coder, B_PRED/B_DC intra, fDCT+tokens), decoded back
+    through the container dispatch (webp.decode_webp routes "VP8 "
+    chunks to the RFC 6386 intra decoder: tokens → dequant → iDCT →
+    intra prediction → reconstruction), and the gate asserts (a) every
+    decoded geometry matches the odd-sized source at 4 channels and
+    (b) per-image mean |err| stays within the quantizer's budget —
+    finer quantizers must reconstruct at least as faithfully. The
+    codec is cross-validated bit-for-bit (YUV planes, both directions)
+    against the system libwebp in tests/test_vp8.py."""
+    from pyspark.sql import types as T
+
+    ids = _t(spark, sf_dir, "documents").sdf.select("doc_id").limit(48)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from crysda_spark.pipeline.vp8 import encode_vp8
+        from crysda_spark.pipeline.webp import decode_webp
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                h, w = 17 + d % 20, 22 + d % 25
+                yv, xv = np.mgrid[0:h, 0:w]
+                arr = np.stack([(xv * 5 + d) % 256, (yv * 7) % 256,
+                                ((xv + yv) * 3) % 256], axis=-1)
+                arr[h // 3:2 * h // 3, w // 3:2 * w // 3] = (230, 40, 40)
+                arr = arr.astype(np.uint8)
+                q = (8, 24, 60)[d % 3]
+                out = decode_webp(encode_vp8(arr, q_index=q))
+                mae = float(np.abs(out[..., :3].astype(int)
+                                   - arr.astype(int)).mean())
+                rows.append((d, out.shape[1], out.shape[0], out.shape[2],
+                             q, round(mae, 2)))
+            yield pd.DataFrame(rows, columns=["id", "width", "height",
+                                              "channels", "q", "mae"])
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("width", T.IntegerType()),
+                           T.StructField("height", T.IntegerType()),
+                           T.StructField("channels", T.IntegerType()),
+                           T.StructField("q", T.IntegerType()),
+                           T.StructField("mae", T.DoubleType())])
+    out = ids.mapInPandas(gen, schema=schema)
+    bad = out.where((F.col("width") != 22 + F.col("id") % 25)
+                    | (F.col("height") != 17 + F.col("id") % 20)
+                    | (F.col("channels") != 4)).count()
+    if bad:
+        raise AssertionError(
+            f"VP8 roundtrip gate: {bad}/48 decoded geometries wrong")
+    worst = out.groupBy("q").agg(F.max("mae").alias("worst_mae")).collect()
+    # caps = measured worst-case (7.19 / 7.61 / 13.16 — dominated by the
+    # RGB->YUV420->RGB conversion floor) + headroom; monotone in q
+    caps = {8: 8.5, 24: 9.5, 60: 15.0}
+    for r in worst:
+        if r["worst_mae"] > caps[r["q"]]:
+            raise AssertionError(
+                f"VP8 roundtrip gate: q={r['q']} worst mae "
+                f"{r['worst_mae']} exceeds {caps[r['q']]}")
+    return out.select("id", "width", "height", "channels", "q", "mae")
+
+
 @q("multimodal_gif_roundtrip")  # binary codec; not SQL-expressible — rows-only
 def multimodal_gif_roundtrip(spark, sf_dir):
     """Pure-stdlib GIF codec through the distributed path (r7): per-doc

@@ -8,9 +8,12 @@ cross-color, subtract-green, color-indexing with pixel bundling),
 color cache, LZ77 backward references with the 120-entry 2D distance
 mapping, and meta-prefix (per-tile Huffman group) images.
 
-Lossy VP8 payloads raise (DCT+loop-filter decoding is out of scope —
-at pipeline level those rows degrade to stub output via the
-containment wrapper in ``multimodal``).
+Lossy "VP8 " chunks route to the RFC 6386 intra decoder in ``vp8.py``
+(r9 — boolean coder, token trees, dequant, exact integer iDCT/iWHT,
+intra prediction, both loop filters; YUV planes pinned bit-for-bit
+against libwebp). Only inter frames still raise — at pipeline level
+those rows degrade to stub output via the containment wrapper in
+``multimodal``.
 
 The companion encoder emits spec-conformant streams exercising every
 decoder feature (transform combos, bundled palettes, color cache,
@@ -499,15 +502,25 @@ def _find_vp8l(payload: bytes) -> bytes:
         if tag == b"VP8L":
             return body
         if tag == b"VP8 ":
-            raise WebpError("lossy VP8 payload — only lossless (VP8L) "
-                            "is implemented")
+            # lossy payload: hand the chunk to the VP8 intra decoder
+            # (vp8.py — key frames only; inter frames raise there)
+            return ("vp8", body)
         pos += 8 + size + (size & 1)         # chunks are even-padded
-    raise WebpError("no VP8L chunk in container")
+    raise WebpError("no VP8L/VP8 chunk in container")
 
 
 def decode_webp(payload: bytes) -> np.ndarray:
-    """Decode a lossless WebP to HxWx3 (no alpha hint) or HxWx4 uint8."""
+    """Decode a WebP to HxWx3/HxWx4 uint8: lossless (VP8L) natively
+    here; lossy key frames via the RFC 6386 intra decoder in
+    ``vp8.py`` (returned as HxWx4 through the documented BT.601
+    conversion — plane-level parity is pinned against libwebp)."""
     body = _find_vp8l(payload)
+    if isinstance(body, tuple):
+        from .vp8 import Vp8Error, decode_vp8
+        try:
+            return decode_vp8(body[1])
+        except Vp8Error as e:
+            raise WebpError(str(e)) from e
     if not body or body[0] != 0x2F:
         raise WebpError("VP8L: bad signature byte")
     br = _BitReader(body[1:])

@@ -157,13 +157,19 @@ def test_golden_libwebp_encodes_decode_exactly():
             assert np.array_equal(mine, theirs)
 
 
-def test_lossy_vp8_raises():
+def test_lossy_vp8_dispatches_and_malformed_raises():
+    """Lossy "VP8 " chunks now route to the RFC 6386 intra decoder
+    (r9, pipeline/vp8.py); a malformed lossy body must still raise the
+    containable WebpError, never crash."""
     import struct
-    body = b"\x00" * 20
+    body = b"\x00" * 20                      # zero body: bad start code
     chunk = b"VP8 " + struct.pack("<I", len(body)) + body
     riff = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
-    with pytest.raises(WebpError, match="lossy"):
+    with pytest.raises(WebpError, match="start code"):
         decode_webp(riff)
+    from crysda_spark.pipeline.vp8 import encode_vp8
+    out = decode_webp(encode_vp8(np.full((8, 8, 3), 200, np.uint8), 20))
+    assert out.shape == (8, 8, 4)
 
 
 def test_malformed_payloads_raise_not_crash():
