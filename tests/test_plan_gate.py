@@ -199,6 +199,20 @@ EXPECTED = {
     # xml roundtrip: write job runs eagerly; the returned re-read is
     # one scan + the counting aggregate
     "write_xml_roundtrip": dict(scans=1, exchanges=1, bhj=0, smj=0),
+    # r9 second wave. multi-class GD: training is driver-side jobs, the
+    # returned (cls, dim, weight) frame is a local table (the 1 scan is
+    # the local-table ExistingRDD)
+    "logreg_gd_multi_weights": dict(scans=1, exchanges=0, bhj=0, smj=0),
+    # multi-class argmax inference: ONE featurize pass (its two
+    # keyed exchanges), K literal folds — zero joins; a bhj here means
+    # the weights stopped being literals
+    "multiclass_argmax_fixed": dict(scans=1, exchanges=2, bhj=0, smj=0),
+    # planted train+predict composition: featurize + predict + the
+    # confusion aggregate; the one BHJ is the truth-label join-back
+    "multiclass_confusion_planted": dict(scans=2, exchanges=4, bhj=1,
+                                         smj=0),
+    # VP8 roundtrip: one Arrow mapInPandas pass + the gate aggregates
+    "multimodal_vp8_roundtrip": dict(scans=1, exchanges=1, bhj=0, smj=0),
 }
 
 
