@@ -18,7 +18,19 @@ def load(path: str) -> dict:
         for line in fh:
             line = line.strip()
             if line.startswith("{"):
-                d = json.loads(line)
+                try:
+                    d = json.loads(line)
+                except json.JSONDecodeError:
+                    # driver tail-capture can truncate the head of the
+                    # payload line — try recovering from the first
+                    # complete-looking object start inside the line
+                    i = line.find('{"metric"')
+                    if i <= 0:
+                        continue
+                    try:
+                        d = json.loads(line[i:])
+                    except json.JSONDecodeError:
+                        continue
                 if "queries" in d:
                     return d
     raise SystemExit(f"no bench payload line in {path}")
