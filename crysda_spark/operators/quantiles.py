@@ -59,7 +59,7 @@ _MAX_BUCKETS = 512  # bounds are a driver-held literal array; cap its size
 # alias the user's column into the algorithm's bookkeeping
 _RESERVED = {"_v", "_b", "_c", "_off", "_rank", "_lrn", "_frac", "_kind",
              "_n", "_t", "_qi", "_h", "_vc", "_cum", "_glo", "_ghi",
-             "_vlo", "_vhi", "q", "value"}
+             "_vlo", "_vhi", "_wt", "q", "value"}
 
 
 def _null_safe_join(left: DataFrame, right: DataFrame, keys: list[str],
@@ -83,7 +83,8 @@ def _null_safe_join(left: DataFrame, right: DataFrame, keys: list[str],
 def quantile_cont(sdf: DataFrame, value_col: str, qs: Iterable[float],
                   by: list[str] | None = None,
                   num_partitions: int | None = None,
-                  with_index: bool = False) -> DataFrame:
+                  with_index: bool = False,
+                  weight_col: str | None = None) -> DataFrame:
     """Exact per-group quantiles with linear interpolation.
 
     Returns a long-format DataFrame ``(*by, q, value)`` with one row per
@@ -93,6 +94,17 @@ def quantile_cont(sdf: DataFrame, value_col: str, qs: Iterable[float],
     excluded (aggregate semantics); empty groups produce no rows.
     ``num_partitions`` sets the bucket count (default:
     spark.sql.shuffle.partitions, capped at 512).
+
+    ``weight_col``: when set, each input row stands for ``weight``
+    REPEATED observations of its value (a positive integer count;
+    rows with NULL/zero/negative weight are dropped). The result is
+    bit-identical to running the unweighted quantile over the expanded
+    rows — ranks are cumulative WEIGHTS instead of row counts, which
+    the bucketed-rank design already computes (in-bucket ranks come
+    from collapsed (value, count) pairs). This is the low-distinct
+    fast path: callers that already hold a per-(group, value) count
+    table (mad_outliers, winsorize) skip re-shuffling the corpus —
+    the quantile machinery then runs on distinct-value-sized data.
 
     DETERMINISM REQUIREMENT: the input plan is scanned twice (the
     bucket-counts branch and the rank branch); a nondeterministic
@@ -122,8 +134,14 @@ def quantile_cont(sdf: DataFrame, value_col: str, qs: Iterable[float],
             "calling")
     spark = sdf.sparkSession
 
-    base = (sdf.select(*by, F.col(value_col).cast("double").alias("_v"))
-            .where(F.col("_v").isNotNull()))
+    if weight_col is None:
+        base = (sdf.select(*by, F.col(value_col).cast("double").alias("_v"),
+                           F.lit(1).cast("bigint").alias("_wt"))
+                .where(F.col("_v").isNotNull()))
+    else:
+        base = (sdf.select(*by, F.col(value_col).cast("double").alias("_v"),
+                           F.col(weight_col).cast("bigint").alias("_wt"))
+                .where(F.col("_v").isNotNull() & (F.col("_wt") > 0)))
     n_b = min(int(num_partitions
                   or spark.conf.get("spark.sql.shuffle.partitions")),
               _MAX_BUCKETS)
@@ -145,7 +163,7 @@ def quantile_cont(sdf: DataFrame, value_col: str, qs: Iterable[float],
     # Pinned: it feeds both the rank join and the target-rank frame;
     # without materialization each consumer would rescan the input to
     # rebuild it. (release_pinned() frees it once results are consumed.)
-    bcounts = bucketed.groupBy(*by, "_b").agg(F.count(F.lit(1)).alias("_c"))
+    bcounts = bucketed.groupBy(*by, "_b").agg(F.sum("_wt").alias("_c"))
     w_off = (W.partitionBy(*by) if by else W.partitionBy()).orderBy("_b")
     offsets = pin(bcounts.withColumn(
         "_off",
@@ -179,7 +197,7 @@ def quantile_cont(sdf: DataFrame, value_col: str, qs: Iterable[float],
     # Value _v with count _vc owns global ranks (_glo .. _ghi] where
     # _ghi = _off + cumulative count through _v.
     vcounts = bucketed.groupBy(*by, "_b", "_v").agg(
-        F.count(F.lit(1)).alias("_vc"))
+        F.sum("_wt").alias("_vc"))
     w_rn = W.partitionBy(*(by + ["_b"])).orderBy("_v")
     vranked = vcounts.withColumn(
         "_cum", F.sum("_vc").over(w_rn.rowsBetween(W.unboundedPreceding, 0)))

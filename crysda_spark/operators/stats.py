@@ -36,14 +36,22 @@ per-column max|vx| and the epilogue raises (``raise_error``) with an
 actionable message when the domain could have overflowed any partial —
   - |x|·10^q must stay below ~3.03e9 (so a single product fits i64);
   - row count must stay below ~4.29e9 (the lo-word partial bound);
-  - n · max|vx| must stay below ~9.0e18 (the unsplit Σvx bound).
+  - n · max|vx| must stay below ~9.0e18 (the unsplit Σvx bound);
+  - n · (max|vx|·max|vy|/2³¹ + 1) must stay below ~9.0e18 (the
+    HI-WORD product-sum bound — r9 advice: the first three bounds all
+    pass at max|v| ≈ 3.03e9 with n ≈ 3e9, yet Σhi ≈ 1.3e19 wraps).
 Every bound covers all intermediate partials (any partial magnitude
 ≤ the global bound), so a passing guard proves no wrap occurred.
 Beyond those bounds, lower ``quant``, rescale the column, or batch
 rows and combine the (n, Σx, Σy, Σxy, Σx², Σy²) statistics.
 
 Null handling: pairwise-complete observations (a row contributes to a
-pair iff BOTH columns are non-null) — SQL ``corr()`` semantics.
+pair iff BOTH columns are non-null) — SQL ``corr()`` semantics. NaN
+and ±Inf values are treated as MISSING (excluded like nulls): they
+have no scaled-long representation — ``floor(NaN·scale + 0.5)``
+silently quantizes to 0 (r9 advice: that included the row and skewed
+sums toward zero without tripping the max|v| guard), so the
+quantization step nulls them out first.
 Degenerate pairs (n < 2, or zero variance on either side) yield NULL.
 """
 
@@ -79,10 +87,18 @@ def corr_matrix(f: Frame, cols: list[str], quant: int = 6) -> Frame:
     if not 0 <= quant <= 8:
         raise ValueError(f"corr_matrix: quant must be in [0, 8], got {quant}")
     # v = floor(x·10^q + 0.5): one IEEE multiply + exact add/floor —
-    # deterministic half-up-toward-+inf quantization, long-typed
+    # deterministic half-up-toward-+inf quantization, long-typed.
+    # NaN/±Inf null out FIRST (treated as missing, like SQL corr over
+    # NULL): floor(NaN·scale + 0.5) is 0, which would silently include
+    # the row as a zero value — r9 advice finding.
     scale = float(10 ** quant)
-    v = {c: F.floor(F.col(c).cast("double") * F.lit(scale) + F.lit(0.5))
-         for c in cols}
+
+    def _q(c: str):
+        d = F.col(c).cast("double")
+        finite = d.isNotNull() & ~F.isnan(d) & (F.abs(d) != F.lit(float("inf")))
+        return F.when(finite, F.floor(d * F.lit(scale) + F.lit(0.5)))
+
+    v = {c: _q(c) for c in cols}
     pairs = [(cols[i], cols[j]) for i in range(len(cols))
              for j in range(i + 1, len(cols))]
 
@@ -119,15 +135,23 @@ def corr_matrix(f: Frame, cols: list[str], quant: int = 6) -> Frame:
     for c in cols:
         bad = bad | (mx[c] > F.lit(_MAX_V))
     for x, y in pairs:
-        n = F.col(f"n_{x}__{y}")
-        bad = (bad | (n > F.lit(_MAX_N))
-               | (n.cast("double") * F.greatest(mx[x], mx[y]).cast("double")
+        n = F.col(f"n_{x}__{y}").cast("double")
+        mxx, mxy = mx[x].cast("double"), mx[y].cast("double")
+        # fourth bound (r9 advice): hi-word product partials. Each
+        # |hi| ≤ |vx·vy|/2³¹ + 1, so Σhi can wrap even when the first
+        # three bounds pass (e.g. max|v| ≈ 3.03e9 with n ≈ 3e9 gives
+        # Σhi ≈ 1.3e19 > 2⁶³−1); bound n·(mx·my/2³¹ + 1) directly.
+        bad = (bad | (F.col(f"n_{x}__{y}") > F.lit(_MAX_N))
+               | (n * F.greatest(mxx, mxy) > F.lit(_MAX_NV))
+               | (n * (mxx * mxy / F.lit(float(_M)) + F.lit(1.0))
                   > F.lit(_MAX_NV)))
     guard = F.when(bad, F.raise_error(F.lit(
         f"corr_matrix: input exceeds the scaled-long domain at quant={quant} "
-        f"(need |x|*10^{quant} <= {_MAX_V}, rows <= {_MAX_N}, and "
-        f"n*max|x|*10^{quant} <= {_MAX_NV:.1e}) — lower quant, rescale the "
-        "column, or batch rows and merge the sufficient statistics")))
+        f"(need |x|*10^{quant} <= {_MAX_V}, rows <= {_MAX_N}, "
+        f"n*max|x|*10^{quant} <= {_MAX_NV:.1e}, and the hi-word bound "
+        f"n*(max|x|*max|y|*10^{2 * quant}/2^31 + 1) <= {_MAX_NV:.1e}) — "
+        "lower quant, rescale the column, or batch rows and merge the "
+        "sufficient statistics")))
 
     def _recon(pre: str, tag: str):
         """Exact Σ product from its hi/lo word sums, in decimal(38,0)

@@ -264,6 +264,42 @@ def text_classifier_predict(sdf, text_col: str, id_col: str,
 
 
 # ---------------------------------------------------- linear model (GD)
+def _check_quant(fn: str, quant) -> None:
+    """``quant`` changed type and meaning in r9 (decimal type string →
+    int decimal count for the scaled-long gradient sums); a caller
+    still passing the old ``'decimal(28,14)'`` style would otherwise
+    die inside ``10 ** quant`` with an unrelated TypeError."""
+    if not isinstance(quant, int) or isinstance(quant, bool) \
+            or not 0 <= quant <= 18:
+        raise ValueError(
+            f"{fn}: quant must be an int in [0, 18] (decimal places for "
+            f"the r9 scaled-long gradient quantization), got {quant!r} — "
+            "the pre-r9 decimal-type-string form (e.g. 'decimal(28,14)') "
+            "is no longer accepted")
+
+
+def _check_finite_grad(fn: str, quant: int, mx: float, n: int,
+                       scale: float) -> None:
+    """Driver-side gradient-domain guard shared by the binary and
+    multi-class trainers. Non-finite terms would silently quantize to 0
+    (floor(NaN·scale + 0.5) = 0 — the corr_matrix r9-advice class), so
+    a NaN/Inf max RAISES rather than biasing the gradient; exclusion is
+    not an option for a trainer (dropping one dim's term but keeping
+    the row's other dims would train on an inconsistent gradient)."""
+    import math
+    if math.isnan(mx) or math.isinf(mx):
+        raise ValueError(
+            f"{fn}: non-finite gradient term (max|x*err| = {mx!r}) — the "
+            "feature matrix or labels contain NaN/Inf; clean or clamp "
+            "them before training (non-finite terms have no scaled-long "
+            "representation and would silently quantize to 0)")
+    if n * (mx * scale + 1.0) > 9.0e18:
+        raise ValueError(
+            f"{fn}: gradient domain overflows scaled-long sums at "
+            f"quant={quant} (n={n}, max|x*err|={mx:.3g}) — lower quant "
+            "or scale features into [-1, 1]")
+
+
 def algebraic_sigmoid(z: "F.Column") -> "F.Column":
     """0.5 + 0.5·z/(1+|z|) — a rational squashing link (the 'fast
     sigmoid'). Chosen over exp-based σ deliberately: transcendental
@@ -306,6 +342,7 @@ def logreg_gd_fit(sdf, features_col: str, label_col: str, dims: int,
     n·max|t|·10^q could exceed 2⁶³ with an actionable message.
     Capacity at the default quant=12: |t| ≤ 1 features allow ~9.2e6
     rows per sum word — lower ``quant`` for larger batches."""
+    _check_quant("logreg_gd_fit", quant)
     clash = {"_w", "_b"} & set(sdf.columns)
     if clash:
         raise ValueError(
@@ -352,11 +389,7 @@ def logreg_gd_fit(sdf, features_col: str, label_col: str, dims: int,
         grads = {r["_pos"]: r for r in rows}
         n = grads[dims]["n"]
         mx = max((r["m"] or 0.0) for r in rows)
-        if n * (mx * scale + 1.0) > 9.0e18:
-            raise ValueError(
-                f"logreg_gd_fit: gradient domain overflows scaled-long "
-                f"sums at quant={quant} (n={n}, max|x*err|={mx:.3g}) — "
-                "lower quant or scale features into [-1, 1]")
+        _check_finite_grad("logreg_gd_fit", quant, mx, n, scale)
         b = b - lr * (float(grads[dims]["g"]) / scale / n)
         w = [w[j] - lr * (float(grads[j]["g"]) / scale / n)
              for j in range(dims)]
@@ -398,6 +431,7 @@ def logreg_gd_fit_multi(sdf, features_col: str, label_col: str, dims: int,
     returns K·(dims+1) scaled-long sums to the driver. Inherits the
     binary trainer's bit-reproducibility contract (algebraic sigmoid,
     floor-quantized long gradient sums, overflow raises)."""
+    _check_quant("logreg_gd_fit_multi", quant)
     if n_classes < 2:
         raise ValueError(
             f"logreg_gd_fit_multi: n_classes must be >= 2, got {n_classes}")
@@ -448,11 +482,7 @@ def logreg_gd_fit_multi(sdf, features_col: str, label_col: str, dims: int,
         grads = {(r["_cls"], r["_pos"]): r for r in rows}
         n = grads[(0, dims)]["n"]
         mx = max((r["m"] or 0.0) for r in rows)
-        if n * (mx * scale + 1.0) > 9.0e18:
-            raise ValueError(
-                f"logreg_gd_fit_multi: gradient domain overflows scaled-"
-                f"long sums at quant={quant} (n={n}, max|x*err|={mx:.3g}) "
-                "— lower quant or scale features into [-1, 1]")
+        _check_finite_grad("logreg_gd_fit_multi", quant, mx, n, scale)
         for k in range(K):
             b[k] = b[k] - lr * (float(grads[(k, dims)]["g"]) / scale / n)
             w[k] = [w[k][j] - lr * (float(grads[(k, j)]["g"]) / scale / n)

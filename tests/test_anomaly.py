@@ -99,3 +99,15 @@ def test_mad_outliers_zero_mad_flags_nothing(spark):
     rows = [{"g": "c", "v": 7.0}] * 9 + [{"g": "c", "v": 7.5}]
     out = mad_outliers(from_records(spark, rows), "v", by="g", k=3.0)
     assert out.sdf.filter(F.col("is_outlier")).count() == 0
+
+
+def test_as_local_cardinality_cap(spark, monkeypatch):
+    # the broadcast-back collect is capped (r9 advice): unbounded group
+    # cardinality must fail with an actionable error, not a driver OOM
+    from crysda_spark.operators import anomaly as am
+    monkeypatch.setattr(am, "_LOCAL_CAP", 3)
+    sdf = spark.range(10).selectExpr("id as g", "cast(id as double) as v")
+    with pytest.raises(ValueError, match="too high-cardinality"):
+        am.mad_outliers(Frame(sdf), "v", by="g")
+    with pytest.raises(ValueError, match="too high-cardinality"):
+        am.winsorize(Frame(sdf), "v", by="g")

@@ -284,3 +284,32 @@ def test_multi_validation_errors(spark):
         cls.logreg_gd_fit_multi(bad, "f", "y", dims=1, n_classes=2)
     with pytest.raises(ValueError, match="equal-length"):
         cls.logreg_gd_predict_multi(sdf, "f", [[0.1, 1.0], [0.1]])
+
+
+def test_logreg_gd_quant_validation(spark):
+    # quant changed decimal-type-string -> int in r9; the old style must
+    # fail with an actionable error, not a '10 ** str' TypeError
+    sdf = spark.createDataFrame([([1.0, 0.0], 1.0)],
+                                "f array<double>, y double")
+    with pytest.raises(ValueError, match="scaled-long"):
+        cls.logreg_gd_fit(sdf, "f", "y", dims=2, quant="decimal(28,14)")
+    with pytest.raises(ValueError, match="quant"):
+        cls.logreg_gd_fit(sdf, "f", "y", dims=2, quant=99)
+    m = spark.createDataFrame([([1.0], 0)], "f array<double>, y int")
+    with pytest.raises(ValueError, match="quant"):
+        cls.logreg_gd_fit_multi(m, "f", "y", dims=1, n_classes=2,
+                                quant="decimal(28,14)")
+
+
+def test_logreg_gd_nonfinite_features_raise(spark):
+    # NaN gradient terms quantize to 0 silently (the corr_matrix r9
+    # advice class) — the trainer must raise, not train on a biased sum
+    rows = [([1.0, float("nan")], 1.0), ([0.5, 0.2], 0.0),
+            ([0.1, 0.9], 1.0)]
+    sdf = spark.createDataFrame(rows, "f array<double>, y double")
+    with pytest.raises(ValueError, match="non-finite"):
+        cls.logreg_gd_fit(sdf, "f", "y", dims=2, iters=1)
+    rows_inf = [([1.0, float("inf")], 1), ([0.5, 0.2], 0)]
+    m = spark.createDataFrame(rows_inf, "f array<double>, y int")
+    with pytest.raises(ValueError, match="non-finite"):
+        cls.logreg_gd_fit_multi(m, "f", "y", dims=2, n_classes=2, iters=1)

@@ -216,3 +216,32 @@ def test_release_pinned_frees_offsets(spark, orders):
     assert pinned_count() >= 1
     release_pinned()
     assert pinned_count() == 0
+
+
+def test_weighted_matches_expanded_rows_bitwise(spark):
+    # weight_col contract: bit-identical to the unweighted quantile over
+    # the weight-expanded rows, at every interpolation position
+    import random
+    rng = random.Random(11)
+    vals = [(g, round(rng.uniform(0, 100), 2), rng.randint(1, 5))
+            for g in ("a", "b") for _ in range(200)]
+    wdf = spark.createDataFrame(vals, "g string, v double, w int")
+    expanded = spark.createDataFrame(
+        [(g, v) for g, v, w in vals for _ in range(w)],
+        "g string, v double")
+    qs = [0.0, 0.1, 0.25, 0.5, 0.73, 0.95, 1.0]
+    got = {(r["g"], r["q"]): r["value"]
+           for r in quantile_cont(wdf, "v", qs, by=["g"],
+                                  weight_col="w").collect()}
+    want = {(r["g"], r["q"]): r["value"]
+            for r in quantile_cont(expanded, "v", qs, by=["g"]).collect()}
+    assert got == want  # exact equality, not approx
+
+
+def test_weighted_drops_nonpositive_and_null_weights(spark):
+    rows = [("a", 1.0, 3), ("a", 100.0, 0), ("a", 200.0, -2),
+            ("a", 2.0, 1), ("a", 300.0, None)]
+    wdf = spark.createDataFrame(rows, "g string, v double, w int")
+    # surviving multiset: {1,1,1,2} -> median 1.0
+    out = quantile_cont(wdf, "v", [0.5], by=["g"], weight_col="w").collect()
+    assert out[0]["value"] == 1.0

@@ -130,3 +130,34 @@ def test_corr_matrix_negative_values_split_words_exact(spark):
         np.corrcoef(a, b)[0, 1], abs=1e-12)
     assert got[("a", "b")].cov == pytest.approx(
         np.cov(a, b, ddof=1)[0, 1], rel=1e-10)
+
+
+def test_corr_matrix_nan_inf_treated_as_missing(spark):
+    # NaN/Inf have no scaled-long representation (floor(NaN*s+0.5) = 0,
+    # which used to INCLUDE the row as a zero — r9 advice): they must be
+    # excluded exactly like nulls, so the (a,b) stats over a NaN-bearing
+    # column equal the stats over the clean subset
+    nan, inf = float("nan"), float("inf")
+    rows = [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0),
+            (5.0, nan), (6.0, inf), (7.0, -inf)]
+    sdf = spark.createDataFrame(rows, "a double, b double")
+    got = _rows(corr_matrix(Frame(sdf), ["a", "b"]))
+    clean = spark.createDataFrame(rows[:4], "a double, b double")
+    want = _rows(corr_matrix(Frame(clean), ["a", "b"]))
+    assert got[("a", "b")].n == 4
+    assert got[("a", "b")].corr == want[("a", "b")].corr
+    assert got[("a", "b")].cov == want[("a", "b")].cov
+
+
+def test_corr_matrix_hi_word_bound_guards(spark, monkeypatch):
+    # the hi-word product-sum bound n*(mx*my/2^31 + 1) can exceed the
+    # other three bounds only at billions of rows; shrink the limit so
+    # a small frame sits BETWEEN bound 3 (n*max|v| = 2*2.5e9 = 5e9, not
+    # over) and bound 4 (2*((2.5e9)^2/2^31 + 1) ~ 5.8e9, over) — the
+    # old three-bound guard passed this domain (r9 advice)
+    from crysda_spark.operators import stats as stats_mod
+    monkeypatch.setattr(stats_mod, "_MAX_NV", 5.0e9)
+    sdf = spark.createDataFrame(
+        [(2.5e9, 2.5e9), (-2.5e9, 2.4e9)], "a double, b double")
+    with pytest.raises(Exception, match="scaled-long domain"):
+        corr_matrix(Frame(sdf), ["a", "b"], quant=0).sdf.collect()
