@@ -3421,6 +3421,81 @@ def rollup_cms_heavy_keys(spark, sf_dir):
         "bucket", f"stack({len(probes)}, {stack}) as (key, est)")
 
 
+@q("rollup_topk_events", """
+WITH ev AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                   event_type AS k
+            FROM events WHERE event_type IS NOT NULL),
+hc AS (SELECT h, d, k, COUNT(*) AS c FROM ev GROUP BY 1, 2, 3),
+hr AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY c DESC, k) AS rn
+       FROM hc),
+hcut AS (SELECT h, d, COALESCE(MAX(CASE WHEN rn > 3 THEN c END), 0) AS cut
+         FROM hr GROUP BY 1, 2),
+ent AS (SELECT h, d, k, c FROM hr WHERE rn <= 3),
+cuts AS (SELECT d, SUM(cut) AS cuts FROM hcut GROUP BY 1),
+pk AS (SELECT e.d, e.k, SUM(e.c) AS lb, SUM(e.c) AS ubp, SUM(hcut.cut) AS cutp
+       FROM ent e JOIN hcut ON hcut.h = e.h AND hcut.d = e.d
+       GROUP BY 1, 2),
+j AS (SELECT pk.d, pk.k, lb, ubp + (cuts.cuts - cutp) AS ub
+      FROM pk JOIN cuts ON cuts.d = pk.d),
+r AS (SELECT *, row_number() OVER (PARTITION BY d ORDER BY lb DESC, k) AS rn
+      FROM j)
+SELECT d AS bucket, k AS key, CAST(lb AS BIGINT) AS lb, CAST(ub AS BIGINT) AS ub
+FROM r WHERE rn <= 3
+""")
+def rollup_topk_events(spark, sf_dir):
+    """topk heavy-hitters measure through the cascade (rollup 'topk'
+    kind, r9 wiring / r10 gate): per-hour exact top-3 event types
+    cascade hour→day via merge_rollup — day lb = the sum of hourly
+    counts over hours where the key ranked top-3, day ub adds the mass
+    the key could hide under the absent hours' cuts (SpaceSaving-style
+    bounds). The oracle REPLAYS the merge algebra in SQL exactly: the
+    tournament stage is transparent here (the 5 fixed event-type
+    strings hash to 5 distinct xxhash64 splits, so hourly entries and
+    cuts equal the plain (k+1)-ranked forms), making lb AND ub
+    deterministic engine-independent integers. In-query gates assert
+    the sketch CONTRACT against exact Spark-side truth: every emitted
+    key's true day count lies in [lb, ub], and every key whose true
+    count exceeds the day cut appears in the entry list."""
+    from crysda_spark.operators.rollup import (merge_rollup, time_rollup,
+                                               topk_explode)
+    from crysda_spark.plans.cache import pin
+    ev = _t(spark, sf_dir, "events")
+    spec = ("topk", "event_type", 3)
+    hourly = time_rollup(ev, "ts", "hour", tk=spec)
+    daily = merge_rollup(hourly, "day", from_grain="hour", tk=spec)
+    res = pin(topk_explode(daily, "tk").sdf
+              .select("bucket", "key", "lb", "ub", "cut"))
+    true = (ev.sdf.filter(F.col("event_type").isNotNull())
+            .groupBy(F.date_trunc("day", F.col("ts")).alias("bucket"),
+                     F.col("event_type").alias("key"))
+            .agg(F.count(F.lit(1)).alias("_t")))
+    bounds_bad = (res.join(true, on=["bucket", "key"], how="left")
+                  .agg(F.sum(F.when(F.col("_t").isNull()
+                                    | (F.col("lb") > F.col("_t"))
+                                    | (F.col("ub") < F.col("_t")), 1)
+                             .otherwise(0)).alias("bad"),
+                       F.count(F.lit(1)).alias("n_entries"),
+                       F.count_distinct("bucket").alias("n_days")))
+    # containment contract: true count > day cut  =>  key is present
+    missed = (true.join(res.select("bucket", F.col("key"),
+                                   F.lit(1).alias("_p"), "cut")
+                        .groupBy("bucket").agg(F.max("cut").alias("_cut")),
+                        on="bucket")
+              .join(res.select("bucket", "key", F.lit(1).alias("_in")),
+                    on=["bucket", "key"], how="left")
+              .filter(F.col("_in").isNull() & (F.col("_t") > F.col("_cut")))
+              .agg(F.count(F.lit(1)).alias("missed")))
+    g = bounds_bad.crossJoin(missed).collect()[0]
+    if g.bad != 0 or g.missed != 0 or g.n_days < 28 \
+            or g.n_entries != 3 * g.n_days:
+        raise AssertionError(
+            f"rollup_topk gate: {g.bad} entries outside [lb, ub], "
+            f"{g.missed} guaranteed-heavy keys missing, "
+            f"{g.n_entries} entries over {g.n_days} days")
+    return res.select("bucket", "key", "lb", "ub")
+
+
 @q("rollup_ksample_quantiles", """
 WITH base AS (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,

@@ -163,11 +163,14 @@ def _topk_fine_frame(base, keys: list, name: str, key_col: str, k: int):
     state). Selection is a two-stage tournament so no single task ever
     sorts a whole bucket's key set: per-key counts shuffle by
     (bucket, key); stage 1 ranks within (bucket, hash(key) % S) splits
-    (each window ≤ |keys|/S rows); stage 2 ranks the ≤ S·(k+1) split
-    winners. Exact for the entry list (a global top-k key is top-k in
-    its split); `cut` may be the max of split cuts rather than the
-    global (k+1)-th count — a VALID (just possibly looser) absent-key
-    bound."""
+    (each window ≤ |keys|/S rows); stage 2 sorts the ≤ S·(k+1) split
+    survivors INSIDE one aggregate (collect → array_sort → slice —
+    bounded by S·(k+1) entries per bucket), replacing the r9 second
+    window + cut join whose duplicated subtree recomputed the per-key
+    count shuffle (the corpus-sized stage) twice. Exact for the entry
+    list (a global top-k key is top-k in its split); `cut` may be the
+    max of split cuts rather than the global (k+1)-th count — a VALID
+    (just possibly looser) absent-key bound."""
     kc = F.col(key_col).cast("string")
     cnt = (base.filter(kc.isNotNull())
            .groupBy(*keys, "bucket", kc.alias("_k"))
@@ -179,37 +182,45 @@ def _topk_fine_frame(base, keys: list, name: str, key_col: str, k: int):
     s1 = (cnt.withColumn("_sp", sp)
           .withColumn("_rn", F.row_number().over(w1))
           .filter(F.col("_rn") <= k + 1))
-    # split cuts: the (k+1)-th count per split bounds anything dropped
-    # in that split
-    split_cut = (s1.filter(F.col("_rn") == k + 1)
-                 .groupBy(*keys, "bucket")
-                 .agg(F.max("_c").alias("_sc")))
-    w2 = (_W.partitionBy(*keys, "bucket")
-          .orderBy(F.col("_c").desc(), F.col("_k")))
-    s2 = (s1.filter(F.col("_rn") <= k)
-          .withColumn("_rn2", F.row_number().over(w2)))
-    st = (s2.groupBy(*keys, "bucket")
-          .agg(_topk_collect_entries(F.col("_rn2"), k, F.col("_k"),
-                                     F.col("_c"), F.col("_c"))
-               .alias("_entries"),
-               F.coalesce(F.max(F.when(F.col("_rn2") > k, F.col("_c"))),
-                          F.lit(0)).alias("_s2cut")))
-    out = (st.join(split_cut, on=[*keys, "bucket"], how="left")
-           .select(*keys, "bucket",
-                   _topk_state(F.col("_entries"),
-                               F.greatest(F.col("_s2cut"),
-                                          F.coalesce(F.col("_sc"),
-                                                     F.lit(0))))
-                   .alias(name)))
-    return out
+    # ONE aggregate finishes the tournament: sorted split winners
+    # (rn ≤ k, ≤ S·k rows) yield the entries (top k) and the global
+    # (k+1)-th count (position k+1 of the sort — counts descend, so it
+    # is the max beyond-k count, the r9 `_s2cut`); the split cuts'
+    # max (rn = k+1 rows) bounds anything dropped inside a split.
+    cand = F.when(F.col("_rn") <= k,
+                  F.struct((-F.col("_c")).alias("nc"), F.col("_k").alias("key"),
+                           F.col("_c").alias("lb"), F.col("_c").alias("ub")))
+    st = (s1.groupBy(*keys, "bucket")
+          .agg(F.array_sort(F.collect_list(cand)).alias("_sorted"),
+               F.coalesce(F.max(F.when(F.col("_rn") == k + 1, F.col("_c"))),
+                          F.lit(0)).alias("_sc")))
+    entries = F.transform(
+        F.slice(F.col("_sorted"), 1, k),
+        lambda s: F.struct(s["key"].alias("key"), s["lb"].alias("lb"),
+                           s["ub"].alias("ub")))
+    s2cut = F.when(F.size("_sorted") > k,
+                   F.element_at("_sorted", k + 1)["lb"]).otherwise(F.lit(0))
+    return st.select(*keys, "bucket",
+                     _topk_state(entries.cast(_TOPK_ENTRY_T),
+                                 F.greatest(s2cut, F.col("_sc")))
+                     .alias(name))
 
 
 def _topk_merge_frame(sdf, keys: list, name: str, k: int):
     """Merge topk states sharing a (keys..., bucket) cell — ``sdf``
     must already carry the COARSE bucket column. Row volume is bounded
     by merge arity × k per cell (hour→day = 24·k), so the ranking
-    window is safe."""
-    base = sdf.select(*keys, "bucket", F.col(name).alias("_st"))
+    window is safe.
+
+    The state table is PINNED (scoped cache registry — callers release
+    via ``release_pinned()``): this helper consumes it three times
+    (per-cell cut sums, the exploded per-key sums, and the empty-cell
+    join-back), and when ``sdf`` is a fine rollup's lazy output each
+    consumer would otherwise re-run the corpus-sized counting pipeline
+    (measured: the r9 shape executed it 3×). States are one row per
+    fine bucket — the cache is rollup-output-sized, not corpus-sized."""
+    from ..plans.cache import pin
+    base = pin(sdf.select(*keys, "bucket", F.col(name).alias("_st")))
     percell = (base.groupBy(*keys, "bucket")
                .agg(F.sum("_st.cut").alias("_cuts")))
     ex = base.select(*keys, "bucket", F.col("_st.cut").alias("_scut"),

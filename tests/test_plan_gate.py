@@ -213,6 +213,14 @@ EXPECTED = {
                                          smj=0),
     # VP8 roundtrip: one Arrow mapInPandas pass + the gate aggregates
     "multimodal_vp8_roundtrip": dict(scans=1, exchanges=1, bhj=0, smj=0),
+    # r10: topk cascade — ONE corpus scan (r9 shape re-ran the per-key
+    # count pipeline 3x through the merge's un-pinned state table: 32
+    # exchanges, 6 scans). Corpus-sized work is the count shuffle +
+    # tournament window + state aggregate; the remaining exchanges run
+    # on state-table-sized data (1 row/hour-bucket). The SMJ is the
+    # cell-sized perkey<->percell join (both sides output-cell
+    # cardinality — scale-safe unbroadcast).
+    "rollup_topk_events": dict(scans=1, exchanges=13, bhj=3, smj=1),
 }
 
 
