@@ -5,6 +5,28 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 Each query executes end-to-end into the noop sink — full plan runs
 (scan → shuffle → aggregate), nothing collects to the driver, so the
 timing reflects cluster-shaped execution, not driver serialization.
+
+Self-validation (r10 redesign — r9's start/end scan-shaped calibration
+stamped `contaminated: false` while ~19 phantom ≥1.5× round-over-round
+deltas shipped): a fixed AGGREGATE-shaped calibration query
+(`rollup_moments_stddev` — it feels the same JVM heap/GC pressure that
+inflates the payload queries; the old `zorder_key_parts` scan did not)
+is timed at the start, after every $SPARK_GRAFT_BENCH_CAL_EVERY
+(default 25) queries, and at the end, against a stored idle reference.
+Every query whose FLANKING checkpoint deviates >1.3× is stamped into
+the payload's `suspect` map — contamination that begins mid-window is
+caught by the closing checkpoint, so the whole window between the last
+good and the first bad calibration is (correctly) under suspicion.
+tools/bench_compare.py separates suspect deltas from adjudicable ones.
+
+Self-test hooks (used by tests/test_bench_calibration.py):
+  SPARK_GRAFT_BENCH_ONLY=q1,q2   run only these queries (plus the
+                                 calibration query), in the given order
+  SPARK_GRAFT_BENCH_CAL_EVERY=N  checkpoint interval
+  SPARK_GRAFT_BENCH_PRESSURE=a:b spawn CPU-burner processes while
+                                 queries with run-index in [a, b) run —
+                                 a synthetic mid-run contamination whose
+                                 window the suspect map must flag
 """
 
 from __future__ import annotations
@@ -16,10 +38,60 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+CAL_NAME = "rollup_moments_stddev"
+CAL_THRESHOLD = 1.3
+
+
+def flag_suspects(order: list[str], checkpoints: list[tuple[int, float]],
+                  idle_ref: float | None,
+                  thr: float = CAL_THRESHOLD) -> dict[str, float]:
+    """Per-query suspicion from interleaved calibration checkpoints.
+
+    ``order``: query names in run order. ``checkpoints``: (pos, sec)
+    pairs where pos = number of queries completed when the calibration
+    ran (0 = before the first). A query is suspect when EITHER flanking
+    checkpoint (the last at pos <= its index, or the first after it)
+    deviates more than ``thr``× from ``idle_ref`` — contamination that
+    starts mid-window only shows in the closing checkpoint, so the
+    whole window is tainted. Returns {name: worst flanking ratio}.
+    Pure function — unit-tested directly."""
+    if not idle_ref or idle_ref <= 0:
+        return {}
+    cps = sorted((p, s) for p, s in checkpoints if s >= 0)
+    if not cps:
+        return {}
+    out: dict[str, float] = {}
+    for i, name in enumerate(order):
+        before = [s for p, s in cps if p <= i]
+        after = [s for p, s in cps if p > i]
+        flank = ([before[-1]] if before else []) + ([after[0]] if after else [])
+        worst = max(flank) / idle_ref
+        if worst > thr:
+            out[name] = round(worst, 2)
+    return out
+
+
+def _start_burners(n: int):
+    """CPU-contention injection for the calibration self-test."""
+    import multiprocessing as mp
+
+    def burn():
+        x = 1.0
+        while True:
+            x = x * 1.0000001 % 1e9 + 1.0
+
+    procs = [mp.Process(target=burn, daemon=True) for _ in range(n)]
+    for p in procs:
+        p.start()
+    return procs
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    cal_every = int(os.environ.get("SPARK_GRAFT_BENCH_CAL_EVERY", "25"))
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    pressure = os.environ.get("SPARK_GRAFT_BENCH_PRESSURE")
 
     import __spark_entry__ as entry
     from crysda_spark.session import get_spark
@@ -35,40 +107,55 @@ def main() -> None:
           file=sys.stderr)
 
     qs = entry.queries()
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        qs = {n: qs[n] for n in names}
     # warm the JVM + parquet footer caches with one tiny action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    # ---- self-validation: calibration query + host load -------------
-    # The r8 artifact shipped 1.4-2.8x phantom regressions recorded under
-    # external host load (this box shows bursty CPU contention the bench
-    # can't see coming). A fixed calibration query timed at start AND end
-    # against a stored idle reference makes the artifact self-validating:
-    # when calibration deviates >1.3x the payload is stamped
-    # "contaminated": true and per-query comparisons should be re-run.
-    cal_name = "zorder_key_parts"
     cal_ref = None
+    ref_source = None
     cal_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_CALIBRATION.json")
     try:
         with open(cal_path) as fh:
             ref = json.load(fh)
-        if ref.get("query") == cal_name and ref.get("sf") == sf:
+        if ref.get("query") == CAL_NAME and ref.get("sf") == sf:
             cal_ref = float(ref["idle_sec"])
+            ref_source = "stored_idle"
     except (OSError, ValueError, KeyError):
         pass
 
-    def calibrate() -> float:
-        if cal_name not in qs:
-            return -1.0
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            qs[cal_name](spark, sf_dir).write.format("noop") \
-                .mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+    def _cleanup():
         from crysda_spark.plans.cache import release_pinned
         release_pinned()
         spark.catalog.clearCache()
+        # clearCache does NOT release localCheckpoint RDDs or
+        # broadcasts whose py4j handles are already unreferenced —
+        # Spark's ContextCleaner frees those only after a DRIVER
+        # GC. Iterative/broadcast-heavy queries (CC, PageRank,
+        # k-means, PQ) otherwise leak executor storage across the
+        # run and later heavyweight queries get timed under memory
+        # pressure (measured 2.4x inflation by query ~120).
+        import gc
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+        except Exception:
+            pass
+
+    cal_fn = entry.queries().get(CAL_NAME)
+
+    def calibrate() -> float:
+        if cal_fn is None:
+            return -1.0
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            cal_fn(spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            _cleanup()
         return round(best, 3)
 
     def loadavg1() -> float:
@@ -76,9 +163,6 @@ def main() -> None:
             return round(os.getloadavg()[0], 2)
         except OSError:
             return -1.0
-
-    load_start = loadavg1()
-    cal_start = calibrate()
 
     def run_once(name, fn) -> float:
         t0 = time.perf_counter()
@@ -93,27 +177,30 @@ def main() -> None:
         finally:
             # drop persisted blocks a query pinned (LSH band tables etc.)
             # so later queries aren't timed against accumulated cache
-            from crysda_spark.plans.cache import release_pinned
-            release_pinned()
-            spark.catalog.clearCache()
-            # clearCache does NOT release localCheckpoint RDDs or
-            # broadcasts whose py4j handles are already unreferenced —
-            # Spark's ContextCleaner frees those only after a DRIVER
-            # GC. Iterative/broadcast-heavy queries (CC, PageRank,
-            # k-means, PQ) otherwise leak executor storage across the
-            # run and later heavyweight queries get timed under memory
-            # pressure (measured 2.4x inflation by query ~120).
-            import gc
-            gc.collect()
-            try:
-                spark.sparkContext._jvm.System.gc()  # noqa: SLF001
-            except Exception:
-                pass
+            _cleanup()
+
+    load_start = loadavg1()
+    checkpoints: list[tuple[int, float]] = [(0, calibrate())]
+    if cal_ref is None and checkpoints[0][1] > 0:
+        # no stored idle reference for this SF: fall back to the run's
+        # own opening checkpoint (catches MID-run contamination; cannot
+        # catch a run that STARTS contaminated — the stored ref can)
+        cal_ref = checkpoints[0][1]
+        ref_source = "first_checkpoint"
+
+    p_start = p_end = -1
+    burners: list = []
+    if pressure:
+        p_start, p_end = (int(x) for x in pressure.split(":"))
 
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     errors: dict[str, int] = {}
-    for name, fn in qs.items():
+    order: list[str] = []
+    for idx, (name, fn) in enumerate(qs.items()):
+        if idx == p_start:
+            burners = _start_burners(os.cpu_count() or 8)
+            print(f"# pressure injection ON at query {idx}", file=sys.stderr)
         # median-of-3 for EVERY query: the host has bursty external CPU
         # contention (r3→r4 showed 8× swings on identical code), and the
         # first run also pays one-time Janino codegen compile — neither is
@@ -131,18 +218,31 @@ def main() -> None:
             # intermittent failures must stay visible: a median over the
             # surviving runs alone would silently hide a 1-in-3 crasher
             errors[name] = len(runs) - len(ok)
-    cal_end = calibrate()
+        order.append(name)
+        if idx + 1 == p_end and burners:
+            for p in burners:
+                p.terminate()
+            burners = []
+            print(f"# pressure injection OFF after query {idx}",
+                  file=sys.stderr)
+        if (idx + 1) % cal_every == 0 and idx + 1 < len(qs):
+            checkpoints.append((idx + 1, calibrate()))
+    if burners:
+        for p in burners:
+            p.terminate()
+    checkpoints.append((len(order), calibrate()))
     load_end = loadavg1()
+
+    suspect = flag_suspects(order, checkpoints, cal_ref)
     contaminated = None
     if cal_ref and cal_ref > 0:
-        worst = max(t for t in (cal_start, cal_end) if t >= 0) \
-            if max(cal_start, cal_end) >= 0 else -1.0
-        contaminated = bool(worst > 0 and worst / cal_ref > 1.3)
+        ratios = [s / cal_ref for _, s in checkpoints if s >= 0]
+        contaminated = bool(ratios and max(ratios) > CAL_THRESHOLD)
     if contaminated:
-        print(f"# WARNING: bench contaminated — calibration {cal_name} "
-              f"start={cal_start}s end={cal_end}s vs idle ref {cal_ref}s "
-              f"(>1.3x); treat per-query regressions as suspect",
-              file=sys.stderr)
+        print(f"# WARNING: bench contaminated — calibration {CAL_NAME} "
+              f"checkpoints {checkpoints} vs idle ref {cal_ref}s "
+              f"(>{CAL_THRESHOLD}x); {len(suspect)} queries stamped "
+              "suspect — treat their deltas accordingly", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     payload = json.dumps({
@@ -153,10 +253,13 @@ def main() -> None:
         "queries_min": timings_min,
         "queries_errors": errors,
         "sf": sf,
-        "calibration": {"query": cal_name, "idle_ref": cal_ref,
-                        "start": cal_start, "end": cal_end,
+        "calibration": {"query": CAL_NAME, "idle_ref": cal_ref,
+                        "ref_source": ref_source,
+                        "checkpoints": [[p, s] for p, s in checkpoints],
+                        "cal_every": cal_every,
                         "load_avg_start": load_start,
                         "load_avg_end": load_end},
+        "suspect": suspect,
         "contaminated": contaminated,
     })
     print(payload)
@@ -176,6 +279,7 @@ def main() -> None:
     print(json.dumps({"metric": "total_query_seconds", "value": total,
                       "unit": "sec", "sf": sf,
                       "n_queries": len(timings), "n_errors": len(errors),
+                      "n_suspect": len(suspect),
                       "contaminated": contaminated}))
 
 

@@ -106,8 +106,33 @@ def test_as_local_cardinality_cap(spark, monkeypatch):
     # cardinality must fail with an actionable error, not a driver OOM
     from crysda_spark.operators import anomaly as am
     monkeypatch.setattr(am, "_LOCAL_CAP", 3)
+    monkeypatch.setattr(am, "_DISTINCT_CAP", 0)  # force the distributed path
     sdf = spark.range(10).selectExpr("id as g", "cast(id as double) as v")
     with pytest.raises(ValueError, match="too high-cardinality"):
         am.mad_outliers(Frame(sdf), "v", by="g")
     with pytest.raises(ValueError, match="too high-cardinality"):
         am.winsorize(Frame(sdf), "v", by="g")
+
+
+def test_quantile_fast_path_equals_distributed(spark, monkeypatch):
+    # the driver fast path must be BIT-identical to the distributed
+    # weighted quantile_cont path (CC fast-path precedent)
+    import random
+    from crysda_spark.operators import anomaly as am
+    rng = random.Random(5)
+    rows = [(rng.choice("xyz"), float(rng.randint(0, 40)) / 4)
+            for _ in range(3000)] + [("x", None), ("z", float("nan"))]
+    sdf = spark.createDataFrame(rows, "g string, v double")
+    fast_w = am.winsorize(Frame(sdf), "v", by="g", q_lo=0.1, q_hi=0.9)
+    fast_m = am.mad_outliers(Frame(sdf), "v", by="g", k=2.0)
+    monkeypatch.setattr(am, "_DISTINCT_CAP", 0)
+    slow_w = am.winsorize(Frame(sdf), "v", by="g", q_lo=0.1, q_hi=0.9)
+    slow_m = am.mad_outliers(Frame(sdf), "v", by="g", k=2.0)
+
+    def canon(f, cols):
+        return sorted((tuple(repr(v) for v in r)
+                       for r in f.sdf.select(*cols).collect()))
+
+    assert canon(fast_w, ["g", "v", "v_w"]) == canon(slow_w, ["g", "v", "v_w"])
+    assert canon(fast_m, ["g", "v", "_med", "_mad", "is_outlier"]) == \
+        canon(slow_m, ["g", "v", "_med", "_mad", "is_outlier"])

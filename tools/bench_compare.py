@@ -43,6 +43,10 @@ def main() -> None:
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     oq = {k: v for k, v in old["queries"].items() if v >= 0}
     nq = {k: v for k, v in new["queries"].items() if v >= 0}
+    # r10: queries stamped suspect by either artifact's interleaved
+    # calibration ran under detected contamination — their deltas are
+    # not adjudicable and are reported separately, not as regressions
+    tainted = set(old.get("suspect") or {}) | set(new.get("suspect") or {})
     common = sorted(set(oq) & set(nq))
     t_old = sum(oq[k] for k in common)
     t_new = sum(nq[k] for k in common)
@@ -50,16 +54,27 @@ def main() -> None:
           f"old {t_old:.1f}s  new {t_new:.1f}s  "
           f"ratio {t_new / t_old if t_old else float('nan'):.3f}")
     print(f"only-old: {len(set(oq) - set(nq))}  only-new: {len(set(nq) - set(oq))}")
+    if tainted:
+        print(f"suspect (calibration-flagged) in either artifact: "
+              f"{len(tainted)}")
     regress = [(nq[k] / oq[k], k) for k in common
                if oq[k] > 0 and nq[k] / oq[k] >= thr and nq[k] - oq[k] >= 0.5]
     improve = [(nq[k] / oq[k], k) for k in common
                if nq[k] > 0 and oq[k] / nq[k] >= thr and oq[k] - nq[k] >= 0.5]
-    print(f"\nregressions (>= {thr}x and >= 0.5s):")
+    print(f"\nregressions (>= {thr}x and >= 0.5s, calibration-clean):")
     for r, k in sorted(regress, reverse=True):
-        print(f"  {r:5.2f}x  {oq[k]:7.2f} -> {nq[k]:7.2f}  {k}")
+        if k not in tainted:
+            print(f"  {r:5.2f}x  {oq[k]:7.2f} -> {nq[k]:7.2f}  {k}")
+    sus = [x for x in regress if x[1] in tainted]
+    if sus:
+        print(f"\nsuspect deltas (calibration-inflated window — re-time "
+              "before judging):")
+        for r, k in sorted(sus, reverse=True):
+            print(f"  {r:5.2f}x  {oq[k]:7.2f} -> {nq[k]:7.2f}  {k}")
     print(f"\nimprovements (>= {thr}x and >= 0.5s):")
     for r, k in sorted(improve, reverse=True):
-        print(f"  {r:5.2f}x  {oq[k]:7.2f} -> {nq[k]:7.2f}  {k}")
+        flag = "  [suspect]" if k in tainted else ""
+        print(f"  {r:5.2f}x  {oq[k]:7.2f} -> {nq[k]:7.2f}  {k}{flag}")
     print("\nslowest new:")
     for k in sorted(nq, key=lambda k: -nq[k])[:10]:
         print(f"  {nq[k]:7.2f}  {k}")
