@@ -5370,16 +5370,19 @@ def multiclass_confusion_planted(spark, sf_dir):
     return conf.orderBy("y", "pred")
 
 
-def _corr_oracle(table: str, cols: list[str], quant: int = 6) -> str:
+def _corr_oracle(table: str, cols: list[str], quant: int = 6,
+                 pairs: list | None = None) -> str:
     """Mirror oracle for operators.stats.corr_matrix (r9 scaled-long
     contract): the SAME floor(x·10^q + 0.5) quantization, the SAME
     exact integer sums with products hi/lo-split around 2³¹ (DuckDB
     sums BIGINT into HUGEINT, so the word sums and the hi·2³¹ + lo
     reconstruction are exact int128 arithmetic — the twin of Spark's
     decimal(38,0) epilogue), and the SAME double association, so
-    values match bit-for-bit with no rounding."""
-    pairs = [(cols[i], cols[j]) for i in range(len(cols))
-             for j in range(i + 1, len(cols))]
+    values match bit-for-bit with no rounding. ``pairs`` restricts the
+    oracle to an explicit pair subset (the wide-matrix sampled gate);
+    the integer sums are the same whether or not other pairs exist."""
+    pairs = pairs or [(cols[i], cols[j]) for i in range(len(cols))
+                      for j in range(i + 1, len(cols))]
     m = 2147483648  # 2^31 — the hi/lo split base
     sums, outs = [], []
     for x, y in pairs:
@@ -5445,6 +5448,49 @@ def corr_matrix_lineitem(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return corr_matrix(li, ["l_quantity", "l_extendedprice",
                             "l_discount", "l_tax"], quant=4).sdf
+
+
+_WIDE_CORR_K = 64
+_WIDE_CORR_SAMPLE = 41  # every 41st pair — ~49 of 2,016 oracled
+
+
+def _wide_corr_pairs() -> list[tuple[str, str]]:
+    names = [f"e{i}" for i in range(_WIDE_CORR_K)]
+    pairs = [(names[i], names[j]) for i in range(_WIDE_CORR_K)
+             for j in range(i + 1, _WIDE_CORR_K)]
+    return pairs[::_WIDE_CORR_SAMPLE]
+
+
+def _wide_corr_oracle(quant: int = 6) -> str:
+    w_sql = ("SELECT "
+             + ", ".join(f"embedding[{i + 1}] AS e{i}"
+                         for i in range(_WIDE_CORR_K))
+             + " FROM embeddings")
+    gen = _corr_oracle("w", [], quant, pairs=_wide_corr_pairs())
+    return gen.replace("WITH s AS", f"WITH w AS ({w_sql}), s AS", 1)
+
+
+@q("corr_matrix_embeddings_wide", _wide_corr_oracle())
+def corr_matrix_embeddings_wide(spark, sf_dir):
+    """Wide-matrix correlation (r10 stretch — operators.stats.
+    _corr_wide): the full 64-dimension embedding matrix (2,016 pairs)
+    through the Arrow/BLAS kernel — 16-bit word splits keep every
+    float64 matmul partial integer-exact, per-partition int64 word
+    sums emit hi/lo-split pair rows, and the constant-width
+    groupBy + decimal(38,0) epilogue reproduces the expression
+    kernel's statistics bit-for-bit. The driver gate compares a
+    deterministic 49-pair sample against the DuckDB HUGEINT replay
+    (the same value-level oracle as corr_matrix_lineitem — sums for a
+    pair are independent of which other pairs are computed)."""
+    from crysda_spark.operators.stats import corr_matrix
+    emb = _t(spark, sf_dir, "embeddings")
+    w = emb.sdf.select(*[F.col("embedding")[i].alias(f"e{i}")
+                         for i in range(_WIDE_CORR_K)])
+    out = corr_matrix(Frame(w), [f"e{i}" for i in range(_WIDE_CORR_K)],
+                      quant=6).sdf
+    keys = [f"{x}|{y}" for x, y in _wide_corr_pairs()]
+    return out.filter(
+        F.concat_ws("|", F.col("col_x"), F.col("col_y")).isin(keys))
 
 
 @q("write_xml_roundtrip", """

@@ -8,8 +8,13 @@ before training (redundant-feature pruning, leakage checks).
 Scale shape: a single aggregate producing one row of partial sums (no
 shuffle of data rows — partials combine map-side; the single result
 row is driver-sized). The pair expansion is plan width, not data
-width: k columns cost O(k²) expressions, so the operator guards
-k ≤ 32 (wider matrices should run as column batches).
+width: k columns cost O(k²) expressions, so k ≤ 8 runs as ONE
+aggregate, and wider matrices (r10, up to 256 columns) run the O(k²)
+work inside one exact Arrow/BLAS mapInPandas pass (``_corr_wide``):
+8-bit word splits keep every float64 matmul partial integer-exact
+below 2⁵³, per-partition int64 accumulation emits hi/lo-split pair
+rows, and a constant-width groupBy + epilogue reproduces the narrow
+kernel's statistics bit-for-bit.
 
 Determinism contract (r9 — the scaled-long rewrite): inputs are
 quantized to ``quant`` decimals via ``floor(x·10^q + 0.5)`` — one
@@ -63,22 +68,47 @@ from ..frame import Frame
 
 __all__ = ["corr_matrix"]
 
-_MAX_COLS = 32
+_MAX_COLS = 8                      # expression-kernel ceiling: measured
+#   ~0.2-0.4 s of driver/Catalyst/Janino cost PER PAIR (r10) — beyond
+#   ~28 pairs the Arrow kernel's flat one-pass cost wins even at 600k
+#   rows, while tiny-k on huge data keeps the zero-Python codegen path
+_MAX_WIDE = 256                    # hard cap for the Arrow wide path
 _M = 1 << 31                       # hi/lo split base for product sums
 _MAX_V = 3_037_000_499             # isqrt(2^63 - 1): |vx| bound so vx·vy fits
 _MAX_N = 4_290_000_000             # lo-word partials: n·2^31 < 2^63 (margin)
 _MAX_NV = 9.0e18                   # unsplit Σvx partials: n·max|vx| bound
 
 
+def _quantize(c: str, scale: float):
+    """floor(x·10^q + 0.5): one IEEE multiply + exact add/floor —
+    deterministic half-up-toward-+inf quantization, long-typed.
+    NaN/±Inf null out FIRST (treated as missing, like SQL corr over
+    NULL): floor(NaN·scale + 0.5) is 0, which would silently include
+    the row as a zero value — r9 advice finding."""
+    d = F.col(c).cast("double")
+    finite = d.isNotNull() & ~F.isnan(d) & (F.abs(d) != F.lit(float("inf")))
+    return F.when(finite, F.floor(d * F.lit(scale) + F.lit(0.5)))
+
+
 def corr_matrix(f: Frame, cols: list[str], quant: int = 6) -> Frame:
     """(col_x, col_y, n, cov, corr) for every i<j pair of ``cols`` —
-    one pass, exact scaled-long sums, bit-reproducible doubles out."""
+    exact scaled-long sums, bit-reproducible doubles out.
+
+    Up to ``_MAX_COLS`` (8) columns: ONE map-side-combined aggregate
+    (pure codegen expressions). Wider matrices (r10, up to
+    ``_MAX_WIDE``): the O(k²) pair work moves into an exact Arrow/BLAS
+    kernel (``_corr_wide``) — per-pair Catalyst/Janino cost makes an
+    8,128-pair expression plan unplannable — with bit-identical
+    results (pinned by test)."""
     if len(cols) < 2:
         raise ValueError("corr_matrix: need at least 2 columns")
-    if len(cols) > _MAX_COLS:
+    if len(cols) > _MAX_WIDE:
         raise ValueError(
-            f"corr_matrix: {len(cols)} columns is {len(cols)*(len(cols)-1)//2} "
-            f"pairs (> {_MAX_COLS}-column guard) — run in column batches")
+            f"corr_matrix: {len(cols)} columns is "
+            f"{len(cols) * (len(cols) - 1) // 2} pairs (> {_MAX_WIDE}-column "
+            "guard) — at that width pairwise corr is the wrong tool; "
+            "reduce dimensions first (feature hashing, PCA, or a sampled "
+            "pair set)")
     if len(set(cols)) != len(cols):
         raise ValueError(f"corr_matrix: duplicate columns in {cols}")
     missing = [c for c in cols if c not in f.columns]
@@ -86,21 +116,230 @@ def corr_matrix(f: Frame, cols: list[str], quant: int = 6) -> Frame:
         raise ValueError(f"corr_matrix: unknown columns {missing}")
     if not 0 <= quant <= 8:
         raise ValueError(f"corr_matrix: quant must be in [0, 8], got {quant}")
-    # v = floor(x·10^q + 0.5): one IEEE multiply + exact add/floor —
-    # deterministic half-up-toward-+inf quantization, long-typed.
-    # NaN/±Inf null out FIRST (treated as missing, like SQL corr over
-    # NULL): floor(NaN·scale + 0.5) is 0, which would silently include
-    # the row as a zero value — r9 advice finding.
     scale = float(10 ** quant)
-
-    def _q(c: str):
-        d = F.col(c).cast("double")
-        finite = d.isNotNull() & ~F.isnan(d) & (F.abs(d) != F.lit(float("inf")))
-        return F.when(finite, F.floor(d * F.lit(scale) + F.lit(0.5)))
-
-    v = {c: _q(c) for c in cols}
     pairs = [(cols[i], cols[j]) for i in range(len(cols))
              for j in range(i + 1, len(cols))]
+    if len(cols) <= _MAX_COLS:
+        v = {c: _quantize(c, scale) for c in cols}
+        return Frame(_corr_pairs(f.sdf, v, pairs, quant))
+    return Frame(_corr_wide(f.sdf, cols, quant))
+
+
+def _pin_blas_threads(n: int = 1) -> None:
+    """Best-effort OpenBLAS thread pinning inside a Spark Python worker:
+    32 parallel workers each spawning the default one-thread-per-core
+    BLAS pool oversubscribe the box ~7× (measured r10 on the wide corr
+    kernel). Uses the library's public C API via ctypes; silently a
+    no-op when the symbol or library layout differs."""
+    try:
+        import ctypes
+        import glob
+        import os
+
+        import numpy
+        pat = os.path.join(os.path.dirname(numpy.__file__), "..",
+                           "numpy.libs", "libopenblas*")
+        for path in glob.glob(pat):
+            lib = ctypes.CDLL(path)
+            for sym in ("openblas_set_num_threads64_",
+                        "openblas_set_num_threads"):
+                fn = getattr(lib, sym, None)
+                if fn is not None:
+                    fn(n)
+                    return
+    except Exception:
+        pass
+
+
+def _corr_wide(sdf, cols: list[str], quant: int):
+    """Wide-matrix kernel (k > _MAX_COLS): the per-pair EXPRESSION kernel costs
+    ~0.2 s of driver/Catalyst/Janino time PER PAIR (superlinear beyond
+    ~50 pairs; measured r10), so k = 128's 8,128 pairs are unplannable
+    as expressions. This kernel moves the O(k²) work into ONE Arrow
+    mapInPandas pass over the quantized-long projection:
+
+    - per batch, each value splits into two 16-bit words (top word
+      signed, |w1| ≤ 46,341 inside the guarded |v| domain) and four
+      BLAS float64 matmuls produce every pair's word-level product
+      sums — per-batch partials stay below 2⁵³ for batches up to 2M
+      rows, so float64 accumulation is EXACT regardless of order;
+    - per partition, word sums accumulate in int64 (exact up to ~2·10⁹
+      rows/partition — guarded) and one row per pair emits each
+      product-word sum hi/lo-SPLIT at 2³¹ (vectorized numpy, no Python
+      loop over pairs) — the narrow kernel's own trick, so the
+      constant-width cross-partition groupBy('x','y').sum() never
+      wraps inside the guarded domain;
+    - a per-row epilogue reconstructs each Σ product EXACTLY in
+      decimal(38,0) from its split word sums, then runs the same IEEE
+      association and the same four overflow bounds: statistics are
+      BIT-IDENTICAL to the narrow kernel (pinned by test).
+
+    Scale shape: one scan, one k²-row-per-partition shuffle (k=128 →
+    8,128 rows × ~250 B per partition), zero driver collection. Python
+    appears only inside the Arrow kernel as vectorized BLAS calls
+    (pinned to one BLAS thread per worker — 32 workers × default
+    OpenBLAS threading oversubscribes the box ~7×, measured r10)."""
+    import numpy as np
+    import pandas as pd
+
+    k = len(cols)
+    scale = float(10 ** quant)
+    proj = sdf.select(*[_quantize(c, scale).alias(f"_qv{i}")
+                        for i, c in enumerate(cols)])
+    pair_x = [i for i in range(k) for _ in range(i + 1, k)]
+    pair_y = [j for i in range(k) for j in range(i + 1, k)]
+    pblocks = [(0, 0), (0, 1), (1, 1)]     # w_a·w_b value-square words
+    prods = ["sxy", "sxx", "syy"]
+    cols_out = (["x", "y", "n", "sx0", "sx1", "sy0", "sy1"]
+                + [f"{p}{w}{h}" for p in prods for w in range(3)
+                   for h in ("h", "l")] + ["mxx", "mxy"])
+    out_schema = ", ".join(
+        f"{c} int" if c in ("x", "y") else f"{c} long" for c in cols_out)
+    max_v = _MAX_V
+    max_part_rows = 1_000_000_000  # int64 accumulation headroom
+
+    def kernel(batches):
+        _pin_blas_threads()
+        g_uu = np.zeros((2 * k, 2 * k), dtype=np.int64)
+        g_um = np.zeros((2 * k, k), dtype=np.int64)
+        g_pm = np.zeros((3 * k, k), dtype=np.int64)
+        g_mm = np.zeros((k, k), dtype=np.int64)
+        mx = np.zeros(k, dtype=np.int64)
+        seen, nrows = False, 0
+        for pdf in batches:
+            xf = pdf.to_numpy(dtype=np.float64, na_value=np.nan)
+            if xf.shape[0] == 0:
+                continue
+            seen = True
+            nrows += xf.shape[0]
+            if nrows > max_part_rows:
+                raise ValueError(
+                    "corr_matrix: partition exceeds 1e9 rows — "
+                    "repartition the input before the wide kernel")
+            mask = ~np.isnan(xf)
+            xi = np.where(mask, xf, 0.0).astype(np.int64)
+            amax = np.abs(xi).max() if xi.size else 0
+            if amax > max_v:
+                raise ValueError(
+                    f"corr_matrix: |x|*10^{quant} = {amax} exceeds "
+                    f"{max_v} — lower quant or rescale the column")
+            mx = np.maximum(mx, np.abs(xi).max(axis=0))
+            # two 16-bit words, top word signed: per-batch dgemm
+            # partials ≤ 46341²·|batch| < 2^53 -> float64 is exact
+            w = [(xi & 0xFFFF).astype(np.float64),
+                 (xi >> 16).astype(np.float64)]
+            u = np.concatenate(w, axis=1)                      # n x 2k
+            p = np.concatenate([w[a] * w[b] for a, b in pblocks],
+                               axis=1)                         # n x 3k
+            mf = mask.astype(np.float64)
+            g_uu += (u.T @ u).astype(np.int64)
+            g_um += (u.T @ mf).astype(np.int64)
+            g_pm += (p.T @ mf).astype(np.int64)
+            g_mm += (mf.T @ mf).astype(np.int64)
+        if not seen:
+            return
+        xs = np.asarray(pair_x, dtype=np.int64)
+        ys = np.asarray(pair_y, dtype=np.int64)
+        out = {"x": xs.astype(np.int32), "y": ys.astype(np.int32),
+               "n": g_mm[xs, ys],
+               "sx0": g_um[xs, ys], "sx1": g_um[k + xs, ys],
+               "sy0": g_um[ys, xs], "sy1": g_um[k + ys, xs]}
+
+        def split(s):
+            lo = np.mod(s, 1 << 31)          # non-negative, exact
+            return (s - lo) >> 31, lo
+
+        for wgt in range(3):                 # product words 2^(16w)
+            sxy = np.zeros(len(xs), dtype=np.int64)
+            for a in range(2):
+                b = wgt - a
+                if 0 <= b < 2:
+                    sxy += g_uu[a * k + xs, b * k + ys]
+            sxx = np.zeros(len(xs), dtype=np.int64)
+            syy = np.zeros(len(xs), dtype=np.int64)
+            for bi, (a, b) in enumerate(pblocks):
+                if a + b == wgt:
+                    coef = 2 if a != b else 1
+                    sxx += coef * g_pm[bi * k + xs, ys]
+                    syy += coef * g_pm[bi * k + ys, xs]
+            for name, s in (("sxy", sxy), ("sxx", sxx), ("syy", syy)):
+                hi, lo = split(s)
+                out[f"{name}{wgt}h"] = hi
+                out[f"{name}{wgt}l"] = lo
+        out["mxx"] = mx[xs]
+        out["mxy"] = mx[ys]
+        yield pd.DataFrame(out)
+
+    partials = proj.mapInPandas(kernel, schema=out_schema)
+    summed = partials.groupBy("x", "y").agg(
+        *[(F.max(c) if c in ("mxx", "mxy") else F.sum(c)).alias(c)
+          for c in cols_out[2:]])
+    return _corr_epilogue_rows(summed, cols, quant)
+
+
+def _corr_epilogue_rows(summed, cols: list[str], quant: int):
+    """Per-pair-row epilogue over summed word sums — the SAME guard
+    bounds, exact decimal(38,0) reconstruction (generalized from the
+    narrow kernel's 2 words to the Arrow kernel's 2⁸ʷ weights), and
+    IEEE association as the narrow kernel's one-row epilogue, so
+    values are bit-identical."""
+    scale = float(10 ** quant)
+    nd = F.col("n").cast("double")
+    mxx, mxy = F.col("mxx").cast("double"), F.col("mxy").cast("double")
+    bad = ((F.col("mxx") > F.lit(_MAX_V)) | (F.col("mxy") > F.lit(_MAX_V))
+           | (F.col("n") > F.lit(_MAX_N))
+           | (nd * F.greatest(mxx, mxy) > F.lit(_MAX_NV))
+           | (nd * (mxx * mxy / F.lit(float(_M)) + F.lit(1.0))
+              > F.lit(_MAX_NV)))
+    guard = F.when(bad, F.raise_error(F.lit(
+        f"corr_matrix: input exceeds the scaled-long domain at "
+        f"quant={quant} — lower quant, rescale the column, or batch "
+        "rows and merge the sufficient statistics"))).otherwise(F.lit(0))
+
+    def _sum16(pre: str):
+        """sx/sy: word0 + word1·2¹⁶ exactly in decimal(38,0), ONE
+        conversion to double — the same exact-integer → binary64
+        rounding as the narrow kernel's long sums."""
+        return (F.col(f"{pre}0").cast("decimal(38,0)")
+                + F.col(f"{pre}1").cast("decimal(38,0)") * F.lit(1 << 16)
+                ).cast("double")
+
+    def _wsum(pre: str):
+        """Σ_w (hi_w·2³¹ + lo_w)·2^(16w) exactly in decimal(38,0) —
+        the narrow kernel's hi/lo reconstruction generalized over the
+        three 16-bit product words; ONE conversion to double."""
+        acc = None
+        for w in range(3):
+            word = (F.col(f"{pre}{w}h").cast("decimal(38,0)") * F.lit(_M)
+                    + F.col(f"{pre}{w}l"))
+            t = word * F.lit(1 << (16 * w))
+            acc = t if acc is None else acc + t
+        return acc.cast("double")
+
+    inv_sq = 1.0 / (scale * scale)
+    sx, sy = _sum16("sx"), _sum16("sy")
+    sxy, sxx, syy = _wsum("sxy"), _wsum("sxx"), _wsum("syy")
+    num = sxy * nd - sx * sy
+    denx = sxx * nd - sx * sx
+    deny = syy * nd - sy * sy
+    cov = F.when(F.col("n") >= 2,
+                 num / (nd * (nd - F.lit(1.0))) * F.lit(inv_sq))
+    corr = F.when((F.col("n") >= 2) & (denx > 0) & (deny > 0),
+                  num / (F.sqrt(denx) * F.sqrt(deny)))
+    names = F.array(*[F.lit(c) for c in cols])
+    return summed.select(
+        F.element_at(names, F.col("x") + 1).alias("col_x"),
+        F.element_at(names, F.col("y") + 1).alias("col_y"),
+        F.when(guard == 0, F.col("n")).alias("n"),
+        cov.alias("cov"), corr.alias("corr"))
+
+
+def _corr_pairs(sdf, v: dict, pairs: list[tuple[str, str]],
+                quant: int) -> "F.DataFrame":
+    """One aggregate computing the pairwise stats for ``pairs`` —
+    ``v`` maps column name → quantized-long expression."""
+    scale = float(10 ** quant)
+    cols = list(dict.fromkeys([c for p in pairs for c in p]))
 
     def _split(p):
         """hi/lo words of a long product: lo = pmod(p, 2³¹) ∈ [0, 2³¹),
@@ -127,13 +366,11 @@ def corr_matrix(f: Frame, cols: list[str], quant: int = 6) -> Frame:
             F.sum(xxh).alias(f"sxxh_{tag}"), F.sum(xxl).alias(f"sxxl_{tag}"),
             F.sum(yyh).alias(f"syyh_{tag}"), F.sum(yyl).alias(f"syyl_{tag}"),
         ]
-    one = f.sdf.agg(*aggs)
+    one = sdf.agg(*aggs)
 
     # epilogue guards (one-row, zero per-row cost): raise — never wrap
     mx = {c: F.col(f"mx_{i}") for i, c in enumerate(cols)}
-    bad = F.lit(False)
-    for c in cols:
-        bad = bad | (mx[c] > F.lit(_MAX_V))
+    terms = [mx[c] > F.lit(_MAX_V) for c in cols]
     for x, y in pairs:
         n = F.col(f"n_{x}__{y}").cast("double")
         mxx, mxy = mx[x].cast("double"), mx[y].cast("double")
@@ -141,17 +378,27 @@ def corr_matrix(f: Frame, cols: list[str], quant: int = 6) -> Frame:
         # |hi| ≤ |vx·vy|/2³¹ + 1, so Σhi can wrap even when the first
         # three bounds pass (e.g. max|v| ≈ 3.03e9 with n ≈ 3e9 gives
         # Σhi ≈ 1.3e19 > 2⁶³−1); bound n·(mx·my/2³¹ + 1) directly.
-        bad = (bad | (F.col(f"n_{x}__{y}") > F.lit(_MAX_N))
-               | (n * F.greatest(mxx, mxy) > F.lit(_MAX_NV))
-               | (n * (mxx * mxy / F.lit(float(_M)) + F.lit(1.0))
-                  > F.lit(_MAX_NV)))
+        terms += [F.col(f"n_{x}__{y}") > F.lit(_MAX_N),
+                  n * F.greatest(mxx, mxy) > F.lit(_MAX_NV),
+                  n * (mxx * mxy / F.lit(float(_M)) + F.lit(1.0))
+                  > F.lit(_MAX_NV)]
+    # balanced OR tree: a left-deep 1,500-term chain overflows the JVM
+    # stack inside column-node conversion at the 496-pair batch width
+    while len(terms) > 1:
+        terms = [terms[i] | terms[i + 1] if i + 1 < len(terms) else terms[i]
+                 for i in range(0, len(terms), 2)]
+    bad = terms[0]
+    # the guard lands in the plan exactly ONCE (gating the inline array
+    # below): embedding it per pair — r9's coalesce(guard, n) — costs
+    # O(pairs) copies of an O(pairs)-term expression, ~750k plan nodes
+    # at the 496-pair batch width (JVM stack overflow in conversion)
     guard = F.when(bad, F.raise_error(F.lit(
         f"corr_matrix: input exceeds the scaled-long domain at quant={quant} "
         f"(need |x|*10^{quant} <= {_MAX_V}, rows <= {_MAX_N}, "
         f"n*max|x|*10^{quant} <= {_MAX_NV:.1e}, and the hi-word bound "
         f"n*(max|x|*max|y|*10^{2 * quant}/2^31 + 1) <= {_MAX_NV:.1e}) — "
         "lower quant, rescale the column, or batch rows and merge the "
-        "sufficient statistics")))
+        "sufficient statistics"))).otherwise(F.lit(0))
 
     def _recon(pre: str, tag: str):
         """Exact Σ product from its hi/lo word sums, in decimal(38,0)
@@ -180,8 +427,8 @@ def corr_matrix(f: Frame, cols: list[str], quant: int = 6) -> Frame:
         corr = F.when((F.col(f"n_{tag}") >= 2) & (denx > 0) & (deny > 0),
                       num / (F.sqrt(denx) * F.sqrt(deny)))
         return F.struct(F.lit(x).alias("col_x"), F.lit(y).alias("col_y"),
-                        F.coalesce(guard, F.col(f"n_{tag}")).alias("n"),
+                        F.col(f"n_{tag}").alias("n"),
                         cov.alias("cov"), corr.alias("corr"))
 
-    out = one.select(F.inline(F.array(*[_stats(x, y) for x, y in pairs])))
-    return Frame(out)
+    arr = F.array(*[_stats(x, y) for x, y in pairs])
+    return one.select(F.inline(F.when(guard == F.lit(0), arr)))

@@ -221,6 +221,11 @@ EXPECTED = {
     # cell-sized perkey<->percell join (both sides output-cell
     # cardinality — scale-safe unbroadcast).
     "rollup_topk_events": dict(scans=1, exchanges=13, bhj=3, smj=1),
+    # r10: wide corr — ONE scan into the Arrow kernel, ONE pair-keyed
+    # exchange (k² rows/partition), constant-width epilogue; a second
+    # exchange or scan means the kernel stopped emitting merged pair
+    # rows per partition
+    "corr_matrix_embeddings_wide": dict(scans=1, exchanges=1, bhj=0, smj=0),
 }
 
 

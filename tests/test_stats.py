@@ -82,8 +82,38 @@ def test_corr_matrix_guards(spark):
         corr_matrix(f, ["a", "zz"])
     with pytest.raises(ValueError, match="quant"):
         corr_matrix(f, ["a", "b"], quant=12)
-    with pytest.raises(ValueError, match="batches"):
+    with pytest.raises(ValueError, match="wrong tool"):
+        corr_matrix(f, [f"c{i}" for i in range(300)])
+    # 40 columns no longer errors (r10 wide path) — unknown-col check
+    # still fires first for these names
+    with pytest.raises(ValueError, match="unknown"):
         corr_matrix(f, [f"c{i}" for i in range(40)])
+
+
+def test_corr_matrix_wide_batches_match_narrow(spark):
+    # the >32-column batched path must return the SAME bit-exact stats
+    # as narrow single-aggregate calls over each pair
+    import numpy as np
+    rng = np.random.default_rng(3)
+    k, n = 36, 150
+    m = rng.normal(0, 2, (n, k)).round(3)
+    cols = [f"c{i}" for i in range(k)]
+    sdf = spark.createDataFrame(
+        [tuple(float(x) for x in row) for row in m],
+        ", ".join(f"{c} double" for c in cols))
+    f = Frame(sdf)
+    wide = _rows(corr_matrix(f, cols))
+    assert len(wide) == k * (k - 1) // 2
+    from crysda_spark.plans.cache import release_pinned
+    release_pinned()
+    # spot-check 6 pairs against the narrow kernel, bit-for-bit
+    probe = [("c0", "c1"), ("c0", "c35"), ("c7", "c20"),
+             ("c17", "c18"), ("c30", "c31"), ("c2", "c33")]
+    for x, y in probe:
+        narrow = _rows(corr_matrix(f, [x, y]))[(x, y)]
+        assert wide[(x, y)].corr == narrow.corr
+        assert wide[(x, y)].cov == narrow.cov
+        assert wide[(x, y)].n == narrow.n
 
 
 def test_corr_matrix_anticorrelated_sign(spark):
