@@ -2369,6 +2369,93 @@ def multimodal_decode(spark, sf_dir):
                           F.round(F.element_at("features", 8), 6).alias("f7"))
 
 
+@q("multimodal_webp_anim_frames")  # binary codec; rows-only
+def multimodal_webp_anim_frames(spark, sf_dir):
+    """ANIMATED WebP end-to-end (r10 — webp.decode_webp_anim): per-doc
+    animations are muxed executor-side (VP8X/ANIM/ANMF, frames encoded
+    with the in-repo VP8L lossless codec — doc-derived canvas, frame
+    count, and a dispose/blend mix), demuxed + canvas-composited
+    through the SAME Arrow frame-sampling kernel AVI uses, and the
+    sampled canvases re-decoded. Gates per clip: sampled count ==
+    ceil(n_frames/2) on the 0,2,4,… grid, every sampled canvas decodes
+    at the full canvas geometry, and for the full-canvas-overwrite
+    clips the composited canvas at frame i carries frame i's tag pixel
+    (the compositing matrix itself is pinned by pytest against an
+    independent reference)."""
+    from crysda_spark.pipeline import multimodal as mm
+    from pyspark.sql import types as T
+
+    ids = _t(spark, sf_dir, "documents").sdf.select("doc_id").limit(48)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from crysda_spark.pipeline.webp import encode_webp_anim
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                ch, cw, nf = 4 + d % 5, 6 + d % 4, 1 + d % 6
+                rng = np.random.default_rng(d)
+                frames = []
+                for i in range(nf):
+                    if d % 2 == 0:           # full-canvas opaque overwrite
+                        a = rng.integers(0, 256, (ch, cw, 4),
+                                         dtype=np.int64).astype(np.uint8)
+                        a[..., 3] = 255
+                        a[0, 0, :3] = (i, 0, 0)
+                        frames.append((a, 0, 0, 33, False, False))
+                    else:                    # blended patch + dispose mix
+                        a = rng.integers(0, 256, (2, 2, 4),
+                                         dtype=np.int64).astype(np.uint8)
+                        frames.append((a, 2, 0, 33, i % 2 == 0, True))
+                payloads.append(encode_webp_anim(frames, cw, ch))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    clips = Frame(ids.mapInPandas(gen, schema=schema))
+    frames = mm.sample_frames(clips, every_n=2, strict=True)
+
+    def check(batches):
+        import pandas as pd
+        from crysda_spark.pipeline.codecs import decode_bmp
+        for pdf in batches:
+            rows = {"id": [], "frame_idx": [], "h": [], "w": [], "tag": []}
+            for pid, idx, payload in zip(pdf["id"], pdf["frame_idx"],
+                                         pdf["payload"]):
+                arr = decode_bmp(bytes(payload))
+                rows["id"].append(pid)
+                rows["frame_idx"].append(idx)
+                rows["h"].append(arr.shape[0])
+                rows["w"].append(arr.shape[1])
+                rows["tag"].append(int(arr[0, 0, 0]))
+            yield pd.DataFrame(rows)
+
+    cschema = "id long, frame_idx int, h int, w int, tag int"
+    decoded = frames.sdf.mapInPandas(check, schema=cschema)
+    per = (decoded.groupBy("id")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("frame_idx") % 2 != 0).cast("long"))
+                .alias("off_grid"),
+                F.sum((F.col("h") != 4 + F.col("id") % 5).cast("long")
+                      + (F.col("w") != 6 + F.col("id") % 4).cast("long"))
+                .alias("bad_geom"),
+                F.sum(F.when((F.col("id") % 2 == 0)
+                             & (F.col("tag") != F.col("frame_idx")), 1)
+                      .otherwise(0)).alias("bad_tag")))
+    exp_nf = 1 + F.col("id") % 6
+    bad = per.where((F.col("n") != F.ceil(exp_nf / 2.0))
+                    | (F.col("off_grid") != 0) | (F.col("bad_geom") != 0)
+                    | (F.col("bad_tag") != 0)).count()
+    n_clips = per.count()
+    if bad or n_clips != 48:
+        raise AssertionError(
+            f"webp anim gate: {bad} of {n_clips} clips failed "
+            "sampling/geometry/tag checks")
+    return per.select("id", "n").orderBy("id")
+
+
 @q("multimodal_avi_frames")  # binary codec; not SQL-expressible — rows-only
 def multimodal_avi_frames(spark, sf_dir):
     """REAL video path (r7): per-doc AVI clips are encoded

@@ -180,13 +180,12 @@ def main() -> None:
             _cleanup()
 
     load_start = loadavg1()
+    if cal_fn is not None:
+        # untimed warm-up: the first calibration execution pays Janino
+        # compile + cache cold-start, which would inflate the opening
+        # checkpoint and (in self-referenced mode) mis-flag the head
+        run_once(CAL_NAME, cal_fn)
     checkpoints: list[tuple[int, float]] = [(0, calibrate())]
-    if cal_ref is None and checkpoints[0][1] > 0:
-        # no stored idle reference for this SF: fall back to the run's
-        # own opening checkpoint (catches MID-run contamination; cannot
-        # catch a run that STARTS contaminated — the stored ref can)
-        cal_ref = checkpoints[0][1]
-        ref_source = "first_checkpoint"
 
     p_start = p_end = -1
     burners: list = []
@@ -199,7 +198,7 @@ def main() -> None:
     order: list[str] = []
     for idx, (name, fn) in enumerate(qs.items()):
         if idx == p_start:
-            burners = _start_burners(os.cpu_count() or 8)
+            burners = _start_burners(2 * (os.cpu_count() or 8))
             print(f"# pressure injection ON at query {idx}", file=sys.stderr)
         # median-of-3 for EVERY query: the host has bursty external CPU
         # contention (r3→r4 showed 8× swings on identical code), and the
@@ -232,6 +231,18 @@ def main() -> None:
             p.terminate()
     checkpoints.append((len(order), calibrate()))
     load_end = loadavg1()
+
+    if cal_ref is None:
+        # no stored idle reference for this SF: self-reference against
+        # the MEDIAN checkpoint — robust to a minority of contaminated
+        # checkpoints (mid-run bursts) AND to the run starting under
+        # load, without the min's warm-up-drift false positives. A run
+        # where MOST checkpoints are contaminated still needs the
+        # stored idle ref to be caught.
+        good = sorted(s for _, s in checkpoints if s > 0)
+        if good:
+            cal_ref = good[len(good) // 2]
+            ref_source = "median_checkpoint"
 
     suspect = flag_suspects(order, checkpoints, cal_ref)
     contaminated = None

@@ -100,7 +100,8 @@ def _sniff(payload) -> str | None:
     if head[:4] == b"RIFF" and bytes(payload[8:12]) == b"AVI ":
         return "avi"
     if head[:4] == b"RIFF" and bytes(payload[8:12]) == b"WEBP":
-        return "webp"
+        from .webp import is_webp_anim
+        return "webp_anim" if is_webp_anim(payload) else "webp"
     if head[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
     return None
@@ -230,17 +231,22 @@ def sample_frames(f: Frame, every_n: int = 10, id_col: str = "id",
     kept with its ORIGINAL frame index, and each sampled frame comes
     back re-encoded as a standalone BMP payload, so the output
     composes directly with decode_images/resize_images downstream.
-    Non-AVI payloads keep the stub shape (original payload as frame
-    0 — the ffmpeg kernel slot); malformed AVI degrades to the stub
+    ANIMATED WebP payloads (r10) take the same real path: ANMF frames
+    demux + composite through webp.decode_webp_anim (full canvas
+    states — what a player shows at that frame), sampled every_n.
+    Other payloads keep the stub shape (original payload as frame
+    0 — the ffmpeg kernel slot); malformed clips degrade to the stub
     row unless ``strict=True``."""
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
         from .codecs import AviError, decode_avi, encode_bmp
+        from .webp import WebpError, decode_webp_anim
         for pdf in batches:
             ids, idxs, payloads = [], [], []
             for pid, payload in zip(pdf[id_col], pdf[payload_col]):
-                if _sniff(payload) == "avi":
+                kind = _sniff(payload)
+                if kind == "avi":
                     try:
                         frames, _ = decode_avi(bytes(payload))
                         for i in range(0, len(frames), every_n):
@@ -249,6 +255,18 @@ def sample_frames(f: Frame, every_n: int = 10, id_col: str = "id",
                             payloads.append(encode_bmp(frames[i]))
                         continue
                     except AviError:
+                        if strict:
+                            raise
+                elif kind == "webp_anim":
+                    try:
+                        frames, _, _ = decode_webp_anim(bytes(payload))
+                        for i in range(0, len(frames), every_n):
+                            ids.append(pid)
+                            idxs.append(i)
+                            payloads.append(
+                                encode_bmp(frames[i][1][..., :3].copy()))
+                        continue
+                    except WebpError:
                         if strict:
                             raise
                 ids.append(pid)

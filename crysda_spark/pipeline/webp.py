@@ -521,6 +521,12 @@ def decode_webp(payload: bytes) -> np.ndarray:
             return decode_vp8(body[1])
         except Vp8Error as e:
             raise WebpError(str(e)) from e
+    return _decode_vp8l_body(body)
+
+
+def _decode_vp8l_body(body: bytes) -> np.ndarray:
+    """Decode a raw VP8L chunk body (shared by the still path and the
+    animation frame path)."""
     if not body or body[0] != 0x2F:
         raise WebpError("VP8L: bad signature byte")
     br = _BitReader(body[1:])
@@ -978,3 +984,200 @@ def encode_webp(arr: np.ndarray, *, subtract_green: bool = False,
     return riff
 
 
+
+
+# ===================================================== animation (VP8X/ANMF)
+# WebP container spec (public): an extended file is RIFF/WEBP with a
+# VP8X chunk whose animation flag gates ANIM (global params) and ANMF
+# (per-frame) chunks. Each ANMF frame is an INDEPENDENTLY-CODED WebP
+# image (VP8 key frame or VP8L) composited onto a shared canvas — no
+# inter-frame prediction exists at the container level, so the intra
+# decoders above make animation complete. Compositing contract
+# (documented, deterministic): the canvas starts fully transparent;
+# 'alpha blend' uses exact integer arithmetic with round-half-up at
+# each /255 (the spec defines the real-valued formula and leaves
+# integer rounding to the implementation); 'dispose to background'
+# clears the frame rectangle to transparent.
+
+_ANIM_FLAG = 0x02
+_ALPHA_FLAG = 0x10
+
+
+def _iter_chunks(payload: bytes):
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise WebpError("not a RIFF/WEBP container")
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        yield tag, payload[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)         # chunks are even-padded
+
+
+def is_webp_anim(payload: bytes) -> bool:
+    """True when the payload is an animated WebP (VP8X anim flag +
+    at least the header structure of an ANIM chunk)."""
+    try:
+        for tag, body in _iter_chunks(bytes(payload)):
+            if tag == b"VP8X":
+                return len(body) >= 10 and bool(body[0] & _ANIM_FLAG)
+            return False                     # VP8X must be first
+    except (WebpError, struct.error):
+        return False
+    return False
+
+
+def _decode_frame_image(sub: bytes) -> np.ndarray:
+    """Decode an ANMF frame's image payload (its sub-chunks) to RGBA.
+    Lossy frames ignore a preceding ALPH chunk (alpha = opaque) — the
+    documented lossy-alpha containment, matching decode_webp."""
+    for tag, body in _chunk_pairs(sub):
+        if tag == b"VP8L":
+            rgba = _decode_vp8l_body(body)
+            break
+        if tag == b"VP8 ":
+            from .vp8 import Vp8Error, decode_vp8
+            try:
+                rgba = decode_vp8(body)
+            except Vp8Error as e:
+                raise WebpError(str(e)) from e
+            break
+    else:
+        raise WebpError("ANMF frame: no VP8/VP8L sub-chunk")
+    if rgba.shape[2] == 3:
+        rgba = np.concatenate(
+            [rgba, np.full(rgba.shape[:2] + (1,), 255, np.uint8)], axis=2)
+    return rgba
+
+
+def _chunk_pairs(sub: bytes):
+    pos = 0
+    while pos + 8 <= len(sub):
+        tag = sub[pos:pos + 4]
+        size = struct.unpack("<I", sub[pos + 4:pos + 8])[0]
+        yield tag, sub[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+
+
+def _blend_rect(canvas: np.ndarray, frame: np.ndarray, x: int, y: int,
+                blend: bool) -> None:
+    h, w = frame.shape[:2]
+    dst = canvas[y:y + h, x:x + w]
+    if not blend:
+        dst[:] = frame
+        return
+    # non-premultiplied 'over', exact integers, round-half-up at /255:
+    #   A = As + Ad(255-As)/255 ; C = (Cs·As·255 + Cd·Ad·(255-As)) / (255·A)
+    sa = frame[..., 3].astype(np.int64)
+    da = dst[..., 3].astype(np.int64)
+    da_part = da * (255 - sa)                        # 255-scaled
+    a_num = sa * 255 + da_part                       # A·255 (exact)
+    out_a = (a_num + 127) // 255
+    for c in range(3):
+        num = (frame[..., c].astype(np.int64) * sa * 255
+               + dst[..., c].astype(np.int64) * da_part)
+        den = a_num
+        ch = np.zeros_like(num)
+        nz = den > 0
+        ch[nz] = (num[nz] + den[nz] // 2) // den[nz]
+        dst[..., c] = ch.astype(np.uint8)
+    dst[..., 3] = out_a.astype(np.uint8)
+
+
+def decode_webp_anim(payload: bytes):
+    """Demux + composite an animated WebP. Returns
+    ``(frames, loop_count, bg_rgba)`` where ``frames`` is a list of
+    ``(duration_ms, canvas)`` — each canvas the full composited RGBA
+    state after that frame renders (what a player shows). Frame
+    images decode through the SAME VP8/VP8L intra decoders the still
+    path uses (libwebp plane-parity pinned there)."""
+    payload = bytes(payload)
+    if not is_webp_anim(payload):
+        raise WebpError("not an animated WebP (no VP8X anim flag)")
+    canvas_w = canvas_h = None
+    loop = 0
+    bg = (0, 0, 0, 0)
+    frames = []
+    canvas = None
+    pending_dispose = None                   # rect to clear before next
+    saw_anim = False
+    for tag, body in _iter_chunks(payload):
+        if tag == b"VP8X":
+            if len(body) < 10 or not body[0] & _ANIM_FLAG:
+                raise WebpError("not an animated WebP (no VP8X anim flag)")
+            canvas_w = int.from_bytes(body[4:7], "little") + 1
+            canvas_h = int.from_bytes(body[7:10], "little") + 1
+            canvas = np.zeros((canvas_h, canvas_w, 4), np.uint8)
+        elif tag == b"ANIM":
+            if len(body) < 6:
+                raise WebpError("ANIM chunk too short")
+            bg = tuple(body[0:4])            # stored B,G,R,A
+            loop = struct.unpack("<H", body[4:6])[0]
+            saw_anim = True
+        elif tag == b"ANMF":
+            if canvas is None or not saw_anim:
+                raise WebpError("ANMF before VP8X/ANIM")
+            if len(body) < 16:
+                raise WebpError("ANMF chunk too short")
+            fx = int.from_bytes(body[0:3], "little") * 2
+            fy = int.from_bytes(body[3:6], "little") * 2
+            fw = int.from_bytes(body[6:9], "little") + 1
+            fh = int.from_bytes(body[9:12], "little") + 1
+            dur = int.from_bytes(body[12:15], "little")
+            flags = body[15]
+            no_blend = bool(flags & 0x02)
+            dispose_bg = bool(flags & 0x01)
+            if fx + fw > canvas_w or fy + fh > canvas_h:
+                raise WebpError("ANMF frame exceeds the canvas")
+            img = _decode_frame_image(body[16:])
+            if img.shape[:2] != (fh, fw):
+                raise WebpError(
+                    f"ANMF geometry {fw}x{fh} != decoded "
+                    f"{img.shape[1]}x{img.shape[0]}")
+            if pending_dispose is not None:
+                px, py, pw, ph = pending_dispose
+                canvas[py:py + ph, px:px + pw] = 0
+            _blend_rect(canvas, img, fx, fy, blend=not no_blend)
+            frames.append((dur, canvas.copy()))
+            pending_dispose = (fx, fy, fw, fh) if dispose_bg else None
+    if not frames:
+        raise WebpError("animated WebP with no ANMF frames")
+    return frames, loop, bg
+
+
+def encode_webp_anim(frames, canvas_w: int, canvas_h: int,
+                     loop: int = 0, bg=(0, 0, 0, 0)) -> bytes:
+    """Mux an animated WebP from RGBA frames — each encoded LOSSLESSLY
+    (VP8L, exact) so demux→composite round-trips are bit-exact.
+    ``frames``: iterable of (rgba_array, x, y, duration_ms, dispose_bg,
+    blend) — x/y must be even (the container stores them /2)."""
+    if not (1 <= canvas_w <= 1 << 24 and 1 <= canvas_h <= 1 << 24):
+        raise WebpError("canvas dimensions out of range")
+    chunks = []
+    for arr, x, y, dur, dispose_bg, blend in frames:
+        if x % 2 or y % 2:
+            raise WebpError("ANMF offsets must be even")
+        h, w = arr.shape[:2]
+        if x + w > canvas_w or y + h > canvas_h:
+            raise WebpError("frame exceeds the canvas")
+        sub = encode_webp(arr)[12:]          # strip RIFF header: chunks only
+        flags = (0x02 if not blend else 0) | (0x01 if dispose_bg else 0)
+        head = ((x // 2).to_bytes(3, "little")
+                + (y // 2).to_bytes(3, "little")
+                + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little")
+                + int(dur).to_bytes(3, "little") + bytes([flags]))
+        body = head + sub
+        chunk = b"ANMF" + struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            chunk += b"\x00"
+        chunks.append(chunk)
+    vp8x = bytes([_ANIM_FLAG | _ALPHA_FLAG, 0, 0, 0]) \
+        + (canvas_w - 1).to_bytes(3, "little") \
+        + (canvas_h - 1).to_bytes(3, "little")
+    anim = bytes(bg[:4]) + struct.pack("<H", loop)
+    payload = (b"WEBP"
+               + b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+               + b"ANIM" + struct.pack("<I", len(anim)) + anim
+               + b"".join(chunks))
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload

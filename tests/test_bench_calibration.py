@@ -76,7 +76,7 @@ def test_bench_pressure_injection_flags_the_right_window(tmp_path):
     assert payload, out.stdout[-2000:]
     cal = payload["calibration"]
     assert cal["query"] == "rollup_moments_stddev"
-    assert cal["ref_source"] in ("first_checkpoint", "stored_idle")
+    assert cal["ref_source"] in ("median_checkpoint", "stored_idle")
     # the pos-4 checkpoint ran under burner load -> >1.3x of the ref
     suspects = set(payload["suspect"])
     assert payload["contaminated"] is True

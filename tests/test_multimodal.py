@@ -872,3 +872,32 @@ def test_all_codecs_mutation_fuzz_raise_cleanly():
             except err:
                 pass            # the ONLY allowed failure: the typed
                                 # error the containment kernels catch
+
+
+def test_sample_frames_animated_webp_path(spark):
+    """Animated WebP rides the same distributed frame-sampling path as
+    AVI (r10): ANMF demux + canvas compositing per frame, every_n-th
+    composited canvas re-encoded as BMP with its original index."""
+    import numpy as np
+    from crysda_spark.pipeline.codecs import decode_bmp
+    from crysda_spark.pipeline.webp import encode_webp_anim
+    rng = np.random.default_rng(5)
+    frames = []
+    for i in range(5):
+        a = rng.integers(0, 256, (6, 8, 4), dtype=np.int64).astype(np.uint8)
+        a[..., 3] = 255                      # opaque, no-blend overwrite
+        a[0, 0, :3] = (i, 0, 0)
+        frames.append((a, 0, 0, 25, False, False))
+    anim = encode_webp_anim(frames, 8, 6)
+    rows = [(1, bytearray(anim)), (2, bytearray(b"not a video"))]
+    f = Frame(spark.createDataFrame(rows, "id long, payload binary"))
+    out = mm.sample_frames(f, every_n=2).sdf.collect()
+    vid = sorted([r for r in out if r["id"] == 1],
+                 key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in vid] == [0, 2, 4]
+    for r in vid:
+        arr = decode_bmp(bytes(r["payload"]))
+        # full-canvas overwrite each frame -> canvas == that frame's RGB
+        assert np.array_equal(arr, frames[r["frame_idx"]][0][..., :3])
+    stub = [r for r in out if r["id"] == 2]
+    assert len(stub) == 1 and stub[0]["frame_idx"] == 0

@@ -249,3 +249,108 @@ def test_mutation_fuzz_raises_cleanly():
             assert out.ndim == 3             # decoded: shape still sane
         except WebpError:
             pass                             # clean, containable failure
+
+
+# ===================================================== animation (VP8X/ANMF)
+def _rng_rgba(rng, h, w, alpha=None):
+    a = rng.integers(0, 256, (h, w, 4), dtype=np.int64).astype(np.uint8)
+    if alpha is not None:
+        a[..., 3] = alpha
+    return a
+
+
+def test_anim_roundtrip_compositing_matrix():
+    """Mux → demux round-trip across the dispose × blend matrix; the
+    expected canvases are composited independently here with the same
+    documented integer-blend contract."""
+    from crysda_spark.pipeline.webp import (decode_webp_anim,
+                                            encode_webp_anim)
+    rng = np.random.default_rng(7)
+    cw, ch = 20, 14
+    f0 = _rng_rgba(rng, 14, 20, alpha=255)          # full, opaque
+    f1 = _rng_rgba(rng, 6, 8, alpha=128)            # blended patch
+    f2 = _rng_rgba(rng, 4, 6)                       # no-blend overwrite
+    f3 = _rng_rgba(rng, 5, 10, alpha=200)           # after dispose
+    spec = [(f0, 0, 0, 40, False, True),
+            (f1, 4, 2, 50, True, True),             # dispose its rect
+            (f2, 10, 6, 60, False, False),
+            (f3, 2, 8, 70, False, True)]
+    data = encode_webp_anim(spec, cw, ch, loop=3, bg=(1, 2, 3, 4))
+    frames, loop, bg = decode_webp_anim(data)
+    assert loop == 3 and bg == (1, 2, 3, 4)
+    assert [d for d, _ in frames] == [40, 50, 60, 70]
+
+    def blend_px(dst, src):
+        sa, da = int(src[3]), int(dst[3])
+        da_part = da * (255 - sa)
+        a_num = sa * 255 + da_part
+        out = np.zeros(4, np.uint8)
+        out[3] = (a_num + 127) // 255
+        for c in range(3):
+            num = int(src[c]) * sa * 255 + int(dst[c]) * da_part
+            out[c] = (num + a_num // 2) // a_num if a_num > 0 else 0
+        return out
+
+    canvas = np.zeros((ch, cw, 4), np.uint8)
+    expect = []
+    pending = None
+    for arr, x, y, dur, dispose, blend in spec:
+        if pending:
+            px, py, pw, ph = pending
+            canvas[py:py + ph, px:px + pw] = 0
+        h, w = arr.shape[:2]
+        if blend:
+            for i in range(h):
+                for j in range(w):
+                    canvas[y + i, x + j] = blend_px(canvas[y + i, x + j],
+                                                    arr[i, j])
+        else:
+            canvas[y:y + h, x:x + w] = arr
+        expect.append(canvas.copy())
+        pending = (x, y, w, h) if dispose else None
+    for (d, got), want in zip(frames, expect):
+        assert np.array_equal(got, want)
+
+
+def test_anim_frames_cross_validated_by_libwebp():
+    """Each ANMF frame image is an independently-coded WebP: wrap every
+    frame payload back into a plain RIFF and libwebp must decode it to
+    exactly the frame we encoded (codec-level golden; compositing is
+    container-level on top)."""
+    if LIB is None:
+        pytest.skip("libwebp not available")
+    import struct as _struct
+
+    from crysda_spark.pipeline.webp import _iter_chunks, encode_webp_anim
+    rng = np.random.default_rng(11)
+    fr = [(_rng_rgba(rng, 8, 10), 0, 0, 30, False, True),
+          (_rng_rgba(rng, 8, 10), 2, 2, 30, False, True)]
+    data = encode_webp_anim(fr, 16, 12)
+    n = 0
+    for tag, body in _iter_chunks(data):
+        if tag != b"ANMF":
+            continue
+        sub = body[16:]
+        riff = b"RIFF" + _struct.pack("<I", 4 + len(sub)) + b"WEBP" + sub
+        got = _lib_decode(riff)
+        assert np.array_equal(got, fr[n][0])
+        n += 1
+    assert n == 2
+
+
+def test_anim_validation_and_sniff():
+    from crysda_spark.pipeline.webp import (decode_webp_anim,
+                                            encode_webp_anim, encode_webp,
+                                            is_webp_anim)
+    rng = np.random.default_rng(3)
+    a = _rng_rgba(rng, 4, 4)
+    data = encode_webp_anim([(a, 0, 0, 10, False, True)], 8, 8)
+    assert is_webp_anim(data)
+    assert not is_webp_anim(encode_webp(a))          # plain still
+    assert not is_webp_anim(b"RIFF\x00\x00\x00\x00WEBP")
+    with pytest.raises(WebpError, match="even"):
+        encode_webp_anim([(a, 1, 0, 10, False, True)], 8, 8)
+    with pytest.raises(WebpError, match="exceeds"):
+        encode_webp_anim([(a, 6, 6, 10, False, True)], 8, 8)
+    with pytest.raises(WebpError, match="anim flag"):
+        decode_webp_anim(encode_webp(a))
