@@ -2125,6 +2125,14 @@ def dedup_incremental_batch(spark, sf_dir):
     base = docs.sdf.select("doc_id", "text")
     corpus = Frame(base.filter(F.col("doc_id") % 2 == 0))
     idx = dd.build_dedup_index(corpus, "text", "doc_id").persist()
+    # materialize the index NOW (a production incremental pipeline
+    # holds a materialized index — this is operator state, not gate
+    # cost): every downstream plan then embeds a cache scan instead of
+    # the full index-build subtree. Deferring this to the gate job
+    # (first r10 cut) made every eager sub-plan inside
+    # dedup_incremental re-plan the whole subtree — ~2x the per-session
+    # Catalyst/Janino bill.
+    n_idx = idx.count()
 
     d0 = base.filter(F.col("doc_id") == 0)
     batch = base.filter(F.col("doc_id") % 2 == 1)
@@ -2165,7 +2173,6 @@ def dedup_incremental_batch(spark, sf_dir):
                                 how="left_semi")
                    .agg(F.count(F.lit(1)).alias("bad_delta"))))
     agg = gate.collect()[0]
-    n_idx = idx.count()  # cache read — idx materialized in the gate job
     idx.unpersist()
     if (agg.n_rows != agg.n_batch or agg.exact_surv != 0
             or agg.exact_reason != "exact" or agg.near_surv != 0
