@@ -181,9 +181,11 @@ def main() -> None:
 
     load_start = loadavg1()
     if cal_fn is not None:
-        # untimed warm-up: the first calibration execution pays Janino
-        # compile + cache cold-start, which would inflate the opening
-        # checkpoint and (in self-referenced mode) mis-flag the head
+        # untimed warm-up ×2: the first calibration executions pay
+        # Janino compile + shuffle/cache cold-start, which would
+        # inflate the opening checkpoint (measured ~1.7-2.0x with ONE
+        # warm-up run) and mis-flag the head of the run
+        run_once(CAL_NAME, cal_fn)
         run_once(CAL_NAME, cal_fn)
     checkpoints: list[tuple[int, float]] = [(0, calibrate())]
 
