@@ -28,6 +28,14 @@ _DEFAULTS = {
     # Parquet TIMESTAMP(NANOS) (e.g. the events table) isn't natively
     # readable; surface it as a long and convert at the API layer.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Generated-class cache (default 100 entries): a long session over
+    # many distinct plans churns it, and codegen-heavy pipelines (the
+    # LSH/CC dedup family compiles the most units by far) then pay
+    # full Janino recompilation on every execution (r10: 79 s inside a
+    # 179-query run vs 19 s isolated, calibration flat — this cache,
+    # not the host, was the suspect). Class metadata is tens of MB at
+    # this size — noise against the driver heap.
+    "spark.sql.codegen.cache.maxEntries": "2000",
 }
 
 
