@@ -80,6 +80,22 @@ def anomaly_flags(f: Frame, value_col: str, by: list[str] | str | tuple = (),
 _LOCAL_CAP = 200_000  # rows — a G×Q bounds table beyond this is misuse
 _DISTINCT_CAP = 100_000  # (group, value) rows the driver fast path accepts
 
+_NAN = float("nan")  # ONE NaN object — see _canon_key
+
+
+def _canon_key(vals) -> tuple:
+    """NaN-safe grouping key (r10 advice): collected NaN doubles are
+    DISTINCT Python objects (NaN != NaN), so a float NaN grouping-key
+    component would fragment a dict group into one entry per row —
+    and the duplicate bounds rows would then each rejoin every NaN-key
+    row (Spark's join/groupBy treat NaN as equal), duplicating output.
+    Mapping every NaN component to ONE module-level object makes dict
+    grouping match Spark's NaN-normalizing semantics (the identity
+    check inside dict lookup short-circuits the NaN != NaN compare)."""
+    import math
+    return tuple(_NAN if isinstance(v, float) and math.isnan(v) else v
+                 for v in vals)
+
 
 def _local_quantiles(rows, n_keys: int, qs: list[float]) -> dict:
     """Exact weighted linear-interpolation quantiles over a collected
@@ -98,7 +114,7 @@ def _local_quantiles(rows, n_keys: int, qs: list[float]) -> dict:
         v, w = r[n_keys], r[n_keys + 1]
         if v is None or math.isnan(v):
             continue
-        groups.setdefault(tuple(r[:n_keys]), []).append((v, w))
+        groups.setdefault(_canon_key(r[:n_keys]), []).append((v, w))
     out = {}
     for g, vw in groups.items():
         vw.sort()
@@ -292,7 +308,7 @@ def mad_outliers(f: Frame, value_col: str,
         meds = _local_quantiles(vc_rows, nk, [0.5])
         devs: dict = {}
         for r in vc_rows:
-            g = tuple(r[:nk])
+            g = _canon_key(r[:nk])
             d = abs(r[nk] - meds[g][0])
             acc = devs.setdefault(g, {})
             acc[d] = acc.get(d, 0) + r[nk + 1]

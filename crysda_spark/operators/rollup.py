@@ -554,7 +554,17 @@ def merge_rollup(rollup: Frame, coarser_grain: str,
     nesting check: merging is well-defined only when fine buckets nest
     in coarse ones — notably a WEEK rollup must never be merged into
     month/quarter/year (weeks straddle month boundaries and the tail
-    days would be silently misattributed)."""
+    days would be silently misattributed).
+
+    CACHE SIDE EFFECT (r10 advice — applies to ``combine_rollups``
+    too): when ``measures`` includes a topk, the fine state table is
+    PERSISTED via the process-global pin registry (it is consumed
+    three times inside the merge — see ``_topk_merge_frame``; the
+    pinned table is rollup-output-sized, one row per fine bucket,
+    never corpus-sized). Library callers running many merges in one
+    session should call ``crysda_spark.plans.cache.release_pinned()``
+    between batches, or the per-merge state tables accumulate in
+    executor storage for the session lifetime."""
     _check(coarser_grain, measures)
     _assert_nests(from_grain, coarser_grain)
     keys = _norm_keys(keys)
@@ -705,7 +715,9 @@ def combine_rollups(a: Frame, b: Frame, grain: str,
     """Merge two same-grain rollups (incremental ingest: yesterday's
     rollup table + today's delta rollup → updated table) — the union
     re-aggregates shared buckets with each kind's merge function.
-    Same measure declarations as time_rollup/merge_rollup."""
+    Same measure declarations as time_rollup/merge_rollup — including
+    merge_rollup's topk CACHE SIDE EFFECT (the unioned state table is
+    pinned; call ``release_pinned()`` between batched merges)."""
     _check(grain, measures)
     keys = _norm_keys(keys)
     u = a.sdf.unionByName(b.sdf)

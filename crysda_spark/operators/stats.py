@@ -77,6 +77,12 @@ _M = 1 << 31                       # hi/lo split base for product sums
 _MAX_V = 3_037_000_499             # isqrt(2^63 - 1): |vx| bound so vx·vy fits
 _MAX_N = 4_290_000_000             # lo-word partials: n·2^31 < 2^63 (margin)
 _MAX_NV = 9.0e18                   # unsplit Σvx partials: n·max|vx| bound
+_MAX_CHUNK_ROWS = 1_000_000        # wide-kernel internal chunk: dgemm
+#   partials are integer-exact in float64 only while 46341²·rows < 2^53
+#   (~4.2M rows); chunking INSIDE the kernel (r10 advice) keeps the
+#   exactness guarantee independent of the session's
+#   arrow.maxRecordsPerBatch (a raised/unlimited batch size would
+#   otherwise silently lose bit-exactness instead of raising)
 
 
 def _quantize(c: str, scale: float):
@@ -197,6 +203,7 @@ def _corr_wide(sdf, cols: list[str], quant: int):
         f"{c} int" if c in ("x", "y") else f"{c} long" for c in cols_out)
     max_v = _MAX_V
     max_part_rows = 1_000_000_000  # int64 accumulation headroom
+    max_chunk_rows = _MAX_CHUNK_ROWS  # captured at plan build — see const
 
     def kernel(batches):
         _pin_blas_threads()
@@ -205,39 +212,43 @@ def _corr_wide(sdf, cols: list[str], quant: int):
         g_pm = np.zeros((3 * k, k), dtype=np.int64)
         g_mm = np.zeros((k, k), dtype=np.int64)
         mx = np.zeros(k, dtype=np.int64)
-        seen, nrows = False, 0
+        nrows = 0
         for pdf in batches:
-            xf = pdf.to_numpy(dtype=np.float64, na_value=np.nan)
-            if xf.shape[0] == 0:
+            full = pdf.to_numpy(dtype=np.float64, na_value=np.nan)
+            if full.shape[0] == 0:
                 continue
-            seen = True
-            nrows += xf.shape[0]
+            nrows += full.shape[0]
             if nrows > max_part_rows:
                 raise ValueError(
                     "corr_matrix: partition exceeds 1e9 rows — "
                     "repartition the input before the wide kernel")
-            mask = ~np.isnan(xf)
-            xi = np.where(mask, xf, 0.0).astype(np.int64)
-            amax = np.abs(xi).max() if xi.size else 0
-            if amax > max_v:
-                raise ValueError(
-                    f"corr_matrix: |x|*10^{quant} = {amax} exceeds "
-                    f"{max_v} — lower quant or rescale the column")
-            mx = np.maximum(mx, np.abs(xi).max(axis=0))
-            # two 16-bit words, top word signed: per-batch dgemm
-            # partials ≤ 46341²·|batch| < 2^53 -> float64 is exact
-            w = [(xi & 0xFFFF).astype(np.float64),
-                 (xi >> 16).astype(np.float64)]
-            u = np.concatenate(w, axis=1)                      # n x 2k
-            p = np.concatenate([w[a] * w[b] for a, b in pblocks],
-                               axis=1)                         # n x 3k
-            mf = mask.astype(np.float64)
-            g_uu += (u.T @ u).astype(np.int64)
-            g_um += (u.T @ mf).astype(np.int64)
-            g_pm += (p.T @ mf).astype(np.int64)
-            g_mm += (mf.T @ mf).astype(np.int64)
-        if not seen:
-            return
+            for lo_r in range(0, full.shape[0], max_chunk_rows):
+                xf = full[lo_r:lo_r + max_chunk_rows]
+                mask = ~np.isnan(xf)
+                xi = np.where(mask, xf, 0.0).astype(np.int64)
+                amax = np.abs(xi).max() if xi.size else 0
+                if amax > max_v:
+                    raise ValueError(
+                        f"corr_matrix: |x|*10^{quant} = {amax} exceeds "
+                        f"{max_v} — lower quant or rescale the column")
+                mx = np.maximum(mx, np.abs(xi).max(axis=0))
+                # two 16-bit words, top word signed: per-chunk dgemm
+                # partials ≤ 46341²·|chunk| < 2^53 -> float64 is exact
+                w = [(xi & 0xFFFF).astype(np.float64),
+                     (xi >> 16).astype(np.float64)]
+                u = np.concatenate(w, axis=1)                  # n x 2k
+                p = np.concatenate([w[a] * w[b] for a, b in pblocks],
+                                   axis=1)                     # n x 3k
+                mf = mask.astype(np.float64)
+                g_uu += (u.T @ u).astype(np.int64)
+                g_um += (u.T @ mf).astype(np.int64)
+                g_pm += (p.T @ mf).astype(np.int64)
+                g_mm += (mf.T @ mf).astype(np.int64)
+        # empty partitions STILL emit the all-zero pair rows: sums of
+        # zero are identity under the groupBy, and an all-empty input
+        # then yields one (n=0, NULL stats) row per pair — the narrow
+        # expression kernel's empty-input shape (r10 advice: the wide
+        # path previously returned ZERO rows below 8 columns' behavior)
         xs = np.asarray(pair_x, dtype=np.int64)
         ys = np.asarray(pair_y, dtype=np.int64)
         out = {"x": xs.astype(np.int32), "y": ys.astype(np.int32),

@@ -347,12 +347,10 @@ def logreg_gd_fit(sdf, features_col: str, label_col: str, dims: int,
     set is the bounded thing a trainer holds by definition), and
     unpersisted before returning."""
     _check_quant("logreg_gd_fit", quant)
-    clash = {"_w", "_b"} & set(sdf.columns)
-    if clash:
-        raise ValueError(
-            f"logreg_gd_fit: input column(s) {sorted(clash)} collide with "
-            "the broadcast-weight working columns _w/_b — rename them "
-            "before training")
+    # No reserved-name check needed (r10 advice): the projection below
+    # SELECTS only the two aliased working columns, so input columns
+    # named _w/_b/_f/_y cannot reach the GD loop's namespace — the old
+    # _w/_b clash check could only spuriously reject valid inputs.
     train = sdf.select(
         F.transform(F.slice(F.col(features_col), 1, dims),
                     lambda v: v.cast("double")).alias("_f"),
@@ -450,13 +448,8 @@ def logreg_gd_fit_multi(sdf, features_col: str, label_col: str, dims: int,
     if n_classes < 2:
         raise ValueError(
             f"logreg_gd_fit_multi: n_classes must be >= 2, got {n_classes}")
-    clash = {"_wm", "_bm"} & set(sdf.columns)
-    if clash:
-        raise ValueError(
-            f"logreg_gd_fit_multi: input column(s) {sorted(clash)} collide "
-            "with the broadcast-weight working columns _wm/_bm — rename "
-            "them before training")
     # persisted (features, label) projection — see logreg_gd_fit
+    # (no reserved-name check: the projection isolates the namespace)
     train = sdf.select(
         F.transform(F.slice(F.col(features_col), 1, dims),
                     lambda v: v.cast("double")).alias("_f"),

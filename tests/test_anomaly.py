@@ -136,3 +136,23 @@ def test_quantile_fast_path_equals_distributed(spark, monkeypatch):
     assert canon(fast_w, ["g", "v", "v_w"]) == canon(slow_w, ["g", "v", "v_w"])
     assert canon(fast_m, ["g", "v", "_med", "_mad", "is_outlier"]) == \
         canon(slow_m, ["g", "v", "_med", "_mad", "is_outlier"])
+
+
+def test_nan_group_key_fast_path_one_group(spark):
+    # r10 advice: collected NaN doubles are distinct Python objects, so
+    # a NaN grouping key fragmented the driver fast path's dict into one
+    # group per row — and the duplicated bounds rows each rejoined every
+    # NaN-key row (Spark joins treat NaN as equal), duplicating output.
+    from crysda_spark.operators import anomaly as am
+    rows = ([(float("nan"), float(v)) for v in range(10)]
+            + [(1.0, float(v)) for v in range(10)])
+    sdf = spark.createDataFrame(rows, "g double, v double")
+    out_w = am.winsorize(Frame(sdf), "v", by="g", q_lo=0.1, q_hi=0.9)
+    out_m = am.mad_outliers(Frame(sdf), "v", by="g", k=2.0)
+    # row count preserved (no join fan-out), and the NaN group got ONE
+    # consistent set of bounds
+    assert out_w.sdf.count() == 20
+    assert out_m.sdf.count() == 20
+    nan_meds = {r["_med"] for r in
+                out_m.sdf.filter(F.isnan("g")).select("_med").collect()}
+    assert nan_meds == {4.5}

@@ -279,9 +279,15 @@ def test_multi_validation_errors(spark):
     sdf = spark.createDataFrame([([1.0], 0)], "f array<double>, y int")
     with pytest.raises(ValueError, match="n_classes"):
         cls.logreg_gd_fit_multi(sdf, "f", "y", dims=1, n_classes=1)
-    bad = sdf.withColumn("_wm", F.lit(1))
-    with pytest.raises(ValueError, match="_wm"):
-        cls.logreg_gd_fit_multi(bad, "f", "y", dims=1, n_classes=2)
+    # r10 advice: the (features, label) projection isolates the working
+    # namespace, so input columns named _wm/_bm/_w/_b are HARMLESS now —
+    # the old clash check could only spuriously reject valid inputs
+    shadow = (sdf.withColumn("_wm", F.lit(1)).withColumn("_bm", F.lit(2))
+              .withColumn("_w", F.lit(3)).withColumn("_b", F.lit(4)))
+    got = cls.logreg_gd_fit_multi(shadow, "f", "y", dims=1, n_classes=2,
+                                  iters=1)
+    assert got == cls.logreg_gd_fit_multi(sdf, "f", "y", dims=1,
+                                          n_classes=2, iters=1)
     with pytest.raises(ValueError, match="equal-length"):
         cls.logreg_gd_predict_multi(sdf, "f", [[0.1, 1.0], [0.1]])
 

@@ -191,3 +191,49 @@ def test_corr_matrix_hi_word_bound_guards(spark, monkeypatch):
         [(2.5e9, 2.5e9), (-2.5e9, 2.4e9)], "a double, b double")
     with pytest.raises(Exception, match="scaled-long domain"):
         corr_matrix(Frame(sdf), ["a", "b"], quant=0).sdf.collect()
+
+
+def test_corr_matrix_wide_empty_input_matches_narrow_shape(spark):
+    # r10 advice: the wide kernel's mapInPandas yielded nothing for
+    # empty partitions, so corr_matrix returned ZERO rows on empty input
+    # while the narrow kernel emits one (n=0, NULL stats) row per pair —
+    # the same call changed row-count behavior at the 8-column boundary.
+    from crysda_spark.operators.stats import corr_matrix
+    k = 10  # > _MAX_COLS -> wide kernel
+    cols = [f"c{i}" for i in range(k)]
+    schema = ", ".join(f"{c} double" for c in cols)
+    empty = spark.createDataFrame([], schema)
+    out = corr_matrix(Frame(empty), cols).sdf.collect()
+    assert len(out) == k * (k - 1) // 2
+    assert all(r["n"] == 0 and r["cov"] is None and r["corr"] is None
+               for r in out)
+    # filtered-to-empty (partitioned but all partitions empty) too
+    filtered = spark.createDataFrame(
+        [tuple(float(i + j) for j in range(k)) for i in range(50)],
+        schema).where("c0 < -1")
+    out2 = corr_matrix(Frame(filtered), cols).sdf.collect()
+    assert len(out2) == k * (k - 1) // 2
+
+
+def test_corr_matrix_wide_chunking_is_bit_exact(spark, monkeypatch):
+    # r10 advice: exactness must not depend on the session's Arrow
+    # batch size — the kernel chunks internally; shrink the chunk bound
+    # and pin identical results to the unchunked run.
+    from crysda_spark.operators import stats as st
+    import random
+    rng = random.Random(11)
+    rows = [tuple(round(rng.uniform(-50, 50), 4) for _ in range(9))
+            for _ in range(4000)]
+    cols = [f"c{i}" for i in range(9)]
+    sdf = spark.createDataFrame(rows, ", ".join(f"{c} double" for c in cols))
+    base = {(r["col_x"], r["col_y"]):
+            (r["n"], repr(r["cov"]), repr(r["corr"]))
+            for r in st.corr_matrix(Frame(sdf), cols).sdf.collect()}
+    # shrink the internal chunk bound so each Arrow batch slices into
+    # many chunks (captured at plan build, shipped in the closure) and
+    # pin values unchanged — exactness must hold at ANY chunk geometry
+    monkeypatch.setattr(st, "_MAX_CHUNK_ROWS", 37)
+    got = {(r["col_x"], r["col_y"]):
+           (r["n"], repr(r["cov"]), repr(r["corr"]))
+           for r in st.corr_matrix(Frame(sdf), cols).sdf.collect()}
+    assert got == base
