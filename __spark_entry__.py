@@ -5629,46 +5629,58 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate checks the FIRST 50 registrations only
 # (CORRECTNESS_r01/r02 = registrations 1-50), so registration order IS the
-# gate roster. _GATE_ORDER pins positions 1-50 to a curated, oracle-bearing,
-# operator-distinct set covering every SURVEY §2 section plus each
-# oracle-bearing LLM-pipeline operator; demoted variants (same operator
-# shape, secondary evidence via pytest and tools/check_oracle.py) follow in
-# stable registration order. tests/test_entry_roster.py guards this list.
+# gate roster. _GATE_ORDER pins positions 1-50.
+#
+# ROTATION POLICY (r11, closing the r10 judge directive): the gate is no
+# longer a fixed 50 — a CORE of ~23 oracle-bearing queries keeps every
+# SURVEY §2 family permanently driver-green, and the remaining ~27 slots
+# ROTATE each round toward queries that have never appeared in any
+# CORRECTNESS_rN.json (74 of 179 had driver-green rows after r10; the
+# rest rested on the judge sweep + in-query gates only). Rotated-out
+# queries keep their r1-r10 driver-green history plus pytest +
+# tools/check_oracle.py coverage. tests/test_entry_roster.py guards the
+# core and the all-oracle-bearing invariant.
 _GATE_ORDER = [
-    # §2.4 group/agg
-    "q1_pricing_summary", "summarize_at_stats", "transform_groups_zscore",
-    "count_segments", "group_by_expr_year", "rollup_sales", "profile_orders",
-    # §2.2 projection / selectors
-    "project_rename", "selector_regex", "select_by_dtype", "transmute_revenue",
-    "literal_builder_values",
-    # §2.3 filters / slicing / distinct
-    "filter_compound", "distinct_pairs", "slice_sorted_rows", "sort_top_orders",
-    "column_semantics_mix",
-    # §2.5 window / vector (window_ranks demoted r5: 4th same-family
-    # variant, judge-covered; slot given to ngram_jaccard_docs)
-    "window_topn_per_group", "window_lag_orders", "window_cumsum",
-    # §2.6 column functions
+    # ---- permanent core: one-two per §2 family ----
+    # §2.4 group/agg (plain agg + the applyInPandas path)
+    "q1_pricing_summary", "transform_groups_zscore",
+    # §2.2 projection / builder
+    "project_rename", "literal_builder_values",
+    # §2.3 filters / distinct
+    "filter_compound", "distinct_pairs",
+    # §2.5 window
+    "window_topn_per_group",
+    # §2.6 column functions (Arrow map)
     "map_values_upper",
-    # §2.7 joins (incl. temporal; asof_nearest_error demoted r5 — same
-    # operator as asof_click_error with a different direction flag)
-    "join_left_nulls", "join_outer", "join_semi", "join_anti", "join_cross",
-    "asof_click_error", "range_join_value_bins",
-    "q5_local_supplier",
-    # §2.8 reshape (complete_nulls demoted r5 — expand+join composite of
-    # the gated expand_distinct)
-    "spread_pivot", "gather_melt", "unite_separate", "nest_unnest_roundtrip",
-    "expand_distinct",
-    # §2.9 set ops
-    "bind_rows_union", "bind_cols_zip", "intersect_keys", "except_high_value",
+    # §2.7 joins incl. temporal
+    "join_left_nulls", "join_outer", "asof_click_error",
+    "range_join_value_bins", "q5_local_supplier",
+    # §2.8 reshape
+    "spread_pivot", "nest_unnest_roundtrip",
+    # §2.9 set ops (union + ordinal zip)
+    "bind_rows_union", "bind_cols_zip",
     # streaming-equivalent + plan rewrites
     "events_tumbling_hourly", "salted_join_revenue",
-    # LLM-pipeline operators (oracle-bearing; ngram_jaccard_docs /
-    # doc_quality / lang_id_votes promoted r5 — the newest oracle-bearing
-    # operators earn driver-green evidence)
-    "rollup_cascade_daily", "dedup_exact_docs", "text_stats",
-    "pii_scan_counts", "stratified_sample_counts", "embed_topk_cosine",
-    "embed_label_centroid", "ngram_jaccard_docs", "doc_quality",
-    "lang_id_votes",
+    # LLM-pipeline anchors
+    "rollup_cascade_daily", "dedup_exact_docs", "embed_topk_cosine",
+    "ngram_jaccard_docs",
+    # ---- r11 rotation: 27 queries with no prior driver-green row ----
+    # TPC-H heavy half (joins/aggs the fixed gate never exercised)
+    "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q13_customer_distribution", "q17_small_quantity",
+    "q21_waiting_supplier", "q22_dormant_customers",
+    # temporal / streaming-equivalent variants
+    "interval_join_click_error", "asof_forward_next_purchase",
+    "range_join_left_unmatched", "events_sliding_counts",
+    # rollup cascade family
+    "rollup_topk_events", "rollup_moments_stddev", "rollup_hist_quantile",
+    "rollup_cms_heavy_keys", "rollup_gapfill_locf",
+    # stats / anomaly / quantiles
+    "winsorize_price_sums", "mad_outlier_counts", "corr_matrix_lineitem",
+    "corr_matrix_embeddings_wide", "quantile_verb_grouped",
+    # pipeline / text / graph
+    "entity_resolution_docs", "decontam_ngram_overlap",
+    "bm25_keyword_search", "tfidf_top_terms", "sessionize_user_gaps",
 ]
 
 

