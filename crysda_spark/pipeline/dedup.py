@@ -849,8 +849,14 @@ def dedup_incremental(new: Frame, index: DataFrame, text_col: str,
         fresh.select(F.col("_bcid").alias(id_col)), on=id_col, how="inner")
         .select(id_col, text_col))
 
-    # 2. near vs index: band-join new signatures against index bands
-    sigs = pin(minhash_signatures(fresh_docs, text_col, id_col, n_hashes, k))
+    # 2. near vs index: band-join new signatures against index bands.
+    # The batch is shingled ONCE (pinned): the shingle table feeds the
+    # signature aggregate here AND stage 3's exact-Jaccard verify —
+    # r10 shape ran the whole shingle+signature pipeline twice (once
+    # here, once inside minhash_dedup), doubling the batch's text
+    # scans, explode shuffles, and Janino-compiled aggregate units.
+    sh = pin(shingled(fresh_docs, text_col, id_col, k))
+    sigs = pin(minhash_signatures_from_shingles(sh, id_col, n_hashes))
     new_banded = (sigs.filter(~F.element_at("sig", 1).isNull())
                   .select(id_col, F.posexplode(
                       _band_hashes(F.col("sig"), n_hashes, bands))
@@ -872,11 +878,22 @@ def dedup_incremental(new: Frame, index: DataFrame, text_col: str,
                  .groupBy(id_col)
                  .agg(F.min("_old_surv").alias("_near_surv")))
 
-    # 3. near within the batch (exact-Jaccard verified, as dedup_full)
-    still = Frame(fresh_docs.sdf.join(old_match.select(id_col),
-                                      on=id_col, how="left_anti"))
-    batch_pairs = minhash_dedup(still, text_col, id_col, threshold,
-                                n_hashes, bands, k).sdf
+    # 3. near within the batch (exact-Jaccard verified, as dedup_full) —
+    # reusing the stage-2 shingles and signatures (identical values by
+    # construction: same docs, same hash family) instead of re-deriving
+    # them from text via minhash_dedup
+    still_sigs = (sigs.join(old_match.select(id_col), on=id_col,
+                            how="left_anti"))
+    cands = _lsh_candidates_from_sig(still_sigs, id_col, n_hashes, bands)
+    batch_pairs = (
+        cands
+        .join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}),
+              on="id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}),
+              on="id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b"))
     batch_comps = connected_components(batch_pairs)
 
     # compose: batch row → batch canonical → (old survivor | batch
