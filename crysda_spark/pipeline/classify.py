@@ -150,13 +150,11 @@ def _grams(toks, ngrams: tuple[int, ...]):
     return F.concat(*outs) if len(outs) > 1 else outs[0]
 
 
-def hash_features_sparse(sdf, text_col: str, id_col: str, dims: int = 256,
-                         ngrams: tuple[int, ...] = (1,)):
-    """Sparse half of the hashing-trick featurizer: one row per
-    (document, occupied bucket) — (id_col, bucket, cnt, tot) with
-    ``tot`` the document's total gram count. Bounded by
-    min(doc grams, dims) rows per doc; documents with zero grams after
-    normalization produce no rows (and no feature vector)."""
+def _hash_sparse_counts(sdf, text_col: str, id_col: str, dims: int,
+                        ngrams: tuple[int, ...]):
+    """(id_col, bucket, cnt) hashed gram counts — ONE shuffle keyed by
+    (id, bucket), map-side combined. Shared by the sparse and dense
+    featurizers."""
     if dims <= 0:
         raise ValueError(f"hash_features: dims must be positive, got {dims}")
     toks = F.filter(F.split(normalize(F.col(text_col)), " "),
@@ -164,9 +162,19 @@ def hash_features_sparse(sdf, text_col: str, id_col: str, dims: int = 256,
     grams = sdf.select(
         F.col(id_col),
         F.explode(_grams(toks, tuple(ngrams))).alias("_g"))
-    sparse = (grams.groupBy(id_col, hash_bucket(F.col("_g"), dims)
-                            .alias("bucket"))
-              .agg(F.count(F.lit(1)).alias("cnt")))
+    return (grams.groupBy(id_col, hash_bucket(F.col("_g"), dims)
+                          .alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def hash_features_sparse(sdf, text_col: str, id_col: str, dims: int = 256,
+                         ngrams: tuple[int, ...] = (1,)):
+    """Sparse half of the hashing-trick featurizer: one row per
+    (document, occupied bucket) — (id_col, bucket, cnt, tot) with
+    ``tot`` the document's total gram count. Bounded by
+    min(doc grams, dims) rows per doc; documents with zero grams after
+    normalization produce no rows (and no feature vector)."""
+    sparse = _hash_sparse_counts(sdf, text_col, id_col, dims, ngrams)
     tot = F.sum("cnt").over(W.partitionBy(id_col))
     return sparse.select(id_col, "bucket", "cnt", tot.alias("tot"))
 
@@ -200,12 +208,23 @@ def hash_features(sdf, text_col: str, id_col: str, dims: int = 256,
         raise ValueError(f"hash_features: dims must be positive, got {dims}")
     if scale not in ("relfreq", "binary"):
         raise ValueError(f"hash_features: unknown scale {scale!r}")
-    sparse = hash_features_sparse(sdf, text_col, id_col, dims=dims,
-                                  ngrams=ngrams)
+    # Dead end, measured then removed (r11): a ZERO-shuffle per-row
+    # build — transform(sequence(0, dims-1), i -> probe(bucket_arr, i))
+    # — looked strictly better on paper but ran 10× SLOWER at sf0.1
+    # (70 s vs 7 s for the classifier gate): Spark evaluates
+    # higher-order-function lambdas INTERPRETED, per element, with
+    # boxing, so O(dims·grams) per row beats the two hash-aggregate
+    # shuffles only on trivially short documents. The sparse count
+    # aggregate (work O(grams), map-side combined) is the right shape
+    # at every scale.
+    # (The doc total is a plain SUM here; routing through
+    # hash_features_sparse's per-row `tot` paid an extra sort-based
+    # window shuffle for a value this groupBy already has.)
+    sparse = _hash_sparse_counts(sdf, text_col, id_col, dims, ngrams)
     per_doc = (sparse.groupBy(id_col)
                .agg(F.map_from_entries(
                         F.collect_list(F.struct("bucket", "cnt"))).alias("_m"),
-                    F.max("tot").alias("_tot")))
+                    F.sum("cnt").alias("_tot")))
     if scale == "binary":
         feats = F.transform(
             F.sequence(F.lit(0), F.lit(dims - 1)),
@@ -361,50 +380,192 @@ def logreg_gd_fit(sdf, features_col: str, label_col: str, dims: int,
         train.unpersist()
 
 
+def _gd_iter_sums(sdf, wmat: list[list[float]], bvec: list[float],
+                  dims: int, scale: float, multi: bool):
+    """One GD iteration's quantized gradient sums for K one-vs-rest
+    classes in ONE Arrow ``mapInPandas`` pass over the persisted
+    (``_f``, ``_y``) projection — the ``_corr_wide`` precedent (r11):
+    the r9-r10 shape (crossJoined broadcast weights → higher-order-
+    function fold → posexplode to (dims+1)·K rows → hash aggregate)
+    spent ~1.3 s/iteration at 60k×64 on explode volume and HOF
+    evaluation; this kernel does the identical arithmetic vectorized
+    and emits ONE row per partition (no shuffle at all — the tiny
+    partials collect straight to the driver, the same map-side-combine
+    topology at any corpus size).
+
+    Bit-reproducibility contract is PRESERVED (pinned by the unrolled-
+    CTE oracles and test_logreg_gd_bit_reproducible):
+    - z folds sequentially over j with the same ((b + x0·w0) + x1·w1)…
+      association — vectorized over rows, ordered over dims;
+    - the link is the same algebraic sigmoid, 0.5 + (0.5·z)/(1+|z|),
+      evaluated in the same IEEE op order;
+    - gradient terms quantize with the same floor(t·10^q + 0.5) in
+      float64 and sum EXACTLY: per-chunk int64 partials are bounded
+      below 2⁶³ by a data-derived chunk step, then accumulate in
+      arbitrary-precision Python ints (sum order is irrelevant for
+      exact integers — partition invariance for free).
+    Non-finite terms poison the returned max (never the sums the
+    driver would use — `_check_finite_grad` raises on the max before
+    any update). Null feature arrays / null components become NaN and
+    therefore RAISE (r11 change, aligning nulls with the stated
+    no-silent-exclusion trainer contract; previously a null row was
+    counted but silently contributed nothing).
+
+    Returns (g: K×(dims+1) exact int sums — bias in slot ``dims``,
+    mx: global max|term|, n: row count)."""
+    import math
+
+    import pandas as pd
+
+    K = len(wmat)
+    width = dims + 1
+    warr = [list(map(float, wk)) for wk in wmat]
+    barr = list(map(float, bvec))
+
+    def kernel(batches):
+        tot = [[0] * width for _ in range(K)]
+        mx = 0.0
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X, yv = _gd_extract_xy(pdf, dims)
+            n += X.shape[0]
+            mx = _gd_grad_np(X, yv, warr, barr, dims, scale, multi,
+                             tot, mx)
+        if n == 0:
+            return
+        flat = [v for row in tot for v in row]
+        # a partition whose exact sum exceeds int64 implies the global
+        # capacity guard fires (n_part·(mx·scale+1) ≥ 2⁶³ > 9e18 bound)
+        # — emit zeros for the unrepresentable sums, accurate (mx, n)
+        if any(abs(v) >= (1 << 63) for v in flat):
+            flat = [0] * len(flat)
+            mx = float("inf")
+        yield pd.DataFrame({"g": [flat], "m": [mx], "n": [n]})
+
+    parts = sdf.mapInPandas(kernel, schema="g array<long>, m double, n long")
+    rows = parts.collect()
+    if not rows:
+        raise ValueError("logreg_gd_fit: empty training set")
+    n = sum(r["n"] for r in rows)
+    mx = 0.0
+    for r in rows:
+        # pandas->Arrow maps a float NaN to null: a None max IS a NaN
+        m = float("nan") if r["m"] is None else r["m"]
+        if math.isnan(m) or m > mx:
+            mx = m
+    g = [[sum(int(r["g"][k * width + j]) for r in rows)
+          for j in range(width)] for k in range(K)]
+    return g, mx, n
+
+
+def _gd_extract_xy(pdf, dims: int):
+    """(X: n×dims float64, y: float64) from an Arrow batch of the
+    (``_f``, ``_y``) projection — null arrays / wrong-length arrays /
+    null components become NaN (which the finite guard then raises on);
+    shared by the distributed kernel and the driver fast path so both
+    see byte-identical matrices."""
+    import numpy as np
+    lst = pdf["_f"].tolist()
+    bad = [v is None or len(v) != dims for v in lst]
+    if any(bad):
+        lst = [([float("nan")] * dims if bb else v)
+               for v, bb in zip(lst, bad)]
+    X = np.array(lst, dtype=np.float64).reshape(len(lst), dims)
+    yv = pdf["_y"].to_numpy(dtype=np.float64, na_value=np.nan)
+    return X, yv
+
+
+def _gd_grad_np(X, yv, wmat, bvec, dims, scale, multi, tot, mx):
+    """THE gradient arithmetic, stated once (see ``_gd_iter_sums`` for
+    the bit-reproducibility contract it implements): accumulates each
+    class's exact quantized term sums into ``tot`` (K×(dims+1) Python
+    ints) and returns the updated max|term|. Called per Arrow batch by
+    the distributed kernel and once on the collected matrix by the
+    driver fast path — row-independent arithmetic plus exact integer
+    sums make the two call patterns bit-identical by construction."""
+    import math
+
+    import numpy as np
+    K = len(wmat)
+    W = np.asarray(wmat, dtype=np.float64)
+    B = np.asarray(bvec, dtype=np.float64)
+    width = dims + 1
+    # inf·0 / inf−inf legitimately produce NaN here (non-finite inputs
+    # propagate into the max, which the caller raises on) — IEEE
+    # semantics are the contract, the numpy warning is just noise
+    with np.errstate(invalid="ignore", over="ignore"):
+        for k in range(K):
+            z = np.full(X.shape[0], B[k])
+            for j in range(dims):
+                z = z + X[:, j] * W[k, j]
+            sig = 0.5 + (0.5 * z) / (1.0 + np.abs(z))
+            ytgt = (yv == k).astype(np.float64) if multi else yv
+            err = sig - ytgt
+            T = np.concatenate([X * err[:, None], err[:, None]], axis=1)
+            tmax = float(np.max(np.abs(T)))
+            if math.isnan(tmax) or tmax > mx:
+                mx = tmax
+            if not math.isfinite(tmax):
+                continue  # sums unused: the caller raises on mx
+            Q = np.floor(T * scale + 0.5)
+            qmax = float(np.abs(Q).max())
+            if qmax >= 9.0e18:
+                continue  # capacity guard raises on (mx, n)
+            # chunk so each int64 partial stays below 2^63, then
+            # accumulate exactly in Python ints
+            step = (X.shape[0] if qmax == 0.0
+                    else max(1, int(4.0e18 // (qmax + 1.0))))
+            for s in range(0, X.shape[0], step):
+                part = Q[s:s + step].astype(np.int64).sum(
+                    axis=0, dtype=np.int64)
+                row = tot[k]
+                for j in range(width):
+                    row[j] += int(part[j])
+    return mx
+
+
+_GD_LOCAL_CAP_VALUES = 4_000_000  # n·(dims+1) float64s the driver will
+#   hold for the GD fast path (~32 MB) — the connected-components /
+#   _local_quantiles precedent: an exact probed size gate with the
+#   distributed twin pinned bit-equal by test
+
+
+def _gd_collect_local(sdf, dims: int):
+    """Driver fast path probe: a training set whose (rows × width)
+    matrix fits ``_GD_LOCAL_CAP_VALUES`` collects ONCE (Arrow) and every
+    GD iteration then runs in-process — at 60k×64 each distributed
+    iteration costs ~0.55 s of pure job/scan overhead for ~2 ms of
+    arithmetic, so a 4-iteration fit paid >2 s of scheduler tax. The
+    count also materializes the persisted projection, so the featurize
+    pipeline runs exactly once either way. Returns (X, y) or None."""
+    n = sdf.count()
+    if n == 0:
+        raise ValueError("logreg_gd_fit: empty training set")
+    if n * (dims + 1) > _GD_LOCAL_CAP_VALUES:
+        return None
+    return _gd_extract_xy(sdf.toPandas(), dims)
+
+
 def _gd_loop(sdf, dims: int, iters: int, lr: float,
              quant: int) -> list[float]:
-    y = F.col("_y")
-    feats = F.col("_f")
-    spark = sdf.sparkSession
     w = [0.0] * dims
     b = 0.0
+    scale = float(10 ** quant)
+    local = _gd_collect_local(sdf, dims)
     for _ in range(iters):
-        # Dot product as a left fold SEEDED WITH b — exactly the
-        # ((b + x1·w1) + x2·w2)… association the SQL oracle writes, so
-        # the IEEE rounding path is identical. A dims-wide unrolled
-        # expression tree here cost more in Catalyst planning + Janino
-        # compile than the whole scan (first cut: 17 s for 3 iterations
-        # at dims=64); the fold + explode keep every plan O(1) in dims.
-        # Weights travel as a broadcast 1-ROW TABLE, not literals: a
-        # dims-wide literal array changes the generated code every
-        # iteration (at dims=256 each round paid ~7 s of Janino compile
-        # for a sub-second scan); as data, every iteration reuses one
-        # compiled plan shape and the arithmetic is bit-identical.
-        w_row = spark.createDataFrame([(list(map(float, w)), float(b))],
-                                      "_w array<double>, _b double")
-        joined = sdf.crossJoin(F.broadcast(w_row))
-        z = F.aggregate(F.zip_with(feats, F.col("_w"), lambda a, c: a * c),
-                        F.col("_b"), lambda acc, v: acc + v)
-        err = (algebraic_sigmoid(z) - y).alias("_err")
-        # gradient via posexplode + (dims+1)-key groupBy: one tiny map-
-        # side-combined shuffle; pos `dims` is the appended bias slot
-        exploded = joined.select(
-            err, F.posexplode(F.concat(feats, F.array(F.lit(1.0))))
-            .alias("_pos", "_x"))
-        scale = float(10 ** quant)
-        term = F.col("_x") * F.col("_err")
-        rows = (exploded.groupBy("_pos")
-                .agg(F.sum(F.floor(term * F.lit(scale) + F.lit(0.5)))
-                     .alias("g"),
-                     F.max(F.abs(term)).alias("m"),
-                     F.count(F.lit(1)).alias("n"))
-                .collect())
-        grads = {r["_pos"]: r for r in rows}
-        n = grads[dims]["n"]
-        mx = max((r["m"] or 0.0) for r in rows)
+        if local is not None:
+            tot = [[0] * (dims + 1)]
+            mx = _gd_grad_np(local[0], local[1], [w], [b], dims, scale,
+                             False, tot, 0.0)
+            g, n = tot, local[0].shape[0]
+        else:
+            g, mx, n = _gd_iter_sums(sdf, [w], [b], dims, scale,
+                                     multi=False)
         _check_finite_grad("logreg_gd_fit", quant, mx, n, scale)
-        b = b - lr * (float(grads[dims]["g"]) / scale / n)
-        w = [w[j] - lr * (float(grads[j]["g"]) / scale / n)
+        b = b - lr * (float(g[0][dims]) / scale / n)
+        w = [w[j] - lr * (float(g[0][j]) / scale / n)
              for j in range(dims)]
     return [b] + w
 
@@ -462,50 +623,27 @@ def logreg_gd_fit_multi(sdf, features_col: str, label_col: str, dims: int,
 
 def _gd_loop_multi(sdf, dims: int, n_classes: int, iters: int, lr: float,
                    quant: int) -> list[list[float]]:
-    y = F.col("_y")
-    feats = F.col("_f")
-    spark = sdf.sparkSession
+    # same Arrow kernel as the binary loop (see _gd_iter_sums): K
+    # one-vs-rest gradients in one pass; a null label compares unequal
+    # to every class id, reproducing the old when(y==k,1).otherwise(0)
+    # semantics (NaN == k is False)
     K = n_classes
     w = [[0.0] * dims for _ in range(K)]
     b = [0.0] * K
     scale = float(10 ** quant)
+    local = _gd_collect_local(sdf, dims)
     for _ in range(iters):
-        w_row = spark.createDataFrame(
-            [([list(map(float, wk)) for wk in w], list(map(float, b)))],
-            "_wm array<array<double>>, _bm array<double>")
-        joined = sdf.crossJoin(F.broadcast(w_row))
-
-        def err_for(k):
-            # same fold-seeded-with-bias association as the binary
-            # trainer (and its unrolled-CTE oracle)
-            wk = F.element_at(F.col("_wm"), k + F.lit(1))
-            bk = F.element_at(F.col("_bm"), k + F.lit(1))
-            z = F.aggregate(F.zip_with(feats, wk, lambda a, c: a * c),
-                            bk, lambda acc, v: acc + v)
-            return (algebraic_sigmoid(z)
-                    - F.when(y == k, F.lit(1.0)).otherwise(F.lit(0.0)))
-
-        errs = F.transform(F.sequence(F.lit(0), F.lit(K - 1)), err_for)
-        step1 = joined.select(
-            F.posexplode(errs).alias("_cls", "_err"), feats.alias("_f"))
-        step2 = step1.select(
-            "_cls", "_err",
-            F.posexplode(F.concat(F.col("_f"), F.array(F.lit(1.0))))
-            .alias("_pos", "_x"))
-        term = F.col("_x") * F.col("_err")
-        rows = (step2.groupBy("_cls", "_pos")
-                .agg(F.sum(F.floor(term * F.lit(scale) + F.lit(0.5)))
-                     .alias("g"),
-                     F.max(F.abs(term)).alias("m"),
-                     F.count(F.lit(1)).alias("n"))
-                .collect())
-        grads = {(r["_cls"], r["_pos"]): r for r in rows}
-        n = grads[(0, dims)]["n"]
-        mx = max((r["m"] or 0.0) for r in rows)
+        if local is not None:
+            tot = [[0] * (dims + 1) for _ in range(K)]
+            mx = _gd_grad_np(local[0], local[1], w, b, dims, scale,
+                             True, tot, 0.0)
+            g, n = tot, local[0].shape[0]
+        else:
+            g, mx, n = _gd_iter_sums(sdf, w, b, dims, scale, multi=True)
         _check_finite_grad("logreg_gd_fit_multi", quant, mx, n, scale)
         for k in range(K):
-            b[k] = b[k] - lr * (float(grads[(k, dims)]["g"]) / scale / n)
-            w[k] = [w[k][j] - lr * (float(grads[(k, j)]["g"]) / scale / n)
+            b[k] = b[k] - lr * (float(g[k][dims]) / scale / n)
+            w[k] = [w[k][j] - lr * (float(g[k][j]) / scale / n)
                     for j in range(dims)]
     return [[b[k]] + w[k] for k in range(K)]
 

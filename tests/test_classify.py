@@ -319,3 +319,24 @@ def test_logreg_gd_nonfinite_features_raise(spark):
     m = spark.createDataFrame(rows_inf, "f array<double>, y int")
     with pytest.raises(ValueError, match="non-finite"):
         cls.logreg_gd_fit_multi(m, "f", "y", dims=2, n_classes=2, iters=1)
+
+
+def test_gd_local_fast_path_equals_distributed(spark, monkeypatch):
+    # r11: small training sets collect once and iterate driver-side
+    # (CC/_local_quantiles precedent) — must be BIT-identical to the
+    # distributed Arrow kernel, binary and multi-class
+    rows = [([float((i * 5) % 9) / 9, float(i % 4) / 4], float(i % 2))
+            for i in range(120)]
+    sdf = spark.createDataFrame(rows, "f array<double>, y double")
+    fast = cls.logreg_gd_fit(sdf, "f", "y", dims=2, iters=3, lr=0.8)
+    m = spark.createDataFrame(
+        [([float((i * 5) % 9) / 9, float(i % 4) / 4], i % 3)
+         for i in range(120)], "f array<double>, y int")
+    fast_m = cls.logreg_gd_fit_multi(m, "f", "y", dims=2, n_classes=3,
+                                     iters=2, lr=0.8)
+    monkeypatch.setattr(cls, "_GD_LOCAL_CAP_VALUES", 0)
+    slow = cls.logreg_gd_fit(sdf, "f", "y", dims=2, iters=3, lr=0.8)
+    slow_m = cls.logreg_gd_fit_multi(m, "f", "y", dims=2, n_classes=3,
+                                     iters=2, lr=0.8)
+    assert fast == slow
+    assert fast_m == slow_m
