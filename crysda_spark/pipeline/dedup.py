@@ -840,6 +840,15 @@ def dedup_incremental(new: Frame, index: DataFrame, text_col: str,
     batch_canon = (new_rows.groupBy("_fp")
                    .agg(F.min(id_col).alias("_bcid"),
                         F.count(F.lit(1)).alias("_n")))
+    # old_match / canon_surv are each consumed by 2+ downstream
+    # branches; unpinned, every consumer re-ran the whole band-join
+    # pipeline above them (the r11 sf1 scale rehearsal measured it
+    # executing 3x: 42 s vs ~18 s of one-pass stage work — a 10.2x
+    # sf0.1->sf1 ratio where the other dedup pipelines scaled at
+    # 1.7-2.2x; pinned: 11 s, 1.4x). Both are batch-fp-sized, never
+    # corpus-sized. exact_hit also has two consumers but its recompute
+    # is one hash-agg + index probe over the pinned new_rows — cheaper
+    # than a cache round-trip at small batches and linear at scale.
     exact_hit = batch_canon.join(idx.select("_fp", "survivor_id"),
                                  on="_fp", how="left")
     # fresh fps only continue to the near-dup stages
@@ -870,13 +879,13 @@ def dedup_incremental(new: Frame, index: DataFrame, text_col: str,
     old_cand = (new_banded.join(idx_banded, on=["_b", "_bh"])
                 .select(id_col, "_old_surv", "_old_sig")
                 .dropDuplicates([id_col, "_old_surv"]))
-    old_match = (old_cand.join(sigs, on=id_col)
-                 .withColumn("_est", _sig_jaccard(F.col("sig"),
-                                                  F.col("_old_sig"),
-                                                  n_hashes))
-                 .filter(F.col("_est") >= threshold)
-                 .groupBy(id_col)
-                 .agg(F.min("_old_surv").alias("_near_surv")))
+    old_match = pin(old_cand.join(sigs, on=id_col)
+                    .withColumn("_est", _sig_jaccard(F.col("sig"),
+                                                     F.col("_old_sig"),
+                                                     n_hashes))
+                    .filter(F.col("_est") >= threshold)
+                    .groupBy(id_col)
+                    .agg(F.min("_old_surv").alias("_near_surv")))
 
     # 3. near within the batch (exact-Jaccard verified, as dedup_full) —
     # reusing the stage-2 shingles and signatures (identical values by
@@ -898,18 +907,19 @@ def dedup_incremental(new: Frame, index: DataFrame, text_col: str,
 
     # compose: batch row → batch canonical → (old survivor | batch
     # component | itself)
-    canon_surv = (fresh
-                  .join(old_match.withColumnRenamed(id_col, "_bcid"),
-                        on="_bcid", how="left")
-                  .join(batch_comps.withColumnRenamed("id", "_bcid"),
-                        on="_bcid", how="left")
-                  .select("_fp", "_bcid",
-                          F.coalesce("_near_surv", "comp", F.col("_bcid"))
-                          .alias("_surv"),
-                          F.when(F.col("_near_surv").isNotNull(), "near")
-                          .when(F.col("comp").isNotNull()
-                                & (F.col("comp") != F.col("_bcid")), "near")
-                          .otherwise("unique").alias("_canon_reason")))
+    canon_surv = pin(
+        fresh
+        .join(old_match.withColumnRenamed(id_col, "_bcid"),
+              on="_bcid", how="left")
+        .join(batch_comps.withColumnRenamed("id", "_bcid"),
+              on="_bcid", how="left")
+        .select("_fp", "_bcid",
+                F.coalesce("_near_surv", "comp", F.col("_bcid"))
+                .alias("_surv"),
+                F.when(F.col("_near_surv").isNotNull(), "near")
+                .when(F.col("comp").isNotNull()
+                      & (F.col("comp") != F.col("_bcid")), "near")
+                .otherwise("unique").alias("_canon_reason")))
     fp_to_surv = (exact_hit.select("_fp", "_bcid",
                                    F.col("survivor_id").alias("_old"))
                   .join(canon_surv.select("_fp", "_surv", "_canon_reason"),
