@@ -5474,7 +5474,23 @@ def _corr_oracle(table: str, cols: list[str], quant: int = 6,
     decimal(38,0) epilogue), and the SAME double association, so
     values match bit-for-bit with no rounding. ``pairs`` restricts the
     oracle to an explicit pair subset (the wide-matrix sampled gate);
-    the integer sums are the same whether or not other pairs exist."""
+    the integer sums are the same whether or not other pairs exist.
+
+    r12 (driver-gate hash seam): every exact-integer → double
+    conversion is now ENGINE-VERSION-ROBUST. A direct
+    CAST(HUGEINT AS DOUBLE) delegates the int128→double rounding to
+    the engine build — DuckDB changed it across releases, so the r11
+    driver (different DuckDB) hashed differently from this host's
+    byte-identical replay. Instead both sides split the exact total
+    T = a·2⁵³ + b (b = nonneg mod, a = (T−b)/2⁵³ exact) and compute
+    a_d·2⁵³ + b_d: |a| < 2⁴² and b < 2⁵³ convert EXACTLY (no rounding
+    decision exists below 2⁵³), the power-of-two multiply is exact,
+    and the single IEEE add is correctly rounded on every engine —
+    the only rounding anywhere, deterministic by IEEE 754. BIGINT-
+    range sums (Σx, Σy, n) cast through BIGINT first: int64→double is
+    hardware-correctly-rounded everywhere, unlike HUGEINT paths.
+    Spark runs the same split in decimal(38,0)
+    (operators/stats.py::_det_double)."""
     pairs = pairs or [(cols[i], cols[j]) for i in range(len(cols))
                       for j in range(i + 1, len(cols))]
     m = 2147483648  # 2^31 — the hi/lo split base
@@ -5499,12 +5515,23 @@ def _corr_oracle(table: str, cols: list[str], quant: int = 6,
             *_words(f"{vx}*{vx}", "sxx"),
             *_words(f"{vy}*{vy}", "syy"),
         ]
-        nd = f"CAST(n_{t} AS DOUBLE)"
-        dx, dy = f"CAST(sx_{t} AS DOUBLE)", f"CAST(sy_{t} AS DOUBLE)"
+        # BIGINT-range values (guarded ≤ 9e18): force the HUGEINT sum
+        # back through BIGINT so the double conversion is the
+        # universally-correctly-rounded int64 one (raises loudly if
+        # the guard assumption ever broke, rather than mis-rounding)
+        nd = f"CAST(CAST(n_{t} AS BIGINT) AS DOUBLE)"
+        dx = f"CAST(CAST(sx_{t} AS BIGINT) AS DOUBLE)"
+        dy = f"CAST(CAST(sy_{t} AS BIGINT) AS DOUBLE)"
+        p53 = 1 << 53
 
         def _recon(name):
-            return (f"CAST(CAST({name}h_{t} AS HUGEINT) * {m} "
-                    f"+ {name}l_{t} AS DOUBLE)")
+            # deterministic two-part int128 → double (see docstring)
+            tot = f"(CAST({name}h_{t} AS HUGEINT) * {m} + {name}l_{t})"
+            b = f"((({tot}) % {p53}) + {p53}) % {p53}"
+            a = f"(({tot}) - ({b})) // {p53}"
+            return (f"(CAST(CAST({a} AS BIGINT) AS DOUBLE) "
+                    f"* CAST({p53} AS DOUBLE) "
+                    f"+ CAST(CAST({b} AS BIGINT) AS DOUBLE))")
 
         num = f"({_recon('sxy')}*{nd} - {dx}*{dy})"
         denx = f"({_recon('sxx')}*{nd} - {dx}*{dx})"
@@ -5637,9 +5664,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # ROTATE each round toward queries that have never appeared in any
 # CORRECTNESS_rN.json (74 of 179 had driver-green rows after r10; the
 # rest rested on the judge sweep + in-query gates only). Rotated-out
-# queries keep their r1-r10 driver-green history plus pytest +
+# queries keep their accumulated driver-green history plus pytest +
 # tools/check_oracle.py coverage. tests/test_entry_roster.py guards the
 # core and the all-oracle-bearing invariant.
+#
+# r12 roster: 96 queries had driver-green rows after r11 (the union
+# computed from CORRECTNESS_r01-r11). This round rotates in the two r11
+# corr hash-seam rows (now carrying the engine-version-robust oracle
+# epilogue) plus 25 of the 49 never-gated SQL-oracled queries; the
+# remaining 24 SQL-oracled take r13's slots, after which only rows-only
+# queries (multimodal/PQ/sampler gates — the driver records a weaker
+# rows-only check for those) are left ungated.
 _GATE_ORDER = [
     # ---- permanent core: one-two per §2 family ----
     # §2.4 group/agg (plain agg + the applyInPandas path)
@@ -5664,23 +5699,25 @@ _GATE_ORDER = [
     # LLM-pipeline anchors
     "rollup_cascade_daily", "dedup_exact_docs", "embed_topk_cosine",
     "ngram_jaccard_docs",
-    # ---- r11 rotation: 27 queries with no prior driver-green row ----
-    # TPC-H heavy half (joins/aggs the fixed gate never exercised)
-    "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "q13_customer_distribution", "q17_small_quantity",
-    "q21_waiting_supplier", "q22_dormant_customers",
-    # temporal / streaming-equivalent variants
-    "interval_join_click_error", "asof_forward_next_purchase",
-    "range_join_left_unmatched", "events_sliding_counts",
-    # rollup cascade family
-    "rollup_topk_events", "rollup_moments_stddev", "rollup_hist_quantile",
-    "rollup_cms_heavy_keys", "rollup_gapfill_locf",
-    # stats / anomaly / quantiles
-    "winsorize_price_sums", "mad_outlier_counts", "corr_matrix_lineitem",
-    "corr_matrix_embeddings_wide", "quantile_verb_grouped",
-    # pipeline / text / graph
-    "entity_resolution_docs", "decontam_ngram_overlap",
-    "bm25_keyword_search", "tfidf_top_terms", "sessionize_user_gaps",
+    # ---- r12 rotation: 27 slots ----
+    # the two r11 hash-seam rows stay in to PROVE the version-robust
+    # oracle epilogue driver-green (they have no prior green row)
+    "corr_matrix_lineitem", "corr_matrix_embeddings_wide",
+    # TPC-H remainder incl. the pseudo-partsupp half + refresh cycle
+    "q4_priority_exists", "q10_returned_items", "q11_important_stock",
+    "q12_ship_priority_lines", "q15_top_supplier",
+    "q16_supplier_part_counts", "q19_discounted_revenue",
+    "q20_excess_stock_suppliers", "tpch_refresh_cycle",
+    # GD / classifier family (r11's rewritten kernels, never gated)
+    "logreg_gd_weights", "logreg_gd_multi_weights",
+    "multiclass_argmax_fixed", "text_classifier_score_fixed",
+    "hashed_features_sparse", "nb_lang_confusion",
+    "centroid_assign_counts",
+    # pipeline / graph / analytics
+    "funnel_view_click_purchase", "retention_weekly_cohorts",
+    "pagerank_cust_supplier", "triangle_census", "drift_psi_value",
+    "leakage_safe_split_counts", "e2e_corpus_prep", "dup_span_coverage",
+    "quality_check_report",
 ]
 
 

@@ -24,8 +24,11 @@ order-free and partition-invariant. Products vx·vy (up to ~9.2e18)
 are split into hi/lo words around 2³¹ before summation so no partial
 can overflow within the guarded domain; the one-row epilogue
 reconstructs each product sum exactly in decimal(38,0), converts to
-double once, and runs the same canonical IEEE association as the SQL
-oracle — bit-identical statistics on any engine or cluster layout.
+double via the two-part a·2⁵³ + b split (``_det_double`` — r12: a
+direct int128→double cast is an engine-owned rounding that differs
+across DuckDB releases), and runs the same canonical IEEE association
+as the SQL oracle — bit-identical statistics on any engine, engine
+VERSION, or cluster layout.
 
 Why integers and not exact decimals: decimal aggregation buffers cost
 ~19× the CPU of long sums for the identical statistic (measured by
@@ -78,11 +81,35 @@ _MAX_V = 3_037_000_499             # isqrt(2^63 - 1): |vx| bound so vx·vy fits
 _MAX_N = 4_290_000_000             # lo-word partials: n·2^31 < 2^63 (margin)
 _MAX_NV = 9.0e18                   # unsplit Σvx partials: n·max|vx| bound
 _MAX_CHUNK_ROWS = 1_000_000        # wide-kernel internal chunk: dgemm
-#   partials are integer-exact in float64 only while 46341²·rows < 2^53
-#   (~4.2M rows); chunking INSIDE the kernel (r10 advice) keeps the
+#   partials are integer-exact in float64 only while 65535²·rows < 2^53
+#   (~2.1M rows — the lo·lo word products reach 65535², NOT the signed
+#   top word's 46341²; r11 advice corrected the stated ceiling); the 1M
+#   constant keeps a 2× margin. Chunking INSIDE the kernel keeps the
 #   exactness guarantee independent of the session's
 #   arrow.maxRecordsPerBatch (a raised/unlimited batch size would
 #   otherwise silently lose bit-exactness instead of raising)
+
+
+_P53 = 1 << 53                     # exact-double split base for epilogues
+
+
+def _det_double(t_dec):
+    """Engine-version-independent exact-integer → double conversion
+    (r12): split T = a·2⁵³ + b (b = pmod(T, 2⁵³) ∈ [0, 2⁵³), a exact —
+    T − b is a multiple of 2⁵³) and return a_d·2⁵³ + b_d. Every step
+    is either EXACT (integer split; |a| < 2⁴² and b < 2⁵³ both convert
+    to double with no rounding decision; a_d·2⁵³ is a power-of-two
+    scaling) or ONE correctly-rounded IEEE add — deterministic on any
+    engine. A direct int128/decimal→double cast is instead an
+    engine-owned rounding: DuckDB's HUGEINT→DOUBLE changed across
+    releases (the r11 driver-gate hash seam), while this two-part form
+    replays bit-identically in Spark, DuckDB (any version), and numpy.
+    The result may differ from the correctly-rounded cast by ≤ 1 ulp —
+    acceptable: the contract is cross-engine bit-REPRODUCIBILITY of a
+    value within 1 ulp of exact, not correctly-rounded conversion."""
+    b = F.pmod(t_dec, F.lit(_P53).cast("decimal(38,0)"))
+    a = ((t_dec - b) / F.lit(_P53)).cast("decimal(38,0)")
+    return a.cast("double") * F.lit(float(_P53)) + b.cast("double")
 
 
 def _quantize(c: str, scale: float):
@@ -318,14 +345,15 @@ def _corr_epilogue_rows(summed, cols: list[str], quant: int):
     def _wsum(pre: str):
         """Σ_w (hi_w·2³¹ + lo_w)·2^(16w) exactly in decimal(38,0) —
         the narrow kernel's hi/lo reconstruction generalized over the
-        three 16-bit product words; ONE conversion to double."""
+        three 16-bit product words; the deterministic two-part
+        conversion to double (``_det_double``, r12)."""
         acc = None
         for w in range(3):
             word = (F.col(f"{pre}{w}h").cast("decimal(38,0)") * F.lit(_M)
                     + F.col(f"{pre}{w}l"))
             t = word * F.lit(1 << (16 * w))
             acc = t if acc is None else acc + t
-        return acc.cast("double")
+        return _det_double(acc)
 
     inv_sq = 1.0 / (scale * scale)
     sx, sy = _sum16("sx"), _sum16("sy")
@@ -413,9 +441,11 @@ def _corr_pairs(sdf, v: dict, pairs: list[tuple[str, str]],
 
     def _recon(pre: str, tag: str):
         """Exact Σ product from its hi/lo word sums, in decimal(38,0)
-        (the i128 twin): hi·2³¹ + lo, one conversion to double."""
-        return (F.col(f"{pre}h_{tag}").cast("decimal(38,0)") * F.lit(_M)
-                + F.col(f"{pre}l_{tag}")).cast("double")
+        (the i128 twin): hi·2³¹ + lo, then the deterministic two-part
+        conversion to double (``_det_double``, r12)."""
+        return _det_double(
+            F.col(f"{pre}h_{tag}").cast("decimal(38,0)") * F.lit(_M)
+            + F.col(f"{pre}l_{tag}"))
 
     inv_sq = 1.0 / (scale * scale)   # 10^-2q, exact double for q ≤ 8
 

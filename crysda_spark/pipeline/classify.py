@@ -307,9 +307,13 @@ def _check_finite_grad(fn: str, quant: int, mx: float, n: int,
     if math.isnan(mx) or math.isinf(mx):
         raise ValueError(
             f"{fn}: non-finite gradient term (max|x*err| = {mx!r}) — the "
-            "feature matrix or labels contain NaN/Inf; clean or clamp "
-            "them before training (non-finite terms have no scaled-long "
-            "representation and would silently quantize to 0)")
+            "training set contains NaN/Inf features, NULL labels, NULL "
+            "feature arrays/components, or feature arrays shorter than "
+            "`dims` (null/missing components read as NaN); drop or "
+            "impute those rows before training (non-finite terms have "
+            "no scaled-long representation and would silently quantize "
+            "to 0, and silently excluding a row would train on an "
+            "inconsistent gradient)")
     if n * (mx * scale + 1.0) > 9.0e18:
         raise ValueError(
             f"{fn}: gradient domain overflows scaled-long sums at "
@@ -359,6 +363,14 @@ def logreg_gd_fit(sdf, features_col: str, label_col: str, dims: int,
     n·max|t|·10^q could exceed 2⁶³ with an actionable message.
     Capacity at the default quant=12: |t| ≤ 1 features allow ~9.2e6
     rows per sum word — lower ``quant`` for larger batches.
+
+    BEHAVIOR CHANGE (r11, intentional — release-notes item): NULL
+    labels, NULL feature arrays/components, and feature arrays shorter
+    than ``dims`` now RAISE ``ValueError`` instead of training
+    silently. Pre-r11 such a row was counted in n yet contributed a
+    zero gradient — a silently biased fit. Callers that relied on
+    lenient null handling must drop or impute null rows explicitly
+    before calling (``filter`` on ``isNotNull`` + ``size() >= dims``).
 
     The (features, label) projection is PERSISTED across iterations
     (r9 judge directive: each iteration re-ran the upstream plan —

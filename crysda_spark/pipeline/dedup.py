@@ -826,7 +826,18 @@ def dedup_incremental(new: Frame, index: DataFrame, text_col: str,
     a small delta); nothing re-reads old text. Band keys for the index
     are derived from stored signatures map-side at probe time (bands ×
     |index| rows, no shuffle) — persist a banded copy alongside the
-    index if probing dominates."""
+    index if probing dominates.
+
+    Caching note (r12 advice — same contract as ``minhash_dedup`` /
+    ``merge_rollup``): this call PINS five batch-sized intermediates
+    (the fingerprinted batch, the index handle, the shingle
+    signatures, and the old-match / canonical-survivor stages) because
+    the returned frames are lazy and still reference them. They are
+    registered with the scoped cache registry — call
+    ``crysda_spark.plans.cache.release_pinned()`` after consuming each
+    batch's results (bench.py does this between queries) so a
+    long-lived ingestion session doesn't accumulate executor storage
+    across batches."""
     from .text import fingerprint
     # pinned (not persist/unpersist inline): the returned frames are
     # lazy and still reference these — callers release via

@@ -1,0 +1,67 @@
+"""tools/check_oracle.py — float canonicalization policy + the r12
+engine-version-fragile-cast canary (VERDICT r11 directive #6).
+
+The r11 driver gate hash-failed two corr queries whose oracles cast
+HUGEINT totals straight to DOUBLE: byte-identical on this host's
+DuckDB, differently rounded on the driver's build. These tests pin
+(a) the sweep harness's float policy — 10 significant digits, looser
+than the driver's full-float64 hash, so local PASS must never be read
+as bit-equality — and (b) the canary that refuses any oracle carrying
+a direct int128→double cast before the driver can see it.
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo/tools")
+
+from check_oracle import canon_cell, fragile_double_casts  # noqa: E402
+
+
+def test_canon_cell_float_policy_is_10_sig_digits():
+    # pinned: 10 significant digits via %.10g — values that differ
+    # only past the 10th digit canonicalize identically here (and can
+    # therefore STILL hash-differ at the driver, which is the reason
+    # oracles must target bit equality, not check_oracle equality)
+    assert canon_cell(0.1) == "f:0.1"
+    assert canon_cell(1.0) == "f:1"
+    assert canon_cell(1234567890.123456) == "f:1234567890"
+    a, b = 1.00000000001, 1.00000000002          # differ at the 12th digit
+    assert a != b and canon_cell(a) == canon_cell(b)
+    assert canon_cell(float("nan")) == "nan"
+    assert canon_cell(None) == "NULL"
+    assert canon_cell([1.0, None]) == "[f:1,NULL]"
+
+
+def test_canary_flags_direct_hugeint_double_cast():
+    # the exact r11 seam shape (entry _recon pre-fix)
+    bad = ("SELECT CAST(CAST(sxyh AS HUGEINT) * 2147483648 "
+           "+ sxyl AS DOUBLE) AS v FROM s")
+    hits = fragile_double_casts(bad)
+    assert len(hits) == 1 and "HUGEINT" in hits[0]
+
+
+def test_canary_accepts_bigint_routed_and_split_form():
+    # the r12 robust form: HUGEINT arithmetic is fine as long as the
+    # double conversion goes through a whole-operand BIGINT cast
+    good = ("SELECT CAST(CAST((CAST(h AS HUGEINT) * 2147483648 + l) "
+            "% 9007199254740992 AS BIGINT) AS DOUBLE) "
+            "* CAST(9007199254740992 AS DOUBLE) AS v FROM s")
+    assert fragile_double_casts(good) == []
+    # plain double casts with no int128 anywhere are fine too
+    assert fragile_double_casts("SELECT CAST(n AS DOUBLE) FROM s") == []
+
+
+def test_canary_flags_partial_bigint_wrap():
+    # BIGINT cast on only PART of the operand does not make the outer
+    # double cast safe — the HUGEINT part still converts directly
+    bad = ("SELECT CAST(CAST(a AS BIGINT) + CAST(b AS HUGEINT) "
+           "AS DOUBLE) FROM s")
+    assert len(fragile_double_casts(bad)) == 1
+
+
+def test_registered_oracles_carry_no_fragile_casts():
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+    fragile = {n: h for n, sql in entry.oracle_sql().items()
+               if (h := fragile_double_casts(sql))}
+    assert fragile == {}, f"engine-version-fragile oracles: {fragile}"

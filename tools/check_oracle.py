@@ -21,6 +21,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon_cell(v):
+    """Float policy (pinned by tests/test_check_oracle.py): floats
+    canonicalize at 10 significant digits — LOOSER than the driver's
+    gate, which hashes full float64 values. Any oracle that relies on
+    this slack (values equal at 10 sig digits but not bit-equal) will
+    pass here and fail at the driver, so oracles must target BIT
+    equality; ``fragile_double_casts`` below is the structural canary
+    for the known engine-version rounding seams."""
     if v is None:
         return "NULL"
     if isinstance(v, decimal.Decimal):
@@ -32,6 +39,62 @@ def canon_cell(v):
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon_cell(x) for x in v) + "]"
     return f"{type(v).__name__}:{v}"
+
+
+def _match_paren(s: str, open_idx: int) -> int:
+    """Index of the ')' matching s[open_idx] == '(' (or -1)."""
+    depth = 0
+    for k in range(open_idx, len(s)):
+        if s[k] == "(":
+            depth += 1
+        elif s[k] == ")":
+            depth -= 1
+            if depth == 0:
+                return k
+    return -1
+
+
+def fragile_double_casts(sql: str) -> list[str]:
+    """Engine-version rounding canary (r12): int128→double casts are
+    rounded differently across DuckDB releases (the r11 corr driver-
+    gate seam — byte-identical on DuckDB 1.0.0, hash-mismatched on the
+    driver's build). Flags every ``CAST(expr AS DOUBLE)`` whose
+    operand mentions HUGEINT/UHUGEINT, UNLESS the whole operand is
+    itself ``CAST(... AS BIGINT)`` — the forced int64 route whose
+    double conversion is hardware-correctly-rounded on every engine.
+    Robust oracles split exact totals into a·2⁵³ + b parts (each
+    exactly convertible) — see __spark_entry__._corr_oracle."""
+    hits = []
+    up = sql.upper()
+    pos = 0
+    while True:
+        j = up.find("CAST", pos)
+        if j < 0:
+            break
+        op = sql.find("(", j + 4)
+        if op < 0 or sql[j + 4:op].strip():
+            pos = j + 4
+            continue
+        close = _match_paren(sql, op)
+        if close < 0:
+            break
+        inner = " ".join(sql[op + 1:close].split())   # normalize ws
+        iu = inner.upper()
+        if iu.endswith(" AS DOUBLE"):
+            operand = inner[:-len(" AS DOUBLE")].strip()
+            ou = operand.upper()
+            if "HUGEINT" in ou:
+                safe = False
+                if ou.startswith("CAST"):
+                    iop = operand.find("(")
+                    icl = _match_paren(operand, iop) if iop > 0 else -1
+                    body = operand[iop + 1:icl] if icl == len(operand) - 1 \
+                        else ""
+                    safe = body.upper().rstrip().endswith("AS BIGINT")
+                if not safe:
+                    hits.append(sql[j:close + 1][:120])
+        pos = op + 1
+    return hits
 
 
 def canon_rows(cols, rows):
@@ -53,6 +116,19 @@ def main():
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    # r12 canary: the driver's DuckDB build may round int128→double
+    # differently from this host's — name the version in every sweep
+    # header and refuse fragile casts before the driver can see them.
+    print(f"duckdb {duckdb.__version__}; "
+          f"{len(qs)} queries, {len(oracles)} oracles")
+    fragile = {n: h for n, sql in oracles.items()
+               for h in [fragile_double_casts(sql)] if h}
+    if fragile:
+        for n, h in fragile.items():
+            print(f"FRAGILE-CAST  {n}: {h[0]}")
+        print(f"\n{len(fragile)} oracle(s) carry engine-version-fragile "
+              "int128->double casts — fix before the driver sweeps")
+        sys.exit(2)
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
         if only and name not in only:

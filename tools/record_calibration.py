@@ -66,13 +66,24 @@ def record(sf_dir: str) -> float:
 
 
 def main() -> None:
+    pregated = len(sys.argv) >= 3 and sys.argv[1] == "--one-pregated"
     load1 = os.getloadavg()[0]
-    if load1 >= 2.0:
-        raise SystemExit(
-            f"refusing to record: 1-min loadavg {load1:.2f} >= 2 — an "
-            "idle reference taken under load would mask contamination "
-            "in every future run at this SF")
-    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+    if not pregated:
+        if load1 >= 1.0:
+            # r12 advice: the r11 sf0.1 ref was recorded at loadavg
+            # 1.59 — under the old <2 gate but ~9% above truly idle,
+            # loosening the contamination threshold at the headline
+            # SF. References demand a stricter window than ordinary
+            # runs. The gate runs ONCE, before any recording: the
+            # recording JVMs themselves push 1-min loadavg past 1, so
+            # per-SF child re-checks would reject their own
+            # self-induced load (the --one-pregated internal flag).
+            raise SystemExit(
+                f"refusing to record: 1-min loadavg {load1:.2f} >= 1 — "
+                "an idle reference taken under ANY measurable load "
+                "would mask contamination in every future run at this "
+                "SF")
+    if len(sys.argv) >= 3 and sys.argv[1] in ("--one", "--one-pregated"):
         print(record(sys.argv[2]))
         return
     sf_dirs = sys.argv[1:] or [f"/root/testdata/sf{s}"
@@ -94,7 +105,8 @@ def main() -> None:
             # warm session and only the first SF would see the bench's
             # true opening-checkpoint state
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--one", sf_dir],
+                [sys.executable, os.path.abspath(__file__),
+                 "--one-pregated", sf_dir],
                 capture_output=True, text=True, cwd=REPO, timeout=900)
             if out.returncode != 0:
                 raise SystemExit(f"record failed for {sf_dir}:\n"
@@ -109,7 +121,10 @@ def main() -> None:
         f"tools/record_calibration.py best-of-{BEST_OF}, fresh session, "
         "x2 untimed warm-up, post-run cleanup — the bench opening-"
         "checkpoint procedure, so clean opening checkpoints read ~1.0x")
-    doc["load_avg_at_record"] = round(os.getloadavg()[0], 2)
+    # pre-flight loadavg, NOT the post-run one — the recording JVMs
+    # themselves push 1-min loadavg to ~1.5 by the time they finish
+    doc["load_avg_pre_record"] = round(load1, 2)
+    doc.pop("load_avg_at_record", None)
     with open(path, "w") as fh:
         json.dump(doc, fh, indent=1)
         fh.write("\n")
