@@ -1887,12 +1887,37 @@ def rollup_cascade_daily(spark, sf_dir):
 def rollup_hll_users(spark, sf_dir):
     """Approx-distinct rollup: per-day unique users via mergeable HLL
     sketches (union of hourly sketches — lossless, pytest-verified
-    against direct daily sketches and exact counts)."""
+    against direct daily sketches and exact counts).
+
+    Load-bearing in-query gate (r12, rows-only honesty): every day's
+    merged-HLL estimate is compared against the EXACT per-day distinct
+    count computed inline — any day off by more than 15% (many sigmas
+    of HLL stderr; a broken merge typically double-counts, reading
+    ~2×) RAISES, and the day set must match exactly, so a wrong engine
+    flips the rows count the driver records."""
     from crysda_spark.operators import rollup as ru
     ev = _t(spark, sf_dir, "events")
     hourly = ru.time_rollup(ev, "ts", "hour", users=("hll", "user_id"))
     daily = ru.merge_rollup(hourly, "day", from_grain="hour", users=("hll", "user_id"))
-    return daily.sdf.select("bucket", ru.hll_estimate("users").alias("approx_users"))
+    est = daily.sdf.select("bucket",
+                           ru.hll_estimate("users").alias("approx_users"))
+    exact = (ev.sdf.select(F.date_trunc("day", F.col("ts")).alias("bucket"),
+                           "user_id")
+             .groupBy("bucket")
+             .agg(F.countDistinct("user_id").alias("_exact")))
+    from crysda_spark.plans.cache import pin
+    est = pin(est)
+    joined = est.join(exact, on="bucket", how="full")
+    bad = joined.filter(
+        F.col("approx_users").isNull() | F.col("_exact").isNull()
+        | (F.abs(F.col("approx_users") / F.col("_exact") - 1.0)
+           > F.lit(0.15))).count()
+    if bad:
+        raise AssertionError(
+            f"rollup_hll_users: {bad} day(s) where the merged HLL "
+            "estimate misses the exact distinct count by >15% (or the "
+            "day sets differ) — merge or estimator is broken")
+    return est
 
 
 # ====================================================== LLM pipeline: dedup
@@ -2225,11 +2250,42 @@ def text_stats(spark, sf_dir):
 def doc_fingerprint_rolling(spark, sf_dir):
     """Winnowing-style rolling-hash fingerprint (pipeline.text). Tokens
     are projected first so the gram lambda reads an attribute, not a
-    re-evaluated split tree."""
+    re-evaluated split tree.
+
+    Load-bearing in-query gates (r12, rows-only honesty), asserted on
+    the first 50 docs before returning the full corpus fingerprints:
+    (a) plan-shape invariance — the returned fingerprints (computed
+    over a PROJECTED token attribute) must equal an independent
+    recomputation over the inline ``tokens(text)`` tree (two different
+    plan shapes, so Catalyst cannot common-subexpression them into one
+    evaluation); (b) the winnowing containment property —
+    fp(text + ' ' + text) ≤ fp(text), because the self-concatenation's
+    gram set CONTAINS every original gram and fp is the min gram hash.
+    A broken slice/window/min flips (b) even when a shared-path bug
+    hides from (a), and either failure RAISES so the driver's rows
+    check records red."""
     docs = _t(spark, sf_dir, "documents")
     tok = docs.sdf.select("doc_id", tx.tokens(F.col("text")).alias("_t"))
-    return tok.select("doc_id",
-                      tx.rolling_hash_from_tokens(F.col("_t"), window=8).alias("fp"))
+    out = tok.select("doc_id",
+                     tx.rolling_hash_from_tokens(F.col("_t"), window=8).alias("fp"))
+    from crysda_spark.plans.cache import pin
+    out = pin(out)
+    probe = (docs.sdf.filter(F.col("doc_id") < 50)
+             .select("doc_id",
+                     tx.rolling_hash_from_tokens(
+                         tx.tokens(F.col("text")), 8).alias("f1"),
+                     tx.rolling_hash_from_tokens(
+                         tx.tokens(F.concat_ws(" ", "text", "text")),
+                         8).alias("f2")))
+    bad = (out.filter(F.col("doc_id") < 50).join(probe, on="doc_id")
+           .filter((F.col("fp") != F.col("f1"))
+                   | (F.col("f2") > F.col("f1"))).count())
+    if bad:
+        raise AssertionError(
+            f"doc_fingerprint_rolling: {bad} probe doc(s) violate "
+            "plan-shape invariance or the winnowing containment "
+            "property fp(t+t) <= fp(t)")
+    return out
 
 
 @q("pack_sequences_budget")  # bin ids are partition-local — rows-only check
@@ -2237,12 +2293,32 @@ def pack_sequences_budget(spark, sf_dir):
     """Sequence packing (pipeline.packing.pack_sequences): greedy
     next-fit of documents into 512-token training bins, partition-local
     (zero-shuffle). Bin ids depend on partitioning, so the driver check
-    is rows-only; budget conformance is pytest-asserted."""
+    is rows-only.
+
+    Load-bearing in-query gates (r12, rows-only honesty): (a) budget
+    conformance — every multi-doc bin's token total must be ≤ 512
+    (single-doc bins may legitimately hold an oversized doc); (b) mass
+    conservation — exactly one output row per input doc (nothing
+    dropped or duplicated by the partition-local kernel). Either
+    violation RAISES, so a wrong engine flips the rows count the
+    driver records; the same properties are pytest-asserted on small
+    frames, this gate runs them on the real corpus."""
     docs = _t(spark, sf_dir, "documents")
     from crysda_spark.pipeline import packing as pk
     sized = Frame(docs.sdf.select(
         "doc_id", tx.token_count(F.col("text")).alias("n_tok")))
-    return pk.pack_sequences(sized, "doc_id", "n_tok", budget=512).sdf
+    from crysda_spark.plans.cache import pin
+    out = pin(pk.pack_sequences(sized, "doc_id", "n_tok", budget=512).sdf)
+    agg = out.groupBy("bin_id").agg(F.sum("size").alias("_tot"),
+                                    F.count(F.lit(1)).alias("_n"))
+    viol = agg.filter((F.col("_tot") > 512) & (F.col("_n") > 1)).count()
+    n_in, n_out = sized.sdf.count(), out.count()
+    if viol or n_in != n_out:
+        raise AssertionError(
+            f"pack_sequences_budget: {viol} multi-doc bin(s) over "
+            f"budget; rows in={n_in} out={n_out} — packing kernel "
+            "violated its contract")
+    return out
 
 
 @q("stratified_sample_counts", """
@@ -2365,15 +2441,42 @@ def multimodal_decode(spark, sf_dir):
     """Multimodal plumbing end-to-end: text bytes as opaque binary
     payloads → Arrow-batched mapInPandas feature extraction
     (pipeline.multimodal.decode_images; codec kernel stubbed
-    deterministically, plan shape is the real thing)."""
+    deterministically, plan shape is the real thing).
+
+    Load-bearing in-query gate (r12, rows-only honesty): three sample
+    payloads are re-featurized DRIVER-SIDE with the same deterministic
+    ``_fake_decode`` (text payloads carry no image magic, so the
+    kernel's stub path is the contract) and must match the distributed
+    output to the rounding quantum — a broken Arrow batch shape,
+    id/payload misalignment, or kernel regression RAISES, flipping the
+    rows count the driver records."""
     from crysda_spark.pipeline import multimodal as mm
     docs = _t(spark, sf_dir, "documents")
     payloads = mm.attach_binary(
         Frame(docs.sdf.withColumn("payload", F.encode("text", "utf-8"))),
         "doc_id", "payload")
     out = mm.decode_images(payloads, n_feat=8)
-    return out.sdf.select("id", F.round(F.element_at("features", 1), 6).alias("f0"),
-                          F.round(F.element_at("features", 8), 6).alias("f7"))
+    from crysda_spark.plans.cache import pin
+    res = pin(out.sdf.select(
+        "id", F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 8), 6).alias("f7")))
+    sample = {r["doc_id"]: r["text"]
+              for r in docs.sdf.filter(F.col("doc_id") < 3)
+              .select("doc_id", "text").collect()}
+    got = {r["id"]: (r["f0"], r["f7"])
+           for r in res.filter(F.col("id") < 3).collect()}
+    for did, text in sample.items():
+        fs = mm._fake_decode(text.encode("utf-8"), 8)
+        # the schema stores float32; compare at the rounding quantum
+        # (exact equality would hinge on HALF_UP-vs-banker's tie cases)
+        want = (fs[0], fs[7])
+        have = got.get(did)
+        if have is None or any(abs(h - w) > 2e-6
+                               for h, w in zip(have, want)):
+            raise AssertionError(
+                f"multimodal_decode: doc {did} distributed features "
+                f"{have} != driver recomputation {want}")
+    return res
 
 
 @q("multimodal_webp_anim_frames")  # binary codec; rows-only
@@ -2958,7 +3061,17 @@ def embed_near_dups_lsh(spark, sf_dir):
                        "label"))
     corpus = Frame(emb.sdf.select("vec_id", "embedding", "label").unionByName(planted))
     out = sim.embedding_near_dups(corpus, threshold=0.9, n_planes=8)
-    return out.sdf.withColumn("cos", F.round("cos", 4))
+    # load-bearing planted-truth gate (r12, rows-only honesty): the
+    # OR-construction at 4 tables × 8 planes misses a cos≈0.995 pair
+    # with prob ≈(1−0.968⁸)⁴ ≈ 0.3%, and the hyperplanes are seeded —
+    # recovery is deterministic. ≥95/100 planted (i, i+10M) pairs must
+    # come back or the query RAISES (a broken bucketing/verify flips
+    # the rows count the driver records).
+    checked = _assert_recall(
+        out.sdf, (F.col("id_a") < 100)
+        & (F.col("id_b") == F.col("id_a") + 10_000_000),
+        95, "embed_near_dups_lsh planted perturbed copies")
+    return checked.withColumn("cos", F.round("cos", 4))
 
 
 @q("embed_topk_ivf")  # KMeans index; not SQL-expressible — rows-only

@@ -392,11 +392,15 @@ def logreg_gd_fit(sdf, features_col: str, label_col: str, dims: int,
         train.unpersist()
 
 
-def _gd_iter_sums(sdf, wmat: list[list[float]], bvec: list[float],
-                  dims: int, scale: float, multi: bool):
-    """One GD iteration's quantized gradient sums for K one-vs-rest
-    classes in ONE Arrow ``mapInPandas`` pass over the persisted
-    (``_f``, ``_y``) projection — the ``_corr_wide`` precedent (r11):
+def _gd_parts_df(sdf, wmat: list[list[float]], bvec: list[float],
+                 dims: int, scale: float, multi: bool):
+    """One GD iteration's per-partition partials DataFrame (r12 split
+    from ``_gd_iter_sums`` so the plan-topology contract is ASSERTABLE
+    — test_classify and the sf1 scale rehearsal check the explain
+    string contains no Exchange): quantized gradient sums for K
+    one-vs-rest classes in ONE Arrow ``mapInPandas`` pass over the
+    persisted (``_f``, ``_y``) projection — the ``_corr_wide``
+    precedent (r11):
     the r9-r10 shape (crossJoined broadcast weights → higher-order-
     function fold → posexplode to (dims+1)·K rows → hash aggregate)
     spent ~1.3 s/iteration at 60k×64 on explode volume and HOF
@@ -421,12 +425,7 @@ def _gd_iter_sums(sdf, wmat: list[list[float]], bvec: list[float],
     any update). Null feature arrays / null components become NaN and
     therefore RAISE (r11 change, aligning nulls with the stated
     no-silent-exclusion trainer contract; previously a null row was
-    counted but silently contributed nothing).
-
-    Returns (g: K×(dims+1) exact int sums — bias in slot ``dims``,
-    mx: global max|term|, n: row count)."""
-    import math
-
+    counted but silently contributed nothing)."""
     import pandas as pd
 
     K = len(wmat)
@@ -456,7 +455,21 @@ def _gd_iter_sums(sdf, wmat: list[list[float]], bvec: list[float],
             mx = float("inf")
         yield pd.DataFrame({"g": [flat], "m": [mx], "n": [n]})
 
-    parts = sdf.mapInPandas(kernel, schema="g array<long>, m double, n long")
+    return sdf.mapInPandas(kernel,
+                           schema="g array<long>, m double, n long")
+
+
+def _gd_iter_sums(sdf, wmat: list[list[float]], bvec: list[float],
+                  dims: int, scale: float, multi: bool):
+    """Collect + exact-combine the per-partition GD partials (see
+    ``_gd_parts_df`` for the kernel and its topology contract).
+    Returns (g: K×(dims+1) exact int sums — bias in slot ``dims``,
+    mx: global max|term|, n: row count)."""
+    import math
+
+    K = len(wmat)
+    width = dims + 1
+    parts = _gd_parts_df(sdf, wmat, bvec, dims, scale, multi)
     rows = parts.collect()
     if not rows:
         raise ValueError("logreg_gd_fit: empty training set")
