@@ -4074,6 +4074,59 @@ def dup_span_coverage(spark, sf_dir):
     return tx.dup_span_stats(docs, "text", "doc_id", n=3, min_dup=2).sdf
 
 
+_DUPSPAN_L = 30
+
+
+@q("dupspan_exact_stats", f"""
+WITH w AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos,
+         substr(text, CAST(pos AS INT), {_DUPSPAN_L}) AS g
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(
+                   1, greatest(length(text) - {_DUPSPAN_L - 1}, 0))) AS pos
+        FROM documents)),
+d AS (SELECT g FROM w GROUP BY g HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, pos FROM w WHERE g IN (SELECT g FROM d)),
+isl AS (SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos)
+                         <= {_DUPSPAN_L} THEN 0 ELSE 1 END AS brk
+        FROM hits),
+grp AS (SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+        FROM isl),
+spans AS (SELECT doc_id, MIN(pos) AS span_start,
+                 MAX(pos) - MIN(pos) + {_DUPSPAN_L} AS span_len
+          FROM grp GROUP BY doc_id, gid),
+agg AS (SELECT doc_id, COUNT(*) AS n_spans,
+               SUM(span_len) AS chars_removed
+        FROM spans GROUP BY doc_id)
+SELECT doc.doc_id, length(doc.text) AS n_chars,
+       COALESCE(a.n_spans, 0) AS n_spans,
+       CAST(COALESCE(a.chars_removed, 0) AS BIGINT) AS chars_removed,
+       length(doc.text) - CAST(COALESCE(a.chars_removed, 0) AS BIGINT)
+           AS cleaned_len
+FROM documents doc LEFT JOIN agg a USING (doc_id)
+""")
+def dupspan_exact_stats(spark, sf_dir):
+    """EXACT character-level duplicate-span accounting
+    (pipeline.dupspan.exact_dupspan_stats — the Lee et al. 2022
+    suffix-array substring-dedup shape, r12 stretch): per document,
+    the maximal spans every character of which sits inside some
+    30-char substring occurring ≥2 times corpus-wide (overlapping
+    same-doc occurrences count), and what a dedup cut would delete.
+    Spark computes window candidates by an O(chars) rolling
+    modular-inverse polynomial hash (one Arrow pass, no shuffle), then
+    EXACTLY verifies candidates on the real substring — hash
+    collisions cannot flip a value, so the oracle (which groups raw
+    substrings directly, then runs the identical gaps-and-islands
+    merge) matches exactly, not just absent collisions."""
+    from crysda_spark.pipeline.dupspan import exact_dupspan_stats
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dupspan_stats(docs, "text", "doc_id",
+                               min_len=_DUPSPAN_L, min_dup=2).sdf
+
+
 @q("pagerank_cust_supplier", """
 WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),

@@ -1,0 +1,232 @@
+"""Exact duplicate-span detection and removal (Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better" — the
+suffix-array substring-dedup shape, re-expressed Spark-first).
+
+Reference parity note: the reference engine has no substring-dedup
+verb; this module is part of the beyond-reference LLM-pipeline surface
+(SURVEY §2.11). ``text.dup_span_stats`` is the bounded word-n-gram
+approximation; THIS is the exact character-level version: a character
+position is "duplicated" iff it lies inside some substring of length
+≥ ``min_len`` that occurs at least ``min_dup`` times corpus-wide
+(counting every occurrence, including overlapping occurrences within
+one document — the paper's semantics).
+
+Why no suffix array: the paper builds one suffix array over the
+concatenated corpus — a global sort, which in Spark IS a shuffle of
+the whole corpus. The equivalent relational identity: a substring of
+length ≥ L is duplicated iff every one of its L-char windows is
+duplicated, and conversely every duplicated-window position lies
+inside a duplicated substring of length ≥ L. So the UNION of
+duplicated L-windows equals the UNION of duplicated substrings of
+length ≥ L — EXACTLY (no approximation; this is the same identity that
+makes the paper's "remove every duplicated span ≥ 50 chars" cut well-
+defined). That turns substring dedup into hash-group-join:
+
+1. one Arrow pass computes a rolling polynomial hash of every L-char
+   window — O(chars) per partition via modular-inverse prefix sums in
+   uint64 (B odd → invertible mod 2⁶⁴; numpy cumprod/cumsum wrap to
+   exactly mod-2⁶⁴ arithmetic), NO shuffle;
+2. the corpus-wide duplicate count shuffles (hash, id, pos) rows —
+   16-byte keys, never text. This shuffle is the honest cost of exact
+   substring dedup and is the SAME asymptotic a distributed
+   suffix-array sort pays; everything after it touches only
+   candidates;
+3. candidates (hash count ≥ min_dup — rare) are EXACTLY verified by
+   re-extracting the real substring (JVM-side ``substring``) and
+   re-counting on the text itself, so hash collisions cannot create
+   false spans (they only cost verify-join width) and the result is
+   exact regardless of hash quality;
+4. verified duplicated window positions merge per document into
+   maximal spans with one gaps-and-islands window pass (positions
+   p₁ < p₂ merge iff p₂ − p₁ ≤ L, i.e. the windows overlap or touch).
+
+Scale shape at 100 TB: stage 1 is embarrassingly parallel; stage 2 is
+one corpus-width shuffle of fixed-width rows with map-side-combinable
+counting on the dup-filter side; stages 3-4 are candidate-sized.
+Wider ``min_len`` lowers window count linearly. The per-doc span
+merge partitions by doc id — no skew (a doc's windows ≤ its length).
+
+Null/short handling: documents shorter than ``min_len`` produce no
+windows (and therefore no spans); null texts are dropped from
+windowing but still appear zero-filled in the stats output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..frame import Frame
+
+__all__ = ["exact_dupspan_spans", "exact_dupspan_stats",
+           "exact_dupspan_dedup"]
+
+_B = 1099511628211        # odd multiplier (FNV-1a prime) — invertible mod 2^64
+_B_INV = pow(_B, -1, 1 << 64)
+
+
+def _window_hash_rows(sdf, text_col: str, id_col: str, min_len: int):
+    """(id, pos, _h) for every ``min_len``-char window — ONE Arrow
+    mapInPandas pass, O(chars) per partition: with pre[i] = Σ_{j<i}
+    c_j·B⁻ʲ (mod 2⁶⁴), the window hash at 0-based i is
+    (pre[i+L] − pre[i])·B^{L-1+i} — all cumsum/cumprod in uint64,
+    whose wraparound IS mod-2⁶⁴ arithmetic. ``pos`` is 1-based to
+    match SQL ``substring`` for the exact-verify stage. Characters
+    hash by code point (utf-32 view), matching character-based
+    ``substring``/``length`` semantics on both engines."""
+    L = min_len
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+        binv = np.uint64(_B_INV)
+        b = np.uint64(_B)
+        for pdf in batches:
+            ids_out, pos_out, h_out = [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None:
+                    continue
+                codes = np.frombuffer(txt.encode("utf-32-le"),
+                                      dtype=np.uint32).astype(np.uint64)
+                n = codes.shape[0]
+                if n < L:
+                    continue
+                m = n - L + 1
+                # inv_pow[j] = B^(-j); pow_mul[i] = B^(L-1+i)  (mod 2^64)
+                inv_pow = np.concatenate(
+                    ([np.uint64(1)],
+                     np.full(n - 1, binv, dtype=np.uint64))).cumprod()
+                pre = np.concatenate(
+                    ([np.uint64(0)], (codes * inv_pow).cumsum()))
+                pow_mul = np.concatenate(
+                    ([np.uint64(1)],
+                     np.full(m - 1, b, dtype=np.uint64))).cumprod()
+                pow_mul = pow_mul * np.uint64(pow(_B, L - 1, 1 << 64))
+                h = (pre[L:L + m] - pre[:m]) * pow_mul
+                ids_out.append(np.full(m, did, dtype=np.int64))
+                pos_out.append(np.arange(1, m + 1, dtype=np.int32))
+                h_out.append(h.view(np.int64))
+            if ids_out:
+                yield pd.DataFrame({
+                    "_did": np.concatenate(ids_out),
+                    "pos": np.concatenate(pos_out),
+                    "_h": np.concatenate(h_out)})
+
+    proj = sdf.select(F.col(id_col), F.col(text_col))
+    out = proj.mapInPandas(kernel, schema="_did long, pos int, _h long")
+    return out.withColumnRenamed("_did", id_col)
+
+
+def exact_dupspan_spans(f: Frame, text_col: str = "text",
+                        id_col: str = "doc_id", min_len: int = 50,
+                        min_dup: int = 2) -> Frame:
+    """Maximal duplicated character spans per document:
+    ``(id, span_start, span_len)`` — 1-based start, every character of
+    the span covered by some ``min_len``-window occurring ≥ ``min_dup``
+    times corpus-wide (exact; see module docstring for the identity
+    with substring dedup and the verification that removes hash
+    collisions).
+
+    Caching note: the window-hash table is PINNED (it feeds both the
+    corpus-wide count and the candidate join) — call
+    ``crysda_spark.plans.cache.release_pinned()`` after consuming the
+    result, like every pipeline operator."""
+    if min_len < 2:
+        raise ValueError(f"exact_dupspan: min_len must be >= 2, got "
+                         f"{min_len}")
+    if min_dup < 2:
+        raise ValueError(f"exact_dupspan: min_dup must be >= 2, got "
+                         f"{min_dup}")
+    from ..plans.cache import pin
+    L = min_len
+    w = pin(_window_hash_rows(f.sdf, text_col, id_col, L))
+    dup_h = (w.groupBy("_h").agg(F.count(F.lit(1)).alias("_c"))
+             .filter(F.col("_c") >= min_dup).select("_h"))
+    cand = w.join(dup_h, on="_h").select(id_col, "pos")
+    # exact verification on the REAL substring — candidate-sized only.
+    # cand_g feeds BOTH the substring re-count and the hit join: pinned
+    # (candidate-sized), or each consumer re-runs the window-hash
+    # count-join pipeline above it (the r11 dedup_incremental lesson)
+    texts = f.sdf.select(F.col(id_col), F.col(text_col))
+    cand_g = pin(cand.join(texts, on=id_col)
+                 .select(id_col, "pos",
+                         F.substring(F.col(text_col), F.col("pos"), L)
+                         .alias("_g")))
+    dup_g = (cand_g.groupBy("_g").agg(F.count(F.lit(1)).alias("_c"))
+             .filter(F.col("_c") >= min_dup).select("_g"))
+    hits = cand_g.join(dup_g, on="_g").select(id_col, "pos")
+    # gaps-and-islands merge: windows at p1 < p2 overlap/touch iff
+    # p2 - p1 <= L
+    win = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(win) <= L, 0).otherwise(1)
+    grouped = (hits.withColumn("_brk", brk)
+               .withColumn("_grp", F.sum("_brk").over(
+                   win.rowsBetween(Window.unboundedPreceding, 0))))
+    spans = (grouped.groupBy(id_col, "_grp")
+             .agg(F.min("pos").alias("span_start"),
+                  (F.max("pos") - F.min("pos") + L).alias("span_len"))
+             .select(id_col, "span_start", "span_len"))
+    return Frame(spans)
+
+
+def exact_dupspan_stats(f: Frame, text_col: str = "text",
+                        id_col: str = "doc_id", min_len: int = 50,
+                        min_dup: int = 2) -> Frame:
+    """Per-document duplicated-span accounting (every input doc, zero-
+    filled): ``(id, n_chars, n_spans, chars_removed, cleaned_len)`` —
+    what a Lee-et-al cut at these parameters would delete. Same
+    pinning contract as ``exact_dupspan_spans``."""
+    spans = exact_dupspan_spans(f, text_col, id_col, min_len,
+                                min_dup).sdf
+    agg = (spans.groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_spans"),
+                F.sum("span_len").alias("chars_removed")))
+    base = f.sdf.select(F.col(id_col),
+                        F.length(F.col(text_col)).alias("n_chars"))
+    out = (base.join(agg, on=id_col, how="left")
+           .select(id_col, "n_chars",
+                   F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+                   F.coalesce("chars_removed", F.lit(0))
+                   .cast("long").alias("chars_removed"))
+           .withColumn("cleaned_len",
+                       F.col("n_chars") - F.col("chars_removed")))
+    return Frame(out)
+
+
+def exact_dupspan_dedup(f: Frame, text_col: str = "text",
+                        id_col: str = "doc_id", min_len: int = 50,
+                        min_dup: int = 2) -> Frame:
+    """Documents with every duplicated span REMOVED (the paper's cut):
+    ``(id, <text_col>)`` where the text is the concatenation of the
+    non-duplicated segments in order. Span splicing runs in one Arrow
+    pass over (text, sorted span list) — spans per doc are few and
+    non-overlapping by construction (maximal islands). Same pinning
+    contract as ``exact_dupspan_spans``."""
+    spans = exact_dupspan_spans(f, text_col, id_col, min_len,
+                                min_dup).sdf
+    lst = (spans.groupBy(id_col)
+           .agg(F.sort_array(F.collect_list(
+               F.struct("span_start", "span_len"))).alias("_spans")))
+    joined = f.sdf.select(F.col(id_col), F.col(text_col)) \
+        .join(lst, on=id_col, how="left")
+
+    def kernel(batches):
+        import pandas as pd
+        for pdf in batches:
+            texts = []
+            for txt, sp in zip(pdf[text_col], pdf["_spans"]):
+                if txt is None or sp is None or len(sp) == 0:
+                    texts.append(txt)
+                    continue
+                parts, at = [], 0
+                for s in sp:
+                    start0 = s["span_start"] - 1      # to 0-based
+                    parts.append(txt[at:start0])
+                    at = start0 + s["span_len"]
+                parts.append(txt[at:])
+                texts.append("".join(parts))
+            yield pd.DataFrame({id_col: pdf[id_col], text_col: texts})
+
+    return Frame(joined.mapInPandas(
+        kernel, schema=f"{id_col} long, {text_col} string"))

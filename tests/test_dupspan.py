@@ -1,0 +1,124 @@
+"""Exact duplicate-span dedup (pipeline/dupspan.py) — the Lee et al.
+substring-dedup shape: window-hash candidates, exact substring verify,
+gaps-and-islands span merge, and the splice cut."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crysda_spark import Frame
+from crysda_spark.pipeline.dupspan import (exact_dupspan_dedup,
+                                           exact_dupspan_spans,
+                                           exact_dupspan_stats)
+from crysda_spark.plans.cache import release_pinned
+
+
+def _spans(f, **kw):
+    rows = exact_dupspan_spans(f, "text", "doc_id", **kw).sdf.collect()
+    release_pinned()
+    return {(r["doc_id"], r["span_start"], r["span_len"]) for r in rows}
+
+
+def test_planted_cross_doc_span(spark):
+    # a 20-char block shared verbatim by docs 1 and 2; unique elsewhere
+    # (neighbors CHARACTER-DIFFER across the docs — a shared space next
+    # to the block would legitimately extend the duplicated span)
+    block = "QWERTYUIOPASDFGHJKLZ"          # len 20
+    rows = [(1, "aaaa-bbbb." + block + ",cccc+dddd"),
+            (2, "eeee;ffff!" + block + "?hhhh"),
+            (3, "nothing shared here at all zzzz yyyy xxxx")]
+    f = Frame(spark.createDataFrame(rows, "doc_id long, text string"))
+    got = _spans(f, min_len=20, min_dup=2)
+    # block at 1-based pos 11 in both — exactly the block, nothing more
+    assert got == {(1, 11, 20), (2, 11, 20)}
+
+
+def test_overlapping_self_repeat_merges_to_one_span(spark):
+    # 'ab'*30: every 4-char window "abab" repeats within the doc —
+    # overlapping occurrences count (the paper's semantics) and the
+    # islands merge must yield ONE maximal span covering the whole text
+    txt = "ab" * 30
+    f = Frame(spark.createDataFrame([(1, txt)],
+                                    "doc_id long, text string"))
+    got = _spans(f, min_len=4, min_dup=2)
+    assert got == {(1, 1, len(txt))}
+
+
+def test_adjacent_but_distinct_spans_stay_separate(spark):
+    # two duplicated blocks separated by MORE than min_len unique chars
+    # must come back as two spans, not one merged region
+    a, b = "AAAABBBBCCCC", "DDDDEEEEFFFF"           # len 12 each
+    gap = "uvwxyz0123456789uvwx"                    # len 20 > 12
+    rows = [(1, a + gap + b), (2, "pp " + a + " qq"), (3, b + " rr")]
+    f = Frame(spark.createDataFrame(rows, "doc_id long, text string"))
+    got = _spans(f, min_len=12, min_dup=2)
+    assert (1, 1, 12) in got and (1, 33, 12) in got
+    assert not any(d == 1 and ln > 12 for d, _s, ln in got)
+
+
+def test_short_and_null_docs_are_safe_and_zero_filled(spark):
+    rows = [(1, "tiny"), (2, None), (3, "ABCDEFGHIJ" * 2 + "ABCDEFGHIJ")]
+    f = Frame(spark.createDataFrame(rows, "doc_id long, text string"))
+    stats = {r["doc_id"]: r for r in
+             exact_dupspan_stats(f, "text", "doc_id", min_len=10,
+                                 min_dup=2).sdf.collect()}
+    release_pinned()
+    assert stats[1]["n_spans"] == 0 and stats[1]["chars_removed"] == 0
+    assert stats[1]["cleaned_len"] == 4
+    assert stats[2]["n_spans"] == 0
+    # doc 3 = "ABCDEFGHIJ" x3: every 10-window repeats (cyclic) — the
+    # whole doc is one duplicated span
+    assert stats[3]["n_spans"] == 1
+    assert stats[3]["chars_removed"] == 30 and stats[3]["cleaned_len"] == 0
+
+
+def test_dedup_splices_spans_out(spark):
+    block = "0123456789ABCDEFGHIJ"          # len 20
+    rows = [(1, "keepme." + block + ";andme"),
+            (2, block + "!tailonly"),
+            (3, "untouched text stays put exactly")]
+    f = Frame(spark.createDataFrame(rows, "doc_id long, text string"))
+    out = {r["doc_id"]: r["text"] for r in
+           exact_dupspan_dedup(f, "text", "doc_id", min_len=20,
+                               min_dup=2).sdf.collect()}
+    release_pinned()
+    assert out[1] == "keepme.;andme"
+    assert out[2] == "!tailonly"
+    assert out[3] == "untouched text stays put exactly"
+
+
+def test_rolling_hash_matches_direct_polynomial(spark):
+    # the O(chars) modular-inverse prefix form must equal the direct
+    # per-window polynomial sum mod 2^64 (same B), incl. non-ASCII
+    from crysda_spark.pipeline.dupspan import _B, _window_hash_rows
+    txt = "héllo wörld héllo wörld — ünïcode payload"
+    L = 5
+    sdf = spark.createDataFrame([(7, txt)], "doc_id long, text string")
+    got = {r["pos"]: r["_h"] & ((1 << 64) - 1)
+           for r in _window_hash_rows(sdf, "text", "doc_id", L).collect()}
+    M = 1 << 64
+    for i in range(len(txt) - L + 1):
+        want = 0
+        for ch in txt[i:i + L]:
+            want = (want * _B + ord(ch)) % M
+        assert got[i + 1] == want, f"pos {i + 1}"
+
+
+def test_guards(spark):
+    f = Frame(spark.createDataFrame([(1, "x")], "doc_id long, text string"))
+    with pytest.raises(ValueError):
+        exact_dupspan_spans(f, min_len=1)
+    with pytest.raises(ValueError):
+        exact_dupspan_spans(f, min_dup=1)
+
+
+def test_partition_invariance(spark):
+    rows = [(i, ("block%02d " % (i % 4)) * 6) for i in range(40)]
+    f1 = Frame(spark.createDataFrame(rows, "doc_id long, text string")
+               .coalesce(1))
+    f2 = Frame(spark.createDataFrame(rows, "doc_id long, text string")
+               .repartition(13))
+    s1 = _spans(f1, min_len=12, min_dup=2)
+    s2 = _spans(f2, min_len=12, min_dup=2)
+    assert s1 == s2 and s1
