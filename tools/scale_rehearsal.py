@@ -101,6 +101,15 @@ def main() -> None:
     from crysda_spark.plans.cache import release_pinned
     from crysda_spark.session import get_spark
 
+    if os.environ.get("SPARK_GRAFT_WAIT_QUIET"):
+        # pre-flight only: wait for external load to drain BEFORE any
+        # Spark work (self-induced load would defeat a per-run gate)
+        t_wait = 0
+        while os.getloadavg()[0] >= 2.0 and t_wait < 600:
+            time.sleep(15)
+            t_wait += 15
+        print(f"# pre-flight quiet wait: {t_wait}s, loadavg "
+              f"{os.getloadavg()[0]:.2f}", file=sys.stderr)
     spark = get_spark("scale_rehearsal")
     build_sf1(spark)
 
@@ -213,18 +222,18 @@ def main() -> None:
             rows = None
             secs, loads = [], []
             # r12 (judge directive #3): this host carries bursty
-            # EXTERNAL neighbor load, so (a) optionally wait for a
-            # quiet window before each timed run (SPARK_GRAFT_WAIT_
-            # QUIET=1: poll 1-min loadavg < 3, ≤5 min, then proceed
-            # stamped), and (b) keep running until the two FASTEST
-            # runs agree within 1.2× (≤4 runs) — agreement of clean
-            # probes, not loadavg, is the cleanliness signal.
+            # EXTERNAL neighbor load, and our OWN Spark cells push the
+            # 1-min loadavg past any threshold for minutes (r11 notes:
+            # loadavg is DECOUPLED from real contention here), so
+            # loadavg gating between runs would mostly fight
+            # self-induced load. The cleanliness mechanism is
+            # AGREEMENT: keep running until the two FASTEST runs agree
+            # within 1.2× (≤4 runs) — an external burst slows one run,
+            # the retry re-measures, and the per-cell `agree` stamp
+            # shows exactly what happened. (SPARK_GRAFT_WAIT_QUIET is
+            # honored once, pre-flight, in main().)
             waited = 0
             for attempt in range(4):
-                if os.environ.get("SPARK_GRAFT_WAIT_QUIET"):
-                    while os.getloadavg()[0] >= 3.0 and waited < 300:
-                        time.sleep(15)
-                        waited += 15
                 loads.append(round(os.getloadavg()[0], 1))
                 t0 = time.perf_counter()
                 rows = fn(d)
