@@ -226,6 +226,13 @@ EXPECTED = {
     # exchange or scan means the kernel stopped emitting merged pair
     # rows per partition
     "corr_matrix_embeddings_wide": dict(scans=1, exchanges=1, bhj=0, smj=0),
+    # r12: exact dup-span dedup — 3 parquet scans (window kernel, verify
+    # text join, stats base), 5 exchanges (the one corpus-width window-
+    # hash count shuffle + candidate count + islands window + stats agg
+    # + final left join), candidate joins broadcast, islands/stats SMJ.
+    # The pinned window + candidate tables keep each upstream single-
+    # execution (their cached definitions don't add scans here).
+    "dupspan_exact_stats": dict(scans=3, exchanges=5, bhj=2, smj=2),
 }
 
 
