@@ -4127,6 +4127,70 @@ def dupspan_exact_stats(spark, sf_dir):
                                min_len=_DUPSPAN_L, min_dup=2).sdf
 
 
+@q("dupspan_exact_cut", f"""
+WITH w AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos,
+         substr(text, CAST(pos AS INT), {_DUPSPAN_L}) AS g
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(
+                   1, greatest(length(text) - {_DUPSPAN_L - 1}, 0))) AS pos
+        FROM documents)),
+d AS (SELECT g FROM w GROUP BY g HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, pos FROM w WHERE g IN (SELECT g FROM d)),
+isl AS (SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos)
+                         <= {_DUPSPAN_L} THEN 0 ELSE 1 END AS brk
+        FROM hits),
+grp AS (SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+        FROM isl),
+spans AS (SELECT doc_id, MIN(pos) AS span_start,
+                 MAX(pos) - MIN(pos) + {_DUPSPAN_L} AS span_len
+          FROM grp GROUP BY doc_id, gid),
+joined AS (SELECT doc.doc_id, doc.text, s.span_start, s.span_len
+           FROM documents doc JOIN spans s USING (doc_id)),
+segs AS (SELECT doc_id, text,
+                COALESCE(LAG(span_start + span_len) OVER (
+                    PARTITION BY doc_id ORDER BY span_start), 1)
+                    AS seg_start,
+                span_start AS seg_end
+         FROM joined),
+mids AS (SELECT doc_id,
+                string_agg(substr(text, CAST(seg_start AS INT),
+                                  CAST(seg_end - seg_start AS INT)),
+                           '' ORDER BY seg_start) AS mid
+         FROM segs GROUP BY doc_id),
+tails AS (SELECT doc_id, MAX(span_start + span_len) AS tail_start
+          FROM joined GROUP BY doc_id),
+cut AS (SELECT doc.doc_id,
+               CASE WHEN m.doc_id IS NULL THEN doc.text
+                    ELSE COALESCE(m.mid, '')
+                         || substr(doc.text, CAST(t.tail_start AS INT))
+               END AS cleaned
+        FROM documents doc
+        LEFT JOIN mids m USING (doc_id)
+        LEFT JOIN tails t USING (doc_id))
+SELECT doc_id, length(cleaned) AS cleaned_len,
+       md5(cleaned) AS cleaned_md5
+FROM cut
+""")
+def dupspan_exact_cut(spark, sf_dir):
+    """The duplicate-span CUT itself under a value oracle
+    (pipeline.dupspan.exact_dupspan_dedup): every duplicated span
+    spliced out, compared by md5 of the cleaned text — the oracle
+    reconstructs the cleaned string in pure SQL (per-span kept
+    segments via LAG, string_agg in span order, tail after the last
+    span), so the Arrow splice kernel's output is value-checked
+    byte-for-byte, not just length-checked."""
+    from crysda_spark.pipeline.dupspan import exact_dupspan_dedup
+    docs = _t(spark, sf_dir, "documents")
+    out = exact_dupspan_dedup(docs, "text", "doc_id",
+                              min_len=_DUPSPAN_L, min_dup=2).sdf
+    return out.select("doc_id", F.length("text").alias("cleaned_len"),
+                      F.md5(F.col("text")).alias("cleaned_md5"))
+
+
 @q("pagerank_cust_supplier", """
 WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
