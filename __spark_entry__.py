@@ -4191,6 +4191,145 @@ def dupspan_exact_cut(spark, sf_dir):
                       F.md5(F.col("text")).alias("cleaned_md5"))
 
 
+# exact cross-corpus decontamination: documents with doc_id % 7 == 0
+# play the benchmark corpus, the rest are the training corpus — the
+# driver-side split is deterministic and SQL-expressible on both sides
+_DECON_MOD = 7
+
+
+@q("decontam_exact_stats", f"""
+WITH train AS (SELECT doc_id, text FROM documents
+               WHERE doc_id % {_DECON_MOD} <> 0),
+ev AS (SELECT doc_id, text FROM documents
+       WHERE doc_id % {_DECON_MOD} = 0),
+tw AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos,
+         substr(text, CAST(pos AS INT), {_DUPSPAN_L}) AS g
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(
+                   1, greatest(length(text) - {_DUPSPAN_L - 1}, 0))) AS pos
+        FROM train)),
+eg AS (
+  SELECT DISTINCT substr(text, CAST(pos AS INT), {_DUPSPAN_L}) AS g
+  FROM (SELECT text,
+               unnest(generate_series(
+                   1, greatest(length(text) - {_DUPSPAN_L - 1}, 0))) AS pos
+        FROM ev)),
+hits AS (SELECT doc_id, pos FROM tw WHERE g IN (SELECT g FROM eg)),
+isl AS (SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos)
+                         <= {_DUPSPAN_L} THEN 0 ELSE 1 END AS brk
+        FROM hits),
+grp AS (SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+        FROM isl),
+spans AS (SELECT doc_id, MIN(pos) AS span_start,
+                 MAX(pos) - MIN(pos) + {_DUPSPAN_L} AS span_len
+          FROM grp GROUP BY doc_id, gid),
+agg AS (SELECT doc_id, COUNT(*) AS n_spans,
+               SUM(span_len) AS chars_removed
+        FROM spans GROUP BY doc_id)
+SELECT t.doc_id, length(t.text) AS n_chars,
+       COALESCE(a.n_spans, 0) AS n_spans,
+       CAST(COALESCE(a.chars_removed, 0) AS BIGINT) AS chars_removed,
+       length(t.text) - CAST(COALESCE(a.chars_removed, 0) AS BIGINT)
+           AS cleaned_len
+FROM train t LEFT JOIN agg a USING (doc_id)
+""")
+def decontam_exact_stats(spark, sf_dir):
+    """EXACT cross-corpus substring decontamination accounting
+    (pipeline.dupspan.exact_decontaminate_stats — the Lee et al. 2022
+    decontamination shape): per training document, the maximal spans
+    every character of which sits inside a 30-char substring occurring
+    anywhere in the benchmark corpus. Unlike within-corpus dedup there
+    is NO corpus-wide count shuffle: train window hashes semi-join the
+    distinct benchmark hash set (broadcast-sized at real scales), then
+    candidates are exactly verified on the real substrings of both
+    sides — hash collisions cannot mark a clean span, so the oracle
+    (raw substring IN-set + identical islands merge) matches exactly."""
+    from crysda_spark.pipeline.dupspan import exact_decontaminate_stats
+    docs = _t(spark, sf_dir, "documents").sdf
+    train = Frame(docs.filter(F.col("doc_id") % _DECON_MOD != 0))
+    bench = Frame(docs.filter(F.col("doc_id") % _DECON_MOD == 0))
+    return exact_decontaminate_stats(train, bench, "text", "doc_id",
+                                     min_len=_DUPSPAN_L).sdf
+
+
+@q("decontam_exact_cut", f"""
+WITH train AS (SELECT doc_id, text FROM documents
+               WHERE doc_id % {_DECON_MOD} <> 0),
+ev AS (SELECT doc_id, text FROM documents
+       WHERE doc_id % {_DECON_MOD} = 0),
+tw AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos,
+         substr(text, CAST(pos AS INT), {_DUPSPAN_L}) AS g
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(
+                   1, greatest(length(text) - {_DUPSPAN_L - 1}, 0))) AS pos
+        FROM train)),
+eg AS (
+  SELECT DISTINCT substr(text, CAST(pos AS INT), {_DUPSPAN_L}) AS g
+  FROM (SELECT text,
+               unnest(generate_series(
+                   1, greatest(length(text) - {_DUPSPAN_L - 1}, 0))) AS pos
+        FROM ev)),
+hits AS (SELECT doc_id, pos FROM tw WHERE g IN (SELECT g FROM eg)),
+isl AS (SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos)
+                         <= {_DUPSPAN_L} THEN 0 ELSE 1 END AS brk
+        FROM hits),
+grp AS (SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+        FROM isl),
+spans AS (SELECT doc_id, MIN(pos) AS span_start,
+                 MAX(pos) - MIN(pos) + {_DUPSPAN_L} AS span_len
+          FROM grp GROUP BY doc_id, gid),
+joined AS (SELECT t.doc_id, t.text, s.span_start, s.span_len
+           FROM train t JOIN spans s USING (doc_id)),
+segs AS (SELECT doc_id, text,
+                COALESCE(LAG(span_start + span_len) OVER (
+                    PARTITION BY doc_id ORDER BY span_start), 1)
+                    AS seg_start,
+                span_start AS seg_end
+         FROM joined),
+mids AS (SELECT doc_id,
+                string_agg(substr(text, CAST(seg_start AS INT),
+                                  CAST(seg_end - seg_start AS INT)),
+                           '' ORDER BY seg_start) AS mid
+         FROM segs GROUP BY doc_id),
+tails AS (SELECT doc_id, MAX(span_start + span_len) AS tail_start
+          FROM joined GROUP BY doc_id),
+cut AS (SELECT t.doc_id,
+               CASE WHEN m.doc_id IS NULL THEN t.text
+                    ELSE COALESCE(m.mid, '')
+                         || substr(t.text, CAST(t2.tail_start AS INT))
+               END AS cleaned
+        FROM train t
+        LEFT JOIN mids m USING (doc_id)
+        LEFT JOIN tails t2 USING (doc_id))
+SELECT doc_id, length(cleaned) AS cleaned_len,
+       md5(cleaned) AS cleaned_md5
+FROM cut
+""")
+def decontam_exact_cut(spark, sf_dir):
+    """The decontamination CUT under a byte-level value oracle
+    (pipeline.dupspan.exact_decontaminate): every benchmark-
+    contaminated span spliced out of the training text, compared by
+    md5 of the cleaned string — the oracle reconstructs the cleaned
+    text in pure SQL (kept segments via LAG + string_agg + tail), so
+    the Arrow splice kernel is value-checked byte-for-byte."""
+    from crysda_spark.pipeline.dupspan import exact_decontaminate
+    docs = _t(spark, sf_dir, "documents").sdf
+    train = Frame(docs.filter(F.col("doc_id") % _DECON_MOD != 0))
+    bench = Frame(docs.filter(F.col("doc_id") % _DECON_MOD == 0))
+    out = exact_decontaminate(train, bench, "text", "doc_id",
+                              min_len=_DUPSPAN_L).sdf
+    return out.select("doc_id", F.length("text").alias("cleaned_len"),
+                      F.md5(F.col("text")).alias("cleaned_md5"))
+
+
 @q("pagerank_cust_supplier", """
 WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),

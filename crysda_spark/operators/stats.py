@@ -260,7 +260,9 @@ def _corr_wide(sdf, cols: list[str], quant: int):
                         f"{max_v} — lower quant or rescale the column")
                 mx = np.maximum(mx, np.abs(xi).max(axis=0))
                 # two 16-bit words, top word signed: per-chunk dgemm
-                # partials ≤ 46341²·|chunk| < 2^53 -> float64 is exact
+                # partials ≤ 65535²·|chunk| < 2^53 (the lo·lo word
+                # products dominate) -> float64 is exact; see the
+                # _MAX_CHUNK_ROWS bound note above
                 w = [(xi & 0xFFFF).astype(np.float64),
                      (xi >> 16).astype(np.float64)]
                 u = np.concatenate(w, axis=1)                  # n x 2k

@@ -49,6 +49,14 @@ merge partitions by doc id — no skew (a doc's windows ≤ its length).
 Null/short handling: documents shorter than ``min_len`` produce no
 windows (and therefore no spans); null texts are dropped from
 windowing but still appear zero-filled in the stats output.
+
+The same machinery also yields exact CROSS-CORPUS decontamination
+(``exact_decontaminate*``): a train-corpus position is contaminated
+iff it lies inside a substring ≥ ``min_len`` that occurs anywhere in a
+benchmark corpus — the semi-join variant where the duplicate test is
+"occurs in the other corpus" instead of "count ≥ min_dup", and the
+benchmark window-hash set is typically broadcast-sized, so the train
+corpus is never shuffled at all.
 """
 
 from __future__ import annotations
@@ -59,7 +67,8 @@ from pyspark.sql import functions as F
 from ..frame import Frame
 
 __all__ = ["exact_dupspan_spans", "exact_dupspan_stats",
-           "exact_dupspan_dedup"]
+           "exact_dupspan_dedup", "exact_decontaminate_spans",
+           "exact_decontaminate_stats", "exact_decontaminate"]
 
 _B = 1099511628211        # odd multiplier (FNV-1a prime) — invertible mod 2^64
 _B_INV = pow(_B, -1, 1 << 64)
@@ -155,19 +164,24 @@ def exact_dupspan_spans(f: Frame, text_col: str = "text",
     dup_g = (cand_g.groupBy("_g").agg(F.count(F.lit(1)).alias("_c"))
              .filter(F.col("_c") >= min_dup).select("_g"))
     hits = cand_g.join(dup_g, on="_g").select(id_col, "pos")
-    # gaps-and-islands merge: windows at p1 < p2 overlap/touch iff
-    # p2 - p1 <= L
+    return Frame(_hits_to_spans(hits, id_col, L))
+
+
+def _hits_to_spans(hits, id_col: str, L: int):
+    """Gaps-and-islands merge of duplicated-window positions into
+    maximal spans: windows at p1 < p2 overlap/touch iff p2 - p1 <= L.
+    One window pass partitioned by doc id — no skew (a doc's windows
+    are bounded by its length)."""
     win = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(
         F.col("pos") - F.lag("pos").over(win) <= L, 0).otherwise(1)
     grouped = (hits.withColumn("_brk", brk)
                .withColumn("_grp", F.sum("_brk").over(
                    win.rowsBetween(Window.unboundedPreceding, 0))))
-    spans = (grouped.groupBy(id_col, "_grp")
-             .agg(F.min("pos").alias("span_start"),
-                  (F.max("pos") - F.min("pos") + L).alias("span_len"))
-             .select(id_col, "span_start", "span_len"))
-    return Frame(spans)
+    return (grouped.groupBy(id_col, "_grp")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") - F.min("pos") + L).alias("span_len"))
+            .select(id_col, "span_start", "span_len"))
 
 
 def exact_dupspan_stats(f: Frame, text_col: str = "text",
@@ -179,19 +193,22 @@ def exact_dupspan_stats(f: Frame, text_col: str = "text",
     pinning contract as ``exact_dupspan_spans``."""
     spans = exact_dupspan_spans(f, text_col, id_col, min_len,
                                 min_dup).sdf
+    return Frame(_stats_from_spans(f.sdf, spans, text_col, id_col))
+
+
+def _stats_from_spans(base_sdf, spans, text_col: str, id_col: str):
     agg = (spans.groupBy(id_col)
            .agg(F.count(F.lit(1)).alias("n_spans"),
                 F.sum("span_len").alias("chars_removed")))
-    base = f.sdf.select(F.col(id_col),
-                        F.length(F.col(text_col)).alias("n_chars"))
-    out = (base.join(agg, on=id_col, how="left")
-           .select(id_col, "n_chars",
-                   F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
-                   F.coalesce("chars_removed", F.lit(0))
-                   .cast("long").alias("chars_removed"))
-           .withColumn("cleaned_len",
-                       F.col("n_chars") - F.col("chars_removed")))
-    return Frame(out)
+    base = base_sdf.select(F.col(id_col),
+                           F.length(F.col(text_col)).alias("n_chars"))
+    return (base.join(agg, on=id_col, how="left")
+            .select(id_col, "n_chars",
+                    F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+                    F.coalesce("chars_removed", F.lit(0))
+                    .cast("long").alias("chars_removed"))
+            .withColumn("cleaned_len",
+                        F.col("n_chars") - F.col("chars_removed")))
 
 
 def exact_dupspan_dedup(f: Frame, text_col: str = "text",
@@ -205,10 +222,17 @@ def exact_dupspan_dedup(f: Frame, text_col: str = "text",
     contract as ``exact_dupspan_spans``."""
     spans = exact_dupspan_spans(f, text_col, id_col, min_len,
                                 min_dup).sdf
+    return Frame(_splice_cut(f.sdf, spans, text_col, id_col))
+
+
+def _splice_cut(base_sdf, spans, text_col: str, id_col: str):
+    """Concatenate each doc's non-span segments in order — one Arrow
+    pass over (text, sorted span list); spans per doc are few and
+    non-overlapping by construction (maximal islands)."""
     lst = (spans.groupBy(id_col)
            .agg(F.sort_array(F.collect_list(
                F.struct("span_start", "span_len"))).alias("_spans")))
-    joined = f.sdf.select(F.col(id_col), F.col(text_col)) \
+    joined = base_sdf.select(F.col(id_col), F.col(text_col)) \
         .join(lst, on=id_col, how="left")
 
     def kernel(batches):
@@ -228,5 +252,86 @@ def exact_dupspan_dedup(f: Frame, text_col: str = "text",
                 texts.append("".join(parts))
             yield pd.DataFrame({id_col: pdf[id_col], text_col: texts})
 
-    return Frame(joined.mapInPandas(
-        kernel, schema=f"{id_col} long, {text_col} string"))
+    return joined.mapInPandas(
+        kernel, schema=f"{id_col} long, {text_col} string")
+
+
+def exact_decontaminate_spans(train: Frame, benchmark: Frame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              min_len: int = 50) -> Frame:
+    """Maximal CONTAMINATED character spans per training document:
+    ``(id, span_start, span_len)`` where every character lies inside a
+    substring of length ≥ ``min_len`` that ALSO OCCURS anywhere in the
+    ``benchmark`` corpus (the Lee et al. 2022 exact-substring
+    decontamination shape — one verbatim benchmark leak of ``min_len``
+    chars marks the span, no duplicate count needed on the train side).
+
+    Same window identity as :func:`exact_dupspan_spans`: a train
+    position is contaminated iff its ``min_len``-window content occurs
+    as a window of the benchmark, so decontamination is a semi-join of
+    train window hashes against the DISTINCT benchmark window-hash set
+    — typically broadcast-sized (benchmark suites are MBs while train
+    is TBs), making the whole candidate stage map-side: the train
+    corpus is never shuffled, which is strictly cheaper than
+    within-corpus dedup's corpus-wide count shuffle. Candidates are
+    then EXACTLY verified on the real substrings of both sides, so
+    hash collisions cannot mark a clean span.
+
+    Caching note: the benchmark window table and the candidate table
+    are PINNED (each feeds two consumers) — call
+    ``crysda_spark.plans.cache.release_pinned()`` after consuming the
+    result, like every pipeline operator."""
+    if min_len < 2:
+        raise ValueError(f"exact_decontaminate: min_len must be >= 2, "
+                         f"got {min_len}")
+    from ..plans.cache import pin
+    L = min_len
+    tw = _window_hash_rows(train.sdf, text_col, id_col, L)
+    # benchmark windows keyed by hash: feeds the distinct hash set AND
+    # the exact-verify substring extraction — pinned (benchmark-sized)
+    ew = pin(_window_hash_rows(benchmark.sdf, text_col, id_col, L))
+    cand = pin(tw.join(ew.select("_h").distinct(), on="_h")
+               .select(id_col, "pos", "_h"))
+    # exact verification on the REAL substrings of BOTH corpora —
+    # candidate-sized only; collisions can only widen the verify join
+    t_g = (cand.join(train.sdf.select(F.col(id_col), F.col(text_col)),
+                     on=id_col)
+           .select(id_col, "pos",
+                   F.substring(F.col(text_col), F.col("pos"), L)
+                   .alias("_g")))
+    e_g = (ew.join(cand.select("_h").distinct(), on="_h")
+           .join(benchmark.sdf.select(F.col(id_col), F.col(text_col)),
+                 on=id_col)
+           .select(F.substring(F.col(text_col), F.col("pos"), L)
+                   .alias("_g"))
+           .distinct())
+    hits = t_g.join(e_g, on="_g", how="leftsemi").select(id_col, "pos")
+    return Frame(_hits_to_spans(hits, id_col, L))
+
+
+def exact_decontaminate_stats(train: Frame, benchmark: Frame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              min_len: int = 50) -> Frame:
+    """Per-training-document contamination accounting (every train doc,
+    zero-filled): ``(id, n_chars, n_spans, chars_removed,
+    cleaned_len)`` — what an exact-substring decontamination cut at
+    ``min_len`` would delete. Same pinning contract as
+    :func:`exact_decontaminate_spans`."""
+    spans = exact_decontaminate_spans(train, benchmark, text_col,
+                                      id_col, min_len).sdf
+    return Frame(_stats_from_spans(train.sdf, spans, text_col, id_col))
+
+
+def exact_decontaminate(train: Frame, benchmark: Frame,
+                        text_col: str = "text",
+                        id_col: str = "doc_id",
+                        min_len: int = 50) -> Frame:
+    """Training documents with every benchmark-contaminated span
+    REMOVED: ``(id, <text_col>)``, the concatenation of clean segments
+    in order. Same pinning contract as
+    :func:`exact_decontaminate_spans`."""
+    spans = exact_decontaminate_spans(train, benchmark, text_col,
+                                      id_col, min_len).sdf
+    return Frame(_splice_cut(train.sdf, spans, text_col, id_col))

@@ -8,7 +8,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from crysda_spark import Frame
-from crysda_spark.pipeline.dupspan import (exact_dupspan_dedup,
+from crysda_spark.pipeline.dupspan import (exact_decontaminate,
+                                           exact_decontaminate_spans,
+                                           exact_decontaminate_stats,
+                                           exact_dupspan_dedup,
                                            exact_dupspan_spans,
                                            exact_dupspan_stats)
 from crysda_spark.plans.cache import release_pinned
@@ -122,3 +125,77 @@ def test_partition_invariance(spark):
     s1 = _spans(f1, min_len=12, min_dup=2)
     s2 = _spans(f2, min_len=12, min_dup=2)
     assert s1 == s2 and s1
+
+
+# ---------------- exact cross-corpus decontamination ----------------
+
+def _decon_spans(train, bench, **kw):
+    rows = exact_decontaminate_spans(train, bench, "text", "doc_id",
+                                     **kw).sdf.collect()
+    release_pinned()
+    return {(r["doc_id"], r["span_start"], r["span_len"]) for r in rows}
+
+
+def test_decontaminate_planted_benchmark_leak(spark):
+    # the benchmark block appears verbatim inside train doc 1 only;
+    # train doc 2 repeats ITSELF (within-train dup must NOT contaminate)
+    block = "QWERTYUIOPASDFGHJKLZ"          # len 20
+    train = Frame(spark.createDataFrame(
+        [(1, "aaaa-bbbb." + block + ",cccc"),
+         (2, "SELFDUPSELFDUPSELFDUPSELFDUPSELFDUPSELFDUP"),
+         (3, "totally clean text with nothing shared 000")],
+        "doc_id long, text string"))
+    bench = Frame(spark.createDataFrame(
+        [(100, "benchmark question: " + block + " answer: 42")],
+        "doc_id long, text string"))
+    got = _decon_spans(train, bench, min_len=20)
+    assert got == {(1, 11, 20)}
+
+
+def test_decontaminate_cut_and_stats(spark):
+    block = "0123456789ABCDEFGHIJ"          # len 20
+    train = Frame(spark.createDataFrame(
+        [(1, "keepme." + block + ";andme"), (2, "spotless doc here")],
+        "doc_id long, text string"))
+    bench = Frame(spark.createDataFrame(
+        [(9, "eval set contains " + block + " verbatim")],
+        "doc_id long, text string"))
+    cut = {r["doc_id"]: r["text"] for r in
+           exact_decontaminate(train, bench, "text", "doc_id",
+                               min_len=20).sdf.collect()}
+    release_pinned()
+    assert cut[1] == "keepme.;andme"
+    assert cut[2] == "spotless doc here"
+    stats = {r["doc_id"]: r for r in
+             exact_decontaminate_stats(train, bench, "text", "doc_id",
+                                       min_len=20).sdf.collect()}
+    release_pinned()
+    assert stats[1]["n_spans"] == 1 and stats[1]["chars_removed"] == 20
+    assert stats[1]["cleaned_len"] == stats[1]["n_chars"] - 20
+    assert stats[2]["n_spans"] == 0 and stats[2]["cleaned_len"] == 17
+
+
+def test_decontaminate_longer_shared_run_merges(spark):
+    # a 30-char shared run at min_len=10 must come back as ONE maximal
+    # span of exactly 30 chars (windows merge), not 21 unit spans
+    run = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123"   # len 30, no internal repeat
+    train = Frame(spark.createDataFrame(
+        [(1, "xx~" + run + "~yy")], "doc_id long, text string"))
+    bench = Frame(spark.createDataFrame(
+        [(5, "prefix " + run + " suffix")], "doc_id long, text string"))
+    got = _decon_spans(train, bench, min_len=10)
+    assert got == {(1, 4, 30)}
+
+
+def test_decontaminate_guard_and_nulls(spark):
+    train = Frame(spark.createDataFrame(
+        [(1, None), (2, "abc")], "doc_id long, text string"))
+    bench = Frame(spark.createDataFrame(
+        [(1, "zz")], "doc_id long, text string"))
+    with pytest.raises(ValueError):
+        exact_decontaminate_spans(train, bench, min_len=1)
+    stats = {r["doc_id"]: r for r in
+             exact_decontaminate_stats(train, bench, "text", "doc_id",
+                                       min_len=2).sdf.collect()}
+    release_pinned()
+    assert stats[1]["n_spans"] == 0 and stats[2]["n_spans"] == 0
