@@ -233,6 +233,15 @@ EXPECTED = {
     # The pinned window + candidate tables keep each upstream single-
     # execution (their cached definitions don't add scans here).
     "dupspan_exact_stats": dict(scans=3, exchanges=5, bhj=2, smj=2),
+    # r12: cross-corpus decontamination — 5 parquet scans (train + bench
+    # window kernels, both verify text joins, stats base), all joins on
+    # the candidate path BROADCAST (benchmark hash set, candidate table,
+    # bench texts, train stats join) — the train corpus itself is NEVER
+    # hash-exchanged: the 6 exchanges are the bench-side distincts, the
+    # verify-substring semi-join pair (candidate-sized), the islands
+    # window and the stats agg. An SMJ beyond the verify semi-join +
+    # stats left-join means a corpus-sized side stopped broadcasting.
+    "decontam_exact_stats": dict(scans=5, exchanges=6, bhj=4, smj=2),
 }
 
 
