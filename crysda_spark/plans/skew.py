@@ -182,7 +182,12 @@ def bloom_prefilter(fact: SparkDF, fact_col: str, dim: SparkDF, dim_col: str,
     arr = [0] * n_words
     for r in words:
         arr[r["w"]] = r["bits"]
-    lit_arr = F.array(*[F.lit(x).cast("long") for x in arr])
+    # one array Literal, not CreateArray(n_words children): Catalyst
+    # constant-folds an all-literal CreateArray anyway, but at the
+    # default 1<<20 bits the folded form first builds a 16384-child
+    # expression tree that the analyzer/optimizer must walk per query —
+    # a direct Literal skips that driver-side cost entirely
+    lit_arr = F.lit(arr).cast("array<long>")
     cond = F.lit(True)
     for i in range(n_hashes):
         p = _bloom_pos(fkey, i, nbits)

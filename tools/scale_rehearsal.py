@@ -205,6 +205,28 @@ def main() -> None:
                                 n_classes=3, iters=GD_ITERS, lr=0.5)
         return sum(len(wk) for wk in w)
 
+    # r12 additions: the exact substring family. dupspan pays the one
+    # honest corpus-width window-hash count shuffle (sf1 = ~13.5M
+    # 16-byte-key rows vs sf0.1's 1.35M — THE cell that measures that
+    # shuffle's scaling); decontam is the broadcast semi-join variant
+    # whose train side never shuffles, so its ratio should track the
+    # window-kernel map pass, not a shuffle.
+    def run_dupspan_exact(d):
+        from crysda_spark.pipeline.dupspan import exact_dupspan_stats
+        out = exact_dupspan_stats(docs(d), "text", "doc_id",
+                                  min_len=30, min_dup=2)
+        return out.sdf.count()
+
+    def run_decontaminate(d):
+        from crysda_spark.pipeline.dupspan import \
+            exact_decontaminate_stats
+        base = docs(d).sdf
+        train = Frame(base.filter(F.col("doc_id") % 7 != 0))
+        bench = Frame(base.filter(F.col("doc_id") % 7 == 0))
+        out = exact_decontaminate_stats(train, bench, "text", "doc_id",
+                                        min_len=30)
+        return out.sdf.count()
+
     pipelines = {
         "dedup_full": run_dedup_full,
         "dedup_incremental": run_dedup_incremental,
@@ -213,7 +235,21 @@ def main() -> None:
         "corr_matrix_wide64": run_corr_wide,
         "logreg_gd_binary_64d": run_logreg_binary,
         "logreg_gd_multi3_64d": run_logreg_multi,
+        "dupspan_exact30": run_dupspan_exact,
+        "decontam_exact30": run_decontaminate,
     }
+    only = os.environ.get("SPARK_GRAFT_SCALE_ONLY", "")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        unknown = keep - set(pipelines)
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_SCALE_ONLY names unknown "
+                             f"pipelines: {sorted(unknown)}")
+        pipelines = {k: v for k, v in pipelines.items() if k in keep}
+        if len(sys.argv) < 2:
+            # a filtered run writes a PARTIAL table — never let it
+            # clobber the committed full SCALE.md by default
+            out_md = "/tmp/SCALE_partial.md"
 
     results = {}
     for name, fn in pipelines.items():
