@@ -4330,6 +4330,53 @@ def decontam_exact_cut(spark, sf_dir):
                       F.md5(F.col("text")).alias("cleaned_md5"))
 
 
+@q("corpus_mix_counts", """
+WITH b AS (
+  SELECT doc_id, source,
+         (((doc_id + 7) % 2147483647) * 1103515245 + 987654321)
+             % 2147483647 % 10000 AS bk
+  FROM documents),
+n AS (SELECT doc_id, source, bk,
+        CASE WHEN source = 'src0'
+                 THEN 2 + CASE WHEN bk < 5000 THEN 1 ELSE 0 END
+             WHEN source = 'src1'
+                 THEN CASE WHEN bk < 5000 THEN 1 ELSE 0 END
+             WHEN source = 'src2' THEN 0
+             WHEN source = 'src3'
+                 THEN 1 + CASE WHEN bk < 2500 THEN 1 ELSE 0 END
+             ELSE 1 END AS n_copies
+      FROM b)
+SELECT source,
+       CAST(SUM(n_copies) AS BIGINT) AS n_out,
+       COUNT(*) AS n_docs,
+       CAST(SUM((n_copies * (n_copies + 1)) // 2) AS BIGINT) AS sum_copy
+FROM n
+WHERE n_copies > 0
+GROUP BY source
+""")
+def corpus_mix_counts(spark, sf_dir):
+    """Deterministic domain mixing (packing.mix_corpus — the DoReMi /
+    Pile-weights data-mix shape): src0 upsampled 2.5x, src1 kept at
+    0.5, src2 dropped, src3 at 1.25, everything else passes at 1.0;
+    per surviving source the output row count, distinct docs, and the
+    copy-index checksum Σ copy_n (which pins the 1..n_copies explode,
+    not just its cardinality). Every decision is the portable
+    Carter-Wegman bucket of (doc_id, salt=7), so the oracle replays
+    the EXACT arithmetic — engine-neutral 62-bit integer ops, no RNG.
+    One map-side stamp + a local explode: a 100 TB mix never
+    shuffles."""
+    from crysda_spark.pipeline.packing import mix_corpus
+    docs = _t(spark, sf_dir, "documents")
+    out = mix_corpus(docs, "source",
+                     {"src0": 2.5, "src1": 0.5, "src2": 0.0,
+                      "src3": 1.25},
+                     key_col="doc_id", salt=7)
+    return (out.sdf.groupBy("source")
+            .agg(F.sum(F.lit(1)).alias("n_out"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.sum("copy_n").cast("long").alias("sum_copy")))
+
+
 @q("pagerank_cust_supplier", """
 WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),

@@ -227,3 +227,75 @@ def sample_weighted(f: Frame, weight_col: str, n: int,
            .filter(F.col("__k__").isNotNull() & (F.col("__rn__") <= n))
            .drop("__u__", "__k__", "__rn__"))
     return Frame(out)
+
+
+def mix_corpus(f: Frame, source_col: str, rates: dict[str, float],
+               key_col: str, salt: int = 0, copy_col: str = "copy_n",
+               default_rate: float = 1.0) -> Frame:
+    """Deterministic domain mixing: resample every source to its
+    target ``rate`` — the data-mix step that turns a raw corpus into a
+    training distribution (the DoReMi / "The Pile" weighting shape,
+    where domains are up- or down-weighted by a fixed factor).
+
+    Rate semantics per row: ``n_copies = floor(rate) + (1 if
+    bucket(key, salt) < frac(rate)·10000 else 0)`` — rates < 1
+    downsample (hash-gated keep), rates > 1 upsample by integer
+    repetition plus a hash-gated fractional copy, rate 0 drops the
+    source. Sources absent from ``rates`` (and null sources) use
+    ``default_rate``. The decision is a pure function of (key, salt)
+    via the same portable Carter-Wegman bucket as
+    :func:`~crysda_spark.pipeline.split.assign_splits` — identical
+    rows survive identically on every run, engine, and partitioning,
+    and any SQL engine can replay the arithmetic exactly (the
+    value-level oracle shape; rand()-based mixing can't be audited).
+    Output rows carry ``copy_col`` in 1..n_copies so downstream
+    packing/shuffling can distinguish copies.
+
+    Fractional rates quantize to 1/10000 (same as assign_splits).
+    Expected output mass is Σ_source n_source·rate exactly in the
+    infinite-key limit and within quantization otherwise.
+
+    Scale shape: one map-side stamp + an ``explode(sequence(...))``
+    whose amplification is the rate itself — no shuffle, no state; a
+    100 TB mix is one pass. Upsampling multiplies bytes, which is the
+    caller's explicit intent (cap rates sensibly)."""
+    from .split import _BUCKETS, split_bucket
+    if copy_col in f.columns:
+        raise ValueError(f"mix_corpus: column {copy_col!r} already exists")
+    if source_col not in f.columns or key_col not in f.columns:
+        missing = [c for c in (source_col, key_col) if c not in f.columns]
+        raise ValueError(f"mix_corpus: unknown column(s) {missing}")
+
+    def parts(rate: float) -> tuple[int, int]:
+        if not (rate >= 0) or rate != rate or rate == float("inf"):
+            raise ValueError(f"mix_corpus: rates must be finite and "
+                             f">= 0, got {rate}")
+        base = int(rate)
+        frac_bp = round((rate - base) * _BUCKETS)
+        if base + frac_bp == 0 and rate > 0:
+            raise ValueError(f"mix_corpus: rate {rate} is below the "
+                             f"1/{_BUCKETS} quantization")
+        return base, frac_bp
+
+    b = split_bucket(key_col, salt)
+
+    def n_copies(rate: float):
+        base, frac_bp = parts(rate)
+        n = F.lit(base)
+        if frac_bp:
+            n = n + (b < frac_bp).cast("int")
+        return n
+
+    expr = None
+    for name, rate in rates.items():
+        cond = F.col(source_col) == name
+        n = n_copies(rate)
+        expr = F.when(cond, n) if expr is None else expr.when(cond, n)
+    dflt = n_copies(default_rate)
+    expr = dflt if expr is None else expr.otherwise(dflt)
+    out = (f.sdf.withColumn("_n_copies", expr)
+           .filter(F.col("_n_copies") > 0)
+           .withColumn(copy_col,
+                       F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
+           .drop("_n_copies"))
+    return Frame(out)

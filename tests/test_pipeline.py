@@ -1135,3 +1135,62 @@ def test_dedup_incremental_matches_batch_on_clean_data(spark):
     assert inc_survivors == batch_survivors
     release_pinned()
     idx.unpersist()
+
+
+# ------------------------------------------------------------- mix_corpus
+
+def test_mix_corpus_rates_and_copies(spark):
+    from crysda_spark.pipeline.packing import mix_corpus
+    from crysda_spark.pipeline.split import _BUCKETS, split_bucket
+    rows = [(i, "web" if i % 2 == 0 else "wiki") for i in range(2000)]
+    f = Frame(spark.createDataFrame(rows, "doc_id long, source string"))
+    out = mix_corpus(f, "source", {"web": 0.5, "wiki": 2.25},
+                     key_col="doc_id", salt=3).sdf
+    got = {r["source"]: (r["n"], r["docs"], r["maxc"]) for r in
+           out.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.countDistinct("doc_id").alias("docs"),
+                F.max("copy_n").alias("maxc")).collect()}
+    # exact expectation replayed from the same bucket arithmetic
+    import pyspark.sql.functions as FF
+    bk = {r["doc_id"]: r["b"] for r in
+          f.sdf.select("doc_id",
+                       split_bucket("doc_id", 3).alias("b")).collect()}
+    web_keep = sum(1 for i in range(0, 2000, 2) if bk[i] < 5000)
+    wiki_extra = sum(1 for i in range(1, 2000, 2) if bk[i] < 2500)
+    assert got["web"] == (web_keep, web_keep, 1)
+    assert got["wiki"] == (1000 * 2 + wiki_extra, 1000,
+                           3 if wiki_extra else 2)
+
+
+def test_mix_corpus_zero_rate_drops_and_default_passes(spark):
+    from crysda_spark.pipeline.packing import mix_corpus
+    rows = [(1, "junk"), (2, "junk"), (3, "keepme"), (4, None)]
+    f = Frame(spark.createDataFrame(rows, "doc_id long, source string"))
+    out = mix_corpus(f, "source", {"junk": 0.0}, key_col="doc_id").sdf
+    got = sorted((r["doc_id"], r["copy_n"]) for r in out.collect())
+    # junk dropped; keepme + null source pass at default rate 1.0
+    assert got == [(3, 1), (4, 1)]
+
+
+def test_mix_corpus_determinism_and_guards(spark):
+    from crysda_spark.pipeline.packing import mix_corpus
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    f1 = Frame(spark.createDataFrame(rows, "doc_id long, source string")
+               .coalesce(1))
+    f2 = Frame(spark.createDataFrame(rows, "doc_id long, source string")
+               .repartition(7))
+    r = {"s0": 1.5, "s1": 0.3}
+    a = sorted(map(tuple, mix_corpus(f1, "source", r, "doc_id")
+                   .sdf.collect()))
+    b = sorted(map(tuple, mix_corpus(f2, "source", r, "doc_id")
+                   .sdf.collect()))
+    assert a == b and a
+    with pytest.raises(ValueError):
+        mix_corpus(f1, "source", {"s0": -1.0}, "doc_id")
+    with pytest.raises(ValueError):
+        mix_corpus(f1, "source", {"s0": 0.00001}, "doc_id")
+    with pytest.raises(ValueError):
+        mix_corpus(f1, "source", {}, "doc_id", copy_col="source")
+    with pytest.raises(ValueError):
+        mix_corpus(f1, "nope", {}, "doc_id")
