@@ -68,7 +68,8 @@ from ..frame import Frame
 
 __all__ = ["exact_dupspan_spans", "exact_dupspan_stats",
            "exact_dupspan_dedup", "exact_decontaminate_spans",
-           "exact_decontaminate_stats", "exact_decontaminate"]
+           "exact_decontaminate_stats", "exact_decontaminate",
+           "build_decontam_index", "decontaminate_spans_with_index"]
 
 _B = 1099511628211        # odd multiplier (FNV-1a prime) — invertible mod 2^64
 _B_INV = pow(_B, -1, 1 << 64)
@@ -278,35 +279,70 @@ def exact_decontaminate_spans(train: Frame, benchmark: Frame,
     then EXACTLY verified on the real substrings of both sides, so
     hash collisions cannot mark a clean span.
 
-    Caching note: the benchmark window table and the candidate table
-    are PINNED (each feeds two consumers) — call
+    Caching note: the benchmark index table is PINNED (it feeds the
+    candidate hash set and the exact-verify substring set) — call
     ``crysda_spark.plans.cache.release_pinned()`` after consuming the
-    result, like every pipeline operator."""
+    result, like every pipeline operator. To amortize the benchmark
+    pass across many train shards, :func:`build_decontam_index` once
+    and use :func:`decontaminate_spans_with_index`."""
     if min_len < 2:
         raise ValueError(f"exact_decontaminate: min_len must be >= 2, "
                          f"got {min_len}")
+    idx = build_decontam_index(benchmark, text_col, id_col, min_len)
+    return decontaminate_spans_with_index(train, idx, text_col, id_col,
+                                          min_len)
+
+
+def build_decontam_index(benchmark: Frame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         min_len: int = 50) -> Frame:
+    """The reusable decontamination state: ``(_h, _g)`` — every
+    DISTINCT ``min_len``-char window of the benchmark corpus with its
+    rolling hash. ~(8 bytes + ``min_len`` chars) per distinct window;
+    build it ONCE per benchmark release, persist to parquet, and
+    decontaminate every arriving train shard against it (the streaming
+    twin :func:`~crysda_spark.streaming.cdc.stream_decontaminate`
+    reads exactly this table). The real substring rides along so the
+    exact-verify stage never needs the benchmark texts again."""
+    if min_len < 2:
+        raise ValueError(f"build_decontam_index: min_len must be >= 2, "
+                         f"got {min_len}")
+    ew = _window_hash_rows(benchmark.sdf, text_col, id_col, min_len)
+    idx = (ew.join(benchmark.sdf.select(F.col(id_col), F.col(text_col)),
+                   on=id_col)
+           .select("_h",
+                   F.substring(F.col(text_col), F.col("pos"), min_len)
+                   .alias("_g"))
+           .distinct())
+    return Frame(idx)
+
+
+def decontaminate_spans_with_index(train: Frame, index: Frame,
+                                   text_col: str = "text",
+                                   id_col: str = "doc_id",
+                                   min_len: int = 50) -> Frame:
+    """:func:`exact_decontaminate_spans` against a prebuilt
+    :func:`build_decontam_index` table — the incremental/streaming
+    path: each arriving train shard pays one window-hash map pass plus
+    candidate-sized verify joins; the benchmark is never re-read.
+    Same pinning contract (the index feeds the hash set and the
+    verify set — pinned; call ``release_pinned()`` after consuming)."""
     from ..plans.cache import pin
     L = min_len
     tw = _window_hash_rows(train.sdf, text_col, id_col, L)
-    # benchmark windows keyed by hash: feeds the distinct hash set AND
-    # the exact-verify substring extraction — pinned (benchmark-sized)
-    ew = pin(_window_hash_rows(benchmark.sdf, text_col, id_col, L))
-    cand = pin(tw.join(ew.select("_h").distinct(), on="_h")
-               .select(id_col, "pos", "_h"))
-    # exact verification on the REAL substrings of BOTH corpora —
-    # candidate-sized only; collisions can only widen the verify join
+    idx = pin(index.sdf)
+    cand = tw.join(idx.select("_h").distinct(), on="_h") \
+        .select(id_col, "pos")
+    # exact verification on the REAL substrings — train side extracted
+    # from train text, benchmark side carried inside the index, so
+    # collisions can only widen this candidate-sized join
     t_g = (cand.join(train.sdf.select(F.col(id_col), F.col(text_col)),
                      on=id_col)
            .select(id_col, "pos",
                    F.substring(F.col(text_col), F.col("pos"), L)
                    .alias("_g")))
-    e_g = (ew.join(cand.select("_h").distinct(), on="_h")
-           .join(benchmark.sdf.select(F.col(id_col), F.col(text_col)),
-                 on=id_col)
-           .select(F.substring(F.col(text_col), F.col("pos"), L)
-                   .alias("_g"))
-           .distinct())
-    hits = t_g.join(e_g, on="_g", how="leftsemi").select(id_col, "pos")
+    hits = t_g.join(idx.select("_g").distinct(), on="_g",
+                    how="leftsemi").select(id_col, "pos")
     return Frame(_hits_to_spans(hits, id_col, L))
 
 

@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 from ..frame import Frame
 from ..operators.merge import merge_into
 
-__all__ = ["read_snapshot", "stream_upsert_to_parquet"]
+__all__ = ["read_snapshot", "stream_upsert_to_parquet",
+           "stream_dedup_incremental", "stream_decontaminate"]
 
 _MANIFEST = "MANIFEST"
 
@@ -148,6 +149,55 @@ def stream_dedup_incremental(stream: SparkDF, path: str, text_col: str,
         with open(tmp, "w") as fh:
             fh.write(nxt)
         os.replace(tmp, os.path.join(idx_dir, _MANIFEST))
+
+    writer = stream.writeStream.foreachBatch(apply_batch) \
+        .outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def stream_decontaminate(stream: SparkDF, index_path: str, out_path: str,
+                         text_col: str, id_col: str, min_len: int = 50,
+                         checkpoint: str | None = None):
+    """Streaming exact-substring decontamination: every micro-batch of
+    training documents is cut against a STATIC benchmark index (built
+    once with :func:`~crysda_spark.pipeline.dupspan
+    .build_decontam_index` and written to ``index_path`` as parquet),
+    and the cleaned rows land under ``out_path`` partitioned by batch
+    id — the production shape for crawl ingestion where the benchmark
+    suite changes rarely and train shards arrive forever.
+
+    Each batch pays one window-hash map pass over ITS OWN text plus
+    candidate-sized verify joins; the benchmark corpus is never
+    re-read (the index carries the real substrings for exact verify).
+    Exactly-once: output is overwrite-by-batch-id, so Spark's replay
+    of a failed batch is idempotent. Output schema: ``(id, text,
+    chars_removed)`` — rows whose text lost nothing pass through with
+    ``chars_removed = 0``."""
+    from ..pipeline.dupspan import decontaminate_spans_with_index, \
+        _splice_cut
+    from ..plans.cache import release_pinned
+    os.makedirs(out_path, exist_ok=True)
+
+    def apply_batch(batch: SparkDF, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        idx = Frame(spark.read.parquet(index_path))
+        spans = decontaminate_spans_with_index(
+            Frame(batch), idx, text_col, id_col, min_len).sdf
+        cut = _splice_cut(batch, spans, text_col, id_col)
+        out = (cut.join(batch.select(F.col(id_col),
+                                     F.length(text_col).alias("_n0")),
+                        on=id_col)
+               .select(id_col, text_col,
+                       (F.coalesce(F.col("_n0"), F.lit(0))
+                        - F.coalesce(F.length(text_col), F.lit(0)))
+                       .cast("long").alias("chars_removed")))
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch_id={batch_id}"))
+        release_pinned()
 
     writer = stream.writeStream.foreachBatch(apply_batch) \
         .outputMode("append")

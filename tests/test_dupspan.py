@@ -199,3 +199,72 @@ def test_decontaminate_guard_and_nulls(spark):
                                        min_len=2).sdf.collect()}
     release_pinned()
     assert stats[1]["n_spans"] == 0 and stats[2]["n_spans"] == 0
+
+
+def test_decontaminate_index_path_matches_direct(spark, tmp_path):
+    # the prebuilt-index path must produce byte-identical spans to the
+    # direct two-corpus path (same machinery, amortized benchmark pass)
+    from crysda_spark.pipeline.dupspan import (
+        build_decontam_index, decontaminate_spans_with_index)
+    block = "SHAREDBENCHMARKCONTENT"         # len 22
+    train = Frame(spark.createDataFrame(
+        [(1, "aa." + block + ".bb"), (2, "clean as a whistle 123456")],
+        "doc_id long, text string"))
+    bench = Frame(spark.createDataFrame(
+        [(50, "q: " + block + " a: yes"), (51, "other eval text here")],
+        "doc_id long, text string"))
+    direct = _decon_spans(train, bench, min_len=22)
+    idx = build_decontam_index(bench, "text", "doc_id", min_len=22)
+    p = str(tmp_path / "idx")
+    idx.sdf.write.parquet(p)
+    via_idx = {(r["doc_id"], r["span_start"], r["span_len"]) for r in
+               decontaminate_spans_with_index(
+                   train, Frame(spark.read.parquet(p)), "text",
+                   "doc_id", min_len=22).sdf.collect()}
+    release_pinned()
+    assert direct == via_idx == {(1, 4, 22)}
+
+
+def test_stream_decontaminate_cuts_against_static_index(spark, tmp_path):
+    """Streaming twin: micro-batches are cut against the parquet
+    benchmark index; output partitions by batch id and carries
+    chars_removed; clean rows pass through untouched."""
+    import os
+    from crysda_spark.pipeline.dupspan import build_decontam_index
+    from crysda_spark.streaming.cdc import stream_decontaminate
+    block = "0123456789ABCDEFGHIJ"           # len 20
+    bench = Frame(spark.createDataFrame(
+        [(9, "eval has " + block + " inside")],
+        "doc_id long, text string"))
+    idx_p = str(tmp_path / "idx")
+    build_decontam_index(bench, "text", "doc_id", min_len=20) \
+        .sdf.write.parquet(idx_p)
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "keepme." + block + ";andme"), (2, "spotless doc here")],
+        "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string") \
+        .parquet(src)
+    q = stream_decontaminate(stream, idx_p, out, "text", "doc_id",
+                             min_len=20, checkpoint=ckpt)
+    try:
+        q.processAllAvailable()
+        # second batch: another leak + a clean doc
+        spark.createDataFrame(
+            [(3, block + "!tail"), (4, "nothing shared 999")],
+            "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {r["doc_id"]: (r["text"], r["chars_removed"],
+                             r["batch_id"]) for r in
+               spark.read.parquet(out).collect()}
+        assert got[1] == ("keepme.;andme", 20, 0)
+        assert got[2] == ("spotless doc here", 0, 0)
+        assert got[3] == ("!tail", 20, 1)
+        assert got[4] == ("nothing shared 999", 0, 1)
+    finally:
+        q.stop()

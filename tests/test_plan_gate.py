@@ -234,14 +234,16 @@ EXPECTED = {
     # execution (their cached definitions don't add scans here).
     "dupspan_exact_stats": dict(scans=3, exchanges=5, bhj=2, smj=2),
     # r12: cross-corpus decontamination — 5 parquet scans (train + bench
-    # window kernels, both verify text joins, stats base), all joins on
-    # the candidate path BROADCAST (benchmark hash set, candidate table,
-    # bench texts, train stats join) — the train corpus itself is NEVER
-    # hash-exchanged: the 6 exchanges are the bench-side distincts, the
-    # verify-substring semi-join pair (candidate-sized), the islands
-    # window and the stats agg. An SMJ beyond the verify semi-join +
-    # stats left-join means a corpus-sized side stopped broadcasting.
-    "decontam_exact_stats": dict(scans=5, exchanges=6, bhj=4, smj=2),
+    # window kernels, bench text into the index, train verify join,
+    # stats base), all joins on the candidate path BROADCAST (the index
+    # carries the benchmark substrings, so the verify stage needs NO
+    # second benchmark-text join — bhj dropped 4→3 with the index
+    # refactor) — the train corpus itself is NEVER hash-exchanged: the
+    # 6 exchanges are the index distinct + the per-consumer hash/_g
+    # distincts (candidate-sized), the islands window and the stats
+    # agg. An SMJ beyond the verify semi-join + stats left-join means
+    # a corpus-sized side stopped broadcasting.
+    "decontam_exact_stats": dict(scans=5, exchanges=6, bhj=3, smj=2),
 }
 
 
