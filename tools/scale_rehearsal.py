@@ -211,11 +211,22 @@ def main() -> None:
     # shuffle's scaling); decontam is the broadcast semi-join variant
     # whose train side never shuffles, so its ratio should track the
     # window-kernel map pass, not a shuffle.
+    def _force_stats(out):
+        # NOT .count(): the stats left-join's agg side is unique per
+        # key, so Catalyst ELIMINATES the outer join (and the whole
+        # spans pipeline above it) under a bare count — summing the
+        # computed column forces the real work; return rows like the
+        # other cells
+        row = out.sdf.agg(F.count(F.lit(1)).alias("n"),
+                          F.sum("chars_removed").alias("c")).collect()[0]
+        assert row["c"] is not None and row["c"] > 0, \
+            "scale cell computed zero duplicated mass — pruned plan?"
+        return row["n"]
+
     def run_dupspan_exact(d):
         from crysda_spark.pipeline.dupspan import exact_dupspan_stats
-        out = exact_dupspan_stats(docs(d), "text", "doc_id",
-                                  min_len=30, min_dup=2)
-        return out.sdf.count()
+        return _force_stats(exact_dupspan_stats(
+            docs(d), "text", "doc_id", min_len=30, min_dup=2))
 
     def run_decontaminate(d):
         from crysda_spark.pipeline.dupspan import \
@@ -223,9 +234,8 @@ def main() -> None:
         base = docs(d).sdf
         train = Frame(base.filter(F.col("doc_id") % 7 != 0))
         bench = Frame(base.filter(F.col("doc_id") % 7 == 0))
-        out = exact_decontaminate_stats(train, bench, "text", "doc_id",
-                                        min_len=30)
-        return out.sdf.count()
+        return _force_stats(exact_decontaminate_stats(
+            train, bench, "text", "doc_id", min_len=30))
 
     pipelines = {
         "dedup_full": run_dedup_full,
