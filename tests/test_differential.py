@@ -12,8 +12,9 @@ failures reproduce. Width is env-parameterized (r12, making the r11
 ``CRYSDA_FUZZ_SPECS=90 pytest tests/test_differential.py`` replays the
 r11 NOTES' widened 168-test sweep exactly (same seed 20240814, grouped-
 agg specs 0..89 — a superset of the committed 30, so the default run
-is always a prefix of a wider one — plus the other ten families at
-their committed widths)."""
+is always a prefix of a wider one — plus the other families at
+their committed widths; r12 adds two more families: corpus-mix bucket
+arithmetic and dup-span substring grouping, both replayed exactly)."""
 
 from __future__ import annotations
 
@@ -685,3 +686,128 @@ def test_random_entity_resolution_matches_duckdb(spark, spec):
         SELECT a, MIN(b) FROM reach GROUP BY a""")
     want = {r[0]: r[1] for r in cur.fetchall()}
     assert got == want, f"entity resolution diverged: seed {seed}"
+
+
+# ------------------------------------------- corpus-mix differential (r12)
+def _mix_specs():
+    return [(i, 3000 + i) for i in range(5)]
+
+
+@pytest.mark.parametrize("spec", _mix_specs(), ids=lambda s: f"mix{s[0]}")
+def test_random_mix_matches_duckdb(spark, spec):
+    """mix_corpus vs a DuckDB replay of the Carter-Wegman bucket and
+    the CASE/ explode arithmetic over RANDOM rate maps, salts, null
+    sources, and default rates — full (doc_id, source, copy_n) rows
+    value-checked, not just counts."""
+    from crysda_spark.pipeline.packing import mix_corpus
+    from crysda_spark.pipeline.split import _A, _B, _BUCKETS, _P
+    _, seed = spec
+    rnd = random.Random(seed)
+    srcs = [f"s{j}" for j in range(rnd.randint(3, 6))]
+    rows = [(i, rnd.choice(srcs + [None])) for i in range(500)]
+    rates = {s: rnd.choice([0.0, 0.25, 0.5, 1.5, 2.0, 2.75])
+             for s in rnd.sample(srcs, rnd.randint(1, len(srcs)))}
+    salt = rnd.randrange(0, 100)
+    default = rnd.choice([1.0, 0.5])
+    f = Frame(spark.createDataFrame(rows, "doc_id long, source string"))
+    out = mix_corpus(f, "source", rates, "doc_id", salt=salt,
+                     default_rate=default).sdf
+    got = _rows_canon(out.columns, [tuple(r) for r in out.collect()])
+
+    def case_arm(rate):
+        base = int(rate)
+        frac_bp = round((rate - base) * _BUCKETS)
+        if frac_bp:
+            return f"{base} + CASE WHEN bk < {frac_bp} THEN 1 ELSE 0 END"
+        return str(base)
+
+    arms = " ".join(f"WHEN source = '{s}' THEN {case_arm(r)}"
+                    for s, r in rates.items())
+    import pandas as pd
+    corpus_df = pd.DataFrame(rows, columns=["doc_id", "source"])  # noqa: F841
+    con = duckdb.connect()
+    cur = con.execute(f"""
+        WITH b AS (SELECT doc_id, source,
+                   (((doc_id + {salt}) % {_P}) * {_A} + {_B})
+                       % {_P} % {_BUCKETS} AS bk FROM corpus_df),
+        n AS (SELECT doc_id, source,
+                     CASE {arms} ELSE {case_arm(default)} END AS nc
+              FROM b)
+        SELECT doc_id, source,
+               CAST(unnest(generate_series(1, nc)) AS INT) AS copy_n
+        FROM n WHERE nc > 0""")
+    cols = [d[0] for d in cur.description]
+    want = _rows_canon(cols, cur.fetchall())
+    assert sorted(out.columns) == sorted(cols)
+    assert got == want, f"mix diverged: rates={rates} salt={salt} " \
+                        f"default={default}"
+
+
+# ---------------------------------------------- dup-span differential (r12)
+def _dupspan_specs():
+    return [(i, 5000 + i) for i in range(4)]
+
+
+@pytest.mark.parametrize("spec", _dupspan_specs(),
+                         ids=lambda s: f"dupspan{s[0]}")
+def test_random_dupspan_matches_duckdb(spark, spec):
+    """exact_dupspan_stats vs DuckDB grouping the raw substrings and
+    running the identical islands merge, over RANDOM small-vocab
+    corpora (heavy natural duplication) with random window length and
+    duplicate threshold — two different algorithms (rolling-hash
+    candidates + exact verify vs direct substring grouping), one exact
+    answer."""
+    from crysda_spark.pipeline.dupspan import exact_dupspan_stats
+    from crysda_spark.plans.cache import release_pinned
+    _, seed = spec
+    rnd = random.Random(seed)
+    vocab = "alpha bravo charlie delta echo foxtrot golf hotel".split()
+    docs = [(i, " ".join(rnd.choice(vocab)
+                         for _ in range(rnd.randint(5, 25))))
+            for i in range(30)]
+    L = rnd.randint(8, 14)
+    md = rnd.choice([2, 3])
+    f = Frame(spark.createDataFrame(docs, "doc_id long, text string"))
+    out = exact_dupspan_stats(f, "text", "doc_id", min_len=L,
+                              min_dup=md).sdf
+    got = _rows_canon(out.columns, [tuple(r) for r in out.collect()])
+    release_pinned()
+
+    import pandas as pd
+    corpus_df = pd.DataFrame(docs, columns=["doc_id", "text"])  # noqa: F841
+    con = duckdb.connect()
+    cur = con.execute(f"""
+        WITH w AS (
+          SELECT doc_id, CAST(pos AS INT) AS pos,
+                 substr(text, CAST(pos AS INT), {L}) AS g
+          FROM (SELECT doc_id, text,
+                       unnest(generate_series(
+                           1, greatest(length(text) - {L - 1}, 0))) AS pos
+                FROM corpus_df)),
+        d AS (SELECT g FROM w GROUP BY g HAVING COUNT(*) >= {md}),
+        hits AS (SELECT doc_id, pos FROM w
+                 WHERE g IN (SELECT g FROM d)),
+        isl AS (SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER (
+                                PARTITION BY doc_id ORDER BY pos)
+                                 <= {L} THEN 0 ELSE 1 END AS brk
+                FROM hits),
+        grp AS (SELECT doc_id, pos, SUM(brk) OVER (
+                    PARTITION BY doc_id ORDER BY pos) AS gid FROM isl),
+        spans AS (SELECT doc_id, MIN(pos) AS span_start,
+                         MAX(pos) - MIN(pos) + {L} AS span_len
+                  FROM grp GROUP BY doc_id, gid),
+        agg AS (SELECT doc_id, COUNT(*) AS n_spans,
+                       SUM(span_len) AS chars_removed
+                FROM spans GROUP BY doc_id)
+        SELECT c.doc_id, length(c.text) AS n_chars,
+               COALESCE(a.n_spans, 0) AS n_spans,
+               CAST(COALESCE(a.chars_removed, 0) AS BIGINT)
+                   AS chars_removed,
+               length(c.text) - CAST(COALESCE(a.chars_removed, 0)
+                   AS BIGINT) AS cleaned_len
+        FROM corpus_df c LEFT JOIN agg a USING (doc_id)""")
+    cols = [d[0] for d in cur.description]
+    want = _rows_canon(cols, cur.fetchall())
+    assert sorted(out.columns) == sorted(cols)
+    assert got == want, f"dupspan diverged: L={L} min_dup={md}"
