@@ -244,6 +244,15 @@ EXPECTED = {
     # agg. An SMJ beyond the verify semi-join + stats left-join means
     # a corpus-sized side stopped broadcasting.
     "decontam_exact_stats": dict(scans=5, exchanges=6, bhj=3, smj=2),
+    # the CUT variants run the identical spans pipeline + the splice
+    # kernel (collect_list is part of the splice's span-list agg, not
+    # a new shuffle) — locked to the same shapes as their stats twins
+    "dupspan_exact_cut": dict(scans=3, exchanges=5, bhj=2, smj=2),
+    "decontam_exact_cut": dict(scans=5, exchanges=6, bhj=3, smj=2),
+    # r12: corpus mix — ONE scan, map-side stamp + explode, then the
+    # two-exchange aggregate (partial/final with countDistinct); any
+    # bhj/smj means the mix started joining, which it must never do
+    "corpus_mix_counts": dict(scans=1, exchanges=2, bhj=0, smj=0),
 }
 
 
