@@ -255,6 +255,13 @@ def mix_corpus(f: Frame, source_col: str, rates: dict[str, float],
     Expected output mass is Σ_source n_source·rate exactly in the
     infinite-key limit and within quantization otherwise.
 
+    NULL keys: a null ``key_col`` has no bucket, so the fractional
+    hash-gate reads null and the fractional copy never materializes —
+    under a purely fractional rate (< 1) such rows DROP, under a rate
+    ≥ 1 they keep exactly ``floor(rate)`` copies. Deterministic and
+    conservative; impute keys upstream if null-keyed rows must
+    participate in fractional sampling.
+
     Scale shape: one map-side stamp + an ``explode(sequence(...))``
     whose amplification is the rate itself — no shuffle, no state; a
     100 TB mix is one pass. Upsampling multiplies bytes, which is the
@@ -283,7 +290,10 @@ def mix_corpus(f: Frame, source_col: str, rates: dict[str, float],
         base, frac_bp = parts(rate)
         n = F.lit(base)
         if frac_bp:
-            n = n + (b < frac_bp).cast("int")
+            # null key -> null bucket: coalesce the gate to 0 so the
+            # row keeps its floor(rate) copies instead of nulling the
+            # whole count (see the NULL-keys docstring note)
+            n = n + F.coalesce((b < frac_bp).cast("int"), F.lit(0))
         return n
 
     expr = None

@@ -1194,3 +1194,21 @@ def test_mix_corpus_determinism_and_guards(spark):
         mix_corpus(f1, "source", {}, "doc_id", copy_col="source")
     with pytest.raises(ValueError):
         mix_corpus(f1, "nope", {}, "doc_id")
+
+
+def test_mix_corpus_null_keys_keep_integer_part_only(spark):
+    from crysda_spark.pipeline.packing import mix_corpus
+    rows = [(None, "up"), (1, "up"), (None, "down"), (2, "down")]
+    f = Frame(spark.createDataFrame(rows, "doc_id long, source string"))
+    out = mix_corpus(f, "source", {"up": 2.5, "down": 0.5},
+                     key_col="doc_id", salt=1).sdf
+    by_key = {}
+    for r in out.collect():
+        by_key.setdefault((r["doc_id"], r["source"]), []).append(r["copy_n"])
+    # null key under rate 2.5: exactly floor(rate)=2 copies (the
+    # fractional hash-gate has no bucket — documented conservative)
+    assert sorted(by_key[(None, "up")]) == [1, 2]
+    # null key under a purely fractional rate: drops
+    assert (None, "down") not in by_key
+    # non-null keys participate in the fractional gate normally
+    assert (1, "up") in by_key and len(by_key[(1, "up")]) in (2, 3)
