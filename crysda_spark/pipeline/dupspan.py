@@ -50,6 +50,13 @@ Null/short handling: documents shorter than ``min_len`` produce no
 windows (and therefore no spans); null texts are dropped from
 windowing but still appear zero-filled in the stats output.
 
+``id_col`` contract (all public functions here): a 64-bit integral
+column — the Arrow kernels pack it into int64 and the splice output
+schema pins it ``long``. String/UUID document ids must be mapped to a
+64-bit key first (e.g. ``xxhash64`` plus a collision-checked side
+table), which is also what the shuffle wants at 100 TB: 8-byte keys,
+not URL-length strings.
+
 The same machinery also yields exact CROSS-CORPUS decontamination
 (``exact_decontaminate*``): a train-corpus position is contaminated
 iff it lies inside a substring ≥ ``min_len`` that occurs anywhere in a
@@ -75,7 +82,8 @@ _B = 1099511628211        # odd multiplier (FNV-1a prime) — invertible mod 2^6
 _B_INV = pow(_B, -1, 1 << 64)
 
 
-def _window_hash_rows(sdf, text_col: str, id_col: str, min_len: int):
+def _window_hash_rows(sdf, text_col: str, id_col: str, min_len: int,
+                      with_gram: bool = False):
     """(id, pos, _h) for every ``min_len``-char window — ONE Arrow
     mapInPandas pass, O(chars) per partition: with pre[i] = Σ_{j<i}
     c_j·B⁻ʲ (mod 2⁶⁴), the window hash at 0-based i is
@@ -83,7 +91,12 @@ def _window_hash_rows(sdf, text_col: str, id_col: str, min_len: int):
     whose wraparound IS mod-2⁶⁴ arithmetic. ``pos`` is 1-based to
     match SQL ``substring`` for the exact-verify stage. Characters
     hash by code point (utf-32 view), matching character-based
-    ``substring``/``length`` semantics on both engines."""
+    ``substring``/``length`` semantics on both engines. ``id_col``
+    must be a 64-bit integral column (the kernel packs it into int64).
+    ``with_gram`` adds the window's real substring as ``_g`` — output
+    grows by L chars per window, so only benchmark-sized inputs
+    (``build_decontam_index``) should ask for it; it saves the
+    text join-back those consumers would otherwise pay."""
     L = min_len
 
     def kernel(batches):
@@ -92,7 +105,7 @@ def _window_hash_rows(sdf, text_col: str, id_col: str, min_len: int):
         binv = np.uint64(_B_INV)
         b = np.uint64(_B)
         for pdf in batches:
-            ids_out, pos_out, h_out = [], [], []
+            ids_out, pos_out, h_out, g_out = [], [], [], []
             for did, txt in zip(pdf[id_col], pdf[text_col]):
                 if txt is None:
                     continue
@@ -116,14 +129,21 @@ def _window_hash_rows(sdf, text_col: str, id_col: str, min_len: int):
                 ids_out.append(np.full(m, did, dtype=np.int64))
                 pos_out.append(np.arange(1, m + 1, dtype=np.int32))
                 h_out.append(h.view(np.int64))
+                if with_gram:
+                    g_out.extend(txt[i:i + L] for i in range(m))
             if ids_out:
-                yield pd.DataFrame({
-                    "_did": np.concatenate(ids_out),
-                    "pos": np.concatenate(pos_out),
-                    "_h": np.concatenate(h_out)})
+                cols = {"_did": np.concatenate(ids_out),
+                        "pos": np.concatenate(pos_out),
+                        "_h": np.concatenate(h_out)}
+                if with_gram:
+                    cols["_g"] = g_out
+                yield pd.DataFrame(cols)
 
     proj = sdf.select(F.col(id_col), F.col(text_col))
-    out = proj.mapInPandas(kernel, schema="_did long, pos int, _h long")
+    schema = "_did long, pos int, _h long"
+    if with_gram:
+        schema += ", _g string"
+    out = proj.mapInPandas(kernel, schema=schema)
     return out.withColumnRenamed("_did", id_col)
 
 
@@ -226,10 +246,15 @@ def exact_dupspan_dedup(f: Frame, text_col: str = "text",
     return Frame(_splice_cut(f.sdf, spans, text_col, id_col))
 
 
-def _splice_cut(base_sdf, spans, text_col: str, id_col: str):
+def _splice_cut(base_sdf, spans, text_col: str, id_col: str,
+                with_removed: bool = False):
     """Concatenate each doc's non-span segments in order — one Arrow
     pass over (text, sorted span list); spans per doc are few and
-    non-overlapping by construction (maximal islands)."""
+    non-overlapping by construction (maximal islands). ``id_col``
+    must be a 64-bit integral column (output schema pins it long).
+    ``with_removed`` adds a ``chars_removed`` column computed inside
+    the kernel (the original and cleaned text are both in hand — no
+    extra join or source re-scan needed)."""
     lst = (spans.groupBy(id_col)
            .agg(F.sort_array(F.collect_list(
                F.struct("span_start", "span_len"))).alias("_spans")))
@@ -239,10 +264,11 @@ def _splice_cut(base_sdf, spans, text_col: str, id_col: str):
     def kernel(batches):
         import pandas as pd
         for pdf in batches:
-            texts = []
+            texts, removed = [], []
             for txt, sp in zip(pdf[text_col], pdf["_spans"]):
                 if txt is None or sp is None or len(sp) == 0:
                     texts.append(txt)
+                    removed.append(0)
                     continue
                 parts, at = [], 0
                 for s in sp:
@@ -250,11 +276,18 @@ def _splice_cut(base_sdf, spans, text_col: str, id_col: str):
                     parts.append(txt[at:start0])
                     at = start0 + s["span_len"]
                 parts.append(txt[at:])
-                texts.append("".join(parts))
-            yield pd.DataFrame({id_col: pdf[id_col], text_col: texts})
+                cleaned = "".join(parts)
+                texts.append(cleaned)
+                removed.append(len(txt) - len(cleaned))
+            cols = {id_col: pdf[id_col], text_col: texts}
+            if with_removed:
+                cols["chars_removed"] = pd.array(removed, dtype="int64")
+            yield pd.DataFrame(cols)
 
-    return joined.mapInPandas(
-        kernel, schema=f"{id_col} long, {text_col} string")
+    schema = f"{id_col} long, {text_col} string"
+    if with_removed:
+        schema += ", chars_removed long"
+    return joined.mapInPandas(kernel, schema=schema)
 
 
 def exact_decontaminate_spans(train: Frame, benchmark: Frame,
@@ -307,14 +340,11 @@ def build_decontam_index(benchmark: Frame, text_col: str = "text",
     if min_len < 2:
         raise ValueError(f"build_decontam_index: min_len must be >= 2, "
                          f"got {min_len}")
-    ew = _window_hash_rows(benchmark.sdf, text_col, id_col, min_len)
-    idx = (ew.join(benchmark.sdf.select(F.col(id_col), F.col(text_col)),
-                   on=id_col)
-           .select("_h",
-                   F.substring(F.col(text_col), F.col("pos"), min_len)
-                   .alias("_g"))
-           .distinct())
-    return Frame(idx)
+    # the kernel emits the substring directly (with_gram) — one pass
+    # over the benchmark, no text join-back
+    ew = _window_hash_rows(benchmark.sdf, text_col, id_col, min_len,
+                           with_gram=True)
+    return Frame(ew.select("_h", "_g").distinct())
 
 
 def decontaminate_spans_with_index(train: Frame, index: Frame,
@@ -326,11 +356,26 @@ def decontaminate_spans_with_index(train: Frame, index: Frame,
     path: each arriving train shard pays one window-hash map pass plus
     candidate-sized verify joins; the benchmark is never re-read.
     Same pinning contract (the index feeds the hash set and the
-    verify set — pinned; call ``release_pinned()`` after consuming)."""
+    verify set — pinned; call ``release_pinned()`` after consuming).
+
+    The index's window length MUST equal ``min_len``: mismatched
+    hashes would match nothing and silently report the corpus as
+    clean, so the first index row's substring length is checked and a
+    mismatch RAISES."""
+    if min_len < 2:
+        raise ValueError(f"decontaminate_spans_with_index: min_len "
+                         f"must be >= 2, got {min_len}")
     from ..plans.cache import pin
     L = min_len
     tw = _window_hash_rows(train.sdf, text_col, id_col, L)
     idx = pin(index.sdf)
+    probe = idx.select(F.length("_g").alias("_l")).first()
+    if probe is not None and probe["_l"] != L:
+        raise ValueError(
+            f"decontaminate_spans_with_index: index was built with "
+            f"min_len={probe['_l']} but min_len={L} was requested — a "
+            "mismatch would silently mark every document clean; "
+            "rebuild the index or pass the matching min_len")
     cand = tw.join(idx.select("_h").distinct(), on="_h") \
         .select(id_col, "pos")
     # exact verification on the REAL substrings — train side extracted

@@ -185,9 +185,12 @@ def bloom_prefilter(fact: SparkDF, fact_col: str, dim: SparkDF, dim_col: str,
     # one array Literal, not CreateArray(n_words children): Catalyst
     # constant-folds an all-literal CreateArray anyway, but at the
     # default 1<<20 bits the folded form first builds a 16384-child
-    # expression tree that the analyzer/optimizer must walk per query —
-    # a direct Literal skips that driver-side cost entirely
-    lit_arr = F.lit(arr).cast("array<long>")
+    # expression tree that the analyzer/optimizer must walk per query.
+    # NOTE: F.lit(<python list>) dispatches right back to
+    # array(*[lit(..)]) (pyspark builtin source, verified on 4.1.2) —
+    # only the 1-D ndarray branch creates a single Literal
+    import numpy as np
+    lit_arr = F.lit(np.asarray(arr, dtype=np.int64))
     cond = F.lit(True)
     for i in range(n_hashes):
         p = _bloom_pos(fkey, i, nbits)

@@ -184,20 +184,21 @@ def stream_decontaminate(stream: SparkDF, index_path: str, out_path: str,
         if not batch.take(1):
             return
         spark = batch.sparkSession
-        idx = Frame(spark.read.parquet(index_path))
-        spans = decontaminate_spans_with_index(
-            Frame(batch), idx, text_col, id_col, min_len).sdf
-        cut = _splice_cut(batch, spans, text_col, id_col)
-        out = (cut.join(batch.select(F.col(id_col),
-                                     F.length(text_col).alias("_n0")),
-                        on=id_col)
-               .select(id_col, text_col,
-                       (F.coalesce(F.col("_n0"), F.lit(0))
-                        - F.coalesce(F.length(text_col), F.lit(0)))
-                       .cast("long").alias("chars_removed")))
-        out.write.mode("overwrite").parquet(
-            os.path.join(out_path, f"batch_id={batch_id}"))
-        release_pinned()
+        try:
+            idx = Frame(spark.read.parquet(index_path))
+            spans = decontaminate_spans_with_index(
+                Frame(batch), idx, text_col, id_col, min_len).sdf
+            # the splice kernel emits chars_removed itself — no extra
+            # join or third scan of the streaming source per batch
+            out = _splice_cut(batch, spans, text_col, id_col,
+                              with_removed=True)
+            out.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"batch_id={batch_id}"))
+        finally:
+            # also on failure: Spark replays the batch and would pin a
+            # fresh index copy — without this, retries accumulate
+            # persisted copies until executor storage dies
+            release_pinned()
 
     writer = stream.writeStream.foreachBatch(apply_batch) \
         .outputMode("append")

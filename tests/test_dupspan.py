@@ -268,3 +268,24 @@ def test_stream_decontaminate_cuts_against_static_index(spark, tmp_path):
         assert got[4] == ("nothing shared 999", 0, 1)
     finally:
         q.stop()
+
+
+def test_decontaminate_index_min_len_mismatch_raises(spark, tmp_path):
+    # an index built at one window length used at another would match
+    # nothing and silently mark the corpus clean — must RAISE instead
+    from crysda_spark.pipeline.dupspan import (
+        build_decontam_index, decontaminate_spans_with_index)
+    bench = Frame(spark.createDataFrame(
+        [(1, "benchmark text with enough characters here")],
+        "doc_id long, text string"))
+    train = Frame(spark.createDataFrame(
+        [(2, "train text with enough characters here too")],
+        "doc_id long, text string"))
+    idx = build_decontam_index(bench, "text", "doc_id", min_len=30)
+    with pytest.raises(ValueError, match="min_len=30"):
+        decontaminate_spans_with_index(train, idx, "text", "doc_id",
+                                       min_len=20)
+    release_pinned()
+    with pytest.raises(ValueError):
+        decontaminate_spans_with_index(train, idx, "text", "doc_id",
+                                       min_len=1)

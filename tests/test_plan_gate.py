@@ -233,22 +233,21 @@ EXPECTED = {
     # The pinned window + candidate tables keep each upstream single-
     # execution (their cached definitions don't add scans here).
     "dupspan_exact_stats": dict(scans=3, exchanges=5, bhj=2, smj=2),
-    # r12: cross-corpus decontamination — 5 parquet scans (train + bench
-    # window kernels, bench text into the index, train verify join,
-    # stats base), all joins on the candidate path BROADCAST (the index
-    # carries the benchmark substrings, so the verify stage needs NO
-    # second benchmark-text join — bhj dropped 4→3 with the index
-    # refactor) — the train corpus itself is NEVER hash-exchanged: the
-    # 6 exchanges are the index distinct + the per-consumer hash/_g
-    # distincts (candidate-sized), the islands window and the stats
-    # agg. An SMJ beyond the verify semi-join + stats left-join means
-    # a corpus-sized side stopped broadcasting.
-    "decontam_exact_stats": dict(scans=5, exchanges=6, bhj=3, smj=2),
+    # r12: cross-corpus decontamination — 4 parquet scans (train + bench
+    # window kernels, train verify join, stats base; the bench window
+    # kernel emits its substrings itself, so the index build has NO
+    # text join-back — scans 5→4, smj 2→1 after the review fix), all
+    # joins on the candidate path BROADCAST — the train corpus itself
+    # is NEVER hash-exchanged: the 6 exchanges are the index distinct
+    # + the per-consumer hash/_g distincts (candidate-sized), the
+    # islands window and the stats agg. An SMJ beyond the stats
+    # left-join means a corpus-sized side stopped broadcasting.
+    "decontam_exact_stats": dict(scans=4, exchanges=6, bhj=3, smj=1),
     # the CUT variants run the identical spans pipeline + the splice
     # kernel (collect_list is part of the splice's span-list agg, not
     # a new shuffle) — locked to the same shapes as their stats twins
     "dupspan_exact_cut": dict(scans=3, exchanges=5, bhj=2, smj=2),
-    "decontam_exact_cut": dict(scans=5, exchanges=6, bhj=3, smj=2),
+    "decontam_exact_cut": dict(scans=4, exchanges=6, bhj=3, smj=1),
     # r12: corpus mix — ONE scan, map-side stamp + explode, then the
     # two-exchange aggregate (partial/final with countDistinct); any
     # bhj/smj means the mix started joining, which it must never do
