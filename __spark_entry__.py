@@ -3266,6 +3266,35 @@ def anomaly_daily_volume(spark, sf_dir):
                           "expected", "zscore", "is_anomaly")
 
 
+@q("event_transition_matrix", """
+WITH seq AS (
+  SELECT event_type AS from_event,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_event
+  FROM events),
+c AS (SELECT from_event, to_event, COUNT(*) AS n
+      FROM seq WHERE to_event IS NOT NULL
+      GROUP BY from_event, to_event),
+tot AS (SELECT from_event, SUM(n) AS tn FROM c GROUP BY from_event)
+SELECT c.from_event, c.to_event, c.n,
+       c.n / CAST(tot.tn AS DOUBLE) AS p
+FROM c JOIN tot USING (from_event)
+""")
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (operators/funnel.event_transitions): the
+    product-analytics "what happens next" verb — P(next | current)
+    with counts, ordered by (ts, event_id) for tie determinism. One
+    user-partitioned LEAD window is the only corpus-sized shuffle;
+    everything after runs on |alphabet|^2 rows. The oracle replays
+    the identical window + row-normalization in DuckDB."""
+    from crysda_spark.operators.funnel import event_transitions
+    ev = _t(spark, sf_dir, "events")
+    return event_transitions(ev, "event_type", "user_id", "ts",
+                             tiebreak_col="event_id",
+                             round_to=None).sdf
+
+
 @q("funnel_view_click_purchase", """
 WITH s1 AS (SELECT user_id AS u, MIN(ts) AS t FROM events
             WHERE event_type = 'view' GROUP BY 1),

@@ -16,6 +16,10 @@ relationally:
   matrix counts distinct users active at each bucket offset from
   their cohort. Two aggregates (first-seen, distinct activity) and a
   join — the corpus is never crossed with a calendar.
+- ``event_transitions``: the first-order Markov transition matrix
+  over each user's time-ordered event sequence — P(next | current)
+  with counts. One LEAD window partitioned by user (the only
+  corpus-sized shuffle) and two aggregates over |alphabet|² rows.
 """
 
 from __future__ import annotations
@@ -24,7 +28,8 @@ from pyspark.sql import functions as F
 
 from ..frame import Frame
 
-__all__ = ["funnel", "retention_cohorts", "funnel_advance"]
+__all__ = ["funnel", "retention_cohorts", "funnel_advance",
+           "event_transitions"]
 
 
 def funnel(f: Frame, steps: list[str], user_col: str = "user_id",
@@ -125,3 +130,55 @@ def funnel_advance(step_idx: int, last_t, event, ts, steps,
         if within_seconds is not None and ts - last_t > within_seconds:
             return step_idx, last_t
     return step_idx + 1, ts
+
+
+def event_transitions(f: Frame, event_col: str = "event_type",
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      tiebreak_col: str | None = None,
+                      include_end: bool = False,
+                      end_label: str = "__end__",
+                      round_to: int | None = 6) -> Frame:
+    """First-order transition matrix over each user's time-ordered
+    event sequence: ``(from_event, to_event, n, p)`` where ``n``
+    counts adjacent pairs across the whole corpus and ``p`` is the
+    row-normalized probability P(to | from), rounded to ``round_to``
+    places (``None`` emits the RAW IEEE quotient of the two exact
+    counts — one correctly-rounded divide, bit-identical on every
+    engine, which is what a cross-engine value oracle should compare;
+    ROUND of a near-tie double is engine-implementation-sensitive).
+
+    ``tiebreak_col`` orders simultaneous events deterministically
+    (pass the event id — REQUIRED for a value-stable result when
+    timestamps can collide). ``include_end`` appends each user's
+    terminal event as a transition to ``end_label``, making every
+    row's outgoing probabilities sum to 1 over the extended alphabet.
+
+    Scale shape: ONE window shuffle partitioned by user (bounded by
+    the user's own history — no skew beyond a hot user), then
+    aggregates over at most |alphabet|² + 1 rows. Nothing else
+    touches the corpus; at 100 TB this is a single
+    shuffle-and-count."""
+    from pyspark.sql import Window
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(user_col).orderBy(*order)
+    nxt = F.lead(event_col).over(w)
+    if include_end:
+        nxt = F.coalesce(nxt, F.lit(end_label))
+    cols = [user_col, event_col, ts_col]
+    if tiebreak_col is not None:
+        cols.append(tiebreak_col)
+    pairs = (f.sdf.select(*[F.col(c) for c in cols])
+             .select(F.col(event_col).alias("from_event"),
+                     nxt.alias("to_event"))
+             .filter(F.col("to_event").isNotNull()))
+    counts = (pairs.groupBy("from_event", "to_event")
+              .agg(F.count(F.lit(1)).alias("n")))
+    tot = counts.groupBy("from_event").agg(F.sum("n").alias("_tn"))
+    p = F.col("n") / F.col("_tn")
+    if round_to is not None:
+        p = F.round(p, round_to)
+    out = (counts.join(tot, on="from_event")
+           .select("from_event", "to_event", "n", p.alias("p")))
+    return Frame(out)

@@ -82,3 +82,43 @@ def test_retention_validation(spark):
     f = _events(spark, [(1, "2024-01-01 00:00:00", "x")])
     with pytest.raises(ValueError, match="day|week|month"):
         retention_cohorts(f, grain="hour")
+
+
+def test_event_transitions_counts_and_probs(spark):
+    from crysda_spark.operators.funnel import event_transitions
+    rows = [
+        (1, 10, "view", 1), (2, 10, "click", 2), (3, 10, "view", 3),
+        (4, 11, "view", 1), (5, 11, "click", 2), (6, 11, "buy", 3),
+        (7, 12, "view", 1),                      # lone event: no pair
+    ]
+    f = Frame(spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts long"))
+    got = {(r["from_event"], r["to_event"]): (r["n"], r["p"]) for r in
+           event_transitions(f, "event_type", "user_id", "ts",
+                             tiebreak_col="event_id").sdf.collect()}
+    # view->click twice (u10, u11); click->view once; click->buy once
+    assert got[("view", "click")] == (2, 1.0)
+    assert got[("click", "view")] == (1, 0.5)
+    assert got[("click", "buy")] == (1, 0.5)
+    assert ("view", "view") not in got and len(got) == 3
+
+
+def test_event_transitions_include_end_rows_sum_to_one(spark):
+    from crysda_spark.operators.funnel import event_transitions
+    rows = [(1, 10, "a", 1), (2, 10, "b", 2), (3, 11, "a", 1)]
+    f = Frame(spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts long"))
+    out = event_transitions(f, "event_type", "user_id", "ts",
+                            tiebreak_col="event_id",
+                            include_end=True).sdf
+    got = {(r["from_event"], r["to_event"]): (r["n"], r["p"])
+           for r in out.collect()}
+    # a -> b once, a -> __end__ once (u11), b -> __end__ once
+    assert got[("a", "b")] == (1, 0.5)
+    assert got[("a", "__end__")] == (1, 0.5)
+    assert got[("b", "__end__")] == (1, 1.0)
+    from collections import defaultdict
+    sums = defaultdict(float)
+    for (frm, _to), (_n, p) in got.items():
+        sums[frm] += p
+    assert all(abs(v - 1.0) < 1e-9 for v in sums.values())
