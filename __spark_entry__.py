@@ -4748,7 +4748,7 @@ def quantile_verb_grouped(spark, sf_dir):
 
 
 @q("write_csv_roundtrip", """
-SELECT n_regionkey, COUNT(*) AS n, SUM(n_nationkey) AS key_sum,
+SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
        MAX(n_name) AS max_name
 FROM nation GROUP BY n_regionkey
 """)
@@ -5070,7 +5070,7 @@ SELECT CASE WHEN len(parts) >= 3 AND (parts[-2] || '.' || parts[-1]) IN
             THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
             WHEN len(parts) >= 2 THEN parts[-2] || '.' || parts[-1]
             ELSE host END AS domain,
-       host, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+       host, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM d GROUP BY 1, 2
 """)
 def url_domain_rollup(spark, sf_dir):
@@ -5103,7 +5103,7 @@ c AS (
   FROM s
 )
 SELECT CAST(FLOOR((cum - n_tok) / 4096) AS BIGINT) AS shard,
-       COUNT(*) AS n_docs, SUM(n_tok) AS tok_mass
+       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_mass
 FROM c GROUP BY 1
 """)
 def token_budget_shards(spark, sf_dir):
@@ -5597,7 +5597,7 @@ g AS (
 SELECT doc_id,
        ('0x' || substr(md5(g), 1, 15))::BIGINT % 64 AS bucket,
        COUNT(*) AS cnt,
-       SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS tot
+       CAST(SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS BIGINT) AS tot
 FROM g GROUP BY 1, 2
 """)
 def hashed_features_sparse(spark, sf_dir):
@@ -5983,7 +5983,8 @@ def _corr_oracle(table: str, cols: list[str], quant: int = 6,
         deny = f"({_recon('syy')}*{nd} - {dy}*{dy})"
         inv_sq = f"1e-{2 * quant}"
         outs.append(
-            f"SELECT '{x}' AS col_x, '{y}' AS col_y, n_{t} AS n,\n"
+            f"SELECT '{x}' AS col_x, '{y}' AS col_y, "
+            f"CAST(n_{t} AS BIGINT) AS n,\n"
             f"  CASE WHEN n_{t} >= 2 THEN {num}/({nd}*({nd}-1.0))*{inv_sq} "
             f"END AS cov,\n"
             f"  CASE WHEN n_{t} >= 2 AND {denx} > 0 AND {deny} > 0\n"
@@ -6060,7 +6061,7 @@ def corr_matrix_embeddings_wide(spark, sf_dir):
 
 
 @q("write_xml_roundtrip", """
-SELECT n_regionkey, COUNT(*) AS n, SUM(n_nationkey) AS key_sum,
+SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
        MAX(n_name) AS max_name
 FROM nation GROUP BY n_regionkey
 """)
@@ -6113,13 +6114,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_oracle.py coverage. tests/test_entry_roster.py guards the
 # core and the all-oracle-bearing invariant.
 #
-# r12 roster: 96 queries had driver-green rows after r11 (the union
-# computed from CORRECTNESS_r01-r11). This round rotates in the two r11
-# corr hash-seam rows (now carrying the engine-version-robust oracle
-# epilogue) plus 25 of the 49 never-gated SQL-oracled queries; the
-# remaining 24 SQL-oracled take r13's slots, after which only rows-only
-# queries (multimodal/PQ/sampler gates — the driver records a weaker
-# rows-only check for those) are left ungated.
+# r13 roster: 120 queries hold driver-green rows after r12 (union of
+# CORRECTNESS_r01-r12). This round retains the three r12 hash-red rows
+# (root-caused to uncast int128 ORACLE output columns, now BIGINT-cast
+# and canary-guarded) and rotates in 24 of the 29 never-gated
+# SQL-oracled queries; the remaining 5 SQL-oracled (write_csv/
+# write_xml roundtrips, salted_agg_flagstats, bucketed_agg_orders,
+# zorder_key_parts) take r14's first slots ahead of the rows-only tail
+# (multimodal/PQ/sampler gates — the driver records a weaker rows-only
+# check for those).
 _GATE_ORDER = [
     # ---- permanent core: one-two per §2 family ----
     # §2.4 group/agg (plain agg + the applyInPandas path)
@@ -6144,25 +6147,30 @@ _GATE_ORDER = [
     # LLM-pipeline anchors
     "rollup_cascade_daily", "dedup_exact_docs", "embed_topk_cosine",
     "ngram_jaccard_docs",
-    # ---- r12 rotation: 27 slots ----
-    # the two r11 hash-seam rows stay in to PROVE the version-robust
-    # oracle epilogue driver-green (they have no prior green row)
+    # ---- r13 rotation: 27 slots ----
+    # The three r12 hash-red rows stay in to PROVE the real fix
+    # driver-green: the adjudicated root cause was an uncast int128
+    # (HUGEINT) output column in each ORACLE (`n` / `tot`), now cast
+    # AS BIGINT and guarded by the semantic hugeint-output canary in
+    # tools/check_oracle.py + tests/test_check_oracle.py.
     "corr_matrix_lineitem", "corr_matrix_embeddings_wide",
-    # TPC-H remainder incl. the pseudo-partsupp half + refresh cycle
-    "q4_priority_exists", "q10_returned_items", "q11_important_stock",
-    "q12_ship_priority_lines", "q15_top_supplier",
-    "q16_supplier_part_counts", "q19_discounted_revenue",
-    "q20_excess_stock_suppliers", "tpch_refresh_cycle",
-    # GD / classifier family (r11's rewritten kernels, never gated)
-    "logreg_gd_weights", "logreg_gd_multi_weights",
-    "multiclass_argmax_fixed", "text_classifier_score_fixed",
-    "hashed_features_sparse", "nb_lang_confusion",
-    "centroid_assign_counts",
-    # pipeline / graph / analytics
-    "funnel_view_click_purchase", "retention_weekly_cohorts",
-    "pagerank_cust_supplier", "triangle_census", "drift_psi_value",
-    "leakage_safe_split_counts", "e2e_corpus_prep", "dup_span_coverage",
-    "quality_check_report",
+    "hashed_features_sparse",
+    # 24 never-driver-gated SQL-oracled queries (NOTES_r12 pool; the
+    # three retained reds displace write_csv_roundtrip,
+    # salted_agg_flagstats, bucketed_agg_orders — each family already
+    # holds a driver-green row or a zero-Exchange pytest lock — which
+    # take r14's first slots with write_xml_roundtrip/zorder_key_parts)
+    "dupspan_exact_stats", "dupspan_exact_cut",
+    "decontam_exact_stats", "decontam_exact_cut", "corpus_mix_counts",
+    "aggressive_normalize_dedup", "anomaly_daily_volume",
+    "bitmap_user_segments", "bloom_prefiltered_revenue",
+    "chunk_documents_windows", "filter_by_row_predicate",
+    "fuzzy_join_suppliers", "key_skew_report_orders",
+    "line_dedup_boilerplate", "merge_upsert_snapshot",
+    "moments_4dp_exactness", "order_rank_argsort",
+    "props_json_rollup", "repetition_quality_stats",
+    "rollup_ksample_quantiles", "scd2_segment_history",
+    "token_budget_shards", "unigram_lm_quality", "url_domain_rollup",
 ]
 
 

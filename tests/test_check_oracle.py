@@ -14,7 +14,8 @@ import sys
 
 sys.path.insert(0, "/root/repo/tools")
 
-from check_oracle import canon_cell, fragile_double_casts  # noqa: E402
+from check_oracle import (  # noqa: E402
+    canon_cell, fragile_double_casts, hugeint_output_columns)
 
 
 def test_canon_cell_float_policy_is_10_sig_digits():
@@ -65,3 +66,48 @@ def test_registered_oracles_carry_no_fragile_casts():
     fragile = {n: h for n, sql in entry.oracle_sql().items()
                if (h := fragile_double_casts(sql))}
     assert fragile == {}, f"engine-version-fragile oracles: {fragile}"
+
+
+def test_semantic_canary_types_result_columns():
+    # r13 (VERDICT r12): the gating check is SEMANTIC — bind the query
+    # and type its RESULT columns, don't pattern-match the text. The
+    # r12 textual canary passed `SUM(CASE WHEN x THEN 1 END) AS n`
+    # (no CAST anywhere) yet that column types HUGEINT and went
+    # driver-red; this catches it.
+    import duckdb
+    con = duckdb.connect()
+    bad = "SELECT SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS n FROM (SELECT 1 AS x)"
+    hits = hugeint_output_columns(con, bad)
+    assert hits == [("n", "HUGEINT")]
+    good = ("SELECT CAST(SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n FROM (SELECT 1 AS x)")
+    assert hugeint_output_columns(con, good) == []
+    # windowed SUM(COUNT(*)) — the hashed_features_sparse shape
+    win = ("SELECT x, SUM(COUNT(*)) OVER (PARTITION BY x) AS tot "
+           "FROM (SELECT 1 AS x) GROUP BY x")
+    assert [c for c, _ in hugeint_output_columns(con, win)] == ["tot"]
+    # nested int128 (list element) is flagged too
+    lst = "SELECT [SUM(x)] AS xs FROM (SELECT 1::HUGEINT AS x)"
+    assert hugeint_output_columns(con, lst)
+
+
+def test_registered_oracles_emit_no_int128_columns():
+    # Full-roster semantic sweep at sf0.001: bind every oracle against
+    # real views and assert zero int128 output columns. This is the
+    # builder-side twin of the driver's hash gate — binding only, so
+    # it stays fast (~seconds for 150+ oracles).
+    import duckdb
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+    from check_oracle import TABLES
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    offenders = {}
+    for n, sql in entry.oracle_sql().items():
+        h = hugeint_output_columns(con, sql)
+        if h:
+            offenders[n] = h
+    assert offenders == {}, f"int128 output columns: {offenders}"

@@ -97,6 +97,24 @@ def fragile_double_casts(sql: str) -> list[str]:
     return hits
 
 
+def hugeint_output_columns(con, sql: str) -> list[tuple[str, str]]:
+    """Semantic engine-version canary (r13, superseding the textual
+    ``fragile_double_casts`` scan as the gating check — VERDICT r12
+    adjudication): BIND the oracle on DuckDB and type its RESULT
+    columns. Any output column that types as HUGEINT/UHUGEINT (int128,
+    incl. nested in lists/structs) is rejected: the driver's
+    fetch/hash path treats int128 differently from int64 (every
+    HUGEINT-emitting oracle in gate history went red; zero int64 ones
+    did), and this host's DuckDB fetchall hides the seam — so the only
+    safe contract is "no int128 ever reaches the result schema". Uses
+    relation binding (``.types``), not execution, so the full-roster
+    scan is O(compile) per oracle. Fix at the oracle: CAST the output
+    column AS BIGINT (all gated values are far inside int64)."""
+    rel = con.sql(sql)
+    return [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+            if "HUGEINT" in str(t).upper()]
+
+
 def canon_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted("|".join(canon_cell(r[i]) for i in order) for r in rows)
@@ -129,6 +147,26 @@ def main():
         print(f"\n{len(fragile)} oracle(s) carry engine-version-fragile "
               "int128->double casts — fix before the driver sweeps")
         sys.exit(2)
+    # r13 semantic canary (the gating one): bind EVERY registered
+    # oracle and refuse any int128 result column — the adjudicated
+    # root cause of all seven historical driver hash-reds.
+    huge = {}
+    for n, sql in oracles.items():
+        try:
+            h = hugeint_output_columns(con, sql)
+        except Exception as e:
+            print(f"FAIL  {n}: oracle bind error: "
+                  f"{str(e).splitlines()[0][:200]}")
+            sys.exit(2)
+        if h:
+            huge[n] = h
+    if huge:
+        for n, h in huge.items():
+            print(f"HUGEINT-OUTPUT  {n}: {h}")
+        print(f"\n{len(huge)} oracle(s) emit int128 result columns — "
+              "CAST(... AS BIGINT) before the driver sweeps")
+        sys.exit(2)
+    print("hugeint-output canary: 0 offenders across all oracles")
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
         if only and name not in only:
