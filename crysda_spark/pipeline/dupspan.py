@@ -347,35 +347,51 @@ def build_decontam_index(benchmark: Frame, text_col: str = "text",
     return Frame(ew.select("_h", "_g").distinct())
 
 
+def validate_decontam_index(index: Frame, min_len: int) -> None:
+    """Raise unless ``index`` was built with this ``min_len``: probes
+    the first row's substring length (one tiny Spark job). Split out
+    of :func:`decontaminate_spans_with_index` so long-lived callers
+    (the streaming sink) can pay it ONCE per index load instead of
+    once per micro-batch."""
+    probe = index.sdf.select(F.length("_g").alias("_l")).first()
+    if probe is not None and probe["_l"] != min_len:
+        raise ValueError(
+            f"decontaminate_spans_with_index: index was built with "
+            f"min_len={probe['_l']} but min_len={min_len} was requested "
+            "— a mismatch would silently mark every document clean; "
+            "rebuild the index or pass the matching min_len")
+
+
 def decontaminate_spans_with_index(train: Frame, index: Frame,
                                    text_col: str = "text",
                                    id_col: str = "doc_id",
-                                   min_len: int = 50) -> Frame:
+                                   min_len: int = 50,
+                                   probe: bool = True) -> Frame:
     """:func:`exact_decontaminate_spans` against a prebuilt
     :func:`build_decontam_index` table — the incremental/streaming
     path: each arriving train shard pays one window-hash map pass plus
     candidate-sized verify joins; the benchmark is never re-read.
     Same pinning contract (the index feeds the hash set and the
-    verify set — pinned; call ``release_pinned()`` after consuming).
+    verify set — pinned; call ``release_pinned()`` after consuming),
+    EXCEPT an index that is already persisted (``df.is_cached``) is
+    used as-is, so a caller amortizing one pinned index across many
+    shards/batches keeps ownership of its lifetime.
 
     The index's window length MUST equal ``min_len``: mismatched
     hashes would match nothing and silently report the corpus as
-    clean, so the first index row's substring length is checked and a
-    mismatch RAISES."""
+    clean, so by default the first index row's substring length is
+    checked and a mismatch RAISES (one tiny job). Callers that already
+    ran :func:`validate_decontam_index` on this index may pass
+    ``probe=False`` to skip the per-call job."""
     if min_len < 2:
         raise ValueError(f"decontaminate_spans_with_index: min_len "
                          f"must be >= 2, got {min_len}")
     from ..plans.cache import pin
     L = min_len
     tw = _window_hash_rows(train.sdf, text_col, id_col, L)
-    idx = pin(index.sdf)
-    probe = idx.select(F.length("_g").alias("_l")).first()
-    if probe is not None and probe["_l"] != L:
-        raise ValueError(
-            f"decontaminate_spans_with_index: index was built with "
-            f"min_len={probe['_l']} but min_len={L} was requested — a "
-            "mismatch would silently mark every document clean; "
-            "rebuild the index or pass the matching min_len")
+    idx = index.sdf if index.sdf.is_cached else pin(index.sdf)
+    if probe:
+        validate_decontam_index(Frame(idx), L)
     cand = tw.join(idx.select("_h").distinct(), on="_h") \
         .select(id_col, "pos")
     # exact verification on the REAL substrings — train side extracted

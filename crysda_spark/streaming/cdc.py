@@ -115,9 +115,12 @@ def stream_dedup_incremental(stream: SparkDF, path: str, text_col: str,
     over ITS OWN text plus equi-joins against digests/signatures.
     Exactly-once: assignments are appended under the batch id (Spark
     replays a failed batch with the same id — overwrite-by-partition
-    makes the append idempotent), and the index flip is atomic."""
+    makes the append idempotent), and the index flip is atomic.
+
+    ``path`` must be a driver-local filesystem path: the A/B manifest
+    flip relies on atomic local renames (``os.replace``)."""
     from ..pipeline.dedup import build_dedup_index, dedup_incremental
-    from ..plans.cache import release_pinned
+    from ..plans.cache import pin_scope
     idx_dir = os.path.join(path, "index")
     asg_dir = os.path.join(path, "assignments")
     os.makedirs(idx_dir, exist_ok=True)
@@ -127,24 +130,26 @@ def stream_dedup_incremental(stream: SparkDF, path: str, text_col: str,
         if not batch.take(1):
             return
         spark = batch.sparkSession
-        current = read_snapshot(spark, idx_dir)
-        if current is None:
-            current = build_dedup_index(
-                Frame(batch.limit(0)), text_col, id_col, n_hashes)
-        assigns, delta = dedup_incremental(
-            Frame(batch), current, text_col, id_col,
-            threshold=threshold, n_hashes=n_hashes, bands=bands)
-        out = assigns.sdf.withColumn("batch_id", F.lit(batch_id))
-        # idempotent append: one subdir per batch id, overwritten on
-        # replay of the same id
-        out.write.mode("overwrite").parquet(
-            os.path.join(asg_dir, f"batch_id={batch_id}"))
-        new_index = current.unionByName(delta)
-        side = _active_side(idx_dir)
-        nxt = "b" if side == "a" else "a"
-        new_index.write.mode("overwrite").parquet(
-            os.path.join(idx_dir, nxt))
-        release_pinned()
+        # scope: releases only THIS batch's pins on exit (also on
+        # replay-after-failure), never another pipeline's
+        with pin_scope():
+            current = read_snapshot(spark, idx_dir)
+            if current is None:
+                current = build_dedup_index(
+                    Frame(batch.limit(0)), text_col, id_col, n_hashes)
+            assigns, delta = dedup_incremental(
+                Frame(batch), current, text_col, id_col,
+                threshold=threshold, n_hashes=n_hashes, bands=bands)
+            out = assigns.sdf.withColumn("batch_id", F.lit(batch_id))
+            # idempotent append: one subdir per batch id, overwritten
+            # on replay of the same id
+            out.write.mode("overwrite").parquet(
+                os.path.join(asg_dir, f"batch_id={batch_id}"))
+            new_index = current.unionByName(delta)
+            side = _active_side(idx_dir)
+            nxt = "b" if side == "a" else "a"
+            new_index.write.mode("overwrite").parquet(
+                os.path.join(idx_dir, nxt))
         tmp = os.path.join(idx_dir, _MANIFEST + ".tmp")
         with open(tmp, "w") as fh:
             fh.write(nxt)
@@ -170,35 +175,42 @@ def stream_decontaminate(stream: SparkDF, index_path: str, out_path: str,
 
     Each batch pays one window-hash map pass over ITS OWN text plus
     candidate-sized verify joins; the benchmark corpus is never
-    re-read (the index carries the real substrings for exact verify).
+    re-read: the index is loaded, ``min_len``-validated, and pinned
+    ONCE here (raising before the stream even starts on a mismatch)
+    and every micro-batch probes the same persisted copy. Per-batch
+    intermediates are released through a :func:`~crysda_spark.plans
+    .cache.pin_scope`, so a concurrently running pipeline or second
+    stream in the same driver never loses ITS pins. Call
+    ``release_pinned()`` after stopping the stream to drop the index
+    pin (a mid-stream release merely forces an index re-read — never
+    wrong results). ``out_path`` may be any Spark-writable URI
+    (``s3a://``, ``hdfs://``, local) — the parquet writer creates it.
     Exactly-once: output is overwrite-by-batch-id, so Spark's replay
     of a failed batch is idempotent. Output schema: ``(id, text,
     chars_removed)`` — rows whose text lost nothing pass through with
     ``chars_removed = 0``."""
     from ..pipeline.dupspan import decontaminate_spans_with_index, \
-        _splice_cut
-    from ..plans.cache import release_pinned
-    os.makedirs(out_path, exist_ok=True)
+        _splice_cut, validate_decontam_index
+    from ..plans.cache import pin, pin_scope
+    idx = Frame(pin(stream.sparkSession.read.parquet(index_path)))
+    validate_decontam_index(idx, min_len)
 
     def apply_batch(batch: SparkDF, batch_id: int) -> None:
         if not batch.take(1):
             return
-        spark = batch.sparkSession
-        try:
-            idx = Frame(spark.read.parquet(index_path))
+        # scope: releases only THIS batch's pins, also on failure
+        # (a replayed batch would otherwise accumulate persisted
+        # copies until executor storage dies)
+        with pin_scope():
             spans = decontaminate_spans_with_index(
-                Frame(batch), idx, text_col, id_col, min_len).sdf
+                Frame(batch), idx, text_col, id_col, min_len,
+                probe=False).sdf
             # the splice kernel emits chars_removed itself — no extra
             # join or third scan of the streaming source per batch
             out = _splice_cut(batch, spans, text_col, id_col,
                               with_removed=True)
             out.write.mode("overwrite").parquet(
-                os.path.join(out_path, f"batch_id={batch_id}"))
-        finally:
-            # also on failure: Spark replays the batch and would pin a
-            # fresh index copy — without this, retries accumulate
-            # persisted copies until executor storage dies
-            release_pinned()
+                f"{out_path.rstrip('/')}/batch_id={batch_id}")
 
     writer = stream.writeStream.foreachBatch(apply_batch) \
         .outputMode("append")

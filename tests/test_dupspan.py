@@ -249,10 +249,15 @@ def test_stream_decontaminate_cuts_against_static_index(spark, tmp_path):
         .coalesce(1).write.mode("append").parquet(src)
     stream = spark.readStream.schema("doc_id long, text string") \
         .parquet(src)
+    from crysda_spark.plans.cache import pin
     q = stream_decontaminate(stream, idx_p, out, "text", "doc_id",
                              min_len=20, checkpoint=ckpt)
+    # r13 (ADVICE): per-batch releases are scoped — a concurrent
+    # pipeline's pinned intermediate must survive every micro-batch
+    other_pipeline = pin(spark.range(10))
     try:
         q.processAllAvailable()
+        assert other_pipeline.is_cached
         # second batch: another leak + a clean doc
         spark.createDataFrame(
             [(3, block + "!tail"), (4, "nothing shared 999")],
@@ -266,8 +271,10 @@ def test_stream_decontaminate_cuts_against_static_index(spark, tmp_path):
         assert got[2] == ("spotless doc here", 0, 0)
         assert got[3] == ("!tail", 20, 1)
         assert got[4] == ("nothing shared 999", 0, 1)
+        assert other_pipeline.is_cached
     finally:
         q.stop()
+        release_pinned()
 
 
 def test_decontaminate_index_min_len_mismatch_raises(spark, tmp_path):
