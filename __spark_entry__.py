@@ -5123,7 +5123,10 @@ def token_budget_shards(spark, sf_dir):
                  F.sum("n_tok").alias("tok_mass")))
 
 
-@q("read_warc_wet")  # container format round-trip; rows-only + contract gate
+@q("read_warc_wet", """
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS content_length
+FROM documents WHERE doc_id < 50
+""")
 def read_warc_wet(spark, sf_dir):
     """WARC/WET corpus ingestion (sources.readers.read_warc — the
     Common Crawl container, ISO 28500): 50 documents are serialized
@@ -5132,7 +5135,14 @@ def read_warc_wet(spark, sf_dir):
     write_csv_roundtrip), read back through the DISTRIBUTED text-source
     path with the record header as lineSep, and gated: every record's
     payload must equal the original text and the Content-Length header
-    must match the payload byte length."""
+    must match the payload byte length.
+
+    r13: upgraded from rows-only to a full SQL oracle — the returned
+    ``content_length`` is the header value parsed back out of the WET
+    container, which must equal the original text's byte length
+    (DuckDB ``strlen``), so the driver's value hash now proves the
+    serialize→parse round-trip, not just its cardinality. The
+    in-query payload-equality gate stays."""
     import os
     import tempfile
 
@@ -6098,6 +6108,129 @@ def write_xml_roundtrip(spark, sf_dir):
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+
+@q("hybrid_rrf_retrieval", """
+WITH tok AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents),
+dl AS (SELECT doc_id, len(w) AS dl FROM tok),
+g AS (SELECT COUNT(*) AS n, SUM(dl) / COUNT(*) AS avgdl FROM dl),
+terms AS (SELECT unnest(['table', 'scan', 'fast']) AS term),
+tf AS (
+  SELECT e.doc_id, e.term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS term FROM tok) e
+  JOIN terms USING (term) GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+bm AS (
+  SELECT tf.doc_id,
+         ROUND(SUM( ln(1.0 + (g.n - df.df + 0.5) / (df.df + 0.5))
+                    * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / g.avgdl)) ),
+               4) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  GROUP BY 1),
+lex AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM bm ORDER BY score DESC, doc_id LIMIT 20),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 7),
+dense AS (
+  SELECT match_id AS doc_id, r FROM (
+    SELECT vec_id AS match_id,
+           ROW_NUMBER() OVER (
+             ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv.v)
+                      DESC, vec_id) AS r
+    FROM embeddings CROSS JOIN qv WHERE vec_id <> 7)
+  WHERE r <= 20),
+u AS (SELECT doc_id, r FROM lex UNION ALL SELECT doc_id, r FROM dense),
+fused AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+                 SUM(1.0 / (60 + r)) AS rrf
+          FROM u GROUP BY 1)
+SELECT doc_id, n_lists, rrf,
+       ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+""")
+def hybrid_rrf_retrieval(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-20 (['table','scan','fast'])
+    fused with embedding-cosine dense top-20 (query = vec_id 7, which
+    shares its id space with doc_id) via Reciprocal Rank Fusion
+    (pipeline.similarity.rrf_fuse, Cormack 2009) — the standard
+    no-calibration combiner for RAG retrieval stacks. Both engines
+    rank each list deterministically (rounded-BM25/raw-cosine with id
+    tie-breaks — the exact discipline of the driver-green
+    bm25_keyword_search and embed_topk_cosine), and the fused score
+    sums at most two correctly-rounded 1/(60+rank) divisions per doc,
+    so rrf doubles are bit-identical across engines."""
+    from pyspark.sql import Window as W
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = tx.bm25_search(docs, "text", "doc_id",
+                         ["table", "scan", "fast"], k=20)
+    lex_r = lex.withColumn("rank", F.row_number().over(
+        W.orderBy(F.col("score").desc(), F.col("doc_id"))))
+    q7 = emb.filter(F.col("vec_id") == 7)
+    dense_r = (sim.brute_force_topk(emb, q7, k=20).sdf
+               .select(F.col("match_id").alias("doc_id"), "rank"))
+    return sim.rrf_fuse([lex_r, dense_r], "doc_id",
+                        k0=60, top_k=10).sdf
+
+
+@q("inverted_index_postings", """
+WITH tok AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents),
+e AS (SELECT DISTINCT doc_id, unnest(w) AS term FROM tok)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       (list(doc_id ORDER BY doc_id))[1:15] AS postings
+FROM e GROUP BY term HAVING COUNT(*) >= 25
+""")
+def inverted_index_postings(spark, sf_dir):
+    """Inverted-index construction (pipeline.text.build_inverted_index,
+    Zobel & Moffat 2006): term -> (document frequency, sorted posting
+    list capped at 15). df counts ALL matching docs even past the cap;
+    the capped slice is of the SORTED list, so arrays hash identically
+    across engines and partitionings. min_df=25 keeps the row set to
+    common vocabulary at every SF."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.build_inverted_index(docs, "text", "doc_id",
+                                   min_df=25, max_postings=15).sdf
+
+
+@q("bigram_lm_quality", """
+WITH tok AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b
+  FROM tok),
+c2 AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY 1),
+c1 AS (SELECT string_split(b, ' ')[1] AS w1,
+              CAST(SUM(c2) AS BIGINT) AS c1
+       FROM c2 GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT t) AS v
+      FROM (SELECT unnest(w) AS t FROM tok)),
+model AS (
+  SELECT c2.b, ln((c2.c2 + 1.0) / (c1.c1 + 1.0 * v.v)) AS lp
+  FROM c2 JOIN c1 ON string_split(c2.b, ' ')[1] = c1.w1 CROSS JOIN v)
+SELECT big.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(model.lp), 4) AS lm2_logprob
+FROM big JOIN model USING (b) GROUP BY 1
+""")
+def bigram_lm_quality(spark, sf_dir):
+    """Add-1-smoothed bigram LM self-scoring (pipeline.text
+    .bigram_logprob) — the next rung above unigram_lm_quality on the
+    CCNet-style quality ladder: P(w2|w1) = (c12+1)/(c1+V) with c1 the
+    exact prefix-sum of bigram counts and V the distinct-token
+    vocabulary. Both engines build the identical model table from
+    int64 counts and average correctly-rounded ln() terms per doc
+    (ROUND 4dp absorbs summation-order noise, the unigram precedent).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return tx.bigram_logprob(docs, "text", "doc_id", add_k=1.0).sdf
 
 
 # The driver's correctness gate checks the FIRST 50 registrations only

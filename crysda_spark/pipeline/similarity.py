@@ -330,3 +330,57 @@ def embedding_near_dups(corpus: Frame, threshold: float = 0.95, dim: int = 64,
              .filter(F.col("cos") >= threshold)
              .select("id_a", "id_b", "cos"))
     return Frame(pairs)
+
+
+def rrf_fuse(rankings, id_col: str = "doc_id", rank_col: str = "rank",
+             k0: int = 60, top_k: int | None = None) -> Frame:
+    """Reciprocal Rank Fusion of N retrieval rankings (Cormack, Clarke
+    & Buettcher, SIGIR 2009): the standard hybrid-retrieval combiner —
+    fuse a lexical (BM25) list with a dense (embedding-cosine) list
+    without score calibration, since only RANKS enter the formula
+    ``rrf(d) = Σ_lists 1 / (k0 + rank_list(d))``.
+
+    Each input is a Frame/DataFrame carrying ``(id_col, rank_col)``
+    with ranks 1..N_i (the output shape of
+    :func:`brute_force_topk` / a ranked
+    :func:`~crysda_spark.pipeline.text.bm25_search`). Returns
+    ``(id, n_lists, rrf, rank)`` ordered by fused score, id-tiebroken.
+
+    Determinism: each list contributes at most one term per id, and
+    the per-id sum folds contributions in LIST-INDEX order (sorted
+    struct array → F.aggregate), so the double result is
+    bit-identical on every engine and partitioning — 1/(k0+rank) is a
+    single correctly-rounded IEEE division of exact integers.
+
+    Scale shape: inputs are top-N-bounded by contract (a retrieval
+    list, not a corpus), so the union carries ≤ Σ N_i rows, the fuse
+    is one tiny groupBy, and the global rank window over the fused
+    candidate set is bounded — this operator never touches corpus
+    width; the heavy lifting happened inside the per-list retrievers.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: at least one ranking required")
+    if k0 < 1:
+        raise ValueError(f"rrf_fuse: k0 must be >= 1, got {k0}")
+    tagged = None
+    for i, r in enumerate(rankings):
+        sdf = r.sdf if hasattr(r, "sdf") else r
+        part = sdf.select(
+            F.col(id_col), F.lit(i).alias("_src"),
+            (F.lit(1.0) / (F.lit(float(k0))
+                           + F.col(rank_col).cast("double")))
+            .alias("_contrib"))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    fused = (tagged.groupBy(id_col)
+             .agg(F.count(F.lit(1)).alias("n_lists"),
+                  F.aggregate(
+                      F.array_sort(F.collect_list(
+                          F.struct(F.col("_src"), F.col("_contrib")))),
+                      F.lit(0.0),
+                      lambda acc, s: acc + s["_contrib"]).alias("rrf")))
+    rank = F.row_number().over(
+        W.orderBy(F.col("rrf").desc(), F.col(id_col)))
+    out = fused.withColumn("rank", rank)
+    if top_k is not None:
+        out = out.filter(F.col("rank") <= top_k)
+    return Frame(out)

@@ -649,3 +649,99 @@ def chunk_documents(f, text_col: str, id_col: str,
                     F.lit(chunk_tokens)).alias("n_tokens")))
     from ..frame import Frame
     return Frame(out)
+
+
+def build_inverted_index(f, text_col: str = "text",
+                         id_col: str = "doc_id", min_df: int = 1,
+                         max_postings: int | None = None):
+    """Inverted index over the corpus: one row per term with its
+    document frequency and a SORTED posting list — the core retrieval
+    structure behind BM25/boolean search (Zobel & Moffat 2006).
+    Returns ``(term, df, postings)``; ``df`` always counts ALL
+    distinct documents containing the term even when ``max_postings``
+    caps the stored list (the cap keeps stop-word rows bounded — a
+    production 100 TB index shards long posting lists instead, but the
+    plan shape below is the same either way).
+
+    Scale shape: explode → DISTINCT (doc, term) — map-side combinable
+    — then ONE vocabulary-keyed aggregate; no joins, no second corpus
+    pass. ``min_df`` prunes hapax noise at the aggregate. Postings are
+    ascending and capping keeps the SORTED prefix, so output is
+    deterministic across partitionings and engines.
+
+    With ``max_postings`` set, the cap is enforced BEFORE the array is
+    built: a sort-based window ranks each term's postings by id (both
+    hang off the same term-hash Exchange, and window sort spills to
+    disk), and the aggregate collects only rank ≤ cap — so a 100 TB
+    stop-word term never materializes a corpus-sized array in an
+    aggregation buffer; its overflow costs sort/spill, not memory.
+    Uncapped, the collect_set buffer is the honest cost of asking for
+    complete posting lists (shard them instead at corpus scale)."""
+    _guard_id(id_col, {"_tok", "_r", "term", "df", "postings"},
+              "build_inverted_index")
+    from pyspark.sql.window import Window as W
+    sdf = f.sdf if hasattr(f, "sdf") else f
+    e = (sdf.select(F.col(id_col),
+                    F.explode(tokens(F.col(text_col))).alias("term"))
+         .distinct())
+    if max_postings is not None:
+        r = F.row_number().over(
+            W.partitionBy("term").orderBy(F.col(id_col)))
+        agg = (e.withColumn("_r", r)
+               .groupBy("term")
+               .agg(F.count(F.lit(1)).alias("df"),
+                    F.sort_array(F.collect_list(
+                        F.when(F.col("_r") <= max_postings,
+                               F.col(id_col)))).alias("postings")))
+    else:
+        agg = e.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_set(F.col(id_col))).alias("postings"))
+    if min_df > 1:
+        agg = agg.filter(F.col("df") >= min_df)
+    from ..frame import Frame
+    return Frame(agg)
+
+
+def bigram_logprob(f, text_col: str, id_col: str, add_k: float = 1.0,
+                   round_to: int = 4):
+    """Per-document mean bigram log-probability under an add-k-smoothed
+    bigram language model trained on the corpus itself — one model
+    step up from :func:`unigram_logprob` on the CCNet-style quality
+    ladder (KenLM swaps in a 5-gram; the pipeline shape is identical).
+    ``P(w2|w1) = (c(w1 w2) + k) / (c(w1·) + k·V)`` where ``c(w1·)``
+    sums bigram counts by prefix (exact conditional normalization) and
+    ``V`` is the distinct-token vocabulary size. Returns
+    ``(id, n_bigrams, lm2_logprob)`` — documents with fewer than two
+    tokens have no bigrams and are absent, as in the reference's
+    NA-dropping aggregate semantics.
+
+    Scale shape: one explode → bigram-count aggregate (map-side
+    combinable, shuffles (bigram, count) — vocabulary²-bounded but in
+    practice Zipf-thin), a prefix re-aggregate of that SAME table
+    (bigram-vocabulary-sized, never corpus-sized), two 1-row scalars
+    (V), and an equi-join of the per-doc bigram stream against the
+    model (AQE-broadcastable). The per-doc mean rounds to ``round_to``
+    so the output is stable to summation-order noise."""
+    _guard_id(id_col, {"_b", "_w", "_c2", "_c1", "_v", "n_bigrams",
+                       "lm2_logprob"}, "bigram_logprob")
+    sdf = f.sdf if hasattr(f, "sdf") else f
+    t = tokens(F.col(text_col))
+    big = sdf.select(F.col(id_col),
+                     F.explode(_grams(t, 2)).alias("_b"))
+    c2 = big.groupBy("_b").agg(F.count(F.lit(1)).alias("_c2"))
+    c1 = (c2.groupBy(F.split(F.col("_b"), " ")[0].alias("_w"))
+          .agg(F.sum("_c2").alias("_c1")))
+    vocab = (sdf.select(F.explode(t).alias("_w")).distinct()
+             .agg(F.count(F.lit(1)).alias("_v")))
+    model = (c2.withColumn("_w", F.split(F.col("_b"), " ")[0])
+             .join(c1, on="_w")
+             .crossJoin(F.broadcast(vocab)))
+    lp = F.log((F.col("_c2") + add_k)
+               / (F.col("_c1") + add_k * F.col("_v")))
+    from ..frame import Frame
+    return Frame(
+        big.join(model.select("_b", lp.alias("_lp")), on="_b")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.round(F.avg("_lp"), round_to).alias("lm2_logprob")))

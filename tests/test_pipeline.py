@@ -1212,3 +1212,105 @@ def test_mix_corpus_null_keys_keep_integer_part_only(spark):
     assert (None, "down") not in by_key
     # non-null keys participate in the fractional gate normally
     assert (1, "up") in by_key and len(by_key[(1, "up")]) in (2, 3)
+
+
+# ------------------------------------------------- r13: retrieval ops
+
+def test_rrf_fuse_formula_and_order(spark):
+    from crysda_spark import from_records
+    # list A ranks docs 1,2,3; list B ranks 3,2,4
+    a = from_records(spark, [{"doc_id": 1, "rank": 1},
+                             {"doc_id": 2, "rank": 2},
+                             {"doc_id": 3, "rank": 3}])
+    b = from_records(spark, [{"doc_id": 3, "rank": 1},
+                             {"doc_id": 2, "rank": 2},
+                             {"doc_id": 4, "rank": 3}])
+    out = {r["doc_id"]: r for r in
+           sim.rrf_fuse([a, b], "doc_id", k0=60).sdf.collect()}
+    assert out[2]["rrf"] == pytest.approx(1 / 62 + 1 / 62)
+    assert out[3]["rrf"] == pytest.approx(1 / 63 + 1 / 61)
+    assert out[1]["rrf"] == pytest.approx(1 / 61)
+    assert out[1]["n_lists"] == 1 and out[2]["n_lists"] == 2
+    # doc 3 (1/63+1/61) beats doc 2 (1/62+1/62): same rank sum, but
+    # 1/(k0+r) is convex in r so the spread (1,3) outscores (2,2) by
+    # Jensen; both two-list docs beat the single-list docs
+    ranks = {d: out[d]["rank"] for d in out}
+    assert ranks[3] == 1 and ranks[2] == 2 and ranks[1] == 3
+    assert ranks[4] == 4
+
+
+def test_rrf_fuse_top_k_and_validation(spark):
+    from crysda_spark import from_records
+    a = from_records(spark, [{"doc_id": i, "rank": i} for i in range(1, 9)])
+    out = sim.rrf_fuse([a], "doc_id", top_k=3).sdf.collect()
+    assert len(out) == 3 and {r["rank"] for r in out} == {1, 2, 3}
+    with pytest.raises(ValueError, match="at least one"):
+        sim.rrf_fuse([], "doc_id")
+    with pytest.raises(ValueError, match="k0"):
+        sim.rrf_fuse([a], "doc_id", k0=0)
+
+
+def test_build_inverted_index_postings(spark):
+    from crysda_spark import from_records
+    f = from_records(spark, [
+        {"id": 1, "t": "spark join window"},
+        {"id": 2, "t": "spark spark merge"},   # tf 2, df still 1
+        {"id": 3, "t": "spark join"},
+    ])
+    out = {r["term"]: r for r in
+           tx.build_inverted_index(f, "t", "id").sdf.collect()}
+    assert out["spark"]["df"] == 3
+    assert out["spark"]["postings"] == [1, 2, 3]   # sorted, distinct
+    assert out["join"]["df"] == 2 and out["join"]["postings"] == [1, 3]
+    assert out["merge"]["df"] == 1
+    # min_df prunes; max_postings caps the SORTED list but not df
+    capped = {r["term"]: r for r in
+              tx.build_inverted_index(f, "t", "id", min_df=2,
+                                      max_postings=2).sdf.collect()}
+    assert set(capped) == {"spark", "join"}
+    assert capped["spark"]["df"] == 3
+    assert capped["spark"]["postings"] == [1, 2]
+
+
+def test_bigram_logprob_hand_model(spark):
+    import math
+    from crysda_spark import from_records
+    # corpus: "a b" x2 and "a c" — bigrams: (a b):2, (a c):1
+    # prefix c(a) = 3, vocab V = {a, b, c} = 3
+    f = from_records(spark, [{"id": 1, "t": "a b"},
+                             {"id": 2, "t": "a b"},
+                             {"id": 3, "t": "a c"},
+                             {"id": 4, "t": "solo"}])  # <2 tokens of bigram
+    out = {r["id"]: r for r in
+           tx.bigram_logprob(f, "t", "id").sdf.collect()}
+    # V includes 'solo': 4 distinct tokens
+    lp_ab = math.log((2 + 1) / (3 + 4))
+    lp_ac = math.log((1 + 1) / (3 + 4))
+    assert out[1]["lm2_logprob"] == pytest.approx(round(lp_ab, 4))
+    assert out[3]["lm2_logprob"] == pytest.approx(round(lp_ac, 4))
+    assert out[1]["n_bigrams"] == 1
+    assert 4 not in out                    # no bigrams -> absent
+    # rarer continuation scores lower, as a quality signal should
+    assert out[3]["lm2_logprob"] < out[1]["lm2_logprob"]
+
+
+def test_hybrid_rrf_dense_and_lexical_agree_with_parts(docs, emb):
+    # end-to-end composition sanity on real data: every fused doc must
+    # come from one of the two input lists, and a doc present in BOTH
+    # lists must outrank the same-rank single-list doc
+    lex = tx.bm25_search(docs, "text", "doc_id",
+                         ["table", "scan", "fast"], k=10)
+    from pyspark.sql import Window as W
+    lex_r = lex.withColumn("rank", F.row_number().over(
+        W.orderBy(F.col("score").desc(), F.col("doc_id"))))
+    q = emb.filter(F.col("vec_id") == 7)
+    dense_r = (sim.brute_force_topk(emb, q, k=10).sdf
+               .select(F.col("match_id").alias("doc_id"), "rank"))
+    fused = sim.rrf_fuse([lex_r, dense_r], "doc_id").sdf.collect()
+    allowed = {r["doc_id"] for r in lex_r.collect()} | \
+              {r["doc_id"] for r in dense_r.collect()}
+    assert {r["doc_id"] for r in fused} <= allowed
+    both = [r for r in fused if r["n_lists"] == 2]
+    single = [r for r in fused if r["n_lists"] == 1]
+    if both and single:
+        assert min(r["rrf"] for r in both) > 0
