@@ -6233,6 +6233,68 @@ def bigram_lm_quality(spark, sf_dir):
     return tx.bigram_logprob(docs, "text", "doc_id", add_k=1.0).sdf
 
 
+
+@q("image_phash_near_dups")  # DCT hash over binary codecs; rows-only
+def image_phash_near_dups(spark, sf_dir):
+    """Image near-duplicate detection through the REAL codec path
+    (pipeline.phash): 64 deterministic noise BMPs are encoded
+    executor-side, the first 32 get perturbed copies (a small inverted
+    patch, id+10M — visually near-identical), every payload is
+    pHash-ed in one Arrow map pass (decode -> luma -> 32x32 NN resize
+    -> 2-D DCT -> sign-of-median bits), and Hamming-banded
+    (pigeonhole-exact at radius 7 with 8 disjoint bands) candidate
+    joins recover the pairs.
+
+    Load-bearing planted-truth gates: (a) ALL 32 planted
+    (i, i+10_000_000) pairs must come back — banding recall at radius
+    7 with 8 bands is exact, the perturbation flips <=4 bits (measured
+    max over the seeded corpus), and a
+    broken DCT/banding/verify RAISES here; (b) zero pairs between
+    DISTINCT base images (independent noise hashes sit ~32 bits apart
+    — a hash collapse, e.g. constant bits, floods this and raises)."""
+    from crysda_spark.pipeline import phash as ph
+    from pyspark.sql import types as T
+
+    ids = _t(spark, sf_dir, "documents").sdf.select("doc_id").limit(64)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from crysda_spark.pipeline.codecs import encode_bmp
+        for pdf in batches:
+            out_ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rng = np.random.RandomState(100 + did)
+                arr = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+                out_ids.append(did)
+                payloads.append(encode_bmp(arr))
+                if did % 64 < 32:
+                    near = arr.copy()
+                    near[2:4, 3:5] = 255 - near[2:4, 3:5]
+                    out_ids.append(did + 10_000_000)
+                    payloads.append(encode_bmp(near))
+            yield pd.DataFrame({"id": out_ids, "payload": payloads})
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    imgs = Frame(ids.mapInPandas(gen, schema=schema))
+    hashes = ph.hash_images(imgs, "id", "payload", method="phash")
+    pairs = ph.image_near_dups(hashes, "id", "phash",
+                               max_hamming=7, n_bands=8)
+    out = _assert_recall(
+        pairs.sdf,
+        (F.col("id_a") < 10_000_000)
+        & (F.col("id_b") == F.col("id_a") + 10_000_000),
+        32, "image_phash_near_dups planted perturbed copies")
+    n_cross = out.filter(F.col("id_b") < 10_000_000).count()
+    if n_cross:
+        raise AssertionError(
+            f"image_phash_near_dups: {n_cross} pair(s) between distinct "
+            "base images — pHash separation collapsed")
+    return out
+
+
 # The driver's correctness gate checks the FIRST 50 registrations only
 # (CORRECTNESS_r01/r02 = registrations 1-50), so registration order IS the
 # gate roster. _GATE_ORDER pins positions 1-50.

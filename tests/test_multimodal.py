@@ -901,3 +901,80 @@ def test_sample_frames_animated_webp_path(spark):
         assert np.array_equal(arr, frames[r["frame_idx"]][0][..., :3])
     stub = [r for r in out if r["id"] == 2]
     assert len(stub) == 1 and stub[0]["frame_idx"] == 0
+
+
+# ------------------------------------------------- r13: perceptual hash
+
+def test_phash_kernel_properties():
+    import numpy as np
+    from crysda_spark.pipeline.phash import (
+        _dct_matrix, dhash_from_array, hamming64, phash_from_array)
+    from crysda_spark.pipeline.codecs import resize_nearest
+    m = _dct_matrix(32)
+    assert abs(m @ m.T - np.eye(32)).max() < 1e-12   # orthonormal basis
+    rng = np.random.RandomState(7)
+    img = (rng.rand(40, 50, 3) * 255).astype(np.uint8)
+    h = phash_from_array(img)
+    assert hamming64(h, phash_from_array(img.copy())) == 0
+    img2 = img.copy()
+    img2[3:5, 4:6] = 255 - img2[3:5, 4:6]            # small edit
+    assert hamming64(h, phash_from_array(img2)) <= 3
+    # NN upscale is hash-invariant (the resize grid re-samples the
+    # same source pixels)
+    big = resize_nearest(img, 100, 80)
+    assert hamming64(h, phash_from_array(big)) == 0
+    assert hamming64(dhash_from_array(img), dhash_from_array(big)) == 0
+    # structurally different content is far
+    stripes = np.zeros((40, 50, 3), np.uint8)
+    stripes[:, ::2] = 255
+    assert hamming64(h, phash_from_array(stripes)) > 10
+    with pytest.raises(ValueError, match="hash_size"):
+        phash_from_array(img, hash_size=9)
+
+
+def test_hash_images_distributed_matches_driver(spark):
+    import numpy as np
+    from crysda_spark.pipeline.codecs import encode_bmp
+    from crysda_spark.pipeline.phash import hash_images, phash_from_array
+    rng = np.random.RandomState(3)
+    arrs = {i: (rng.rand(12, 16, 3) * 255).astype(np.uint8)
+            for i in range(6)}
+    rows = [(i, bytearray(encode_bmp(a))) for i, a in arrs.items()]
+    rows.append((99, bytearray(b"junk not an image")))
+    f = Frame(spark.createDataFrame(rows, "id long, payload binary"))
+    got = {r["id"]: r for r in hash_images(f).sdf.collect()}
+    for i, a in arrs.items():
+        assert got[i]["phash"] == phash_from_array(a)
+        assert (got[i]["width"], got[i]["height"]) == (16, 12)
+    # undecodable payload degrades to md5-derived hash, 0x0 geometry
+    assert got[99]["width"] == 0 and got[99]["phash"] is not None
+    with pytest.raises(Exception):
+        hash_images(f, strict=True).sdf.collect()
+    with pytest.raises(ValueError, match="method"):
+        hash_images(f, method="md5")
+
+
+def test_image_near_dups_banding_recovers_planted(spark):
+    import numpy as np
+    from crysda_spark.pipeline.phash import image_near_dups
+    from crysda_spark import from_records
+    rng = np.random.RandomState(11)
+    rows = []
+    base = {}
+    for i in range(20):
+        h = int(rng.randint(0, 2**63 - 1))
+        base[i] = h
+        rows.append({"id": i, "phash": h})
+        # planted near-dup: flip 2 bits -> hamming 2
+        rows.append({"id": i + 1000, "phash": h ^ 0b101})
+    f = from_records(spark, rows)
+    out = image_near_dups(f, max_hamming=3, n_bands=4).sdf.collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    for i in range(20):
+        assert got[(i, i + 1000)] == 2        # perfect pigeonhole recall
+    # random 63-bit hashes are nowhere near each other
+    assert all(a + 1000 == b for (a, b) in got)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        image_near_dups(f, max_hamming=4, n_bands=4)
+    with pytest.raises(ValueError, match="divide"):
+        image_near_dups(f, max_hamming=3, n_bands=5)

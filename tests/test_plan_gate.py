@@ -252,6 +252,24 @@ EXPECTED = {
     # two-exchange aggregate (partial/final with countDistinct); any
     # bhj/smj means the mix started joining, which it must never do
     "corpus_mix_counts": dict(scans=1, exchanges=2, bhj=0, smj=0),
+    # r13: hybrid RRF — the BM25 branch (3 corpus-token exchanges, its
+    # df/avgdl BHJs) + the mapInPandas cosine branch; the fuse itself
+    # adds only the bounded candidate-set aggregate + the global rank
+    # window's single-partition exchange (top-N-bounded by contract).
+    # An smj or extra scan means a retrieval list stopped being
+    # top-k-bounded before the fuse.
+    "hybrid_rrf_retrieval": dict(scans=5, exchanges=7, bhj=2, smj=0),
+    # r13: inverted index — ONE corpus scan; the (doc,term) distinct
+    # exchange + the term exchange SHARED by the cap window and the
+    # final aggregate (window sort spills, so stop-word terms never
+    # materialize corpus-sized aggregation buffers). A third exchange
+    # means the window stopped sharing the term partitioning.
+    "inverted_index_postings": dict(scans=1, exchanges=2, bhj=0, smj=0),
+    # r13: bigram LM — corpus scanned for bigrams + vocab + the two
+    # model joins' probe sides; exchanges are the bigram/prefix/vocab
+    # aggregates, model joins broadcast (bigram-vocab-sized). An smj
+    # means the model table reached corpus width.
+    "bigram_lm_quality": dict(scans=4, exchanges=6, bhj=2, smj=0),
 }
 
 
