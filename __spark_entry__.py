@@ -6295,6 +6295,36 @@ def image_phash_near_dups(spark, sf_dir):
     return out
 
 
+
+@q("target_encode_priority", """
+WITH b AS (
+  SELECT o_orderpriority AS category,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders),
+per AS (SELECT category, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS s
+        FROM b GROUP BY 1),
+g AS (SELECT CAST(SUM(y) AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS gm
+      FROM b)
+SELECT category, n, ROUND((s + 10.0 * gm) / (n + 10.0), 6) AS enc
+FROM per CROSS JOIN g
+""")
+def target_encode_priority(spark, sf_dir):
+    """Smoothed target encoding (pipeline.classify.target_encode,
+    Micci-Barreca 2001) of order priority against the binary
+    'order fulfilled' label: enc = (sum + m*global_mean)/(n + m),
+    m=10. Exact int64 sums on both engines, one correctly-rounded
+    division for the global mean, identical IEEE association for the
+    shrinkage — value-hash-stable without any float-order slack."""
+    o = _t(spark, sf_dir, "orders")
+    from crysda_spark.pipeline.classify import target_encode
+    base = o.sdf.select(
+        F.col("o_orderpriority"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("_y"))
+    return target_encode(Frame(base), "o_orderpriority", "_y",
+                         m=10.0).sdf
+
+
 # The driver's correctness gate checks the FIRST 50 registrations only
 # (CORRECTNESS_r01/r02 = registrations 1-50), so registration order IS the
 # gate roster. _GATE_ORDER pins positions 1-50.

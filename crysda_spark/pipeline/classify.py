@@ -743,3 +743,42 @@ def text_classifier_predict_multi(sdf, text_col: str, id_col: str,
                                   out_col=out_col, scores_col=scores_col)
     keep = [id_col, out_col] + ([scores_col] if scores_col else [])
     return out.select(*keep)
+
+
+def target_encode(f, cat_col: str, label_col: str, m: float = 10.0,
+                  round_to: int = 6):
+    """Smoothed target (mean) encoding of a categorical column
+    (Micci-Barreca 2001) — the classic high-cardinality categorical
+    featurizer: ``enc(c) = (sum_c + m * global_mean) / (n_c + m)``,
+    shrinking rare categories toward the global mean so one-row
+    categories don't memorize their label. Returns one row per
+    category: ``(category, n, enc)``.
+
+    Determinism: the label is aggregated as an EXACT integer/decimal
+    sum per category (accumulation-order-free), the global mean is one
+    correctly-rounded division of two exact totals, and the encoding
+    is a single IEEE expression over those scalars — bit-identical
+    across engines and partitionings; ``round_to`` then quantizes for
+    display stability.
+
+    Scale shape: ONE map-side-combinable aggregate keyed on the
+    category (category-cardinality rows out) + a 1-row global
+    aggregate broadcast back — encoding 100 TB costs one shuffle of
+    (category, sum, count) partials. Joining the encoding back to the
+    fact is the caller's broadcast join (the table is category-sized).
+    """
+    sdf = f.sdf if hasattr(f, "sdf") else f
+    if m < 0:
+        raise ValueError(f"target_encode: smoothing m must be >= 0, got {m}")
+    per = (sdf.groupBy(F.col(cat_col).alias("category"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col(label_col).cast("long")).alias("_s")))
+    g = sdf.agg(
+        (F.sum(F.col(label_col).cast("long"))
+         / F.count(F.lit(1))).alias("_gm"))
+    enc = (F.col("_s") + F.lit(float(m)) * F.col("_gm")) \
+        / (F.col("n") + F.lit(float(m)))
+    out = (per.crossJoin(F.broadcast(g))
+           .select("category", "n", F.round(enc, round_to).alias("enc")))
+    from ..frame import Frame
+    return Frame(out)

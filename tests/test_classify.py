@@ -364,3 +364,26 @@ def test_gd_partials_plan_has_no_exchange(spark):
     # non-empty partition, regardless of input partitioning
     assert parts.count() == sdf.rdd.getNumPartitions() or \
         parts.count() <= sdf.rdd.getNumPartitions()
+
+
+def test_target_encode_shrinks_toward_global_mean(spark):
+    from crysda_spark import from_records
+    from crysda_spark.pipeline.classify import target_encode
+    import pytest as _pt
+    rows = ([{"c": "a", "y": 1}] * 8 + [{"c": "a", "y": 0}] * 2
+            + [{"c": "b", "y": 1}])          # rare category, all-1
+    f = from_records(spark, rows)
+    out = {r["category"]: r for r in
+           target_encode(f, "c", "y", m=10.0).sdf.collect()}
+    gm = 9 / 11
+    assert out["a"]["n"] == 10
+    assert out["a"]["enc"] == _pt.approx(round((8 + 10 * gm) / 20, 6))
+    # the one-row category lands ~at the prior, NOT at its raw mean 1.0
+    assert out["b"]["enc"] == _pt.approx(round((1 + 10 * gm) / 11, 6))
+    assert out["b"]["enc"] < 0.9
+    # m=0 degenerates to the raw per-category mean
+    raw = {r["category"]: r["enc"] for r in
+           target_encode(f, "c", "y", m=0.0).sdf.collect()}
+    assert raw["a"] == _pt.approx(0.8) and raw["b"] == _pt.approx(1.0)
+    with _pt.raises(ValueError, match="smoothing"):
+        target_encode(f, "c", "y", m=-1.0)
