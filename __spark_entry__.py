@@ -6325,6 +6325,80 @@ def target_encode_priority(spark, sf_dir):
                          m=10.0).sdf
 
 
+
+@q("audio_fingerprint_match")  # FFT landmark hashing; rows-only
+def audio_fingerprint_match(spark, sf_dir):
+    """Audio excerpt identification through the REAL WAV codec path
+    (pipeline.audiofp — Wang 2003 Shazam constellation): 16
+    deterministic tone-block clips are PCM-encoded executor-side,
+    landmarked via Hann-STFT spectral peaks + anchor-target hashing in
+    one Arrow map pass; 8 hop-aligned 2-second excerpts (query_id =
+    clip_id + 10M, cut at frame offset 32) are landmarked the same way
+    and matched by hash equi-join + offset voting.
+
+    Load-bearing planted-truth gate: every excerpt must match ITS
+    source clip at EXACTLY offset 32 with a vote landslide — a broken
+    STFT, peak picker, hash packing, or vote binning flips the match
+    row or the offset, and the query RAISES so the driver's rows
+    check records red."""
+    from crysda_spark.pipeline import audiofp as afp
+    from pyspark.sql import types as T
+
+    RATE = 8000
+    ids = _t(spark, sf_dir, "documents").sdf.select("doc_id").limit(16)
+
+    def synth_np(did):
+        import numpy as np
+        rng = np.random.RandomState(500 + did)
+        n = RATE * 4
+        t = np.arange(n) / RATE
+        x = np.zeros(n)
+        for b in range(0, n, RATE // 2):
+            seg = slice(b, min(b + RATE // 2, n))
+            for fq, a in zip(rng.uniform(200, 3500, 4),
+                             rng.uniform(0.5, 1.0, 4)):
+                x[seg] += a * np.sin(2 * np.pi * fq * t[seg])
+        return (x / np.abs(x).max()).reshape(-1, 1)
+
+    def gen(batches):
+        import numpy as np  # noqa: F401 (synth_np closure)
+        import pandas as pd
+        from crysda_spark.pipeline.audiofp import HOP
+        from crysda_spark.pipeline.codecs import encode_wav
+        for pdf in batches:
+            out_ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                clip = synth_np(did % 16)
+                out_ids.append(did)
+                payloads.append(encode_wav(clip, RATE))
+                if did % 16 < 8:
+                    ex = clip[32 * HOP: 32 * HOP + RATE * 2]
+                    out_ids.append(did + 10_000_000)
+                    payloads.append(encode_wav(ex, RATE))
+            yield pd.DataFrame({"id": out_ids, "payload": payloads})
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    wavs = Frame(ids.mapInPandas(gen, schema=schema))
+    fps = afp.fingerprint_audio(wavs, "id", "payload")
+    from crysda_spark.plans.cache import pin
+    fps = Frame(pin(fps.sdf))  # landmarks feed both the index and query sides
+    ix = Frame(fps.sdf.filter(F.col("id") < 10_000_000))
+    qs = Frame(fps.sdf.filter(F.col("id") >= 10_000_000)
+               .withColumn("id", F.col("id")))
+    out = afp.match_audio(qs, ix).sdf
+    bad = out.filter(
+        (F.col("match_id") != F.col("query_id") - 10_000_000)
+        | (F.col("offset") != 32)).count()
+    n = out.count()
+    if bad or n != 8:
+        raise AssertionError(
+            f"audio_fingerprint_match: {n}/8 matches, {bad} wrong "
+            "clip/offset — constellation pipeline broken")
+    return out
+
+
 # The driver's correctness gate checks the FIRST 50 registrations only
 # (CORRECTNESS_r01/r02 = registrations 1-50), so registration order IS the
 # gate roster. _GATE_ORDER pins positions 1-50.
