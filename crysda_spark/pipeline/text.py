@@ -721,15 +721,21 @@ def bigram_logprob(f, text_col: str, id_col: str, add_k: float = 1.0,
     practice Zipf-thin), a prefix re-aggregate of that SAME table
     (bigram-vocabulary-sized, never corpus-sized), two 1-row scalars
     (V), and an equi-join of the per-doc bigram stream against the
-    model (AQE-broadcastable). The per-doc mean rounds to ``round_to``
-    so the output is stable to summation-order noise."""
+    model (AQE-broadcastable). The bigram-count table feeds BOTH the
+    prefix aggregate and the model join, so it is PINNED
+    (vocabulary-sized — the r11 multi-consumer lesson; call
+    ``release_pinned()`` after consuming); the corpus-sized bigram
+    stream is deliberately NOT persisted — its second consumer pays a
+    re-scan, not executor memory. The per-doc mean rounds to
+    ``round_to`` so the output is stable to summation-order noise."""
     _guard_id(id_col, {"_b", "_w", "_c2", "_c1", "_v", "n_bigrams",
                        "lm2_logprob"}, "bigram_logprob")
+    from ..plans.cache import pin
     sdf = f.sdf if hasattr(f, "sdf") else f
     t = tokens(F.col(text_col))
     big = sdf.select(F.col(id_col),
                      F.explode(_grams(t, 2)).alias("_b"))
-    c2 = big.groupBy("_b").agg(F.count(F.lit(1)).alias("_c2"))
+    c2 = pin(big.groupBy("_b").agg(F.count(F.lit(1)).alias("_c2")))
     c1 = (c2.groupBy(F.split(F.col("_b"), " ")[0].alias("_w"))
           .agg(F.sum("_c2").alias("_c1")))
     vocab = (sdf.select(F.explode(t).alias("_w")).distinct()

@@ -265,11 +265,13 @@ EXPECTED = {
     # materialize corpus-sized aggregation buffers). A third exchange
     # means the window stopped sharing the term partitioning.
     "inverted_index_postings": dict(scans=1, exchanges=2, bhj=0, smj=0),
-    # r13: bigram LM — corpus scanned for bigrams + vocab + the two
-    # model joins' probe sides; exchanges are the bigram/prefix/vocab
-    # aggregates, model joins broadcast (bigram-vocab-sized). An smj
-    # means the model table reached corpus width.
-    "bigram_lm_quality": dict(scans=4, exchanges=6, bhj=2, smj=0),
+    # r13: bigram LM — the PINNED bigram-count table (vocab-sized,
+    # feeds prefix aggregate AND model join — unpinned it recomputed
+    # the corpus explode: 4 scans/6 exchanges) collapses the plan to
+    # 3 scans/5 exchanges; model joins broadcast. An smj means the
+    # model table reached corpus width; a 4th scan means the pin fell
+    # out of the multi-consumer subtree.
+    "bigram_lm_quality": dict(scans=3, exchanges=5, bhj=2, smj=0),
 }
 
 
