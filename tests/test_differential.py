@@ -14,7 +14,10 @@ r11 NOTES' widened 168-test sweep exactly (same seed 20240814, grouped-
 agg specs 0..89 — a superset of the committed 30, so the default run
 is always a prefix of a wider one — plus the other families at
 their committed widths; r12 adds two more families: corpus-mix bucket
-arithmetic and dup-span substring grouping, both replayed exactly)."""
+arithmetic and dup-span substring grouping, both replayed exactly;
+r13 adds three: RRF fusion over random literal rankings, inverted
+index both code paths vs DuckDB ordered-list aggregation, and target
+encoding over random (category, label) tables)."""
 
 from __future__ import annotations
 
@@ -811,3 +814,138 @@ def test_random_dupspan_matches_duckdb(spark, spec):
     want = _rows_canon(cols, cur.fetchall())
     assert sorted(out.columns) == sorted(cols)
     assert got == want, f"dupspan diverged: L={L} min_dup={md}"
+
+
+# ------------------------------------------------- r13 family: RRF fusion
+
+def _rrf_specs():
+    rnd = random.Random(20240814 + 13)
+    out = []
+    for i in range(8):
+        n_lists = rnd.randint(2, 4)
+        k0 = rnd.choice([10, 60, 100])
+        lists = []
+        for _ in range(n_lists):
+            ids = rnd.sample(range(1, 30), rnd.randint(3, 12))
+            lists.append([(d, r + 1) for r, d in enumerate(ids)])
+        out.append((i, k0, lists))
+    return out
+
+
+@pytest.mark.parametrize("spec", _rrf_specs(), ids=lambda s: f"rrf{s[0]}")
+def test_rrf_fuse_matches_duckdb(spark, spec):
+    """rrf_fuse vs an independent SQL RRF over the same literal
+    rankings: random list counts/lengths/k0 — the fold order, the
+    1/(k0+r) arithmetic, and the (rrf DESC, id) rank must agree
+    value-for-value (doubles uncanonicalized beyond 9 sig digits)."""
+    from crysda_spark.pipeline.similarity import rrf_fuse
+    _, k0, lists = spec
+    frames = [spark.createDataFrame(rows, "doc_id long, rank long")
+              for rows in lists]
+    out = rrf_fuse(frames, "doc_id", k0=k0).sdf
+    got = _rows_canon(out.columns, [tuple(r) for r in out.collect()])
+
+    con = duckdb.connect()
+    unions = "\nUNION ALL\n".join(
+        "SELECT * FROM (VALUES " +
+        ", ".join(f"({d}, {r})" for d, r in rows) + ") t(doc_id, r)"
+        for rows in lists)
+    sql = f"""
+WITH u AS ({unions}),
+fused AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+                 SUM(1.0 / ({k0} + r)) AS rrf
+          FROM u GROUP BY 1)
+SELECT doc_id, n_lists, rrf,
+       ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank
+FROM fused"""
+    res = con.sql(sql)
+    want = _rows_canon(res.columns, res.fetchall())
+    assert got == want
+
+
+# --------------------------------------- r13 family: inverted index
+
+def _inv_specs():
+    rnd = random.Random(20240814 + 17)
+    vocab = ["spark", "join", "scan", "merge", "window", "agg", "sort"]
+    out = []
+    for i in range(6):
+        docs = []
+        for did in range(rnd.randint(4, 12)):
+            words = [rnd.choice(vocab)
+                     for _ in range(rnd.randint(1, 9))]
+            docs.append((did, " ".join(words)))
+        min_df = rnd.randint(1, 3)
+        cap = rnd.choice([None, 2, 4])
+        out.append((i, docs, min_df, cap))
+    return out
+
+
+@pytest.mark.parametrize("spec", _inv_specs(), ids=lambda s: f"inv{s[0]}")
+def test_inverted_index_matches_duckdb(spark, spec):
+    """build_inverted_index (both the plain-collect_set and the
+    capped window-before-collect paths) vs DuckDB's ordered list
+    aggregation over the same literal corpus — df counts past the
+    cap, postings are the sorted prefix."""
+    from crysda_spark.pipeline.text import build_inverted_index
+    _, docs, min_df, cap = spec
+    f = Frame(spark.createDataFrame(docs, "id long, t string"))
+    out = build_inverted_index(f, "t", "id", min_df=min_df,
+                               max_postings=cap).sdf
+    got = _rows_canon(out.columns, [tuple(r) for r in out.collect()])
+
+    con = duckdb.connect()
+    values = ", ".join(
+        "({}, '{}')".format(did, txt.replace("'", "''"))
+        for did, txt in docs)
+    cap_expr = f"(list(id ORDER BY id))[1:{cap}]" if cap \
+        else "list(id ORDER BY id)"
+    sql = f"""
+WITH d AS (SELECT * FROM (VALUES {values}) t(id, t)),
+e AS (SELECT DISTINCT id,
+             unnest(string_split(regexp_replace(trim(lower(t)),
+                                                '\\s+', ' ', 'g'), ' '))
+               AS term
+      FROM d)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df, {cap_expr} AS postings
+FROM e GROUP BY term HAVING COUNT(*) >= {min_df}"""
+    res = con.sql(sql)
+    want = _rows_canon(res.columns, res.fetchall())
+    assert got == want
+
+
+# --------------------------------------- r13 family: target encoding
+
+def _te_specs():
+    rnd = random.Random(20240814 + 19)
+    out = []
+    for i in range(6):
+        rows = [(rnd.choice("abcde"[:rnd.randint(2, 5)]),
+                 rnd.randint(0, 1))
+                for _ in range(rnd.randint(5, 40))]
+        m = rnd.choice([0.0, 1.0, 10.0, 25.5])
+        out.append((i, rows, m))
+    return out
+
+
+@pytest.mark.parametrize("spec", _te_specs(), ids=lambda s: f"te{s[0]}")
+def test_target_encode_matches_duckdb(spark, spec):
+    from crysda_spark.pipeline.classify import target_encode
+    _, rows, m = spec
+    f = Frame(spark.createDataFrame(rows, "c string, y int"))
+    out = target_encode(f, "c", "y", m=m).sdf
+    got = _rows_canon(out.columns, [tuple(r) for r in out.collect()])
+
+    con = duckdb.connect()
+    values = ", ".join(f"('{c}', {y})" for c, y in rows)
+    sql = f"""
+WITH b AS (SELECT * FROM (VALUES {values}) t(c, y)),
+per AS (SELECT c AS category, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS s FROM b GROUP BY 1),
+g AS (SELECT CAST(SUM(y) AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS gm
+      FROM b)
+SELECT category, n, ROUND((s + {m} * gm) / (n + {m}), 6) AS enc
+FROM per CROSS JOIN g"""
+    res = con.sql(sql)
+    want = _rows_canon(res.columns, res.fetchall())
+    assert got == want
