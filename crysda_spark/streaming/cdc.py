@@ -33,7 +33,8 @@ from ..frame import Frame
 from ..operators.merge import merge_into
 
 __all__ = ["read_snapshot", "stream_upsert_to_parquet",
-           "stream_dedup_incremental", "stream_decontaminate"]
+           "stream_dedup_incremental", "stream_decontaminate",
+           "stream_match_audio"]
 
 _MANIFEST = "MANIFEST"
 
@@ -209,6 +210,58 @@ def stream_decontaminate(stream: SparkDF, index_path: str, out_path: str,
             # join or third scan of the streaming source per batch
             out = _splice_cut(batch, spans, text_col, id_col,
                               with_removed=True)
+            out.write.mode("overwrite").parquet(
+                f"{out_path.rstrip('/')}/batch_id={batch_id}")
+
+    writer = stream.writeStream.foreachBatch(apply_batch) \
+        .outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def stream_match_audio(stream: SparkDF, index_path: str, out_path: str,
+                       id_col: str = "id", payload_col: str = "payload",
+                       min_votes: int = 5,
+                       checkpoint: str | None = None):
+    """Streaming audio identification: every micro-batch of WAV
+    payloads is landmarked (:mod:`~crysda_spark.pipeline.audiofp`,
+    Wang 2003 constellation) and matched against a STATIC landmark
+    index (built once with ``fingerprint_audio(...)`` over the catalog
+    and written to ``index_path`` as parquet ``(id, fp, t)``), with
+    verdicts landing under ``out_path`` partitioned by batch id — the
+    production shape for live media ingestion (copyright scan /
+    catalog dedup) where the catalog changes rarely and clips arrive
+    forever.
+
+    Each batch pays one Arrow landmark pass over ITS OWN audio plus a
+    hash equi-join against the pinned index — catalog audio is never
+    re-read or re-landmarked (the index is loaded and pinned ONCE at
+    stream construction; per-batch pins release through a
+    :func:`~crysda_spark.plans.cache.pin_scope`, so concurrent
+    pipelines keep theirs; call ``release_pinned()`` after stopping
+    the stream). ``out_path`` may be any Spark-writable URI.
+    Exactly-once: output is overwrite-by-batch-id, so Spark's replay
+    of a failed batch is idempotent. Output schema:
+    ``(query_id, match_id, offset, votes, batch_id)`` — unmatched
+    clips (no bin ≥ ``min_votes``) emit no row."""
+    from ..pipeline.audiofp import fingerprint_audio, match_audio
+    from ..plans.cache import pin, pin_scope
+    idx = Frame(pin(stream.sparkSession.read.parquet(index_path)))
+    cols = set(idx.sdf.columns)
+    if not {"id", "fp", "t"} <= cols:
+        raise ValueError(
+            f"stream_match_audio: index at {index_path!r} must carry "
+            f"(id, fp, t) landmark columns, found {sorted(cols)} — "
+            "build it with fingerprint_audio() over the catalog")
+
+    def apply_batch(batch: SparkDF, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        with pin_scope():
+            qs = fingerprint_audio(Frame(batch), id_col, payload_col)
+            out = match_audio(qs, idx, min_votes=min_votes).sdf \
+                .withColumn("batch_id", F.lit(batch_id))
             out.write.mode("overwrite").parquet(
                 f"{out_path.rstrip('/')}/batch_id={batch_id}")
 

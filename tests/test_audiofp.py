@@ -102,3 +102,67 @@ def test_match_audio_recovers_planted_excerpts(spark):
         assert out[qid]["match_id"] == qid - 1000
         assert out[qid]["offset"] == off
         assert out[qid]["votes"] > 50
+
+
+def test_stream_match_audio_against_static_index(spark, tmp_path):
+    """Streaming twin: micro-batches of clips match the pinned catalog
+    landmark index; output partitions by batch id; per-batch pins are
+    scoped so a concurrent pipeline's pin survives."""
+    import os
+    from crysda_spark.pipeline.codecs import encode_wav
+    from crysda_spark.plans.cache import pin, release_pinned
+    from crysda_spark.streaming.cdc import stream_match_audio
+
+    clips = {i: synth(i) for i in range(3)}
+    idx_p = str(tmp_path / "landmarks")
+    fingerprint_audio(Frame(spark.createDataFrame(
+        [(i, bytearray(encode_wav(a, RATE))) for i, a in clips.items()],
+        "id long, payload binary"))).sdf.write.parquet(idx_p)
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "matches")
+    os.makedirs(src)
+    off = 32
+
+    def excerpt(i):
+        return bytearray(encode_wav(
+            clips[i][off * HOP: off * HOP + RATE * 2], RATE))
+
+    spark.createDataFrame([(1000, excerpt(0))],
+                          "id long, payload binary") \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("id long, payload binary") \
+        .parquet(src)
+    q = stream_match_audio(stream, idx_p, out,
+                           checkpoint=str(tmp_path / "ck"))
+    other = pin(spark.range(7))
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame([(1002, excerpt(2)),
+                               (1003, bytearray(b"not audio"))],
+                              "id long, payload binary") \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {r["query_id"]: r for r in
+               spark.read.parquet(out).collect()}
+        assert got[1000]["match_id"] == 0 and got[1000]["offset"] == off
+        assert got[1000]["batch_id"] == 0
+        assert got[1002]["match_id"] == 2 and got[1002]["batch_id"] == 1
+        assert 1003 not in got            # undecodable -> no landmarks
+        assert other.is_cached            # scoped per-batch releases
+    finally:
+        q.stop()
+        release_pinned()
+
+
+def test_stream_match_audio_rejects_wrong_index(spark, tmp_path):
+    import os
+    from crysda_spark.streaming.cdc import stream_match_audio
+    bad = str(tmp_path / "bad_idx")
+    spark.range(3).write.parquet(bad)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    stream = spark.readStream.schema("id long, payload binary") \
+        .parquet(src)
+    with pytest.raises(ValueError, match="landmark columns"):
+        stream_match_audio(stream, bad, str(tmp_path / "o"))
