@@ -6399,6 +6399,66 @@ def audio_fingerprint_match(spark, sf_dir):
     return out
 
 
+
+@q("video_phash_match")  # per-frame DCT hash over AVI codec; rows-only
+def video_phash_match(spark, sf_dir):
+    """Video excerpt identification through the REAL AVI codec path
+    (pipeline.phash.fingerprint_video + match_video): 8 deterministic
+    noise clips (12 frames each) are AVI-encoded executor-side,
+    frame-sampled (every 2nd frame, original indices) and per-frame
+    pHash-ed in two Arrow passes; 4 TRIMMED copies (first 4 frames
+    dropped, query_id = clip_id + 10M) are fingerprinted the same way
+    and matched by exact-hash equi-join + frame-offset voting — the
+    audio constellation discipline on video frames.
+
+    Load-bearing planted-truth gate: every trimmed copy must match ITS
+    source clip at EXACTLY offset 4 (sampled query frames 0,2,4,...
+    carry original content 4,6,8,...) with >= 3 frame votes; a broken
+    frame sampler, per-frame hash, key packing, or vote binning flips
+    the match row or offset and the query RAISES."""
+    from crysda_spark.pipeline import phash as ph
+    from pyspark.sql import types as T
+
+    ids = _t(spark, sf_dir, "documents").sdf.select("doc_id").limit(8)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from crysda_spark.pipeline.codecs import encode_avi
+        for pdf in batches:
+            out_ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rng = np.random.RandomState(900 + did % 8)
+                frames = [(rng.rand(16, 20, 3) * 255).astype(np.uint8)
+                          for _ in range(12)]
+                out_ids.append(did)
+                payloads.append(encode_avi(frames, fps=10.0))
+                if did % 8 < 4:
+                    out_ids.append(did + 10_000_000)
+                    payloads.append(encode_avi(frames[4:], fps=10.0))
+            yield pd.DataFrame({"id": out_ids, "payload": payloads})
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    vids = Frame(ids.mapInPandas(gen, schema=schema))
+    fps = ph.fingerprint_video(vids, "id", "payload", every_n=2)
+    from crysda_spark.plans.cache import pin
+    fps = Frame(pin(fps.sdf))  # frame table feeds both index and query sides
+    ix = Frame(fps.sdf.filter(F.col("id") < 10_000_000))
+    qs = Frame(fps.sdf.filter(F.col("id") >= 10_000_000))
+    out = ph.match_video(qs, ix).sdf
+    bad = out.filter(
+        (F.col("match_id") != F.col("query_id") - 10_000_000)
+        | (F.col("offset") != 4)).count()
+    n = out.count()
+    if bad or n != 4:
+        raise AssertionError(
+            f"video_phash_match: {n}/4 matches, {bad} wrong clip/offset "
+            "— frame fingerprint pipeline broken")
+    return out
+
+
 # The driver's correctness gate checks the FIRST 50 registrations only
 # (CORRECTNESS_r01/r02 = registrations 1-50), so registration order IS the
 # gate roster. _GATE_ORDER pins positions 1-50.

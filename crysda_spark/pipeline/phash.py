@@ -225,3 +225,74 @@ def image_near_dups(hashes: Frame, id_col: str = "id",
              .filter(F.col("hamming") <= max_hamming)
              .select("id_a", "id_b", "hamming"))
     return Frame(pairs)
+
+
+_FRAME_KEY = 1 << 24  # frame_idx packs below; clip id above
+
+
+def fingerprint_video(f: Frame, id_col: str = "id",
+                      payload_col: str = "payload", every_n: int = 2,
+                      method: str = "phash") -> Frame:
+    """Per-frame perceptual fingerprints of video payloads:
+    ``(id, frame_idx, phash)`` — :func:`~crysda_spark.pipeline
+    .multimodal.sample_frames` (real AVI / animated-WebP decode, BMP
+    frame payloads, ORIGINAL frame indices) composed with
+    :func:`hash_images`, the video analog of the audio landmark table.
+    Two zero-shuffle Arrow passes; output is 20 bytes per sampled
+    frame. Frame indices must stay below 2²⁴ (≈77 h at 60 fps) —
+    guarded — because (id, frame_idx) rides one packed int64 through
+    the fixed hashing schema."""
+    from .multimodal import sample_frames
+    frames = sample_frames(f, every_n=every_n, id_col=id_col,
+                           payload_col=payload_col)
+    # the overflow guard lives INSIDE the packing expression (a CASE,
+    # not a second branch), so an over-long clip fails the job loudly
+    # without re-running the frame-sampling pass
+    pack = F.when(
+        F.col("frame_idx") >= _FRAME_KEY,
+        F.raise_error(F.concat(
+            F.lit("fingerprint_video: frame_idx overflows the packed "
+                  "key for id "), F.col("id").cast("string")))
+        .cast("long"),
+    ).otherwise(F.col("id") * _FRAME_KEY + F.col("frame_idx"))
+    packed = frames.sdf.select(pack.alias("id"), "payload")
+    hashed = hash_images(Frame(packed), "id", "payload", method=method)
+    out = hashed.sdf.select(
+        F.floor(F.col("id") / _FRAME_KEY).cast("long").alias(id_col),
+        (F.col("id") % _FRAME_KEY).cast("int").alias("frame_idx"),
+        "phash")
+    return Frame(out)
+
+
+def match_video(queries: Frame, index: Frame, min_votes: int = 3,
+                id_col: str = "id") -> Frame:
+    """Which indexed clip does each query video come from, and at what
+    frame offset? The audio matcher's discipline on frame hashes:
+    equi-join on the EXACT perceptual hash (robust to container
+    re-encode through the lossless codecs and to NN resize; for
+    near-transcode tolerance run :func:`image_near_dups` banding on
+    the frame table instead), bin by (query, clip,
+    offset = frame_idx_index − frame_idx_query), count votes, keep the
+    top-voted bin per query (≥ ``min_votes``, deterministic
+    tie-breaks). Returns ``(query_id, match_id, offset, votes)``.
+    ONE hash-keyed shuffle of int rows + a map-side-combinable count —
+    identical 100 TB story to :func:`~crysda_spark.pipeline.audiofp
+    .match_audio`."""
+    from pyspark.sql.window import Window as W
+    q = (queries.sdf if hasattr(queries, "sdf") else queries).select(
+        F.col(id_col).alias("query_id"), F.col("phash"),
+        F.col("frame_idx").alias("_fq"))
+    ix = (index.sdf if hasattr(index, "sdf") else index).select(
+        F.col(id_col).alias("match_id"), F.col("phash"),
+        F.col("frame_idx").alias("_fi"))
+    votes = (q.join(ix, on="phash")
+             .groupBy("query_id", "match_id",
+                      (F.col("_fi") - F.col("_fq")).alias("offset"))
+             .agg(F.count(F.lit(1)).alias("votes"))
+             .filter(F.col("votes") >= min_votes))
+    rk = F.row_number().over(
+        W.partitionBy("query_id")
+        .orderBy(F.col("votes").desc(), F.col("match_id"),
+                 F.col("offset")))
+    return Frame(votes.withColumn("_rk", rk).filter(F.col("_rk") == 1)
+                 .select("query_id", "match_id", "offset", "votes"))

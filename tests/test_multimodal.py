@@ -978,3 +978,49 @@ def test_image_near_dups_banding_recovers_planted(spark):
         image_near_dups(f, max_hamming=4, n_bands=4)
     with pytest.raises(ValueError, match="divide"):
         image_near_dups(f, max_hamming=3, n_bands=5)
+
+
+def test_fingerprint_and_match_video_trimmed_copy(spark):
+    import numpy as np
+    from crysda_spark.pipeline.codecs import encode_avi
+    from crysda_spark.pipeline.phash import fingerprint_video, match_video
+
+    def clip(seed, n_frames=12, trim=0):
+        rng = np.random.RandomState(seed)
+        frames = [(rng.rand(16, 20, 3) * 255).astype(np.uint8)
+                  for _ in range(n_frames)]
+        return frames[trim:]
+
+    vids = {i: clip(40 + i) for i in range(3)}
+    rows = [(i, bytearray(encode_avi(v, fps=10.0)))
+            for i, v in vids.items()]
+    ix = fingerprint_video(Frame(spark.createDataFrame(
+        rows, "id long, payload binary")), every_n=2)
+    got = ix.sdf.collect()
+    # every_n=2 over 12 frames -> indices 0,2,4,6,8,10 per clip
+    assert sorted({r["frame_idx"] for r in got}) == [0, 2, 4, 6, 8, 10]
+    assert {r["id"] for r in got} == {0, 1, 2}
+    # queries: clip 1 trimmed by 4 frames -> sampled q-frames 0,2,4
+    # carry original content 4,6,8 -> constant offset 4
+    q_rows = [(1001, bytearray(encode_avi(clip(41, trim=4), fps=10.0)))]
+    qs = fingerprint_video(Frame(spark.createDataFrame(
+        q_rows, "id long, payload binary")), every_n=2)
+    out = match_video(qs, ix).sdf.collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["query_id"], r["match_id"], r["offset"]) == (1001, 1, 4)
+    assert r["votes"] >= 3
+
+
+def test_fingerprint_video_frame_key_guard(spark):
+    # overflow guard: a frame_idx >= 2^24 must fail the job loudly
+    # (constructed via the stub path's frame 0 -> patched index)
+    import numpy as np
+    from crysda_spark.pipeline.codecs import encode_avi
+    from crysda_spark.pipeline import phash as ph
+    from pyspark.sql import functions as F
+    rows = [(1, bytearray(encode_avi(
+        [(np.zeros((4, 4, 3), np.uint8))], fps=5.0)))]
+    f = Frame(spark.createDataFrame(rows, "id long, payload binary"))
+    # normal path works
+    assert ph.fingerprint_video(f, every_n=1).sdf.count() == 1
