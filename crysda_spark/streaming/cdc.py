@@ -34,7 +34,7 @@ from ..operators.merge import merge_into
 
 __all__ = ["read_snapshot", "stream_upsert_to_parquet",
            "stream_dedup_incremental", "stream_decontaminate",
-           "stream_match_audio"]
+           "stream_match_audio", "stream_image_dedup"]
 
 _MANIFEST = "MANIFEST"
 
@@ -264,6 +264,109 @@ def stream_match_audio(stream: SparkDF, index_path: str, out_path: str,
                 .withColumn("batch_id", F.lit(batch_id))
             out.write.mode("overwrite").parquet(
                 f"{out_path.rstrip('/')}/batch_id={batch_id}")
+
+    writer = stream.writeStream.foreachBatch(apply_batch) \
+        .outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def stream_image_dedup(stream: SparkDF, path: str, id_col: str = "id",
+                       payload_col: str = "payload",
+                       max_hamming: int = 3, n_bands: int = 4,
+                       checkpoint: str | None = None):
+    """Streaming image near-dedup: every micro-batch of image payloads
+    is pHash-ed (:mod:`~crysda_spark.pipeline.phash`, real codecs) and
+    checked against the ACCRETED hash index within Hamming radius
+    ``max_hamming`` (banded equi-join — pigeonhole-exact recall, never
+    all-pairs), committing TWO tables under ``path`` via the same
+    A/B-manifest discipline as the incremental text-dedup sink:
+
+    - ``index/``: one 28-byte row per NOVEL image seen so far (hash +
+      geometry; pixels never stored), and
+    - ``assignments/``: append-only ``(id, survivor_id, hamming,
+      batch_id)`` — ``survivor_id = id`` with hamming 0 marks a novel
+      image; otherwise the earliest indexed near-duplicate (smallest
+      hamming, id tie-break).
+
+    Within-batch duplicates of a novel image resolve NEXT batch (the
+    index accretes batch-atomically — same contract as the text twin).
+    Each batch pays one Arrow decode+hash pass over ITS OWN payloads
+    plus band equi-joins against the hash index; catalog pixels are
+    never re-read. Exactly-once: assignments overwrite by batch id,
+    the index flip is atomic. ``path`` must be driver-local (manifest
+    rename).
+    """
+    from ..pipeline.phash import hash_images
+    from ..plans.cache import pin_scope
+    if n_bands <= max_hamming or 64 % n_bands:
+        raise ValueError(
+            f"stream_image_dedup: need n_bands dividing 64 and > "
+            f"max_hamming, got n_bands={n_bands} max_hamming={max_hamming}")
+    idx_dir = os.path.join(path, "index")
+    asg_dir = os.path.join(path, "assignments")
+    os.makedirs(idx_dir, exist_ok=True)
+    os.makedirs(asg_dir, exist_ok=True)
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+
+    def bands(col):
+        return F.array(*[
+            F.shiftrightunsigned(col, i * width).bitwiseAND(F.lit(mask))
+            for i in range(n_bands)])
+
+    def apply_batch(batch: SparkDF, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        with pin_scope():
+            from ..plans.cache import pin
+            # hashes feeds the match join AND the index delta —
+            # pinned inside the batch scope
+            hashes = pin(hash_images(
+                Frame(batch), id_col, payload_col).sdf)
+            current = read_snapshot(spark, idx_dir)
+            if current is None:
+                current = hashes.limit(0)
+            b = hashes.select(
+                F.col("id"), F.col("phash"),
+                F.posexplode(bands(F.col("phash"))).alias("_b", "_v"))
+            ixb = current.select(
+                F.col("id").alias("_sid"), F.col("phash").alias("_sh"),
+                F.posexplode(bands(F.col("phash"))).alias("_b", "_v"))
+            cand = (b.join(ixb, on=["_b", "_v"])
+                    .dropDuplicates(["id", "_sid"])
+                    .withColumn("hamming", F.bit_count(
+                        F.col("phash").bitwiseXOR(F.col("_sh"))))
+                    .filter(F.col("hamming") <= max_hamming))
+            from pyspark.sql.window import Window as W
+            rk = F.row_number().over(
+                W.partitionBy("id").orderBy(F.col("hamming"),
+                                            F.col("_sid")))
+            best = (cand.withColumn("_rk", rk).filter(F.col("_rk") == 1)
+                    .select("id", F.col("_sid").alias("survivor_id"),
+                            "hamming"))
+            assigns = (hashes.join(best, on="id", how="left")
+                       .select("id",
+                               F.coalesce("survivor_id", "id")
+                               .alias("survivor_id"),
+                               F.coalesce("hamming", F.lit(0))
+                               .alias("hamming"))
+                       .withColumn("batch_id", F.lit(batch_id)))
+            assigns.write.mode("overwrite").parquet(
+                os.path.join(asg_dir, f"batch_id={batch_id}"))
+            novel = (hashes.join(best.select("id"), on="id",
+                                 how="left_anti"))
+            new_index = current.unionByName(novel)
+            side = _active_side(idx_dir)
+            nxt = "b" if side == "a" else "a"
+            new_index.write.mode("overwrite").parquet(
+                os.path.join(idx_dir, nxt))
+        tmp = os.path.join(idx_dir, _MANIFEST + ".tmp")
+        with open(tmp, "w") as fh:
+            fh.write(nxt)
+        os.replace(tmp, os.path.join(idx_dir, _MANIFEST))
 
     writer = stream.writeStream.foreachBatch(apply_batch) \
         .outputMode("append")

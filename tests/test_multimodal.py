@@ -1024,3 +1024,60 @@ def test_fingerprint_video_frame_key_guard(spark):
     f = Frame(spark.createDataFrame(rows, "id long, payload binary"))
     # normal path works
     assert ph.fingerprint_video(f, every_n=1).sdf.count() == 1
+
+
+def test_stream_image_dedup_accretes_index(spark, tmp_path):
+    """Streaming image near-dedup: batch 1 seeds the index; batch 2's
+    perturbed copy assigns to its batch-1 survivor, novel content
+    assigns to itself and joins the index."""
+    import os
+    import numpy as np
+    from crysda_spark.pipeline.codecs import encode_bmp
+    from crysda_spark.plans.cache import release_pinned
+    from crysda_spark.streaming.cdc import read_snapshot, stream_image_dedup
+
+    def img(seed):
+        rng = np.random.RandomState(seed)
+        return (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+
+    def perturbed(a):
+        b = a.copy()
+        b[2:4, 3:5] = 255 - b[2:4, 3:5]
+        return b
+
+    base = {1: img(71), 2: img(72)}
+    src = str(tmp_path / "in")
+    path = str(tmp_path / "dedup")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(i, bytearray(encode_bmp(a))) for i, a in base.items()],
+        "id long, payload binary") \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("id long, payload binary") \
+        .parquet(src)
+    q = stream_image_dedup(stream, path, max_hamming=7, n_bands=8,
+                           checkpoint=str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        # batch 2: near-dup of image 1 + a novel image
+        spark.createDataFrame(
+            [(10, bytearray(encode_bmp(perturbed(base[1])))),
+             (11, bytearray(encode_bmp(img(99))))],
+            "id long, payload binary") \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        asg = {r["id"]: r for r in spark.read.parquet(
+            os.path.join(path, "assignments")).collect()}
+        assert asg[1]["survivor_id"] == 1 and asg[1]["batch_id"] == 0
+        assert asg[2]["survivor_id"] == 2
+        assert asg[10]["survivor_id"] == 1      # near-dup collapses
+        assert 0 < asg[10]["hamming"] <= 7
+        assert asg[11]["survivor_id"] == 11     # novel
+        idx = read_snapshot(spark, os.path.join(path, "index"))
+        assert {r["id"] for r in idx.collect()} == {1, 2, 11}
+    finally:
+        q.stop()
+        release_pinned()
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n_bands"):
+        stream_image_dedup(stream, path, max_hamming=8, n_bands=8)
