@@ -6459,6 +6459,70 @@ def video_phash_match(spark, sf_dir):
     return out
 
 
+
+@q("grouped_ols_lineitem", """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_quantity * 1e4 + 0.5) AS BIGINT) AS vx,
+         CAST(FLOOR(l_extendedprice * 1e4 + 0.5) AS BIGINT) AS vy
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+w AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(vx) AS BIGINT) AS sx,
+         CAST(SUM(vy) AS BIGINT) AS sy,
+         CAST(SUM((vx*vy - (((vx*vy) % 2147483648) + 2147483648) % 2147483648) // 2147483648) AS BIGINT) AS sxyh,
+         CAST(SUM((((vx*vy) % 2147483648) + 2147483648) % 2147483648) AS BIGINT) AS sxyl,
+         CAST(SUM((vx*vx - (((vx*vx) % 2147483648) + 2147483648) % 2147483648) // 2147483648) AS BIGINT) AS sxxh,
+         CAST(SUM((((vx*vx) % 2147483648) + 2147483648) % 2147483648) AS BIGINT) AS sxxl,
+         CAST(SUM((vy*vy - (((vy*vy) % 2147483648) + 2147483648) % 2147483648) // 2147483648) AS BIGINT) AS syyh,
+         CAST(SUM((((vy*vy) % 2147483648) + 2147483648) % 2147483648) AS BIGINT) AS syyl
+  FROM s GROUP BY 1),
+e AS (
+  SELECT l_returnflag, n,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         (CAST(((CAST(sxyh AS HUGEINT)*2147483648 + sxyl)
+                - ((((CAST(sxyh AS HUGEINT)*2147483648 + sxyl) % 9007199254740992) + 9007199254740992) % 9007199254740992)) // 9007199254740992 AS BIGINT)::DOUBLE
+           * 9007199254740992.0
+          + CAST(((((CAST(sxyh AS HUGEINT)*2147483648 + sxyl) % 9007199254740992) + 9007199254740992) % 9007199254740992) AS BIGINT)::DOUBLE) AS sxy,
+         (CAST(((CAST(sxxh AS HUGEINT)*2147483648 + sxxl)
+                - ((((CAST(sxxh AS HUGEINT)*2147483648 + sxxl) % 9007199254740992) + 9007199254740992) % 9007199254740992)) // 9007199254740992 AS BIGINT)::DOUBLE
+           * 9007199254740992.0
+          + CAST(((((CAST(sxxh AS HUGEINT)*2147483648 + sxxl) % 9007199254740992) + 9007199254740992) % 9007199254740992) AS BIGINT)::DOUBLE) AS sxx,
+         (CAST(((CAST(syyh AS HUGEINT)*2147483648 + syyl)
+                - ((((CAST(syyh AS HUGEINT)*2147483648 + syyl) % 9007199254740992) + 9007199254740992) % 9007199254740992)) // 9007199254740992 AS BIGINT)::DOUBLE
+           * 9007199254740992.0
+          + CAST(((((CAST(syyh AS HUGEINT)*2147483648 + syyl) % 9007199254740992) + 9007199254740992) % 9007199254740992) AS BIGINT)::DOUBLE) AS syy
+  FROM w)
+SELECT l_returnflag, n,
+       CASE WHEN n >= 2 AND (sxx*nd - sxd*sxd) > 0
+            THEN (sxy*nd - sxd*syd) / (sxx*nd - sxd*sxd) END AS slope,
+       CASE WHEN n >= 2 AND (sxx*nd - sxd*sxd) > 0
+            THEN (syd - ((sxy*nd - sxd*syd) / (sxx*nd - sxd*sxd)) * sxd)
+                 / nd / 10000.0 END AS intercept,
+       CASE WHEN n >= 2 AND (sxx*nd - sxd*sxd) > 0
+                 AND (syy*nd - syd*syd) > 0
+            THEN ((sxy*nd - sxd*syd) / (sxx*nd - sxd*sxd))
+                 * ((sxy*nd - sxd*syd) / (syy*nd - syd*syd)) END AS r2
+FROM e
+""")
+def grouped_ols_lineitem(spark, sf_dir):
+    """Per-group simple linear regression (operators.stats.grouped_ols):
+    extended price vs quantity per return flag — slope, intercept, and
+    r². The oracle replays the ENTIRE exactness pipeline value-for-value:
+    half-up scaled-long quantization, hi/lo word-split exact product
+    sums (every SUM output BIGINT-cast — the r13 int128 discipline),
+    the a·2⁵³+b deterministic int→double conversion, and the one
+    canonical IEEE association for each closed form — doubles hash
+    bit-identically with no rounding slack anywhere."""
+    from crysda_spark.operators.stats import grouped_ols
+    li = _t(spark, sf_dir, "lineitem")
+    return grouped_ols(li, "l_returnflag", "l_quantity",
+                       "l_extendedprice", quant=4).sdf
+
+
 # The driver's correctness gate checks the FIRST 50 registrations only
 # (CORRECTNESS_r01/r02 = registrations 1-50), so registration order IS the
 # gate roster. _GATE_ORDER pins positions 1-50.

@@ -69,7 +69,7 @@ from pyspark.sql import functions as F
 
 from ..frame import Frame
 
-__all__ = ["corr_matrix"]
+__all__ = ["corr_matrix", "grouped_ols"]
 
 _MAX_COLS = 8                      # expression-kernel ceiling: measured
 #   ~0.2-0.4 s of driver/Catalyst/Janino cost PER PAIR (r10) — beyond
@@ -475,3 +475,97 @@ def _corr_pairs(sdf, v: dict, pairs: list[tuple[str, str]],
 
     arr = F.array(*[_stats(x, y) for x, y in pairs])
     return one.select(F.inline(F.when(guard == F.lit(0), arr)))
+
+
+def grouped_ols(f: Frame, group_cols: list[str] | str, x_col: str,
+                y_col: str, quant: int = 4) -> Frame:
+    """Per-group simple linear regression ``y = slope·x + intercept``
+    with coefficient of determination — one map-side-combined grouped
+    aggregate (the per-segment trend fit a feature/monitoring pipeline
+    runs: price vs quantity per flag, latency vs load per service).
+    Returns ``(group_cols..., n, slope, intercept, r2)``.
+
+    Exactness: the corr_matrix discipline verbatim — inputs quantize
+    to scaled longs (NaN/±Inf null out first), every partial is an
+    exact int64 sum (products hi/lo-split around 2³¹ so no partial
+    wraps inside the guarded domain), the epilogue reconstructs each
+    product sum exactly in decimal(38,0), converts via the
+    version-independent a·2⁵³ + b split (``_det_double``), and the
+    closed forms run one canonical IEEE association mirrored by the
+    SQL oracle:
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)   (scale cancels)
+        intercept = (Σy − slope·Σx) / n / 10^q
+        r2        = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+
+    Degenerate groups (n < 2 or zero x-variance) yield NULL slope/
+    intercept/r2 (r2 additionally NULL at zero y-variance); rows
+    where either column is null/NaN/±Inf are excluded pairwise.
+    Overflow raises (never wraps) under the same four bounds as
+    corr_matrix — per GROUP, so one huge group cannot hide inside a
+    global average.
+
+    Scale shape: ONE grouped aggregate (map-side combinable; shuffle
+    carries 9 longs per group) + a constant-width epilogue — fitting
+    100 TB costs one group-keyed partials shuffle."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if not groups:
+        raise ValueError("grouped_ols: need at least one group column")
+    for c in (x_col, y_col, *groups):
+        if c not in f.columns:
+            raise ValueError(f"grouped_ols: unknown column {c!r}")
+    if x_col == y_col:
+        raise ValueError("grouped_ols: x and y must differ")
+    if not 0 <= quant <= 8:
+        raise ValueError(f"grouped_ols: quant must be in [0, 8], got {quant}")
+    scale = float(10 ** quant)
+    qx, qy = _quantize(x_col, scale), _quantize(y_col, scale)
+    both = qx.isNotNull() & qy.isNotNull()
+    vx, vy = F.when(both, qx), F.when(both, qy)
+
+    def _split(p):
+        lo = F.pmod(p, F.lit(_M))
+        return F.shiftright(p - lo, 31), lo
+
+    xyh, xyl = _split(vx * vy)
+    xxh, xxl = _split(vx * vx)
+    yyh, yyl = _split(vy * vy)
+    agg = f.sdf.groupBy(*groups).agg(
+        F.sum(F.when(both, 1).otherwise(0)).alias("_n"),
+        F.sum(vx).alias("_sx"), F.sum(vy).alias("_sy"),
+        F.sum(xyh).alias("_sxyh"), F.sum(xyl).alias("_sxyl"),
+        F.sum(xxh).alias("_sxxh"), F.sum(xxl).alias("_sxxl"),
+        F.sum(yyh).alias("_syyh"), F.sum(yyl).alias("_syyl"),
+        F.max(F.abs(vx)).alias("_mx"), F.max(F.abs(vy)).alias("_my"))
+
+    nd = F.col("_n").cast("double")
+    mxd, myd = F.col("_mx").cast("double"), F.col("_my").cast("double")
+    bad = (F.col("_mx") > F.lit(_MAX_V)) | (F.col("_my") > F.lit(_MAX_V)) \
+        | (F.col("_n") > F.lit(_MAX_N)) \
+        | (nd * F.greatest(mxd, myd) > F.lit(_MAX_NV)) \
+        | (nd * (mxd * myd / F.lit(float(_M)) + F.lit(1.0))
+           > F.lit(_MAX_NV))
+    guard = F.when(
+        bad & F.col("_n").isNotNull(),
+        F.raise_error(F.lit(
+            f"grouped_ols: a group exceeds the scaled-long domain at "
+            f"quant={quant} — lower quant, rescale, or pre-aggregate "
+            "(same bounds as corr_matrix)"))).otherwise(F.col("_n"))
+
+    def _recon(pre):
+        return _det_double(
+            F.col(f"{pre}h").cast("decimal(38,0)") * F.lit(_M)
+            + F.col(f"{pre}l"))
+
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    num = _recon("_sxy") * nd - sx * sy
+    denx = _recon("_sxx") * nd - sx * sx
+    deny = _recon("_syy") * nd - sy * sy
+    ok = (F.col("_n") >= 2) & (denx > 0)
+    slope = F.when(ok, num / denx)
+    intercept = F.when(ok, (sy - (num / denx) * sx) / nd
+                       / F.lit(scale))
+    r2 = F.when(ok & (deny > 0), (num / denx) * (num / deny))
+    return Frame(agg.select(
+        *groups, guard.alias("n"), slope.alias("slope"),
+        intercept.alias("intercept"), r2.alias("r2")))

@@ -237,3 +237,74 @@ def test_corr_matrix_wide_chunking_is_bit_exact(spark, monkeypatch):
            (r["n"], repr(r["cov"]), repr(r["corr"]))
            for r in st.corr_matrix(Frame(sdf), cols).sdf.collect()}
     assert got == base
+
+
+# ------------------------------------------------- r13: grouped OLS
+
+def test_grouped_ols_matches_numpy_polyfit(spark):
+    from crysda_spark.operators.stats import grouped_ols
+    rng = np.random.RandomState(5)
+    rows = []
+    for g, (true_slope, true_icpt) in enumerate([(2.5, 1.0), (-0.5, 10.0)]):
+        for _ in range(50):
+            x = float(rng.uniform(0, 100))
+            y = true_slope * x + true_icpt + float(rng.normal(0, 0.5))
+            rows.append((f"g{g}", round(x, 4), round(y, 4)))
+    f = Frame(spark.createDataFrame(rows, "g string, x double, y double"))
+    out = {r["g"]: r for r in
+           grouped_ols(f, "g", "x", "y", quant=4).sdf.collect()}
+    for g, sub in (("g0", rows[:50]), ("g1", rows[50:])):
+        xs = np.array([r[1] for r in sub])
+        ys = np.array([r[2] for r in sub])
+        sl, ic = np.polyfit(xs, ys, 1)
+        r2 = np.corrcoef(xs, ys)[0, 1] ** 2
+        assert out[g]["n"] == 50
+        assert out[g]["slope"] == pytest.approx(sl, rel=1e-6)
+        assert out[g]["intercept"] == pytest.approx(ic, rel=1e-4)
+        assert out[g]["r2"] == pytest.approx(r2, rel=1e-6)
+
+
+def test_grouped_ols_degenerate_and_nan_handling(spark):
+    from crysda_spark.operators.stats import grouped_ols
+    rows = [
+        ("one", 1.0, 5.0),                     # n=1 -> NULL stats
+        ("flatx", 2.0, 1.0), ("flatx", 2.0, 9.0),   # zero x-variance
+        ("flaty", 1.0, 7.0), ("flaty", 3.0, 7.0),   # zero y-variance
+        ("ok", 0.0, 0.0), ("ok", 1.0, 2.0),
+        ("ok", float("nan"), 99.0),            # NaN row excluded
+        ("ok", 2.0, None),                     # null row excluded
+    ]
+    f = Frame(spark.createDataFrame(rows, "g string, x double, y double"))
+    out = {r["g"]: r for r in
+           grouped_ols(f, "g", "x", "y").sdf.collect()}
+    assert out["one"]["n"] == 1 and out["one"]["slope"] is None
+    assert out["flatx"]["slope"] is None       # denx == 0
+    # zero y-variance: perfect horizontal fit — slope 0, r2 NULL
+    assert out["flaty"]["slope"] == 0.0
+    assert out["flaty"]["r2"] is None
+    assert out["ok"]["n"] == 2                 # NaN + null rows dropped
+    assert out["ok"]["slope"] == pytest.approx(2.0)
+    assert out["ok"]["intercept"] == pytest.approx(0.0)
+    assert out["ok"]["r2"] == pytest.approx(1.0)
+
+
+def test_grouped_ols_guards_and_validation(spark):
+    from crysda_spark.operators.stats import grouped_ols
+    f = Frame(spark.createDataFrame(
+        [("a", 1.0, 2.0)], "g string, x double, y double"))
+    with pytest.raises(ValueError, match="unknown column"):
+        grouped_ols(f, "g", "x", "zz")
+    with pytest.raises(ValueError, match="must differ"):
+        grouped_ols(f, "g", "x", "x")
+    with pytest.raises(ValueError, match="quant"):
+        grouped_ols(f, "g", "x", "y", quant=9)
+    # domain overflow must RAISE, never wrap: under ANSI (this
+    # session's default) the vx*vx product itself raises
+    # ARITHMETIC_OVERFLOW; non-ANSI sessions hit the epilogue guard's
+    # "scaled-long domain" raise_error instead (corr_matrix contract)
+    big = Frame(spark.createDataFrame(
+        [("a", 1e9, 1.0), ("a", 2e9, 2.0)],
+        "g string, x double, y double"))
+    with pytest.raises(Exception,
+                       match="scaled-long domain|ARITHMETIC_OVERFLOW|overflow"):
+        grouped_ols(big, "g", "x", "y", quant=4).sdf.collect()
