@@ -237,6 +237,28 @@ def main() -> None:
         return _force_stats(exact_decontaminate_stats(
             train, bench, "text", "doc_id", min_len=30))
 
+    # r13 additions: the retrieval/LM text family. bigram_lm is the
+    # vocabulary-squared aggregate family's scaling probe (bigram
+    # counts shuffle + pinned multi-consumer model table); inverted
+    # index measures the capped window-before-collect path (stop-word
+    # postings spill, never buffer).
+    def run_bigram_lm(d):
+        from crysda_spark.pipeline.text import bigram_logprob
+        out = bigram_logprob(docs(d), "text", "doc_id")
+        row = out.sdf.agg(F.count(F.lit(1)).alias("n"),
+                          F.sum("n_bigrams").alias("b")).collect()[0]
+        assert row["b"] is not None and row["b"] > 0
+        return row["n"]
+
+    def run_inverted_index(d):
+        from crysda_spark.pipeline.text import build_inverted_index
+        out = build_inverted_index(docs(d), "text", "doc_id",
+                                   min_df=25, max_postings=15)
+        row = out.sdf.agg(F.count(F.lit(1)).alias("n"),
+                          F.sum("df").alias("m")).collect()[0]
+        assert row["m"] is not None and row["m"] > 0
+        return row["n"]
+
     pipelines = {
         "dedup_full": run_dedup_full,
         "dedup_incremental": run_dedup_incremental,
@@ -247,6 +269,8 @@ def main() -> None:
         "logreg_gd_multi3_64d": run_logreg_multi,
         "dupspan_exact30": run_dupspan_exact,
         "decontam_exact30": run_decontaminate,
+        "bigram_lm": run_bigram_lm,
+        "inverted_index": run_inverted_index,
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY", "")
     if only:
