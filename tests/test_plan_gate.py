@@ -272,6 +272,11 @@ EXPECTED = {
     # model table reached corpus width; a 4th scan means the pin fell
     # out of the multi-consumer subtree.
     "bigram_lm_quality": dict(scans=3, exchanges=5, bhj=2, smj=0),
+    # r13: grouped OLS — ONE scan into one map-side-combined grouped
+    # aggregate (9 long partials per group), constant-width epilogue,
+    # zero joins — a join or second scan means the word-split sums
+    # stopped sharing a pass (the corr_matrix shape, grouped)
+    "grouped_ols_lineitem": dict(scans=1, exchanges=1, bhj=0, smj=0),
 }
 
 
