@@ -6301,10 +6301,10 @@ WITH b AS (
   SELECT o_orderpriority AS category,
          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
   FROM orders),
-per AS (SELECT category, CAST(COUNT(*) AS BIGINT) AS n,
+per AS (SELECT category, CAST(COUNT(y) AS BIGINT) AS n,
                CAST(SUM(y) AS BIGINT) AS s
         FROM b GROUP BY 1),
-g AS (SELECT CAST(SUM(y) AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS gm
+g AS (SELECT CAST(SUM(y) AS BIGINT) / CAST(COUNT(y) AS BIGINT) AS gm
       FROM b)
 SELECT category, n, ROUND((s + 10.0 * gm) / (n + 10.0), 6) AS enc
 FROM per CROSS JOIN g

@@ -329,7 +329,12 @@ def _corr_epilogue_rows(summed, cols: list[str], quant: int):
     bad = ((F.col("mxx") > F.lit(_MAX_V)) | (F.col("mxy") > F.lit(_MAX_V))
            | (F.col("n") > F.lit(_MAX_N))
            | (nd * F.greatest(mxx, mxy) > F.lit(_MAX_NV))
-           | (nd * (mxx * mxy / F.lit(float(_M)) + F.lit(1.0))
+           # fourth bound over the WORST hi-word family: |hi| partials
+           # of xy, xx AND yy are all <= greatest(mx,my)^2/2^31 + 1
+           # (r14 advice: mx*my alone missed Σxxh under asymmetric
+           # magnitudes, e.g. max|vx|~3e9 with tiny |vy|)
+           | (nd * (F.greatest(mxx, mxy) * F.greatest(mxx, mxy)
+                    / F.lit(float(_M)) + F.lit(1.0))
               > F.lit(_MAX_NV)))
     guard = F.when(bad, F.raise_error(F.lit(
         f"corr_matrix: input exceeds the scaled-long domain at "
@@ -415,13 +420,17 @@ def _corr_pairs(sdf, v: dict, pairs: list[tuple[str, str]],
     for x, y in pairs:
         n = F.col(f"n_{x}__{y}").cast("double")
         mxx, mxy = mx[x].cast("double"), mx[y].cast("double")
-        # fourth bound (r9 advice): hi-word product partials. Each
-        # |hi| ≤ |vx·vy|/2³¹ + 1, so Σhi can wrap even when the first
-        # three bounds pass (e.g. max|v| ≈ 3.03e9 with n ≈ 3e9 gives
-        # Σhi ≈ 1.3e19 > 2⁶³−1); bound n·(mx·my/2³¹ + 1) directly.
+        # fourth bound (r9 advice, widened r14): hi-word product
+        # partials. Each |hi| ≤ |v·w|/2³¹ + 1 for the xy, xx AND yy
+        # sums, so Σhi can wrap even when the first three bounds pass
+        # (e.g. max|v| ≈ 3.03e9 with n ≈ 3e9 gives Σhi ≈ 1.3e19 >
+        # 2⁶³−1). mx·my alone under-bounds Σxxh when magnitudes are
+        # asymmetric (max|vx| ≈ 3e9, tiny |vy|): bound the WORST
+        # family with n·(greatest(mx,my)²/2³¹ + 1).
+        mg = F.greatest(mxx, mxy)
         terms += [F.col(f"n_{x}__{y}") > F.lit(_MAX_N),
-                  n * F.greatest(mxx, mxy) > F.lit(_MAX_NV),
-                  n * (mxx * mxy / F.lit(float(_M)) + F.lit(1.0))
+                  n * mg > F.lit(_MAX_NV),
+                  n * (mg * mg / F.lit(float(_M)) + F.lit(1.0))
                   > F.lit(_MAX_NV)]
     # balanced OR tree: a left-deep 1,500-term chain overflows the JVM
     # stack inside column-node conversion at the 496-pair batch width
@@ -437,7 +446,8 @@ def _corr_pairs(sdf, v: dict, pairs: list[tuple[str, str]],
         f"corr_matrix: input exceeds the scaled-long domain at quant={quant} "
         f"(need |x|*10^{quant} <= {_MAX_V}, rows <= {_MAX_N}, "
         f"n*max|x|*10^{quant} <= {_MAX_NV:.1e}, and the hi-word bound "
-        f"n*(max|x|*max|y|*10^{2 * quant}/2^31 + 1) <= {_MAX_NV:.1e}) — "
+        f"n*(greatest(max|x|,max|y|)^2*10^{2 * quant}/2^31 + 1) <= "
+        f"{_MAX_NV:.1e}) — "
         "lower quant, rescale the column, or batch rows and merge the "
         "sufficient statistics"))).otherwise(F.lit(0))
 
@@ -543,7 +553,8 @@ def grouped_ols(f: Frame, group_cols: list[str] | str, x_col: str,
     bad = (F.col("_mx") > F.lit(_MAX_V)) | (F.col("_my") > F.lit(_MAX_V)) \
         | (F.col("_n") > F.lit(_MAX_N)) \
         | (nd * F.greatest(mxd, myd) > F.lit(_MAX_NV)) \
-        | (nd * (mxd * myd / F.lit(float(_M)) + F.lit(1.0))
+        | (nd * (F.greatest(mxd, myd) * F.greatest(mxd, myd)
+                 / F.lit(float(_M)) + F.lit(1.0))
            > F.lit(_MAX_NV))
     guard = F.when(
         bad & F.col("_n").isNotNull(),

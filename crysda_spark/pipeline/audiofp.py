@@ -108,11 +108,14 @@ def fingerprint_audio(f: Frame, id_col: str = "id",
     landmark ``(id, fp, t)`` from a single mapInPandas Arrow pass.
     Malformed payloads contribute zero rows unless ``strict``.
     Scale shape: pure map, zero shuffles; output is ~20 bytes per
-    landmark (tens per second of audio), never sample data."""
+    landmark (tens per second of audio), never sample data. The
+    output ``id`` field inherits the INPUT id column's type (r14
+    advice) — string/UUID clip ids work, at their own width."""
     import pandas as pd
     from pyspark.sql import types as T
+    in_sdf = f.sdf if hasattr(f, "sdf") else f
     schema = T.StructType([
-        T.StructField("id", T.LongType()),
+        T.StructField("id", in_sdf.schema[id_col].dataType),
         T.StructField("fp", T.LongType()),
         T.StructField("t", T.IntegerType()),
     ])
@@ -134,7 +137,7 @@ def fingerprint_audio(f: Frame, id_col: str = "id",
                     ts.append(t)
             yield pd.DataFrame({"id": ids, "fp": fps, "t": ts})
 
-    return Frame(f.sdf.mapInPandas(kernel, schema=schema))
+    return Frame(in_sdf.mapInPandas(kernel, schema=schema))
 
 
 def match_audio(queries: Frame, index: Frame, min_votes: int = 5,

@@ -761,22 +761,41 @@ def target_encode(f, cat_col: str, label_col: str, m: float = 10.0,
     across engines and partitionings; ``round_to`` then quantizes for
     display stability.
 
+    Label contract (r14 advice): ``label_col`` must be boolean,
+    integral, or decimal — the types whose sums are exact. A float/
+    double label raises with a quantize hint instead of being silently
+    truncated toward zero by an integer cast. NULL labels are excluded
+    from BOTH ``n`` and the sum (``n`` counts the summed population),
+    so a category whose labels are all NULL gets the pure prior
+    ``m·gm / m = gm`` at ``n = 0``.
+
     Scale shape: ONE map-side-combinable aggregate keyed on the
     category (category-cardinality rows out) + a 1-row global
     aggregate broadcast back — encoding 100 TB costs one shuffle of
     (category, sum, count) partials. Joining the encoding back to the
     fact is the caller's broadcast join (the table is category-sized).
     """
+    from pyspark.sql import types as T
     sdf = f.sdf if hasattr(f, "sdf") else f
     if m < 0:
         raise ValueError(f"target_encode: smoothing m must be >= 0, got {m}")
+    dt = sdf.schema[label_col].dataType
+    if isinstance(dt, (T.BooleanType, T.ByteType, T.ShortType,
+                       T.IntegerType, T.LongType)):
+        lab = F.col(label_col).cast("long")
+    elif isinstance(dt, T.DecimalType):
+        lab = F.col(label_col)  # native decimal sum is exact
+    else:
+        raise ValueError(
+            f"target_encode: label_col {label_col!r} must be boolean, "
+            f"integral, or decimal for an exact sum (got "
+            f"{dt.simpleString()}) — quantize a float label first, "
+            "e.g. F.round(col * 10**k).cast('long')")
+    # n counts only non-null labels so it matches the summed population
     per = (sdf.groupBy(F.col(cat_col).alias("category"))
-           .agg(F.count(F.lit(1)).alias("n"),
-                F.sum(F.col(label_col).cast("long")).alias("_s")))
-    g = sdf.agg(
-        (F.sum(F.col(label_col).cast("long"))
-         / F.count(F.lit(1))).alias("_gm"))
-    enc = (F.col("_s") + F.lit(float(m)) * F.col("_gm")) \
+           .agg(F.count(lab).alias("n"), F.sum(lab).alias("_s")))
+    g = sdf.agg((F.sum(lab) / F.count(lab)).alias("_gm"))
+    enc = (F.coalesce(F.col("_s"), F.lit(0)) + F.lit(float(m)) * F.col("_gm")) \
         / (F.col("n") + F.lit(float(m)))
     out = (per.crossJoin(F.broadcast(g))
            .select("category", "n", F.round(enc, round_to).alias("enc")))

@@ -120,15 +120,18 @@ def hash_images(f: Frame, id_col: str = "id",
     md5 (deterministic, and effectively never within banding distance
     of a real image hash) unless ``strict=True``. Scale shape: pure
     map — zero shuffles; hashing 100 TB of images is embarrassingly
-    parallel and the output is 28 bytes/row."""
+    parallel and the output is ~28 bytes/row (long ids; a string/UUID
+    id column is carried through at its own width — the output ``id``
+    field inherits the INPUT id column's type, r14 advice)."""
     import pandas as pd
     from pyspark.sql import types as T
 
     if method not in ("phash", "dhash"):
         raise ValueError(f"hash_images: unknown method {method!r}")
     fn = phash_from_array if method == "phash" else dhash_from_array
+    in_sdf = f.sdf if hasattr(f, "sdf") else f
     schema = T.StructType([
-        T.StructField("id", T.LongType()),
+        T.StructField("id", in_sdf.schema[id_col].dataType),
         T.StructField("phash", T.LongType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
@@ -175,7 +178,7 @@ def hash_images(f: Frame, id_col: str = "id",
             yield pd.DataFrame({"id": ids, "phash": hs,
                                 "width": ws, "height": hts})
 
-    return Frame(f.sdf.mapInPandas(kernel, schema=schema))
+    return Frame(in_sdf.mapInPandas(kernel, schema=schema))
 
 
 def image_near_dups(hashes: Frame, id_col: str = "id",
@@ -242,6 +245,15 @@ def fingerprint_video(f: Frame, id_col: str = "id",
     frame. Frame indices must stay below 2²⁴ (≈77 h at 60 fps) —
     guarded — because (id, frame_idx) rides one packed int64 through
     the fixed hashing schema."""
+    from pyspark.sql import types as T
+    in_dt = (f.sdf if hasattr(f, "sdf") else f).schema[id_col].dataType
+    if not isinstance(in_dt, (T.ByteType, T.ShortType, T.IntegerType,
+                              T.LongType)):
+        raise ValueError(
+            f"fingerprint_video: id_col {id_col!r} must be integral "
+            f"(got {in_dt.simpleString()}) — (id, frame_idx) rides one "
+            "packed int64; map string/UUID clip ids to a surrogate "
+            "long first (e.g. add_row_number)")
     from .multimodal import sample_frames
     frames = sample_frames(f, every_n=every_n, id_col=id_col,
                            payload_col=payload_col)

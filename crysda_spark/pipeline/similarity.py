@@ -346,11 +346,15 @@ def rrf_fuse(rankings, id_col: str = "doc_id", rank_col: str = "rank",
     :func:`~crysda_spark.pipeline.text.bm25_search`). Returns
     ``(id, n_lists, rrf, rank)`` ordered by fused score, id-tiebroken.
 
-    Determinism: each list contributes at most one term per id, and
-    the per-id sum folds contributions in LIST-INDEX order (sorted
-    struct array → F.aggregate), so the double result is
-    bit-identical on every engine and partitioning — 1/(k0+rank) is a
-    single correctly-rounded IEEE division of exact integers.
+    Determinism: each list contributes at most one term per id —
+    ENFORCED (r14 advice), not assumed: if an input ranking carries
+    duplicate ids, only its best (lowest) rank counts, and ``n_lists``
+    counts distinct LISTS, never duplicate rows. The per-id sum folds
+    contributions in LIST-INDEX order (struct array sorted by
+    (list, contrib desc) → F.aggregate with a skip-repeated-list
+    accumulator), so the double result is bit-identical on every
+    engine and partitioning — 1/(k0+rank) is a single
+    correctly-rounded IEEE division of exact integers.
 
     Scale shape: inputs are top-N-bounded by contract (a retrieval
     list, not a corpus), so the union carries ≤ Σ N_i rows, the fuse
@@ -371,13 +375,31 @@ def rrf_fuse(rankings, id_col: str = "doc_id", rank_col: str = "rank",
                            + F.col(rank_col).cast("double")))
             .alias("_contrib"))
         tagged = part if tagged is None else tagged.unionByName(part)
+    # sort (src asc, contrib desc) so the FIRST row of each list-run is
+    # that list's best rank; the fold then skips repeated-src rows —
+    # duplicate ids within one ranking contribute exactly one term
+    # (their best), with zero extra shuffle vs a per-list dropDuplicates
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("_src"), F.col("_contrib"))),
+        lambda a, b: F.when(a["_src"] < b["_src"], F.lit(-1))
+        .when(a["_src"] > b["_src"], F.lit(1))
+        .when(a["_contrib"] > b["_contrib"], F.lit(-1))
+        .when(a["_contrib"] < b["_contrib"], F.lit(1))
+        .otherwise(F.lit(0)))
+    zero = F.struct(F.lit(0.0).alias("s"), F.lit(-1).alias("p"),
+                    F.lit(0).alias("nl"))
+    folded = F.aggregate(
+        arr, zero,
+        lambda acc, s: F.struct(
+            F.when(s["_src"] != acc["p"],
+                   acc["s"] + s["_contrib"]).otherwise(acc["s"]).alias("s"),
+            s["_src"].alias("p"),
+            F.when(s["_src"] != acc["p"],
+                   acc["nl"] + F.lit(1)).otherwise(acc["nl"]).alias("nl")))
     fused = (tagged.groupBy(id_col)
-             .agg(F.count(F.lit(1)).alias("n_lists"),
-                  F.aggregate(
-                      F.array_sort(F.collect_list(
-                          F.struct(F.col("_src"), F.col("_contrib")))),
-                      F.lit(0.0),
-                      lambda acc, s: acc + s["_contrib"]).alias("rrf")))
+             .agg(folded.alias("_f"))
+             .select(id_col, F.col("_f.nl").cast("long").alias("n_lists"),
+                     F.col("_f.s").alias("rrf")))
     rank = F.row_number().over(
         W.orderBy(F.col("rrf").desc(), F.col(id_col)))
     out = fused.withColumn("rank", rank)

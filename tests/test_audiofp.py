@@ -166,3 +166,14 @@ def test_stream_match_audio_rejects_wrong_index(spark, tmp_path):
         .parquet(src)
     with pytest.raises(ValueError, match="landmark columns"):
         stream_match_audio(stream, bad, str(tmp_path / "o"))
+
+
+def test_fingerprint_audio_string_ids(spark):
+    # r14 advice twin of the hash_images fix: the landmark table's id
+    # field inherits the input id column's type.
+    from crysda_spark.pipeline.codecs import encode_wav
+    f = Frame(spark.createDataFrame(
+        [("clip-x", bytearray(encode_wav(synth(3, 2.0), RATE)))],
+        "id string, payload binary"))
+    out = fingerprint_audio(f).sdf.collect()
+    assert len(out) > 0 and all(r["id"] == "clip-x" for r in out)

@@ -387,3 +387,31 @@ def test_target_encode_shrinks_toward_global_mean(spark):
     assert raw["a"] == _pt.approx(0.8) and raw["b"] == _pt.approx(1.0)
     with _pt.raises(ValueError, match="smoothing"):
         target_encode(f, "c", "y", m=-1.0)
+
+
+def test_target_encode_label_contract(spark):
+    # r14 advice: a float label used to be silently cast("long")
+    # (truncated toward zero — every encoding wrong, no error), and
+    # NULL labels counted in n but not the sum. Now: float/double
+    # raises with a quantize hint; NULLs are out of BOTH n and sum;
+    # boolean labels work; an all-NULL category gets the pure prior.
+    from crysda_spark import from_records
+    from crysda_spark.pipeline.classify import target_encode
+    import pytest as _pt
+    fl = from_records(spark, [{"c": "a", "y": 0.5}, {"c": "a", "y": 0.7}])
+    with _pt.raises(ValueError, match="boolean, integral, or decimal"):
+        target_encode(fl, "c", "y")
+    rows = [{"c": "a", "y": 1}, {"c": "a", "y": 0}, {"c": "a", "y": None},
+            {"c": "b", "y": None}, {"c": "b", "y": None}]
+    f = from_records(spark, rows)
+    out = {r["category"]: r for r in
+           target_encode(f, "c", "y", m=4.0).sdf.collect()}
+    gm = 1 / 2                                 # over the 2 non-null labels
+    assert out["a"]["n"] == 2                  # NULL excluded from n
+    assert out["a"]["enc"] == _pt.approx(round((1 + 4 * gm) / 6, 6))
+    assert out["b"]["n"] == 0                  # all-NULL category
+    assert out["b"]["enc"] == _pt.approx(round(gm, 6))   # pure prior
+    # boolean labels sum exactly as 0/1
+    bl = from_records(spark, [{"c": "a", "y": True}, {"c": "a", "y": False}])
+    ob = target_encode(bl, "c", "y", m=0.0).sdf.collect()
+    assert ob[0]["enc"] == _pt.approx(0.5)

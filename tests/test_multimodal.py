@@ -1081,3 +1081,27 @@ def test_stream_image_dedup_accretes_index(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError, match="n_bands"):
         stream_image_dedup(stream, path, max_hamming=8, n_bands=8)
+
+
+def test_hash_images_string_ids_and_video_id_guard(spark):
+    # r14 advice: hash_images hard-coded the output id as LongType, so
+    # a string/UUID id column died inside the executor with an opaque
+    # Arrow error. The id field now inherits the input type;
+    # fingerprint_video (which PACKS id*2^24+frame into one int64)
+    # validates integral ids up front with an actionable message.
+    import numpy as np
+    from crysda_spark.pipeline.codecs import encode_bmp
+    from crysda_spark.pipeline.phash import (fingerprint_video,
+                                             hash_images,
+                                             phash_from_array)
+    rng = np.random.RandomState(7)
+    arr = (rng.rand(10, 12, 3) * 255).astype(np.uint8)
+    f = Frame(spark.createDataFrame(
+        [("img-aa", bytearray(encode_bmp(arr)))],
+        "id string, payload binary"))
+    got = hash_images(f).sdf.collect()
+    assert got[0]["id"] == "img-aa"
+    assert got[0]["phash"] == phash_from_array(arr)
+    assert dict(got[0].asDict())["width"] == 12
+    with pytest.raises(ValueError, match="must be integral"):
+        fingerprint_video(f)

@@ -1314,3 +1314,21 @@ def test_hybrid_rrf_dense_and_lexical_agree_with_parts(docs, emb):
     single = [r for r in fused if r["n_lists"] == 1]
     if both and single:
         assert min(r["rrf"] for r in both) > 0
+
+
+def test_rrf_fuse_duplicate_ids_within_one_list(spark):
+    # r14 advice: the docstring promised "at most one term per id per
+    # list" without enforcing it — a ranking with duplicate doc_ids
+    # inflated both rrf and n_lists. Now the BEST (lowest) rank per
+    # (list, id) counts and n_lists counts distinct lists.
+    from crysda_spark import from_records
+    a = from_records(spark, [{"doc_id": 1, "rank": 1},
+                             {"doc_id": 1, "rank": 3},    # dup, worse
+                             {"doc_id": 2, "rank": 2}])
+    b = from_records(spark, [{"doc_id": 1, "rank": 2}])
+    out = {r["doc_id"]: r for r in
+           sim.rrf_fuse([a, b], "doc_id", k0=60).sdf.collect()}
+    assert out[1]["n_lists"] == 2              # not 3
+    assert out[1]["rrf"] == pytest.approx(1 / 61 + 1 / 62)   # best rank only
+    assert out[2]["n_lists"] == 1
+    assert out[2]["rrf"] == pytest.approx(1 / 62)

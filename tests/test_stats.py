@@ -308,3 +308,35 @@ def test_grouped_ols_guards_and_validation(spark):
     with pytest.raises(Exception,
                        match="scaled-long domain|ARITHMETIC_OVERFLOW|overflow"):
         grouped_ols(big, "g", "x", "y", quant=4).sdf.collect()
+
+
+def test_hi_word_bound_covers_asymmetric_magnitudes(spark, monkeypatch):
+    # r14 advice: the fourth bound used mx*my, which only bounds the
+    # xy hi-word partials — with max|vx| ~ 2.5e9 and |vy| ~ 1 the xx
+    # hi-word sum is ~n*(mx^2/2^31), orders beyond mx*my. Shrink
+    # _MAX_NV so a 2-row frame sits between bound 3
+    # (n*greatest = 5e9, not over) and the widened bound 4
+    # (2*((2.5e9)^2/2^31 + 1) ~ 5.8e9, over); the old mx*my form
+    # evaluated to ~4.3 here and silently passed this domain.
+    from crysda_spark.operators import stats as stats_mod
+    from crysda_spark.operators.stats import corr_matrix, grouped_ols
+    monkeypatch.setattr(stats_mod, "_MAX_NV", 5.0e9)
+    sdf = spark.createDataFrame(
+        [(2.5e9, 1.0), (-2.5e9, 1.0)], "a double, b double")
+    with pytest.raises(Exception, match="scaled-long domain"):
+        corr_matrix(Frame(sdf), ["a", "b"], quant=0).sdf.collect()
+    g = spark.createDataFrame(
+        [("g", 2.5e9, 1.0), ("g", -2.5e9, 1.0)],
+        "g string, x double, y double")
+    with pytest.raises(Exception, match="scaled-long domain"):
+        grouped_ols(Frame(g), "g", "x", "y", quant=0).sdf.collect()
+    # the wide (Arrow) kernel's epilogue shares the widened bound:
+    # >8 columns routes there; c0 is the big-magnitude column
+    k = 10
+    cols = [f"c{i}" for i in range(k)]
+    wide = spark.createDataFrame(
+        [tuple([2.5e9] + [1.0] * (k - 1)),
+         tuple([-2.5e9] + [1.0] * (k - 1))],
+        ", ".join(f"{c} double" for c in cols))
+    with pytest.raises(Exception, match="scaled-long domain"):
+        corr_matrix(Frame(wide), cols, quant=0).sdf.collect()
