@@ -5025,6 +5025,51 @@ def bm25_keyword_search(spark, sf_dir):
                           ["table", "scan", "fast"], k=10)
 
 
+@q("bm25_indexed_search", """
+WITH tok AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+dl AS (SELECT doc_id, len(w) AS dl FROM tok),
+g AS (SELECT COUNT(*) AS n, SUM(dl) / COUNT(*) AS avgdl FROM dl),
+terms AS (SELECT unnest(['merge', 'join', 'vector']) AS term),
+tf AS (
+  SELECT e.doc_id, e.term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS term FROM tok) e
+  JOIN terms USING (term)
+  GROUP BY 1, 2
+),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         ROUND(SUM( ln(1.0 + (g.n - df.df + 0.5) / (df.df + 0.5))
+                    * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / g.avgdl)) ),
+               4) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  GROUP BY 1
+)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id LIMIT 10
+""")
+def bm25_indexed_search(spark, sf_dir):
+    """Prebuilt-index BM25 (r14): pipeline.text.build_bm25_index — the
+    row-form (term, doc, tf, df, dl) posting table + 1-row corpus
+    stats, the write-once/query-many retrieval structure — queried
+    with bm25_search_indexed for ['merge','join','vector']. The query
+    plan touches no corpus text: the term `isin` prunes the posting
+    rows, df/dl/tf ride in them, stats broadcasts — at 100 TB (index
+    persisted to term-partitioned parquet) a search costs term-pruned
+    index reads only. The oracle replays plain BM25; scores are
+    bit-identical because both paths share one scoring association
+    (pipeline.text._bm25_epilogue)."""
+    docs = _t(spark, sf_dir, "documents")
+    postings, stats = tx.build_bm25_index(docs, "text", "doc_id")
+    return tx.bm25_search_indexed(postings, stats,
+                                  ["merge", "join", "vector"], k=10)
+
+
 @q("unigram_lm_quality", """
 WITH tok AS (
   SELECT doc_id,

@@ -329,38 +329,13 @@ def rolling_hash_fingerprint(col, window: int = 8) -> Column:
     return rolling_hash_from_tokens(tokens(col), window)
 
 
-def bm25_search(f, text_col: str, id_col: str, terms, k: int = 10,
-                k1: float = 1.2, b: float = 0.75, round_to: int = 4):
-    """Okapi BM25 keyword search over the corpus (Robertson & Zaragoza
-    2009): top-``k`` docs for a bag of query terms, idf = ln(1 +
-    (N-df+0.5)/(df+0.5)) (always-positive variant), tf saturation k1,
-    length normalization b.
-
-    Scale shape: doc lengths and the global (N, avgdl) are one narrow
-    projection + a 1-row aggregate (broadcast — provably tiny); term
-    frequencies come from explode → filter-to-query-terms (an `isin`
-    literal predicate evaluated map-side, so non-query tokens never
-    shuffle) → groupBy(id, term); per-term document frequencies are a
-    second tiny aggregate broadcast back (bounded by |query terms|).
-    The only corpus-sized shuffles key on (doc, term) and doc. The
-    final top-k orders by the ROUNDED score with an id tie-break so
-    results are deterministic across engines and partitionings."""
-    _guard_id(id_col, {"_w", "_tf", "_df", "_dl", "_n", "_avgdl",
-                       "score"}, "bm25_search")
-    sdf = f.sdf if hasattr(f, "sdf") else f
-    qterms = list(dict.fromkeys(t.lower() for t in terms))
-    if not qterms:
-        raise ValueError("bm25_search: empty query")
-    dl = sdf.select(F.col(id_col), F.size(tokens(F.col(text_col))).alias("_dl"))
-    g = dl.agg(F.count(F.lit(1)).alias("_n"),
-               (F.sum("_dl") / F.count(F.lit(1))).alias("_avgdl"))
-    tok = sdf.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_w"))
-    tf = (tok.filter(F.col("_w").isin(qterms))
-          .groupBy(id_col, "_w").agg(F.count(F.lit(1)).alias("_tf")))
-    dfreq = tf.groupBy("_w").agg(F.countDistinct(id_col).alias("_df"))
-    j = (tf.join(F.broadcast(dfreq), "_w")
-         .join(dl, id_col)
-         .crossJoin(F.broadcast(g)))
+def _bm25_epilogue(j, id_col: str, k: int, k1: float, b: float,
+                   round_to: int):
+    """Shared BM25 scoring tail over ``(id, _tf, _df, _dl, _n,
+    _avgdl)`` rows — ONE association of the idf/saturation formula so
+    the inline and prebuilt-index paths (and the SQL oracles) produce
+    bit-identical doubles before the deterministic rounded-score /
+    id-tie-break top-k cut."""
     idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5)
                 / (F.col("_df") + 0.5))
     denom = F.col("_tf") + k1 * (F.lit(1.0) - b + b * F.col("_dl")
@@ -369,6 +344,123 @@ def bm25_search(f, text_col: str, id_col: str, terms, k: int = 10,
     scored = j.groupBy(id_col).agg(
         F.round(F.sum(contrib), round_to).alias("score"))
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def bm25_search(f, text_col: str, id_col: str, terms, k: int = 10,
+                k1: float = 1.2, b: float = 0.75, round_to: int = 4):
+    """Okapi BM25 keyword search over the corpus (Robertson & Zaragoza
+    2009): top-``k`` docs for a bag of query terms, idf = ln(1 +
+    (N-df+0.5)/(df+0.5)) (always-positive variant), tf saturation k1,
+    length normalization b. For a standing corpus, build the index
+    once with :func:`build_bm25_index` and query it with
+    :func:`bm25_search_indexed` — this inline form re-derives
+    everything from the text column each call.
+
+    Scale shape (r14 slimming — was 4 corpus scans): term frequencies
+    come from explode → filter-to-query-terms (an `isin` literal
+    predicate evaluated map-side, so non-query tokens never shuffle)
+    → groupBy(id, term); per-term document frequencies are a window
+    count over that SAME tiny aggregate (one row per (doc, term), so
+    count == countDistinct(doc)) instead of a second aggregate branch
+    that re-scanned the corpus. Doc lengths are one narrow projection
+    routed through an explicit id-keyed Exchange that BOTH consumers
+    (the 1-row (N, avgdl) stats aggregate and the score join) reuse —
+    a 12 B/row shuffle in place of re-reading and re-tokenizing the
+    whole text column for the stats branch. Two corpus scans total;
+    the only corpus-sized shuffles carry (doc, term) and (doc, len).
+    The final top-k orders by the ROUNDED score with an id tie-break
+    so results are deterministic across engines and partitionings."""
+    from pyspark.sql.window import Window as W
+    _guard_id(id_col, {"_w", "_tf", "_df", "_dl", "_n", "_avgdl",
+                       "score"}, "bm25_search")
+    sdf = f.sdf if hasattr(f, "sdf") else f
+    qterms = list(dict.fromkeys(t.lower() for t in terms))
+    if not qterms:
+        raise ValueError("bm25_search: empty query")
+    # the explicit isNotNull matches the IsNotNull the score join
+    # infers on its side, so BOTH consumers canonicalize to the SAME
+    # subtree and the Exchange below is planned once (ReusedExchange);
+    # a null-id doc can never be returned, so excluding it from the
+    # corpus stats only matters for degenerate inputs
+    dl = (sdf.filter(F.col(id_col).isNotNull())
+          .select(F.col(id_col),
+                  F.size(tokens(F.col(text_col))).alias("_dl"))
+          .repartition(F.col(id_col)))
+    g = dl.agg(F.count(F.lit(1)).alias("_n"),
+               (F.sum("_dl") / F.count(F.lit(1))).alias("_avgdl"))
+    tok = sdf.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_w"))
+    tf = (tok.filter(F.col("_w").isin(qterms))
+          .groupBy(id_col, "_w").agg(F.count(F.lit(1)).alias("_tf")))
+    tf = tf.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("_w")))
+    j = tf.join(dl, id_col).crossJoin(F.broadcast(g))
+    return _bm25_epilogue(j, id_col, k, k1, b, round_to)
+
+
+def build_bm25_index(f, text_col: str = "text", id_col: str = "doc_id"):
+    """Build the persistent BM25 retrieval structure: ``(postings,
+    stats)`` Frames meant to be WRITTEN once (parquet, ideally
+    partitioned or bucketed by term) and queried many times with
+    :func:`bm25_search_indexed` — queries then cost term-pruned index
+    reads, independent of corpus size.
+
+    ``postings`` is the ROW-form posting table ``(term, {id}, tf, df,
+    dl)`` — one row per (term, doc), denormalized with the per-term
+    document frequency and per-doc length the scorer needs (the
+    Lucene norms discipline), never an array: a stop-word term costs
+    rows, not an aggregation buffer. ``stats`` is the 1-row
+    ``(n_docs, avgdl)`` corpus summary, computed from the SAME raw
+    projection as the inline :func:`bm25_search` so both paths score
+    bit-identically (null-text docs count into n_docs with NULL
+    length on both, exactly like the SQL oracle's COUNT(*)/SUM).
+
+    Scale shape: ONE corpus scan → explode → (doc, term) tf aggregate,
+    then dl and df as window aggregates sharing that table's
+    partitionings (id, then term) — no self-joins; plus one cheap
+    text-pruned scan for the 1-row stats. Building 100 TB shuffles
+    distinct (doc, term) pairs — the price of an index, paid once."""
+    from pyspark.sql.window import Window as W
+    from ..frame import Frame
+    _guard_id(id_col, {"term", "tf", "df", "dl", "n_docs", "avgdl"},
+              "build_bm25_index")
+    sdf = f.sdf if hasattr(f, "sdf") else f
+    tok = sdf.select(F.col(id_col),
+                     F.explode(tokens(F.col(text_col))).alias("term"))
+    tc = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    postings = (tc
+                .withColumn("dl", F.sum("tf").over(W.partitionBy(id_col)))
+                .withColumn("df", F.count(F.lit(1))
+                            .over(W.partitionBy("term")))
+                .select("term", id_col, "tf", "df", "dl"))
+    raw_dl = sdf.select(F.size(tokens(F.col(text_col))).alias("_dl"))
+    stats = raw_dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                       (F.sum("_dl") / F.count(F.lit(1))).alias("avgdl"))
+    return Frame(postings), Frame(stats)
+
+
+def bm25_search_indexed(postings, stats, terms, k: int = 10,
+                        k1: float = 1.2, b: float = 0.75,
+                        round_to: int = 4, id_col: str = "doc_id"):
+    """Query a :func:`build_bm25_index` structure: top-``k`` docs for a
+    bag of terms WITHOUT touching the corpus — the 100 TB search path.
+    Accepts the (postings, stats) Frames (typically read back from
+    parquet). Scale shape: the term `isin` filter prunes the posting
+    scan (predicate pushdown; with term-partitioned parquet, partition
+    pruning), the surviving rows are bounded by the query terms'
+    posting lists, df/dl/tf ride in the rows, and stats is a 1-row
+    broadcast — zero corpus-sized work at query time. Scores are
+    bit-identical to the inline :func:`bm25_search` (shared epilogue,
+    same idf/saturation association)."""
+    p = postings.sdf if hasattr(postings, "sdf") else postings
+    s = stats.sdf if hasattr(stats, "sdf") else stats
+    qterms = list(dict.fromkeys(t.lower() for t in terms))
+    if not qterms:
+        raise ValueError("bm25_search_indexed: empty query")
+    j = (p.filter(F.col("term").isin(qterms))
+         .select(F.col(id_col), F.col("tf").alias("_tf"),
+                 F.col("df").alias("_df"), F.col("dl").alias("_dl"))
+         .crossJoin(F.broadcast(s.select(
+             F.col("n_docs").alias("_n"), F.col("avgdl").alias("_avgdl")))))
+    return _bm25_epilogue(j, id_col, k, k1, b, round_to)
 
 
 def unigram_logprob(f, text_col: str, id_col: str, model=None,

@@ -1332,3 +1332,61 @@ def test_rrf_fuse_duplicate_ids_within_one_list(spark):
     assert out[1]["rrf"] == pytest.approx(1 / 61 + 1 / 62)   # best rank only
     assert out[2]["n_lists"] == 1
     assert out[2]["rrf"] == pytest.approx(1 / 62)
+
+
+def test_bm25_indexed_matches_inline_and_parquet_roundtrip(spark, tmp_path):
+    # r14: the prebuilt-index path must score BIT-identically to the
+    # inline path (shared _bm25_epilogue), including through a parquet
+    # round-trip of the (postings, stats) index — the write-once/
+    # query-many 100 TB contract.
+    from crysda_spark import from_records
+    docs = from_records(spark, [
+        {"doc_id": 1, "text": "fast scan fast table"},
+        {"doc_id": 2, "text": "table scan merge join"},
+        {"doc_id": 3, "text": "slow vector join join join"},
+        {"doc_id": 4, "text": "fast"},
+        {"doc_id": 5, "text": ""},                     # 1 empty token
+    ])
+    terms = ["fast", "join"]
+    inline = tx.bm25_search(docs, "text", "doc_id", terms, k=10).collect()
+    postings, stats = tx.build_bm25_index(docs, "text", "doc_id")
+    direct = tx.bm25_search_indexed(postings, stats, terms, k=10).collect()
+    pdir, sdir = str(tmp_path / "p"), str(tmp_path / "s")
+    postings.sdf.write.parquet(pdir)
+    stats.sdf.write.parquet(sdir)
+    rt = tx.bm25_search_indexed(
+        Frame(spark.read.parquet(pdir)), Frame(spark.read.parquet(sdir)),
+        terms, k=10).collect()
+    want = [(r["doc_id"], repr(r["score"])) for r in inline]
+    assert [(r["doc_id"], repr(r["score"])) for r in direct] == want
+    assert [(r["doc_id"], repr(r["score"])) for r in rt] == want
+    # postings carry exact denormalized stats
+    prow = {(r["term"], r["doc_id"]): r for r in postings.sdf.collect()}
+    assert prow[("join", 3)]["tf"] == 3
+    assert prow[("join", 3)]["df"] == 2          # docs 2 and 3
+    assert prow[("join", 3)]["dl"] == 5
+    with pytest.raises(ValueError, match="empty query"):
+        tx.bm25_search_indexed(postings, stats, [])
+
+
+def test_bm25_runtime_exchange_reuse(spark):
+    # r14 plan-shape lock (runtime half): the dl projection's id-keyed
+    # Exchange feeds BOTH the (N, avgdl) stats aggregate and the score
+    # join; statically it appears twice, and AQE's stage cache must
+    # fold the second occurrence into a ReusedExchange so the corpus
+    # text is read+tokenized exactly twice per query, never four times.
+    import io
+    import contextlib
+    from crysda_spark import from_records
+    docs = from_records(spark, [
+        {"doc_id": i, "text": f"fast scan table row {i}"}
+        for i in range(200)])
+    out = tx.bm25_search(docs, "text", "doc_id", ["fast", "table"], k=5)
+    out.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    txt = buf.getvalue()
+    assert "isFinalPlan=true" in txt
+    assert "ReusedExchange" in txt, (
+        "AQE no longer reuses the shared dl Exchange:\n" + txt[:2000])

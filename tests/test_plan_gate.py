@@ -62,7 +62,19 @@ EXPECTED = {
     # include that duplication; the bare ngram_overlap operator plan is
     # scans=3, exchanges=3, bhj=1 (tokens projected before the gram HOF)
     "decontam_ngram_overlap": dict(scans=5, exchanges=6, bhj=2, smj=0),
-    "bm25_keyword_search": dict(scans=4, exchanges=5, bhj=2, smj=0),
+    # r14 slimming (documented delta, was scans=4/exch=5/bhj=2): df is
+    # a window over the tf aggregate (no second corpus subtree) and the
+    # dl projection routes through an id-keyed Exchange that the stats
+    # branch and the score join SHARE — statically 3 scans; at runtime
+    # AQE's stage cache folds the duplicated dl Exchange into a
+    # ReusedExchange (locked by test_bm25_runtime_exchange_reuse), so
+    # the corpus text is read+tokenized exactly twice, never four times
+    "bm25_keyword_search": dict(scans=3, exchanges=6, bhj=1, smj=0),
+    # r14: prebuilt-index BM25 — the query side is the term-pruned
+    # posting scan + 1-row stats broadcast; the 2nd scan and the
+    # window exchanges are the inline index BUILD (persisted parquet
+    # at scale, where a query is 1 pruned scan and 0 corpus work)
+    "bm25_indexed_search": dict(scans=2, exchanges=5, bhj=0, smj=0),
     "unigram_lm_quality": dict(scans=3, exchanges=4, bhj=1, smj=0),
     "url_domain_rollup": dict(scans=1, exchanges=1, bhj=0, smj=0),
     # r7 TPC-H batch: every dim broadcast, fact scanned once and never
@@ -252,13 +264,16 @@ EXPECTED = {
     # two-exchange aggregate (partial/final with countDistinct); any
     # bhj/smj means the mix started joining, which it must never do
     "corpus_mix_counts": dict(scans=1, exchanges=2, bhj=0, smj=0),
-    # r13: hybrid RRF — the BM25 branch (3 corpus-token exchanges, its
-    # df/avgdl BHJs) + the mapInPandas cosine branch; the fuse itself
-    # adds only the bounded candidate-set aggregate + the global rank
-    # window's single-partition exchange (top-N-bounded by contract).
-    # An smj or extra scan means a retrieval list stopped being
-    # top-k-bounded before the fuse.
-    "hybrid_rrf_retrieval": dict(scans=5, exchanges=7, bhj=2, smj=0),
+    # r13: hybrid RRF — the BM25 branch + the mapInPandas cosine
+    # branch; the fuse itself adds only the bounded candidate-set
+    # aggregate + the global rank window's single-partition exchange
+    # (top-N-bounded by contract). An smj or extra scan means a
+    # retrieval list stopped being top-k-bounded before the fuse.
+    # r14 delta (was scans=5/exch=7/bhj=2): the BM25 slimming above
+    # drops the duplicated tf subtree (window df) — statically 4
+    # scans, and AQE folds the dl Exchange pair at runtime, so the
+    # executed query reads documents 2x + embeddings 1x (was 4x + 1x).
+    "hybrid_rrf_retrieval": dict(scans=4, exchanges=8, bhj=1, smj=0),
     # r13: inverted index — ONE corpus scan; the (doc,term) distinct
     # exchange + the term exchange SHARED by the cap window and the
     # final aggregate (window sort spills, so stop-word terms never
