@@ -4220,6 +4220,78 @@ def dupspan_exact_cut(spark, sf_dir):
                       F.md5(F.col("text")).alias("cleaned_md5"))
 
 
+@q("dupspan_incremental_stats", f"""
+WITH w AS (
+  SELECT doc_id, doc_id % 3 AS b, CAST(pos AS INT) AS pos,
+         substr(text, CAST(pos AS INT), {_DUPSPAN_L}) AS g
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(
+                   1, greatest(length(text) - {_DUPSPAN_L - 1}, 0))) AS pos
+        FROM documents)),
+gc AS (SELECT g, b, COUNT(*) AS c FROM w GROUP BY 1, 2),
+gcum AS (SELECT g, b, SUM(c) OVER (PARTITION BY g ORDER BY b) AS cum
+         FROM gc),
+hits AS (SELECT w.doc_id, w.pos
+         FROM w JOIN gcum ON w.g = gcum.g AND w.b = gcum.b
+         WHERE gcum.cum >= 2),
+isl AS (SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos)
+                         <= {_DUPSPAN_L} THEN 0 ELSE 1 END AS brk
+        FROM hits),
+grp AS (SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+        FROM isl),
+spans AS (SELECT doc_id, MIN(pos) AS span_start,
+                 MAX(pos) - MIN(pos) + {_DUPSPAN_L} AS span_len
+          FROM grp GROUP BY doc_id, gid),
+agg AS (SELECT doc_id, COUNT(*) AS n_spans,
+               SUM(span_len) AS chars_removed
+        FROM spans GROUP BY doc_id)
+SELECT doc.doc_id, length(doc.text) AS n_chars,
+       COALESCE(a.n_spans, 0) AS n_spans,
+       CAST(COALESCE(a.chars_removed, 0) AS BIGINT) AS chars_removed,
+       length(doc.text) - CAST(COALESCE(a.chars_removed, 0) AS BIGINT)
+           AS cleaned_len
+FROM documents doc LEFT JOIN agg a USING (doc_id)
+""")
+def dupspan_incremental_stats(spark, sf_dir):
+    """INCREMENTAL exact substring dedup (r14 — the within-corpus twin
+    of the decontamination index path): the corpus arrives as three
+    batches (doc_id % 3, processed 0→1→2), each cut against the
+    ACCRETED window-gram count state (pipeline.dupspan
+    .dupspan_increment) without re-reading earlier batches' text —
+    a batch position is duplicated iff its {_DUPSPAN_L}-char window
+    occurs ≥2 times across state + batch (keep-first at batch
+    granularity). The oracle expresses exactly that semantics as a
+    per-gram CUMULATIVE count over batches (SUM(c) OVER (PARTITION BY
+    g ORDER BY b)): a window hits in batch b iff its cumulative count
+    through b reaches 2 — so a span duplicated across batches is cut
+    only in the LATER batch, unlike dupspan_exact_stats which marks
+    both copies. Duplication is decided on the REAL gram in both
+    engines (the state carries substrings, not just hashes), so hash
+    collisions cannot flip a value. Union of the three per-batch stats
+    covers every document exactly once."""
+    from crysda_spark.pipeline.dupspan import (build_dupspan_index,
+                                               dupspan_stats_increment,
+                                               merge_dupspan_index)
+    from crysda_spark.plans.cache import pin
+    docs = _t(spark, sf_dir, "documents")
+    idx = build_dupspan_index(Frame(docs.sdf.limit(0)), "text",
+                              "doc_id", min_len=_DUPSPAN_L)
+    outs = None
+    for b in range(3):
+        batch = Frame(docs.sdf.filter(F.col("doc_id") % 3 == b))
+        stats, delta = dupspan_stats_increment(
+            batch, idx, "text", "doc_id", min_len=_DUPSPAN_L,
+            min_dup=2, probe=False)
+        outs = stats.sdf if outs is None else outs.unionByName(stats.sdf)
+        # the next round's state: pinned, or batch 2's plan re-runs
+        # the whole batch 0+1 pipeline per consumer
+        idx = Frame(pin(merge_dupspan_index(idx, delta).sdf))
+    return outs
+
+
 # exact cross-corpus decontamination: documents with doc_id % 7 == 0
 # play the benchmark corpus, the rest are the training corpus — the
 # driver-side split is deterministic and SQL-expressible on both sides

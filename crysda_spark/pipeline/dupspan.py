@@ -76,7 +76,10 @@ from ..frame import Frame
 __all__ = ["exact_dupspan_spans", "exact_dupspan_stats",
            "exact_dupspan_dedup", "exact_decontaminate_spans",
            "exact_decontaminate_stats", "exact_decontaminate",
-           "build_decontam_index", "decontaminate_spans_with_index"]
+           "build_decontam_index", "decontaminate_spans_with_index",
+           "build_dupspan_index", "validate_dupspan_index",
+           "merge_dupspan_index", "dupspan_increment",
+           "dupspan_stats_increment", "dupspan_cut_increment"]
 
 _B = 1099511628211        # odd multiplier (FNV-1a prime) — invertible mod 2^64
 _B_INV = pow(_B, -1, 1 << 64)
@@ -432,3 +435,157 @@ def exact_decontaminate(train: Frame, benchmark: Frame,
     spans = exact_decontaminate_spans(train, benchmark, text_col,
                                       id_col, min_len).sdf
     return Frame(_splice_cut(train.sdf, spans, text_col, id_col))
+
+
+# ------------------------------------------- incremental dupspan (r14)
+# Within-corpus exact substring dedup, batch-over-batch — the streaming
+# twin the decontamination path already had. The accreted state is the
+# window-gram COUNT table (_h, _g, cnt): one row per DISTINCT
+# ``min_len``-char window seen so far, with its rolling hash (join
+# accelerator), the REAL substring (exactness — duplication is decided
+# by grouping on the gram itself, so hash collisions cannot flip a
+# value, same discipline as the batch path's verify stage), and its
+# total occurrence count (overlapping occurrences included, the Lee et
+# al. 2022 semantics). ~(16 bytes + min_len chars) per distinct window
+# — the honest suffix-array-equivalent state; persist it as parquet
+# (bucketed/sorted by _h if probe joins dominate).
+#
+# Semantics, stated precisely: a position in an ARRIVING batch is
+# duplicated iff its window's count over (all previous batches + this
+# batch) reaches ``min_dup``. Earlier batches are never revisited —
+# the first ``min_dup - 1`` occurrences ship clean and stay clean,
+# later ones are cut: the keep-first discipline at batch granularity.
+# Processing the whole corpus as one batch against an empty index is
+# exactly ``exact_dupspan_*`` (pytest-pinned).
+
+
+def build_dupspan_index(corpus: Frame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        min_len: int = 50) -> Frame:
+    """The accretable substring-dedup state over ``corpus``:
+    ``(_h, _g, cnt)`` — every DISTINCT ``min_len``-char window with
+    its occurrence count (overlapping occurrences included). Build
+    once (empty corpus → empty state is the streaming bootstrap),
+    persist to parquet, feed :func:`dupspan_increment` per batch and
+    fold each returned delta back with :func:`merge_dupspan_index`.
+    One Arrow window pass + ONE (hash, gram)-keyed aggregate."""
+    if min_len < 2:
+        raise ValueError(f"build_dupspan_index: min_len must be >= 2, "
+                         f"got {min_len}")
+    w = _window_hash_rows(corpus.sdf, text_col, id_col, min_len,
+                          with_gram=True)
+    return Frame(w.groupBy("_h", "_g")
+                 .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+
+def validate_dupspan_index(index: Frame, min_len: int) -> None:
+    """Raise unless ``index`` was built with this ``min_len`` (probes
+    the first row's gram length — one tiny job; a mismatch would
+    silently mark every batch clean). Split out so long-lived callers
+    (the streaming sink) pay it once, not per micro-batch."""
+    probe = index.sdf.select(F.length("_g").alias("_l")).first()
+    if probe is not None and probe["_l"] != min_len:
+        raise ValueError(
+            f"dupspan_increment: index was built with min_len="
+            f"{probe['_l']} but min_len={min_len} was requested — a "
+            "mismatch would silently mark every batch clean; rebuild "
+            "the index or pass the matching min_len")
+
+
+def merge_dupspan_index(index: Frame, delta: Frame) -> Frame:
+    """Fold a :func:`dupspan_increment` delta into the state: counts
+    SUM by (hash, gram) — associative and commutative, so any batch
+    order and any partitioning yield the same state. One map-side-
+    combinable aggregate over (old ∪ delta)."""
+    u = index.sdf.unionByName(delta.sdf)
+    return Frame(u.groupBy("_h", "_g")
+                 .agg(F.sum("cnt").cast("long").alias("cnt")))
+
+
+def dupspan_increment(new: Frame, index: Frame, text_col: str = "text",
+                      id_col: str = "doc_id", min_len: int = 50,
+                      min_dup: int = 2,
+                      probe: bool = True) -> tuple[Frame, Frame]:
+    """Duplicate-span detection for a NEW batch against the accreted
+    corpus state, WITHOUT re-reading old text: returns
+    ``(spans, delta)`` —
+
+    - ``spans``: ``(id, span_start, span_len)`` maximal spans of the
+      batch whose every character sits in a window occurring ≥
+      ``min_dup`` times across (state + this batch);
+    - ``delta``: this batch's ``(_h, _g, cnt)`` window counts — fold
+      into the state with :func:`merge_dupspan_index` for the next
+      batch (the state grows only by this batch's distinct windows).
+
+    Exactness: duplication is decided on the REAL gram (the state
+    carries it; the batch groups by it), so hash collisions cost join
+    width only, never a wrong span — no separate verify stage needed.
+
+    Scale shape: one Arrow window-hash pass over the batch (map-only),
+    ONE (hash, gram) aggregate of batch windows (batch-sized), a
+    leftsemi probe of the state AGAINST the batch's keys (the state is
+    scanned and filtered, never shuffled — AQE broadcasts the batch
+    key set when it is small), and a batch-sized hit join + per-doc
+    islands window. Old text is never touched; per-batch cost is
+    O(batch) + one state scan.
+
+    Caching note: pins the batch window table, the batch delta, and
+    (unless already cached) the index — ``release_pinned()`` after
+    consuming, or run under ``pin_scope()`` like the streaming sink."""
+    if min_len < 2:
+        raise ValueError(f"dupspan_increment: min_len must be >= 2, "
+                         f"got {min_len}")
+    if min_dup < 2:
+        raise ValueError(f"dupspan_increment: min_dup must be >= 2, "
+                         f"got {min_dup}")
+    from ..plans.cache import pin
+    L = min_len
+    idx = index.sdf if index.sdf.is_cached else pin(index.sdf)
+    if probe:
+        validate_dupspan_index(Frame(idx), L)
+    w = pin(_window_hash_rows(new.sdf, text_col, id_col, L,
+                              with_gram=True))
+    delta = pin(w.groupBy("_h", "_g")
+                .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    # state probe: leftsemi against the batch's keys — the state side
+    # only ever filters and streams, it is never re-keyed or shuffled
+    old = (idx.join(delta.select("_h", "_g"), on=["_h", "_g"],
+                    how="leftsemi")
+           .withColumnRenamed("cnt", "_cnt_old"))
+    dup = (delta.join(old, on=["_h", "_g"], how="left")
+           .filter(F.col("cnt") + F.coalesce(F.col("_cnt_old"), F.lit(0))
+                   >= min_dup)
+           .select("_h", "_g"))
+    hits = w.join(dup, on=["_h", "_g"]).select(id_col, "pos")
+    return Frame(_hits_to_spans(hits, id_col, L)), Frame(delta)
+
+
+def dupspan_stats_increment(new: Frame, index: Frame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id", min_len: int = 50,
+                            min_dup: int = 2,
+                            probe: bool = True) -> tuple[Frame, Frame]:
+    """:func:`dupspan_increment` with the batch's per-document
+    accounting instead of raw spans: ``((id, n_chars, n_spans,
+    chars_removed, cleaned_len), delta)`` — every batch doc, zero-
+    filled, the ``exact_dupspan_stats`` shape."""
+    spans, delta = dupspan_increment(new, index, text_col, id_col,
+                                     min_len, min_dup, probe)
+    return Frame(_stats_from_spans(new.sdf, spans.sdf, text_col,
+                                   id_col)), delta
+
+
+def dupspan_cut_increment(new: Frame, index: Frame,
+                          text_col: str = "text",
+                          id_col: str = "doc_id", min_len: int = 50,
+                          min_dup: int = 2,
+                          probe: bool = True) -> tuple[Frame, Frame]:
+    """:func:`dupspan_increment` with the batch's spans SPLICED OUT:
+    ``((id, <text_col>, chars_removed), delta)`` — the keep-first cut
+    a streaming ingestion ships downstream (what
+    :func:`~crysda_spark.streaming.cdc.stream_dupspan_dedup` writes
+    per micro-batch)."""
+    spans, delta = dupspan_increment(new, index, text_col, id_col,
+                                     min_len, min_dup, probe)
+    return Frame(_splice_cut(new.sdf, spans.sdf, text_col, id_col,
+                             with_removed=True)), delta

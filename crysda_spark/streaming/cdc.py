@@ -34,18 +34,32 @@ from ..operators.merge import merge_into
 
 __all__ = ["read_snapshot", "stream_upsert_to_parquet",
            "stream_dedup_incremental", "stream_decontaminate",
-           "stream_match_audio", "stream_image_dedup"]
+           "stream_dupspan_dedup", "stream_match_audio",
+           "stream_image_dedup"]
 
 _MANIFEST = "MANIFEST"
 
 
-def _active_side(path: str) -> str | None:
+def _manifest_state(path: str) -> tuple[str | None, int | None]:
+    """(active side, batch id of the last committed flip). The batch
+    id suffix (``a@7``) lets a replayed ``foreachBatch`` detect that
+    its index flip ALREADY committed and recompute only the per-batch
+    output against the pre-flip side — without it, re-merging a delta
+    into already-merged count state would double-count. Plain ``a``
+    manifests (other sinks, older state dirs) read as (side, None)."""
     try:
         with open(os.path.join(path, _MANIFEST)) as fh:
-            side = fh.read().strip()
-            return side if side in ("a", "b") else None
+            raw = fh.read().strip()
     except OSError:
-        return None
+        return None, None
+    side, _, bid = raw.partition("@")
+    if side not in ("a", "b"):
+        return None, None
+    return side, (int(bid) if bid.isdigit() else None)
+
+
+def _active_side(path: str) -> str | None:
+    return _manifest_state(path)[0]
 
 
 def read_snapshot(spark, path: str) -> SparkDF | None:
@@ -212,6 +226,95 @@ def stream_decontaminate(stream: SparkDF, index_path: str, out_path: str,
                               with_removed=True)
             out.write.mode("overwrite").parquet(
                 f"{out_path.rstrip('/')}/batch_id={batch_id}")
+
+    writer = stream.writeStream.foreachBatch(apply_batch) \
+        .outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def stream_dupspan_dedup(stream: SparkDF, path: str, text_col: str,
+                         id_col: str, min_len: int = 50,
+                         min_dup: int = 2,
+                         checkpoint: str | None = None):
+    """Streaming WITHIN-CORPUS exact substring dedup (the r13-carried
+    twin of :func:`stream_decontaminate`, whose index is static —
+    here the state ACCRETES): every micro-batch of documents is cut
+    against the window-gram count state of everything seen so far
+    (:func:`~crysda_spark.pipeline.dupspan.dupspan_increment` — a
+    batch position is duplicated iff its ``min_len``-window occurs ≥
+    ``min_dup`` times across state + batch; the first ``min_dup − 1``
+    occurrences ship clean and stay clean, the keep-first discipline
+    at batch granularity), committing TWO tables under ``path`` via
+    the A/B-manifest discipline:
+
+    - ``index/``: the ``(_h, _g, cnt)`` count state — one row per
+      distinct window ever seen (~16 B + ``min_len`` chars each; the
+      honest suffix-array-equivalent state), merged batch-atomically;
+    - ``cleaned/``: ``(id, text, chars_removed)`` per batch under
+      ``batch_id=N`` — rows that lost nothing pass through with 0.
+
+    Old text is NEVER re-read: each batch pays one Arrow window pass
+    over ITS OWN text, one batch-sized count aggregate, and a state
+    probe that scans-and-filters (never shuffles) the index.
+
+    Exactly-once, count-state edition: cleaned output overwrites by
+    batch id, and the manifest records the LAST FLIPPED BATCH
+    (``side@batch_id``) — a replay that finds its own flip already
+    committed recomputes only the cleaned output against the PRE-flip
+    side and leaves the state alone, because re-merging a delta into
+    count state (unlike the fingerprint index's union) would silently
+    double-count every window of the batch. ``path`` must be
+    driver-local (atomic manifest rename)."""
+    from ..pipeline.dupspan import (build_dupspan_index,
+                                    dupspan_cut_increment,
+                                    merge_dupspan_index)
+    from ..plans.cache import pin_scope
+    idx_dir = os.path.join(path, "index")
+    cln_dir = os.path.join(path, "cleaned")
+    os.makedirs(idx_dir, exist_ok=True)
+    os.makedirs(cln_dir, exist_ok=True)
+
+    def apply_batch(batch: SparkDF, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        side, last_bid = _manifest_state(idx_dir)
+        replay_after_flip = side is not None and last_bid == batch_id
+        with pin_scope():
+            if replay_after_flip:
+                # this batch's merge already committed: the state to
+                # cut against is the PRE-flip side (absent for a
+                # replayed batch 0 → bootstrap empty)
+                prev = "b" if side == "a" else "a"
+                pdir = os.path.join(idx_dir, prev)
+                current = (spark.read.parquet(pdir)
+                           if os.path.isdir(pdir)
+                           else build_dupspan_index(
+                               Frame(batch.limit(0)), text_col, id_col,
+                               min_len).sdf)
+            else:
+                current = read_snapshot(spark, idx_dir)
+                if current is None:
+                    current = build_dupspan_index(
+                        Frame(batch.limit(0)), text_col, id_col,
+                        min_len).sdf
+            cleaned, delta = dupspan_cut_increment(
+                Frame(batch), Frame(current), text_col, id_col,
+                min_len=min_len, min_dup=min_dup)
+            cleaned.sdf.write.mode("overwrite").parquet(
+                os.path.join(cln_dir, f"batch_id={batch_id}"))
+            if replay_after_flip:
+                return  # state already correct — do NOT re-merge
+            new_index = merge_dupspan_index(Frame(current), delta)
+            nxt = "b" if side == "a" else "a"
+            new_index.sdf.write.mode("overwrite").parquet(
+                os.path.join(idx_dir, nxt))
+        tmp = os.path.join(idx_dir, _MANIFEST + ".tmp")
+        with open(tmp, "w") as fh:
+            fh.write(f"{nxt}@{batch_id}")
+        os.replace(tmp, os.path.join(idx_dir, _MANIFEST))
 
     writer = stream.writeStream.foreachBatch(apply_batch) \
         .outputMode("append")

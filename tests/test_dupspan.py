@@ -296,3 +296,191 @@ def test_decontaminate_index_min_len_mismatch_raises(spark, tmp_path):
     with pytest.raises(ValueError):
         decontaminate_spans_with_index(train, idx, "text", "doc_id",
                                        min_len=1)
+
+
+# ------------------------------------------- incremental dupspan (r14)
+
+def test_dupspan_increment_single_batch_equals_batch_path(spark):
+    # whole corpus as ONE batch against an empty index must reproduce
+    # exact_dupspan_spans exactly — the incremental path's base case
+    from crysda_spark.pipeline.dupspan import (build_dupspan_index,
+                                               dupspan_increment)
+    block = "QWERTYUIOPASDFGHJKLZ"
+    rows = [(1, "aaaa-bbbb." + block + ",cccc+dddd"),
+            (2, "eeee;ffff!" + block + "?hhhh"),
+            (3, "nothing shared here at all zzzz yyyy xxxx")]
+    f = Frame(spark.createDataFrame(rows, "doc_id long, text string"))
+    empty = build_dupspan_index(Frame(f.sdf.limit(0)), "text", "doc_id",
+                                min_len=20)
+    spans, delta = dupspan_increment(f, empty, "text", "doc_id",
+                                     min_len=20, min_dup=2)
+    got = {(r["doc_id"], r["span_start"], r["span_len"])
+           for r in spans.sdf.collect()}
+    want = _spans(f, min_len=20, min_dup=2)
+    assert got == want == {(1, 11, 20), (2, 11, 20)}
+    # the delta counts every window occurrence: the shared block's
+    # exact window appears twice
+    d = {r["_g"]: r["cnt"] for r in delta.sdf.collect()}
+    assert d[block] == 2
+    release_pinned()
+
+
+def test_dupspan_increment_keep_first_across_batches(spark):
+    # batch 1 ships the first copy CLEAN; batch 2's verbatim repeat is
+    # cut (count state 1 + batch 1 = 2) — the keep-first discipline;
+    # batch 2 also self-duplicates a new block, cut within the batch
+    from crysda_spark.pipeline.dupspan import (build_dupspan_index,
+                                               dupspan_increment,
+                                               merge_dupspan_index,
+                                               validate_dupspan_index)
+    block = "QWERTYUIOPASDFGHJKLZ"
+    b1 = Frame(spark.createDataFrame(
+        [(1, "aaaa-bbbb." + block + ",cccc+dddd")],
+        "doc_id long, text string"))
+    b2 = Frame(spark.createDataFrame(
+        [(2, "eeee;ffff!" + block + "?hhhh")],
+        "doc_id long, text string"))
+    empty = build_dupspan_index(Frame(b1.sdf.limit(0)), "text",
+                                "doc_id", min_len=20)
+    s1, d1 = dupspan_increment(b1, empty, "text", "doc_id",
+                               min_len=20, min_dup=2)
+    assert s1.sdf.count() == 0                  # first copy: clean
+    idx = merge_dupspan_index(empty, d1)
+    validate_dupspan_index(idx, 20)             # round-trips min_len
+    with pytest.raises(ValueError, match="min_len"):
+        validate_dupspan_index(idx, 30)
+    s2, d2 = dupspan_increment(b2, idx, "text", "doc_id",
+                               min_len=20, min_dup=2)
+    got = {(r["doc_id"], r["span_start"], r["span_len"])
+           for r in s2.sdf.collect()}
+    assert got == {(2, 11, 20)}                 # later copy: cut
+    # merged state counts sum across batches
+    m = merge_dupspan_index(idx, d2)
+    cnt = {r["_g"]: r["cnt"] for r in m.sdf.collect()}
+    assert cnt[block] == 2
+    release_pinned()
+
+
+def test_dupspan_increment_matches_cumulative_oracle_semantics(spark):
+    # three batches (doc_id % 3) — the union of incremental spans must
+    # equal the cumulative-count semantics computed directly: a window
+    # hits in batch b iff its gram count over batches <= b reaches 2
+    from crysda_spark.pipeline.dupspan import (build_dupspan_index,
+                                               dupspan_stats_increment,
+                                               merge_dupspan_index)
+    from crysda_spark.plans.cache import pin
+    import random
+    rng = random.Random(17)
+    alphabet = "abcdefgh "
+    texts = []
+    shared = "".join(rng.choice(alphabet) for _ in range(24))
+    for i in range(12):
+        base = "".join(rng.choice(alphabet) for _ in range(60))
+        if i % 4 == 0:       # plant the shared block in several docs
+            base = base[:10] + shared + base[34:]
+        texts.append((i, base))
+    f = Frame(spark.createDataFrame(texts, "doc_id long, text string"))
+    L = 12
+    idx = build_dupspan_index(Frame(f.sdf.limit(0)), "text", "doc_id",
+                              min_len=L)
+    outs = None
+    for b in range(3):
+        batch = Frame(f.sdf.filter(F.col("doc_id") % 3 == b))
+        stats, delta = dupspan_stats_increment(
+            batch, idx, "text", "doc_id", min_len=L, min_dup=2,
+            probe=False)
+        outs = stats.sdf if outs is None else outs.unionByName(stats.sdf)
+        idx = Frame(pin(merge_dupspan_index(idx, delta).sdf))
+    got = {r["doc_id"]: r["chars_removed"] for r in outs.collect()}
+    # driver-side reference: cumulative gram counts per batch
+    from collections import Counter
+    seen = Counter()
+    want = {}
+    for b in range(3):
+        docs = [(i, t) for i, t in texts if i % 3 == b]
+        bc = Counter(t[p:p + L] for _, t in docs
+                     for p in range(len(t) - L + 1))
+        hits = {}
+        for i, t in docs:
+            ps = [p for p in range(len(t) - L + 1)
+                  if seen[t[p:p + L]] + bc[t[p:p + L]] >= 2]
+            # islands merge
+            removed, start = 0, None
+            for j, p in enumerate(ps):
+                if start is None:
+                    start = p
+                elif p - ps[j - 1] > L:
+                    removed += ps[j - 1] - start + L
+                    start = p
+            if start is not None:
+                removed += ps[-1] - start + L
+            want[i] = removed
+        seen.update(bc)
+    assert got == want
+    assert sum(got.values()) > 0                # the plant actually hit
+    release_pinned()
+
+
+def test_stream_dupspan_dedup_accretes_and_matches_driver_loop(spark,
+                                                               tmp_path):
+    """stream == batch: the streaming sink's cleaned output over two
+    micro-batches must byte-match the driver loop of
+    dupspan_cut_increment, the index must accrete gram counts, and the
+    manifest must carry the side@batch_id replay guard."""
+    import os
+    from crysda_spark.pipeline.dupspan import (build_dupspan_index,
+                                               dupspan_cut_increment,
+                                               merge_dupspan_index)
+    from crysda_spark.streaming.cdc import (_manifest_state,
+                                            read_snapshot,
+                                            stream_dupspan_dedup)
+    block = "QWERTYUIOPASDFGHJKLZ"
+    rows1 = [(1, "aaaa-bbbb." + block + ",cccc+dddd"),
+             (2, "unrelated first text with nothing shared zzz")]
+    rows2 = [(3, "eeee;ffff!" + block + "?hhhh"),       # cross-batch dup
+             (4, "pp" + block + "qq" + block + "rr")]   # in-batch dups
+    src = str(tmp_path / "docs")
+    state = str(tmp_path / "span_state")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(src)
+    spark.createDataFrame(rows1, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string") \
+        .parquet(src)
+    q = stream_dupspan_dedup(stream, state, "text", "doc_id",
+                             min_len=20, min_dup=2, checkpoint=ckpt)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["doc_id"]: (r["text"], r["chars_removed"])
+           for r in spark.read.parquet(
+               os.path.join(state, "cleaned")).collect()}
+    # driver-side reference loop
+    f1 = Frame(spark.createDataFrame(rows1, "doc_id long, text string"))
+    f2 = Frame(spark.createDataFrame(rows2, "doc_id long, text string"))
+    idx = build_dupspan_index(Frame(f1.sdf.limit(0)), "text", "doc_id",
+                              min_len=20)
+    c1, d1 = dupspan_cut_increment(f1, idx, "text", "doc_id",
+                                   min_len=20, min_dup=2)
+    want = {r["doc_id"]: (r["text"], r["chars_removed"])
+            for r in c1.sdf.collect()}
+    idx = merge_dupspan_index(idx, d1)
+    c2, d2 = dupspan_cut_increment(f2, idx, "text", "doc_id",
+                                   min_len=20, min_dup=2)
+    want.update({r["doc_id"]: (r["text"], r["chars_removed"])
+                 for r in c2.sdf.collect()})
+    release_pinned()
+    assert got == want
+    assert got[1][1] == 0                       # first copy shipped clean
+    assert got[3][1] == 20                      # cross-batch repeat cut
+    assert got[4][1] >= 20                      # in-batch repeat cut
+    # accreted state: gram counts across all batches (block seen 4x)
+    snap = read_snapshot(spark, os.path.join(state, "index"))
+    cnt = {r["_g"]: r["cnt"] for r in snap.collect()}
+    assert cnt[block] == 4
+    side, bid = _manifest_state(os.path.join(state, "index"))
+    assert side in ("a", "b") and bid == 1      # last flipped batch

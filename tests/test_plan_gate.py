@@ -259,6 +259,15 @@ EXPECTED = {
     # kernel (collect_list is part of the splice's span-list agg, not
     # a new shuffle) — locked to the same shapes as their stats twins
     "dupspan_exact_cut": dict(scans=3, exchanges=5, bhj=2, smj=2),
+    # r14: incremental dupspan — THREE chained dupspan_increment
+    # rounds (doc_id % 3): per round, one Arrow window pass + the
+    # batch-count aggregate + the state leftsemi probe + the hit join
+    # + the islands window + the zero-fill stats join; the accreted
+    # index is pinned between rounds (InMemoryRelation subtrees), so
+    # round N never re-runs round N-1's pipeline. 2 scans per round
+    # (window pass + stats base; the probe hits the pinned state).
+    "dupspan_incremental_stats": dict(scans=6, exchanges=12, bhj=9,
+                                      smj=3),
     "decontam_exact_cut": dict(scans=4, exchanges=6, bhj=3, smj=1),
     # r12: corpus mix — ONE scan, map-side stamp + explode, then the
     # two-exchange aggregate (partial/final with countDistinct); any
