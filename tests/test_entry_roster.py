@@ -68,13 +68,26 @@ def test_every_required_operator_query_sits_in_window(entry_mod):
     assert not evicted, f"gate-required queries evicted from first 50: {sorted(evicted)}"
 
 
-def test_window_queries_all_carry_oracles(entry_mod):
+def test_window_queries_carry_oracles_or_declared_rows_only(entry_mod):
+    # r14 policy: with the SQL-oracled union complete, gate slots may
+    # hold rows-only queries — but ONLY those explicitly declared in
+    # _GATE_ROWS_ONLY (each carries an in-query planted-truth gate);
+    # an oracle-less query can never slip in unintentionally, and a
+    # declared rows-only query must not secretly lack registration
     oracles = entry_mod.oracle_sql()
     first50 = list(entry_mod.queries())[:50]
     missing = [n for n in first50 if n not in oracles]
-    assert not missing, (
-        f"window slots wasted on oracle-less queries (rows-only check): {missing}"
+    undeclared = [n for n in missing if n not in entry_mod._GATE_ROWS_ONLY]
+    assert not undeclared, (
+        f"gate slots hold UNDECLARED oracle-less queries: {undeclared}"
     )
+    # and the declaration itself stays honest: everything declared is
+    # actually registered and actually oracle-less
+    for n in entry_mod._GATE_ROWS_ONLY:
+        assert n in entry_mod.queries(), f"declared but unregistered: {n}"
+        assert n not in oracles, (
+            f"{n} gained a SQL oracle — remove it from _GATE_ROWS_ONLY "
+            "so the stronger check is recorded")
 
 
 def test_planted_truth_recall_gate_raises(entry_mod, spark):
