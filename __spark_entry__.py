@@ -6350,6 +6350,44 @@ def bigram_lm_quality(spark, sf_dir):
     return tx.bigram_logprob(docs, "text", "doc_id", add_k=1.0).sdf
 
 
+@q("trigram_lm_quality", """
+WITH tok AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents),
+tri AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS b
+  FROM tok),
+c3 AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c3 FROM tri GROUP BY 1),
+c2 AS (SELECT string_split(b, ' ')[1] || ' ' || string_split(b, ' ')[2] AS p,
+              CAST(SUM(c3) AS BIGINT) AS c2
+       FROM c3 GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT t) AS v
+      FROM (SELECT unnest(w) AS t FROM tok)),
+model AS (
+  SELECT c3.b, ln((c3.c3 + 1.0) / (c2.c2 + 1.0 * v.v)) AS lp
+  FROM c3 JOIN c2
+    ON string_split(c3.b, ' ')[1] || ' ' || string_split(c3.b, ' ')[2] = c2.p
+  CROSS JOIN v)
+SELECT tri.doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       ROUND(AVG(model.lp), 4) AS lm3_logprob
+FROM tri JOIN model USING (b) GROUP BY 1
+""")
+def trigram_lm_quality(spark, sf_dir):
+    """Add-1-smoothed TRIGRAM LM self-scoring (pipeline.text
+    .trigram_logprob, r14 stretch — the CCNet ladder's next rung,
+    KenLM shape at order 3): P(w3|w1 w2) = (c123+1)/(c12+V) with c12
+    the exact int64 prefix-sum of trigram counts (the bigram rung's
+    normalization discipline one order up) and V the distinct-token
+    vocabulary. Both engines build the identical model table from
+    int64 counts and average correctly-rounded ln() terms per doc
+    (ROUND 4dp absorbs summation-order noise)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.trigram_logprob(docs, "text", "doc_id", add_k=1.0).sdf
+
+
 
 @q("image_phash_near_dups")  # DCT hash over binary codecs; rows-only
 def image_phash_near_dups(spark, sf_dir):
@@ -6573,6 +6611,77 @@ def video_phash_match(spark, sf_dir):
         raise AssertionError(
             f"video_phash_match: {n}/4 matches, {bad} wrong clip/offset "
             "— frame fingerprint pipeline broken")
+    return out
+
+
+@q("video_near_transcode_match")  # Hamming-banded frame match; rows-only
+def video_near_transcode_match(spark, sf_dir):
+    """NEAR-TRANSCODE video identification (r14 stretch —
+    pipeline.phash.match_video_near): the video_phash_match
+    construction, but every query copy is additionally RE-ENCODED
+    NOISILY (deterministic ±8 uniform pixel noise per frame — a lossy
+    transcode stand-in that drifts each frame's pHash by 0-4 bits) and
+    trimmed by 4 frames. The exact-hash matcher goes blind on drifted
+    hashes; the Hamming-banded matcher (8 disjoint bands, radius 6 —
+    pigeonhole-exact recall) recovers every copy.
+
+    Load-bearing planted-truth gates: (a) the NEAR matcher maps all 4
+    noisy trimmed copies to THEIR source clip at EXACTLY offset 4 with
+    >= 3 frame votes; (b) the EXACT matcher resolves strictly fewer
+    than 4 of them — proving the banding is load-bearing, not a
+    pass-through of the exact path. Either failing RAISES."""
+    from crysda_spark.pipeline import phash as ph
+    from pyspark.sql import types as T
+
+    ids = _t(spark, sf_dir, "documents").sdf.select("doc_id").limit(8)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from crysda_spark.pipeline.codecs import encode_avi
+        for pdf in batches:
+            out_ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rng = np.random.RandomState(900 + did % 8)
+                frames = [(rng.rand(16, 20, 3) * 255).astype(np.uint8)
+                          for _ in range(12)]
+                out_ids.append(did)
+                payloads.append(encode_avi(frames, fps=10.0))
+                if did % 8 < 4:
+                    nz = np.random.RandomState(77 + did % 8)
+                    noisy = [np.clip(fr.astype(np.int16)
+                                     + nz.randint(-8, 9, fr.shape),
+                                     0, 255).astype(np.uint8)
+                             for fr in frames[4:]]
+                    out_ids.append(did + 10_000_000)
+                    payloads.append(encode_avi(noisy, fps=10.0))
+            yield pd.DataFrame({"id": out_ids, "payload": payloads})
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    vids = Frame(ids.mapInPandas(gen, schema=schema))
+    fps = ph.fingerprint_video(vids, "id", "payload", every_n=2)
+    from crysda_spark.plans.cache import pin
+    fps = Frame(pin(fps.sdf))  # feeds near match, exact match, and gates
+    ix = Frame(fps.sdf.filter(F.col("id") < 10_000_000))
+    qs = Frame(fps.sdf.filter(F.col("id") >= 10_000_000))
+    out = ph.match_video_near(qs, ix, max_hamming=6, n_bands=8,
+                              min_votes=3).sdf
+    bad = out.filter(
+        (F.col("match_id") != F.col("query_id") - 10_000_000)
+        | (F.col("offset") != 4)).count()
+    n = out.count()
+    if bad or n != 4:
+        raise AssertionError(
+            f"video_near_transcode_match: {n}/4 near matches, {bad} "
+            "wrong clip/offset — banded frame matching broken")
+    n_exact = ph.match_video(qs, ix, min_votes=3).sdf.count()
+    if n_exact >= 4:
+        raise AssertionError(
+            f"video_near_transcode_match: exact matcher resolved "
+            f"{n_exact}/4 noisy copies — the noise no longer drifts "
+            "hashes, so this gate stopped testing the banding")
     return out
 
 

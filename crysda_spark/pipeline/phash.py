@@ -308,3 +308,69 @@ def match_video(queries: Frame, index: Frame, min_votes: int = 3,
                  F.col("offset")))
     return Frame(votes.withColumn("_rk", rk).filter(F.col("_rk") == 1)
                  .select("query_id", "match_id", "offset", "votes"))
+
+
+def match_video_near(queries: Frame, index: Frame,
+                     max_hamming: int = 6, n_bands: int = 8,
+                     min_votes: int = 3, id_col: str = "id") -> Frame:
+    """NEAR-TRANSCODE video matching (r14 — the hook documented on
+    :func:`match_video`): when the query clip was re-encoded lossily
+    (pixel noise, mild recompression), its frame hashes drift a few
+    bits and the exact equi-join goes blind. This variant runs the
+    :func:`image_near_dups` Hamming banding BETWEEN the query and
+    index frame tables — the 64-bit hash splits into ``n_bands``
+    disjoint bands, a query/index frame pair within ``max_hamming``
+    bits shares ≥1 full band (pigeonhole: ``n_bands > max_hamming``,
+    perfect recall at the radius), every band candidate is verified
+    with ``bit_count(xor)`` — then bins by (query, clip, frame
+    offset) and keeps the top-voted bin per query (≥ ``min_votes``,
+    deterministic tie-breaks). Returns
+    ``(query_id, match_id, offset, votes)``.
+
+    Scale shape: band explode on BOTH frame tables (×``n_bands``
+    fixed-width rows), ONE (band, value) equi-join shuffle — band
+    keys, never pixels — a candidate-sized Hamming verify, and the
+    same map-side-combinable vote as the exact matcher. Collisions
+    cost join width only; a frame pair beyond the radius can vote
+    only if it truly shares a band AND passes the bit_count filter,
+    which the radius guarantees it cannot."""
+    from pyspark.sql.window import Window as W
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"match_video_near: n_bands ({n_bands}) must exceed "
+            f"max_hamming ({max_hamming}) for the pigeonhole recall "
+            "guarantee")
+    if 64 % n_bands:
+        raise ValueError(f"match_video_near: n_bands ({n_bands}) must "
+                         "divide 64")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+
+    def bands(col):
+        return F.array(*[
+            F.shiftrightunsigned(col, i * width).bitwiseAND(F.lit(mask))
+            for i in range(n_bands)])
+
+    q = (queries.sdf if hasattr(queries, "sdf") else queries).select(
+        F.col(id_col).alias("query_id"), F.col("phash").alias("_hq"),
+        F.col("frame_idx").alias("_fq"),
+        F.posexplode(bands(F.col("phash"))).alias("_band", "_v"))
+    ix = (index.sdf if hasattr(index, "sdf") else index).select(
+        F.col(id_col).alias("match_id"), F.col("phash").alias("_hi"),
+        F.col("frame_idx").alias("_fi"),
+        F.posexplode(bands(F.col("phash"))).alias("_band", "_v"))
+    cand = (q.join(ix, on=["_band", "_v"])
+            .dropDuplicates(["query_id", "_fq", "match_id", "_fi"])
+            .withColumn("_ham", F.bit_count(
+                F.col("_hq").bitwiseXOR(F.col("_hi"))))
+            .filter(F.col("_ham") <= max_hamming))
+    votes = (cand.groupBy("query_id", "match_id",
+                          (F.col("_fi") - F.col("_fq")).alias("offset"))
+             .agg(F.count(F.lit(1)).alias("votes"))
+             .filter(F.col("votes") >= min_votes))
+    rk = F.row_number().over(
+        W.partitionBy("query_id")
+        .orderBy(F.col("votes").desc(), F.col("match_id"),
+                 F.col("offset")))
+    return Frame(votes.withColumn("_rk", rk).filter(F.col("_rk") == 1)
+                 .select("query_id", "match_id", "offset", "votes"))

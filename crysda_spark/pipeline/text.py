@@ -843,3 +843,52 @@ def bigram_logprob(f, text_col: str, id_col: str, add_k: float = 1.0,
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_bigrams"),
              F.round(F.avg("_lp"), round_to).alias("lm2_logprob")))
+
+
+def trigram_logprob(f, text_col: str, id_col: str, add_k: float = 1.0,
+                    round_to: int = 4):
+    """Per-document mean TRIGRAM log-probability under an
+    add-k-smoothed trigram LM trained on the corpus itself — the next
+    rung above :func:`bigram_logprob` on the CCNet-style quality
+    ladder (the KenLM 5-gram shape at order 3, same pipeline).
+    ``P(w3|w1 w2) = (c(w1w2w3) + k) / (c(w1w2·) + k·V)`` where
+    ``c(w1w2·)`` sums trigram counts by their 2-word prefix (exact
+    conditional normalization — int64 prefix sums, never a separate
+    corpus pass) and ``V`` is the distinct-token vocabulary size.
+    Returns ``(id, n_trigrams, lm3_logprob)``; documents with fewer
+    than three tokens have no trigrams and are absent.
+
+    Scale shape — identical to the bigram rung one order up: one
+    explode → trigram-count aggregate (map-side combinable, shuffles
+    (trigram, count) — Zipf-thin), a prefix re-aggregate of that SAME
+    pinned table (trigram-vocabulary-sized, never corpus-sized), one
+    1-row V scalar, and an equi-join of the per-doc trigram stream
+    against the model (AQE-broadcastable). The trigram-count table
+    feeds BOTH the prefix aggregate and the model join → PINNED
+    (release via ``release_pinned()``); the corpus-sized trigram
+    stream is deliberately NOT persisted — its second consumer pays a
+    re-scan, not executor memory."""
+    _guard_id(id_col, {"_b", "_p", "_c3", "_c2", "_v", "n_trigrams",
+                       "lm3_logprob"}, "trigram_logprob")
+    from ..plans.cache import pin
+    sdf = f.sdf if hasattr(f, "sdf") else f
+    t = tokens(F.col(text_col))
+    tri = sdf.select(F.col(id_col),
+                     F.explode(_grams(t, 3)).alias("_b"))
+    c3 = pin(tri.groupBy("_b").agg(F.count(F.lit(1)).alias("_c3")))
+    prefix = F.concat_ws(" ", F.slice(F.split(F.col("_b"), " "), 1, 2))
+    c2p = (c3.groupBy(prefix.alias("_p"))
+           .agg(F.sum("_c3").alias("_c2")))
+    vocab = (sdf.select(F.explode(t).alias("_w")).distinct()
+             .agg(F.count(F.lit(1)).alias("_v")))
+    model = (c3.withColumn("_p", prefix)
+             .join(c2p, on="_p")
+             .crossJoin(F.broadcast(vocab)))
+    lp = F.log((F.col("_c3") + add_k)
+               / (F.col("_c2") + add_k * F.col("_v")))
+    from ..frame import Frame
+    return Frame(
+        tri.join(model.select("_b", lp.alias("_lp")), on="_b")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_trigrams"),
+             F.round(F.avg("_lp"), round_to).alias("lm3_logprob")))

@@ -1105,3 +1105,45 @@ def test_hash_images_string_ids_and_video_id_guard(spark):
     assert dict(got[0].asDict())["width"] == 12
     with pytest.raises(ValueError, match="must be integral"):
         fingerprint_video(f)
+
+
+def test_match_video_near_recovers_noisy_transcode(spark):
+    # r14: a noisy re-encode drifts frame hashes a few bits — the
+    # exact matcher goes blind, the Hamming-banded matcher recovers
+    # the clip and offset (pigeonhole recall at the radius)
+    import numpy as np
+    from crysda_spark.pipeline.codecs import encode_avi
+    from crysda_spark.pipeline.phash import (fingerprint_video,
+                                             match_video,
+                                             match_video_near)
+
+    def frames(seed, n=12):
+        rng = np.random.RandomState(seed)
+        return [(rng.rand(16, 20, 3) * 255).astype(np.uint8)
+                for _ in range(n)]
+
+    vids = {i: frames(60 + i) for i in range(3)}
+    ix = fingerprint_video(Frame(spark.createDataFrame(
+        [(i, bytearray(encode_avi(v, fps=10.0)))
+         for i, v in vids.items()], "id long, payload binary")),
+        every_n=2)
+    nz = np.random.RandomState(5)
+    noisy = [np.clip(fr.astype(np.int16) + nz.randint(-8, 9, fr.shape),
+                     0, 255).astype(np.uint8)
+             for fr in vids[1][4:]]                  # trim 4 + noise
+    qs = fingerprint_video(Frame(spark.createDataFrame(
+        [(1001, bytearray(encode_avi(noisy, fps=10.0)))],
+        "id long, payload binary")), every_n=2)
+    near = match_video_near(qs, ix, max_hamming=6, n_bands=8,
+                            min_votes=3).sdf.collect()
+    assert len(near) == 1
+    r = near[0]
+    assert (r["query_id"], r["match_id"], r["offset"]) == (1001, 1, 4)
+    assert r["votes"] >= 3
+    # the noise genuinely defeats the exact path for this clip
+    exact = match_video(qs, ix, min_votes=3).sdf.collect()
+    assert len(exact) == 0
+    with pytest.raises(ValueError, match="pigeonhole"):
+        match_video_near(qs, ix, max_hamming=8, n_bands=8)
+    with pytest.raises(ValueError, match="divide"):
+        match_video_near(qs, ix, max_hamming=3, n_bands=5)

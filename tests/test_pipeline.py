@@ -1390,3 +1390,27 @@ def test_bm25_runtime_exchange_reuse(spark):
     assert "isFinalPlan=true" in txt
     assert "ReusedExchange" in txt, (
         "AQE no longer reuses the shared dl Exchange:\n" + txt[:2000])
+
+
+def test_trigram_logprob_hand_model(spark):
+    import math
+    from crysda_spark import from_records
+    # corpus: "a b c" x2, "a b d" — trigrams: (a b c):2, (a b d):1;
+    # prefix c(a b) = 3; vocab V = {a, b, c, d, xy} = 5
+    f = from_records(spark, [{"id": 1, "t": "a b c"},
+                             {"id": 2, "t": "a b c"},
+                             {"id": 3, "t": "a b d"},
+                             {"id": 4, "t": "xy xy"}])  # <3 tokens
+    out = {r["id"]: r for r in
+           tx.trigram_logprob(f, "t", "id").sdf.collect()}
+    lp_abc = math.log((2 + 1) / (3 + 5))
+    lp_abd = math.log((1 + 1) / (3 + 5))
+    assert out[1]["lm3_logprob"] == pytest.approx(round(lp_abc, 4))
+    assert out[3]["lm3_logprob"] == pytest.approx(round(lp_abd, 4))
+    assert out[1]["n_trigrams"] == 1
+    assert 4 not in out                    # no trigrams -> absent
+    # rarer continuation scores lower, the quality-ladder signal
+    assert out[3]["lm3_logprob"] < out[1]["lm3_logprob"]
+    # order-3 vs order-2 on the same doc: both defined, independent
+    b = {r["id"]: r for r in tx.bigram_logprob(f, "t", "id").sdf.collect()}
+    assert 4 in b and b[4]["n_bigrams"] == 1   # bigram still scores it

@@ -296,6 +296,10 @@ EXPECTED = {
     # model table reached corpus width; a 4th scan means the pin fell
     # out of the multi-consumer subtree.
     "bigram_lm_quality": dict(scans=3, exchanges=5, bhj=2, smj=0),
+    # r14: trigram rung — the bigram shape one order up (pinned
+    # trigram-count table feeds prefix aggregate AND model join; the
+    # corpus-sized trigram stream deliberately unpersisted)
+    "trigram_lm_quality": dict(scans=3, exchanges=5, bhj=2, smj=0),
     # r13: grouped OLS — ONE scan into one map-side-combined grouped
     # aggregate (9 long partials per group), constant-width epilogue,
     # zero joins — a join or second scan means the word-split sums
