@@ -6800,14 +6800,17 @@ _GATE_ORDER = [
     "rollup_cascade_daily", "dedup_exact_docs", "embed_topk_cosine",
     "ngram_jaccard_docs",
     # ---- r14 rotation: 27 slots ----
-    # all 14 never-driver-gated SQL-oracled queries
+    # all 15 never-driver-gated SQL-oracled queries (incl. the
+    # three new r14 capabilities — if green, the SQL-oracled union
+    # closes at 162/162)
     "salted_agg_flagstats", "event_transition_matrix",
     "zorder_key_parts", "write_csv_roundtrip", "write_xml_roundtrip",
     "read_warc_wet", "bucketed_agg_orders", "hybrid_rrf_retrieval",
     "inverted_index_postings", "bigram_lm_quality",
     "target_encode_priority", "grouped_ols_lineitem",
     "bm25_indexed_search", "dupspan_incremental_stats",
-    # 13 rows-only planted gates (driver records the weaker rows-only
+    "trigram_lm_quality",
+    # 12 rows-only planted gates (driver records the weaker rows-only
     # check; each carries a load-bearing in-query assertion) — listed
     # in _GATE_ROWS_ONLY below, which tests/test_entry_roster.py
     # checks so a rows-only query can never slip into the gate
@@ -6818,7 +6821,6 @@ _GATE_ORDER = [
     "multimodal_jpeg_roundtrip", "multimodal_webp_roundtrip",
     "multimodal_avi_frames", "multimodal_wav_audio",
     "embed_near_dups_lsh", "ivfpq_planted_copies",
-    "bpe_tokenize_corpus",
 ]
 
 # Rows-only queries DELIBERATELY occupying gate slots this round (the
@@ -6834,7 +6836,6 @@ _GATE_ROWS_ONLY = frozenset([
     "multimodal_jpeg_roundtrip", "multimodal_webp_roundtrip",
     "multimodal_avi_frames", "multimodal_wav_audio",
     "embed_near_dups_lsh", "ivfpq_planted_copies",
-    "bpe_tokenize_corpus",
 ])
 
 
