@@ -892,3 +892,28 @@ def trigram_logprob(f, text_col: str, id_col: str, add_k: float = 1.0,
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_trigrams"),
              F.round(F.avg("_lp"), round_to).alias("lm3_logprob")))
+
+
+def write_bm25_index(postings, stats, path: str):
+    """Persist a :func:`build_bm25_index` pair under ``path`` —
+    ``postings/`` is REPARTITIONED BY TERM AND TERM-SORTED WITHIN
+    FILES, so parquet row-group min/max statistics prune a
+    :func:`bm25_search_indexed` term filter to the row groups that
+    actually hold the query terms' posting lists (the poor man's
+    term-bucketing; on a real warehouse graduate to a bucketed table).
+    ``stats/`` is the 1-row corpus summary. One shuffle, paid once."""
+    p = postings.sdf if hasattr(postings, "sdf") else postings
+    s = stats.sdf if hasattr(stats, "sdf") else stats
+    base = path.rstrip("/")
+    (p.repartition(F.col("term")).sortWithinPartitions("term")
+     .write.mode("overwrite").parquet(f"{base}/postings"))
+    s.write.mode("overwrite").parquet(f"{base}/stats")
+
+
+def read_bm25_index(spark, path: str):
+    """Load a :func:`write_bm25_index` pair: ``(postings, stats)``
+    Frames ready for :func:`bm25_search_indexed`."""
+    from ..frame import Frame
+    base = path.rstrip("/")
+    return (Frame(spark.read.parquet(f"{base}/postings")),
+            Frame(spark.read.parquet(f"{base}/stats")))

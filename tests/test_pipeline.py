@@ -1414,3 +1414,23 @@ def test_trigram_logprob_hand_model(spark):
     # order-3 vs order-2 on the same doc: both defined, independent
     b = {r["id"]: r for r in tx.bigram_logprob(f, "t", "id").sdf.collect()}
     assert 4 in b and b[4]["n_bigrams"] == 1   # bigram still scores it
+
+
+def test_bm25_index_write_read_roundtrip(spark, tmp_path):
+    # write_bm25_index clusters postings by term (row-group pruning at
+    # scale); the read-back index must search identically
+    from crysda_spark import from_records
+    docs = from_records(spark, [
+        {"doc_id": 1, "text": "fast scan fast table"},
+        {"doc_id": 2, "text": "table scan merge join"},
+        {"doc_id": 3, "text": "slow vector join join join"}])
+    postings, stats = tx.build_bm25_index(docs, "text", "doc_id")
+    path = str(tmp_path / "bm25")
+    tx.write_bm25_index(postings, stats, path)
+    p2, s2 = tx.read_bm25_index(spark, path)
+    terms = ["fast", "join"]
+    want = [(r["doc_id"], repr(r["score"])) for r in
+            tx.bm25_search_indexed(postings, stats, terms).collect()]
+    got = [(r["doc_id"], repr(r["score"])) for r in
+           tx.bm25_search_indexed(p2, s2, terms).collect()]
+    assert got == want and len(got) == 3
