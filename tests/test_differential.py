@@ -949,3 +949,93 @@ FROM per CROSS JOIN g"""
     res = con.sql(sql)
     want = _rows_canon(res.columns, res.fetchall())
     assert got == want
+
+
+# --------------------------- r14 family: incremental dupspan batches
+
+def _dupspan_inc_specs():
+    return [(i, 7100 + i) for i in range(4)]
+
+
+@pytest.mark.parametrize("spec", _dupspan_inc_specs(),
+                         ids=lambda s: f"dupspaninc{s[0]}")
+def test_random_incremental_dupspan_matches_duckdb(spark, spec):
+    """dupspan_increment chained over RANDOM batch splits vs DuckDB's
+    per-gram CUMULATIVE count over batches — the keep-first-at-batch-
+    granularity semantics under random window length, duplicate
+    threshold, batch count, and assignment. Two different algorithms
+    (accreted (hash, gram) count state probed per batch vs a single
+    windowed cumulative SQL), one exact answer."""
+    from crysda_spark.pipeline.dupspan import (build_dupspan_index,
+                                               dupspan_stats_increment,
+                                               merge_dupspan_index)
+    from crysda_spark.plans.cache import pin, release_pinned
+    _, seed = spec
+    rnd = random.Random(seed)
+    vocab = "alpha bravo charlie delta echo foxtrot golf hotel".split()
+    n_batches = rnd.randint(2, 4)
+    docs = [(i, " ".join(rnd.choice(vocab)
+                         for _ in range(rnd.randint(5, 25))),
+             rnd.randrange(n_batches))
+            for i in range(30)]
+    L = rnd.randint(8, 14)
+    md = rnd.choice([2, 3])
+    f = Frame(spark.createDataFrame(docs, "doc_id long, text string, b int"))
+    idx = build_dupspan_index(Frame(f.sdf.limit(0)), "text", "doc_id",
+                              min_len=L)
+    outs = None
+    for b in range(n_batches):
+        batch = Frame(f.sdf.filter(F.col("b") == b)
+                      .select("doc_id", "text"))
+        stats, delta = dupspan_stats_increment(
+            batch, idx, "text", "doc_id", min_len=L, min_dup=md,
+            probe=False)
+        outs = stats.sdf if outs is None else outs.unionByName(stats.sdf)
+        idx = Frame(pin(merge_dupspan_index(idx, delta).sdf))
+    got = _rows_canon(outs.columns, [tuple(r) for r in outs.collect()])
+    release_pinned()
+
+    import pandas as pd
+    corpus_df = pd.DataFrame(docs, columns=["doc_id", "text", "b"])  # noqa: F841
+    con = duckdb.connect()
+    cur = con.execute(f"""
+        WITH w AS (
+          SELECT doc_id, b, CAST(pos AS INT) AS pos,
+                 substr(text, CAST(pos AS INT), {L}) AS g
+          FROM (SELECT doc_id, text, b,
+                       unnest(generate_series(
+                           1, greatest(length(text) - {L - 1}, 0))) AS pos
+                FROM corpus_df)),
+        gc AS (SELECT g, b, COUNT(*) AS c FROM w GROUP BY 1, 2),
+        gcum AS (SELECT g, b,
+                        SUM(c) OVER (PARTITION BY g ORDER BY b) AS cum
+                 FROM gc),
+        hits AS (SELECT w.doc_id, w.pos
+                 FROM w JOIN gcum ON w.g = gcum.g AND w.b = gcum.b
+                 WHERE gcum.cum >= {md}),
+        isl AS (SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER (
+                                PARTITION BY doc_id ORDER BY pos)
+                                 <= {L} THEN 0 ELSE 1 END AS brk
+                FROM hits),
+        grp AS (SELECT doc_id, pos, SUM(brk) OVER (
+                    PARTITION BY doc_id ORDER BY pos) AS gid FROM isl),
+        spans AS (SELECT doc_id, MIN(pos) AS span_start,
+                         MAX(pos) - MIN(pos) + {L} AS span_len
+                  FROM grp GROUP BY doc_id, gid),
+        agg AS (SELECT doc_id, COUNT(*) AS n_spans,
+                       SUM(span_len) AS chars_removed
+                FROM spans GROUP BY doc_id)
+        SELECT c.doc_id, length(c.text) AS n_chars,
+               COALESCE(a.n_spans, 0) AS n_spans,
+               CAST(COALESCE(a.chars_removed, 0) AS BIGINT)
+                   AS chars_removed,
+               length(c.text) - CAST(COALESCE(a.chars_removed, 0)
+                   AS BIGINT) AS cleaned_len
+        FROM corpus_df c LEFT JOIN agg a USING (doc_id)""")
+    cols = [d[0] for d in cur.description]
+    want = _rows_canon(cols, cur.fetchall())
+    assert sorted(outs.columns) == sorted(cols)
+    assert got == want, (
+        f"incremental dupspan diverged: L={L} min_dup={md} "
+        f"batches={n_batches}")
