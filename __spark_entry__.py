@@ -5142,6 +5142,89 @@ def bm25_indexed_search(spark, sf_dir):
                                   ["merge", "join", "vector"], k=10)
 
 
+@q("html_extract_text", """
+WITH h AS (
+  SELECT doc_id,
+         '<html><head><title> Doc &amp; ' || doc_id || ' </title>'
+         || '<script type="text/javascript">var x = 1 < 2;</script>'
+         || '<style>p { color: red }</style></head><body>'
+         || '<!-- nav boilerplate --><h1>Header</h1><p>'
+         || text || '</p><div>&quot;tail&quot;&nbsp;&#39;q&#39;</div>'
+         || '</body></html>' AS html
+  FROM documents),
+s AS (
+  SELECT doc_id, html,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+      '(?is)<script(?:\\s[^>]*)?>.*?</script\\s*>', ' ', 'g'),
+      '(?is)<style(?:\\s[^>]*)?>.*?</style\\s*>', ' ', 'g'),
+      '(?is)<noscript(?:\\s[^>]*)?>.*?</noscript\\s*>', ' ', 'g'),
+      '(?s)<!--.*?-->', ' ', 'g') AS c1
+  FROM h),
+s2 AS (
+  SELECT doc_id, html,
+    regexp_replace(regexp_replace(c1,
+      '(?i)</?(?:p|div|br|li|tr|h[1-6]|ul|ol|table|thead|tbody|td|th|section|article|header|footer|blockquote|pre|form)(?:\\s[^>]*)?/?>',
+      chr(10), 'g'),
+      '<[^>]*>', ' ', 'g') AS c2
+  FROM s),
+s3 AS (
+  SELECT doc_id, html,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(c2,
+      '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+      '&quot;', '"', 'g'), '&#39;', CHR(39), 'g'), '&amp;', '&', 'g')
+      AS c3
+  FROM s2),
+s4 AS (
+  SELECT doc_id, html,
+    regexp_replace(regexp_replace(regexp_replace(c3,
+      '[ \\t\\r\\f]+', ' ', 'g'), ' ?\\n ?', chr(10), 'g'),
+      '\\n+', chr(10), 'g') AS c4
+  FROM s3),
+t AS (
+  SELECT doc_id, html,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(regexp_replace(
+      regexp_extract(html, '(?is)<title[^>]*>(.*?)</title\\s*>', 1),
+      '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+      '&quot;', '"', 'g'), '&#39;', CHR(39), 'g'), '&amp;', '&', 'g'),
+      '\\s+', ' ', 'g') AS t1
+  FROM s4)
+SELECT s4.doc_id, trim(t.t1) AS title,
+       trim(regexp_replace(s4.c4, '^\\n+|\\n+$', '', 'g')) AS text,
+       CAST(len(string_split(trim(regexp_replace(s4.c4,
+            '^\\n+|\\n+$', '', 'g')), chr(10))) AS BIGINT) AS n_lines
+FROM s4 JOIN t USING (doc_id)
+""")
+def html_extract_text(spark, sf_dir):
+    """Raw-crawl HTML → text extraction (pipeline.text.html_text /
+    html_title, r14): each document is wrapped into a deterministic
+    HTML page — script + style + comment noise, a title with entities,
+    block structure — in BOTH engines, then extracted: script/style/
+    noscript/comment blocks stripped (three literal-tag lazy passes,
+    no backreferences — RE2-compatible by construction), block tags →
+    newlines, remaining tags → spaces, the six ubiquitous entities
+    decoded (&amp; last), whitespace canonicalized. The full extracted
+    STRING is value-hashed against the oracle, so every regex in the
+    chain is byte-checked, not just counted."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><title> Doc &amp; '),
+        F.col("doc_id").cast("string"), F.lit(' </title>'),
+        F.lit('<script type="text/javascript">var x = 1 < 2;</script>'),
+        F.lit('<style>p { color: red }</style></head><body>'),
+        F.lit('<!-- nav boilerplate --><h1>Header</h1><p>'),
+        F.col("text"),
+        F.lit('</p><div>&quot;tail&quot;&nbsp;&#39;q&#39;</div>'),
+        F.lit('</body></html>'))
+    h = docs.sdf.select("doc_id", html.alias("_html"))
+    ext = tx.html_text(F.col("_html"))
+    return h.select(
+        "doc_id", tx.html_title(F.col("_html")).alias("title"),
+        ext.alias("text"),
+        F.size(F.split(ext, "\n")).cast("long").alias("n_lines"))
+
+
 @q("unigram_lm_quality", """
 WITH tok AS (
   SELECT doc_id,

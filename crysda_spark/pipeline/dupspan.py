@@ -496,7 +496,11 @@ def merge_dupspan_index(index: Frame, delta: Frame) -> Frame:
     """Fold a :func:`dupspan_increment` delta into the state: counts
     SUM by (hash, gram) — associative and commutative, so any batch
     order and any partitioning yield the same state. One map-side-
-    combinable aggregate over (old ∪ delta)."""
+    combinable aggregate over (old ∪ delta). Both sides MUST have been
+    built at the same ``min_len`` (the streaming sink guarantees it;
+    ad-hoc callers can check with :func:`validate_dupspan_index`) —
+    mixed window lengths would union into a state that matches
+    nothing at either length."""
     u = index.sdf.unionByName(delta.sdf)
     return Frame(u.groupBy("_h", "_g")
                  .agg(F.sum("cnt").cast("long").alias("cnt")))

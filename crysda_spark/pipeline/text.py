@@ -500,6 +500,60 @@ def unigram_logprob(f, text_col: str, id_col: str, model=None,
                          round_to).alias("lm_logprob")))
 
 
+# HTML extraction — raw-crawl → text, the step BEFORE every quality/
+# dedup stage when the corpus arrives as WARC response records instead
+# of pre-extracted WET text. Pure codegen regexp_replace chains;
+# every pattern is RE2-compatible (inline (?is) flags, lazy
+# quantifiers, NO backreferences — script/style/noscript strip in
+# three literal-tag passes instead of a <(\w+)>.*?</\1> backref), so
+# the DuckDB oracle replays the identical transform.
+
+_HTML_BLOCK_TAG_RE = (
+    r"(?i)</?(?:p|div|br|li|tr|h[1-6]|ul|ol|table|thead|tbody|td|th|"
+    r"section|article|header|footer|blockquote|pre|form)(?:\s[^>]*)?/?>")
+# &amp; decodes LAST so "&amp;lt;" yields "&lt;", not "<" (the
+# standard single-pass entity discipline)
+_HTML_ENTITIES = [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                  ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")]
+
+
+def html_text(col) -> Column:
+    """Visible text of an HTML document: script/style/noscript blocks
+    and comments removed, block-level tags become newlines (paragraph
+    structure survives for the line-level boilerplate stages), every
+    other tag becomes a space, the six ubiquitous entities decode, and
+    whitespace canonicalizes (spaces collapse within lines, blank
+    lines drop). A trafilatura-class extractor also scores DOM nodes;
+    this is the deterministic, engine-exact regex tier every crawl
+    pipeline starts from — compose with
+    :func:`~crysda_spark.pipeline.text.line_dedup`-style boilerplate
+    removal for the rest."""
+    c = _c(col)
+    for tag in ("script", "style", "noscript"):
+        c = F.regexp_replace(c, rf"(?is)<{tag}(?:\s[^>]*)?>.*?</{tag}\s*>",
+                             " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, _HTML_BLOCK_TAG_RE, "\n")
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        c = F.regexp_replace(c, ent, ch)
+    c = F.regexp_replace(c, r"[ \t\r\f]+", " ")      # within-line collapse
+    c = F.regexp_replace(c, r" ?\n ?", "\n")         # trim line edges
+    c = F.regexp_replace(c, r"\n+", "\n")            # drop blank lines
+    # trim() strips spaces only — document edges need \n stripped too
+    return F.trim(F.regexp_replace(c, r"^\n+|\n+$", ""))
+
+
+def html_title(col) -> Column:
+    """<title> content ('' when absent), entity-decoded and
+    whitespace-collapsed — the crawl corpus's cheapest document
+    label."""
+    t = F.regexp_extract(_c(col), r"(?is)<title[^>]*>(.*?)</title\s*>", 1)
+    for ent, ch in _HTML_ENTITIES:
+        t = F.regexp_replace(t, ent, ch)
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
 # URL handling — web-corpus provenance columns. RE2-compatible patterns
 # (no backrefs) so the same regex runs in Spark, DuckDB, and RE2 scanners.
 _URL_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)"

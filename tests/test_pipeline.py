@@ -1434,3 +1434,33 @@ def test_bm25_index_write_read_roundtrip(spark, tmp_path):
     got = [(r["doc_id"], repr(r["score"])) for r in
            tx.bm25_search_indexed(p2, s2, terms).collect()]
     assert got == want and len(got) == 3
+
+
+def test_html_text_extraction_hand_cases(spark):
+    # r14: raw-crawl HTML -> text; hand-checked edge cases
+    from crysda_spark import from_records
+    cases = [
+        # script/style stripped incl. attributes and mixed case
+        (1, "<p>keep</p><SCRIPT src='x'>drop() < 3;</SCRIPT><style>a{}</style>",
+         "keep"),
+        # comments out; block tags become line breaks; inline tags spaces
+        (2, "<div>line one</div><!-- no --><div>line <b>two</b></div>",
+         "line one\nline two"),
+        # entities decode once, &amp; last: "&amp;lt;" -> "&lt;"
+        (3, "<p>&quot;a&quot; &amp; b &lt;c&gt; &amp;lt;</p>",
+         "\"a\" & b <c> &lt;"),
+        # whitespace canonicalizes: blank lines drop, line edges trim
+        (4, "<p>  a  </p>\n\n<p>\t b</p>", "a\nb"),
+    ]
+    f = from_records(spark, [{"id": i, "h": h} for i, h, _ in cases])
+    out = {r["id"]: r["t"] for r in
+           f.sdf.select("id", tx.html_text(F.col("h")).alias("t")).collect()}
+    for i, _, want in cases:
+        assert out[i] == want, f"case {i}: {out[i]!r} != {want!r}"
+    # title extraction with entities, '' when absent
+    tf = from_records(spark, [
+        {"id": 1, "h": "<html><TITLE> A &amp;  B </TITLE></html>"},
+        {"id": 2, "h": "<html><body>no title</body></html>"}])
+    got = {r["id"]: r["t"] for r in
+           tf.sdf.select("id", tx.html_title(F.col("h")).alias("t")).collect()}
+    assert got[1] == "A & B" and got[2] == ""

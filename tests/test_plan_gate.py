@@ -77,6 +77,10 @@ EXPECTED = {
     "bm25_indexed_search": dict(scans=2, exchanges=5, bhj=0, smj=0),
     "unigram_lm_quality": dict(scans=3, exchanges=4, bhj=1, smj=0),
     "url_domain_rollup": dict(scans=1, exchanges=1, bhj=0, smj=0),
+    # r14: HTML -> text extraction — pure codegen regexp chain, ONE
+    # scan, ZERO exchanges; any Exchange here means the extractor
+    # stopped being a map-side expression
+    "html_extract_text": dict(scans=1, exchanges=0, bhj=0, smj=0),
     # r7 TPC-H batch: every dim broadcast, fact scanned once and never
     # pre-shuffled; exchanges are the final aggregations only
     "q4_priority_exists": dict(scans=2, exchanges=1, bhj=1, smj=0),
