@@ -6883,17 +6883,17 @@ _GATE_ORDER = [
     "rollup_cascade_daily", "dedup_exact_docs", "embed_topk_cosine",
     "ngram_jaccard_docs",
     # ---- r14 rotation: 27 slots ----
-    # all 15 never-driver-gated SQL-oracled queries (incl. the
-    # three new r14 capabilities — if green, the SQL-oracled union
-    # closes at 162/162)
+    # all 16 never-driver-gated SQL-oracled queries (incl. the
+    # four new r14 capabilities — if green, the SQL-oracled union
+    # closes at 163/163)
     "salted_agg_flagstats", "event_transition_matrix",
     "zorder_key_parts", "write_csv_roundtrip", "write_xml_roundtrip",
     "read_warc_wet", "bucketed_agg_orders", "hybrid_rrf_retrieval",
     "inverted_index_postings", "bigram_lm_quality",
     "target_encode_priority", "grouped_ols_lineitem",
     "bm25_indexed_search", "dupspan_incremental_stats",
-    "trigram_lm_quality",
-    # 12 rows-only planted gates (driver records the weaker rows-only
+    "trigram_lm_quality", "html_extract_text",
+    # 11 rows-only planted gates (driver records the weaker rows-only
     # check; each carries a load-bearing in-query assertion) — listed
     # in _GATE_ROWS_ONLY below, which tests/test_entry_roster.py
     # checks so a rows-only query can never slip into the gate
@@ -6903,7 +6903,7 @@ _GATE_ORDER = [
     "video_phash_match", "multimodal_decode",
     "multimodal_jpeg_roundtrip", "multimodal_webp_roundtrip",
     "multimodal_avi_frames", "multimodal_wav_audio",
-    "embed_near_dups_lsh", "ivfpq_planted_copies",
+    "embed_near_dups_lsh",
 ]
 
 # Rows-only queries DELIBERATELY occupying gate slots this round (the
@@ -6918,7 +6918,7 @@ _GATE_ROWS_ONLY = frozenset([
     "video_phash_match", "multimodal_decode",
     "multimodal_jpeg_roundtrip", "multimodal_webp_roundtrip",
     "multimodal_avi_frames", "multimodal_wav_audio",
-    "embed_near_dups_lsh", "ivfpq_planted_copies",
+    "embed_near_dups_lsh",
 ])
 
 
