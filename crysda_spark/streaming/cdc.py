@@ -277,50 +277,66 @@ def stream_dupspan_dedup(stream: SparkDF, path: str, text_col: str,
     os.makedirs(cln_dir, exist_ok=True)
 
     def apply_batch(batch: SparkDF, batch_id: int) -> None:
-        if not batch.take(1):
-            return
-        spark = batch.sparkSession
-        side, last_bid = _manifest_state(idx_dir)
-        replay_after_flip = side is not None and last_bid == batch_id
-        with pin_scope():
-            if replay_after_flip:
-                # this batch's merge already committed: the state to
-                # cut against is the PRE-flip side (absent for a
-                # replayed batch 0 → bootstrap empty)
-                prev = "b" if side == "a" else "a"
-                pdir = os.path.join(idx_dir, prev)
-                current = (spark.read.parquet(pdir)
-                           if os.path.isdir(pdir)
-                           else build_dupspan_index(
-                               Frame(batch.limit(0)), text_col, id_col,
-                               min_len).sdf)
-            else:
-                current = read_snapshot(spark, idx_dir)
-                if current is None:
-                    current = build_dupspan_index(
-                        Frame(batch.limit(0)), text_col, id_col,
-                        min_len).sdf
-            cleaned, delta = dupspan_cut_increment(
-                Frame(batch), Frame(current), text_col, id_col,
-                min_len=min_len, min_dup=min_dup)
-            cleaned.sdf.write.mode("overwrite").parquet(
-                os.path.join(cln_dir, f"batch_id={batch_id}"))
-            if replay_after_flip:
-                return  # state already correct — do NOT re-merge
-            new_index = merge_dupspan_index(Frame(current), delta)
-            nxt = "b" if side == "a" else "a"
-            new_index.sdf.write.mode("overwrite").parquet(
-                os.path.join(idx_dir, nxt))
-        tmp = os.path.join(idx_dir, _MANIFEST + ".tmp")
-        with open(tmp, "w") as fh:
-            fh.write(f"{nxt}@{batch_id}")
-        os.replace(tmp, os.path.join(idx_dir, _MANIFEST))
+        _dupspan_apply_batch(batch, batch_id, idx_dir, cln_dir,
+                             text_col, id_col, min_len, min_dup)
 
     writer = stream.writeStream.foreachBatch(apply_batch) \
         .outputMode("append")
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def _dupspan_apply_batch(batch: SparkDF, batch_id: int, idx_dir: str,
+                         cln_dir: str, text_col: str, id_col: str,
+                         min_len: int, min_dup: int) -> None:
+    """One micro-batch of :func:`stream_dupspan_dedup`, split out so
+    the replay-after-flip guard is directly testable (Spark replays a
+    failed batch with the same id — invoking this twice with one id
+    must be byte-idempotent on BOTH tables, which for COUNT state
+    requires the guard, not just overwrite-by-batch-id)."""
+    from ..pipeline.dupspan import (build_dupspan_index,
+                                    dupspan_cut_increment,
+                                    merge_dupspan_index)
+    from ..plans.cache import pin_scope
+    if not batch.take(1):
+        return
+    spark = batch.sparkSession
+    side, last_bid = _manifest_state(idx_dir)
+    replay_after_flip = side is not None and last_bid == batch_id
+    with pin_scope():
+        if replay_after_flip:
+            # this batch's merge already committed: the state to cut
+            # against is the PRE-flip side (absent for a replayed
+            # batch 0 → bootstrap empty)
+            prev = "b" if side == "a" else "a"
+            pdir = os.path.join(idx_dir, prev)
+            current = (spark.read.parquet(pdir)
+                       if os.path.isdir(pdir)
+                       else build_dupspan_index(
+                           Frame(batch.limit(0)), text_col, id_col,
+                           min_len).sdf)
+        else:
+            current = read_snapshot(spark, idx_dir)
+            if current is None:
+                current = build_dupspan_index(
+                    Frame(batch.limit(0)), text_col, id_col,
+                    min_len).sdf
+        cleaned, delta = dupspan_cut_increment(
+            Frame(batch), Frame(current), text_col, id_col,
+            min_len=min_len, min_dup=min_dup)
+        cleaned.sdf.write.mode("overwrite").parquet(
+            os.path.join(cln_dir, f"batch_id={batch_id}"))
+        if replay_after_flip:
+            return  # state already correct — do NOT re-merge
+        new_index = merge_dupspan_index(Frame(current), delta)
+        nxt = "b" if side == "a" else "a"
+        new_index.sdf.write.mode("overwrite").parquet(
+            os.path.join(idx_dir, nxt))
+    tmp = os.path.join(idx_dir, _MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(f"{nxt}@{batch_id}")
+    os.replace(tmp, os.path.join(idx_dir, _MANIFEST))
 
 
 def stream_match_audio(stream: SparkDF, index_path: str, out_path: str,

@@ -484,3 +484,52 @@ def test_stream_dupspan_dedup_accretes_and_matches_driver_loop(spark,
     assert cnt[block] == 4
     side, bid = _manifest_state(os.path.join(state, "index"))
     assert side in ("a", "b") and bid == 1      # last flipped batch
+
+
+def test_stream_dupspan_replay_after_flip_is_idempotent(spark, tmp_path):
+    """The exactly-once subtlety of COUNT state: if a batch's index
+    flip COMMITTED but Spark still replays the batch (crash between
+    flip and checkpoint), re-merging the delta would double-count
+    every window and silently over-cut forever after. The manifest's
+    side@batch_id guard must make the replay byte-idempotent on BOTH
+    tables — recomputing cleaned/ against the PRE-flip side and
+    leaving the state alone."""
+    import os
+    from crysda_spark.streaming.cdc import (_dupspan_apply_batch,
+                                            _manifest_state,
+                                            read_snapshot)
+    block = "QWERTYUIOPASDFGHJKLZ"
+    idx_dir = str(tmp_path / "index")
+    cln_dir = str(tmp_path / "cleaned")
+    os.makedirs(idx_dir); os.makedirs(cln_dir)
+    b0 = spark.createDataFrame(
+        [(1, "aaaa-bbbb." + block + ",cccc+dddd")],
+        "doc_id long, text string")
+    b1 = spark.createDataFrame(
+        [(2, "eeee;ffff!" + block + "?hhhh")],
+        "doc_id long, text string")
+    _dupspan_apply_batch(b0, 0, idx_dir, cln_dir, "text", "doc_id", 20, 2)
+    _dupspan_apply_batch(b1, 1, idx_dir, cln_dir, "text", "doc_id", 20, 2)
+
+    def snap():
+        idx = sorted((r["_g"], r["cnt"]) for r in
+                     read_snapshot(spark, idx_dir).collect())
+        cln = sorted((r["doc_id"], r["text"], r["chars_removed"])
+                     for r in spark.read.parquet(cln_dir).collect())
+        return idx, cln, _manifest_state(idx_dir)
+
+    before = snap()
+    assert dict(before[0])[block] == 2          # both batches counted
+    assert before[2][1] == 1                    # last flipped batch id
+    # REPLAY batch 1 after its flip committed (the torn window)
+    _dupspan_apply_batch(b1, 1, idx_dir, cln_dir, "text", "doc_id", 20, 2)
+    after = snap()
+    assert after == before, "replay-after-flip mutated state or output"
+    # and batch 1's cut is still the keep-first one (span removed)
+    assert dict((d, c) for d, _t, c in after[1])[2] == 20
+    # replaying batch 0 after BOTH flips (stale replay of an older id)
+    # must not touch the state either: its manifest bid is 1, not 0 —
+    # the guard only fires for the LAST flipped batch, and Spark never
+    # replays older-than-last batches; assert the precondition holds
+    side, bid = after[2]
+    assert bid == 1 and side in ("a", "b")
