@@ -6657,7 +6657,11 @@ def video_phash_match(spark, sf_dir):
     from crysda_spark.pipeline import phash as ph
     from pyspark.sql import types as T
 
-    ids = _t(spark, sf_dir, "documents").sdf.select("doc_id").limit(8)
+    # 8 DISTINCT residues mod 8 by construction: an unordered
+    # limit(8) over doc_id could return ids sharing a residue, which
+    # would generate byte-identical clips and trip the planted gate
+    # spuriously (r14 review)
+    ids = spark.range(8).select(F.col("id").alias("doc_id"))
 
     def gen(batches):
         import numpy as np
@@ -6716,7 +6720,11 @@ def video_near_transcode_match(spark, sf_dir):
     from crysda_spark.pipeline import phash as ph
     from pyspark.sql import types as T
 
-    ids = _t(spark, sf_dir, "documents").sdf.select("doc_id").limit(8)
+    # 8 DISTINCT residues mod 8 by construction: an unordered
+    # limit(8) over doc_id could return ids sharing a residue, which
+    # would generate byte-identical clips and trip the planted gate
+    # spuriously (r14 review)
+    ids = spark.range(8).select(F.col("id").alias("doc_id"))
 
     def gen(batches):
         import numpy as np

@@ -107,6 +107,31 @@ def hamming64(a: int, b: int) -> int:
     return int(bin((a ^ b) & _MASK64).count("1"))
 
 
+def _validate_bands(n_bands: int, max_hamming: int, fn: str) -> None:
+    """The pigeonhole recall contract every banded consumer shares
+    (one definition — image_near_dups, match_video_near, and the
+    streaming image sink all split hashes the same way)."""
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"{fn}: n_bands ({n_bands}) must exceed max_hamming "
+            f"({max_hamming}) for the pigeonhole recall guarantee")
+    if 64 % n_bands:
+        raise ValueError(f"{fn}: n_bands ({n_bands}) must divide 64")
+
+
+def hamming_bands(col, n_bands: int):
+    """Array of ``n_bands`` disjoint band values of a 64-bit hash
+    column — the shared split behind every Hamming-banded equi-join
+    here (pigeonhole: two hashes within ``t < n_bands`` bits agree on
+    at least one full band)."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array(*[
+        F.shiftrightunsigned(c, i * width).bitwiseAND(F.lit(mask))
+        for i in range(n_bands)])
+
+
 def hash_images(f: Frame, id_col: str = "id",
                 payload_col: str = "payload", method: str = "phash",
                 hash_size: int = 8, strict: bool = False) -> Frame:
@@ -198,23 +223,11 @@ def image_near_dups(hashes: Frame, id_col: str = "id",
     discipline: at 100 TB the shuffle carries fixed-width band keys,
     never pixels, and skew only appears if billions of images share a
     band value, i.e. they really are near-identical."""
-    if n_bands <= max_hamming:
-        raise ValueError(
-            f"image_near_dups: n_bands ({n_bands}) must exceed "
-            f"max_hamming ({max_hamming}) for the pigeonhole recall "
-            "guarantee")
-    if 64 % n_bands:
-        raise ValueError(f"image_near_dups: n_bands ({n_bands}) must "
-                         "divide 64")
-    width = 64 // n_bands
-    mask = (1 << width) - 1
+    _validate_bands(n_bands, max_hamming, "image_near_dups")
     h = F.col(hash_col)
-    bands = F.array(*[
-        F.shiftrightunsigned(h, i * width).bitwiseAND(F.lit(mask))
-        for i in range(n_bands)])
     t = (hashes.sdf if hasattr(hashes, "sdf") else hashes).select(
         F.col(id_col), h.alias("_h"),
-        F.posexplode(bands).alias("_band", "_v"))
+        F.posexplode(hamming_bands(h, n_bands)).alias("_band", "_v"))
     a, b = t.alias("a"), t.alias("b")
     pairs = (a.join(b, on=["_band", "_v"])
              .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -335,30 +348,15 @@ def match_video_near(queries: Frame, index: Frame,
     only if it truly shares a band AND passes the bit_count filter,
     which the radius guarantees it cannot."""
     from pyspark.sql.window import Window as W
-    if n_bands <= max_hamming:
-        raise ValueError(
-            f"match_video_near: n_bands ({n_bands}) must exceed "
-            f"max_hamming ({max_hamming}) for the pigeonhole recall "
-            "guarantee")
-    if 64 % n_bands:
-        raise ValueError(f"match_video_near: n_bands ({n_bands}) must "
-                         "divide 64")
-    width = 64 // n_bands
-    mask = (1 << width) - 1
-
-    def bands(col):
-        return F.array(*[
-            F.shiftrightunsigned(col, i * width).bitwiseAND(F.lit(mask))
-            for i in range(n_bands)])
-
+    _validate_bands(n_bands, max_hamming, "match_video_near")
     q = (queries.sdf if hasattr(queries, "sdf") else queries).select(
         F.col(id_col).alias("query_id"), F.col("phash").alias("_hq"),
         F.col("frame_idx").alias("_fq"),
-        F.posexplode(bands(F.col("phash"))).alias("_band", "_v"))
+        F.posexplode(hamming_bands("phash", n_bands)).alias("_band", "_v"))
     ix = (index.sdf if hasattr(index, "sdf") else index).select(
         F.col(id_col).alias("match_id"), F.col("phash").alias("_hi"),
         F.col("frame_idx").alias("_fi"),
-        F.posexplode(bands(F.col("phash"))).alias("_band", "_v"))
+        F.posexplode(hamming_bands("phash", n_bands)).alias("_band", "_v"))
     cand = (q.join(ix, on=["_band", "_v"])
             .dropDuplicates(["query_id", "_fq", "match_id", "_fi"])
             .withColumn("_ham", F.bit_count(

@@ -369,22 +369,26 @@ def bm25_search(f, text_col: str, id_col: str, terms, k: int = 10,
     whole text column for the stats branch. Two corpus scans total;
     the only corpus-sized shuffles carry (doc, term) and (doc, len).
     The final top-k orders by the ROUNDED score with an id tie-break
-    so results are deterministic across engines and partitionings."""
+    so results are deterministic across engines and partitionings.
+
+    Null-id docs are excluded EVERYWHERE (corpus stats, document
+    frequencies, results) — they could never be returned anyway, and
+    one consistent rule keeps this path, the indexed path, and the SQL
+    oracles bit-identical on degenerate inputs."""
     from pyspark.sql.window import Window as W
     _guard_id(id_col, {"_w", "_tf", "_df", "_dl", "_n", "_avgdl",
                        "score"}, "bm25_search")
-    sdf = f.sdf if hasattr(f, "sdf") else f
+    sdf = (f.sdf if hasattr(f, "sdf") else f) \
+        .filter(F.col(id_col).isNotNull())
     qterms = list(dict.fromkeys(t.lower() for t in terms))
     if not qterms:
         raise ValueError("bm25_search: empty query")
-    # the explicit isNotNull matches the IsNotNull the score join
-    # infers on its side, so BOTH consumers canonicalize to the SAME
-    # subtree and the Exchange below is planned once (ReusedExchange);
-    # a null-id doc can never be returned, so excluding it from the
-    # corpus stats only matters for degenerate inputs
-    dl = (sdf.filter(F.col(id_col).isNotNull())
-          .select(F.col(id_col),
-                  F.size(tokens(F.col(text_col))).alias("_dl"))
+    # the explicit isNotNull above also matches the IsNotNull the
+    # score join infers on its side, so BOTH dl consumers canonicalize
+    # to the SAME subtree and the Exchange below is planned once
+    # (ReusedExchange at runtime)
+    dl = (sdf.select(F.col(id_col),
+                     F.size(tokens(F.col(text_col))).alias("_dl"))
           .repartition(F.col(id_col)))
     g = dl.agg(F.count(F.lit(1)).alias("_n"),
                (F.sum("_dl") / F.count(F.lit(1))).alias("_avgdl"))
@@ -409,9 +413,10 @@ def build_bm25_index(f, text_col: str = "text", id_col: str = "doc_id"):
     Lucene norms discipline), never an array: a stop-word term costs
     rows, not an aggregation buffer. ``stats`` is the 1-row
     ``(n_docs, avgdl)`` corpus summary, computed from the SAME raw
-    projection as the inline :func:`bm25_search` so both paths score
-    bit-identically (null-text docs count into n_docs with NULL
-    length on both, exactly like the SQL oracle's COUNT(*)/SUM).
+    projection (and the same drop-null-id rule) as the inline
+    :func:`bm25_search` so both paths score bit-identically
+    (null-TEXT docs still count into n_docs with NULL length on both,
+    exactly like the SQL oracle's COUNT(*)/SUM).
 
     Scale shape: ONE corpus scan → explode → (doc, term) tf aggregate,
     then dl and df as window aggregates sharing that table's
@@ -422,7 +427,8 @@ def build_bm25_index(f, text_col: str = "text", id_col: str = "doc_id"):
     from ..frame import Frame
     _guard_id(id_col, {"term", "tf", "df", "dl", "n_docs", "avgdl"},
               "build_bm25_index")
-    sdf = f.sdf if hasattr(f, "sdf") else f
+    sdf = (f.sdf if hasattr(f, "sdf") else f) \
+        .filter(F.col(id_col).isNotNull())
     tok = sdf.select(F.col(id_col),
                      F.explode(tokens(F.col(text_col))).alias("term"))
     tc = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -450,6 +456,8 @@ def bm25_search_indexed(postings, stats, terms, k: int = 10,
     broadcast — zero corpus-sized work at query time. Scores are
     bit-identical to the inline :func:`bm25_search` (shared epilogue,
     same idf/saturation association)."""
+    _guard_id(id_col, {"_tf", "_df", "_dl", "_n", "_avgdl", "score"},
+              "bm25_search_indexed")
     p = postings.sdf if hasattr(postings, "sdf") else postings
     s = stats.sdf if hasattr(stats, "sdf") else stats
     qterms = list(dict.fromkeys(t.lower() for t in terms))

@@ -40,26 +40,74 @@ __all__ = ["read_snapshot", "stream_upsert_to_parquet",
 _MANIFEST = "MANIFEST"
 
 
-def _manifest_state(path: str) -> tuple[str | None, int | None]:
-    """(active side, batch id of the last committed flip). The batch
-    id suffix (``a@7``) lets a replayed ``foreachBatch`` detect that
-    its index flip ALREADY committed and recompute only the per-batch
-    output against the pre-flip side — without it, re-merging a delta
-    into already-merged count state would double-count. Plain ``a``
-    manifests (other sinks, older state dirs) read as (side, None)."""
+def _manifest_state(path: str) -> tuple[str | None, int | None,
+                                        int | None]:
+    """(active side, batch id, batch fingerprint) of the last
+    committed flip. The ``a@7@-123...`` suffix lets a replayed
+    ``foreachBatch`` detect that its index flip ALREADY committed and
+    recompute only the per-batch output against the pre-flip side —
+    without it, re-merging a delta into already-merged COUNT state
+    would double-count. The FINGERPRINT (order-free bit_xor of the
+    batch's row hashes) distinguishes a true Spark replay (same id,
+    same rows) from a checkpointless restart whose numbering begins at
+    0 again (same id, NEW rows) — on id alone, a restart's first batch
+    would be silently dropped from the state. Plain ``a`` manifests
+    (other sinks, older state dirs) read as (side, None, None)."""
     try:
         with open(os.path.join(path, _MANIFEST)) as fh:
             raw = fh.read().strip()
     except OSError:
-        return None, None
-    side, _, bid = raw.partition("@")
+        return None, None, None
+    parts = raw.split("@")
+    side = parts[0]
     if side not in ("a", "b"):
-        return None, None
-    return side, (int(bid) if bid.isdigit() else None)
+        return None, None, None
+
+    def _int(i):
+        try:
+            return int(parts[i])
+        except (IndexError, ValueError):
+            return None
+
+    return side, _int(1), _int(2)
 
 
 def _active_side(path: str) -> str | None:
     return _manifest_state(path)[0]
+
+
+def _batch_fingerprint(batch: SparkDF, *cols: str) -> int:
+    """Order-free content fingerprint of a micro-batch: bit_xor of the
+    row hashes over ``cols`` — one tiny aggregate per batch, the price
+    of distinguishing a true replay from a checkpointless restart
+    reusing the same batch id for new rows."""
+    expr = "bit_xor(xxhash64({}))".format(", ".join(cols))
+    return int(batch.agg(F.expr(expr).alias("f")).collect()[0]["f"])
+
+
+def _replay_state(spark, idx_dir: str, batch_id: int, fp: int):
+    """(is_replay_after_flip, pre-flip snapshot or None). True only
+    when the manifest records THIS batch id AND content fingerprint —
+    i.e. this exact batch's index flip already committed and the
+    accreting merge must not run again; the caller recomputes its
+    per-batch output against the returned PRE-flip side (None for a
+    replayed batch 0: bootstrap empty)."""
+    side, last_bid, last_fp = _manifest_state(idx_dir)
+    if side is None or last_bid != batch_id or last_fp != fp:
+        return False, None
+    prev = "b" if side == "a" else "a"
+    pdir = os.path.join(idx_dir, prev)
+    return True, (spark.read.parquet(pdir) if os.path.isdir(pdir)
+                  else None)
+
+
+def _commit_flip(idx_dir: str, nxt: str, batch_id: int, fp: int) -> None:
+    """Atomically flip the A/B manifest, recording (side, batch id,
+    batch fingerprint) so the accreting merge is replay-safe."""
+    tmp = os.path.join(idx_dir, _MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(f"{nxt}@{batch_id}@{fp}")
+    os.replace(tmp, os.path.join(idx_dir, _MANIFEST))
 
 
 def read_snapshot(spark, path: str) -> SparkDF | None:
@@ -130,7 +178,12 @@ def stream_dedup_incremental(stream: SparkDF, path: str, text_col: str,
     over ITS OWN text plus equi-joins against digests/signatures.
     Exactly-once: assignments are appended under the batch id (Spark
     replays a failed batch with the same id — overwrite-by-partition
-    makes the append idempotent), and the index flip is atomic.
+    makes the append idempotent), the index flip is atomic, and the
+    manifest's (batch id, content fingerprint) pair makes a replay
+    that lands AFTER its own committed flip recompute only the
+    assignments against the pre-flip side — re-unioning the delta
+    would duplicate index rows (r14 hardening, shared with the
+    dupspan and image sinks).
 
     ``path`` must be a driver-local filesystem path: the A/B manifest
     flip relies on atomic local renames (``os.replace``)."""
@@ -145,10 +198,16 @@ def stream_dedup_incremental(stream: SparkDF, path: str, text_col: str,
         if not batch.take(1):
             return
         spark = batch.sparkSession
+        fp = _batch_fingerprint(batch, id_col, text_col)
+        replay, current_override = _replay_state(spark, idx_dir,
+                                                 batch_id, fp)
         # scope: releases only THIS batch's pins on exit (also on
         # replay-after-failure), never another pipeline's
         with pin_scope():
-            current = read_snapshot(spark, idx_dir)
+            if replay:
+                current = current_override
+            else:
+                current = read_snapshot(spark, idx_dir)
             if current is None:
                 current = build_dedup_index(
                     Frame(batch.limit(0)), text_col, id_col, n_hashes)
@@ -160,15 +219,14 @@ def stream_dedup_incremental(stream: SparkDF, path: str, text_col: str,
             # on replay of the same id
             out.write.mode("overwrite").parquet(
                 os.path.join(asg_dir, f"batch_id={batch_id}"))
+            if replay:
+                return  # index already holds this batch's delta
             new_index = current.unionByName(delta)
             side = _active_side(idx_dir)
             nxt = "b" if side == "a" else "a"
             new_index.write.mode("overwrite").parquet(
                 os.path.join(idx_dir, nxt))
-        tmp = os.path.join(idx_dir, _MANIFEST + ".tmp")
-        with open(tmp, "w") as fh:
-            fh.write(nxt)
-        os.replace(tmp, os.path.join(idx_dir, _MANIFEST))
+        _commit_flip(idx_dir, nxt, batch_id, fp)
 
     writer = stream.writeStream.foreachBatch(apply_batch) \
         .outputMode("append")
@@ -294,7 +352,10 @@ def _dupspan_apply_batch(batch: SparkDF, batch_id: int, idx_dir: str,
     the replay-after-flip guard is directly testable (Spark replays a
     failed batch with the same id — invoking this twice with one id
     must be byte-idempotent on BOTH tables, which for COUNT state
-    requires the guard, not just overwrite-by-batch-id)."""
+    requires the guard, not just overwrite-by-batch-id). The guard
+    matches on (batch id AND batch fingerprint): a checkpointless
+    restart reuses id 0 for genuinely NEW rows, and on id alone those
+    rows would be treated as a replay and never merged."""
     from ..pipeline.dupspan import (build_dupspan_index,
                                     dupspan_cut_increment,
                                     merge_dupspan_index)
@@ -302,41 +363,31 @@ def _dupspan_apply_batch(batch: SparkDF, batch_id: int, idx_dir: str,
     if not batch.take(1):
         return
     spark = batch.sparkSession
-    side, last_bid = _manifest_state(idx_dir)
-    replay_after_flip = side is not None and last_bid == batch_id
+    fp = _batch_fingerprint(batch, id_col, text_col)
+    replay_after_flip, current = _replay_state(spark, idx_dir,
+                                               batch_id, fp)
     with pin_scope():
-        if replay_after_flip:
-            # this batch's merge already committed: the state to cut
-            # against is the PRE-flip side (absent for a replayed
-            # batch 0 → bootstrap empty)
-            prev = "b" if side == "a" else "a"
-            pdir = os.path.join(idx_dir, prev)
-            current = (spark.read.parquet(pdir)
-                       if os.path.isdir(pdir)
-                       else build_dupspan_index(
-                           Frame(batch.limit(0)), text_col, id_col,
-                           min_len).sdf)
-        else:
+        if not replay_after_flip:
             current = read_snapshot(spark, idx_dir)
-            if current is None:
-                current = build_dupspan_index(
-                    Frame(batch.limit(0)), text_col, id_col,
-                    min_len).sdf
+        if current is None:
+            # first batch ever, or a replayed batch 0: bootstrap empty
+            current = build_dupspan_index(
+                Frame(batch.limit(0)), text_col, id_col, min_len).sdf
+        # the sink owns min_len for the state's whole lifetime, so the
+        # per-call index probe is redundant here (probe=False — the
+        # validate-once discipline of the decontam sink)
         cleaned, delta = dupspan_cut_increment(
             Frame(batch), Frame(current), text_col, id_col,
-            min_len=min_len, min_dup=min_dup)
+            min_len=min_len, min_dup=min_dup, probe=False)
         cleaned.sdf.write.mode("overwrite").parquet(
             os.path.join(cln_dir, f"batch_id={batch_id}"))
         if replay_after_flip:
             return  # state already correct — do NOT re-merge
         new_index = merge_dupspan_index(Frame(current), delta)
-        nxt = "b" if side == "a" else "a"
+        nxt = "b" if _active_side(idx_dir) == "a" else "a"
         new_index.sdf.write.mode("overwrite").parquet(
             os.path.join(idx_dir, nxt))
-    tmp = os.path.join(idx_dir, _MANIFEST + ".tmp")
-    with open(tmp, "w") as fh:
-        fh.write(f"{nxt}@{batch_id}")
-    os.replace(tmp, os.path.join(idx_dir, _MANIFEST))
+    _commit_flip(idx_dir, nxt, batch_id, fp)
 
 
 def stream_match_audio(stream: SparkDF, index_path: str, out_path: str,
@@ -414,38 +465,38 @@ def stream_image_dedup(stream: SparkDF, path: str, id_col: str = "id",
     Each batch pays one Arrow decode+hash pass over ITS OWN payloads
     plus band equi-joins against the hash index; catalog pixels are
     never re-read. Exactly-once: assignments overwrite by batch id,
-    the index flip is atomic. ``path`` must be driver-local (manifest
-    rename).
+    the index flip is atomic, and the manifest's (batch id, content
+    fingerprint) pair makes a replay that lands after its own
+    committed flip recompute only the assignments against the
+    pre-flip side — re-unioning the novelty would duplicate index
+    rows (r14 hardening, shared with the text sinks). ``path`` must
+    be driver-local (manifest rename).
     """
-    from ..pipeline.phash import hash_images
+    from ..pipeline.phash import _validate_bands, hamming_bands, hash_images
     from ..plans.cache import pin_scope
-    if n_bands <= max_hamming or 64 % n_bands:
-        raise ValueError(
-            f"stream_image_dedup: need n_bands dividing 64 and > "
-            f"max_hamming, got n_bands={n_bands} max_hamming={max_hamming}")
+    _validate_bands(n_bands, max_hamming, "stream_image_dedup")
     idx_dir = os.path.join(path, "index")
     asg_dir = os.path.join(path, "assignments")
     os.makedirs(idx_dir, exist_ok=True)
     os.makedirs(asg_dir, exist_ok=True)
-    width = 64 // n_bands
-    mask = (1 << width) - 1
 
     def bands(col):
-        return F.array(*[
-            F.shiftrightunsigned(col, i * width).bitwiseAND(F.lit(mask))
-            for i in range(n_bands)])
+        return hamming_bands(col, n_bands)
 
     def apply_batch(batch: SparkDF, batch_id: int) -> None:
         if not batch.take(1):
             return
         spark = batch.sparkSession
+        fp = _batch_fingerprint(batch, id_col, payload_col)
+        replay, current = _replay_state(spark, idx_dir, batch_id, fp)
         with pin_scope():
             from ..plans.cache import pin
             # hashes feeds the match join AND the index delta —
             # pinned inside the batch scope
             hashes = pin(hash_images(
                 Frame(batch), id_col, payload_col).sdf)
-            current = read_snapshot(spark, idx_dir)
+            if not replay:
+                current = read_snapshot(spark, idx_dir)
             if current is None:
                 current = hashes.limit(0)
             b = hashes.select(
@@ -475,17 +526,15 @@ def stream_image_dedup(stream: SparkDF, path: str, id_col: str = "id",
                        .withColumn("batch_id", F.lit(batch_id)))
             assigns.write.mode("overwrite").parquet(
                 os.path.join(asg_dir, f"batch_id={batch_id}"))
+            if replay:
+                return  # index already holds this batch's novelty
             novel = (hashes.join(best.select("id"), on="id",
                                  how="left_anti"))
             new_index = current.unionByName(novel)
-            side = _active_side(idx_dir)
-            nxt = "b" if side == "a" else "a"
+            nxt = "b" if _active_side(idx_dir) == "a" else "a"
             new_index.write.mode("overwrite").parquet(
                 os.path.join(idx_dir, nxt))
-        tmp = os.path.join(idx_dir, _MANIFEST + ".tmp")
-        with open(tmp, "w") as fh:
-            fh.write(nxt)
-        os.replace(tmp, os.path.join(idx_dir, _MANIFEST))
+        _commit_flip(idx_dir, nxt, batch_id, fp)
 
     writer = stream.writeStream.foreachBatch(apply_batch) \
         .outputMode("append")

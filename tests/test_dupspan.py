@@ -482,8 +482,9 @@ def test_stream_dupspan_dedup_accretes_and_matches_driver_loop(spark,
     snap = read_snapshot(spark, os.path.join(state, "index"))
     cnt = {r["_g"]: r["cnt"] for r in snap.collect()}
     assert cnt[block] == 4
-    side, bid = _manifest_state(os.path.join(state, "index"))
+    side, bid, fp = _manifest_state(os.path.join(state, "index"))
     assert side in ("a", "b") and bid == 1      # last flipped batch
+    assert isinstance(fp, int)                  # content fingerprint
 
 
 def test_stream_dupspan_replay_after_flip_is_idempotent(spark, tmp_path):
@@ -527,9 +528,22 @@ def test_stream_dupspan_replay_after_flip_is_idempotent(spark, tmp_path):
     assert after == before, "replay-after-flip mutated state or output"
     # and batch 1's cut is still the keep-first one (span removed)
     assert dict((d, c) for d, _t, c in after[1])[2] == 20
-    # replaying batch 0 after BOTH flips (stale replay of an older id)
-    # must not touch the state either: its manifest bid is 1, not 0 —
-    # the guard only fires for the LAST flipped batch, and Spark never
-    # replays older-than-last batches; assert the precondition holds
-    side, bid = after[2]
+    side, bid, _fp = after[2]
     assert bid == 1 and side in ("a", "b")
+    # CHECKPOINTLESS RESTART: numbering starts at 1... wait — at the
+    # last flipped id. New CONTENT arriving under the already-flipped
+    # batch id must NOT be mistaken for a replay (the fingerprint
+    # disagrees): it takes the normal path and its windows reach the
+    # state — on id alone this data would be silently dropped forever.
+    b_new = spark.createDataFrame(
+        [(3, "iiii:jjjj(" + block + ")kkkk")],
+        "doc_id long, text string")
+    _dupspan_apply_batch(b_new, 1, idx_dir, cln_dir, "text", "doc_id",
+                         20, 2)
+    idx3 = sorted((r["_g"], r["cnt"]) for r in
+                  read_snapshot(spark, idx_dir).collect())
+    assert dict(idx3)[block] == 3               # new doc WAS merged
+    # and its text was cut against the full state (block seen twice)
+    cln3 = {r["doc_id"]: r["chars_removed"] for r in
+            spark.read.parquet(cln_dir).collect()}
+    assert cln3[3] == 20

@@ -1464,3 +1464,27 @@ def test_html_text_extraction_hand_cases(spark):
     got = {r["id"]: r["t"] for r in
            tf.sdf.select("id", tx.html_title(F.col("h")).alias("t")).collect()}
     assert got[1] == "A & B" and got[2] == ""
+
+
+def test_bm25_null_id_docs_excluded_consistently(spark):
+    # r14 review: the window-df rework made the inline path count a
+    # null-id token group into _df while excluding null-id docs from
+    # _n, and the indexed path did neither — three inconsistent
+    # behaviors. Rule now: null-id docs are excluded EVERYWHERE, and
+    # both paths stay bit-identical in their presence.
+    rows = [(None, "fast common"), (1, "fast common"), (2, "slow common")]
+    docs = Frame(spark.createDataFrame(rows, "doc_id long, text string"))
+    clean = Frame(spark.createDataFrame(
+        [r for r in rows if r[0] is not None], "doc_id long, text string"))
+    terms = ["fast"]
+    with_null = [(r["doc_id"], repr(r["score"])) for r in
+                 tx.bm25_search(docs, "text", "doc_id", terms).collect()]
+    without = [(r["doc_id"], repr(r["score"])) for r in
+               tx.bm25_search(clean, "text", "doc_id", terms).collect()]
+    assert with_null == without and len(with_null) == 1
+    p, s = tx.build_bm25_index(docs, "text", "doc_id")
+    indexed = [(r["doc_id"], repr(r["score"])) for r in
+               tx.bm25_search_indexed(p, s, terms).collect()]
+    assert indexed == with_null
+    with pytest.raises(ValueError, match="bm25_search_indexed"):
+        tx.bm25_search_indexed(p, s, terms, id_col="_tf")

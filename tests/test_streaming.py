@@ -658,3 +658,48 @@ def test_tumbling_rollup_ksample_matches_batch(spark, events_stream_dir):
     want = {str(r["bucket"]): [tuple(x) for x in r["s"]]
             for r in batch.sdf.collect()}
     assert got == want and len(got) > 0
+
+
+def test_replay_guard_helpers_distinguish_replay_from_restart(spark,
+                                                              tmp_path):
+    """The shared accreting-sink guard (r14): _replay_state fires only
+    for the SAME (batch id, content fingerprint) pair the manifest
+    recorded — a checkpointless restart reusing batch id 0 for new
+    rows must take the normal path, and older-manifest formats (plain
+    side) never read as a replay."""
+    import os
+    from crysda_spark.streaming.cdc import (_batch_fingerprint,
+                                            _commit_flip,
+                                            _manifest_state,
+                                            _replay_state)
+    idx = str(tmp_path / "index")
+    os.makedirs(os.path.join(idx, "b"))
+    spark.createDataFrame([(1, 10)], "id long, v long") \
+        .write.mode("overwrite").parquet(os.path.join(idx, "b"))
+    b0 = spark.createDataFrame([(1, "x"), (2, "y")],
+                               "id long, text string")
+    fp = _batch_fingerprint(b0, "id", "text")
+    # fingerprint is order-free and content-sensitive
+    assert fp == _batch_fingerprint(
+        spark.createDataFrame([(2, "y"), (1, "x")],
+                              "id long, text string"), "id", "text")
+    other = _batch_fingerprint(
+        spark.createDataFrame([(1, "x"), (3, "z")],
+                              "id long, text string"), "id", "text")
+    assert other != fp
+    # no manifest yet -> never a replay
+    assert _replay_state(spark, idx, 0, fp) == (False, None)
+    _commit_flip(idx, "a", 0, fp)
+    assert _manifest_state(idx) == ("a", 0, fp)
+    # true replay: same id AND same content -> pre-flip side ('b')
+    replay, pre = _replay_state(spark, idx, 0, fp)
+    assert replay and pre is not None and pre.count() == 1
+    # restart with NEW content under the same id -> normal path
+    assert _replay_state(spark, idx, 0, other) == (False, None)
+    # different id -> normal path
+    assert _replay_state(spark, idx, 1, fp) == (False, None)
+    # legacy plain manifest (other sinks' old state dirs) -> no replay
+    with open(os.path.join(idx, "MANIFEST"), "w") as fh:
+        fh.write("a")
+    assert _manifest_state(idx) == ("a", None, None)
+    assert _replay_state(spark, idx, 0, fp) == (False, None)
