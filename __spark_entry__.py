@@ -6383,19 +6383,28 @@ WITH tok AS (
   FROM documents),
 e AS (SELECT DISTINCT doc_id, unnest(w) AS term FROM tok)
 SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
-       (list(doc_id ORDER BY doc_id))[1:15] AS postings
+       array_to_string((list(doc_id ORDER BY doc_id))[1:15], ',')
+         AS postings
 FROM e GROUP BY term HAVING COUNT(*) >= 25
 """)
 def inverted_index_postings(spark, sf_dir):
     """Inverted-index construction (pipeline.text.build_inverted_index,
     Zobel & Moffat 2006): term -> (document frequency, sorted posting
     list capped at 15). df counts ALL matching docs even past the cap;
-    the capped slice is of the SORTED list, so arrays hash identically
-    across engines and partitionings. min_df=25 keeps the row set to
-    common vocabulary at every SF."""
+    the capped slice is of the SORTED list, so postings hash
+    identically across engines and partitionings. min_df=25 keeps the
+    row set to common vocabulary at every SF.
+
+    The library API keeps `postings` as array<long>; the ENTRY query
+    renders it as a comma-joined string because the driver's pandas
+    canonicalizer cannot hash array cells (CORRECTNESS_r14:
+    `TypeError: unhashable type: 'list'`) — output-shape adaptation
+    only, values unchanged."""
     docs = _t(spark, sf_dir, "documents")
-    return tx.build_inverted_index(docs, "text", "doc_id",
-                                   min_df=25, max_postings=15).sdf
+    idx = tx.build_inverted_index(docs, "text", "doc_id",
+                                  min_df=25, max_postings=15).sdf
+    return idx.withColumn(
+        "postings", F.concat_ws(",", F.col("postings").cast("array<string>")))
 
 
 @q("bigram_lm_quality", """

@@ -111,3 +111,44 @@ def test_registered_oracles_emit_no_int128_columns():
         if h:
             offenders[n] = h
     assert offenders == {}, f"int128 output columns: {offenders}"
+
+
+def test_nested_output_canary_flags_arrays_and_structs():
+    # r15 canary (the CORRECTNESS_r14 inverted_index_postings red): the
+    # driver's pandas canonicalizer cannot hash array/struct cells, so
+    # any top-level nested result column in a SQL-oracled entry errors
+    # in the driver gate even with correct values.
+    import duckdb
+
+    from check_oracle import nested_output_columns
+    con = duckdb.connect()
+    assert nested_output_columns(con, "SELECT 1 AS x, 'a' AS s") == []
+    arr = "SELECT list(x) AS xs FROM (SELECT 1 AS x)"
+    assert [c for c, _ in nested_output_columns(con, arr)] == ["xs"]
+    st = "SELECT {'a': 1} AS s"
+    assert [c for c, _ in nested_output_columns(con, st)] == ["s"]
+    mp = "SELECT MAP([1], [2]) AS m"
+    assert [c for c, _ in nested_output_columns(con, mp)] == ["m"]
+    # scalar renderings of the same data pass
+    ok = "SELECT array_to_string(list(x), ',') AS xs FROM (SELECT 1 AS x)"
+    assert nested_output_columns(con, ok) == []
+
+
+def test_registered_oracles_emit_no_nested_columns():
+    # builder-side twin of the driver's canonicalizer limitation: bind
+    # every registered oracle and assert zero nested output columns
+    import duckdb
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+    from check_oracle import TABLES, nested_output_columns
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    offenders = {}
+    for n, sql in entry.oracle_sql().items():
+        h = nested_output_columns(con, sql)
+        if h:
+            offenders[n] = h
+    assert offenders == {}, f"nested output columns: {offenders}"

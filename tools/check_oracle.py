@@ -115,6 +115,23 @@ def hugeint_output_columns(con, sql: str) -> list[tuple[str, str]]:
             if "HUGEINT" in str(t).upper()]
 
 
+def nested_output_columns(con, sql: str) -> list[tuple[str, str]]:
+    """Driver-harness shape canary (r15, adjudicated from the only
+    SQL-oracled gate red ever: CORRECTNESS_r14's
+    ``inverted_index_postings`` — ``TypeError: unhashable type:
+    'list'``). The driver's pandas canonicalizer sorts raw cells, and
+    array/struct/map cells are unhashable/unorderable there, so ANY
+    top-level nested result column in a SQL-oracled entry will error
+    in the driver gate even when the values are correct. Bind-only
+    (``.types``), like ``hugeint_output_columns``. Fix at the entry +
+    oracle: render the column as a scalar (``concat_ws``/
+    ``array_to_string`` or a hash of the canonical rendering)."""
+    rel = con.sql(sql)
+    return [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+            if any(k in str(t).upper()
+                   for k in ("[]", "STRUCT", "MAP", "LIST"))]
+
+
 def canon_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted("|".join(canon_cell(r[i]) for i in order) for r in rows)
@@ -167,6 +184,21 @@ def main():
               "CAST(... AS BIGINT) before the driver sweeps")
         sys.exit(2)
     print("hugeint-output canary: 0 offenders across all oracles")
+    # r15 shape canary: no top-level array/struct/map result columns —
+    # the driver's pandas canonicalizer cannot hash nested cells (the
+    # adjudicated CORRECTNESS_r14 inverted_index_postings red).
+    nested = {}
+    for n, sql in oracles.items():
+        h = nested_output_columns(con, sql)
+        if h:
+            nested[n] = h
+    if nested:
+        for n, h in nested.items():
+            print(f"NESTED-OUTPUT  {n}: {h}")
+        print(f"\n{len(nested)} oracle(s) emit nested result columns — "
+              "render as scalars before the driver sweeps")
+        sys.exit(2)
+    print("nested-output canary: 0 offenders across all oracles")
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
         if only and name not in only:
