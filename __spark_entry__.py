@@ -2436,6 +2436,86 @@ def doc_quality(spark, sf_dir):
                           quality=F.round(tx.quality_score("text"), 4)).sdf
 
 
+# --------- r15 oracle promotion: codec-roundtrip VALUES oracles.
+# The planted constructions are deterministic AND SF-independent (ids
+# come from spark.range, the table is never read), so each roundtrip
+# query now carries a REAL literal oracle: the expected decoded-pixel
+# md5 per image, derived at import time from the CONSTRUCTION ALONE —
+# the source generator below + an independent replay of the documented
+# NN index map (floor(i·in/out)) — with no codec anywhere in the
+# derivation. encode → NN-resize → re-encode → decode must reproduce
+# the resized source byte-for-byte or the driver's hash check goes
+# red. The source twins here must stay in sync with the inline
+# executor-side generators in each query (kept inline so cloudpickle
+# ships them by value — workers don't import __spark_entry__); any
+# drift flips the md5s and fails the gate, so the sync is self-guarded.
+
+
+def _src_bmp_checker(d: int):
+    """multimodal_bmp_roundtrip's source image for id ``d``."""
+    import numpy as np
+    h, w = 3 + d % 7, 4 + d % 13
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack([((x + y) % 2) * 255, (x * 7) % 256,
+                     (y * 11) % 256], axis=-1).astype(np.uint8)
+
+
+def _src_rgba_grad(d: int):
+    """Shared PNG/WebP/TIFF roundtrip source for id ``d`` (RGB for
+    even ids, RGBA for odd)."""
+    import numpy as np
+    h, w, nchan = 3 + d % 6, 4 + d % 9, 3 + (d % 2)
+    y, x = np.mgrid[0:h, 0:w]
+    chans = [((x + y) % 2) * 255, (x * 7) % 256, (y * 11) % 256]
+    if nchan == 4:
+        chans.append((x * y + d) % 256)
+    return np.stack(chans, axis=-1).astype(np.uint8)
+
+
+def _src_gif_pal(d: int):
+    """multimodal_gif_roundtrip's 16-color palette source for id ``d``."""
+    import numpy as np
+    h, w = 3 + d % 6, 4 + d % 9
+    y, x = np.mgrid[0:h, 0:w]
+    idx = (x + 2 * y + d) % 16
+    pal = np.stack([np.arange(16) * 17, (np.arange(16) * 31) % 256,
+                    np.full(16, d % 256)], axis=1).astype(np.uint8)
+    return pal[idx]
+
+
+def _nn_resize_indep(arr, width: int, height: int):
+    """Independent replay of the NN-resize contract (the documented
+    floor(i·in/out) index map of codecs.resize_nearest) — numpy only,
+    no library call, so the roundtrip oracles derive from the
+    construction, not the implementation under test."""
+    import numpy as np
+    h, w = arr.shape[:2]
+    yi = (np.arange(height) * (h / height)).astype(np.int64).clip(0, h - 1)
+    xi = (np.arange(width) * (w / width)).astype(np.int64).clip(0, w - 1)
+    return np.ascontiguousarray(arr[yi[:, None], xi[None, :]])
+
+
+def _img_roundtrip_oracle(src_fn, n: int, width: int, height: int) -> str:
+    """Literal VALUES oracle for a codec-roundtrip query: for each id,
+    the geometry and md5 of the NN-resized SOURCE pixels — what a
+    correct encode→resize→re-encode→decode pipeline must emit."""
+    import hashlib
+    rows = []
+    for d in range(n):
+        arr = _nn_resize_indep(src_fn(d), width, height)
+        h, w, c = arr.shape
+        md5 = hashlib.md5(arr.tobytes()).hexdigest()
+        rows.append(f"({d}, {w}, {h}, {c}, '{md5}')")
+    vals = ",\n  ".join(rows)
+    return (
+        "SELECT CAST(id AS BIGINT) AS id, CAST(width AS INT) AS width,\n"
+        "       CAST(height AS INT) AS height,\n"
+        "       CAST(channels AS INT) AS channels, pix_md5\n"
+        f"FROM (VALUES\n  {vals})\n"
+        "  AS t(id, width, height, channels, pix_md5)"
+    )
+
+
 @q("multimodal_decode")  # mapInPandas kernel; not SQL-expressible — rows-only
 def multimodal_decode(spark, sf_dir):
     """Multimodal plumbing end-to-end: text bytes as opaque binary
@@ -2479,7 +2559,11 @@ def multimodal_decode(spark, sf_dir):
     return res
 
 
-@q("multimodal_webp_anim_frames")  # binary codec; rows-only
+@q("multimodal_webp_anim_frames", """
+SELECT CAST(range AS BIGINT) AS id,
+       CAST(CEIL((1 + range % 6) / 2.0) AS BIGINT) AS n
+FROM range(48)
+""")
 def multimodal_webp_anim_frames(spark, sf_dir):
     """ANIMATED WebP end-to-end (r10 — webp.decode_webp_anim): per-doc
     animations are muxed executor-side (VP8X/ANIM/ANMF, frames encoded
@@ -2491,11 +2575,13 @@ def multimodal_webp_anim_frames(spark, sf_dir):
     at the full canvas geometry, and for the full-canvas-overwrite
     clips the composited canvas at frame i carries frame i's tag pixel
     (the compositing matrix itself is pinned by pytest against an
-    independent reference)."""
+    independent reference). r15: spark.range ids (SF-independent), so
+    the sampled-count contract (n = ceil(n_frames/2)) is a derived SQL
+    oracle the driver hash-checks."""
     from crysda_spark.pipeline import multimodal as mm
     from pyspark.sql import types as T
 
-    ids = _t(spark, sf_dir, "documents").sdf.select("doc_id").limit(48)
+    ids = spark.range(48).select(F.col("id").alias("doc_id"))
 
     def gen(batches):
         import numpy as np
@@ -2566,7 +2652,12 @@ def multimodal_webp_anim_frames(spark, sf_dir):
     return per.select("id", "n").orderBy("id")
 
 
-@q("multimodal_avi_frames")  # binary codec; not SQL-expressible — rows-only
+@q("multimodal_avi_frames", """
+SELECT CAST(range AS BIGINT) AS id,
+       CAST(CEIL((1 + range % 8) / 3.0) AS BIGINT) AS n_sampled,
+       CAST(3 * CAST(FLOOR((range % 8) / 3.0) AS INT) AS INT) AS max_idx
+FROM range(48)
+""")
 def multimodal_avi_frames(spark, sf_dir):
     """REAL video path (r7): per-doc AVI clips are encoded
     executor-side (codecs.encode_avi — doc_id-derived frame count and
@@ -2578,11 +2669,14 @@ def multimodal_avi_frames(spark, sf_dir):
     clip: sampled-frame count == ceil(n_frames/3), frame indices are
     the original 0,3,6,…, and every sampled frame decodes to the
     clip's geometry — codec + sampler + cross-modality composition
-    proven end-to-end."""
+    proven end-to-end. r15: spark.range ids (SF-independent), so the
+    sampling contract (count = ceil(nf/3), last index = largest
+    multiple of 3 below nf) is a derived SQL oracle the driver
+    hash-checks."""
     from crysda_spark.pipeline import multimodal as mm
     from pyspark.sql import types as T
 
-    ids = _t(spark, sf_dir, "documents").sdf.select("doc_id").limit(48)
+    ids = spark.range(48).select(F.col("id").alias("doc_id"))
 
     def gen(batches):
         import numpy as np
@@ -2625,18 +2719,24 @@ def multimodal_avi_frames(spark, sf_dir):
     return per_clip.select("id", "n_sampled", "max_idx")
 
 
-@q("multimodal_bmp_roundtrip")  # binary codec; not SQL-expressible — rows-only
+@q("multimodal_bmp_roundtrip",
+   _img_roundtrip_oracle(_src_bmp_checker, 64, 5, 4))
 def multimodal_bmp_roundtrip(spark, sf_dir):
-    """REAL image codec through the distributed path (r6): per-doc
+    """REAL image codec through the distributed path (r6): per-id
     deterministic checkerboard BMPs are encoded executor-side
     (pipeline.codecs.encode_bmp), resized through the Arrow resize
-    kernel, decoded back (decode_bmp), and the driver-side gate asserts
-    every decoded geometry equals the resize target — a value-level
-    proof the codec, not just the plumbing, runs end-to-end."""
+    kernel, and pixel-digested back (multimodal.digest_images).
+
+    r15 oracle promotion: ids come from spark.range(64) (SF-independent
+    construction) and the output carries the decoded-pixel md5, pinned
+    by a literal VALUES oracle derived from the construction alone
+    (_src_bmp_checker + the independent NN-index replay) — the
+    roundtrip is now VALUE-hash-checked by the driver, not just
+    geometry-gated."""
     from crysda_spark.pipeline import multimodal as mm
     from pyspark.sql import types as T
 
-    ids = _t(spark, sf_dir, "documents").sdf.select("doc_id").limit(64)
+    ids = spark.range(64).select(F.col("id").alias("doc_id"))
 
     def gen(batches):
         import numpy as np
@@ -2656,30 +2756,34 @@ def multimodal_bmp_roundtrip(spark, sf_dir):
                            T.StructField("payload", T.BinaryType())])
     bmps = Frame(ids.mapInPandas(gen, schema=schema))
     resized = mm.resize_images(bmps, width=5, height=4)
-    out = mm.decode_images(resized, n_feat=8).sdf
+    out = mm.digest_images(resized, strict=True).sdf
     bad = out.where((F.col("width") != 5) | (F.col("height") != 4)
                     | (F.col("channels") != 3)).count()
     if bad:
         raise AssertionError(
             f"BMP roundtrip gate: {bad}/64 decoded geometries wrong")
-    return out.select("id", "width", "height", "channels")
+    return out.select("id", "width", "height", "channels", "pix_md5")
 
 
-@q("multimodal_png_roundtrip")  # binary codec; not SQL-expressible — rows-only
+@q("multimodal_png_roundtrip",
+   _img_roundtrip_oracle(_src_rgba_grad, 64, 6, 5))
 def multimodal_png_roundtrip(spark, sf_dir):
-    """Pure-stdlib PNG codec through the distributed path (r7): per-doc
+    """Pure-stdlib PNG codec through the distributed path (r7): per-id
     deterministic RGB/RGBA gradients are PNG-encoded executor-side with
     a rotating row filter (pipeline.codecs.encode_png, filters 0-4 so
     every un-filter branch runs; every third doc Adam7-interlaced so
     the r8 de-interlacer runs distributed too), resized through the
-    Arrow kernel,
-    decoded back (zlib inflate + Sub/Up/Average/Paeth un-filtering),
-    and the gate asserts every decoded geometry equals the resize
-    target with the source's channel count (alpha preserved)."""
+    Arrow kernel, and pixel-digested back (zlib inflate +
+    Sub/Up/Average/Paeth un-filtering → md5).
+
+    r15 oracle promotion: spark.range ids + decoded-pixel md5 pinned by
+    a construction-derived literal VALUES oracle (_src_rgba_grad +
+    independent NN replay) — every filter/interlace variant must
+    reproduce the resized source byte-for-byte, alpha included."""
     from crysda_spark.pipeline import multimodal as mm
     from pyspark.sql import types as T
 
-    ids = _t(spark, sf_dir, "documents").sdf.select("doc_id").limit(64)
+    ids = spark.range(64).select(F.col("id").alias("doc_id"))
 
     def gen(batches):
         import numpy as np
@@ -2703,16 +2807,17 @@ def multimodal_png_roundtrip(spark, sf_dir):
                            T.StructField("payload", T.BinaryType())])
     pngs = Frame(ids.mapInPandas(gen, schema=schema))
     resized = mm.resize_images(pngs, width=6, height=5)
-    out = mm.decode_images(resized, n_feat=8).sdf
+    out = mm.digest_images(resized, strict=True).sdf
     bad = out.where((F.col("width") != 6) | (F.col("height") != 5)
                     | (F.col("channels") != 3 + F.col("id") % 2)).count()
     if bad:
         raise AssertionError(
             f"PNG roundtrip gate: {bad}/64 decoded geometries wrong")
-    return out.select("id", "width", "height", "channels")
+    return out.select("id", "width", "height", "channels", "pix_md5")
 
 
-@q("multimodal_webp_roundtrip")  # binary codec; not SQL-expressible — rows-only
+@q("multimodal_webp_roundtrip",
+   _img_roundtrip_oracle(_src_rgba_grad, 64, 6, 5))
 def multimodal_webp_roundtrip(spark, sf_dir):
     """Pure-stdlib WebP lossless (VP8L) codec through the distributed
     path (r8 — closes the last declared image stub): per-doc gradients
@@ -2723,11 +2828,15 @@ def multimodal_webp_roundtrip(spark, sf_dir):
     back (canonical prefix codes, inverse transforms), and the gate
     asserts every decoded geometry equals the resize target with the
     source's channel count. The codec itself is cross-validated
-    bit-for-bit against the system libwebp in tests/test_webp.py."""
+    bit-for-bit against the system libwebp in tests/test_webp.py.
+
+    r15 oracle promotion: spark.range ids + decoded-pixel md5 pinned by
+    a construction-derived literal VALUES oracle — every VP8L feature
+    variant must reproduce the resized source byte-for-byte."""
     from crysda_spark.pipeline import multimodal as mm
     from pyspark.sql import types as T
 
-    ids = _t(spark, sf_dir, "documents").sdf.select("doc_id").limit(64)
+    ids = spark.range(64).select(F.col("id").alias("doc_id"))
 
     def gen(batches):
         import numpy as np
@@ -2762,16 +2871,24 @@ def multimodal_webp_roundtrip(spark, sf_dir):
                            T.StructField("payload", T.BinaryType())])
     webps = Frame(ids.mapInPandas(gen, schema=schema))
     resized = mm.resize_images(webps, width=6, height=5)
-    out = mm.decode_images(resized, n_feat=8).sdf
+    out = mm.digest_images(resized, strict=True).sdf
     bad = out.where((F.col("width") != 6) | (F.col("height") != 5)
                     | (F.col("channels") != 3 + F.col("id") % 2)).count()
     if bad:
         raise AssertionError(
             f"WebP roundtrip gate: {bad}/64 decoded geometries wrong")
-    return out.select("id", "width", "height", "channels")
+    return out.select("id", "width", "height", "channels", "pix_md5")
 
 
-@q("multimodal_vp8_roundtrip")  # binary codec; not SQL-expressible — rows-only
+@q("multimodal_vp8_roundtrip", """
+SELECT CAST(range AS BIGINT) AS id,
+       CAST(22 + range % 25 AS INT) AS width,
+       CAST(17 + range % 20 AS INT) AS height,
+       CAST(4 AS INT) AS channels,
+       CAST((CASE range % 3 WHEN 0 THEN 8 WHEN 1 THEN 24
+             ELSE 60 END) AS INT) AS q
+FROM range(48)
+""")
 def multimodal_vp8_roundtrip(spark, sf_dir):
     """Lossy WebP (VP8 key frame, RFC 6386 — r9) through the
     distributed path: per-doc gradient+block images are VP8-encoded
@@ -2784,10 +2901,15 @@ def multimodal_vp8_roundtrip(spark, sf_dir):
     (b) per-image mean |err| stays within the quantizer's budget —
     finer quantizers must reconstruct at least as faithfully. The
     codec is cross-validated bit-for-bit (YUV planes, both directions)
-    against the system libwebp in tests/test_vp8.py."""
+    against the system libwebp in tests/test_vp8.py.
+
+    r15: spark.range ids (SF-independent) + a derived SQL oracle over
+    the geometry/quantizer contract; mae stays an in-query gate only —
+    lossy reconstruction error is implementation-defined, so pinning
+    it in the hashed output would oracle the codec against itself."""
     from pyspark.sql import types as T
 
-    ids = _t(spark, sf_dir, "documents").sdf.select("doc_id").limit(48)
+    ids = spark.range(48).select(F.col("id").alias("doc_id"))
 
     def gen(batches):
         import numpy as np
@@ -2819,7 +2941,8 @@ def multimodal_vp8_roundtrip(spark, sf_dir):
                            T.StructField("channels", T.IntegerType()),
                            T.StructField("q", T.IntegerType()),
                            T.StructField("mae", T.DoubleType())])
-    out = ids.mapInPandas(gen, schema=schema)
+    from crysda_spark.plans.cache import pin
+    out = pin(ids.mapInPandas(gen, schema=schema))  # 3 consumers below
     bad = out.where((F.col("width") != 22 + F.col("id") % 25)
                     | (F.col("height") != 17 + F.col("id") % 20)
                     | (F.col("channels") != 4)).count()
@@ -2835,22 +2958,27 @@ def multimodal_vp8_roundtrip(spark, sf_dir):
             raise AssertionError(
                 f"VP8 roundtrip gate: q={r['q']} worst mae "
                 f"{r['worst_mae']} exceeds {caps[r['q']]}")
-    return out.select("id", "width", "height", "channels", "q", "mae")
+    return out.select("id", "width", "height", "channels", "q")
 
 
-@q("multimodal_gif_roundtrip")  # binary codec; not SQL-expressible — rows-only
+@q("multimodal_gif_roundtrip",
+   _img_roundtrip_oracle(_src_gif_pal, 64, 6, 5))
 def multimodal_gif_roundtrip(spark, sf_dir):
-    """Pure-stdlib GIF codec through the distributed path (r7): per-doc
+    """Pure-stdlib GIF codec through the distributed path (r7): per-id
     deterministic palette images are GIF-encoded executor-side
     (pipeline.codecs.encode_gif — real LZW with variable code width;
     every 2nd image interlaced so the 4-pass deinterlacer runs),
     resized through the Arrow kernel (decode → NN resample → LZW
-    re-encode), decoded back, and the gate asserts every decoded
-    geometry equals the resize target at 3 channels."""
+    re-encode), and pixel-digested back.
+
+    r15 oracle promotion: spark.range ids + decoded-pixel md5 pinned by
+    a construction-derived literal VALUES oracle (_src_gif_pal +
+    independent NN replay) — LZW, interlacing, and the re-palettize on
+    re-encode must all be pixel-lossless."""
     from crysda_spark.pipeline import multimodal as mm
     from pyspark.sql import types as T
 
-    ids = _t(spark, sf_dir, "documents").sdf.select("doc_id").limit(64)
+    ids = spark.range(64).select(F.col("id").alias("doc_id"))
 
     def gen(batches):
         import numpy as np
@@ -2872,16 +3000,20 @@ def multimodal_gif_roundtrip(spark, sf_dir):
                            T.StructField("payload", T.BinaryType())])
     gifs = Frame(ids.mapInPandas(gen, schema=schema))
     resized = mm.resize_images(gifs, width=6, height=5)
-    out = mm.decode_images(resized, n_feat=8).sdf
+    out = mm.digest_images(resized, strict=True).sdf
     bad = out.where((F.col("width") != 6) | (F.col("height") != 5)
                     | (F.col("channels") != 3)).count()
     if bad:
         raise AssertionError(
             f"GIF roundtrip gate: {bad}/64 decoded geometries wrong")
-    return out.select("id", "width", "height", "channels")
+    return out.select("id", "width", "height", "channels", "pix_md5")
 
 
-@q("multimodal_jpeg_roundtrip")  # binary codec; not SQL-expressible — rows-only
+@q("multimodal_jpeg_roundtrip", """
+SELECT CAST(range AS BIGINT) AS id, CAST(7 AS INT) AS width,
+       CAST(6 AS INT) AS height, CAST(3 AS INT) AS channels
+FROM range(64)
+""")
 def multimodal_jpeg_roundtrip(spark, sf_dir):
     """Pure-stdlib baseline JPEG through the distributed path (r7):
     per-doc gradient images are JPEG-encoded executor-side
@@ -2893,11 +3025,13 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
     q90), decoded back, and the gate asserts every decoded geometry
     equals the resize target at 3 channels. JPEG is lossy so the gate
     is geometric, not pixel-exact (pixel-error bounds live in pytest
-    with all-ones quantization)."""
+    with all-ones quantization). r15: spark.range ids make the
+    construction SF-independent, so the geometry contract is now a
+    derived SQL oracle the driver hash-checks."""
     from crysda_spark.pipeline import multimodal as mm
     from pyspark.sql import types as T
 
-    ids = _t(spark, sf_dir, "documents").sdf.select("doc_id").limit(64)
+    ids = spark.range(64).select(F.col("id").alias("doc_id"))
 
     def gen(batches):
         import numpy as np
@@ -2929,19 +3063,23 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
     return out.select("id", "width", "height", "channels")
 
 
-@q("multimodal_tiff_roundtrip")  # binary codec; not SQL-expressible — rows-only
+@q("multimodal_tiff_roundtrip",
+   _img_roundtrip_oracle(_src_rgba_grad, 64, 6, 5))
 def multimodal_tiff_roundtrip(spark, sf_dir):
     """Pure-stdlib TIFF codec through the distributed path (r8):
-    per-doc deterministic RGB/RGBA gradients are TIFF-encoded
+    per-id deterministic RGB/RGBA gradients are TIFF-encoded
     executor-side (pipeline.codecs.encode_tiff — rotating PackBits
     compression and rows-per-strip so the RLE and multi-strip decode
-    paths both run), resized through the Arrow kernel, decoded back,
-    and the gate asserts every decoded geometry equals the resize
-    target with the source's channel count (alpha preserved)."""
+    paths both run), resized through the Arrow kernel, and
+    pixel-digested back.
+
+    r15 oracle promotion: spark.range ids + decoded-pixel md5 pinned by
+    a construction-derived literal VALUES oracle — PackBits and strip
+    layout must be pixel-lossless, alpha included."""
     from crysda_spark.pipeline import multimodal as mm
     from pyspark.sql import types as T
 
-    ids = _t(spark, sf_dir, "documents").sdf.select("doc_id").limit(64)
+    ids = spark.range(64).select(F.col("id").alias("doc_id"))
 
     def gen(batches):
         import numpy as np
@@ -2965,27 +3103,34 @@ def multimodal_tiff_roundtrip(spark, sf_dir):
                            T.StructField("payload", T.BinaryType())])
     tiffs = Frame(ids.mapInPandas(gen, schema=schema))
     resized = mm.resize_images(tiffs, width=6, height=5)
-    out = mm.decode_images(resized, n_feat=8).sdf
+    out = mm.digest_images(resized, strict=True).sdf
     bad = out.where((F.col("width") != 6) | (F.col("height") != 5)
                     | (F.col("channels") != 3 + F.col("id") % 2)).count()
     if bad:
         raise AssertionError(
             f"TIFF roundtrip gate: {bad}/64 decoded geometries wrong")
-    return out.select("id", "width", "height", "channels")
+    return out.select("id", "width", "height", "channels", "pix_md5")
 
 
-@q("multimodal_wav_audio")  # binary codec; not SQL-expressible — rows-only
+@q("multimodal_wav_audio", """
+SELECT CAST(range AS BIGINT) AS id, CAST(8000 AS INT) AS sample_rate,
+       CAST(500 + (range % 5) * 100 AS BIGINT) AS n_frames,
+       CAST(1 + range % 2 AS INT) AS n_channels
+FROM range(64)
+""")
 def multimodal_wav_audio(spark, sf_dir):
     """Pure-stdlib WAV/PCM audio through the distributed path (r7):
     per-doc deterministic sine clips are PCM-encoded executor-side
     (pipeline.codecs.encode_wav, alternating 8/16-bit and mono/stereo),
     decoded back through the Arrow kernel (decode_audio), and the gate
     asserts every decoded sample_rate / frame count / channel count is
-    the true value — plus duration == n_frames / rate to 1e-6."""
+    the true value — plus duration == n_frames / rate to 1e-6. r15:
+    spark.range ids (SF-independent), so the PCM header contract is a
+    derived SQL oracle the driver hash-checks."""
     from crysda_spark.pipeline import multimodal as mm
     from pyspark.sql import types as T
 
-    ids = _t(spark, sf_dir, "documents").sdf.select("doc_id").limit(64)
+    ids = spark.range(64).select(F.col("id").alias("doc_id"))
 
     def gen(batches):
         import numpy as np
@@ -4696,15 +4841,28 @@ def centroid_assign_counts(spark, sf_dir):
             .groupBy("label", "cell").agg(F.count(F.lit(1)).alias("n")))
 
 
-@q("semantic_dedup_groups")
+@q("semantic_dedup_groups", """
+SELECT 'g7' AS grp, CAST(3 AS BIGINT) AS n_members,
+       CAST(1 AS BIGINT) AS n_survivors, CAST(1 AS BIGINT) AS n_groups
+UNION ALL
+SELECT 'g11', CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+UNION ALL
+SELECT 'rest', COUNT(*) - 2, COUNT(*) - 2, COUNT(*) - 2 FROM embeddings
+""")
 def semantic_dedup_groups(spark, sf_dir):
     """SemDeDup (k-means cells → within-cell cosine collapse) with a
     planted-truth gate: two duplicate groups are planted (vec 7 +
     identical copy + direction-identical 1.5× copy; vec 11 + identical
     copy) and each must collapse to exactly ONE survivor with a single
-    shared survivor_id; total row mass must be conserved. Not SQL-
-    expressible (iterative k-means) → rows-only driver check; the gate
-    raises on any violation, so a green run IS the evidence."""
+    shared survivor_id; total row mass must be conserved.
+
+    r15 oracle promotion: the iterative k-means has no closed SQL, but
+    its planted END STATE does — at threshold 0.999 the natural corpus
+    (max pairwise cos ≈ 0.49 at every SF) can never collapse, so the
+    'rest' row is exactly (n−2, n−2, n−2) with n = COUNT(*) of
+    embeddings, and the planted rows are constants. The derived oracle
+    pins all three rows; the in-query gate still raises first with a
+    readable message on any violation."""
     emb = _t(spark, sf_dir, "embeddings")
     base = emb.sdf.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     v = F.col("embedding")
@@ -4778,13 +4936,18 @@ def order_rank_argsort(spark, sf_dir):
             .select(["n_nationkey", "n_name", "ord", "rk"]).sdf)
 
 
-@q("sample_n_seeded_counts")  # rows-only: RNG streams differ across engines
+@q("sample_n_seeded_counts", """
+SELECT c_mktsegment, CAST(5 AS BIGINT) AS n
+FROM customer GROUP BY c_mktsegment
+""")
 def sample_n_seeded_counts(spark, sf_dir):
     """Seeded exact-count per-group sampling (Frame.sample_n, reference
-    spec/core_spec.cr:190-241 semantics). Cross-engine value equality is
-    impossible (different RNGs), so the driver-side gate asserts the
-    CONTRACT instead: exactly n rows per group, all drawn from the
-    source (both checks bounded aggregate actions)."""
+    spec/core_spec.cr:190-241 semantics). Cross-engine value equality of
+    the sampled ROWS is impossible (different RNGs), but the returned
+    AGGREGATE is the contract itself — exactly 5 rows per segment, one
+    row per segment present in the source — which IS SQL-derivable, so
+    r15 promotes the former rows-only gate to a derived oracle. The
+    all-drawn-from-source check stays in-query."""
     c = _t(spark, sf_dir, "customer")
     s = c.group_by("c_mktsegment").sample_n(5, seed=42)
     out = (s.ungroup().sdf.groupBy("c_mktsegment")
@@ -4852,12 +5015,18 @@ def write_csv_roundtrip(spark, sf_dir):
                     "max_name"))
 
 
-@q("sample_frac_seeded_counts")  # rows-only: RNG streams differ across engines
+@q("sample_frac_seeded_counts", """
+SELECT c_mktsegment, CAST(ROUND(COUNT(*) / 5.0) AS BIGINT) AS n
+FROM customer GROUP BY c_mktsegment
+""")
 def sample_frac_seeded_counts(spark, sf_dir):
     """Seeded per-group fractional sampling (Frame.sample_frac,
     reference src/crysda/dataframe.cr:414-418: exact round(frac*size)
-    per group). Driver-side contract gate: per-group sampled count must
-    equal round(0.2 * group size) exactly — bounded aggregate action."""
+    per group). The returned aggregate is the contract — count ==
+    round(0.2·size) per segment — so r15 promotes it to a derived SQL
+    oracle (count/5.0 has fractional part in {0,.2,.4,.6,.8}: never a
+    .5 tie, so double-vs-decimal ROUND cannot diverge). The in-query
+    equality gate against the Spark-computed expectation remains."""
     c = _t(spark, sf_dir, "customer")
     expected = (c.sdf.groupBy("c_mktsegment")
                 .agg(F.round(F.count(F.lit(1)) * 0.2).cast("long").alias("want")))
@@ -6073,7 +6242,11 @@ def multiclass_argmax_fixed(spark, sf_dir):
                       F.element_at("scores", 3).alias("s2"))
 
 
-@q("multiclass_confusion_planted")  # rows-only: GD argmin has no closed SQL
+@q("multiclass_confusion_planted", """
+SELECT CAST(doc_id % 3 AS INT) AS y, CAST(doc_id % 3 AS INT) AS pred,
+       COUNT(*) AS n
+FROM documents GROUP BY 1, 2
+""")
 def multiclass_confusion_planted(spark, sf_dir):
     """End-to-end K-class trainability gate (classify.text_classifier_
     fit_multi): append one of three planted tokens by doc_id % 3, train
@@ -6082,8 +6255,14 @@ def multiclass_confusion_planted(spark, sf_dir):
     token's bucket (buckets verified pairwise distinct) and (b) the
     resulting confusion matrix is perfectly diagonal — every other
     token is label-independent, so any off-diagonal mass means the
-    shared-featurize multi-class trainer is broken. Returns the 3x3
-    confusion matrix."""
+    shared-featurize multi-class trainer is broken. Returns the
+    confusion matrix.
+
+    r15 oracle promotion: the gates force the matrix to be perfectly
+    diagonal with class masses |{doc_id % 3 == k}| — a derived SQL
+    oracle (the GD trajectory itself has no closed SQL, but its planted
+    END STATE does), so the driver now hash-checks the confusion
+    counts instead of recording rows-only."""
     import hashlib
 
     from crysda_spark.pipeline.classify import (
@@ -6481,7 +6660,11 @@ def trigram_lm_quality(spark, sf_dir):
 
 
 
-@q("image_phash_near_dups")  # DCT hash over binary codecs; rows-only
+@q("image_phash_near_dups", """
+SELECT CAST(range AS BIGINT) AS id_a,
+       CAST(range + 10000000 AS BIGINT) AS id_b
+FROM range(32)
+""")
 def image_phash_near_dups(spark, sf_dir):
     """Image near-duplicate detection through the REAL codec path
     (pipeline.phash): 64 deterministic noise BMPs are encoded
@@ -6498,11 +6681,17 @@ def image_phash_near_dups(spark, sf_dir):
     max over the seeded corpus), and a
     broken DCT/banding/verify RAISES here; (b) zero pairs between
     DISTINCT base images (independent noise hashes sit ~32 bits apart
-    — a hash collapse, e.g. constant bits, floods this and raises)."""
+    — a hash collapse, e.g. constant bits, floods this and raises).
+
+    r15 oracle promotion: ids come from spark.range(64) (SF-independent
+    construction — the same r14 fix the video gates got), so with the
+    two gates above holding, the pair set is EXACTLY the 32 planted
+    (i, i+10M) pairs — a literal VALUES oracle the driver hash-checks.
+    The hamming distances stay in-query (implementation-derived)."""
     from crysda_spark.pipeline import phash as ph
     from pyspark.sql import types as T
 
-    ids = _t(spark, sf_dir, "documents").sdf.select("doc_id").limit(64)
+    ids = spark.range(64).select(F.col("id").alias("doc_id"))
 
     def gen(batches):
         import numpy as np
@@ -6539,7 +6728,7 @@ def image_phash_near_dups(spark, sf_dir):
         raise AssertionError(
             f"image_phash_near_dups: {n_cross} pair(s) between distinct "
             "base images — pHash separation collapsed")
-    return out
+    return out.select("id_a", "id_b")
 
 
 
@@ -6573,7 +6762,12 @@ def target_encode_priority(spark, sf_dir):
 
 
 
-@q("audio_fingerprint_match")  # FFT landmark hashing; rows-only
+@q("audio_fingerprint_match", """
+SELECT CAST(range + 10000000 AS BIGINT) AS query_id,
+       CAST(range AS BIGINT) AS match_id,
+       CAST(32 AS BIGINT) AS offset
+FROM range(8)
+""")
 def audio_fingerprint_match(spark, sf_dir):
     """Audio excerpt identification through the REAL WAV codec path
     (pipeline.audiofp — Wang 2003 Shazam constellation): 16
@@ -6587,12 +6781,17 @@ def audio_fingerprint_match(spark, sf_dir):
     source clip at EXACTLY offset 32 with a vote landslide — a broken
     STFT, peak picker, hash packing, or vote binning flips the match
     row or the offset, and the query RAISES so the driver's rows
-    check records red."""
+    check records red.
+
+    r15 oracle promotion: ids come from spark.range(16)
+    (SF-independent construction), so the match table is EXACTLY the 8
+    planted (i+10M, i, 32) rows — a literal VALUES oracle the driver
+    hash-checks. Vote counts stay in-query (implementation-derived)."""
     from crysda_spark.pipeline import audiofp as afp
     from pyspark.sql import types as T
 
     RATE = 8000
-    ids = _t(spark, sf_dir, "documents").sdf.select("doc_id").limit(16)
+    ids = spark.range(16).select(F.col("id").alias("doc_id"))
 
     def synth_np(did):
         import numpy as np
@@ -6643,11 +6842,17 @@ def audio_fingerprint_match(spark, sf_dir):
         raise AssertionError(
             f"audio_fingerprint_match: {n}/8 matches, {bad} wrong "
             "clip/offset — constellation pipeline broken")
-    return out
+    return out.select("query_id", "match_id",
+                      F.col("offset").cast("long").alias("offset"))
 
 
 
-@q("video_phash_match")  # per-frame DCT hash over AVI codec; rows-only
+@q("video_phash_match", """
+SELECT CAST(range + 10000000 AS BIGINT) AS query_id,
+       CAST(range AS BIGINT) AS match_id,
+       CAST(4 AS BIGINT) AS offset
+FROM range(4)
+""")
 def video_phash_match(spark, sf_dir):
     """Video excerpt identification through the REAL AVI codec path
     (pipeline.phash.fingerprint_video + match_video): 8 deterministic
@@ -6707,10 +6912,19 @@ def video_phash_match(spark, sf_dir):
         raise AssertionError(
             f"video_phash_match: {n}/4 matches, {bad} wrong clip/offset "
             "— frame fingerprint pipeline broken")
-    return out
+    # r15 oracle promotion: the construction is deterministic and
+    # SF-independent, so the match table is exactly the 4 planted
+    # (i+10M, i, 4) rows — literal VALUES oracle; votes stay in-query
+    return out.select("query_id", "match_id",
+                      F.col("offset").cast("long").alias("offset"))
 
 
-@q("video_near_transcode_match")  # Hamming-banded frame match; rows-only
+@q("video_near_transcode_match", """
+SELECT CAST(range + 10000000 AS BIGINT) AS query_id,
+       CAST(range AS BIGINT) AS match_id,
+       CAST(4 AS BIGINT) AS offset
+FROM range(4)
+""")
 def video_near_transcode_match(spark, sf_dir):
     """NEAR-TRANSCODE video identification (r14 stretch —
     pipeline.phash.match_video_near): the video_phash_match
@@ -6782,7 +6996,11 @@ def video_near_transcode_match(spark, sf_dir):
             f"video_near_transcode_match: exact matcher resolved "
             f"{n_exact}/4 noisy copies — the noise no longer drifts "
             "hashes, so this gate stopped testing the banding")
-    return out
+    # r15 oracle promotion: deterministic SF-independent construction →
+    # literal VALUES oracle on (query_id, match_id, offset); votes and
+    # the exact-matcher-must-find-fewer proof stay in-query
+    return out.select("query_id", "match_id",
+                      F.col("offset").cast("long").alias("offset"))
 
 
 
@@ -6863,18 +7081,24 @@ def grouped_ols_lineitem(spark, sf_dir):
 # tools/check_oracle.py coverage. tests/test_entry_roster.py guards the
 # core and the all-oracle-bearing invariant.
 #
-# r14 roster: 150 queries hold driver-green rows after r13 (union of
-# CORRECTNESS_r01-r13, incl. the first fully-green 50/50 gate). This
-# round rotates in ALL 14 never-driver-gated SQL-oracled queries (the
-# 12 from the r13 pool — every former HUGEINT landmine now BIGINT-cast
-# and canary-guarded — plus the two new r14 capabilities,
-# bm25_indexed_search and dupspan_incremental_stats), closing the
-# SQL-oracled union at 161/161 if green, and starts the rows-only tail
-# with its 13 highest-value planted gates (incremental dedup, the
-# r13 media fingerprint trio, semantic dedup, five codec families,
-# LSH/IVF-PQ ANN, BPE). The remaining 18 rows-only queries queue for
-# r15. Rotated-out queries keep their accumulated driver-green history
-# plus pytest + tools/check_oracle.py coverage.
+# r15 roster: the r14 experiment proved rows-only gate slots record
+# NOTHING driver-side (11 slots, 11 `no_oracle`, spark_rows null), so
+# this round every gate slot is SQL-oracled. 18 former rows-only
+# planted gates were PROMOTED to real oracles (their planted truths
+# are constants by construction once ids come from spark.range):
+# literal VALUES oracles for the media matchers and the
+# decoded-pixel-md5 codec roundtrips, derived SQL for the
+# sampling/confusion/semantic-dedup contracts. The 27 rotation slots
+# hold the 19 queries with no driver-green row anywhere
+# (CORRECTNESS_r01-r14 union: the 18 promotions + the r14-red
+# inverted_index_postings, now scalar-rendered) plus 8 re-validation
+# slots for the STALEST greens (last driver-green r02 — their code
+# paths have evolved for 12 rounds on sweep evidence only). If all 50
+# come green, the SQL-oracled union closes at 181/181. The 17
+# remaining rows-only queries are genuinely non-SQL-expressible
+# (probabilistic LSH/IVF recall, RNG row identity, partition-local bin
+# ids, iterative BPE/GD trajectories, engine-specific xxhash64) and
+# keep their in-query planted gates + pytest + sweep coverage.
 _GATE_ORDER = [
     # ---- permanent core: one-two per §2 family ----
     # §2.4 group/agg (plain agg + the applyInPandas path)
@@ -6899,44 +7123,33 @@ _GATE_ORDER = [
     # LLM-pipeline anchors
     "rollup_cascade_daily", "dedup_exact_docs", "embed_topk_cosine",
     "ngram_jaccard_docs",
-    # ---- r14 rotation: 27 slots ----
-    # all 16 never-driver-gated SQL-oracled queries (incl. the
-    # four new r14 capabilities — if green, the SQL-oracled union
-    # closes at 163/163)
-    "salted_agg_flagstats", "event_transition_matrix",
-    "zorder_key_parts", "write_csv_roundtrip", "write_xml_roundtrip",
-    "read_warc_wet", "bucketed_agg_orders", "hybrid_rrf_retrieval",
-    "inverted_index_postings", "bigram_lm_quality",
-    "target_encode_priority", "grouped_ols_lineitem",
-    "bm25_indexed_search", "dupspan_incremental_stats",
-    "trigram_lm_quality", "html_extract_text",
-    # 11 rows-only planted gates (driver records the weaker rows-only
-    # check; each carries a load-bearing in-query assertion) — listed
-    # in _GATE_ROWS_ONLY below, which tests/test_entry_roster.py
-    # checks so a rows-only query can never slip into the gate
-    # unintentionally
-    "dedup_incremental_batch", "semantic_dedup_groups",
+    # ---- r15 rotation: 27 slots, every one SQL-oracled ----
+    # the 19 queries with no driver-green row in any CORRECTNESS_rN:
+    # the r14 harness-shape red, now scalar-rendered
+    "inverted_index_postings",
+    # the 18 r15 oracle promotions (decoded-pixel-md5 roundtrips,
+    # literal VALUES matchers, derived contract oracles)
+    "multimodal_bmp_roundtrip", "multimodal_png_roundtrip",
+    "multimodal_webp_roundtrip", "multimodal_gif_roundtrip",
+    "multimodal_tiff_roundtrip", "multimodal_jpeg_roundtrip",
+    "multimodal_vp8_roundtrip", "multimodal_avi_frames",
+    "multimodal_wav_audio", "multimodal_webp_anim_frames",
     "image_phash_near_dups", "audio_fingerprint_match",
-    "video_phash_match", "multimodal_decode",
-    "multimodal_jpeg_roundtrip", "multimodal_webp_roundtrip",
-    "multimodal_avi_frames", "multimodal_wav_audio",
-    "embed_near_dups_lsh",
+    "video_phash_match", "video_near_transcode_match",
+    "sample_n_seeded_counts", "sample_frac_seeded_counts",
+    "multiclass_confusion_planted", "semantic_dedup_groups",
+    # 8 re-validation slots: stalest driver-greens (last green r02)
+    "count_expr_bucket", "window_moving_avg", "percentile_prices",
+    "argminmax_orders", "separate_orderdate", "join_inner_chain",
+    "bpe_token_estimate", "row_number_sorted",
 ]
 
-# Rows-only queries DELIBERATELY occupying gate slots this round (the
-# r13 VERDICT directive: with the SQL-oracled union complete, the
-# remaining evidence gap is the rows-only tail — each of these carries
-# a load-bearing planted-truth assertion inside the query, so the
-# driver's rows-only row is backed by a real in-query gate, and the
-# judge sees which rows are the weaker check).
-_GATE_ROWS_ONLY = frozenset([
-    "dedup_incremental_batch", "semantic_dedup_groups",
-    "image_phash_near_dups", "audio_fingerprint_match",
-    "video_phash_match", "multimodal_decode",
-    "multimodal_jpeg_roundtrip", "multimodal_webp_roundtrip",
-    "multimodal_avi_frames", "multimodal_wav_audio",
-    "embed_near_dups_lsh",
-])
+# Rows-only queries DELIBERATELY occupying gate slots this round —
+# EMPTY in r15: the r14 experiment proved rows-only slots yield zero
+# driver-side evidence, so every slot now carries a SQL oracle. The
+# declaration (and its two-way roster-test enforcement) stays so any
+# future rows-only gate entry must be explicit.
+_GATE_ROWS_ONLY: frozenset[str] = frozenset()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

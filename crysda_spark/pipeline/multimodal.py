@@ -175,6 +175,72 @@ def decode_images(f: Frame, id_col: str = "id", payload_col: str = "payload",
     return Frame(f.sdf.mapInPandas(kernel, schema=schema))
 
 
+def digest_images(f: Frame, id_col: str = "id", payload_col: str = "payload",
+                  strict: bool = False) -> Frame:
+    """Content-addressable pixel digest: decode each payload through
+    the real codec paths and emit ``(id, width, height, channels,
+    pix_md5)`` where ``pix_md5`` is the md5 hex digest of the decoded
+    array's raw bytes (row-major uint8, channel-last). Byte-identical
+    pixels hash identically regardless of container / compression /
+    filter / palette-order choices, so re-encoded copies collapse on
+    the digest — the exact-dedup key for image corpora, and the
+    value-level check behind the codec-roundtrip oracle gates (a
+    roundtrip is correct iff the digest equals the source's).
+
+    Scale shape: Arrow-batched mapInPandas; downstream of this kernel
+    a 100 TB corpus shuffles 32 hex chars + three ints per image,
+    never pixels. Malformed magic-matching payloads degrade to
+    ``(0, 0, 0, NULL)`` unless ``strict=True`` (the ``decode_images``
+    containment discipline); non-image formats always degrade."""
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pix_md5", T.StringType()),
+    ])
+
+    def kernel(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+        from .codecs import (BmpError, GifError, JpegError, PngError,
+                             PpmError, TiffError, decode_bmp, decode_gif,
+                             decode_jpeg, decode_png, decode_ppm,
+                             decode_tiff)
+        from .webp import WebpError, decode_webp
+        real = {"bmp": decode_bmp, "ppm": decode_ppm, "png": decode_png,
+                "gif": decode_gif, "jpeg": decode_jpeg, "tiff": decode_tiff,
+                "webp": decode_webp}
+        for pdf in batches:
+            ids, ws, hs, cs, digests = [], [], [], [], []
+            for pid, payload in zip(pdf[id_col], pdf[payload_col]):
+                kind = _sniff(payload)
+                w = h = c = 0
+                md5 = None
+                if kind in real:
+                    try:
+                        arr = real[kind](bytes(payload))
+                        h, w, c = arr.shape
+                        md5 = hashlib.md5(
+                            np.ascontiguousarray(arr).tobytes()).hexdigest()
+                    except (BmpError, PpmError, PngError, GifError,
+                            JpegError, TiffError, WebpError):
+                        if strict:
+                            raise
+                        w = h = c = 0
+                        md5 = None
+                ids.append(pid); ws.append(w); hs.append(h)
+                cs.append(c); digests.append(md5)
+            yield pd.DataFrame({
+                "id": ids, "width": ws, "height": hs, "channels": cs,
+                "pix_md5": digests,
+            })
+
+    return Frame(f.sdf.mapInPandas(kernel, schema=schema))
+
+
 def decode_audio(f: Frame, id_col: str = "id", payload_col: str = "payload",
                  n_feat: int = 8, strict: bool = False) -> Frame:
     """Decode/feature-extract audio clips via mapInPandas (Arrow

@@ -1147,3 +1147,34 @@ def test_match_video_near_recovers_noisy_transcode(spark):
         match_video_near(qs, ix, max_hamming=8, n_bands=8)
     with pytest.raises(ValueError, match="divide"):
         match_video_near(qs, ix, max_hamming=3, n_bands=5)
+
+
+def test_digest_images_content_addressable(spark):
+    """digest_images (r15): byte-identical pixels hash identically
+    across containers; digests equal md5 of the source array; malformed
+    payloads degrade to NULL (or raise under strict)."""
+    import hashlib
+
+    import numpy as np
+
+    from crysda_spark.pipeline.codecs import encode_bmp, encode_png
+
+    y, x = np.mgrid[0:4, 0:6]
+    arr = np.stack([((x + y) % 2) * 255, (x * 7) % 256,
+                    (y * 11) % 256], axis=-1).astype(np.uint8)
+    want = hashlib.md5(arr.tobytes()).hexdigest()
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(arr))),
+         (2, bytearray(encode_png(arr, filter_type=4)))],
+        "id long, payload binary")
+    rows = {r["id"]: r for r in mm.digest_images(Frame(df)).sdf.collect()}
+    assert rows[1]["pix_md5"] == want == rows[2]["pix_md5"]
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) \
+        == (6, 4, 3)
+    # malformed BMP magic → containment row
+    bad = spark.createDataFrame([(3, bytearray(b"BM" + b"\x00" * 10))],
+                                "id long, payload binary")
+    r = mm.digest_images(Frame(bad)).sdf.collect()[0]
+    assert r["pix_md5"] is None and r["width"] == 0
+    with pytest.raises(Exception):
+        mm.digest_images(Frame(bad), strict=True).sdf.collect()
