@@ -4431,9 +4431,10 @@ def dupspan_incremental_stats(spark, sf_dir):
             batch, idx, "text", "doc_id", min_len=_DUPSPAN_L,
             min_dup=2, probe=False)
         outs = stats.sdf if outs is None else outs.unionByName(stats.sdf)
-        # the next round's state: pinned, or batch 2's plan re-runs
-        # the whole batch 0+1 pipeline per consumer
-        idx = Frame(pin(merge_dupspan_index(idx, delta).sdf))
+        # the next round's state: pinned + materialized by the merge,
+        # which also releases the superseded state/delta pins so
+        # executor cache stays O(1) in batch count (r14 advice)
+        idx = merge_dupspan_index(idx, delta, release_inputs=True)
     return outs
 
 

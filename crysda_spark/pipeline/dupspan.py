@@ -492,7 +492,8 @@ def validate_dupspan_index(index: Frame, min_len: int) -> None:
             "the index or pass the matching min_len")
 
 
-def merge_dupspan_index(index: Frame, delta: Frame) -> Frame:
+def merge_dupspan_index(index: Frame, delta: Frame,
+                        release_inputs: bool = False) -> Frame:
     """Fold a :func:`dupspan_increment` delta into the state: counts
     SUM by (hash, gram) — associative and commutative, so any batch
     order and any partitioning yield the same state. One map-side-
@@ -500,10 +501,28 @@ def merge_dupspan_index(index: Frame, delta: Frame) -> Frame:
     built at the same ``min_len`` (the streaming sink guarantees it;
     ad-hoc callers can check with :func:`validate_dupspan_index`) —
     mixed window lengths would union into a state that matches
-    nothing at either length."""
+    nothing at either length.
+
+    ``release_inputs=True`` is for the accrete-in-a-loop pattern
+    (state = merge(state, delta) per batch): the merged state is
+    pinned and MATERIALIZED (one count job), then the superseded
+    index/delta pins are dropped — without this, each round's pin of
+    the new state stacks on the old ones and executor cache grows
+    linearly with batch count (the r14 advice finding). Leave False
+    when the caller owns the inputs' lifetimes (the streaming sink's
+    ``pin_scope`` already releases per batch)."""
     u = index.sdf.unionByName(delta.sdf)
-    return Frame(u.groupBy("_h", "_g")
-                 .agg(F.sum("cnt").cast("long").alias("cnt")))
+    merged = (u.groupBy("_h", "_g")
+              .agg(F.sum("cnt").cast("long").alias("cnt")))
+    if release_inputs:
+        from ..plans.cache import pin
+        merged = pin(merged)
+        merged.count()  # materialize BEFORE dropping the inputs' pins,
+        # or the lazy merge would recompute the whole accretion chain
+        for d in (index.sdf, delta.sdf):
+            if d.is_cached:
+                d.unpersist()
+    return Frame(merged)
 
 
 def dupspan_increment(new: Frame, index: Frame, text_col: str = "text",

@@ -77,12 +77,30 @@ def _active_side(path: str) -> str | None:
 
 
 def _batch_fingerprint(batch: SparkDF, *cols: str) -> int:
-    """Order-free content fingerprint of a micro-batch: bit_xor of the
-    row hashes over ``cols`` — one tiny aggregate per batch, the price
-    of distinguishing a true replay from a checkpointless restart
-    reusing the same batch id for new rows."""
-    expr = "bit_xor(xxhash64({}))".format(", ".join(cols))
-    return int(batch.agg(F.expr(expr).alias("f")).collect()[0]["f"])
+    """Order-free content fingerprint of a micro-batch — one tiny
+    aggregate per batch, the price of distinguishing a true replay
+    from a checkpointless restart reusing the same batch id for new
+    rows. A bare bit_xor of row hashes is multiplicity-blind
+    (even-count duplicates cancel: {A,A,B} and {B} collide — the r14
+    advice finding), so the fingerprint folds in the row COUNT and the
+    wrap-around SUM of hashes: all three are order-free and
+    partitioning-free, and a multiplicity change moves count and sum
+    even when the xor cancels."""
+    key = ", ".join(cols)
+    row = batch.agg(
+        F.expr(f"bit_xor(xxhash64({key}))").alias("x"),
+        F.count(F.lit(1)).alias("n"),
+        # sum in decimal(38,0) (no int64 overflow), wrap to 64 bits
+        F.expr(f"sum(cast(xxhash64({key}) as decimal(38,0)))").alias("s"),
+    ).collect()[0]
+    x = int(row["x"] or 0)
+    s = int(row["s"] or 0) & 0xFFFFFFFFFFFFFFFF
+    n = int(row["n"])
+    # mix with distinct odd multipliers; keep the value in int64 range
+    # (the manifest grammar stores one signed integer)
+    mixed = (x ^ (s * 0x9E3779B97F4A7C15) ^ (n * 0xC2B2AE3D27D4EB4F)) \
+        & 0x7FFFFFFFFFFFFFFF
+    return mixed
 
 
 def _replay_state(spark, idx_dir: str, batch_id: int, fp: int):
@@ -93,6 +111,19 @@ def _replay_state(spark, idx_dir: str, batch_id: int, fp: int):
     per-batch output against the returned PRE-flip side (None for a
     replayed batch 0: bootstrap empty)."""
     side, last_bid, last_fp = _manifest_state(idx_dir)
+    if side is not None and last_bid is None:
+        # plain pre-r14 manifest (side only): replay protection cannot
+        # distinguish a replay-after-flip from a fresh batch until the
+        # next new-format flip commits — an upgrade-boundary replay
+        # against this state dir would re-merge and double-count (the
+        # r14 advice finding). Warn loudly; the very next _commit_flip
+        # writes the full (side, batch id, fingerprint) form.
+        import warnings
+        warnings.warn(
+            f"legacy A/B manifest at {idx_dir}: no batch id/fingerprint "
+            "recorded — replay protection resumes after the next "
+            "committed flip; avoid replaying the pre-upgrade batch "
+            "against this state", RuntimeWarning, stacklevel=2)
     if side is None or last_bid != batch_id or last_fp != fp:
         return False, None
     prev = "b" if side == "a" else "a"

@@ -547,3 +547,28 @@ def test_stream_dupspan_replay_after_flip_is_idempotent(spark, tmp_path):
     cln3 = {r["doc_id"]: r["chars_removed"] for r in
             spark.read.parquet(cln_dir).collect()}
     assert cln3[3] == 20
+
+
+def test_merge_dupspan_index_release_inputs(spark):
+    """r15 (r14 advice): the accrete-in-a-loop pattern must not stack
+    pins — merge(release_inputs=True) returns a CACHED state with
+    identical counts and unpersists the superseded state/delta."""
+    from crysda_spark.pipeline.dupspan import (build_dupspan_index,
+                                               merge_dupspan_index)
+    from crysda_spark.plans.cache import pin, release_pinned
+    docs = Frame(spark.createDataFrame(
+        [(1, "abcdefabcdef"), (2, "abcdefxyzxyz")], "doc_id long, text string"))
+    d2 = Frame(spark.createDataFrame(
+        [(3, "abcdefnmopqr")], "doc_id long, text string"))
+    idx = Frame(pin(build_dupspan_index(docs, min_len=4).sdf))
+    delta = Frame(pin(build_dupspan_index(d2, min_len=4).sdf))
+    idx.sdf.count(); delta.sdf.count()
+    plain = {(r["_h"], r["_g"]): r["cnt"]
+             for r in merge_dupspan_index(idx, delta).sdf.collect()}
+    merged = merge_dupspan_index(idx, delta, release_inputs=True)
+    assert merged.sdf.is_cached, "merged state must come back pinned"
+    assert not idx.sdf.is_cached and not delta.sdf.is_cached, \
+        "superseded inputs must be unpersisted"
+    got = {(r["_h"], r["_g"]): r["cnt"] for r in merged.sdf.collect()}
+    assert got == plain and len(got) > 0
+    release_pinned()

@@ -698,8 +698,34 @@ def test_replay_guard_helpers_distinguish_replay_from_restart(spark,
     assert _replay_state(spark, idx, 0, other) == (False, None)
     # different id -> normal path
     assert _replay_state(spark, idx, 1, fp) == (False, None)
-    # legacy plain manifest (other sinks' old state dirs) -> no replay
+    # legacy plain manifest (other sinks' old state dirs) -> no replay,
+    # and (r15, closing the r14 advice) a LOUD warning that replay
+    # protection only resumes after the next committed flip
+    import warnings
     with open(os.path.join(idx, "MANIFEST"), "w") as fh:
         fh.write("a")
     assert _manifest_state(idx) == ("a", None, None)
-    assert _replay_state(spark, idx, 0, fp) == (False, None)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert _replay_state(spark, idx, 0, fp) == (False, None)
+    assert any("legacy A/B manifest" in str(w.message) for w in caught)
+
+
+def test_batch_fingerprint_is_multiplicity_sensitive(spark):
+    """r15 (r14 advice): a bare bit_xor cancels even-multiplicity
+    duplicates — {A,A,B} and {B} must NOT share a fingerprint, nor
+    must {A,A,B} and {C,C,B} (same count, xor-cancelling swap)."""
+    from crysda_spark.streaming.cdc import _batch_fingerprint
+
+    def fp(rows):
+        return _batch_fingerprint(
+            spark.createDataFrame(rows, "id long, text string"),
+            "id", "text")
+
+    aab = fp([(1, "a"), (1, "a"), (2, "b")])
+    b = fp([(2, "b")])
+    ccb = fp([(3, "c"), (3, "c"), (2, "b")])
+    assert aab != b, "even-multiplicity duplicates cancelled"
+    assert aab != ccb, "xor-cancelling pair swap collided"
+    # still order-free
+    assert aab == fp([(2, "b"), (1, "a"), (1, "a")])

@@ -62,8 +62,10 @@ def main() -> None:
         agg = cleaned.sdf.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("chars_removed").alias("removed")).collect()[0]
-        new_idx = Frame(pin(merge_dupspan_index(idx, delta).sdf))
-        state_rows = new_idx.sdf.count()   # materializes the new state
+        # pins + materializes the merged state and releases the
+        # superseded state/delta pins (r14 advice: O(1) cache growth)
+        new_idx = merge_dupspan_index(idx, delta, release_inputs=True)
+        state_rows = new_idx.sdf.count()   # cached by the merge
         secs = round(time.perf_counter() - t0, 2)
         rounds.append(dict(batch=b, secs=secs, docs=int(agg["n"]),
                            chars_removed=int(agg["removed"]),
