@@ -79,7 +79,8 @@ __all__ = ["exact_dupspan_spans", "exact_dupspan_stats",
            "build_decontam_index", "decontaminate_spans_with_index",
            "build_dupspan_index", "validate_dupspan_index",
            "merge_dupspan_index", "dupspan_increment",
-           "dupspan_stats_increment", "dupspan_cut_increment"]
+           "dupspan_stats_increment", "dupspan_cut_increment",
+           "write_dupspan_index", "read_dupspan_index"]
 
 _B = 1099511628211        # odd multiplier (FNV-1a prime) — invertible mod 2^64
 _B_INV = pow(_B, -1, 1 << 64)
@@ -461,17 +462,37 @@ def exact_decontaminate(train: Frame, benchmark: Frame,
 
 def build_dupspan_index(corpus: Frame, text_col: str = "text",
                         id_col: str = "doc_id",
-                        min_len: int = 50) -> Frame:
+                        min_len: int = 50,
+                        fingerprint_only: bool = False) -> Frame:
     """The accretable substring-dedup state over ``corpus``:
     ``(_h, _g, cnt)`` — every DISTINCT ``min_len``-char window with
     its occurrence count (overlapping occurrences included). Build
     once (empty corpus → empty state is the streaming bootstrap),
     persist to parquet, feed :func:`dupspan_increment` per batch and
     fold each returned delta back with :func:`merge_dupspan_index`.
-    One Arrow window pass + ONE (hash, gram)-keyed aggregate."""
+    One Arrow window pass + ONE (hash, gram)-keyed aggregate.
+
+    ``fingerprint_only=True`` (r15 — the 100 TB state-size mode) drops
+    the gram: state is ``(_h, cnt)``, ~16 bytes per distinct window
+    instead of 16 + ``min_len`` chars (≳3× smaller at the default
+    L=50, and the build skips materializing grams entirely).
+    Exactness trade, stated precisely: within a batch, duplication is
+    still decided on REAL grams (the batch carries its own text);
+    ACROSS batches it is decided on the 64-bit rolling hash, so a
+    cross-batch hash collision can mark one ``min_len``-char window as
+    duplicated spuriously — expected spurious windows ≈ n²/2⁶⁵ for n
+    distinct windows (at 10¹⁴ windows ≈ 100 TB, a ~10⁻⁶ fraction: the
+    standard near-dup-pipeline false-positive class, documented, not
+    hidden). Use the gram state when exactness must be absolute and
+    the fingerprint state when the corpus outgrows it."""
     if min_len < 2:
         raise ValueError(f"build_dupspan_index: min_len must be >= 2, "
                          f"got {min_len}")
+    if fingerprint_only:
+        w = _window_hash_rows(corpus.sdf, text_col, id_col, min_len,
+                              with_gram=False)
+        return Frame(w.groupBy("_h")
+                     .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
     w = _window_hash_rows(corpus.sdf, text_col, id_col, min_len,
                           with_gram=True)
     return Frame(w.groupBy("_h", "_g")
@@ -482,7 +503,17 @@ def validate_dupspan_index(index: Frame, min_len: int) -> None:
     """Raise unless ``index`` was built with this ``min_len`` (probes
     the first row's gram length — one tiny job; a mismatch would
     silently mark every batch clean). Split out so long-lived callers
-    (the streaming sink) pay it once, not per micro-batch."""
+    (the streaming sink) pay it once, not per micro-batch.
+
+    A fingerprint-only state (no ``_g`` column) carries nothing to
+    probe — callers own the ``min_len`` contract there (the streaming
+    sink persists it in the state dir and checks on restart), so this
+    raises rather than silently passing a state it cannot validate."""
+    if "_g" not in index.sdf.columns:
+        raise ValueError(
+            "validate_dupspan_index: fingerprint-only state carries no "
+            "gram to probe — record min_len alongside the state (the "
+            "streaming sink does) and skip the probe (probe=False)")
     probe = index.sdf.select(F.length("_g").alias("_l")).first()
     if probe is not None and probe["_l"] != min_len:
         raise ValueError(
@@ -510,9 +541,21 @@ def merge_dupspan_index(index: Frame, delta: Frame,
     the new state stacks on the old ones and executor cache grows
     linearly with batch count (the r14 advice finding). Leave False
     when the caller owns the inputs' lifetimes (the streaming sink's
-    ``pin_scope`` already releases per batch)."""
+    ``pin_scope`` already releases per batch).
+
+    Handles both state modes: gram ``(_h, _g, cnt)`` and
+    fingerprint-only ``(_h, cnt)`` — mixing them raises (a union
+    would silently zero the gram side's exactness)."""
+    gi, gd = "_g" in index.sdf.columns, "_g" in delta.sdf.columns
+    if gi != gd:
+        raise ValueError(
+            "merge_dupspan_index: cannot fold a "
+            f"{'gram' if gd else 'fingerprint-only'} delta into a "
+            f"{'gram' if gi else 'fingerprint-only'} state — rebuild "
+            "one side in the other's mode")
+    keys = ["_h", "_g"] if gi else ["_h"]
     u = index.sdf.unionByName(delta.sdf)
-    merged = (u.groupBy("_h", "_g")
+    merged = (u.groupBy(*keys)
               .agg(F.sum("cnt").cast("long").alias("cnt")))
     if release_inputs:
         from ..plans.cache import pin
@@ -540,17 +583,26 @@ def dupspan_increment(new: Frame, index: Frame, text_col: str = "text",
       into the state with :func:`merge_dupspan_index` for the next
       batch (the state grows only by this batch's distinct windows).
 
-    Exactness: duplication is decided on the REAL gram (the state
-    carries it; the batch groups by it), so hash collisions cost join
-    width only, never a wrong span — no separate verify stage needed.
+    Exactness: with a GRAM state (``_g`` column present), duplication
+    is decided on the REAL gram (the state carries it; the batch
+    groups by it), so hash collisions cost join width only, never a
+    wrong span — no separate verify stage needed. With a
+    FINGERPRINT-ONLY state (r15, ``(_h, cnt)``), within-batch
+    duplication is still gram-exact (the batch has its own text);
+    cross-batch contributions ride the 64-bit hash — see
+    :func:`build_dupspan_index` for the quantified collision bound.
+    The returned delta matches the state's mode.
 
     Scale shape: one Arrow window-hash pass over the batch (map-only),
     ONE (hash, gram) aggregate of batch windows (batch-sized), a
     leftsemi probe of the state AGAINST the batch's keys (the state is
     scanned and filtered, never shuffled — AQE broadcasts the batch
-    key set when it is small), and a batch-sized hit join + per-doc
-    islands window. Old text is never touched; per-batch cost is
-    O(batch) + one state scan.
+    key set when it is small; a state saved through
+    :func:`write_dupspan_index`'s bucketed layout additionally joins
+    bucket-to-bucket with no state-side Exchange even when the batch
+    outgrows broadcast), and a batch-sized hit join + per-doc islands
+    window. Old text is never touched; per-batch cost is O(batch) +
+    one state scan.
 
     Caching note: pins the batch window table, the batch delta, and
     (unless already cached) the index — ``release_pinned()`` after
@@ -568,6 +620,22 @@ def dupspan_increment(new: Frame, index: Frame, text_col: str = "text",
         validate_dupspan_index(Frame(idx), L)
     w = pin(_window_hash_rows(new.sdf, text_col, id_col, L,
                               with_gram=True))
+    if "_g" not in idx.columns:
+        # fingerprint-only state: batch counts stay gram-exact, the
+        # state contributes by hash; delta is (_h, cnt)
+        delta = pin(w.groupBy("_h")
+                    .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+        wg = (w.groupBy("_h", "_g")
+              .agg(F.count(F.lit(1)).cast("long").alias("_cnt_batch")))
+        old = (idx.join(delta.select("_h"), on="_h", how="leftsemi")
+               .withColumnRenamed("cnt", "_cnt_old"))
+        dup = (wg.join(old, on="_h", how="left")
+               .filter(F.col("_cnt_batch")
+                       + F.coalesce(F.col("_cnt_old"), F.lit(0))
+                       >= min_dup)
+               .select("_h", "_g"))
+        hits = w.join(dup, on=["_h", "_g"]).select(id_col, "pos")
+        return Frame(_hits_to_spans(hits, id_col, L)), Frame(delta)
     delta = pin(w.groupBy("_h", "_g")
                 .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
     # state probe: leftsemi against the batch's keys — the state side
@@ -612,3 +680,27 @@ def dupspan_cut_increment(new: Frame, index: Frame,
                                      min_len, min_dup, probe)
     return Frame(_splice_cut(new.sdf, spans.sdf, text_col, id_col,
                              with_removed=True)), delta
+
+
+def write_dupspan_index(index: Frame, table: str,
+                        n_buckets: int = 64) -> None:
+    """Persist dupspan state (either mode) as a BUCKETED managed table
+    keyed on ``_h`` — the layout that keeps the per-batch state probe
+    shuffle-free even when the batch's key set outgrows broadcast: the
+    probe's equi-join on ``_h`` reads the state bucket-to-bucket (no
+    state-side Exchange; only the batch side re-buckets), and
+    ``sortBy(_h)`` turns the residual per-bucket join into a merge.
+    ``n_buckets`` is fixed for the table's life — size it at
+    ~(expected state bytes / 128 MB); at 100 TB the fingerprint-only
+    state (~16 B/window) is the mode this layout is built for. Plain
+    parquet (``df.write.parquet``) remains fine while the batch keys
+    broadcast."""
+    from ..plans.bucketing import write_bucketed
+    write_bucketed(index.sdf, table, "_h", n_buckets, sort_cols="_h")
+
+
+def read_dupspan_index(spark, table: str) -> Frame:
+    """Load a :func:`write_dupspan_index` table, bucket metadata
+    intact (``spark.read.parquet`` on the files would discard it and
+    reintroduce the probe-side shuffle)."""
+    return Frame(spark.table(table))

@@ -326,7 +326,8 @@ def stream_decontaminate(stream: SparkDF, index_path: str, out_path: str,
 def stream_dupspan_dedup(stream: SparkDF, path: str, text_col: str,
                          id_col: str, min_len: int = 50,
                          min_dup: int = 2,
-                         checkpoint: str | None = None):
+                         checkpoint: str | None = None,
+                         fingerprint_only: bool = False):
     """Streaming WITHIN-CORPUS exact substring dedup (the r13-carried
     twin of :func:`stream_decontaminate`, whose index is static —
     here the state ACCRETES): every micro-batch of documents is cut
@@ -355,19 +356,28 @@ def stream_dupspan_dedup(stream: SparkDF, path: str, text_col: str,
     side and leaves the state alone, because re-merging a delta into
     count state (unlike the fingerprint index's union) would silently
     double-count every window of the batch. ``path`` must be
-    driver-local (atomic manifest rename)."""
-    from ..pipeline.dupspan import (build_dupspan_index,
-                                    dupspan_cut_increment,
-                                    merge_dupspan_index)
-    from ..plans.cache import pin_scope
+    driver-local (atomic manifest rename).
+
+    ``fingerprint_only=True`` (r15): the state is ``(_h, cnt)`` — ~3×
+    smaller at the default L=50 (16 B/window vs 16 B + the gram), the
+    100 TB mode; see
+    :func:`~crysda_spark.pipeline.dupspan.build_dupspan_index` for the
+    quantified cross-batch collision bound. The state dir records
+    ``min_len`` and the mode in a ``MINLEN`` sidecar at bootstrap and
+    REFUSES a restart with different values — the silent-clean
+    mismatch the gram state's probe used to catch, now caught in both
+    modes and paid once per stream start instead of per batch."""
+    from ..plans.cache import pin_scope  # noqa: F401  (apply_batch path)
     idx_dir = os.path.join(path, "index")
     cln_dir = os.path.join(path, "cleaned")
     os.makedirs(idx_dir, exist_ok=True)
     os.makedirs(cln_dir, exist_ok=True)
+    _check_minlen_sidecar(idx_dir, min_len, fingerprint_only)
 
     def apply_batch(batch: SparkDF, batch_id: int) -> None:
         _dupspan_apply_batch(batch, batch_id, idx_dir, cln_dir,
-                             text_col, id_col, min_len, min_dup)
+                             text_col, id_col, min_len, min_dup,
+                             fingerprint_only)
 
     writer = stream.writeStream.foreachBatch(apply_batch) \
         .outputMode("append")
@@ -376,9 +386,36 @@ def stream_dupspan_dedup(stream: SparkDF, path: str, text_col: str,
     return writer.start()
 
 
+def _check_minlen_sidecar(idx_dir: str, min_len: int,
+                          fingerprint_only: bool) -> None:
+    """Record (min_len, state mode) in the state dir at bootstrap and
+    refuse a restart with different values — a mismatch would silently
+    mark every batch clean (wrong window length) or break the merge
+    (mixed state modes). One tiny file read per stream START."""
+    mode = "fp" if fingerprint_only else "gram"
+    sidecar = os.path.join(idx_dir, "MINLEN")
+    try:
+        with open(sidecar) as fh:
+            want_len, want_mode = fh.read().strip().split("@")
+    except OSError:
+        tmp = sidecar + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(f"{min_len}@{mode}")
+        os.replace(tmp, sidecar)
+        return
+    if int(want_len) != min_len or want_mode != mode:
+        raise ValueError(
+            f"stream_dupspan_dedup: state at {idx_dir} was built with "
+            f"min_len={want_len} mode={want_mode}, but this start "
+            f"requested min_len={min_len} mode={mode} — a mismatch "
+            "would silently mark every batch clean; restart with the "
+            "recorded values or point at a fresh state dir")
+
+
 def _dupspan_apply_batch(batch: SparkDF, batch_id: int, idx_dir: str,
                          cln_dir: str, text_col: str, id_col: str,
-                         min_len: int, min_dup: int) -> None:
+                         min_len: int, min_dup: int,
+                         fingerprint_only: bool = False) -> None:
     """One micro-batch of :func:`stream_dupspan_dedup`, split out so
     the replay-after-flip guard is directly testable (Spark replays a
     failed batch with the same id — invoking this twice with one id
@@ -403,7 +440,8 @@ def _dupspan_apply_batch(batch: SparkDF, batch_id: int, idx_dir: str,
         if current is None:
             # first batch ever, or a replayed batch 0: bootstrap empty
             current = build_dupspan_index(
-                Frame(batch.limit(0)), text_col, id_col, min_len).sdf
+                Frame(batch.limit(0)), text_col, id_col, min_len,
+                fingerprint_only=fingerprint_only).sdf
         # the sink owns min_len for the state's whole lifetime, so the
         # per-call index probe is redundant here (probe=False — the
         # validate-once discipline of the decontam sink)

@@ -572,3 +572,174 @@ def test_merge_dupspan_index_release_inputs(spark):
     got = {(r["_h"], r["_g"]): r["cnt"] for r in merged.sdf.collect()}
     assert got == plain and len(got) > 0
     release_pinned()
+
+
+def test_fingerprint_mode_parity_with_gram_mode(spark):
+    """r15 fingerprint-only state: same spans and same per-gram totals
+    as the gram state on a multi-batch corpus with cross-batch AND
+    within-batch duplicates (within-batch stays gram-exact; cross-batch
+    rides the 64-bit hash)."""
+    from crysda_spark.pipeline.dupspan import (build_dupspan_index,
+                                               dupspan_increment,
+                                               merge_dupspan_index)
+    block = "QWERTYUIOPASDFGHJKLZ"
+    batches = [
+        Frame(spark.createDataFrame(
+            [(1, "aaaa-bbbb." + block + ",cccc+dddd"),
+             (2, "self" + block[:10] + "####" + "variant text here")],
+            "doc_id long, text string")),
+        Frame(spark.createDataFrame(
+            [(3, "eeee;ffff!" + block + "?hhhh"),
+             (4, "xxxx" + block + "yyyy" + block + "zzzz")],
+            "doc_id long, text string")),
+    ]
+
+    def run(fp_mode):
+        idx = build_dupspan_index(
+            Frame(batches[0].sdf.limit(0)), "text", "doc_id",
+            min_len=20, fingerprint_only=fp_mode)
+        spans = set()
+        for b in batches:
+            s, d = dupspan_increment(b, idx, "text", "doc_id",
+                                     min_len=20, min_dup=2, probe=False)
+            spans |= {(r["doc_id"], r["span_start"], r["span_len"])
+                      for r in s.sdf.collect()}
+            idx = merge_dupspan_index(idx, d)
+        return spans, idx
+
+    gram_spans, gram_idx = run(False)
+    fp_spans, fp_idx = run(True)
+    assert fp_spans == gram_spans and len(fp_spans) > 0
+    # fingerprint state: no gram column, same totals keyed by hash
+    assert fp_idx.sdf.columns == ["_h", "cnt"]
+    gtot = {r["_h"]: r["cnt"]
+            for r in gram_idx.sdf.groupBy("_h")
+            .agg(F.sum("cnt").alias("cnt")).collect()}
+    ftot = {r["_h"]: r["cnt"] for r in fp_idx.sdf.collect()}
+    assert ftot == gtot
+    release_pinned()
+
+
+def test_fingerprint_state_is_materially_smaller(spark, tmp_path):
+    """The 3× state-size claim, measured: parquet bytes of the
+    fingerprint state must be well under the gram state's for the same
+    corpus (random-ish text, so grams don't compress away)."""
+    import os
+    from crysda_spark.pipeline.dupspan import build_dupspan_index
+    import random
+    rng = random.Random(7)
+    docs = [(i, "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789 ")
+                        for _ in range(400))) for i in range(50)]
+    f = Frame(spark.createDataFrame(docs, "doc_id long, text string"))
+
+    def psize(frame, name):
+        p = str(tmp_path / name)
+        frame.sdf.coalesce(1).write.mode("overwrite").parquet(p)
+        return sum(os.path.getsize(os.path.join(p, x))
+                   for x in os.listdir(p) if x.endswith(".parquet"))
+
+    g = psize(build_dupspan_index(f, min_len=50), "gram")
+    fp = psize(build_dupspan_index(f, min_len=50, fingerprint_only=True),
+               "fp")
+    assert fp * 2 < g, f"fingerprint state {fp}B not <50% of gram {g}B"
+    release_pinned()
+
+
+def test_fingerprint_mode_guards(spark):
+    """validate raises on a gram-less state; merge refuses mixed modes."""
+    from crysda_spark.pipeline.dupspan import (build_dupspan_index,
+                                               merge_dupspan_index,
+                                               validate_dupspan_index)
+    f = Frame(spark.createDataFrame([(1, "abcdefghij" * 5)],
+                                    "doc_id long, text string"))
+    gram = build_dupspan_index(f, min_len=10)
+    fp = build_dupspan_index(f, min_len=10, fingerprint_only=True)
+    with pytest.raises(ValueError, match="fingerprint-only"):
+        validate_dupspan_index(fp, 10)
+    with pytest.raises(ValueError, match="mode"):
+        merge_dupspan_index(gram, fp)
+    with pytest.raises(ValueError, match="mode"):
+        merge_dupspan_index(fp, gram)
+    release_pinned()
+
+
+def test_bucketed_dupspan_state_probe_has_no_state_side_exchange(
+        spark, tmp_path):
+    """write_dupspan_index persists the state bucketed by _h: the probe
+    equi-join reads the state bucket-to-bucket — no Exchange above the
+    state scan even with broadcast disabled (the beyond-broadcast-batch
+    regime the layout exists for)."""
+    from crysda_spark.pipeline.dupspan import (build_dupspan_index,
+                                               read_dupspan_index,
+                                               write_dupspan_index)
+    f = Frame(spark.createDataFrame(
+        [(i, f"doc {i} payload abcdefghij{i % 3}") for i in range(30)],
+        "doc_id long, text string"))
+    idx = build_dupspan_index(f, min_len=10, fingerprint_only=True)
+    write_dupspan_index(idx, "dupspan_state_test", n_buckets=4)
+    state = read_dupspan_index(spark, "dupspan_state_test")
+    keys = spark.range(100).select(F.xxhash64("id").alias("_h"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = state.sdf.join(keys, on="_h", how="leftsemi") \
+            ._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # exactly one Exchange (the probe-key side); the bucketed state
+    # side reads shuffle-free
+    assert plan.count("Exchange") == 1, plan
+    spark.sql("DROP TABLE IF EXISTS dupspan_state_test")
+
+
+def test_stream_dupspan_fingerprint_mode_and_minlen_sidecar(spark,
+                                                            tmp_path):
+    """r15: the sink in fingerprint_only mode matches the driver loop,
+    persists a (min_len, mode) sidecar at bootstrap, and REFUSES a
+    restart with different values (the silent-clean mismatch the gram
+    probe used to catch, now caught in both modes)."""
+    import os
+    from crysda_spark.pipeline.dupspan import (build_dupspan_index,
+                                               dupspan_cut_increment)
+    from crysda_spark.streaming.cdc import (read_snapshot,
+                                            stream_dupspan_dedup)
+    block = "QWERTYUIOPASDFGHJKLZ"
+    rows1 = [(1, "aaaa-bbbb." + block + ",cccc+dddd")]
+    rows2 = [(3, "eeee;ffff!" + block + "?hhhh")]
+    src = str(tmp_path / "docs")
+    state = str(tmp_path / "span_state_fp")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(src)
+    spark.createDataFrame(rows1, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string") \
+        .parquet(src)
+    q = stream_dupspan_dedup(stream, state, "text", "doc_id",
+                             min_len=20, min_dup=2, checkpoint=ckpt,
+                             fingerprint_only=True)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["doc_id"]: (r["text"], r["chars_removed"])
+           for r in spark.read.parquet(
+               os.path.join(state, "cleaned")).collect()}
+    assert got[1][1] == 0 and got[3][1] == 20   # keep-first held
+    snap = read_snapshot(spark, os.path.join(state, "index"))
+    assert snap.columns == ["_h", "cnt"]        # fingerprint state
+    # sidecar recorded and enforced
+    with open(os.path.join(state, "index", "MINLEN")) as fh:
+        assert fh.read() == "20@fp"
+    stream2 = spark.readStream.schema("doc_id long, text string") \
+        .parquet(src)
+    with pytest.raises(ValueError, match="min_len=20 mode=fp"):
+        stream_dupspan_dedup(stream2, state, "text", "doc_id",
+                             min_len=30, min_dup=2)
+    with pytest.raises(ValueError, match="mode=fp"):
+        stream_dupspan_dedup(stream2, state, "text", "doc_id",
+                             min_len=20, min_dup=2,
+                             fingerprint_only=False)
+    release_pinned()
