@@ -438,7 +438,13 @@ def build_bm25_index(f, text_col: str = "text", id_col: str = "doc_id"):
                             .over(W.partitionBy("term")))
                 .select("term", id_col, "tf", "df", "dl"))
     raw_dl = sdf.select(F.size(tokens(F.col(text_col))).alias("_dl"))
+    # sum_dl (exact int64) makes the stats row ACCRETABLE (r15):
+    # merge_bm25_index folds two indexes by summing n_docs/sum_dl and
+    # re-deriving avgdl with ONE division — bit-identical to a single
+    # build over the union corpus, which avgdl alone (already-divided
+    # double) could not guarantee
     stats = raw_dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.sum("_dl").cast("long").alias("sum_dl"),
                        (F.sum("_dl") / F.count(F.lit(1))).alias("avgdl"))
     return Frame(postings), Frame(stats)
 
@@ -979,3 +985,71 @@ def read_bm25_index(spark, path: str):
     base = path.rstrip("/")
     return (Frame(spark.read.parquet(f"{base}/postings")),
             Frame(spark.read.parquet(f"{base}/stats")))
+
+
+def merge_bm25_index(postings, stats, postings_delta, stats_delta):
+    """Fold a NEW batch's :func:`build_bm25_index` pair into an
+    existing one WITHOUT re-reading any corpus text (r15 — "write
+    once, query many" now survives corpus growth): returns the merged
+    ``(postings, stats)``, bit-identical to a single
+    :func:`build_bm25_index` over the union corpus.
+
+    How each statistic accretes:
+
+    - ``tf``/``dl`` rows are per-(term, doc) and per-doc — a doc lives
+      wholly in one batch, so the rows UNION (document ids must be
+      unique across batches, the accreting-sink discipline; a repeated
+      id would double its rows, exactly as re-ingesting a document
+      into any index would);
+    - ``df`` is the one cross-batch-mutable column (denormalized per
+      row, the Lucene norms discipline): the delta's per-term df adds
+      to existing rows of that term and the old per-term df adds to
+      delta rows. BOTH adjustments join against the
+      vocabulary-of-the-DELTA-sized df table, broadcastable by AQE —
+      the old postings are SCANNED and rewritten map-side, never
+      shuffled (the honest cost of a denormalized index; a warehouse
+      deployment would normalize df into a term side-table to avoid
+      the rewrite);
+    - ``n_docs``/``sum_dl`` are exact int64 sums; ``avgdl`` is
+      re-derived with ONE division, so downstream
+      :func:`bm25_search_indexed` scores are bit-identical to the
+      inline path on the union corpus.
+
+    Pre-r15 stats rows (no ``sum_dl``) cannot accrete exactly —
+    rebuild once with the current :func:`build_bm25_index`."""
+    from ..frame import Frame
+    p = postings.sdf if hasattr(postings, "sdf") else postings
+    s = stats.sdf if hasattr(stats, "sdf") else stats
+    pd_ = postings_delta.sdf if hasattr(postings_delta, "sdf") \
+        else postings_delta
+    sd = stats_delta.sdf if hasattr(stats_delta, "sdf") else stats_delta
+    for side, frame in (("stats", s), ("stats_delta", sd)):
+        if "sum_dl" not in frame.columns:
+            raise ValueError(
+                f"merge_bm25_index: {side} carries no sum_dl (pre-r15 "
+                "build) — avgdl cannot accrete exactly; rebuild the "
+                "index once with the current build_bm25_index")
+    id_col = [c for c in p.columns
+              if c not in ("term", "tf", "df", "dl")][0]
+    # per-term df of each side, delta-vocabulary-sized (df is constant
+    # within a term, so max == the value)
+    df_new = pd_.groupBy("term").agg(F.max("df").alias("_df_new"))
+    df_old = (p.join(df_new.select("term"), on="term", how="leftsemi")
+              .groupBy("term").agg(F.max("df").alias("_df_old")))
+    merged_old = (p.join(df_new, on="term", how="left")
+                  .withColumn("df", F.col("df")
+                              + F.coalesce(F.col("_df_new"), F.lit(0)))
+                  .drop("_df_new"))
+    merged_new = (pd_.join(df_old, on="term", how="left")
+                  .withColumn("df", F.col("df")
+                              + F.coalesce(F.col("_df_old"), F.lit(0)))
+                  .drop("_df_old"))
+    cols = ["term", id_col, "tf", "df", "dl"]
+    out_p = merged_old.select(cols).unionByName(merged_new.select(cols))
+    tot = (s.select("n_docs", "sum_dl")
+           .unionByName(sd.select("n_docs", "sum_dl"))
+           .agg(F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("sum_dl").cast("long").alias("sum_dl")))
+    out_s = tot.select("n_docs", "sum_dl",
+                       (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"))
+    return Frame(out_p), Frame(out_s)

@@ -35,7 +35,8 @@ from ..operators.merge import merge_into
 __all__ = ["read_snapshot", "stream_upsert_to_parquet",
            "stream_dedup_incremental", "stream_decontaminate",
            "stream_dupspan_dedup", "stream_match_audio",
-           "stream_image_dedup"]
+           "stream_image_dedup", "stream_bm25_index",
+           "read_bm25_snapshot"]
 
 _MANIFEST = "MANIFEST"
 
@@ -610,3 +611,93 @@ def stream_image_dedup(stream: SparkDF, path: str, id_col: str = "id",
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def stream_bm25_index(stream: SparkDF, path: str, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      checkpoint: str | None = None):
+    """Maintain a queryable BM25 index over a document stream (r15 —
+    the accreting twin of the one-shot
+    :func:`~crysda_spark.pipeline.text.build_bm25_index`): every
+    micro-batch is indexed in isolation (one batch-text scan) and
+    folded into the committed state with
+    :func:`~crysda_spark.pipeline.text.merge_bm25_index`, under the
+    same A/B-manifest + replay-guard discipline the three dedup sinks
+    share — old corpus text is NEVER re-read, and
+    :func:`read_bm25_snapshot` hands any concurrent reader the last
+    committed ``(postings, stats)`` pair for
+    :func:`~crysda_spark.pipeline.text.bm25_search_indexed`.
+
+    Scale shape per batch: one Arrow-free JVM scan of the batch text,
+    a batch-sized (doc, term) aggregate, a map-side df adjustment of
+    the existing postings against the delta's vocabulary (broadcast;
+    the old postings never shuffle — see ``merge_bm25_index``), and a
+    term-clustered rewrite to the flip side (the
+    ``write_bm25_index`` row-group-pruning layout). Scores served from
+    any snapshot are bit-identical to an inline
+    :func:`~crysda_spark.pipeline.text.bm25_search` over everything
+    ingested so far (pytest-pinned, multi-batch).
+
+    Exactly-once: the manifest records (side, batch id, content
+    fingerprint); a replayed batch whose flip already committed is a
+    no-op, a checkpointless restart's NEW rows under a reused id are
+    detected by fingerprint and merged normally. Document ids must be
+    unique across batches (re-ingesting an id double-counts it,
+    exactly as re-adding a document to any index would). ``path``
+    must be driver-local (atomic manifest rename)."""
+    from ..frame import Frame
+    from ..pipeline.text import build_bm25_index, merge_bm25_index
+    from ..plans.cache import pin_scope
+    idx_dir = os.path.join(path, "index")
+    os.makedirs(idx_dir, exist_ok=True)
+
+    def apply_batch(batch: SparkDF, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        fp = _batch_fingerprint(batch, id_col, text_col)
+        side, last_bid, last_fp = _manifest_state(idx_dir)
+        if side is not None and last_bid == batch_id and last_fp == fp:
+            return  # replay-after-flip: the index already holds this batch
+        with pin_scope():
+            delta_p, delta_s = build_bm25_index(Frame(batch), text_col,
+                                                id_col)
+            if side is None:
+                new_p, new_s = delta_p, delta_s
+            else:
+                cur_p = spark.read.parquet(
+                    os.path.join(idx_dir, side, "postings"))
+                cur_s = spark.read.parquet(
+                    os.path.join(idx_dir, side, "stats"))
+                new_p, new_s = merge_bm25_index(
+                    Frame(cur_p), Frame(cur_s), delta_p, delta_s)
+            nxt = "b" if side == "a" else "a"
+            base = os.path.join(idx_dir, nxt)
+            (new_p.sdf.repartition(F.col("term"))
+             .sortWithinPartitions("term")
+             .write.mode("overwrite").parquet(
+                 os.path.join(base, "postings")))
+            new_s.sdf.write.mode("overwrite").parquet(
+                os.path.join(base, "stats"))
+        _commit_flip(idx_dir, nxt, batch_id, fp)
+
+    writer = stream.writeStream.foreachBatch(apply_batch) \
+        .outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_bm25_snapshot(spark, path: str):
+    """Last committed ``(postings, stats)`` pair of a
+    :func:`stream_bm25_index` state dir, or ``(None, None)`` before
+    the first batch — feed straight into
+    :func:`~crysda_spark.pipeline.text.bm25_search_indexed`."""
+    from ..frame import Frame
+    idx_dir = os.path.join(path, "index")
+    side = _active_side(idx_dir)
+    if side is None:
+        return None, None
+    base = os.path.join(idx_dir, side)
+    return (Frame(spark.read.parquet(os.path.join(base, "postings"))),
+            Frame(spark.read.parquet(os.path.join(base, "stats"))))

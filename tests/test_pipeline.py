@@ -1488,3 +1488,50 @@ def test_bm25_null_id_docs_excluded_consistently(spark):
     assert indexed == with_null
     with pytest.raises(ValueError, match="bm25_search_indexed"):
         tx.bm25_search_indexed(p, s, terms, id_col="_tf")
+
+
+def test_merge_bm25_index_accretes_bit_identically(spark):
+    """r15: a three-batch accretion of (postings, stats) must equal a
+    single build over the union corpus — postings row sets, stats
+    values, and search scores all bit-identical (sum_dl accretes as
+    exact int64; avgdl re-derives with one division)."""
+    from crysda_spark import from_records
+    rows = [
+        {"doc_id": 1, "text": "fast scan fast table"},
+        {"doc_id": 2, "text": "table scan merge join"},
+        {"doc_id": 3, "text": "slow vector join join join"},
+        {"doc_id": 4, "text": "fast"},
+        {"doc_id": 5, "text": ""},
+        {"doc_id": 6, "text": "join table fast scan scan"},
+        {"doc_id": 7, "text": "unrelated words entirely"},
+    ]
+    full = from_records(spark, rows)
+    want_p, want_s = tx.build_bm25_index(full, "text", "doc_id")
+    batches = [rows[:3], rows[3:5], rows[5:]]
+    acc_p = acc_s = None
+    for b in batches:
+        dp, ds = tx.build_bm25_index(from_records(spark, b), "text",
+                                     "doc_id")
+        if acc_p is None:
+            acc_p, acc_s = dp, ds
+        else:
+            acc_p, acc_s = tx.merge_bm25_index(acc_p, acc_s, dp, ds)
+    key = lambda r: (r["term"], r["doc_id"])  # noqa: E731
+    got = sorted(map(tuple, acc_p.sdf.collect()), key=lambda t: t[:2])
+    want = sorted(map(tuple, want_p.sdf.collect()), key=lambda t: t[:2])
+    assert got == want
+    gs, ws = acc_s.sdf.collect()[0], want_s.sdf.collect()[0]
+    assert (gs["n_docs"], gs["sum_dl"], repr(gs["avgdl"])) \
+        == (ws["n_docs"], ws["sum_dl"], repr(ws["avgdl"]))
+    terms = ["fast", "join"]
+    inline = [(r["doc_id"], repr(r["score"]))
+              for r in tx.bm25_search(full, "text", "doc_id", terms,
+                                      k=10).collect()]
+    accreted = [(r["doc_id"], repr(r["score"]))
+                for r in tx.bm25_search_indexed(acc_p, acc_s, terms,
+                                                k=10).collect()]
+    assert accreted == inline
+    # pre-r15 stats rows (no sum_dl) refuse to accrete
+    legacy = Frame(want_s.sdf.drop("sum_dl"))
+    with pytest.raises(ValueError, match="sum_dl"):
+        tx.merge_bm25_index(want_p, legacy, acc_p, acc_s)
