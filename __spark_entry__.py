@@ -6660,6 +6660,49 @@ def trigram_lm_quality(spark, sf_dir):
     return tx.trigram_logprob(docs, "text", "doc_id", add_k=1.0).sdf
 
 
+@q("fourgram_lm_quality", """
+WITH tok AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents),
+g4 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+           AS b
+  FROM tok),
+cn AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cn FROM g4 GROUP BY 1),
+cp AS (SELECT string_split(b, ' ')[1] || ' ' || string_split(b, ' ')[2]
+              || ' ' || string_split(b, ' ')[3] AS p,
+              CAST(SUM(cn) AS BIGINT) AS cp
+       FROM cn GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT t) AS v
+      FROM (SELECT unnest(w) AS t FROM tok)),
+model AS (
+  SELECT cn.b, ln((cn.cn + 1.0) / (cp.cp + 1.0 * v.v)) AS lp
+  FROM cn JOIN cp
+    ON string_split(cn.b, ' ')[1] || ' ' || string_split(cn.b, ' ')[2]
+       || ' ' || string_split(cn.b, ' ')[3] = cp.p
+  CROSS JOIN v)
+SELECT g4.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       ROUND(AVG(model.lp), 4) AS lm4_logprob
+FROM g4 JOIN model USING (b) GROUP BY 1
+""")
+def fourgram_lm_quality(spark, sf_dir):
+    """Add-1-smoothed 4-GRAM LM self-scoring (pipeline.text
+    .ngram_logprob, r15 stretch — the GENERAL rung of the CCNet/KenLM
+    quality ladder; orders 2 and 3 are the named bigram/trigram rungs,
+    pinned bit-identical to ngram_logprob in pytest):
+    P(w4|w1 w2 w3) = (c1234+1)/(c123+V) with c123 the exact int64
+    prefix-sum of 4-gram counts and V the distinct-token vocabulary.
+    Both engines build the identical model table from int64 counts and
+    average correctly-rounded ln() terms per doc (ROUND 4dp absorbs
+    summation-order noise)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.ngram_logprob(docs, "text", "doc_id", order=4,
+                            add_k=1.0).sdf
+
+
 
 @q("image_phash_near_dups", """
 SELECT CAST(range AS BIGINT) AS id_a,
@@ -7139,10 +7182,12 @@ _GATE_ORDER = [
     "video_phash_match", "video_near_transcode_match",
     "sample_n_seeded_counts", "sample_frac_seeded_counts",
     "multiclass_confusion_planted", "semantic_dedup_groups",
-    # 8 re-validation slots: stalest driver-greens (last green r02)
+    # the r15 stretch capability (new, never gated, oracled at 2 SFs)
+    "fourgram_lm_quality",
+    # 7 re-validation slots: stalest driver-greens (last green r02)
     "count_expr_bucket", "window_moving_avg", "percentile_prices",
     "argminmax_orders", "separate_orderdate", "join_inner_chain",
-    "bpe_token_estimate", "row_number_sorted",
+    "bpe_token_estimate",
 ]
 
 # Rows-only queries DELIBERATELY occupying gate slots this round —

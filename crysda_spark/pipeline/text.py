@@ -962,6 +962,60 @@ def trigram_logprob(f, text_col: str, id_col: str, add_k: float = 1.0,
              F.round(F.avg("_lp"), round_to).alias("lm3_logprob")))
 
 
+def ngram_logprob(f, text_col: str, id_col: str, order: int,
+                  add_k: float = 1.0, round_to: int = 4):
+    """Per-document mean ``order``-gram log-probability under an
+    add-k-smoothed n-gram LM trained on the corpus itself — the
+    GENERAL rung of the CCNet-style quality ladder (r15; the KenLM
+    pipeline ships order 5). ``P(wₙ|w₁…wₙ₋₁) = (cₙ + k) / (cₙ₋₁· +
+    k·V)`` with ``cₙ₋₁·`` the exact int64 prefix-sum of the n-gram
+    counts (never a separate corpus pass) and ``V`` the
+    distinct-token vocabulary. Returns ``(id, n_ngrams,
+    lm{order}_logprob)``; documents with fewer than ``order`` tokens
+    are absent. ``order=2``/``3`` reproduce
+    :func:`bigram_logprob`/:func:`trigram_logprob` bit-for-bit
+    (pytest-pinned) — those stay as the named rungs the entry
+    queries oracle.
+
+    Scale shape, identical at every order: one explode → n-gram-count
+    aggregate (map-side combinable, shuffles (gram, count) —
+    Zipf-thin, though the gram table fattens with order: the Heaps
+    exponent climbs toward 1, which is the honest reason KenLM stops
+    at 5), a prefix re-aggregate of that SAME pinned table, one 1-row
+    V scalar, and an equi-join of the per-doc gram stream against the
+    model (AQE-broadcastable). The corpus-sized gram stream is
+    deliberately NOT persisted — its second consumer pays a re-scan,
+    not executor memory."""
+    if order < 2:
+        raise ValueError(f"ngram_logprob: order must be >= 2, got {order}")
+    _guard_id(id_col, {"_b", "_p", "_cn", "_cp", "_v", "n_ngrams",
+                       f"lm{order}_logprob"}, "ngram_logprob")
+    from ..frame import Frame
+    from ..plans.cache import pin
+    sdf = f.sdf if hasattr(f, "sdf") else f
+    t = tokens(F.col(text_col))
+    grams = sdf.select(F.col(id_col),
+                       F.explode(_grams(t, order)).alias("_b"))
+    cn = pin(grams.groupBy("_b").agg(F.count(F.lit(1)).alias("_cn")))
+    prefix = F.concat_ws(
+        " ", F.slice(F.split(F.col("_b"), " "), 1, order - 1))
+    cp = (cn.groupBy(prefix.alias("_p"))
+          .agg(F.sum("_cn").alias("_cp")))
+    vocab = (sdf.select(F.explode(t).alias("_w")).distinct()
+             .agg(F.count(F.lit(1)).alias("_v")))
+    model = (cn.withColumn("_p", prefix)
+             .join(cp, on="_p")
+             .crossJoin(F.broadcast(vocab)))
+    lp = F.log((F.col("_cn") + add_k)
+               / (F.col("_cp") + add_k * F.col("_v")))
+    return Frame(
+        grams.join(model.select("_b", lp.alias("_lp")), on="_b")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_ngrams"),
+             F.round(F.avg("_lp"), round_to)
+             .alias(f"lm{order}_logprob")))
+
+
 def write_bm25_index(postings, stats, path: str):
     """Persist a :func:`build_bm25_index` pair under ``path`` —
     ``postings/`` is REPARTITIONED BY TERM AND TERM-SORTED WITHIN

@@ -1535,3 +1535,33 @@ def test_merge_bm25_index_accretes_bit_identically(spark):
     legacy = Frame(want_s.sdf.drop("sum_dl"))
     with pytest.raises(ValueError, match="sum_dl"):
         tx.merge_bm25_index(want_p, legacy, acc_p, acc_s)
+
+
+def test_ngram_logprob_generalizes_the_ladder(spark):
+    """r15: ngram_logprob(order=n) — hand model at order 4, exact
+    bit-parity with the named trigram rung at order 3, and the order
+    guard."""
+    import math
+    from crysda_spark import from_records
+    # corpus: "a b c d" x2, "a b c e" — 4-grams (a b c d):2,
+    # (a b c e):1; prefix c(a b c) = 3; V = {a,b,c,d,e,xy} = 6
+    f = from_records(spark, [{"id": 1, "t": "a b c d"},
+                             {"id": 2, "t": "a b c d"},
+                             {"id": 3, "t": "a b c e"},
+                             {"id": 4, "t": "xy xy xy"}])  # <4 tokens
+    out = {r["id"]: r for r in
+           tx.ngram_logprob(f, "t", "id", order=4).sdf.collect()}
+    assert out[1]["lm4_logprob"] == pytest.approx(
+        round(math.log((2 + 1) / (3 + 6)), 4))
+    assert out[3]["lm4_logprob"] == pytest.approx(
+        round(math.log((1 + 1) / (3 + 6)), 4))
+    assert out[1]["n_ngrams"] == 1 and 4 not in out
+    assert out[3]["lm4_logprob"] < out[1]["lm4_logprob"]
+    # order=3 reproduces the named trigram rung bit-for-bit
+    tri = {(r["id"], r["n_trigrams"], repr(r["lm3_logprob"]))
+           for r in tx.trigram_logprob(f, "t", "id").sdf.collect()}
+    gen = {(r["id"], r["n_ngrams"], repr(r["lm3_logprob"]))
+           for r in tx.ngram_logprob(f, "t", "id", order=3).sdf.collect()}
+    assert gen == tri
+    with pytest.raises(ValueError, match="order"):
+        tx.ngram_logprob(f, "t", "id", order=1)

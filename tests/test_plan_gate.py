@@ -304,6 +304,11 @@ EXPECTED = {
     # trigram-count table feeds prefix aggregate AND model join; the
     # corpus-sized trigram stream deliberately unpersisted)
     "trigram_lm_quality": dict(scans=3, exchanges=5, bhj=2, smj=0),
+    # r15: generalized ngram rung at order 4 — same locked shape as
+    # the named bigram/trigram rungs (pinned gram-count table feeds
+    # prefix aggregate AND model join; corpus-sized gram stream
+    # deliberately unpersisted)
+    "fourgram_lm_quality": dict(scans=3, exchanges=5, bhj=2, smj=0),
     # r13: grouped OLS — ONE scan into one map-side-combined grouped
     # aggregate (9 long partials per group), constant-width epilogue,
     # zero joins — a join or second scan means the word-split sums
