@@ -4431,10 +4431,18 @@ def dupspan_incremental_stats(spark, sf_dir):
             batch, idx, "text", "doc_id", min_len=_DUPSPAN_L,
             min_dup=2, probe=False)
         outs = stats.sdf if outs is None else outs.unionByName(stats.sdf)
-        # the next round's state: pinned + materialized by the merge,
-        # which also releases the superseded state/delta pins so
-        # executor cache stays O(1) in batch count (r14 advice)
-        idx = merge_dupspan_index(idx, delta, release_inputs=True)
+        # the next round's state: pinned, or batch 2's plan re-runs
+        # the whole batch 0+1 pipeline per consumer.
+        # release_inputs=False DELIBERATELY (r15, measured): this loop
+        # is bounded (3 rounds) and its final union consumes every
+        # intermediate state lazily in ONE job — releasing mid-loop
+        # forces either per-round materialization jobs or a chain
+        # recompute (11.7-22 s vs ~3 s at sf0.01, both variants timed).
+        # The O(1)-cache release pattern the r14 advice asked for is
+        # for UNBOUNDED accretion loops that fully consume each round's
+        # output before merging — see tools/dupspan_inc_rehearsal.py
+        # and the streaming sink, which use it.
+        idx = Frame(pin(merge_dupspan_index(idx, delta).sdf))
     return outs
 
 

@@ -86,7 +86,13 @@ def _batch_fingerprint(batch: SparkDF, *cols: str) -> int:
     advice finding), so the fingerprint folds in the row COUNT and the
     wrap-around SUM of hashes: all three are order-free and
     partitioning-free, and a multiplicity change moves count and sum
-    even when the xor cancels."""
+    even when the xor cancels.
+
+    Upgrade boundary, stated honestly: changing this definition
+    invalidates fingerprints already recorded in manifests — a replay
+    of the LAST pre-upgrade batch against its committed flip would
+    mismatch and re-merge (double-count), exactly once per state dir.
+    Drain or checkpoint streams across a fingerprint-format change."""
     key = ", ".join(cols)
     row = batch.agg(
         F.expr(f"bit_xor(xxhash64({key}))").alias("x"),
@@ -368,7 +374,6 @@ def stream_dupspan_dedup(stream: SparkDF, path: str, text_col: str,
     REFUSES a restart with different values — the silent-clean
     mismatch the gram state's probe used to catch, now caught in both
     modes and paid once per stream start instead of per batch."""
-    from ..plans.cache import pin_scope  # noqa: F401  (apply_batch path)
     idx_dir = os.path.join(path, "index")
     cln_dir = os.path.join(path, "cleaned")
     os.makedirs(idx_dir, exist_ok=True)

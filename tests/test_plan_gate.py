@@ -227,8 +227,12 @@ EXPECTED = {
     # confusion aggregate; the one BHJ is the truth-label join-back
     "multiclass_confusion_planted": dict(scans=2, exchanges=4, bhj=1,
                                          smj=0),
-    # VP8 roundtrip: one Arrow mapInPandas pass + the gate aggregates
-    "multimodal_vp8_roundtrip": dict(scans=1, exchanges=1, bhj=0, smj=0),
+    # VP8 roundtrip: one Arrow mapInPandas pass + the gate aggregates.
+    # r15: the pass is PINNED (it feeds the geometry gate, the per-q
+    # worst-mae gate, and the returned frame — unpinned it encoded all
+    # 48 clips three times), so the returned plan reads the
+    # InMemoryRelation: zero parquet scans, zero exchanges
+    "multimodal_vp8_roundtrip": dict(scans=0, exchanges=0, bhj=0, smj=0),
     # r10: topk cascade — ONE corpus scan (r9 shape re-ran the per-key
     # count pipeline 3x through the merge's un-pinned state table: 32
     # exchanges, 6 scans). Corpus-sized work is the count shuffle +
