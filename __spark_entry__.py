@@ -4035,6 +4035,60 @@ def zorder_key_parts(spark, sf_dir):
     return p.sdf.select("p_partkey", key.alias("zkey"))
 
 
+@q("optimize_parquet_stats", """
+SELECT p_brand, COUNT(*) AS n, CAST(SUM(p_size) AS BIGINT) AS size_sum,
+       CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM part GROUP BY p_brand
+""")
+def optimize_parquet_stats(spark, sf_dir):
+    """OPTIMIZE-style table maintenance (plans/zorder.optimize_parquet
+    — the r15 stretch's second option: Delta ``OPTIMIZE ... ZORDER BY``
+    as ONE rewrite): fragment ``part`` into 24 hash-shuffled files,
+    then compact AND re-cluster along the (p_size, p_retailprice)
+    z-curve in a single pass, ranges derived from the data. In-query
+    gates pin the layout contract deterministically: (a) compaction —
+    files_after < files_before; (b) clustering — the output files
+    partition the Morton-key space DISJOINTLY (repartitionByRange
+    co-locates equal keys, so per-file [min_z, max_z] intervals must be
+    strictly ordered). The SQL oracle proves value conservation through
+    the rewrite: per-brand counts, exact int size sums, and exact
+    cent-quantized price sums off the ORIGINAL table must match the
+    optimized table's read-back."""
+    import os
+    import tempfile
+
+    from crysda_spark.plans.zorder import optimize_parquet, zorder_key
+    p = _t(spark, sf_dir, "part")
+    base = os.path.join(tempfile.gettempdir(),
+                        "crysda_r15_optimize_"
+                        + os.path.basename(sf_dir.rstrip("/")))
+    src, dst = base + "_src", base + "_dst"
+    p.sdf.repartition(24, "p_partkey").write.mode("overwrite").parquet(src)
+    stats = optimize_parquet(spark, src, dst,
+                             ["p_size", "p_retailprice"], bits=8,
+                             num_partitions=4)
+    if not stats["files_after"] < stats["files_before"]:
+        raise AssertionError(f"optimize gate: no compaction — {stats}")
+    out = spark.read.parquet(dst)
+    key = zorder_key(stats["ranges"], bits=8)
+    per_file = (out.withColumn("_f", F.input_file_name())
+                .withColumn("_z", key)
+                .groupBy("_f")
+                .agg(F.min("_z").alias("lo"), F.max("_z").alias("hi"))
+                .orderBy("lo").collect())  # ≤ 4 rows — bounded
+    for a, b in zip(per_file, per_file[1:]):
+        if not a["hi"] < b["lo"]:
+            raise AssertionError(
+                f"optimize gate: files overlap in z-key space — "
+                f"[{a['lo']},{a['hi']}] vs [{b['lo']},{b['hi']}]")
+    return (out.groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("p_size").cast("long").alias("size_sum"),
+                 F.sum(F.round(F.col("p_retailprice") * 100)
+                       .cast("long")).alias("price_cents")))
+
+
 @q("rollup_hist_quantile", """
 WITH b AS (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
@@ -7190,11 +7244,12 @@ _GATE_ORDER = [
     "video_phash_match", "video_near_transcode_match",
     "sample_n_seeded_counts", "sample_frac_seeded_counts",
     "multiclass_confusion_planted", "semantic_dedup_groups",
-    # the r15 stretch capability (new, never gated, oracled at 2 SFs)
-    "fourgram_lm_quality",
-    # 7 re-validation slots: stalest driver-greens (last green r02)
+    # the r15 stretch capabilities (new, never gated, oracled): the
+    # 4-gram LM rung and the OPTIMIZE-style compact+recluster verb
+    "fourgram_lm_quality", "optimize_parquet_stats",
+    # 6 re-validation slots: stalest driver-greens (last green r02)
     "count_expr_bucket", "window_moving_avg", "percentile_prices",
-    "argminmax_orders", "separate_orderdate", "join_inner_chain",
+    "argminmax_orders", "separate_orderdate",
     "bpe_token_estimate",
 ]
 

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..frame import Frame
 
-__all__ = ["zorder_key", "zorder_by"]
+__all__ = ["zorder_key", "zorder_by", "optimize_parquet"]
 
 
 def _scaled(col: str, lo: float, hi: float, bits: int) -> Column:
@@ -88,3 +88,72 @@ def write_zordered(f: Frame, path: str,
     zorder_by(f, ranges, bits=bits,
               num_partitions=num_partitions).sdf.write.mode(
         "overwrite").parquet(path)
+
+
+def optimize_parquet(spark, src_path: str, dst_path: str,
+                     zorder: "dict[str, tuple[float, float]] | list[str]",
+                     bits: int = 8, target_file_mb: int = 256,
+                     num_partitions: int | None = None) -> dict:
+    """OPTIMIZE-style table maintenance in ONE pass: compact a
+    fragmented parquet directory toward ``target_file_mb`` files AND
+    re-cluster the rewrite along the z-curve — the combined verb Delta
+    ships as ``OPTIMIZE ... ZORDER BY``. Doing both in one rewrite
+    matters operationally: compaction and re-clustering each cost a
+    full read+write of the table, and a table big enough to need
+    compaction is big enough that you never want to pay that twice.
+
+    ``zorder`` is either explicit ``{col: (lo, hi)}`` ranges (cheap —
+    no extra pass) or a bare column list, in which case the ranges are
+    derived from the data with one min/max aggregate (a single bounded
+    driver-side row; constant columns get a widened range so scaling
+    stays defined, costing resolution on that column only, never
+    correctness).
+
+    Reads ``src_path``, writes ``dst_path`` (refuses same-path rewrite:
+    overwrite-while-reading truncates the source mid-scan — same
+    contract as ``compact_parquet``). ``num_partitions`` overrides the
+    byte-derived file count (tests / small tables). Returns
+    {files_before, files_after, bytes, rows, partitions, ranges}.
+    """
+    import os
+    if os.path.abspath(src_path) == os.path.abspath(dst_path):
+        raise ValueError("optimize_parquet: dst must differ from src "
+                         "(in-place overwrite truncates the input "
+                         "mid-scan)")
+    from .sizing import input_bytes
+    if target_file_mb <= 0:
+        raise ValueError(f"optimize_parquet: target must be positive, "
+                         f"got {target_file_mb}")
+    sdf = spark.read.parquet(src_path)
+    files_before = len(sdf.inputFiles())
+    total = input_bytes(sdf)
+    if isinstance(zorder, dict):
+        ranges = dict(zorder)
+    else:
+        cols = list(zorder)
+        if not cols:
+            raise ValueError("optimize_parquet: need at least one "
+                             "z-order column")
+        aggs = []
+        for c in cols:
+            aggs += [F.min(F.col(c).cast("double")).alias(f"lo_{c}"),
+                     F.max(F.col(c).cast("double")).alias(f"hi_{c}")]
+        row = sdf.agg(*aggs).first()
+        ranges = {}
+        for c in cols:
+            lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+            if lo is None:
+                raise ValueError(f"optimize_parquet: column {c!r} is "
+                                 f"all-NULL; cannot derive a z-range")
+            if not hi > lo:
+                hi = lo + 1.0
+            ranges[c] = (float(lo), float(hi))
+    n = num_partitions or max(
+        1, int(total // (target_file_mb * 1024 * 1024)) + 1)
+    write_zordered(Frame(sdf), dst_path, ranges, bits=bits,
+                   num_partitions=n)
+    out = spark.read.parquet(dst_path)
+    return {"files_before": files_before,
+            "files_after": len(out.inputFiles()),
+            "bytes": total, "rows": out.count(),
+            "partitions": n, "ranges": ranges}

@@ -84,6 +84,84 @@ def test_zorder_by_preserves_rows_and_columns(spark):
     assert "zkey" in zk.columns
 
 
+def test_optimize_parquet_compacts_and_reclusters(spark, tmp_path):
+    """The OPTIMIZE verb's combined contract: a fragmented, randomly
+    laid-out table comes back (a) in fewer files, (b) with every row
+    intact, and (c) with per-file footer min/max bounded in BOTH
+    z-ordered dimensions — compaction and re-clustering in one
+    rewrite."""
+    import glob
+    import pyarrow.parquet as pq
+
+    from crysda_spark.plans.zorder import optimize_parquet
+    f = _grid(spark, 32)
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "opt")
+    # fragment: 16 files, hash-shuffled so each file spans both ranges
+    f.sdf.repartition(16, "id").write.parquet(src)
+    stats = optimize_parquet(spark, src, dst,
+                             {"x": (0.0, 31.0), "y": (0.0, 31.0)},
+                             bits=5, num_partitions=8)
+    assert stats["files_before"] == 16
+    assert stats["files_after"] <= 8 < stats["files_before"]
+    assert stats["rows"] == 1024
+    files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(files) >= 4
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        spans = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name not in ("x", "y") or col.statistics is None:
+                    continue
+                lo, hi = col.statistics.min, col.statistics.max
+                cur = spans.get(name)
+                spans[name] = ((min(cur[0], lo), max(cur[1], hi))
+                               if cur else (lo, hi))
+        for name in ("x", "y"):
+            lo, hi = spans[name]
+            assert hi - lo <= 16, (fp, name, lo, hi)
+
+
+def test_optimize_parquet_derives_ranges(spark, tmp_path):
+    from crysda_spark.plans.zorder import optimize_parquet
+    f = Frame(_grid(spark, 8).sdf.withColumn("k", F.lit(7.0)))
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    f.sdf.repartition(4).write.parquet(src)
+    stats = optimize_parquet(spark, src, dst, ["x", "y", "k"],
+                             bits=4, num_partitions=2)
+    assert stats["ranges"]["x"] == (0.0, 7.0)
+    assert stats["ranges"]["y"] == (0.0, 7.0)
+    # constant column: range widened so scaling stays defined
+    assert stats["ranges"]["k"] == (7.0, 8.0)
+    assert stats["rows"] == 64
+    back = spark.read.parquet(dst)
+    assert back.count() == 64
+    assert set(back.columns) == {"id", "x", "y", "k"}
+
+
+def test_optimize_parquet_validation(spark, tmp_path):
+    from crysda_spark.plans.zorder import optimize_parquet
+    src = str(tmp_path / "v")
+    _grid(spark, 4).sdf.write.parquet(src)
+    with pytest.raises(ValueError, match="dst must differ"):
+        optimize_parquet(spark, src, src, ["x"])
+    with pytest.raises(ValueError, match="target must be positive"):
+        optimize_parquet(spark, src, str(tmp_path / "o"), ["x"],
+                         target_file_mb=0)
+    with pytest.raises(ValueError, match="at least one"):
+        optimize_parquet(spark, src, str(tmp_path / "o"), [])
+    allnull = Frame(_grid(spark, 4).sdf.withColumn(
+        "x", F.lit(None).cast("double")))
+    src2 = str(tmp_path / "vn")
+    allnull.sdf.write.parquet(src2)
+    with pytest.raises(ValueError, match="all-NULL"):
+        optimize_parquet(spark, src2, str(tmp_path / "o2"), ["x"])
+
+
 def test_write_zordered_footer_stats_prune_both_columns(spark, tmp_path):
     """End-to-end data-skipping proof: read the WRITTEN parquet files'
     footer min/max for both z-ordered columns — every file must span
