@@ -6765,6 +6765,50 @@ def fourgram_lm_quality(spark, sf_dir):
                             add_k=1.0).sdf
 
 
+@q("lm_model_scored", """
+WITH tok AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b
+  FROM tok),
+c2 AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY 1),
+c1 AS (SELECT string_split(b, ' ')[1] AS w1,
+              CAST(SUM(c2) AS BIGINT) AS c1
+       FROM c2 GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT t) AS v
+      FROM (SELECT unnest(w) AS t FROM tok)),
+model AS (
+  SELECT c2.b, ln((c2.c2 + 1.0) / (c1.c1 + 1.0 * v.v)) AS lp
+  FROM c2 JOIN c1 ON string_split(c2.b, ' ')[1] = c1.w1 CROSS JOIN v)
+SELECT big.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       ROUND(AVG(model.lp), 4) AS lm2_logprob
+FROM big JOIN model USING (b) GROUP BY 1
+""")
+def lm_model_scored(spark, sf_dir):
+    """Prebuilt accreted LM model scoring (r15 —
+    pipeline.text.build_ngram_model / merge_ngram_model /
+    score_with_ngram_model: the CCNet "train KenLM once, score every
+    shard" cost model, where the self-scoring rungs re-train per
+    call). The corpus is split 3 ways by doc_id % 3, a per-batch
+    order-2 model is built from each split, the three fold through
+    merge_ngram_model (pure key-sums — every LM statistic is an
+    associative int64 count), and the FULL corpus is scored against
+    the accreted model. Because accretion is exact, the result equals
+    self-scoring bit-for-bit, so the bigram-rung SQL oracle pins the
+    whole build→merge→score path (aliases n_ngrams/lm2_logprob —
+    score_with_ngram_model's generic output names)."""
+    docs = _t(spark, sf_dir, "documents")
+    batches = [Frame(docs.sdf.where(F.col("doc_id") % 3 == i))
+               for i in range(3)]
+    acc = tx.build_ngram_model(batches[0], "text", order=2)
+    for b in batches[1:]:
+        acc = tx.merge_ngram_model(
+            *acc, *tx.build_ngram_model(b, "text", order=2))
+    return tx.score_with_ngram_model(docs, "text", "doc_id", *acc).sdf
+
 
 @q("image_phash_near_dups", """
 SELECT CAST(range AS BIGINT) AS id_a,

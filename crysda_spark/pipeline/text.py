@@ -990,30 +990,189 @@ def ngram_logprob(f, text_col: str, id_col: str, order: int,
         raise ValueError(f"ngram_logprob: order must be >= 2, got {order}")
     _guard_id(id_col, {"_b", "_p", "_cn", "_cp", "_v", "n_ngrams",
                        f"lm{order}_logprob"}, "ngram_logprob")
-    from ..frame import Frame
     from ..plans.cache import pin
     sdf = f.sdf if hasattr(f, "sdf") else f
     t = tokens(F.col(text_col))
     grams = sdf.select(F.col(id_col),
                        F.explode(_grams(t, order)).alias("_b"))
     cn = pin(grams.groupBy("_b").agg(F.count(F.lit(1)).alias("_cn")))
+    vocab = (sdf.select(F.explode(t).alias("_w")).distinct()
+             .agg(F.count(F.lit(1)).alias("_v")))
+    return _lm_score_epilogue(grams, cn, vocab, order, add_k, round_to,
+                              id_col)
+
+
+def _lm_score_epilogue(gram_stream, cn, v_df, order: int, add_k: float,
+                       round_to: int, id_col: str):
+    """Shared LM scoring tail: derive the prefix normalizer ``cp``
+    from the gram-count table ``cn`` (``(_b, _cn)``), build the
+    per-gram log-prob model, and average it over the per-doc gram
+    stream. Used by both the self-scoring :func:`ngram_logprob` and
+    the prebuilt-model :func:`score_with_ngram_model`, so a model
+    built on a corpus scores that corpus IDENTICALLY to the inline
+    path (pytest-pinned parity)."""
+    from ..frame import Frame
     prefix = F.concat_ws(
         " ", F.slice(F.split(F.col("_b"), " "), 1, order - 1))
     cp = (cn.groupBy(prefix.alias("_p"))
           .agg(F.sum("_cn").alias("_cp")))
-    vocab = (sdf.select(F.explode(t).alias("_w")).distinct()
-             .agg(F.count(F.lit(1)).alias("_v")))
     model = (cn.withColumn("_p", prefix)
              .join(cp, on="_p")
-             .crossJoin(F.broadcast(vocab)))
+             .crossJoin(F.broadcast(v_df)))
     lp = F.log((F.col("_cn") + add_k)
                / (F.col("_cp") + add_k * F.col("_v")))
     return Frame(
-        grams.join(model.select("_b", lp.alias("_lp")), on="_b")
+        gram_stream.join(model.select("_b", lp.alias("_lp")), on="_b")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_ngrams"),
              F.round(F.avg("_lp"), round_to)
              .alias(f"lm{order}_logprob")))
+
+
+def build_ngram_model(f, text_col: str = "text", order: int = 2):
+    """Train the n-gram LM ONCE and keep it (r15 — the "write once,
+    query many" discipline the BM25 index follows, applied to the
+    CCNet-style quality scorer: CCNet ships a PRETRAINED KenLM and
+    scores every new shard against it; the self-scoring
+    :func:`ngram_logprob` re-trains per call, which is the wrong cost
+    model for a growing corpus). Returns the ``(grams, vocab, stats)``
+    triple of Frames that IS the model's sufficient statistic:
+
+    - ``grams``: ``(gram, cnt)`` — n-gram counts (the prefix
+      normalizer re-derives from this by exact int64 prefix-sum at
+      score time, so it never needs separate maintenance);
+    - ``vocab``: ``(token, cnt)`` — token counts; ``V`` is its row
+      count (the counts make the vocabulary itself accretable);
+    - ``stats``: one row ``(order, n_grams, n_tokens)`` — the order is
+      part of the model (a scorer cannot guess it), the totals are
+      exact int64 sums for sanity checks.
+
+    Every count is an associative int64 sum over per-document local
+    work, so models built per batch fold EXACTLY with
+    :func:`merge_ngram_model` — unlike BM25's denormalized df there
+    is no cross-batch-mutable column at all. Scale shape: one corpus
+    scan → two map-side-combinable count aggregates (gram- and
+    token-vocabulary-sized shuffles, Zipf-thin) + two 1-row totals."""
+    if order < 2:
+        raise ValueError(f"build_ngram_model: order must be >= 2, "
+                         f"got {order}")
+    from ..frame import Frame
+    sdf = f.sdf if hasattr(f, "sdf") else f
+    t = tokens(F.col(text_col))
+    grams = (sdf.select(F.explode(_grams(t, order)).alias("gram"))
+             .groupBy("gram").agg(F.count(F.lit(1)).alias("cnt")))
+    vocab = (sdf.select(F.explode(t).alias("token"))
+             .groupBy("token").agg(F.count(F.lit(1)).alias("cnt")))
+    stats = (grams.agg(F.sum("cnt").cast("long").alias("n_grams"))
+             .crossJoin(vocab.agg(F.sum("cnt").cast("long")
+                                  .alias("n_tokens")))
+             .select(F.lit(order).cast("long").alias("order"),
+                     "n_grams", "n_tokens"))
+    return Frame(grams), Frame(vocab), Frame(stats)
+
+
+def score_with_ngram_model(f, text_col: str, id_col: str, grams, vocab,
+                           stats, add_k: float = 1.0, round_to: int = 4):
+    """Score documents against a PREBUILT :func:`build_ngram_model`
+    triple — per-doc mean add-k-smoothed log-probability, identical
+    formula (and bit-identical output when the model was built on the
+    scored corpus — pytest-pinned) to :func:`ngram_logprob`, but the
+    model is an input, not a per-call training pass: scoring cost is
+    one batch scan + a model-sized join, independent of how much
+    corpus the model has accreted. Out-of-vocabulary grams are
+    dropped from the average (the :func:`unigram_logprob` external-
+    model contract); documents with fewer than ``order`` tokens, or
+    whose every gram is OOV, are absent. Returns ``(id, n_ngrams,
+    lm{order}_logprob)``.
+
+    Scale shape: the model's gram table feeds both the prefix
+    re-aggregate and the scoring join → PINNED (model-sized; release
+    via ``release_pinned()``); the batch's gram stream is never
+    persisted."""
+    srow = (stats.sdf if hasattr(stats, "sdf") else stats).first()
+    order = int(srow["order"])
+    _guard_id(id_col, {"_b", "_p", "_cn", "_cp", "_v", "n_ngrams",
+                       f"lm{order}_logprob"}, "score_with_ngram_model")
+    from ..plans.cache import pin
+    sdf = f.sdf if hasattr(f, "sdf") else f
+    g = grams.sdf if hasattr(grams, "sdf") else grams
+    v = vocab.sdf if hasattr(vocab, "sdf") else vocab
+    t = tokens(F.col(text_col))
+    stream = sdf.select(F.col(id_col),
+                        F.explode(_grams(t, order)).alias("_b"))
+    cn = pin(g.select(F.col("gram").alias("_b"),
+                      F.col("cnt").cast("long").alias("_cn")))
+    v_df = v.agg(F.count(F.lit(1)).alias("_v"))
+    return _lm_score_epilogue(stream, cn, v_df, order, add_k, round_to,
+                              id_col)
+
+
+def merge_ngram_model(grams, vocab, stats, grams_delta, vocab_delta,
+                      stats_delta):
+    """Fold a new batch's :func:`build_ngram_model` triple into an
+    existing one WITHOUT re-reading any corpus text: every model
+    column is an associative int64 count, so the merge is a pure
+    key-sum — ``(grams, vocab, stats)`` of the union corpus, EXACTLY
+    equal to a single build over everything (pytest-pinned
+    bit-for-bit, scores included). Orders must match (an order-2 and
+    an order-3 model share no event space); mixing them raises.
+
+    Scale shape: two vocabulary-sized union+sum shuffles and a 1-row
+    stats fold. Unlike :func:`merge_bm25_index` there is no
+    denormalized cross-batch column, so the OLD model is never
+    rewritten row-by-row — merging N batches costs N vocabulary-sized
+    aggregates, total."""
+    from ..frame import Frame
+    g = grams.sdf if hasattr(grams, "sdf") else grams
+    v = vocab.sdf if hasattr(vocab, "sdf") else vocab
+    s = stats.sdf if hasattr(stats, "sdf") else stats
+    gd = grams_delta.sdf if hasattr(grams_delta, "sdf") else grams_delta
+    vd = vocab_delta.sdf if hasattr(vocab_delta, "sdf") else vocab_delta
+    sd = stats_delta.sdf if hasattr(stats_delta, "sdf") else stats_delta
+    o1 = int(s.first()["order"])
+    o2 = int(sd.first()["order"])
+    if o1 != o2:
+        raise ValueError(f"merge_ngram_model: order mismatch — model "
+                         f"is order {o1}, delta is order {o2}")
+    out_g = (g.unionByName(gd).groupBy("gram")
+             .agg(F.sum("cnt").cast("long").alias("cnt")))
+    out_v = (v.unionByName(vd).groupBy("token")
+             .agg(F.sum("cnt").cast("long").alias("cnt")))
+    out_s = (s.select("n_grams", "n_tokens")
+             .unionByName(sd.select("n_grams", "n_tokens"))
+             .agg(F.sum("n_grams").cast("long").alias("n_grams"),
+                  F.sum("n_tokens").cast("long").alias("n_tokens"))
+             .select(F.lit(o1).cast("long").alias("order"),
+                     "n_grams", "n_tokens"))
+    return Frame(out_g), Frame(out_v), Frame(out_s)
+
+
+def write_ngram_model(grams, vocab, stats, path: str):
+    """Persist a :func:`build_ngram_model` triple under ``path`` —
+    ``grams/`` gram-clustered (repartitioned + sorted by gram, the
+    ``write_bm25_index`` layout) so parquet row-group min/max prunes a
+    specific-gram lookup; ``vocab/`` token-clustered likewise;
+    ``stats/`` the 1-row summary."""
+    g = grams.sdf if hasattr(grams, "sdf") else grams
+    v = vocab.sdf if hasattr(vocab, "sdf") else vocab
+    s = stats.sdf if hasattr(stats, "sdf") else stats
+    base = path.rstrip("/")
+    (g.repartition(F.col("gram")).sortWithinPartitions("gram")
+     .write.mode("overwrite").parquet(f"{base}/grams"))
+    (v.repartition(F.col("token")).sortWithinPartitions("token")
+     .write.mode("overwrite").parquet(f"{base}/vocab"))
+    s.write.mode("overwrite").parquet(f"{base}/stats")
+
+
+def read_ngram_model(spark, path: str):
+    """Load a :func:`write_ngram_model` triple: ``(grams, vocab,
+    stats)`` Frames ready for :func:`score_with_ngram_model` or
+    further :func:`merge_ngram_model` accretion."""
+    from ..frame import Frame
+    base = path.rstrip("/")
+    return (Frame(spark.read.parquet(f"{base}/grams")),
+            Frame(spark.read.parquet(f"{base}/vocab")),
+            Frame(spark.read.parquet(f"{base}/stats")))
 
 
 def write_bm25_index(postings, stats, path: str):

@@ -706,3 +706,96 @@ def read_bm25_snapshot(spark, path: str):
     base = os.path.join(idx_dir, side)
     return (Frame(spark.read.parquet(os.path.join(base, "postings"))),
             Frame(spark.read.parquet(os.path.join(base, "stats"))))
+
+
+def stream_ngram_model(stream: SparkDF, path: str, text_col: str = "text",
+                       id_col: str = "doc_id", order: int = 2,
+                       checkpoint: str | None = None):
+    """Maintain a queryable n-gram LM over a document stream (r15 —
+    the accreting twin of the one-shot
+    :func:`~crysda_spark.pipeline.text.build_ngram_model`, the same
+    shape :func:`stream_bm25_index` gives the BM25 index): every
+    micro-batch is counted in isolation (one batch-text scan) and
+    folded into the committed state with
+    :func:`~crysda_spark.pipeline.text.merge_ngram_model`, under the
+    shared A/B-manifest + replay-guard discipline — old corpus text is
+    NEVER re-read, and :func:`read_ngram_model_snapshot` hands any
+    concurrent reader the last committed triple for
+    :func:`~crysda_spark.pipeline.text.score_with_ngram_model`.
+
+    Scale shape per batch: one JVM scan of the batch text, two
+    batch-vocabulary-sized count aggregates, two vocabulary-sized
+    key-sum merges against the committed state (no per-row rewrite of
+    old model rows — every LM statistic is an associative count,
+    unlike BM25's denormalized df), and a gram-clustered rewrite to
+    the flip side. Scores served from any snapshot are bit-identical
+    to an inline :func:`~crysda_spark.pipeline.text.ngram_logprob`
+    over everything ingested so far (pytest-pinned, multi-batch).
+
+    Exactly-once: the manifest records (side, batch id, content
+    fingerprint); a replayed batch whose flip already committed is a
+    no-op, a checkpointless restart's NEW rows under a reused id are
+    detected by fingerprint and merged normally. The committed state's
+    ORDER is enforced against ``order`` on every batch — feeding an
+    order-3 stream into an order-2 state dir raises instead of
+    silently mixing event spaces. ``path`` must be driver-local
+    (atomic manifest rename)."""
+    from ..frame import Frame
+    from ..pipeline.text import build_ngram_model, merge_ngram_model
+    from ..plans.cache import pin_scope
+    idx_dir = os.path.join(path, "model")
+    os.makedirs(idx_dir, exist_ok=True)
+
+    def apply_batch(batch: SparkDF, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        fp = _batch_fingerprint(batch, id_col, text_col)
+        side, last_bid, last_fp = _manifest_state(idx_dir)
+        if side is not None and last_bid == batch_id and last_fp == fp:
+            return  # replay-after-flip: the model already holds this batch
+        with pin_scope():
+            dg, dv, ds = build_ngram_model(Frame(batch), text_col,
+                                           order=order)
+            if side is None:
+                new_g, new_v, new_s = dg, dv, ds
+            else:
+                cur = os.path.join(idx_dir, side)
+                new_g, new_v, new_s = merge_ngram_model(
+                    Frame(spark.read.parquet(os.path.join(cur, "grams"))),
+                    Frame(spark.read.parquet(os.path.join(cur, "vocab"))),
+                    Frame(spark.read.parquet(os.path.join(cur, "stats"))),
+                    dg, dv, ds)
+            nxt = "b" if side == "a" else "a"
+            base = os.path.join(idx_dir, nxt)
+            (new_g.sdf.repartition(F.col("gram"))
+             .sortWithinPartitions("gram")
+             .write.mode("overwrite").parquet(os.path.join(base, "grams")))
+            (new_v.sdf.repartition(F.col("token"))
+             .sortWithinPartitions("token")
+             .write.mode("overwrite").parquet(os.path.join(base, "vocab")))
+            new_s.sdf.write.mode("overwrite").parquet(
+                os.path.join(base, "stats"))
+        _commit_flip(idx_dir, nxt, batch_id, fp)
+
+    writer = stream.writeStream.foreachBatch(apply_batch) \
+        .outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_ngram_model_snapshot(spark, path: str):
+    """Last committed ``(grams, vocab, stats)`` triple of a
+    :func:`stream_ngram_model` state dir, or ``(None, None, None)``
+    before the first batch — feed straight into
+    :func:`~crysda_spark.pipeline.text.score_with_ngram_model`."""
+    from ..frame import Frame
+    idx_dir = os.path.join(path, "model")
+    side = _active_side(idx_dir)
+    if side is None:
+        return None, None, None
+    base = os.path.join(idx_dir, side)
+    return (Frame(spark.read.parquet(os.path.join(base, "grams"))),
+            Frame(spark.read.parquet(os.path.join(base, "vocab"))),
+            Frame(spark.read.parquet(os.path.join(base, "stats"))))

@@ -1565,3 +1565,108 @@ def test_ngram_logprob_generalizes_the_ladder(spark):
     assert gen == tri
     with pytest.raises(ValueError, match="order"):
         tx.ngram_logprob(f, "t", "id", order=1)
+
+
+def test_ngram_model_prebuilt_scores_match_inline(spark):
+    """r15 LM-index: a model built on the scored corpus must score it
+    IDENTICALLY to the inline self-scoring path (orders 2 and 4), and
+    the model triple's contents are pinned on a hand corpus."""
+    from crysda_spark import from_records
+    f = from_records(spark, [{"id": 1, "t": "a b c d"},
+                             {"id": 2, "t": "a b c d"},
+                             {"id": 3, "t": "a b c e"},
+                             {"id": 4, "t": "xy"}])
+    for order in (2, 4):
+        col = f"lm{order}_logprob"
+        g, v, s = tx.build_ngram_model(f, "t", order=order)
+        inline = {(r["id"], r["n_ngrams"], repr(r[col])) for r in
+                  tx.ngram_logprob(f, "t", "id", order=order).sdf.collect()}
+        scored = {(r["id"], r["n_ngrams"], repr(r[col])) for r in
+                  tx.score_with_ngram_model(f, "t", "id", g, v, s)
+                  .sdf.collect()}
+        assert scored == inline and len(scored) > 0
+    g, v, s = tx.build_ngram_model(f, "t", order=2)
+    assert {(r["token"], r["cnt"]) for r in v.sdf.collect()} == {
+        ("a", 3), ("b", 3), ("c", 3), ("d", 2), ("e", 1), ("xy", 1)}
+    assert {(r["gram"], r["cnt"]) for r in g.sdf.collect()} == {
+        ("a b", 3), ("b c", 3), ("c d", 2), ("c e", 1)}
+    srow = s.sdf.collect()[0]
+    assert (srow["order"], srow["n_grams"], srow["n_tokens"]) == (2, 9, 13)
+    with pytest.raises(ValueError, match="order"):
+        tx.build_ngram_model(f, "t", order=1)
+
+
+def test_ngram_model_oov_grams_drop_from_average(spark):
+    """External-model contract (the unigram_logprob precedent): grams
+    absent from the model drop from the average; a doc whose every
+    gram is OOV is absent from the output."""
+    import math
+    from crysda_spark import from_records
+    train = from_records(spark, [{"id": 1, "t": "a b c d"},
+                                 {"id": 2, "t": "a b c d"},
+                                 {"id": 3, "t": "a b c e"}])
+    g, v, s = tx.build_ngram_model(train, "t", order=2)
+    new = from_records(spark, [{"id": 10, "t": "a b z z"},
+                               {"id": 11, "t": "z z z"}])
+    out = {r["id"]: r for r in
+           tx.score_with_ngram_model(new, "t", "id", g, v, s)
+           .sdf.collect()}
+    assert 11 not in out
+    # only (a b) survives of (a b),(b z),(z z): c=3, prefix c(a·)=3, V=5
+    assert out[10]["n_ngrams"] == 1
+    assert out[10]["lm2_logprob"] == pytest.approx(
+        round(math.log((3 + 1) / (3 + 5)), 4))
+
+
+def test_merge_ngram_model_exact_accretion(spark):
+    """Three per-batch models fold to EXACTLY the single-build model —
+    triple contents and downstream scores bit-for-bit — and mixing
+    orders raises."""
+    from crysda_spark import from_records
+    rows = [{"id": i, "t": t} for i, t in enumerate(
+        ["a b c d", "a b c d", "a b c e", "b c d a", "c d a b",
+         "d a b c", "a a a a", "b b", "c c c"])]
+    full = from_records(spark, rows)
+    batches = [from_records(spark, rows[i::3]) for i in range(3)]
+    want_g, want_v, want_s = tx.build_ngram_model(full, "t", order=2)
+    acc = tx.build_ngram_model(batches[0], "t", order=2)
+    for b in batches[1:]:
+        acc = tx.merge_ngram_model(*acc, *tx.build_ngram_model(b, "t",
+                                                               order=2))
+    for want, got, key in ((want_g, acc[0], "gram"),
+                           (want_v, acc[1], "token")):
+        assert (sorted((r[key], r["cnt"]) for r in got.sdf.collect())
+                == sorted((r[key], r["cnt"]) for r in want.sdf.collect()))
+    assert acc[2].sdf.collect() == want_s.sdf.collect()
+    col = "lm2_logprob"
+    want_scores = {(r["id"], r["n_ngrams"], repr(r[col])) for r in
+                   tx.score_with_ngram_model(full, "t", "id", want_g,
+                                             want_v, want_s).sdf.collect()}
+    got_scores = {(r["id"], r["n_ngrams"], repr(r[col])) for r in
+                  tx.score_with_ngram_model(full, "t", "id", *acc)
+                  .sdf.collect()}
+    assert got_scores == want_scores
+    other = tx.build_ngram_model(full, "t", order=3)
+    with pytest.raises(ValueError, match="order mismatch"):
+        tx.merge_ngram_model(*acc, *other)
+
+
+def test_ngram_model_write_read_roundtrip(spark, tmp_path):
+    from crysda_spark import from_records
+    f = from_records(spark, [{"id": 1, "t": "a b c d"},
+                             {"id": 2, "t": "b c d e"}])
+    g, v, s = tx.build_ngram_model(f, "t", order=3)
+    path = str(tmp_path / "lm")
+    tx.write_ngram_model(g, v, s, path)
+    g2, v2, s2 = tx.read_ngram_model(spark, path)
+    assert (sorted(map(tuple, g2.sdf.collect()))
+            == sorted(map(tuple, g.sdf.collect())))
+    assert (sorted(map(tuple, v2.sdf.collect()))
+            == sorted(map(tuple, v.sdf.collect())))
+    assert s2.sdf.collect() == s.sdf.collect()
+    col = "lm3_logprob"
+    assert ({(r["id"], repr(r[col])) for r in
+             tx.score_with_ngram_model(f, "t", "id", g2, v2, s2)
+             .sdf.collect()}
+            == {(r["id"], repr(r[col])) for r in
+                tx.ngram_logprob(f, "t", "id", order=3).sdf.collect()})

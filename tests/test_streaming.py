@@ -784,3 +784,65 @@ def test_stream_bm25_index_accretes_and_serves_exact_scores(spark,
     assert (side1, bid1, fp1) == (side0, bid0, fp0)
     s_row = stats.sdf.collect()[0]
     assert s_row["n_docs"] == 4 and s_row["sum_dl"] == 14
+
+
+def test_stream_ngram_model_accretes_and_serves_exact_scores(spark,
+                                                             tmp_path):
+    """r15 LM accreting sink: after two micro-batches the committed
+    snapshot must score documents bit-identically to an inline
+    ngram_logprob over everything ingested; the stats row accretes
+    exactly; an order-mismatched resume raises instead of mixing
+    event spaces."""
+    import os
+    from crysda_spark import Frame
+    from crysda_spark.pipeline import text as tx
+    from crysda_spark.streaming.cdc import (read_ngram_model_snapshot,
+                                            stream_ngram_model)
+    rows1 = [(1, "a b c d"), (2, "a b c d")]
+    rows2 = [(3, "a b c e"), (4, "b c d a")]
+    src = str(tmp_path / "docs")
+    state = str(tmp_path / "lm_state")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(src)
+    spark.createDataFrame(rows1, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string") \
+        .parquet(src)
+    q = stream_ngram_model(stream, state, "text", "doc_id", order=2,
+                           checkpoint=ckpt)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    g, v, s = read_ngram_model_snapshot(spark, state)
+    full = Frame(spark.createDataFrame(rows1 + rows2,
+                                       "doc_id long, text string"))
+    got = {(r["doc_id"], r["n_ngrams"], repr(r["lm2_logprob"])) for r in
+           tx.score_with_ngram_model(full, "text", "doc_id", g, v, s)
+           .sdf.collect()}
+    want = {(r["doc_id"], r["n_ngrams"], repr(r["lm2_logprob"])) for r in
+            tx.ngram_logprob(full, "text", "doc_id", order=2)
+            .sdf.collect()}
+    assert got == want and len(got) == 4
+    srow = s.sdf.collect()[0]
+    assert (srow["order"], srow["n_grams"], srow["n_tokens"]) == (2, 12, 16)
+    # resuming the state dir at a different order must refuse at merge
+    stream2 = spark.readStream.schema("doc_id long, text string") \
+        .parquet(src)
+    q2 = stream_ngram_model(stream2, state, "text", "doc_id", order=3,
+                            checkpoint=str(tmp_path / "ck3"))
+    import pyspark.errors
+    try:
+        spark.createDataFrame([(5, "e d c b a")],
+                              "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+        with pytest.raises(pyspark.errors.exceptions.base.PySparkException):
+            q2.processAllAvailable()
+    finally:
+        q2.stop()
+    # the committed state is untouched by the failed flip
+    g2, v2, s2 = read_ngram_model_snapshot(spark, state)
+    assert s2.sdf.collect() == [srow]
