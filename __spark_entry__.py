@@ -7289,11 +7289,12 @@ _GATE_ORDER = [
     "sample_n_seeded_counts", "sample_frac_seeded_counts",
     "multiclass_confusion_planted", "semantic_dedup_groups",
     # the r15 stretch capabilities (new, never gated, oracled): the
-    # 4-gram LM rung and the OPTIMIZE-style compact+recluster verb
-    "fourgram_lm_quality", "optimize_parquet_stats",
-    # 6 re-validation slots: stalest driver-greens (last green r02)
+    # 4-gram LM rung, the OPTIMIZE-style compact+recluster verb, and
+    # the accreted-LM-model build→merge→score path
+    "fourgram_lm_quality", "optimize_parquet_stats", "lm_model_scored",
+    # 5 re-validation slots: stalest driver-greens (last green r02)
     "count_expr_bucket", "window_moving_avg", "percentile_prices",
-    "argminmax_orders", "separate_orderdate",
+    "argminmax_orders",
     "bpe_token_estimate",
 ]
 
