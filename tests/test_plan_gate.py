@@ -318,6 +318,20 @@ EXPECTED = {
     # zero joins — a join or second scan means the word-split sums
     # stopped sharing a pass (the corr_matrix shape, grouped)
     "grouped_ols_lineitem": dict(scans=1, exchanges=1, bhj=0, smj=0),
+    # r15: accreted-LM-model scoring — 3 per-batch builds x 2 scans
+    # (gram + vocab counts; a streamed batch pays the same two
+    # batch-sized passes) + 1 scoring-stream scan = 7; the merges are
+    # pure key-sum aggregates over unions (no join — the
+    # merge_ngram_model contract), so joins stay the two broadcast
+    # model joins of the scoring epilogue. An smj means the model
+    # reached corpus width; MORE scans means a merge started re-reading
+    # batch text.
+    "lm_model_scored": dict(scans=7, exchanges=9, bhj=2, smj=0),
+    # r15: OPTIMIZE verb — the side-effecting rewrite runs eagerly at
+    # build time; the RETURNED plan is the read-back of the optimized
+    # table into one counting aggregate. A join or extra exchange here
+    # means the verification epilogue stopped being a single pass.
+    "optimize_parquet_stats": dict(scans=1, exchanges=1, bhj=0, smj=0),
 }
 
 
