@@ -4089,6 +4089,53 @@ def optimize_parquet_stats(spark, sf_dir):
                        .cast("long")).alias("price_cents")))
 
 
+@q("table_diff_orders", """
+WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+nw AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM o WHERE o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+  FROM o WHERE o_orderkey % 13 = 0)
+SELECT diff, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN nw.o_orderkey IS NULL THEN 'removed'
+              WHEN (o.o_totalprice IS NOT DISTINCT FROM nw.o_totalprice)
+                   AND (o.o_orderstatus IS NOT DISTINCT FROM nw.o_orderstatus)
+                THEN 'unchanged'
+              ELSE 'changed' END AS diff
+  FROM o FULL OUTER JOIN nw ON o.o_orderkey = nw.o_orderkey)
+GROUP BY diff
+""")
+def table_diff_orders(spark, sf_dir):
+    """Snapshot reconciliation (operators.diff.table_diff /
+    diff_summary, r15 — the data-diff / CDF-reconstruction primitive
+    for snapshot tables, completing the merge_into/scd2_apply family):
+    a derived "new" snapshot of orders drops keys %10==0, bumps
+    o_totalprice on keys %7==0, and appends shifted copies of keys
+    %13==0; the diff must classify every row via ONE full-outer key
+    join + a null-safe struct comparison (pure codegen, exact — no
+    hashing). The class counts are float-representation-independent
+    (each engine compares its own old-vs-new values), so the oracle
+    replays the construction and the CASE classification exactly."""
+    from crysda_spark.operators.diff import diff_summary
+    key = F.col("o_orderkey")
+    o = _t(spark, sf_dir, "orders").sdf.select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    changed = (o.where(key % 10 != 0)
+               .withColumn("o_totalprice",
+                           F.when(key % 7 == 0,
+                                  F.col("o_totalprice") + 1.0)
+                           .otherwise(F.col("o_totalprice"))))
+    added = (o.where(key % 13 == 0)
+             .withColumn("o_orderkey", key + 100000000))
+    new = changed.unionByName(added)
+    return diff_summary(Frame(o), Frame(new), on="o_orderkey").sdf
+
+
 @q("rollup_hist_quantile", """
 WITH b AS (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,

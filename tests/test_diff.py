@@ -1,0 +1,85 @@
+"""Snapshot DIFF (operators/diff.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from crysda_spark import Frame
+from crysda_spark.operators.diff import diff_summary, table_diff
+
+
+@pytest.fixture()
+def snaps(spark):
+    old = Frame(spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None),
+         (4, "d", 40.0), (5, None, 50.0)],
+        "k long, name string, v double"))
+    new = Frame(spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged
+         (2, "b2", 20.0),       # changed (name)
+         (3, "c", None),        # unchanged — NULL stayed NULL
+         (5, None, 51.0),       # changed (v); NULL name equal both sides
+         (9, "i", 90.0)],       # added; 4 removed
+        "k long, name string, v double"))
+    return old, new
+
+
+def test_table_diff_classifies_all_four(snaps):
+    old, new = snaps
+    got = {r["k"]: r["diff"] for r in table_diff(old, new, on="k")
+           .sdf.collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "unchanged",
+                   4: "removed", 5: "changed", 9: "added"}
+
+
+def test_diff_summary_counts(snaps):
+    old, new = snaps
+    got = {r["diff"]: r["n"] for r in diff_summary(old, new, on="k")
+           .sdf.collect()}
+    assert got == {"unchanged": 2, "changed": 2, "removed": 1, "added": 1}
+
+
+def test_diff_compare_subset_and_schema_drift(spark, snaps):
+    old, new = snaps
+    # comparing only v: row 2's name change no longer counts
+    got = {r["k"]: r["diff"]
+           for r in table_diff(old, new, on="k", compare=["v"])
+           .sdf.collect()}
+    assert got[2] == "unchanged" and got[5] == "changed"
+    # a column only one side carries is schema drift, not row drift
+    wide = Frame(new.sdf.withColumn("extra", new.sdf["v"] * 2))
+    got2 = {r["k"]: r["diff"] for r in table_diff(old, wide, on="k")
+            .sdf.collect()}
+    assert got2 == {r["k"]: r["diff"]
+                    for r in table_diff(old, new, on="k").sdf.collect()}
+    # compare=[] degenerates to key-presence diff
+    got3 = {r["k"]: r["diff"]
+            for r in table_diff(old, new, on="k", compare=[]).sdf.collect()}
+    assert got3[2] == "unchanged" and got3[9] == "added" \
+        and got3[4] == "removed"
+
+
+def test_diff_multi_key(spark):
+    old = Frame(spark.createDataFrame(
+        [(1, "x", 1.0), (1, "y", 2.0)], "a long, b string, v double"))
+    new = Frame(spark.createDataFrame(
+        [(1, "x", 1.0), (1, "y", 3.0), (2, "x", 9.0)],
+        "a long, b string, v double"))
+    got = {(r["a"], r["b"]): r["diff"]
+           for r in table_diff(old, new, on=["a", "b"]).sdf.collect()}
+    assert got == {(1, "x"): "unchanged", (1, "y"): "changed",
+                   (2, "x"): "added"}
+
+
+def test_diff_validation(spark, snaps):
+    old, new = snaps
+    with pytest.raises(ValueError, match="not in old"):
+        table_diff(old, new, on="nope")
+    with pytest.raises(ValueError, match="compare column"):
+        table_diff(old, new, on="k", compare=["ghost"])
+    with pytest.raises(ValueError, match="are key columns"):
+        table_diff(old, new, on="k", compare=["k"])
+    with pytest.raises(ValueError, match="reserved"):
+        table_diff(Frame(old.sdf.withColumnRenamed("k", "diff")),
+                   Frame(new.sdf.withColumnRenamed("k", "diff")),
+                   on="diff")

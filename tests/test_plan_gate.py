@@ -332,6 +332,13 @@ EXPECTED = {
     # table into one counting aggregate. A join or extra exchange here
     # means the verification epilogue stopped being a single pass.
     "optimize_parquet_stats": dict(scans=1, exchanges=1, bhj=0, smj=0),
+    # r15: snapshot diff — ONE full-outer key join (the one SMJ: both
+    # sides are table-sized, correctly NOT broadcast) over the orders
+    # scan + the derived-snapshot union's two scans, then one counting
+    # aggregate. A bhj here means a table-sized side got broadcast; a
+    # 4th scan means the derived snapshot stopped sharing the base
+    # scans.
+    "table_diff_orders": dict(scans=3, exchanges=3, bhj=0, smj=1),
 }
 
 
