@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 from ..frame import Frame
 
-__all__ = ["table_diff", "diff_summary"]
+__all__ = ["table_diff", "diff_summary", "changefeed", "apply_changefeed",
+           "schema_diff"]
 
 
 def _diff_plan(old: Frame, new: Frame, on, compare):
@@ -92,3 +93,97 @@ def diff_summary(old: Frame, new: Frame, on,
     j, _, _, diff = _diff_plan(old, new, on, compare)
     return Frame(j.select(diff.alias("diff")).groupBy("diff")
                  .agg(F.count(F.lit(1)).alias("n")))
+
+
+def changefeed(old: Frame, new: Frame, on,
+               compare: list[str] | None = None) -> Frame:
+    """Derive the CDC feed two snapshots imply: rows ``(op, keys...,
+    payload...)`` with ``op`` in {'insert', 'update', 'delete'} —
+    unchanged rows are absent, so the feed is delta-sized, not
+    table-sized. Payload columns are every non-key column BOTH frames
+    share (insert/update rows carry the NEW values, delete rows the
+    OLD ones — the full-row feed a downstream consumer replays);
+    ``compare`` narrows which columns make a row an 'update' (a change
+    outside ``compare`` is then invisible to the feed). Same one
+    full-outer key join as :func:`table_diff`.
+
+    :func:`apply_changefeed` replays the feed onto the old snapshot;
+    with default ``compare`` the roundtrip reproduces the new snapshot
+    exactly (pytest-pinned)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    j, keys, compare_cols, diff = _diff_plan(old, new, on, compare)
+    o = old.sdf if hasattr(old, "sdf") else old
+    n = new.sdf if hasattr(new, "sdf") else new
+    payload = [c for c in o.columns if c not in keys and c in n.columns]
+    # rebuild the join carrying the full payload on both sides
+    lo = o.select(*keys, F.lit(True).alias("_in_old"),
+                  *[F.col(c).alias(f"_o_{c}") for c in payload])
+    ln = n.select(*keys, F.lit(True).alias("_in_new"),
+                  *[F.col(c).alias(f"_n_{c}") for c in payload])
+    j2 = lo.join(ln, on=keys, how="full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    op = (F.when(F.col("_in_old").isNull(), F.lit("insert"))
+          .when(F.col("_in_new").isNull(), F.lit("delete"))
+          .when(same, F.lit(None).cast("string"))
+          .otherwise(F.lit("update")))
+    out = (j2.withColumn("op", op).where(F.col("op").isNotNull())
+           .select("op", *keys,
+                   *[F.when(F.col("op") == "delete", F.col(f"_o_{c}"))
+                     .otherwise(F.col(f"_n_{c}")).alias(c)
+                     for c in payload]))
+    return Frame(out)
+
+
+def apply_changefeed(snapshot: Frame, feed: Frame, on) -> Frame:
+    """Replay a :func:`changefeed` onto a snapshot: upserts via
+    :func:`~crysda_spark.operators.merge.merge_into`, deletes via an
+    anti-join on the delete keys — the inverse that makes
+    ``apply_changefeed(old, changefeed(old, new, on), on) == new``
+    (pytest-pinned, default ``compare``). The snapshot's column set
+    must equal the feed's keys+payload (a column the feed cannot
+    represent cannot be replayed)."""
+    from .merge import merge_into
+    keys = [on] if isinstance(on, str) else list(on)
+    fsdf = feed.sdf if hasattr(feed, "sdf") else feed
+    if "op" not in fsdf.columns:
+        raise ValueError("apply_changefeed: feed has no 'op' column — "
+                         "not a changefeed")
+    snap_cols = set((snapshot.sdf if hasattr(snapshot, "sdf")
+                     else snapshot).columns)
+    feed_cols = set(fsdf.columns) - {"op"}
+    if snap_cols != feed_cols:
+        raise ValueError(
+            f"apply_changefeed: snapshot columns {sorted(snap_cols)} != "
+            f"feed payload {sorted(feed_cols)} — the feed cannot replay "
+            f"columns it does not carry")
+    ups = Frame(fsdf.where(F.col("op") != "delete").drop("op"))
+    dels = fsdf.where(F.col("op") == "delete").select(*keys)
+    merged = merge_into(snapshot, ups, on=keys)
+    return Frame(merged.sdf.join(dels, on=keys, how="left_anti"))
+
+
+def schema_diff(old: Frame, new: Frame) -> list[dict]:
+    """Column-level drift between two frames (driver-side, no job):
+    list of {column, change, old_type, new_type} with ``change`` in
+    {'added', 'removed', 'type_changed'} — the schema counterpart of
+    :func:`table_diff` (which deliberately ignores one-sided columns).
+    Empty list == schemas agree on names and types."""
+    o = old.sdf if hasattr(old, "sdf") else old
+    n = new.sdf if hasattr(new, "sdf") else new
+    ot = dict(o.dtypes)
+    nt = dict(n.dtypes)
+    out = []
+    for c in o.columns:
+        if c not in nt:
+            out.append({"column": c, "change": "removed",
+                        "old_type": ot[c], "new_type": None})
+        elif ot[c] != nt[c]:
+            out.append({"column": c, "change": "type_changed",
+                        "old_type": ot[c], "new_type": nt[c]})
+    for c in n.columns:
+        if c not in ot:
+            out.append({"column": c, "change": "added",
+                        "old_type": None, "new_type": nt[c]})
+    return out

@@ -83,3 +83,54 @@ def test_diff_validation(spark, snaps):
         table_diff(Frame(old.sdf.withColumnRenamed("k", "diff")),
                    Frame(new.sdf.withColumnRenamed("k", "diff")),
                    on="diff")
+
+
+def test_changefeed_contents_and_roundtrip(snaps):
+    """The derived CDC feed is delta-sized with new values on upserts
+    and old values on deletes; replaying it onto the old snapshot
+    reproduces the new snapshot EXACTLY."""
+    from crysda_spark.operators.diff import apply_changefeed, changefeed
+    old, new = snaps
+    feed = changefeed(old, new, on="k")
+    rows = {r["k"]: (r["op"], r["name"], r["v"])
+            for r in feed.sdf.collect()}
+    assert rows == {2: ("update", "b2", 20.0),
+                    5: ("update", None, 51.0),
+                    4: ("delete", "d", 40.0),    # old values
+                    9: ("insert", "i", 90.0)}
+    replayed = apply_changefeed(old, feed, on="k")
+    assert (sorted(tuple(r) for r in replayed.sdf.collect())
+            == sorted(tuple(r) for r in new.sdf.collect()))
+
+
+def test_changefeed_compare_subset_hides_changes(snaps):
+    from crysda_spark.operators.diff import changefeed
+    old, new = snaps
+    feed = changefeed(old, new, on="k", compare=["v"])
+    ops = {r["k"]: r["op"] for r in feed.sdf.collect()}
+    # row 2 changed only name -> invisible when comparing v alone
+    assert 2 not in ops and ops[5] == "update"
+
+
+def test_apply_changefeed_validation(snaps):
+    from crysda_spark.operators.diff import apply_changefeed, changefeed
+    old, new = snaps
+    with pytest.raises(ValueError, match="no 'op' column"):
+        apply_changefeed(old, new, on="k")
+    feed = changefeed(old, new, on="k")
+    narrow = Frame(old.sdf.drop("v"))
+    with pytest.raises(ValueError, match="cannot replay"):
+        apply_changefeed(narrow, feed, on="k")
+
+
+def test_schema_diff(spark, snaps):
+    from crysda_spark.operators.diff import schema_diff
+    old, new = snaps
+    assert schema_diff(old, new) == []
+    from pyspark.sql import functions as F
+    drifted = Frame(new.sdf.drop("name")
+                    .withColumn("v", F.col("v").cast("float"))
+                    .withColumn("extra", F.lit(1)))
+    got = {d["column"]: d["change"] for d in schema_diff(old, drifted)}
+    assert got == {"name": "removed", "v": "type_changed",
+                   "extra": "added"}
