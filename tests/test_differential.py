@@ -1039,3 +1039,74 @@ def test_random_incremental_dupspan_matches_duckdb(spark, spec):
     assert got == want, (
         f"incremental dupspan diverged: L={L} min_dup={md} "
         f"batches={n_batches}")
+
+
+# --------------------------- r15 family: snapshot diff + changefeed
+
+def _diff_specs():
+    return [(i, 9200 + i) for i in range(4)]
+
+
+@pytest.mark.parametrize("spec", _diff_specs(),
+                         ids=lambda s: f"diff{s[0]}")
+def test_random_diff_matches_duckdb_and_replays(spark, spec):
+    """table_diff/diff_summary over RANDOM derived snapshots vs
+    DuckDB's full-outer CASE classification, plus the changefeed
+    roundtrip: apply_changefeed(old, changefeed(old, new)) must
+    reproduce the new snapshot row-for-row. Random removal/change/
+    insert moduli, random changed column, NULL injection."""
+    from crysda_spark.operators.diff import (apply_changefeed,
+                                             changefeed, diff_summary)
+    _, seed = spec
+    rnd = random.Random(seed)
+    p_rem, r_rem = rnd.randint(3, 9), rnd.randrange(3)
+    p_chg, r_chg = rnd.randint(3, 9), rnd.randrange(3)
+    p_add, r_add = rnd.randint(5, 12), rnd.randrange(5)
+    null_mod = rnd.randint(7, 15)
+    rows = [(i,
+             None if i % null_mod == 0 else round(rnd.uniform(0, 100), 2),
+             rnd.choice(["x", "y", "z"]))
+            for i in range(rnd.randint(40, 80))]
+    old = Frame(spark.createDataFrame(rows, "k long, v double, s string"))
+    key = F.col("k")
+    changed = (old.sdf.where(key % p_rem != r_rem)
+               .withColumn("v", F.when(key % p_chg == r_chg,
+                                       F.coalesce(F.col("v"), F.lit(0.0))
+                                       + 1.0).otherwise(F.col("v"))))
+    added = (old.sdf.where(key % p_add == r_add)
+             .withColumn("k", key + 1000000))
+    new = Frame(changed.unionByName(added))
+
+    out = diff_summary(old, new, on="k").sdf
+    got = _rows_canon(out.columns, [tuple(r) for r in out.collect()])
+
+    con = duckdb.connect()
+    values = ", ".join(
+        f"({k}, {'NULL' if v is None else v}, '{s}')" for k, v, s in rows)
+    sql = f"""
+WITH o AS (SELECT * FROM (VALUES {values}) t(k, v, s)),
+nw AS (
+  SELECT k, CASE WHEN k % {p_chg} = {r_chg}
+                 THEN COALESCE(v, 0.0) + 1.0 ELSE v END AS v, s
+  FROM o WHERE k % {p_rem} <> {r_rem}
+  UNION ALL
+  SELECT k + 1000000, v, s FROM o WHERE k % {p_add} = {r_add})
+SELECT diff, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT CASE WHEN o.k IS NULL THEN 'added'
+              WHEN nw.k IS NULL THEN 'removed'
+              WHEN (o.v IS NOT DISTINCT FROM nw.v)
+                   AND (o.s IS NOT DISTINCT FROM nw.s) THEN 'unchanged'
+              ELSE 'changed' END AS diff
+  FROM o FULL OUTER JOIN nw ON o.k = nw.k)
+GROUP BY diff"""
+    res = con.sql(sql)
+    want = _rows_canon(res.columns, res.fetchall())
+    assert got == want
+
+    feed = changefeed(old, new, on="k")
+    replayed = apply_changefeed(old, feed, on="k")
+    got_rt = _rows_canon(replayed.sdf.columns,
+                         [tuple(r) for r in replayed.sdf.collect()])
+    want_rt = _rows_canon(new.sdf.columns,
+                          [tuple(r) for r in new.sdf.collect()])
+    assert got_rt == want_rt
