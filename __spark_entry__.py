@@ -6847,13 +6847,19 @@ def lm_model_scored(spark, sf_dir):
     self-scoring bit-for-bit, so the bigram-rung SQL oracle pins the
     whole build→merge→score path (aliases n_ngrams/lm2_logprob —
     score_with_ngram_model's generic output names)."""
+    from crysda_spark.plans.cache import pin
     docs = _t(spark, sf_dir, "documents")
-    batches = [Frame(docs.sdf.where(F.col("doc_id") % 3 == i))
-               for i in range(3)]
-    acc = tx.build_ngram_model(batches[0], "text", order=2)
-    for b in batches[1:]:
-        acc = tx.merge_ngram_model(
-            *acc, *tx.build_ngram_model(b, "text", order=2))
+    acc = None
+    for i in range(3):
+        b = Frame(docs.sdf.where(F.col("doc_id") % 3 == i))
+        g, v, s = tx.build_ngram_model(b, "text", order=2)
+        # pin the vocab-sized per-batch deltas (the bigram-rung
+        # discipline): every downstream consumer — the merged stats
+        # row, the prefix aggregate, the model join, V — reads the
+        # cached count tables instead of replaying its own pair of
+        # corpus scans per chain
+        delta = (Frame(pin(g.sdf)), Frame(pin(v.sdf)), s)
+        acc = delta if acc is None else tx.merge_ngram_model(*acc, *delta)
     return tx.score_with_ngram_model(docs, "text", "doc_id", *acc).sdf
 
 

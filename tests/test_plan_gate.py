@@ -320,13 +320,17 @@ EXPECTED = {
     "grouped_ols_lineitem": dict(scans=1, exchanges=1, bhj=0, smj=0),
     # r15: accreted-LM-model scoring — 3 per-batch builds x 2 scans
     # (gram + vocab counts; a streamed batch pays the same two
-    # batch-sized passes) + 1 scoring-stream scan = 7; the merges are
-    # pure key-sum aggregates over unions (no join — the
+    # batch-sized passes) + 1 scoring-stream scan = 7; per-batch
+    # deltas PINNED (the bigram-rung discipline — unpinned, the stats
+    # row, prefix aggregate, model join, and V each replayed their own
+    # corpus chains; the extra exchanges vs the unpinned 9 are the
+    # InMemoryRelation subtrees the formatted plan prints). The merges
+    # are pure key-sum aggregates over unions (no join — the
     # merge_ngram_model contract), so joins stay the two broadcast
     # model joins of the scoring epilogue. An smj means the model
     # reached corpus width; MORE scans means a merge started re-reading
     # batch text.
-    "lm_model_scored": dict(scans=7, exchanges=9, bhj=2, smj=0),
+    "lm_model_scored": dict(scans=7, exchanges=15, bhj=2, smj=0),
     # r15: OPTIMIZE verb — the side-effecting rewrite runs eagerly at
     # build time; the RETURNED plan is the read-back of the optimized
     # table into one counting aggregate. A join or extra exchange here
