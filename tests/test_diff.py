@@ -134,3 +134,53 @@ def test_schema_diff(spark, snaps):
     got = {d["column"]: d["change"] for d in schema_diff(old, drifted)}
     assert got == {"name": "removed", "v": "type_changed",
                    "extra": "added"}
+
+
+def test_changefeed_pruned_matches_unpruned(snaps):
+    """The bucket-pruned 100 TB path must produce the identical feed:
+    digests flag exactly the buckets holding deltas, the full join
+    runs only there."""
+    from crysda_spark.operators.diff import changefeed
+    old, new = snaps
+    want = sorted(tuple(r) for r in
+                  changefeed(old, new, on="k").sdf.collect())
+    for buckets in (1, 8, 64):
+        got = sorted(tuple(r) for r in
+                     changefeed(old, new, on="k",
+                                prune_buckets=buckets).sdf.collect())
+        assert got == want, buckets
+
+
+def test_changefeed_prune_flags_only_delta_buckets(spark):
+    from crysda_spark.operators.diff import _changed_buckets, changefeed
+    rows = [(i, float(i)) for i in range(200)]
+    old = Frame(spark.createDataFrame(rows, "k long, v double"))
+    new = Frame(spark.createDataFrame(
+        [(k, v + 1.0 if k == 137 else v) for k, v in rows],
+        "k long, v double"))
+    ch = _changed_buckets(old.sdf, new.sdf, ["k"], ["v"], 64)
+    assert ch.count() == 1  # one changed key -> exactly one bucket
+    feed = changefeed(old, new, on="k", prune_buckets=64)
+    assert [(r["op"], r["k"]) for r in feed.sdf.collect()] \
+        == [("update", 137)]
+
+
+def test_changefeed_prune_null_position_shift(spark):
+    """xxhash64 skips NULL columns; the digest appends is-null flags
+    so a null-position swap still flags the bucket."""
+    from crysda_spark.operators.diff import changefeed
+    old = Frame(spark.createDataFrame([(1, "a", None), (2, "b", "c")],
+                                      "k long, x string, y string"))
+    new = Frame(spark.createDataFrame([(1, None, "a"), (2, "b", "c")],
+                                      "k long, x string, y string"))
+    for pb in (None, 16):
+        feed = changefeed(old, new, on="k", prune_buckets=pb)
+        assert [(r["op"], r["k"]) for r in feed.sdf.collect()] \
+            == [("update", 1)], pb
+
+
+def test_changefeed_prune_validation(snaps):
+    from crysda_spark.operators.diff import changefeed
+    old, new = snaps
+    with pytest.raises(ValueError, match="prune_buckets"):
+        changefeed(old, new, on="k", prune_buckets=0)

@@ -1110,3 +1110,10 @@ GROUP BY diff"""
     want_rt = _rows_canon(new.sdf.columns,
                           [tuple(r) for r in new.sdf.collect()])
     assert got_rt == want_rt
+    # the bucket-pruned 100 TB path yields the identical feed
+    pruned = changefeed(old, new, on="k",
+                        prune_buckets=rnd.choice([4, 32, 256]))
+    assert (_rows_canon(pruned.sdf.columns,
+                        [tuple(r) for r in pruned.sdf.collect()])
+            == _rows_canon(feed.sdf.columns,
+                           [tuple(r) for r in feed.sdf.collect()]))
