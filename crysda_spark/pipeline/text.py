@@ -1068,7 +1068,33 @@ def build_ngram_model(f, text_col: str = "text", order: int = 2):
                                   .alias("n_tokens")))
              .select(F.lit(order).cast("long").alias("order"),
                      "n_grams", "n_tokens"))
-    return Frame(grams), Frame(vocab), Frame(stats)
+    stats_f = Frame(stats)
+    # driver-side order tag (r15 optimization): the order is a LITERAL
+    # of this plan, but reading it back via stats.first() would execute
+    # the full gram/vocab aggregates — merge_ngram_model and
+    # score_with_ngram_model did exactly that per call (6+ eager
+    # vocabulary-sized jobs in a 3-batch accrete-and-score chain,
+    # measured ~half of lm_model_scored's wall time). The tag rides the
+    # Frame; consumers fall back to a (column-pruned) first() only for
+    # models whose stats came from elsewhere (e.g. read_ngram_model).
+    stats_f._lm_order = int(order)
+    return Frame(grams), Frame(vocab), stats_f
+
+
+def _lm_stats_order(stats) -> int:
+    """Model order from a stats Frame WITHOUT running its plan when
+    avoidable (r15 optimization). Stats built by
+    :func:`build_ngram_model` / folded by :func:`merge_ngram_model`
+    carry the order as a driver-side tag (it is a plan literal — no
+    job needed); stats from other sources (``read_ngram_model``, a
+    snapshot read) pay one column-pruned ``first()``, which for a
+    1-row parquet stats file is a trivial scan, not the full
+    gram/vocab aggregation the untagged in-memory plans would run."""
+    o = getattr(stats, "_lm_order", None)
+    if o is not None:
+        return int(o)
+    s = stats.sdf if hasattr(stats, "sdf") else stats
+    return int(s.select("order").first()["order"])
 
 
 def score_with_ngram_model(f, text_col: str, id_col: str, grams, vocab,
@@ -1089,8 +1115,7 @@ def score_with_ngram_model(f, text_col: str, id_col: str, grams, vocab,
     re-aggregate and the scoring join → PINNED (model-sized; release
     via ``release_pinned()``); the batch's gram stream is never
     persisted."""
-    srow = (stats.sdf if hasattr(stats, "sdf") else stats).first()
-    order = int(srow["order"])
+    order = _lm_stats_order(stats)
     _guard_id(id_col, {"_b", "_p", "_cn", "_cp", "_v", "n_ngrams",
                        f"lm{order}_logprob"}, "score_with_ngram_model")
     from ..plans.cache import pin
@@ -1129,8 +1154,8 @@ def merge_ngram_model(grams, vocab, stats, grams_delta, vocab_delta,
     gd = grams_delta.sdf if hasattr(grams_delta, "sdf") else grams_delta
     vd = vocab_delta.sdf if hasattr(vocab_delta, "sdf") else vocab_delta
     sd = stats_delta.sdf if hasattr(stats_delta, "sdf") else stats_delta
-    o1 = int(s.first()["order"])
-    o2 = int(sd.first()["order"])
+    o1 = _lm_stats_order(stats)
+    o2 = _lm_stats_order(stats_delta)
     if o1 != o2:
         raise ValueError(f"merge_ngram_model: order mismatch — model "
                          f"is order {o1}, delta is order {o2}")
@@ -1144,7 +1169,9 @@ def merge_ngram_model(grams, vocab, stats, grams_delta, vocab_delta,
                   F.sum("n_tokens").cast("long").alias("n_tokens"))
              .select(F.lit(o1).cast("long").alias("order"),
                      "n_grams", "n_tokens"))
-    return Frame(out_g), Frame(out_v), Frame(out_s)
+    out_s_f = Frame(out_s)
+    out_s_f._lm_order = o1  # see _lm_stats_order
+    return Frame(out_g), Frame(out_v), out_s_f
 
 
 def write_ngram_model(grams, vocab, stats, path: str):

@@ -329,8 +329,12 @@ EXPECTED = {
     # merge_ngram_model contract), so joins stay the two broadcast
     # model joins of the scoring epilogue. An smj means the model
     # reached corpus width; MORE scans means a merge started re-reading
-    # batch text.
-    "lm_model_scored": dict(scans=7, exchanges=15, bhj=2, smj=0),
+    # batch text. r15 optimization round: 15 -> 13 exchanges — the
+    # driver-side _lm_order tag removed the eager stats.first() per
+    # merge/score, so the n_grams/n_tokens stats aggregates (2
+    # exchange subtrees only the order check ever consumed) dropped
+    # out of the executed chain entirely.
+    "lm_model_scored": dict(scans=7, exchanges=13, bhj=2, smj=0),
     # r15: OPTIMIZE verb — the side-effecting rewrite runs eagerly at
     # build time; the RETURNED plan is the read-back of the optimized
     # table into one counting aggregate. A join or extra exchange here
