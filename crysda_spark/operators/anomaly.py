@@ -225,16 +225,36 @@ def winsorize(f: Frame, value_col: str, by: list[str] | str | tuple = (),
     local collect — see ``_as_local``), so the clamp bounds freeze
     against the input as of this call; a source that mutates between
     this call and the first action on the result does not move them."""
-    from .quantiles import quantile_cont
+    from .quantiles import _MAX_BUCKETS, quantile_cont
     if not 0.0 <= q_lo < q_hi <= 1.0:
         raise ValueError(f"winsorize: need 0 <= q_lo < q_hi <= 1, "
                          f"got ({q_lo}, {q_hi})")
     keys = [by] if isinstance(by, str) else list(by)
     out_col = out_col or f"{value_col}_w"
     spark = f.sdf.sparkSession
+    # fused probe (r15 optimization round): the path-picking distinct
+    # estimate AND the distributed path's bucket split points come out
+    # of ONE aggregation job over the same projection — previously the
+    # probe and quantile_cont's bounds pass each scanned the input
+    # (two of the five full passes this operator paid). The split
+    # points are wasted work only on the collapse path, where they are
+    # a few extra percentile sketches inside an aggregate this job
+    # runs anyway.
+    n_b = min(int(spark.conf.get("spark.sql.shuffle.partitions")),
+              _MAX_BUCKETS)
+    qb = _quantile_base(f.sdf, keys, value_col)
+    agg_cols = [F.approx_count_distinct(
+        F.struct(*keys, F.col("_av"))).alias("_e")]
+    if n_b > 1:
+        probs = [i / n_b for i in range(1, n_b)]
+        agg_cols.append(F.percentile_approx(
+            "_av", F.array(*[F.lit(p) for p in probs]),
+            F.lit(4 * n_b)).alias("_sp"))
+    prow = qb.agg(*agg_cols).first()
+    collapses = prow["_e"] <= int(_DISTINCT_CAP * 0.7)
     vc_rows = (_value_counts(f.sdf, keys, value_col)
                .limit(_DISTINCT_CAP + 1).collect()
-               if _collapses_well(f.sdf, keys, value_col) else None)
+               if collapses else None)
     if vc_rows is not None and len(vc_rows) <= _DISTINCT_CAP:
         # driver fast path: the whole quantile reduces to ONE job (the
         # collapse) + exact bit-identical local interpolation
@@ -245,9 +265,12 @@ def winsorize(f: Frame, value_col: str, by: list[str] | str | tuple = (),
             .add("_lo", "double").add("_hi", "double"))
     else:
         # near-unique values: collapse buys nothing — run the exact
-        # distributed quantile straight over the projected rows
-        qs = quantile_cont(_quantile_base(f.sdf, keys, value_col), "_av",
-                           [q_lo, q_hi], by=keys or None, with_index=True)
+        # distributed quantile straight over the projected rows,
+        # reusing the fused probe's split points (no bounds job)
+        qs = quantile_cont(qb, "_av",
+                           [q_lo, q_hi], by=keys or None, with_index=True,
+                           bounds=list(prow["_sp"] or [])
+                           if n_b > 1 else [])
         bounds = _as_local(
             qs.groupBy(*keys)
             .agg(F.min(F.when(F.col("_qi") == 0, F.col("value")))
