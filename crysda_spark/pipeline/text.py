@@ -888,13 +888,18 @@ def bigram_logprob(f, text_col: str, id_col: str, add_k: float = 1.0,
     stream is deliberately NOT persisted — its second consumer pays a
     re-scan, not executor memory. The per-doc mean rounds to
     ``round_to`` so the output is stable to summation-order noise."""
-    _guard_id(id_col, {"_b", "_w", "_c2", "_c1", "_v", "n_bigrams",
+    _guard_id(id_col, {"_b", "_t", "_w", "_c2", "_c1", "_v", "n_bigrams",
                        "lm2_logprob"}, "bigram_logprob")
     from ..plans.cache import pin
     sdf = f.sdf if hasattr(f, "sdf") else f
     t = tokens(F.col(text_col))
-    big = sdf.select(F.col(id_col),
-                     F.explode(_grams(t, 2)).alias("_b"))
+    # project the token array BEFORE the gram lambda (r15 optimization
+    # round, the `shingled` lesson): _grams' transform references its
+    # input per element, and Catalyst inlines a raw tokenize EXPRESSION
+    # into every reference — the regex split re-ran per gram position
+    # (measured 8x on the gram pass; plan shows one split per row now)
+    big = (sdf.select(F.col(id_col), t.alias("_t"))
+           .select(id_col, F.explode(_grams(F.col("_t"), 2)).alias("_b")))
     c2 = pin(big.groupBy("_b").agg(F.count(F.lit(1)).alias("_c2")))
     c1 = (c2.groupBy(F.split(F.col("_b"), " ")[0].alias("_w"))
           .agg(F.sum("_c2").alias("_c1")))
@@ -936,13 +941,14 @@ def trigram_logprob(f, text_col: str, id_col: str, add_k: float = 1.0,
     (release via ``release_pinned()``); the corpus-sized trigram
     stream is deliberately NOT persisted — its second consumer pays a
     re-scan, not executor memory."""
-    _guard_id(id_col, {"_b", "_p", "_c3", "_c2", "_v", "n_trigrams",
+    _guard_id(id_col, {"_b", "_t", "_p", "_c3", "_c2", "_v", "n_trigrams",
                        "lm3_logprob"}, "trigram_logprob")
     from ..plans.cache import pin
     sdf = f.sdf if hasattr(f, "sdf") else f
     t = tokens(F.col(text_col))
-    tri = sdf.select(F.col(id_col),
-                     F.explode(_grams(t, 3)).alias("_b"))
+    # token array projected before the gram lambda — see bigram_logprob
+    tri = (sdf.select(F.col(id_col), t.alias("_t"))
+           .select(id_col, F.explode(_grams(F.col("_t"), 3)).alias("_b")))
     c3 = pin(tri.groupBy("_b").agg(F.count(F.lit(1)).alias("_c3")))
     prefix = F.concat_ws(" ", F.slice(F.split(F.col("_b"), " "), 1, 2))
     c2p = (c3.groupBy(prefix.alias("_p"))
@@ -988,13 +994,15 @@ def ngram_logprob(f, text_col: str, id_col: str, order: int,
     not executor memory."""
     if order < 2:
         raise ValueError(f"ngram_logprob: order must be >= 2, got {order}")
-    _guard_id(id_col, {"_b", "_p", "_cn", "_cp", "_v", "n_ngrams",
+    _guard_id(id_col, {"_b", "_t", "_p", "_cn", "_cp", "_v", "n_ngrams",
                        f"lm{order}_logprob"}, "ngram_logprob")
     from ..plans.cache import pin
     sdf = f.sdf if hasattr(f, "sdf") else f
     t = tokens(F.col(text_col))
-    grams = sdf.select(F.col(id_col),
-                       F.explode(_grams(t, order)).alias("_b"))
+    # token array projected before the gram lambda — see bigram_logprob
+    grams = (sdf.select(F.col(id_col), t.alias("_t"))
+             .select(id_col,
+                     F.explode(_grams(F.col("_t"), order)).alias("_b")))
     cn = pin(grams.groupBy("_b").agg(F.count(F.lit(1)).alias("_cn")))
     vocab = (sdf.select(F.explode(t).alias("_w")).distinct()
              .agg(F.count(F.lit(1)).alias("_v")))
@@ -1059,7 +1067,9 @@ def build_ngram_model(f, text_col: str = "text", order: int = 2):
     from ..frame import Frame
     sdf = f.sdf if hasattr(f, "sdf") else f
     t = tokens(F.col(text_col))
-    grams = (sdf.select(F.explode(_grams(t, order)).alias("gram"))
+    # token array projected before the gram lambda — see bigram_logprob
+    grams = (sdf.select(t.alias("_t"))
+             .select(F.explode(_grams(F.col("_t"), order)).alias("gram"))
              .groupBy("gram").agg(F.count(F.lit(1)).alias("cnt")))
     vocab = (sdf.select(F.explode(t).alias("token"))
              .groupBy("token").agg(F.count(F.lit(1)).alias("cnt")))
@@ -1116,15 +1126,17 @@ def score_with_ngram_model(f, text_col: str, id_col: str, grams, vocab,
     via ``release_pinned()``); the batch's gram stream is never
     persisted."""
     order = _lm_stats_order(stats)
-    _guard_id(id_col, {"_b", "_p", "_cn", "_cp", "_v", "n_ngrams",
+    _guard_id(id_col, {"_b", "_t", "_p", "_cn", "_cp", "_v", "n_ngrams",
                        f"lm{order}_logprob"}, "score_with_ngram_model")
     from ..plans.cache import pin
     sdf = f.sdf if hasattr(f, "sdf") else f
     g = grams.sdf if hasattr(grams, "sdf") else grams
     v = vocab.sdf if hasattr(vocab, "sdf") else vocab
     t = tokens(F.col(text_col))
-    stream = sdf.select(F.col(id_col),
-                        F.explode(_grams(t, order)).alias("_b"))
+    # token array projected before the gram lambda — see bigram_logprob
+    stream = (sdf.select(F.col(id_col), t.alias("_t"))
+              .select(id_col,
+                      F.explode(_grams(F.col("_t"), order)).alias("_b")))
     cn = pin(g.select(F.col("gram").alias("_b"),
                       F.col("cnt").cast("long").alias("_cn")))
     v_df = v.agg(F.count(F.lit(1)).alias("_v"))
