@@ -679,7 +679,24 @@ def _cms_bucket(c: Column, row: int, w: int) -> Column:
 
 
 def _cms_fine(col, d: int, w: int) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
+    if isinstance(col, str):
+        # generated-SQL path (r15 optimization round): the d·w per-cell
+        # sums are ONE expr() parsed server-side — the Column-builder
+        # form made ~5 py4j round trips per cell (1.7 s of driver time
+        # at 4×64 before the first job could start). Identical
+        # expression tree, identical values; codegen subexpression
+        # elimination already de-duplicates the repeated bucket hash at
+        # runtime in both forms.
+        c = f"cast(`{col}` as bigint)"
+        cells = []
+        for r in range(d):
+            b = (f"pmod(pmod(pmod({c}, {_CMS_P}) * {_CMS_A[r]}L "
+                 f"+ {_CMS_B[r]}L, {_CMS_P}), {w})")
+            cells.extend(
+                f"sum(cast(if(`{col}` is not null and {b} = {i}, 1, 0) "
+                f"as bigint))" for i in range(w))
+        return F.expr("array(" + ", ".join(cells) + ")")
+    c = col
     cells = []
     for r in range(d):
         b = F.when(c.isNotNull(), _cms_bucket(c, r, w))
@@ -689,7 +706,7 @@ def _cms_fine(col, d: int, w: int) -> Column:
 
 
 def _cms_merge(name: str, d: int, w: int) -> Column:
-    zero = F.array(*[F.lit(0).cast("long")] * (d * w))
+    zero = F.array_repeat(F.lit(0).cast("long"), d * w)
     return F.aggregate(F.collect_list(F.col(name)), zero,
                        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b))
 
