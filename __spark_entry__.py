@@ -6174,12 +6174,25 @@ def text_classifier_planted(spark, sf_dir):
     (itself value-oracled by logreg_gd_weights)."""
     import hashlib
 
-    from crysda_spark.pipeline.classify import (text_classifier_fit,
-                                                text_classifier_predict)
+    from crysda_spark.pipeline.classify import (hash_features,
+                                                logreg_gd_fit,
+                                                logreg_gd_predict)
+    from crysda_spark.plans.cache import pin
     d = (_t(spark, sf_dir, "documents").sdf
          .withColumn("y", F.col("text").contains("spark").cast("int")))
-    w = text_classifier_fit(d, "text", "doc_id", "y", dims=64,
-                            ngrams=(1,), iters=4, lr=2.0, scale="binary")
+    # featurize ONCE (r15 optimization round): the composed
+    # text_classifier_fit + text_classifier_predict pair each ran the
+    # full hashing-trick featurize over the corpus (~1.1 s of the
+    # query's 3.4 s) — the same features both times by construction.
+    # The pinned (id, features, y) table feeds training, scoring, AND
+    # the per-class aggregate (no join back for the label either);
+    # weights and scores are bit-identical to the composed path (same
+    # featurizer, same GD primitive, same literal-weight fold).
+    feats = pin(hash_features(d.select("doc_id", "text"), "text",
+                              "doc_id", dims=64, ngrams=(1,),
+                              scale="binary")
+                .join(d.select("doc_id", "y"), on="doc_id"))
+    w = logreg_gd_fit(feats, "features", "y", dims=64, iters=4, lr=2.0)
     planted = int(hashlib.md5(b"spark").hexdigest()[:15], 16) % 64
     top = max(range(64), key=lambda j: w[1 + j])
     if top != planted or w[1 + planted] <= 0:
@@ -6188,11 +6201,10 @@ def text_classifier_planted(spark, sf_dir):
             f"(w={w[1 + top]:.4f}), expected planted bucket {planted} "
             f"(w={w[1 + planted]:.4f}) — GD failed to lift the planted "
             f"token")
-    scored = text_classifier_predict(d, "text", "doc_id", w, ngrams=(1,),
-                                     scale="binary")
-    per_class = (scored.join(d.select("doc_id", "y"), on="doc_id")
-                 .groupBy("y").agg(F.avg("score").alias("mean_score"),
-                                   F.count(F.lit(1)).alias("n")))
+    per_class = (feats.select(
+        "y", logreg_gd_predict(feats, "features", w))
+        .groupBy("y").agg(F.avg("score").alias("mean_score"),
+                          F.count(F.lit(1)).alias("n")))
     rows = {r.y: r for r in per_class.collect()}
     if rows[1].mean_score <= rows[0].mean_score:
         raise AssertionError(
@@ -6376,7 +6388,8 @@ def multiclass_confusion_planted(spark, sf_dir):
     import hashlib
 
     from crysda_spark.pipeline.classify import (
-        text_classifier_fit_multi, text_classifier_predict_multi)
+        hash_features, logreg_gd_fit_multi, logreg_gd_predict_multi)
+    from crysda_spark.plans.cache import pin
     words = ["zebraone", "zebratwo", "zebrathree"]
     buckets = [int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % 64
                for w in words]
@@ -6387,20 +6400,27 @@ def multiclass_confusion_planted(spark, sf_dir):
              F.col("text"), F.lit(" "),
              F.element_at(F.array(*[F.lit(w) for w in words]),
                           (F.col("doc_id") % 3 + 1).cast("int")))))
-    w = text_classifier_fit_multi(d, "text", "doc_id", "y", n_classes=3,
-                                  dims=64, ngrams=(1,), iters=3, lr=2.0,
-                                  scale="binary")
+    # featurize ONCE (r15 optimization round — the
+    # text_classifier_planted restructure): the composed fit_multi +
+    # predict_multi pair each ran the full hashing-trick featurize;
+    # the pinned (id, features, y) table feeds training, argmax
+    # scoring, AND the confusion aggregate (label join gone too).
+    # Weights/predictions bit-identical to the composed path.
+    feats = pin(hash_features(d.select("doc_id", "text"), "text",
+                              "doc_id", dims=64, ngrams=(1,),
+                              scale="binary")
+                .join(d.select("doc_id", "y"), on="doc_id"))
+    w = logreg_gd_fit_multi(feats, "features", "y", dims=64,
+                            n_classes=3, iters=3, lr=2.0)
     for k in range(3):
         top = max(range(64), key=lambda j: w[k][1 + j])
         if top != buckets[k] or w[k][1 + buckets[k]] <= 0:
             raise AssertionError(
                 f"multiclass gate: class {k} argmax bucket {top}, "
                 f"expected planted {buckets[k]}")
-    pred = text_classifier_predict_multi(d, "text", "doc_id", w,
-                                         ngrams=(1,), scale="binary",
-                                         scores_col=None)
-    conf = (pred.join(d.select("doc_id", "y"), on="doc_id")
-            .groupBy("y", "pred").agg(F.count(F.lit(1)).alias("n")))
+    pred = logreg_gd_predict_multi(feats, "features", w,
+                                   scores_col=None)
+    conf = (pred.groupBy("y", "pred").agg(F.count(F.lit(1)).alias("n")))
     off = conf.filter(F.col("y") != F.col("pred")).count()
     if off:
         raise AssertionError(
