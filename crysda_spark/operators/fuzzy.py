@@ -74,8 +74,13 @@ def fuzzy_join(left: Frame, right: Frame, left_col: str, right_col: str,
         lk = lk + suffices[0] if lk in shared else lk
         rk = rk + suffices[1] if rk in shared else rk
         cond = cond & (_q(lk) == _q(rk))
-    dist = F.levenshtein(_q(lcol), _q(rcol))
-    matched = (l2.join(r3, on=cond & (dist <= k), how="inner")
+    # bounded Levenshtein (r15 optimization round): the 3-arg form
+    # (Spark 3.5+) early-exits the DP once the running distance exceeds
+    # k — O(k·n) per candidate instead of O(n²) — and returns -1 above
+    # the bound, so `dist >= 0` is exactly the old `dist <= k` and the
+    # emitted distance is the true distance for every kept pair.
+    dist = F.levenshtein(_q(lcol), _q(rcol), k)
+    matched = (l2.join(r3, on=cond & (dist >= 0), how="inner")
                .drop("__band__")
                .withColumn(out_col, dist))
     if how == "inner":

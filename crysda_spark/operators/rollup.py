@@ -294,7 +294,20 @@ def _hist_fine(col, lo: float, hi: float, nbins: int) -> Column:
     Values clamp into the edge bins (below lo → bin 0, at/above hi →
     bin nbins-1); nulls are not counted."""
     width = (hi - lo) / nbins
-    c = F.col(col) if isinstance(col, str) else col
+    if isinstance(col, str):
+        # generated-SQL path — see _cms_fine (r15 optimization round):
+        # one parsed expression instead of ~5 py4j round trips per bin.
+        # Identical tree: the idx CASE is null when the value is null
+        # (greatest/least ignore nulls, so the gate stays explicit),
+        # null = i is null, and if() treats null as false -> 0.
+        idx = (f"(case when `{col}` is not null then "
+               f"least(greatest(cast(floor((`{col}` - {float(lo)!r}D) / "
+               f"{float(width)!r}D) as int), 0), {nbins - 1}) end)")
+        cells = ", ".join(
+            f"sum(cast(if({idx} = {i}, 1, 0) as bigint))"
+            for i in range(nbins))
+        return F.expr(f"array({cells})")
+    c = col
     # greatest/least IGNORE nulls (they don't propagate them), so a null
     # value would silently clamp into bin 0 — gate on isNotNull first
     idx = F.when(c.isNotNull(),

@@ -113,11 +113,14 @@ def minhash_signatures_from_shingles(sh_df: DataFrame, id_col: str,
     (explode_outer keeps them)."""
     sh = sh_df.select(id_col, F.explode_outer("sh").alias("_s"))
     hashed = sh.select(id_col, F.xxhash64("_s").alias("_h"))
-    aggs = [F.min(F.xxhash64(F.lit(i), "_h")).alias(f"_mh{i}")
-            for i in range(n_hashes)]
-    sig = hashed.groupBy(id_col).agg(*aggs)
-    return sig.select(id_col,
-                      F.array(*[f"_mh{i}" for i in range(n_hashes)]).alias("sig"))
+    # ONE generated-SQL aggregate expression (r15 optimization round):
+    # the per-hash min() Column builder made ~5 py4j round trips per
+    # hash (~0.2 s of driver time at 32 before any job); array() of
+    # aggregates collapses the agg + re-select into a single parse.
+    sig_expr = F.expr(
+        "array(" + ", ".join(f"min(xxhash64({i}, _h))"
+                             for i in range(n_hashes)) + ")")
+    return hashed.groupBy(id_col).agg(sig_expr.alias("sig"))
 
 
 def minhash_signatures(f: Frame, text_col: str, id_col: str,
@@ -144,9 +147,23 @@ def minhash_signature(text_col, n_hashes: int = 32, k: int = 3) -> Column:
     return F.aggregate(sh, init, step)
 
 
-def _band_hashes(sig: Column, n_hashes: int, bands: int) -> Column:
-    """array<long>[bands]: hash of each contiguous signature band."""
+def _band_hashes(sig, n_hashes: int, bands: int) -> Column:
+    """array<long>[bands]: hash of each contiguous signature band.
+    Pass the signature column NAME for the generated-SQL path (r15
+    optimization round: the Column-builder form made ~110 py4j round
+    trips per call — ~0.6 s of driver time each at 32×8, three calls
+    per dedup_incremental); a Column argument keeps the old builder.
+    Identical expression either way (same int literals, so xxhash64's
+    type-dependent hashing is unchanged)."""
     rows_per_band = n_hashes // bands
+    if isinstance(sig, str):
+        bands_sql = []
+        for b in range(bands):
+            parts = ", ".join(
+                f"cast(element_at(`{sig}`, {b * rows_per_band + r + 1}) "
+                "as string)" for r in range(rows_per_band))
+            bands_sql.append(f"xxhash64({b}, concat_ws(',', {parts}))")
+        return F.expr("array(" + ", ".join(bands_sql) + ")")
     return F.array(*[
         F.xxhash64(F.lit(b), F.concat_ws(",", *[
             F.element_at(sig, b * rows_per_band + r + 1).cast("string")
@@ -163,7 +180,7 @@ def _lsh_candidates_from_sig(sig: DataFrame, id_col: str,
     never degenerates; dedup of pairs happens before verification."""
     banded = pin(sig
                  .filter(~F.element_at("sig", 1).isNull())
-                 .select(id_col, F.posexplode(_band_hashes(F.col("sig"), n_hashes, bands))
+                 .select(id_col, F.posexplode(_band_hashes("sig", n_hashes, bands))
                          .alias("band_id", "band_hash")))
     a = banded.alias("a")
     b = banded.alias("b")
@@ -305,28 +322,35 @@ def simhash_signatures(f: Frame, text_col: str, id_col: str,
     tok = f.sdf.select(F.col(id_col), F.explode_outer(capped).alias("_w"))
     hashed = tok.select(id_col, F.xxhash64(F.lit(0x51), "_w").alias("_h"))
 
-    def bitc(b: int) -> Column:
-        return F.shiftright("_h", b).bitwiseAND(F.lit(1))
+    # generated-SQL expressions (r15 optimization round): the packing,
+    # vote, and 64-term sign-composition Columns made ~650 py4j round
+    # trips of driver time per call; three parsed expressions build the
+    # IDENTICAL trees (same integer literals and operators, so every
+    # bit is exact).
+    def bitc_sql(b: int) -> str:
+        return f"(shiftright(_h, {b}) & 1)"
 
     packed = []
     for g in range(bits // 4):
-        e = bitc(4 * g).cast("long")
-        for j in range(1, 4):
-            e = e + F.shiftleft(bitc(4 * g + j).cast("long"), 16 * j)
-        packed.append(e.alias(f"_p{g}"))
+        terms = [f"cast({bitc_sql(4 * g)} as bigint)"]
+        terms += [f"shiftleft(cast({bitc_sql(4 * g + j)} as bigint), "
+                  f"{16 * j})" for j in range(1, 4)]
+        packed.append(F.expr(" + ".join(terms)).alias(f"_p{g}"))
     pre = hashed.select(id_col, *packed)
     votes = pre.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n"),
-        *[F.sum(f"_p{g}").alias(f"_s{g}") for g in range(bits // 4)])
-    sig = F.lit(0).cast("long")
+        *[F.expr(f"sum(_p{g})").alias(f"_s{g}")
+          for g in range(bits // 4)])
+    # bits are disjoint, so + composes them (flat sum beats a
+    # 64-deep bitwiseOR nest in codegen)
+    sig_terms = ["cast(0 as bigint)"]
     for b in range(bits):
-        cnt = F.shiftright(F.col(f"_s{b // 4}"), 16 * (b % 4)) \
-               .bitwiseAND(F.lit(0xFFFF))
-        # bits are disjoint, so + composes them (flat sum beats a
-        # 64-deep bitwiseOR nest in codegen)
-        sig = sig + F.when(cnt * 2 > F.col("_n"),
-                           F.shiftleft(F.lit(1).cast("long"), b)) \
-                     .otherwise(F.lit(0).cast("long"))
+        cnt = f"(shiftright(_s{b // 4}, {16 * (b % 4)}) & 65535)"
+        sig_terms.append(
+            f"(case when {cnt} * 2 > _n then "
+            f"shiftleft(cast(1 as bigint), {b}) "
+            "else cast(0 as bigint) end)")
+    sig = F.expr(" + ".join(sig_terms))
     return votes.select(id_col, sig.alias("sh"))
 
 
@@ -879,13 +903,13 @@ def dedup_incremental(new: Frame, index: DataFrame, text_col: str,
     sigs = pin(minhash_signatures_from_shingles(sh, id_col, n_hashes))
     new_banded = (sigs.filter(~F.element_at("sig", 1).isNull())
                   .select(id_col, F.posexplode(
-                      _band_hashes(F.col("sig"), n_hashes, bands))
+                      _band_hashes("sig", n_hashes, bands))
                       .alias("_b", "_bh")))
     idx_banded = (idx.filter(~F.element_at("sig", 1).isNull())
                   .select(F.col("survivor_id").alias("_old_surv"),
                           F.col("sig").alias("_old_sig"),
                           F.posexplode(
-                              _band_hashes(F.col("sig"), n_hashes, bands))
+                              _band_hashes("sig", n_hashes, bands))
                           .alias("_b", "_bh")))
     old_cand = (new_banded.join(idx_banded, on=["_b", "_bh"])
                 .select(id_col, "_old_surv", "_old_sig")
