@@ -113,8 +113,9 @@ def _window_hash_rows(sdf, text_col: str, id_col: str, min_len: int,
             for did, txt in zip(pdf[id_col], pdf[text_col]):
                 if txt is None:
                     continue
-                codes = np.frombuffer(txt.encode("utf-32-le"),
-                                      dtype=np.uint32).astype(np.uint64)
+                codes32 = np.frombuffer(txt.encode("utf-32-le"),
+                                        dtype=np.uint32)
+                codes = codes32.astype(np.uint64)
                 n = codes.shape[0]
                 if n < L:
                     continue
@@ -134,13 +135,30 @@ def _window_hash_rows(sdf, text_col: str, id_col: str, min_len: int,
                 pos_out.append(np.arange(1, m + 1, dtype=np.int32))
                 h_out.append(h.view(np.int64))
                 if with_gram:
-                    g_out.extend(txt[i:i + L] for i in range(m))
+                    if "\x00" in txt:
+                        # numpy U-strings strip trailing NULs — keep
+                        # the exact per-window slice for texts that
+                        # contain them (vanishingly rare)
+                        g_out.append(np.array(
+                            [txt[i:i + L] for i in range(m)],
+                            dtype=object))
+                    else:
+                        # vectorized window extraction (r15
+                        # optimization round): numpy unicode arrays
+                        # are UCS4 — exactly the utf-32-le code units
+                        # already in hand — so the m overlapping
+                        # L-char windows are one strided copy + a
+                        # dtype view instead of m Python slices
+                        wins = np.lib.stride_tricks.sliding_window_view(
+                            codes32, L)
+                        g_out.append(np.ascontiguousarray(wins)
+                                     .view(f"<U{L}").reshape(m))
             if ids_out:
                 cols = {"_did": np.concatenate(ids_out),
                         "pos": np.concatenate(pos_out),
                         "_h": np.concatenate(h_out)}
                 if with_gram:
-                    cols["_g"] = g_out
+                    cols["_g"] = np.concatenate(g_out) if g_out else []
                 yield pd.DataFrame(cols)
 
     proj = sdf.select(F.col(id_col), F.col(text_col))
