@@ -255,19 +255,24 @@ def ngram_jaccard_exact(f: Frame, text_col: str, id_col: str,
     pairs' shingle sets.
     """
     sh = pin(shingled(f, text_col, id_col, k))
-    ex = sh.select(id_col, F.explode("sh").alias("s"))
+    # n rides along from size(sh) — shingles are distinct, so the array
+    # size IS the per-doc shingle count the count()-window used to
+    # recompute (r15 optimization round: one Window pass instead of two).
+    ex = sh.select(id_col, F.size("sh").alias("n"), F.explode("sh").alias("s"))
     dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql import Window as W
     w = W.partitionBy(id_col).orderBy("df", "s")
     # prefix length: n - ceil(t*n) + 1.  The epsilon biases float ceil
     # DOWN at rational boundaries (0.6*5 must ceil to 3, not 4): a
     # too-long prefix only costs candidates, a too-short one loses pairs.
-    pref = (ex.join(dfreq, on="s")
-            .withColumn("pos", F.row_number().over(w))
-            .withColumn("n", F.count(F.lit(1)).over(W.partitionBy(id_col)))
-            .filter(F.col("pos")
-                    <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - 1e-9) + 1)
-            .select(id_col, "s", "pos", "n"))
+    # Pinned: both sides of the candidate self-join consume it; unpinned,
+    # the explode + doc-frequency join + ranking window ran TWICE (the
+    # broadcast side cannot reuse the other side's exchange).
+    pref = pin(ex.join(dfreq, on="s")
+               .withColumn("pos", F.row_number().over(w))
+               .filter(F.col("pos")
+                       <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - 1e-9) + 1)
+               .select(id_col, "s", "pos", "n"))
     # PPJoin filters (Xiao et al., WWW'08), both epsilon-loosened at
     # rational boundaries (extra candidates only cost the exact verify;
     # a tight float bound losing a pair would cost recall):
