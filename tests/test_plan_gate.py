@@ -52,7 +52,10 @@ EXPECTED = {
     "events_tumbling_hourly": dict(scans=1, exchanges=1, bhj=0, smj=0),
     "text_stats": dict(scans=1, exchanges=0, bhj=0, smj=0),
     "lang_id_votes": dict(scans=2, exchanges=1, bhj=1, smj=0),
-    "ngram_jaccard_docs": dict(scans=1, exchanges=4, bhj=5, smj=0),
+    # r15 optimization: n derived from size(sh) (second Window dropped)
+    # and the AllPairs prefix table pinned for both self-join sides —
+    # one fewer exchange and one fewer join than the r6 shape.
+    "ngram_jaccard_docs": dict(scans=1, exchanges=3, bhj=4, smj=0),
     "dedup_exact_docs": dict(scans=1, exchanges=1, bhj=0, smj=0),
     # r7 additions: gram/term-keyed shuffles only; joins unhinted (BHJ
     # at this SF via AQE-visible sizes, free to become SMJ at scale)
