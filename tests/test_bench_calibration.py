@@ -103,12 +103,27 @@ def test_bench_pressure_injection_flags_the_right_window(tmp_path):
                              cwd=str(REPO), timeout=900)
         assert out.returncode == 0, out.stderr[-2000:]
         payload = None
+        chunk_names: set[str] = set()
         for line in out.stdout.splitlines():
             if line.startswith("{"):
                 d = json.loads(line)
-                if "queries" in d:
+                # r16: per-query chunk lines also carry a "queries" key
+                # (so the driver's tail parser can recover timings);
+                # the payload is the line that ALSO has the calibration
+                if d.get("metric") == "bench_queries_chunk":
+                    chunk_names.update(d["queries"])
+                elif "queries" in d and "calibration" in d:
                     payload = d
         assert payload, out.stdout[-2000:]
+        # r16 comparator-proofing teeth: the chunk lines must cover the
+        # full roster, and the calibration-normalized total must ship
+        assert chunk_names == set(payload["queries"])
+        assert payload["calibration"]["cal_mean"] is not None
+        assert payload["value_normalized"] is not None
+        # the tiny final line must stay a complete standalone JSON object
+        last = json.loads(out.stdout.strip().splitlines()[-1])
+        assert last["metric"] == "total_query_seconds"
+        assert "value_normalized" in last
         # the full-run payload must survive a subset/self-test run (r10
         # judge finding: the unconditional write clobbered it)
         after = (REPO / "BENCH_LOCAL.json").read_bytes() \

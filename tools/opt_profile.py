@@ -39,7 +39,8 @@ def main() -> None:
     tracker = spark.sparkContext.statusTracker()
     plan_dir = os.environ.get("SPARK_GRAFT_PLAN_DIR")
     suffix = os.environ.get("SUFFIX", "before")
-    reps = int(os.environ.get("REPS", "2"))
+    # r15 advice: REPS=0 left `plan` unassigned and `best` None
+    reps = max(1, int(os.environ.get("REPS", "2")))
 
     qs = entry.queries()
     names = args or list(qs)
