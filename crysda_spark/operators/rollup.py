@@ -28,6 +28,17 @@ from ..frame import Frame
 
 GRAINS = ("minute", "hour", "day", "week", "month", "quarter", "year")
 
+_IDENT_RE = __import__("re").compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _plain_ident(name: str) -> bool:
+    """True when ``name`` can be safely backtick-quoted into generated
+    SQL as a single top-level column. Dotted struct refs ('s.price')
+    and names containing backticks must go through F.col instead —
+    backticking them either breaks the parse or silently changes what
+    they resolve to (r15 advice)."""
+    return bool(_IDENT_RE.match(name))
+
 # kind -> (fine-grain aggregate over the raw column,
 #          merge aggregate over the fine-grain partial)
 _KINDS: dict[str, tuple] = {
@@ -283,6 +294,13 @@ def _hist_spec(name: str, spec) -> tuple:
     if not isinstance(nbins, int) or nbins < 1:
         raise ValueError(f"rollup measure {name!r}: nbins must be a "
                          f"positive int, got {nbins!r}")
+    import math
+    if not (isinstance(lo, (int, float)) and isinstance(hi, (int, float))
+            and math.isfinite(lo) and math.isfinite(hi)):
+        # r15 advice: a non-finite bound reached the generated SQL as
+        # 'infD'/'nanD' — a parse error instead of a clear ValueError
+        raise ValueError(f"rollup measure {name!r}: lo/hi must be finite "
+                         f"numbers, got ({lo!r}, {hi!r})")
     if not hi > lo:
         raise ValueError(f"rollup measure {name!r}: need hi > lo, "
                          f"got ({lo}, {hi})")
@@ -294,6 +312,12 @@ def _hist_fine(col, lo: float, hi: float, nbins: int) -> Column:
     Values clamp into the edge bins (below lo → bin 0, at/above hi →
     bin nbins-1); nulls are not counted."""
     width = (hi - lo) / nbins
+    if isinstance(col, str) and not _plain_ident(col):
+        # r15 advice: a name that is not a plain identifier (dotted
+        # struct ref like 's.price', or containing a backtick) breaks
+        # or silently changes meaning inside the generated SQL — route
+        # it through F.col, which resolves it like the old builder did
+        col = F.col(col)
     if isinstance(col, str):
         # generated-SQL path — see _cms_fine (r15 optimization round):
         # one parsed expression instead of ~5 py4j round trips per bin.
@@ -692,6 +716,8 @@ def _cms_bucket(c: Column, row: int, w: int) -> Column:
 
 
 def _cms_fine(col, d: int, w: int) -> Column:
+    if isinstance(col, str) and not _plain_ident(col):
+        col = F.col(col)  # see _hist_fine — dotted/backticked names
     if isinstance(col, str):
         # generated-SQL path (r15 optimization round): the d·w per-cell
         # sums are ONE expr() parsed server-side — the Column-builder

@@ -1099,7 +1099,15 @@ def _lm_stats_order(stats) -> int:
     job needed); stats from other sources (``read_ngram_model``, a
     snapshot read) pay one column-pruned ``first()``, which for a
     1-row parquet stats file is a trivial scan, not the full
-    gram/vocab aggregation the untagged in-memory plans would run."""
+    gram/vocab aggregation the untagged in-memory plans would run.
+
+    The ``_lm_order`` attribute is build/merge-INTERNAL (r15 advice):
+    it is set only by :func:`build_ngram_model` and
+    :func:`merge_ngram_model` on the exact Frame they return. Any
+    Frame-level transformation of stats produces a NEW Frame without
+    the tag (harmless — consumers fall back to ``first()``); code that
+    rebuilds a stats frame must NOT copy the attribute across, because
+    merge's order-mismatch check trusts the tag over the data."""
     o = getattr(stats, "_lm_order", None)
     if o is not None:
         return int(o)
