@@ -38,10 +38,29 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
 
 
+import weakref
+
+# r16 (VERDICT r15 #6): memoize the table HANDLE per (session, sf_dir,
+# table). Every query paid ~3 py4j round trips (reader build, schema
+# fetch, dtypes) to reconstruct the identical unresolved plan — across
+# 202 queries × 3 bench reps that fixed cost is seconds of driver time.
+# This caches the LOGICAL PLAN only, never data or results: no persist,
+# no job, nothing keyed on file contents — rebuilt from parquet in
+# every new process, and dropped with the session (weak-keyed).
+_T_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = \
+    weakref.WeakKeyDictionary()
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> Frame:
-    # events.ts is parquet TIMESTAMP(NANOS) → arrives as long, convert
-    nanos = {"ts": "ts"} if name == "events" else None
-    return read_parquet(spark, f"{sf_dir}/{name}.parquet", nanos_cols=nanos)
+    per_session = _T_CACHE.setdefault(spark, {})
+    sdf = per_session.get((sf_dir, name))
+    if sdf is None:
+        # events.ts is parquet TIMESTAMP(NANOS) → arrives as long, convert
+        nanos = {"ts": "ts"} if name == "events" else None
+        sdf = read_parquet(spark, f"{sf_dir}/{name}.parquet",
+                           nanos_cols=nanos).sdf
+        per_session[(sf_dir, name)] = sdf
+    return Frame(sdf)
 
 
 def q(name: str, oracle: str | None = None):
