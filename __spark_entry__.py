@@ -6589,8 +6589,10 @@ def corr_matrix_embeddings_wide(spark, sf_dir):
     pair are independent of which other pairs are computed)."""
     from crysda_spark.operators.stats import corr_matrix
     emb = _t(spark, sf_dir, "embeddings")
-    w = emb.sdf.select(*[F.col("embedding")[i].alias(f"e{i}")
-                         for i in range(_WIDE_CORR_K)])
+    # r16: one parsed projection instead of 64 getItem Column round
+    # trips (SQL [] indexing is 0-based on arrays, same as getItem)
+    w = emb.sdf.selectExpr(*[f"embedding[{i}] AS e{i}"
+                             for i in range(_WIDE_CORR_K)])
     out = corr_matrix(Frame(w), [f"e{i}" for i in range(_WIDE_CORR_K)],
                       quant=6).sdf
     keys = [f"{x}|{y}" for x, y in _wide_corr_pairs()]

@@ -65,11 +65,15 @@ Degenerate pairs (n < 2, or zero variance on either side) yield NULL.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from ..frame import Frame
 
 __all__ = ["corr_matrix", "grouped_ols"]
+
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
 
 _MAX_COLS = 8                      # expression-kernel ceiling: measured
 #   ~0.2-0.4 s of driver/Catalyst/Janino cost PER PAIR (r10) — beyond
@@ -123,6 +127,180 @@ def _quantize(c: str, scale: float):
     return F.when(finite, F.floor(d * F.lit(scale) + F.lit(0.5)))
 
 
+# --------------------------------------------------------------------
+# Generated-SQL twins of the Column builders below (r16, VERDICT r15
+# #5 — the CMS/band treatment from r15): building the narrow kernel's
+# ~58 aggregate Columns plus the guarded epilogue costs ~1.4 s of
+# single-threaded driver py4j time PER CALL (measured: construct 1.38 s
+# / 0 Spark jobs at sf0.1), and the wide kernel's 64-column quantize
+# projection another ~1.5 s. Each builder renders the SAME expression
+# tree as ONE SQL string parsed server-side; literal types are kept
+# identical (D-suffixed doubles, bare ints/bigints, DECIMAL(38,0)
+# casts) so every arithmetic step resolves to the same Catalyst
+# expression and results stay bit-identical. The Column builders are
+# retained verbatim — non-plain identifiers fall back to them, and the
+# A/B test (test_stats_sql_parity) asserts zero value mismatch.
+
+
+def _dlit(v: float) -> str:
+    """Spark SQL DOUBLE literal with the exact value of ``F.lit(v)``."""
+    r = repr(float(v))
+    if "inf" in r:
+        return f"double('{'-' if r.startswith('-') else ''}Infinity')"
+    if "nan" in r:
+        return "double('NaN')"
+    return r + "D"
+
+
+def _q_sql(c: str, scale: float) -> str:
+    """SQL twin of ``_quantize`` for a plain-identifier column."""
+    d = f"CAST(`{c}` AS DOUBLE)"
+    fin = (f"(({d} IS NOT NULL AND NOT isnan({d})) "
+           f"AND NOT (abs({d}) = double('Infinity')))")
+    return f"CASE WHEN {fin} THEN FLOOR({d} * {_dlit(scale)} + 0.5D) END"
+
+
+def _det_double_sql(t: str) -> str:
+    """SQL twin of ``_det_double`` over a DECIMAL(38,0) expression."""
+    b = f"pmod({t}, CAST({_P53} AS DECIMAL(38,0)))"
+    a = f"CAST(({t} - {b}) / {_P53} AS DECIMAL(38,0))"
+    return f"(CAST({a} AS DOUBLE) * {_dlit(float(_P53))} + CAST({b} AS DOUBLE))"
+
+
+def _split_sql(p: str) -> tuple[str, str]:
+    """SQL twin of the hi/lo product-word split."""
+    lo = f"pmod({p}, {_M})"
+    return f"shiftright({p} - {lo}, 31)", lo
+
+
+def _esc(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _stats_sql(n: str, sx: str, sy: str, sxy: str, sxx: str, syy: str,
+               quant: int) -> tuple[str, str]:
+    """(cov, corr) SQL from the reconstructed sums — the one canonical
+    IEEE association both kernels and the oracle share."""
+    scale = float(10 ** quant)
+    inv_sq = 1.0 / (scale * scale)
+    nd = f"CAST({n} AS DOUBLE)"
+    sxd, syd = f"CAST({sx} AS DOUBLE)", f"CAST({sy} AS DOUBLE)"
+    num = f"({sxy} * {nd} - {sxd} * {syd})"
+    denx = f"({sxx} * {nd} - {sxd} * {sxd})"
+    deny = f"({syy} * {nd} - {syd} * {syd})"
+    cov = (f"CASE WHEN {n} >= 2 THEN "
+           f"{num} / ({nd} * ({nd} - 1.0D)) * {_dlit(inv_sq)} END")
+    corr = (f"CASE WHEN ({n} >= 2 AND {denx} > 0 AND {deny} > 0) "
+            f"THEN {num} / (SQRT({denx}) * SQRT({deny})) END")
+    return cov, corr
+
+
+def _corr_pairs_sql(sdf, cols: list[str], pairs: list[tuple[str, str]],
+                    quant: int) -> "F.DataFrame":
+    """Generated-SQL twin of ``_corr_pairs`` (plain-identifier columns
+    only). Quantization is projected ONCE per column (`_q{i}`) before
+    the aggregate — the Column path inlines the quantize tree into all
+    ~58 aggregates; projecting first shrinks the parsed tree ~10× with
+    identical per-row values (quantize is a deterministic row-local
+    function, and integer sums are association-free)."""
+    scale = float(10 ** quant)
+    idx = {c: i for i, c in enumerate(cols)}
+    qproj = sdf.selectExpr(*[f"{_q_sql(c, scale)} AS _q{i}"
+                             for i, c in enumerate(cols)])
+    aggs = [f"MAX(ABS(_q{i})) AS mx_{i}" for i in range(len(cols))]
+    for x, y in pairs:
+        qx, qy = f"_q{idx[x]}", f"_q{idx[y]}"
+        tag = f"{x}__{y}"
+        both = f"({qx} IS NOT NULL AND {qy} IS NOT NULL)"
+        vx = f"CASE WHEN {both} THEN {qx} END"
+        vy = f"CASE WHEN {both} THEN {qy} END"
+        xyh, xyl = _split_sql(f"({vx} * {vy})")
+        xxh, xxl = _split_sql(f"({vx} * {vx})")
+        yyh, yyl = _split_sql(f"({vy} * {vy})")
+        aggs += [
+            f"SUM(CASE WHEN {both} THEN 1 ELSE 0 END) AS n_{tag}",
+            f"SUM({vx}) AS sx_{tag}", f"SUM({vy}) AS sy_{tag}",
+            f"SUM({xyh}) AS sxyh_{tag}", f"SUM({xyl}) AS sxyl_{tag}",
+            f"SUM({xxh}) AS sxxh_{tag}", f"SUM({xxl}) AS sxxl_{tag}",
+            f"SUM({yyh}) AS syyh_{tag}", f"SUM({yyl}) AS syyl_{tag}",
+        ]
+    one = qproj.selectExpr(*aggs)
+
+    terms = [f"mx_{i} > {_MAX_V}" for i in range(len(cols))]
+    for x, y in pairs:
+        tag = f"{x}__{y}"
+        nd = f"CAST(n_{tag} AS DOUBLE)"
+        mg = (f"greatest(CAST(mx_{idx[x]} AS DOUBLE), "
+              f"CAST(mx_{idx[y]} AS DOUBLE))")
+        terms += [
+            f"n_{tag} > {_MAX_N}",
+            f"{nd} * {mg} > {_dlit(_MAX_NV)}",
+            f"{nd} * ({mg} * {mg} / {_dlit(float(_M))} + 1.0D) "
+            f"> {_dlit(_MAX_NV)}",
+        ]
+    bad = " OR ".join(f"({t})" for t in terms)
+    msg = (f"corr_matrix: input exceeds the scaled-long domain at "
+           f"quant={quant} (need |x|*10^{quant} <= {_MAX_V}, rows <= "
+           f"{_MAX_N}, n*max|x|*10^{quant} <= {_MAX_NV:.1e}, and the "
+           f"hi-word bound n*(greatest(max|x|,max|y|)^2*10^{2 * quant}"
+           f"/2^31 + 1) <= {_MAX_NV:.1e}) — lower quant, rescale the "
+           "column, or batch rows and merge the sufficient statistics")
+    guard = f"CASE WHEN {bad} THEN raise_error('{_esc(msg)}') ELSE 0 END"
+
+    structs = []
+    for x, y in pairs:
+        tag = f"{x}__{y}"
+        sxy = _det_double_sql(f"(CAST(sxyh_{tag} AS DECIMAL(38,0)) * {_M} "
+                              f"+ sxyl_{tag})")
+        sxx = _det_double_sql(f"(CAST(sxxh_{tag} AS DECIMAL(38,0)) * {_M} "
+                              f"+ sxxl_{tag})")
+        syy = _det_double_sql(f"(CAST(syyh_{tag} AS DECIMAL(38,0)) * {_M} "
+                              f"+ syyl_{tag})")
+        cov, corr = _stats_sql(f"n_{tag}", f"sx_{tag}", f"sy_{tag}",
+                               sxy, sxx, syy, quant)
+        structs.append(
+            f"named_struct('col_x', '{_esc(x)}', 'col_y', '{_esc(y)}', "
+            f"'n', n_{tag}, 'cov', {cov}, 'corr', {corr})")
+    arr = f"array({', '.join(structs)})"
+    return one.selectExpr(f"inline(CASE WHEN {guard} = 0 THEN {arr} END)")
+
+
+def _corr_epilogue_rows_sql(summed, cols: list[str], quant: int):
+    """Generated-SQL twin of ``_corr_epilogue_rows`` (wide kernel)."""
+    nd = "CAST(n AS DOUBLE)"
+    mxx, mxy = "CAST(mxx AS DOUBLE)", "CAST(mxy AS DOUBLE)"
+    mg = f"greatest({mxx}, {mxy})"
+    bad = (f"(mxx > {_MAX_V}) OR (mxy > {_MAX_V}) OR (n > {_MAX_N}) "
+           f"OR ({nd} * {mg} > {_dlit(_MAX_NV)}) "
+           f"OR ({nd} * ({mg} * {mg} / {_dlit(float(_M))} + 1.0D) "
+           f"> {_dlit(_MAX_NV)})")
+    msg = (f"corr_matrix: input exceeds the scaled-long domain at "
+           f"quant={quant} — lower quant, rescale the column, or batch "
+           "rows and merge the sufficient statistics")
+    guard = f"CASE WHEN {bad} THEN raise_error('{_esc(msg)}') ELSE 0 END"
+
+    def _sum16(pre: str) -> str:
+        return (f"CAST(CAST({pre}0 AS DECIMAL(38,0)) "
+                f"+ CAST({pre}1 AS DECIMAL(38,0)) * {1 << 16} AS DOUBLE)")
+
+    def _wsum(pre: str) -> str:
+        ts = []
+        for w in range(3):
+            word = (f"(CAST({pre}{w}h AS DECIMAL(38,0)) * {_M} "
+                    f"+ {pre}{w}l)")
+            ts.append(f"{word} * {1 << (16 * w)}")
+        return _det_double_sql(f"({' + '.join(ts)})")
+
+    cov, corr = _stats_sql("n", _sum16("sx"), _sum16("sy"),
+                           _wsum("sxy"), _wsum("sxx"), _wsum("syy"), quant)
+    names = ", ".join(f"'{_esc(c)}'" for c in cols)
+    return summed.selectExpr(
+        f"element_at(array({names}), x + 1) AS col_x",
+        f"element_at(array({names}), y + 1) AS col_y",
+        f"CASE WHEN {guard} = 0 THEN n END AS n",
+        f"{cov} AS cov", f"{corr} AS corr")
+
+
 def corr_matrix(f: Frame, cols: list[str], quant: int = 6) -> Frame:
     """(col_x, col_y, n, cov, corr) for every i<j pair of ``cols`` —
     exact scaled-long sums, bit-reproducible doubles out.
@@ -152,10 +330,16 @@ def corr_matrix(f: Frame, cols: list[str], quant: int = 6) -> Frame:
     scale = float(10 ** quant)
     pairs = [(cols[i], cols[j]) for i in range(len(cols))
              for j in range(i + 1, len(cols))]
+    # generated-SQL builders need plain identifiers (r16 — the rollup
+    # lesson: backticking a dotted/backticked name breaks or reresolves
+    # it); anything else takes the original Column builders
+    plain = all(_IDENT_RE.match(c) for c in cols)
     if len(cols) <= _MAX_COLS:
+        if plain:
+            return Frame(_corr_pairs_sql(f.sdf, cols, pairs, quant))
         v = {c: _quantize(c, scale) for c in cols}
         return Frame(_corr_pairs(f.sdf, v, pairs, quant))
-    return Frame(_corr_wide(f.sdf, cols, quant))
+    return Frame(_corr_wide(f.sdf, cols, quant, use_sql=plain))
 
 
 def _pin_blas_threads(n: int = 1) -> None:
@@ -184,7 +368,7 @@ def _pin_blas_threads(n: int = 1) -> None:
         pass
 
 
-def _corr_wide(sdf, cols: list[str], quant: int):
+def _corr_wide(sdf, cols: list[str], quant: int, use_sql: bool = True):
     """Wide-matrix kernel (k > _MAX_COLS): the per-pair EXPRESSION kernel costs
     ~0.2 s of driver/Catalyst/Janino time PER PAIR (superlinear beyond
     ~50 pairs; measured r10), so k = 128's 8,128 pairs are unplannable
@@ -217,8 +401,14 @@ def _corr_wide(sdf, cols: list[str], quant: int):
 
     k = len(cols)
     scale = float(10 ** quant)
-    proj = sdf.select(*[_quantize(c, scale).alias(f"_qv{i}")
-                        for i, c in enumerate(cols)])
+    if use_sql:
+        # one server-side-parsed projection instead of k Column trees
+        # (~12 py4j round trips each — ~0.8 s of driver time at k=64)
+        proj = sdf.selectExpr(*[f"{_q_sql(c, scale)} AS _qv{i}"
+                                for i, c in enumerate(cols)])
+    else:
+        proj = sdf.select(*[_quantize(c, scale).alias(f"_qv{i}")
+                            for i, c in enumerate(cols)])
     pair_x = [i for i in range(k) for _ in range(i + 1, k)]
     pair_y = [j for i in range(k) for j in range(i + 1, k)]
     pblocks = [(0, 0), (0, 1), (1, 1)]     # w_a·w_b value-square words
@@ -314,6 +504,8 @@ def _corr_wide(sdf, cols: list[str], quant: int):
     summed = partials.groupBy("x", "y").agg(
         *[(F.max(c) if c in ("mxx", "mxy") else F.sum(c)).alias(c)
           for c in cols_out[2:]])
+    if use_sql:
+        return _corr_epilogue_rows_sql(summed, cols, quant)
     return _corr_epilogue_rows(summed, cols, quant)
 
 

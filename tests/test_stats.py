@@ -340,3 +340,106 @@ def test_hi_word_bound_covers_asymmetric_magnitudes(spark, monkeypatch):
         ", ".join(f"{c} double" for c in cols))
     with pytest.raises(Exception, match="scaled-long domain"):
         corr_matrix(Frame(wide), cols, quant=0).sdf.collect()
+
+
+def _bits(v):
+    # exact bit pattern of a float (None stays None): parity must be
+    # BIT-identical, not approx — the oracle hashes raw doubles
+    import struct
+    return None if v is None else struct.pack("<d", v)
+
+
+def test_stats_sql_parity_narrow(spark):
+    # r16: the generated-SQL narrow kernel must return bit-identical
+    # rows to the original Column builders on adversarial data (nulls,
+    # NaN, +-Inf, negatives, large magnitudes near the guard bounds)
+    import numpy as np
+
+    from crysda_spark.operators.stats import (_corr_pairs,
+                                              _corr_pairs_sql, _quantize)
+    rng = np.random.default_rng(42)
+    n = 500
+    a = rng.normal(0, 1e5, n).round(2)
+    b = rng.uniform(-3e5, 3e5, n).round(2)
+    c = 0.5 * a - 2.0 * b + rng.normal(0, 10, n)
+    rows = []
+    for i in range(n):
+        ra = None if i % 11 == 0 else float(a[i])
+        rb = float("nan") if i % 13 == 0 else float(b[i])
+        rc = float("inf") if i % 17 == 0 else (
+            float("-inf") if i % 19 == 0 else float(c[i]))
+        rows.append((ra, rb, rc))
+    sdf = spark.createDataFrame(rows, "a double, b double, c double")
+    cols = ["a", "b", "c"]
+    pairs = [("a", "b"), ("a", "c"), ("b", "c")]
+    quant = 3
+    scale = float(10 ** quant)
+    v = {x: _quantize(x, scale) for x in cols}
+    old = {(r.col_x, r.col_y): r
+           for r in _corr_pairs(sdf, v, pairs, quant).collect()}
+    new = {(r.col_x, r.col_y): r
+           for r in _corr_pairs_sql(sdf, cols, pairs, quant).collect()}
+    assert set(old) == set(new) == set(pairs)
+    for p in pairs:
+        assert old[p].n == new[p].n
+        assert _bits(old[p].cov) == _bits(new[p].cov)
+        assert _bits(old[p].corr) == _bits(new[p].corr)
+
+
+def test_stats_sql_parity_wide(spark):
+    # r16: SQL projection + SQL epilogue of the wide kernel vs the
+    # Column originals — bit-identical over every pair
+    import numpy as np
+
+    from crysda_spark.operators.stats import _corr_wide
+    rng = np.random.default_rng(5)
+    k, n = 12, 200
+    m = rng.normal(0, 500, (n, k)).round(3)
+    cols = [f"c{i}" for i in range(k)]
+    rows = []
+    for i in range(n):
+        r = [float(x) for x in m[i]]
+        if i % 7 == 0:
+            r[i % k] = None
+        if i % 9 == 0:
+            r[(i + 3) % k] = float("nan")
+        rows.append(tuple(r))
+    sdf = spark.createDataFrame(rows, ", ".join(f"{c} double" for c in cols))
+    old = {(r.col_x, r.col_y): r
+           for r in _corr_wide(sdf, cols, 4, use_sql=False).collect()}
+    new = {(r.col_x, r.col_y): r
+           for r in _corr_wide(sdf, cols, 4, use_sql=True).collect()}
+    assert set(old) == set(new) and len(old) == k * (k - 1) // 2
+    for p in old:
+        assert old[p].n == new[p].n
+        assert _bits(old[p].cov) == _bits(new[p].cov)
+        assert _bits(old[p].corr) == _bits(new[p].corr)
+
+
+def test_stats_sql_guard_still_raises(spark):
+    # the generated-SQL guard must raise (not wrap) outside the domain
+    sdf = spark.createDataFrame(
+        [(4.0e9, 1.0), (5.0e9, 2.0)], "a double, b double")
+    out = corr_matrix(Frame(sdf), ["a", "b"], quant=1)
+    # ANSI mode (session default) raises on the product overflow itself;
+    # with ANSI off the generated-SQL epilogue guard must raise instead
+    with pytest.raises(Exception,
+                       match="scaled-long domain|ARITHMETIC_OVERFLOW"):
+        out.sdf.collect()
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="scaled-long domain"):
+            corr_matrix(Frame(sdf), ["a", "b"], quant=1).sdf.collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+
+
+def test_corr_matrix_non_plain_identifier_falls_back(spark):
+    # a column name that is not a plain identifier must route through
+    # the Column builders and still compute correctly
+    sdf = (spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, 6.5)], "a double, b double")
+        .withColumnRenamed("b", "b col"))
+    got = _rows(corr_matrix(Frame(sdf), ["a", "b col"]))
+    assert got[("a", "b col")].n == 3
+    assert got[("a", "b col")].corr == pytest.approx(0.997948, abs=1e-4)
