@@ -155,20 +155,6 @@ def _topk_state(entries: Column, cut: Column) -> Column:
     return F.struct(entries.alias("entries"), cut.alias("cut"))
 
 
-def _topk_collect_entries(rn: Column, k: int, key: Column, lb: Column,
-                          ub: Column) -> Column:
-    """Entries array for rows with rn <= k, sorted (count desc, key) —
-    collect_list drops the when()'s nulls, array_sort orders by the
-    leading negated-count field, transform strips it."""
-    e = F.when(rn <= k,
-               F.struct((-lb).alias("nc"), key.alias("key"),
-                        lb.alias("lb"), ub.alias("ub")))
-    return F.transform(
-        F.array_sort(F.collect_list(e)),
-        lambda s: F.struct(s["key"].alias("key"), s["lb"].alias("lb"),
-                           s["ub"].alias("ub")))
-
-
 def _topk_fine_frame(base, keys: list, name: str, key_col: str, k: int):
     """Exact per-bucket top-k state from raw rows — (keys..., bucket,
     state). Selection is a two-stage tournament so no single task ever
@@ -187,34 +173,38 @@ def _topk_fine_frame(base, keys: list, name: str, key_col: str, k: int):
            .groupBy(*keys, "bucket", kc.alias("_k"))
            .agg(F.count(F.lit(1)).alias("_c")))
     from pyspark.sql.window import Window as _W
-    sp = F.pmod(F.xxhash64(F.col("_k")), F.lit(_TOPK_SPLITS))
+    # r16: the struct/transform/sort Columns below are server-side-
+    # parsed expressions (the r15 _cms_fine treatment) — building them
+    # Column-by-Column cost ~0.3 s of driver py4j time per call; the
+    # parsed trees are literal-identical (int literals, named_struct
+    # field order, xxhash64 over the string key), so states match
+    # bit-for-bit. Internal column names only — nothing user-supplied
+    # is interpolated.
     w1 = (_W.partitionBy(*keys, "bucket", "_sp")
           .orderBy(F.col("_c").desc(), F.col("_k")))
-    s1 = (cnt.withColumn("_sp", sp)
+    s1 = (cnt.withColumn("_sp", F.expr(f"pmod(xxhash64(_k), {_TOPK_SPLITS})"))
           .withColumn("_rn", F.row_number().over(w1))
-          .filter(F.col("_rn") <= k + 1))
+          .filter(F.expr(f"_rn <= {k + 1}")))
     # ONE aggregate finishes the tournament: sorted split winners
     # (rn ≤ k, ≤ S·k rows) yield the entries (top k) and the global
     # (k+1)-th count (position k+1 of the sort — counts descend, so it
     # is the max beyond-k count, the r9 `_s2cut`); the split cuts'
     # max (rn = k+1 rows) bounds anything dropped inside a split.
-    cand = F.when(F.col("_rn") <= k,
-                  F.struct((-F.col("_c")).alias("nc"), F.col("_k").alias("key"),
-                           F.col("_c").alias("lb"), F.col("_c").alias("ub")))
     st = (s1.groupBy(*keys, "bucket")
-          .agg(F.array_sort(F.collect_list(cand)).alias("_sorted"),
-               F.coalesce(F.max(F.when(F.col("_rn") == k + 1, F.col("_c"))),
-                          F.lit(0)).alias("_sc")))
-    entries = F.transform(
-        F.slice(F.col("_sorted"), 1, k),
-        lambda s: F.struct(s["key"].alias("key"), s["lb"].alias("lb"),
-                           s["ub"].alias("ub")))
-    s2cut = F.when(F.size("_sorted") > k,
-                   F.element_at("_sorted", k + 1)["lb"]).otherwise(F.lit(0))
-    return st.select(*keys, "bucket",
-                     _topk_state(entries.cast(_TOPK_ENTRY_T),
-                                 F.greatest(s2cut, F.col("_sc")))
-                     .alias(name))
+          .agg(F.expr(
+              f"array_sort(collect_list(CASE WHEN _rn <= {k} THEN "
+              f"named_struct('nc', -_c, 'key', _k, 'lb', _c, 'ub', _c) "
+              f"END))").alias("_sorted"),
+              F.expr(f"coalesce(max(CASE WHEN _rn = {k + 1} THEN _c END), "
+                     f"0)").alias("_sc")))
+    entries = (f"transform(slice(_sorted, 1, {k}), "
+               f"s -> named_struct('key', s.key, 'lb', s.lb, 'ub', s.ub))")
+    s2cut = (f"CASE WHEN size(_sorted) > {k} "
+             f"THEN element_at(_sorted, {k + 1}).lb ELSE 0 END")
+    state = F.expr(f"named_struct("
+                   f"'entries', CAST({entries} AS {_TOPK_ENTRY_T}), "
+                   f"'cut', greatest({s2cut}, _sc))")
+    return st.select(*keys, "bucket", state.alias(name))
 
 
 def _topk_merge_frame(sdf, keys: list, name: str, k: int):
@@ -224,50 +214,67 @@ def _topk_merge_frame(sdf, keys: list, name: str, k: int):
     window is safe.
 
     The state table is PINNED (scoped cache registry — callers release
-    via ``release_pinned()``): this helper consumes it three times
-    (per-cell cut sums, the exploded per-key sums, and the empty-cell
-    join-back), and when ``sdf`` is a fine rollup's lazy output each
-    consumer would otherwise re-run the corpus-sized counting pipeline
-    (measured: the r9 shape executed it 3×). States are one row per
-    fine bucket — the cache is rollup-output-sized, not corpus-sized."""
+    via ``release_pinned()``): the merge itself now consumes it once
+    (r16 single-pass restructure below), but the pin keeps a CALLER
+    consuming the merged output more than once (a gate plus a sink,
+    repeated sink batches) from re-running the corpus-sized counting
+    pipeline per consumer (the r9 failure this pin was added for).
+    States are one row per fine bucket — the cache is rollup-output-
+    sized, not corpus-sized."""
     from ..plans.cache import pin
     base = pin(sdf.select(*keys, "bucket", F.col(name).alias("_st")))
-    percell = (base.groupBy(*keys, "bucket")
-               .agg(F.sum("_st.cut").alias("_cuts")))
-    ex = base.select(*keys, "bucket", F.col("_st.cut").alias("_scut"),
-                     F.explode("_st.entries").alias("_e"))
-    perkey = (ex.groupBy(*keys, "bucket", F.col("_e.key").alias("_k"))
-              .agg(F.sum("_e.lb").alias("_lb"),
-                   F.sum("_e.ub").alias("_ubp"),
-                   F.sum("_scut").alias("_cutp")))
-    j = perkey.join(percell, on=[*keys, "bucket"])
-    # a state where the key is absent can hide at most its cut of mass
-    ub = F.col("_ubp") + (F.col("_cuts") - F.col("_cutp"))
+    # r16 restructure (VERDICT r15 #3 — fewer stages): the r9-r15 shape
+    # ran THREE aggregation pipelines over the states (per-cell cut
+    # sums, exploded per-key sums, the ranked entry collect) stitched
+    # by TWO joins (~5 exchanges → ~5 AQE stage jobs of pure scheduling
+    # on a rollup-sized table). This computes identical values in ONE
+    # pass: posexplode_outer keeps entry-less states as a null-key row
+    # per cell, the per-(cell, key) aggregate carries each state's cut
+    # ONCE (`_c1`, attributed to position 0 / the null row), a window
+    # over the cell turns Σ_c1 into the old per-cell `_cuts`, and the
+    # ranking window + final aggregate reuse that same (keys, bucket)
+    # exchange — 2 exchanges, no join. Value equivalence: real keys'
+    # sums are untouched by the null-key row (its _lb is NULL, ranked
+    # last under desc-nulls-last, excluded from entries by the
+    # _k IS NOT NULL arm and from _cx because its _ub is NULL, which
+    # max() ignores), and Σ_c1 over a cell is exactly Σ state cuts.
+    # Expression bodies are server-side-parsed — see _topk_fine_frame.
+    ex = base.select(*keys, "bucket", F.expr("_st.cut").alias("_scut"),
+                     F.expr("posexplode_outer(_st.entries)")
+                     .alias("_p", "_e"))
+    perkey = (ex.groupBy(*keys, "bucket", F.expr("_e.key").alias("_k"))
+              .agg(F.expr("sum(_e.lb)").alias("_lb"),
+                   F.expr("sum(_e.ub)").alias("_ubp"),
+                   F.expr("sum(_scut)").alias("_cutp"),
+                   F.expr("sum(CASE WHEN _p IS NULL OR _p = 0 "
+                          "THEN _scut ELSE 0 END)").alias("_c1")))
     from pyspark.sql.window import Window as _W
-    w = (_W.partitionBy(*keys, "bucket")
-         .orderBy(F.col("_lb").desc(), F.col("_k")))
-    ranked = j.select(*keys, "bucket", "_k", "_lb", ub.alias("_ub"),
-                      "_cuts").withColumn("_rn", F.row_number().over(w))
+    wd = _W.partitionBy(*keys, "bucket")
+    wr = wd.orderBy(F.col("_lb").desc(), F.col("_k"))
+    # a state where the key is absent can hide at most its cut of mass
+    ranked = (perkey
+              .withColumn("_cuts", F.sum("_c1").over(wd))
+              .withColumn("_rn", F.row_number().over(wr))
+              .withColumn("_ub", F.expr("_ubp + (_cuts - _cutp)")))
     st = (ranked.groupBy(*keys, "bucket")
-          .agg(_topk_collect_entries(F.col("_rn"), k, F.col("_k"),
-                                     F.col("_lb"), F.col("_ub"))
-               .alias("_entries"),
-               F.coalesce(F.max(F.when(F.col("_rn") > k, F.col("_ub"))),
-                          F.lit(0)).alias("_cx")))
-    out = (percell.join(st, on=[*keys, "bucket"], how="left")
-           .select(*keys, "bucket",
-                   _topk_state(
-                       # a cell whose input states were ALL empty has no
-                       # exploded rows — coalesce to an EMPTY entries
-                       # array so merged states keep the fine states'
-                       # non-null shape (r8 advice: the NULL cast here
-                       # was a no-op producing inconsistent state)
-                       F.coalesce(F.col("_entries"),
-                                  F.array().cast(_TOPK_ENTRY_T)),
-                       F.greatest(F.col("_cuts"),
-                                  F.coalesce(F.col("_cx"), F.lit(0))))
-                   .alias(name)))
-    return out
+          .agg(F.expr(
+              f"transform(array_sort(collect_list(CASE WHEN _rn <= {k} "
+              f"AND _k IS NOT NULL THEN named_struct('nc', -_lb, "
+              f"'key', _k, 'lb', _lb, 'ub', _ub) END)), "
+              f"s -> named_struct('key', s.key, 'lb', s.lb, 'ub', s.ub))"
+          ).alias("_entries"),
+              F.expr(f"coalesce(max(CASE WHEN _rn > {k} THEN _ub END), "
+                     f"0)").alias("_cx"),
+              F.expr("max(_cuts)").alias("_cuts")))
+    # every cell survives (the null-key row keeps entry-less cells), so
+    # no join-back: entries may be EMPTY but never null, preserving the
+    # fine states' non-null shape (r8 advice)
+    return st.select(*keys, "bucket",
+                     F.expr(f"named_struct("
+                            f"'entries', coalesce(_entries, "
+                            f"CAST(array() AS {_TOPK_ENTRY_T})), "
+                            f"'cut', greatest(_cuts, coalesce(_cx, 0)))")
+                     .alias(name))
 
 
 def topk_explode(rollup: Frame, name: str,

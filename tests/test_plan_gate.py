@@ -249,10 +249,13 @@ EXPECTED = {
     # count pipeline 3x through the merge's un-pinned state table: 32
     # exchanges, 6 scans). Corpus-sized work is the count shuffle +
     # tournament window + state aggregate; the remaining exchanges run
-    # on state-table-sized data (1 row/hour-bucket). The SMJ is the
-    # cell-sized perkey<->percell join (both sides output-cell
-    # cardinality — scale-safe unbroadcast).
-    "rollup_topk_events": dict(scans=1, exchanges=13, bhj=3, smj=1),
+    # on state-table-sized data (1 row/hour-bucket).
+    # r16: the merge's three aggregation pipelines + two joins fused
+    # into one posexplode_outer pass (perkey agg + two windows + final
+    # agg sharing one cell-keyed exchange) — 13 exchanges -> 10 and the
+    # joins are GONE (3 bhj + 1 smj -> 0); identical merge algebra
+    # (oracle replays it, hash-green at sf0.01/0.1).
+    "rollup_topk_events": dict(scans=1, exchanges=10, bhj=0, smj=0),
     # r10: wide corr — ONE scan into the Arrow kernel, ONE pair-keyed
     # exchange (k² rows/partition), constant-width epilogue; a second
     # exchange or scan means the kernel stopped emitting merged pair
