@@ -80,36 +80,12 @@ def er_candidates(f: Frame, id_col: str, name_col: str) -> DataFrame:
             .dropDuplicates(["id_a", "id_b"]))
 
 
-_LEV_BOUND = 8  # bounded-DP cap for the fast branch (see _similarity)
-
-
-def _similarity(a: Column, b: Column,
-                threshold: float | None = None) -> Column:
+def _similarity(a: Column, b: Column) -> Column:
     """1 − lev/max(len): plain IEEE arithmetic on codegen'd inputs —
     bit-identical across engines, so oracle thresholds cannot
-    tie-break differently.
-
-    With a ``threshold`` t, rows can only survive the caller's
-    ``sim >= t`` filter when lev <= (1−t)·maxlen, so pairs whose bound
-    fits under ``_LEV_BOUND`` take Spark 3.5's 3-arg bounded
-    ``levenshtein`` — an O(k·n) early-exit DP instead of the O(n²)
-    full matrix (r16, guide §3/§1.2; the fuzzy_join r15 treatment).
-    Semantics are EXACT, not approximate: the bounded branch applies
-    only where (1−t)·maxlen <= k (so a −1 "exceeds k" answer implies
-    sim < t — those rows yield NULL sim and fall out of the filter
-    exactly like their sub-threshold sim did before), longer strings
-    keep the unbounded DP, and kept pairs emit the true distance, so
-    surviving sim values are bit-identical."""
-    ml = F.greatest(F.length(a), F.length(b), F.lit(1))
-    if threshold is None:
-        dist = F.levenshtein(a, b).cast("double")
-    else:
-        k = _LEV_BOUND
-        bound_fits = (F.lit(1.0 - threshold) * ml) <= F.lit(float(k))
-        db = F.levenshtein(a, b, k)
-        dist = (F.when(bound_fits, F.when(db >= 0, db))
-                .otherwise(F.levenshtein(a, b))).cast("double")
-    return F.lit(1.0) - dist / ml
+    tie-break differently."""
+    return F.lit(1.0) - (F.levenshtein(a, b).cast("double")
+                         / F.greatest(F.length(a), F.length(b), F.lit(1)))
 
 
 def er_scored_pairs(f: Frame, id_col: str, name_col: str,
@@ -118,8 +94,7 @@ def er_scored_pairs(f: Frame, id_col: str, name_col: str,
     normalized Levenshtein similarity. Levenshtein evaluates only on
     blocked candidates (the deletion-key equi-join), never all pairs."""
     cand = er_candidates(f, id_col, name_col)
-    return (cand.withColumn("sim", _similarity(F.col("_nm_a"), F.col("_nm_b"),
-                                               threshold=threshold))
+    return (cand.withColumn("sim", _similarity(F.col("_nm_a"), F.col("_nm_b")))
             .filter(F.col("sim") >= threshold)
             .select("id_a", "id_b", "sim"))
 
