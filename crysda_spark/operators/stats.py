@@ -721,6 +721,11 @@ def grouped_ols(f: Frame, group_cols: list[str] | str, x_col: str,
     if not 0 <= quant <= 8:
         raise ValueError(f"grouped_ols: quant must be in [0, 8], got {quant}")
     scale = float(10 ** quant)
+    if all(_IDENT_RE.match(c) for c in (x_col, y_col, *groups)):
+        # r16: generated-SQL twin (see _corr_pairs_sql) — the Column
+        # builders below cost ~0.3 s of driver py4j time per call;
+        # parity pinned by test_grouped_ols_sql_parity
+        return _grouped_ols_sql(f.sdf, groups, x_col, y_col, quant)
     qx, qy = _quantize(x_col, scale), _quantize(y_col, scale)
     both = qx.isNotNull() & qy.isNotNull()
     vx, vy = F.when(both, qx), F.when(both, qy)
@@ -772,3 +777,61 @@ def grouped_ols(f: Frame, group_cols: list[str] | str, x_col: str,
     return Frame(agg.select(
         *groups, guard.alias("n"), slope.alias("slope"),
         intercept.alias("intercept"), r2.alias("r2")))
+
+
+def _grouped_ols_sql(sdf, groups: list[str], x_col: str, y_col: str,
+                     quant: int):
+    """Generated-SQL twin of the grouped_ols Column builders (plain
+    identifiers only) — same quantize/split/guard/closed-form trees,
+    parsed server-side in two calls."""
+    scale = float(10 ** quant)
+    qx, qy = _q_sql(x_col, scale), _q_sql(y_col, scale)
+    both = f"({qx} IS NOT NULL AND {qy} IS NOT NULL)"
+    vx = f"CASE WHEN {both} THEN {qx} END"
+    vy = f"CASE WHEN {both} THEN {qy} END"
+    xyh, xyl = _split_sql(f"({vx} * {vy})")
+    xxh, xxl = _split_sql(f"({vx} * {vx})")
+    yyh, yyl = _split_sql(f"({vy} * {vy})")
+    agg = sdf.groupBy(*groups).agg(
+        F.expr(f"SUM(CASE WHEN {both} THEN 1 ELSE 0 END)").alias("_n"),
+        F.expr(f"SUM({vx})").alias("_sx"), F.expr(f"SUM({vy})").alias("_sy"),
+        F.expr(f"SUM({xyh})").alias("_sxyh"),
+        F.expr(f"SUM({xyl})").alias("_sxyl"),
+        F.expr(f"SUM({xxh})").alias("_sxxh"),
+        F.expr(f"SUM({xxl})").alias("_sxxl"),
+        F.expr(f"SUM({yyh})").alias("_syyh"),
+        F.expr(f"SUM({yyl})").alias("_syyl"),
+        F.expr(f"MAX(ABS({vx}))").alias("_mx"),
+        F.expr(f"MAX(ABS({vy}))").alias("_my"))
+
+    nd = "CAST(_n AS DOUBLE)"
+    mxd, myd = "CAST(_mx AS DOUBLE)", "CAST(_my AS DOUBLE)"
+    mg = f"greatest({mxd}, {myd})"
+    bad = (f"(_mx > {_MAX_V}) OR (_my > {_MAX_V}) OR (_n > {_MAX_N}) "
+           f"OR ({nd} * {mg} > {_dlit(_MAX_NV)}) "
+           f"OR ({nd} * ({mg} * {mg} / {_dlit(float(_M))} + 1.0D) "
+           f"> {_dlit(_MAX_NV)})")
+    msg = (f"grouped_ols: a group exceeds the scaled-long domain at "
+           f"quant={quant} — lower quant, rescale, or pre-aggregate "
+           "(same bounds as corr_matrix)")
+    guard = (f"CASE WHEN ({bad}) AND _n IS NOT NULL "
+             f"THEN raise_error('{_esc(msg)}') ELSE _n END")
+
+    def _recon(pre: str) -> str:
+        return _det_double_sql(
+            f"(CAST({pre}h AS DECIMAL(38,0)) * {_M} + {pre}l)")
+
+    sx, sy = "CAST(_sx AS DOUBLE)", "CAST(_sy AS DOUBLE)"
+    num = f"({_recon('_sxy')} * {nd} - {sx} * {sy})"
+    denx = f"({_recon('_sxx')} * {nd} - {sx} * {sx})"
+    deny = f"({_recon('_syy')} * {nd} - {sy} * {sy})"
+    ok = f"(_n >= 2 AND {denx} > 0)"
+    slope = f"CASE WHEN {ok} THEN {num} / {denx} END"
+    intercept = (f"CASE WHEN {ok} THEN ({sy} - {num} / {denx} * {sx}) "
+                 f"/ {nd} / {_dlit(scale)} END")
+    r2 = (f"CASE WHEN {ok} AND {deny} > 0 "
+          f"THEN {num} / {denx} * ({num} / {deny}) END")
+    gsel = [f"`{g}`" for g in groups]
+    return Frame(agg.selectExpr(
+        *gsel, f"{guard} AS n", f"{slope} AS slope",
+        f"{intercept} AS intercept", f"{r2} AS r2"))

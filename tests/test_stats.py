@@ -443,3 +443,40 @@ def test_corr_matrix_non_plain_identifier_falls_back(spark):
     got = _rows(corr_matrix(Frame(sdf), ["a", "b col"]))
     assert got[("a", "b col")].n == 3
     assert got[("a", "b col")].corr == pytest.approx(0.997948, abs=1e-4)
+
+
+def test_grouped_ols_sql_parity(spark):
+    # r16: the generated-SQL grouped_ols must be bit-identical to the
+    # Column builders (forced via a non-plain group alias that routes
+    # the old path) on data with nulls/NaN/groups of every degeneracy
+    import numpy as np
+
+    from crysda_spark.operators.stats import grouped_ols
+    rng = np.random.default_rng(11)
+    rows = []
+    for g in range(5):
+        for i in range(80):
+            x = round(float(rng.normal(0, 100)), 2)
+            y = round(2.0 * x + float(rng.normal(0, 5)), 2)
+            if i % 13 == 0:
+                x = None
+            if i % 17 == 0:
+                y = float("nan")
+            if g == 3:
+                x = 7.0           # zero x-variance group
+            rows.append((f"g{g}", x, y))
+    rows.append(("solo", 1.0, 2.0))  # n = 1 group
+    sdf = spark.createDataFrame(rows, "grp string, x double, y double")
+    new = {r.grp: r for r in
+           grouped_ols(Frame(sdf), ["grp"], "x", "y", quant=3).sdf.collect()}
+    # rename to a non-identifier to force the retained Column path
+    old_in = (sdf.withColumnRenamed("grp", "grp col")
+              .withColumnRenamed("x", "x val"))
+    old = {r["grp col"]: r for r in
+           grouped_ols(Frame(old_in), ["grp col"], "x val", "y",
+                       quant=3).sdf.collect()}
+    assert set(new) == set(old) and len(new) == 6
+    for g in new:
+        assert new[g].n == old[g].n
+        for fld in ("slope", "intercept", "r2"):
+            assert _bits(new[g][fld]) == _bits(old[g][fld]), (g, fld)
