@@ -64,21 +64,32 @@ def pagerank(edges: Frame, src: str = "src", dst: str = "dst",
          .distinct().localCheckpoint(eager=True))
     nodes = (e.select(F.col("_src").alias("node"))
              .union(e.select(F.col("_dst").alias("node")))
-             .distinct().localCheckpoint(eager=True))
-    n = nodes.count()
-    if n == 0:
-        return Frame(nodes.withColumn("rank", F.lit(0.0)))
+             .distinct())
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
     # out-degree is a per-node attribute co-keyed with ranks: attach it
     # ONCE so the per-iteration join carries (node, rank, deg) — the
-    # dangling marker is deg IS NULL
+    # dangling marker is deg IS NULL. Fused setup (r16, guide §1.2):
+    # the node derivation feeds only this join, so build base in the
+    # SAME checkpoint job instead of materializing nodes separately,
+    # and take n from the checkpointed base (a cheap count over the
+    # already-materialized RDD) — one driver barrier and one
+    # materialization fewer, identical rows everywhere.
     base = nodes.join(deg, nodes["node"] == deg["_src"], "left").select(
         "node", "_deg").localCheckpoint(eager=True)
+    n = base.count()
+    if n == 0:
+        return Frame(base.select("node").withColumn("rank", F.lit(0.0)))
     ranks = base.withColumn("_rank", F.lit(1.0 / n))
 
     for it in range(max_iter):
         # dangling mass as a 1-row broadcast — the iteration stays fully
-        # lazy (zero driver actions per round unless tol > 0)
+        # lazy (zero driver actions per round unless tol > 0). An r16
+        # restructure folding this aggregate and the contribution sums
+        # into ONE keyed aggregate (sentinel dangling key) measured
+        # SLOWER in a same-window interleaved A/B (tools/
+        # ab_pagerank_r16.py: med 3.12 vs 2.87 s, stage count unchanged
+        # at 62) — the dangling sum then waits behind the wide exchange
+        # instead of running in parallel with it. Kept as-is.
         dang = (ranks.filter(F.col("_deg").isNull())
                 .agg(F.coalesce(F.sum("_rank"), F.lit(0.0)).alias("_dang")))
         contrib = (ranks.join(e, ranks["node"] == e["_src"])
