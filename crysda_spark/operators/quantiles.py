@@ -63,12 +63,13 @@ _RESERVED = {"_v", "_b", "_c", "_off", "_rank", "_lrn", "_frac", "_kind",
 
 
 def _null_safe_join(left: DataFrame, right: DataFrame, keys: list[str],
-                    extra=None) -> DataFrame:
-    """Broadcast inner join on keys that must not drop NULL group keys
+                    extra=None, how: str = "inner") -> DataFrame:
+    """Broadcast join on keys that must not drop NULL group keys
     (groupBy treats NULL as a regular key; a plain equi-join would).
     Right-side keys are renamed before the join so the output resolves
     unambiguously. ``extra`` appends a non-equi condition (used for the
-    rank-range containment join)."""
+    rank-range containment join). ``how='left_semi'`` filters the left
+    side (duplicate right rows cannot multiply it)."""
     renamed = right
     for k in keys:
         renamed = renamed.withColumnRenamed(k, f"__r_{k}")
@@ -76,7 +77,9 @@ def _null_safe_join(left: DataFrame, right: DataFrame, keys: list[str],
     for k in keys:
         c = left[k].eqNullSafe(F.col(f"__r_{k}"))
         cond = c if cond is None else cond & c
-    out = left.join(F.broadcast(renamed), cond, "inner")
+    out = left.join(F.broadcast(renamed), cond, how)
+    if how == "left_semi":
+        return out
     return out.drop(*[f"__r_{k}" for k in keys])
 
 
@@ -193,19 +196,34 @@ def quantile_cont(sdf: DataFrame, value_col: str, qs: Iterable[float],
     # without materialization each consumer would rescan the input to
     # rebuild it. (release_pinned() frees it once results are consumed.)
     bcounts = bucketed.groupBy(*by, "_b").agg(F.sum("_wt").alias("_c"))
-    w_off = (W.partitionBy(*by) if by else W.partitionBy()).orderBy("_b")
-    offsets = pin(bcounts.withColumn(
-        "_off",
-        F.coalesce(F.sum("_c").over(w_off.rowsBetween(W.unboundedPreceding, -1)),
-                   F.lit(0))))
+    w_part = W.partitionBy(*by) if by else W.partitionBy()
+    w_off = w_part.orderBy("_b")
+    # the group total rides the SAME window exchange as the offsets
+    # (r16, guide §2.3): a whole-partition sum over the identical
+    # partition key adds a Window operator but no exchange, replacing
+    # the groupBy aggregation the totals frame used to pay
+    offsets = pin(bcounts
+                  .withColumn("_off", F.coalesce(
+                      F.sum("_c").over(
+                          w_off.rowsBetween(W.unboundedPreceding, -1)),
+                      F.lit(0)))
+                  .withColumn("_n", F.sum("_c").over(w_part)))
 
-    # group totals from the offsets frame itself: the last bucket's
-    # offset + count IS the group total (counts are positive)
-    totals = offsets.groupBy(*by).agg(
-        F.max(F.col("_off") + F.col("_c")).alias("_n"))
-    qdf = spark.createDataFrame([(i, q) for i, q in enumerate(qs)],
-                                "_qi int, q double")
-    targets = (totals.crossJoin(F.broadcast(qdf))
+    # one row per group: the last bucket's offset + count IS the group
+    # total (counts are positive, so _off + _c is strictly increasing
+    # within a group — exactly one row matches). The quantile list is
+    # a LITERAL struct array exploded in-plan (r16, guide §5): no
+    # createDataFrame round trip, no broadcast join for it.
+    totals = (offsets
+              .filter(F.col("_off") + F.col("_c") == F.col("_n"))
+              .select(*by, "_n"))
+    qarr = F.array(*[F.struct(F.lit(i).cast("int").alias("_qi"),
+                              F.lit(q).alias("q"))
+                     for i, q in enumerate(qs)])
+    targets = (totals.select(*by, "_n", F.explode(qarr).alias("_qq"))
+               .select(*by, "_n",
+                       F.col("_qq._qi").alias("_qi"),
+                       F.col("_qq.q").alias("q"))
                .withColumn("_h", F.lit(1.0) + (F.col("_n") - 1) * F.col("q"))
                .withColumn("_frac", F.col("_h") - F.floor("_h"))
                .select(*by, "_qi", "q", "_frac",
@@ -225,6 +243,12 @@ def quantile_cont(sdf: DataFrame, value_col: str, qs: Iterable[float],
     # billion (the degenerate-bucket hazard of the row_number design).
     # Value _v with count _vc owns global ranks (_glo .. _ghi] where
     # _ghi = _off + cumulative count through _v.
+    # (An r16 attempt to pre-filter this collapse to the ≤ 2·Q buckets
+    # owning a target rank — exact, and ~n_b-fold fewer shuffled bytes —
+    # measured SLOWER here: the filter's broadcast branch re-evaluates
+    # the targets/offsets subplan, doubling the plan's broadcast joins
+    # (8 → 16) and AQE stage count at bench scale. Reverted; see
+    # OPTIMIZATION_r16.md.)
     vcounts = bucketed.groupBy(*by, "_b", "_v").agg(
         F.sum("_wt").alias("_vc"))
     w_rn = W.partitionBy(*(by + ["_b"])).orderBy("_v")
