@@ -63,6 +63,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> Frame:
     return Frame(sdf)
 
 
+def _gen_ids(spark: SparkSession, n: int, per_task: int = 8):
+    """Generator id table for the fixed-size codec gates, partitioned
+    by DATA SIZE instead of defaultParallelism (r16, guide §2.4/§4):
+    ``spark.range(n)`` on a 32-slot master yields 32 near-empty
+    partitions, and each downstream Arrow stage then pays ~32
+    python-worker round trips (first-task codec-module imports
+    dominate) for n tiny rows — the 8-core driver bench beat the
+    32-core one 3–4x on every codec gate because of exactly this.
+    ``per_task`` reflects per-doc codec weight: 8 suits ms-per-doc
+    image codecs, heavy per-doc work (video transcode) passes 1.
+    Task count scales with the WORK (ceil(n/per_task)), never with the
+    cluster, and stays bounded by defaultParallelism. Values are
+    identical to ``spark.range(n)`` — partitioning only."""
+    parts = max(1, min(spark.sparkContext.defaultParallelism,
+                       (n + per_task - 1) // per_task))
+    return spark.range(0, n, 1, parts).select(F.col("id").alias("doc_id"))
+
+
 def q(name: str, oracle: str | None = None):
     def deco(fn):
         _QUERIES[name] = fn
@@ -2625,7 +2643,7 @@ def multimodal_webp_anim_frames(spark, sf_dir):
     from crysda_spark.pipeline import multimodal as mm
     from pyspark.sql import types as T
 
-    ids = spark.range(48).select(F.col("id").alias("doc_id"))
+    ids = _gen_ids(spark, 48, per_task=4)
 
     def gen(batches):
         import numpy as np
@@ -2720,7 +2738,7 @@ def multimodal_avi_frames(spark, sf_dir):
     from crysda_spark.pipeline import multimodal as mm
     from pyspark.sql import types as T
 
-    ids = spark.range(48).select(F.col("id").alias("doc_id"))
+    ids = _gen_ids(spark, 48, per_task=4)
 
     def gen(batches):
         import numpy as np
@@ -2780,7 +2798,7 @@ def multimodal_bmp_roundtrip(spark, sf_dir):
     from crysda_spark.pipeline import multimodal as mm
     from pyspark.sql import types as T
 
-    ids = spark.range(64).select(F.col("id").alias("doc_id"))
+    ids = _gen_ids(spark, 64)
 
     def gen(batches):
         import numpy as np
@@ -2827,7 +2845,7 @@ def multimodal_png_roundtrip(spark, sf_dir):
     from crysda_spark.pipeline import multimodal as mm
     from pyspark.sql import types as T
 
-    ids = spark.range(64).select(F.col("id").alias("doc_id"))
+    ids = _gen_ids(spark, 64)
 
     def gen(batches):
         import numpy as np
@@ -2880,7 +2898,7 @@ def multimodal_webp_roundtrip(spark, sf_dir):
     from crysda_spark.pipeline import multimodal as mm
     from pyspark.sql import types as T
 
-    ids = spark.range(64).select(F.col("id").alias("doc_id"))
+    ids = _gen_ids(spark, 64)
 
     def gen(batches):
         import numpy as np
@@ -2953,7 +2971,7 @@ def multimodal_vp8_roundtrip(spark, sf_dir):
     it in the hashed output would oracle the codec against itself."""
     from pyspark.sql import types as T
 
-    ids = spark.range(48).select(F.col("id").alias("doc_id"))
+    ids = _gen_ids(spark, 48, per_task=4)
 
     def gen(batches):
         import numpy as np
@@ -3022,7 +3040,7 @@ def multimodal_gif_roundtrip(spark, sf_dir):
     from crysda_spark.pipeline import multimodal as mm
     from pyspark.sql import types as T
 
-    ids = spark.range(64).select(F.col("id").alias("doc_id"))
+    ids = _gen_ids(spark, 64)
 
     def gen(batches):
         import numpy as np
@@ -3075,7 +3093,7 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
     from crysda_spark.pipeline import multimodal as mm
     from pyspark.sql import types as T
 
-    ids = spark.range(64).select(F.col("id").alias("doc_id"))
+    ids = _gen_ids(spark, 64)
 
     def gen(batches):
         import numpy as np
@@ -3123,7 +3141,7 @@ def multimodal_tiff_roundtrip(spark, sf_dir):
     from crysda_spark.pipeline import multimodal as mm
     from pyspark.sql import types as T
 
-    ids = spark.range(64).select(F.col("id").alias("doc_id"))
+    ids = _gen_ids(spark, 64)
 
     def gen(batches):
         import numpy as np
@@ -3174,7 +3192,7 @@ def multimodal_wav_audio(spark, sf_dir):
     from crysda_spark.pipeline import multimodal as mm
     from pyspark.sql import types as T
 
-    ids = spark.range(64).select(F.col("id").alias("doc_id"))
+    ids = _gen_ids(spark, 64)
 
     def gen(batches):
         import numpy as np
@@ -6986,7 +7004,7 @@ def image_phash_near_dups(spark, sf_dir):
     from crysda_spark.pipeline import phash as ph
     from pyspark.sql import types as T
 
-    ids = spark.range(64).select(F.col("id").alias("doc_id"))
+    ids = _gen_ids(spark, 64)
 
     def gen(batches):
         import numpy as np
@@ -7086,7 +7104,7 @@ def audio_fingerprint_match(spark, sf_dir):
     from pyspark.sql import types as T
 
     RATE = 8000
-    ids = spark.range(16).select(F.col("id").alias("doc_id"))
+    ids = _gen_ids(spark, 16, per_task=2)
 
     def synth_np(did):
         import numpy as np
@@ -7170,7 +7188,7 @@ def video_phash_match(spark, sf_dir):
     # limit(8) over doc_id could return ids sharing a residue, which
     # would generate byte-identical clips and trip the planted gate
     # spuriously (r14 review)
-    ids = spark.range(8).select(F.col("id").alias("doc_id"))
+    ids = _gen_ids(spark, 8, per_task=1)
 
     def gen(batches):
         import numpy as np
@@ -7242,7 +7260,7 @@ def video_near_transcode_match(spark, sf_dir):
     # limit(8) over doc_id could return ids sharing a residue, which
     # would generate byte-identical clips and trip the planted gate
     # spuriously (r14 review)
-    ids = spark.range(8).select(F.col("id").alias("doc_id"))
+    ids = _gen_ids(spark, 8, per_task=1)
 
     def gen(batches):
         import numpy as np
